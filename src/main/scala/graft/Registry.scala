@@ -1,0 +1,17 @@
+package graft
+
+/** The engine's full query surface, one place. SparkEntry delegates here. */
+object Registry {
+  def all: Seq[Q] =
+    queries.Core.all ++
+      queries.Relational.all ++
+      queries.Events.all
+
+  def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+
+  def runners: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracles: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

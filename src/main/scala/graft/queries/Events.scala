@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.util.Cols._
+
+/** Event-table analytics: tumbling time windows and sessionization — the
+  * batch faces of the streaming module (graft.streaming runs the same
+  * aggregations under Structured Streaming with a watermark).
+  *
+  * The events parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+  * reader rejects; [[Tables.events]] reads it as LongType nanoseconds
+  * (spark.sql.legacy.parquet.nanosAsLong) and all time math here stays in
+  * exact integer nanos — which is also the deterministic choice for the
+  * DuckDB hash-compare.
+  */
+object Events {
+
+  private val NsPerHour = 3600L * 1000000000L
+
+  val all: Seq[Q] = Seq(
+    // ---- tumbling 1-hour window aggregation.
+    Q(
+      "q_events_hourly",
+      (s, d) =>
+        Tables
+          .events(s, d)
+          .groupBy(
+            expr(s"(ts DIV $NsPerHour) * 3600").as("hour_epoch"),
+            col("event_type")
+          )
+          .agg(
+            count(lit(1)).as("n"),
+            sumDec2(col("value")).as("sum_value"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value")
+          )
+          .orderBy("hour_epoch", "event_type"),
+      Some("""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+             |       event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |       MIN(value) AS min_value, MAX(value) AS max_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    // ---- per-type rollup over users.
+    Q(
+      "q_events_type_stats",
+      (s, d) =>
+        Tables
+          .events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sumDec2(col("value")).as("sum_value")
+          )
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    // ---- sessionization: 30-minute inactivity gap, per user.
+    Q(
+      "q_sessionize",
+      (s, d) => {
+        val gapNs = 1800L * 1000000000L
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables
+          .events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn(
+            "new_sess",
+            when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+              .otherwise(0L)
+          )
+          .withColumn("sess_no", sum(col("new_sess")).over(wRun))
+          .groupBy(col("user_id"), col("sess_no"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts")).as("min_ts"),
+            sumDec2(col("value")).as("sum_value")
+          )
+          .select(
+            col("user_id"),
+            col("sess_no"),
+            col("n_events"),
+            expr("min_ts DIV 1000000000").as("start_epoch"),
+            col("sum_value")
+          )
+          .orderBy("user_id", "sess_no")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), s AS (
+             |  SELECT user_id, ts, value,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                        ROWS UNBOUNDED PRECEDING) AS sess_no
+             |  FROM e
+             |)
+             |SELECT user_id, sess_no::BIGINT AS sess_no, COUNT(*) AS n_events,
+             |       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_no""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,391 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.util.Cols._
+
+/** The generalized relational operator surface (SURVEY.md §2.3): scans,
+  * filters/projections, joins (inner/semi/anti), hash aggregation,
+  * distinct aggregation, windows, sort/limit/top-k, set ops, rollup/cube,
+  * scalar string/date functions, HAVING — all over the TPC-H-ish tables,
+  * each hash-checked against a DuckDB oracle.
+  *
+  * Scale notes (100 TB posture):
+  *   - nation/supplier/region joins are explicit `broadcast()`;
+  *     customer⋈orders⋈lineitem are key shuffles Catalyst/AQE plans as
+  *     sort-merge or shuffled-hash with map-side partials;
+  *   - every aggregate here is partial-aggregable (no collect_list on
+  *     unbounded groups);
+  *   - predicates/projections sit directly on the scan so they reach the
+  *     parquet reader (PushedFilters / ReadSchema — verified in specs).
+  */
+object Relational {
+
+  val all: Seq[Q] = Seq(
+    // ---- TPC-H Q1 style: scan → filter → hash agg, the codegen hot path.
+    Q(
+      "q1_agg",
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sumDec2(col("l_quantity")).as("sum_qty"),
+            sumDec2(col("l_extendedprice")).as("sum_base_price"),
+            sumDec4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("sum_disc_price"),
+            avgDec2(col("l_quantity")).as("avg_qty"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+    // ---- TPC-H Q6 style: tight filter → single-row agg (pushdown showcase).
+    Q(
+      "q6_filter_agg",
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01 00:00:00") &&
+              col("l_shipdate") < lit("1997-01-01 00:00:00") &&
+              col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24
+          )
+          .agg(
+            sumDec4(col("l_extendedprice") * col("l_discount")).as("revenue"),
+            count(lit(1)).as("n")
+          ),
+      Some("""SELECT
+             |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin)
+    ),
+    // ---- projection + filter straight off the scan.
+    Q(
+      "q_filter_project",
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+          .select(
+            col("l_orderkey"),
+            lng(col("l_linenumber")).as("l_linenumber"),
+            col("l_quantity"),
+            col("l_extendedprice")
+          )
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+    // ---- TPC-H Q3 style 3-way join + agg + top-k.
+    Q(
+      "q3_join_topk",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(
+            o("o_orderkey"),
+            date_format(o("o_orderdate"), "yyyy-MM-dd").as("o_orderdate")
+          )
+          .agg(sumDec4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderkey, o_orderdate
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+    ),
+    // ---- TPC-H Q5 style: broadcast dims + big-side key shuffles.
+    Q(
+      "q5_join_nation",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d)
+        val sup = Tables.supplier(s, d)
+        val n = Tables.nation(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+            sup("s_nationkey") === c("c_nationkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .groupBy(n("n_name"))
+          .agg(sumDec4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
+    // ---- semi join (EXISTS).
+    Q(
+      "q_join_semi",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers
+             |FROM customer WHERE EXISTS (
+             |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+    // ---- anti join (NOT EXISTS).
+    Q(
+      "q_join_anti",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter(col("o_orderdate") >= lit("2000-01-01 00:00:00"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    // ---- global sort + limit (top-k with deterministic tiebreak).
+    Q(
+      "q_topk",
+      (s, d) =>
+        Tables
+          .orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+    ),
+    // ---- ranking window: top-3 orders per customer.
+    Q(
+      "q_window_rank",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables
+          .orders(s, d)
+          .withColumn("rn", lng(row_number().over(w)))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)
+    ),
+    // ---- running-total window (exact decimal accumulation).
+    Q(
+      "q_window_running",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables
+          .lineitem(s, d)
+          .filter(col("l_suppkey") <= 2)
+          .select(
+            col("l_suppkey"),
+            col("l_orderkey"),
+            lng(col("l_linenumber")).as("l_linenumber"),
+            sum(dec2(col("l_quantity"))).over(w).cast("double").as("running_qty")
+          )
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY l_suppkey
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+             |FROM lineitem WHERE l_suppkey <= 2
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)
+    ),
+    // ---- set operations: union / intersect / except over two predicates.
+    Q(
+      "q_setops",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        val b = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+        def stats(df: org.apache.spark.sql.DataFrame, op: String) =
+          df.agg(
+            lit(op).as("op"),
+            count(lit(1)).as("n"),
+            min(col("c_custkey")).as("min_key"),
+            max(col("c_custkey")).as("max_key")
+          )
+        stats(a.union(b).distinct(), "union")
+          .union(stats(a.intersect(b), "intersect"))
+          .union(stats(a.except(b), "except"))
+          .orderBy("op")
+      },
+      Some("""WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+             |     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+             |SELECT 'union' AS op, COUNT(*) AS n, MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+             |  FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+             |UNION ALL
+             |SELECT 'intersect', COUNT(*), MIN(c_custkey), MAX(c_custkey)
+             |  FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+             |UNION ALL
+             |SELECT 'except', COUNT(*), MIN(c_custkey), MAX(c_custkey)
+             |  FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+             |ORDER BY op""".stripMargin)
+    ),
+    // ---- distinct aggregation.
+    Q(
+      "q_distinct_agg",
+      (s, d) =>
+        Tables
+          .customer(s, d)
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            countDistinct(col("c_nationkey")).as("n_nations"),
+            count(lit(1)).as("n"),
+            sumDec2(col("c_acctbal")).as("sum_bal")
+          )
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+    // ---- approximate distinct (HLL): rows-only check, no exact oracle.
+    Q(
+      "q_approx_distinct",
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts")
+          ),
+      None,
+      doc = "approx_count_distinct (HyperLogLog++) next to the exact count; " +
+        "sketch values are engine-specific so this is a rows-only check " +
+        "(its accuracy is asserted in ScalaTest)."
+    ),
+    // ---- scalar string/date functions.
+    Q(
+      "q_scalar_funcs",
+      (s, d) =>
+        Tables
+          .orders(s, d)
+          .filter(col("o_orderkey") <= 500)
+          .select(
+            col("o_orderkey"),
+            lng(year(col("o_orderdate"))).as("o_year"),
+            lng(month(col("o_orderdate"))).as("o_month"),
+            lng(dayofmonth(col("o_orderdate"))).as("o_day"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date_str"),
+            lng(datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")))
+              .as("days_since"),
+            upper(substring(col("o_orderpriority"), 1, 1)).as("prio_code"),
+            concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+            lng(length(col("o_orderpriority"))).as("prio_len"),
+            abs(col("o_totalprice") - 100000.0).as("price_dist")
+          )
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+             |  day(o_orderdate) AS o_day,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS o_date_str,
+             |  date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since,
+             |  upper(substr(o_orderpriority, 1, 1)) AS prio_code,
+             |  o_orderstatus || '-' || o_orderpriority AS status_prio,
+             |  length(o_orderpriority) AS prio_len,
+             |  abs(o_totalprice - 100000.0) AS price_dist
+             |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)
+    ),
+    // ---- ROLLUP grouping sets.
+    Q(
+      "q_rollup",
+      (s, d) =>
+        Tables
+          .orders(s, d)
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sumDec2(col("o_totalprice")).as("sum_price"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"),
+            col("sum_price")
+          )
+          .orderBy("status", "priority"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |       coalesce(o_orderpriority, 'ALL') AS priority,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)
+    ),
+    // ---- CUBE grouping sets.
+    Q(
+      "q_cube",
+      (s, d) =>
+        Tables
+          .orders(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n")
+          )
+          .orderBy("status", "priority"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |       coalesce(o_orderpriority, 'ALL') AS priority,
+             |       COUNT(*) AS n
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)
+    ),
+    // ---- HAVING on an aggregate.
+    Q(
+      "q_having",
+      (s, d) =>
+        Tables
+          .orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), sumDec2(col("o_totalprice")).as("spend"))
+          .filter(col("n_orders") >= 15)
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+             |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+             |ORDER BY o_custkey""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,58 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column helpers shared by all operators.
+  *
+  * The `dec*`/`sumDec*` helpers exist for cross-engine determinism: a sum of
+  * doubles is order-dependent, so any aggregate the DuckDB oracle checks is
+  * accumulated in exact DECIMAL and only cast back to double at the very end.
+  * At 100 TB this is also the right thing for reproducible pipelines — the
+  * decimal hash-aggregate is still a single map-side-combinable shuffle.
+  */
+object Cols {
+  def lng(c: Column): Column = c.cast(LongType)
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Order-insensitive exact sum of a (2-decimal) double column, as double. */
+  def sumDec2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  /** Same, at 4-decimal precision (for price*(1-disc)-style products). */
+  def sumDec4(c: Column): Column = sum(dec4(c)).cast(DoubleType)
+
+  /** Exact average: decimal sum, then one double division (deterministic). */
+  def avgDec2(c: Column): Column =
+    sum(dec2(c)).cast(DoubleType) / count(lit(1))
+
+  /** 60-bit hash that both Spark and DuckDB can compute identically:
+    * the first 15 hex chars of md5, parsed as an unsigned integer.
+    * DuckDB equivalent: `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+    * Used wherever a hash value is part of an oracle-checked result
+    * (Spark's `hash`/`xxhash64` have no DuckDB counterpart).
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+
+  /** Salted family of [[md5Long]] — the i-th MinHash permutation. */
+  def md5LongSalted(c: Column, salt: Int): Column =
+    md5Long(concat(c.cast(StringType), lit("#" + salt.toString)))
+
+  /** Dot product of two numeric array columns, computed left-to-right in
+    * double (bit-reproducible across engines; DuckDB `list_dot_product`
+    * iterates in the same order).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+}
