@@ -5,7 +5,11 @@ object Registry {
   def all: Seq[Q] =
     queries.Core.all ++
       queries.Relational.all ++
-      queries.Events.all
+      queries.Events.all ++
+      queries.TextQ.all ++
+      queries.DedupQ.all ++
+      queries.SimilarityQ.all ++
+      queries.MultimodalQ.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Cols._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, blocked n-gram Jaccard.
+  *
+  * Scale posture (the part that must survive 100 TB):
+  *   - exact dedup is one hash-partitioned window/aggregate on the content
+  *     hash — Spark's classic groupBy, no driver state;
+  *   - MinHash+LSH never compares all pairs: signatures are computed in the
+  *     scan (map-only), candidates come from an equi-join on (band, hash) —
+  *     a key shuffle whose size is O(docs × bands), and only candidates pay
+  *     the exact-Jaccard verification;
+  *   - SimHash is formulated as explode → two partial-aggregable groupBys
+  *     (never per-executor bitset state), and its pair search joins on
+  *     15-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal);
+  *   - n-gram Jaccard is the quadratic baseline and is explicitly blocked
+  *     (by lang here; any low-cardinality key works) — it exists as the
+  *     oracle-checkable ground truth for what LSH approximates.
+  *
+  * All hashes are md5-derived ([[graft.util.Cols.md5Long]]) so the DuckDB
+  * oracle reproduces them bit-for-bit.
+  */
+object Dedup {
+
+  val NumHashes = 16
+  val NumBands = 4
+  val RowsPerBand: Int = NumHashes / NumBands
+  val JaccardThreshold = 0.5
+
+  /** Normalized text used for exact dedup (whitespace-canonical). */
+  def normText(text: Column): Column = trim(Text.normalize(text))
+
+  /** doc → distinct word-k-shingle array (input to MinHash / Jaccard). */
+  def wordShingles(tokens: Column, k: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(tokens) - (k - 1), lit(1))),
+        i => array_join(slice(tokens, i, lit(k)), " ")
+      )
+    )
+
+  /** The i-th MinHash of a shingle array: min over salted 60-bit hashes. */
+  def minhash(shingles: Column, i: Int): Column =
+    array_min(transform(shingles, s => md5LongSalted(s, i)))
+
+  /** LSH band signature b over the minhash columns mh0..mh{NumHashes-1}:
+    * hash of the band's concatenated row values.
+    */
+  def bandHash(b: Int): Column =
+    md5Long(
+      concat_ws(
+        ",",
+        (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*
+      )
+    )
+
+  /** docs(doc_id, text) → (doc_id, sh, mh0..mhN): the map-only signature
+    * stage. `sh` is kept for the verification join.
+    */
+  def signatures(docs: DataFrame, shingleK: Int = 2): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      wordShingles(Text.tokensAll(col("text")), shingleK).as("sh")
+    )
+    (0 until NumHashes).foldLeft(base) { (df, i) =>
+      df.withColumn(s"mh$i", minhash(col("sh"), i))
+    }
+  }
+
+  /** Candidate pairs from LSH banding: doc pairs sharing at least one
+    * (band, bandHash) bucket. Output: (a_id, b_id) distinct, a < b.
+    */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until NumBands).map(bandHash): _*))
+        .as(Seq("band", "bhash"))
+    )
+    val l = bands.as("l")
+    val r = bands.as("r")
+    l.join(
+      r,
+      col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash") &&
+        col("l.doc_id") < col("r.doc_id")
+    ).select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over two distinct-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b)).cast("long")
+    val u = size(a).cast("long") + size(b).cast("long") - i
+    i.cast("double") / u
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → candidates → exact
+    * verification at `threshold`. Output (a_id, b_id, jacc).
+    */
+  def minhashDups(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    val sigs = signatures(docs).cache()
+    val cands = lshCandidates(sigs)
+    val sh = sigs.select(col("doc_id"), col("sh"))
+    cands
+      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        jaccard(col("sa.sh"), col("sb.sh")).as("jacc")
+      )
+      .filter(col("jacc") >= threshold)
+  }
+
+  /** SimHash (60-bit, term-frequency weighted), distributed formulation:
+    * explode tokens → per-(doc, bit) signed counts → per-doc bit assembly.
+    * Both groupBys are partial-aggregable sums.
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(Text.tokensAll(col("text"))).as("w"))
+      .select(col("doc_id"), md5Long(col("w")).as("h"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
+      .select(
+        col("doc_id"),
+        col("b"),
+        when(expr("shiftright(h, b) & 1") === 1, lit(1L)).otherwise(lit(-1L)).as("s")
+      )
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("s")).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("t") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
+          .as("simhash")
+      )
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming, found by
+    * joining on 15-bit chunks (4 chunks: any pair within hamming 3 must
+    * agree on >= 1 chunk; for maxHamming > 3 this is still a high-recall
+    * blocking key on this corpus).
+    */
+  def simhashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunked = sims.select(
+      col("doc_id"),
+      col("simhash"),
+      posexplode(
+        array((0 until 4).map(c => expr(s"shiftright(simhash, ${c * 15}) & 32767")): _*)
+      ).as(Seq("chunk", "cval"))
+    )
+    val l = chunked.as("l")
+    val r = chunked.as("r")
+    l.join(
+      r,
+      col("l.chunk") === col("r.chunk") && col("l.cval") === col("r.cval") &&
+        col("l.doc_id") < col("r.doc_id")
+    ).select(
+      col("l.doc_id").as("a_id"),
+      col("r.doc_id").as("b_id"),
+      expr("CAST(bit_count(l.simhash ^ r.simhash) AS BIGINT)").as("hamming")
+    ).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact-dup annotation: per-document content hash, the size of its
+    * duplicate group, and the canonical (minimum) doc_id of the group.
+    */
+  def exactDups(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    docs
+      .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+  }
+
+  /** Blocked pairwise n-gram Jaccard (the exact quadratic baseline).
+    * `blockCol` bounds the pair count; at 100 TB this operator is only for
+    * within-block ground truth — LSH is the scale path.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      blockCol: String,
+      threshold: Double,
+      shingleK: Int = 2
+  ): DataFrame = {
+    val d = docs.select(
+      col("doc_id"),
+      col(blockCol).as("blk"),
+      wordShingles(Text.tokensAll(col("text")), shingleK).as("sh")
+    )
+    val l = d.as("l")
+    val r = d.as("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
+      .select(
+        col("l.doc_id").as("a_id"),
+        col("r.doc_id").as("b_id"),
+        jaccard(col("l.sh"), col("r.sh")).as("jacc")
+      )
+      .filter(col("jacc") >= threshold)
+  }
+}

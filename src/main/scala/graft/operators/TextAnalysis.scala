@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.util.Cols._
+
+/** Text-analysis operators for LLM training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Catalyst expressions (whole-stage codegen, no UDFs) so a 100 TB corpus
+  * pass stays a single embarrassingly-parallel scan — no shuffle at all
+  * until a downstream aggregate.
+  */
+object TextAnalysis {
+
+  /** Marker (function) words per language for the n-gram-style language-ID
+    * heuristic. Order of this Seq is the deterministic tiebreak priority.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "in", "to", "it", "that", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "ich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "pas"),
+    "es" -> Seq("el", "los", "es", "una", "que", "por", "con", "para", "del", "las")
+  )
+
+  /** Occurrence count of marker words in the token array. */
+  def markerScore(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, w => w.isin(markers: _*))).cast("long")
+
+  /** Language prediction: argmax of marker scores, first-listed wins ties.
+    * Docs matching no marker at all get "und" (undetermined).
+    */
+  def predictLang(scores: Seq[(String, Column)]): Column = {
+    val anyHit = scores.map(_._2).reduce(_ + _) > 0
+    // lang i wins if its score >= every later score and > every earlier one
+    // (equivalent to: first index attaining the max)
+    val best = scores.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, s), i), elseCol) =>
+        val beatsEarlier = scores.take(i).map { case (_, e) => s > e }
+        val geLater = scores.drop(i + 1).map { case (_, l) => s >= l }
+        val isMax = (beatsEarlier ++ geLater).foldLeft(lit(true))(_ && _)
+        when(isMax, lit(lang)).otherwise(elseCol)
+    }
+    when(anyHit, best).otherwise(lit("und"))
+  }
+
+  /** Quality metrics over a document's raw text + token array.
+    * One scan, no shuffle; every ratio is a single double division
+    * (deterministic across engines).
+    */
+  def qualityCols(text: Column, tokens: Column): Seq[Column] = {
+    val nTokens = size(tokens).cast("long")
+    val nChars = length(text).cast("long")
+    val alphaChars = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("long")
+    val sumTokLen =
+      aggregate(tokens, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    val nStop = markerScore(tokens, Text.StopWords)
+    val nUniq = size(array_distinct(tokens)).cast("long")
+    Seq(
+      nTokens.as("n_tokens"),
+      nChars.as("n_chars_raw"),
+      (sumTokLen.cast("double") / nTokens).as("avg_token_len"),
+      (alphaChars.cast("double") / nChars).as("alpha_ratio"),
+      (nStop.cast("double") / nTokens).as("stopword_ratio"),
+      (nUniq.cast("double") / nTokens).as("uniq_ratio")
+    )
+  }
+
+  /** Composite quality score in [0,1] — fixed weights, fixed evaluation
+    * order so the oracle reproduces it bit-for-bit.
+    */
+  def qualityScore(
+      alphaRatio: Column,
+      stopRatio: Column,
+      uniqRatio: Column
+  ): Column =
+    (alphaRatio * 0.3) + (least(stopRatio * 4.0, lit(1.0)) * 0.3) + (uniqRatio * 0.4)
+
+  /** BPE-ish token pattern: letter runs, single digits, single punctuation.
+    * Kept to syntax valid in both Java regex and RE2 (DuckDB).
+    */
+  val BpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+  /** Rolling-window fingerprint: the minimum salted hash over character
+    * k-gram shingles (a 1-permutation MinHash — the winnowing idea with a
+    * single global window). Equal documents get equal fingerprints;
+    * near-equal documents collide with probability ≈ their shingle overlap.
+    */
+  def minShingleFingerprint(text: Column, k: Int): Column =
+    array_min(
+      transform(
+        sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+        i => md5Long(expr_substr(text, i, k))
+      )
+    )
+
+  // substring() in the Column API takes literal pos/len; inside a transform
+  // lambda the position is a column, so build the Substring expression
+  // through the SQL-facing overload.
+  private def expr_substr(text: Column, pos: Column, len: Int): Column =
+    text.substr(pos, lit(len))
+}

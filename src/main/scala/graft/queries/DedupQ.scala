@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.{Dedup, Text}
+
+/** Dedup query surface over `documents`. The DuckDB oracles re-implement
+  * the exact same md5-derived hashing, so MinHash/SimHash values — not just
+  * the final pair lists — are cross-checked bit-for-bit.
+  */
+object DedupQ {
+
+  private val toksSql =
+    s"list_filter(${Text.tokensSqlAll("text")}, w -> length(w) > 1)"
+
+  /** DuckDB 60-bit hash of a string expression (mirror of Cols.md5Long). */
+  private def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Shared oracle CTE: doc_id + distinct word-2-shingles. */
+  private val shinglesCte =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |         generate_series(1, greatest(len(tk) - 1, 1)),
+       |         i -> array_to_string(tk[i:i+1], ' '))) AS sh
+       |       FROM t)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "d_exact",
+      (s, d) => Dedup.exactDups(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    md5(trim(regexp_replace(replace(lower(text), chr(39), ''), '[^a-z]+', ' ', 'g')))
+          |      AS content_hash
+          |  FROM documents)
+          |SELECT doc_id, content_hash,
+          |  count(*) OVER (PARTITION BY content_hash) AS dup_count,
+          |  min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id
+          |FROM t ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Exact dedup: content-hash groups with size and canonical id."
+    ),
+    Q(
+      "d_minhash_lsh",
+      (s, d) =>
+        Dedup
+          .minhashDups(Tables.documents(s, d))
+          .orderBy("a_id", "b_id"),
+      Some {
+        val mhDefs = (0 until Dedup.NumHashes)
+          .map(i => s"list_min(list_transform(sh, s -> ${h60(s"s || '#$i'")})) AS mh$i")
+          .mkString(",\n         ")
+        val bandSelects = (0 until Dedup.NumBands)
+          .map { b =>
+            val catted = (0 until Dedup.RowsPerBand)
+              .map(r => s"mh${b * Dedup.RowsPerBand + r}::VARCHAR")
+              .mkString(" || ',' || ")
+            s"SELECT doc_id, $b AS band, ${h60(s"($catted)")} AS bhash FROM mh"
+          }
+          .mkString("\n  UNION ALL ")
+        s"""$shinglesCte,
+           |mh AS (SELECT doc_id, sh,
+           |         $mhDefs
+           |       FROM sh),
+           |bands AS (
+           |  $bandSelects
+           |),
+           |cand AS (
+           |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+           |  FROM bands l JOIN bands r
+           |    ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+           |)
+           |SELECT a_id, b_id,
+           |  len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+           |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jacc
+           |FROM cand JOIN sh sa ON a_id = sa.doc_id JOIN sh sb ON b_id = sb.doc_id
+           |WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+           |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+           |    >= ${Dedup.JaccardThreshold}
+           |ORDER BY a_id, b_id""".stripMargin
+      },
+      doc = s"MinHash(${Dedup.NumHashes})+LSH(${Dedup.NumBands} bands) near-dup " +
+        s"pairs over word-2-shingles, verified at Jaccard >= ${Dedup.JaccardThreshold}."
+    ),
+    Q(
+      "d_simhash",
+      (s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+           |h AS (SELECT doc_id, ${h60("w")} AS h FROM t),
+           |bt AS (SELECT doc_id, u.b,
+           |         CASE WHEN (h >> u.b) & 1 = 1 THEN 1 ELSE -1 END AS s
+           |       FROM h, (SELECT unnest(generate_series(0, 59)) AS b) u),
+           |agg AS (SELECT doc_id, b, sum(s) AS t FROM bt GROUP BY doc_id, b)
+           |SELECT doc_id,
+           |  sum(CASE WHEN t > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+           |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      ),
+      doc = "60-bit term-frequency SimHash per document (distributed " +
+        "explode/aggregate formulation, no per-node state)."
+    ),
+    Q(
+      "d_simhash_pairs",
+      (s, d) =>
+        Dedup
+          .simhashPairs(Dedup.simhash(Tables.documents(s, d)), maxHamming = 3)
+          .orderBy("a_id", "b_id"),
+      Some {
+        val simCte =
+          s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+             |h AS (SELECT doc_id, ${h60("w")} AS h FROM t),
+             |bt AS (SELECT doc_id, u.b,
+             |         CASE WHEN (h >> u.b) & 1 = 1 THEN 1 ELSE -1 END AS s
+             |       FROM h, (SELECT unnest(generate_series(0, 59)) AS b) u),
+             |agg AS (SELECT doc_id, b, sum(s) AS t FROM bt GROUP BY doc_id, b),
+             |sim AS (SELECT doc_id,
+             |  sum(CASE WHEN t > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+             |FROM agg GROUP BY doc_id)""".stripMargin
+        s"""$simCte,
+           |chunks AS (
+           |  SELECT doc_id, simhash, u.c AS chunk, (simhash >> (u.c * 15)) & 32767 AS cval
+           |  FROM sim, (SELECT unnest(generate_series(0, 3)) AS c) u
+           |)
+           |SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+           |  bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming
+           |FROM chunks l JOIN chunks r
+           |  ON l.chunk = r.chunk AND l.cval = r.cval AND l.doc_id < r.doc_id
+           |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+           |ORDER BY a_id, b_id""".stripMargin
+      },
+      doc = "SimHash near-dup pairs at hamming <= 3, blocked by 15-bit " +
+        "chunk equality (pigeonhole: no candidate is missed)."
+    ),
+    Q(
+      "d_ngram_jaccard",
+      (s, d) =>
+        Dedup
+          .ngramJaccardPairs(Tables.documents(s, d), "lang", Dedup.JaccardThreshold)
+          .orderBy("a_id", "b_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+           |sh AS (SELECT doc_id, lang, list_distinct(list_transform(
+           |         generate_series(1, greatest(len(tk) - 1, 1)),
+           |         i -> array_to_string(tk[i:i+1], ' '))) AS sh
+           |       FROM t)
+           |SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+           |  len(list_intersect(l.sh, r.sh))::DOUBLE /
+           |    (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS jacc
+           |FROM sh l JOIN sh r ON l.lang = r.lang AND l.doc_id < r.doc_id
+           |WHERE len(list_intersect(l.sh, r.sh))::DOUBLE /
+           |    (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)))
+           |    >= ${Dedup.JaccardThreshold}
+           |ORDER BY a_id, b_id""".stripMargin
+      ),
+      doc = "Blocked (by lang) exact pairwise n-gram Jaccard — the ground " +
+        "truth LSH approximates; quadratic within blocks by design."
+    )
+  )
+}

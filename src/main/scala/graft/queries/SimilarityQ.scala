@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.Similarity
+
+/** Similarity-search query surface over `embeddings`. */
+object SimilarityQ {
+
+  /** DuckDB cosine mirroring Cols.cosine (same op order, double math). */
+  private def cosSql(a: String, b: String) =
+    s"""(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
+       |   (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
+       |    sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "s_ann_brute",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity
+          .bruteTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+           |sc AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cos
+           |       FROM q JOIN c ON query_id != neighbor_id),
+           |r AS (SELECT query_id, neighbor_id, cos,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |      FROM sc)
+           |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      ),
+      doc = "Exact cosine top-5 for 10 probe vectors: broadcast queries, " +
+        "scan corpus once, per-query window — the ANN correctness baseline."
+    ),
+    Q(
+      "s_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity
+          .ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nProbe = 3)
+          .orderBy("query_id", "rank")
+      },
+      None,
+      doc = "IVF-style ANN (label = coarse cell, nProbe=3): search only the " +
+        "probed cells. Approximate by construction → rows-only check here; " +
+        "recall vs s_ann_brute is asserted in ScalaTest."
+    ),
+    Q(
+      "d_embed_cosine",
+      (s, d) =>
+        Similarity
+          .cosineDupPairs(Tables.embeddings(s, d), threshold = 0.35)
+          .orderBy("a_id", "b_id"),
+      Some(
+        s"""SELECT l.vec_id AS a_id, r.vec_id AS b_id,
+           |  ${cosSql("l.embedding", "r.embedding")} AS cos
+           |FROM embeddings l JOIN embeddings r
+           |  ON l.label = r.label AND l.vec_id < r.vec_id
+           |WHERE ${cosSql("l.embedding", "r.embedding")} >= 0.35
+           |ORDER BY a_id, b_id""".stripMargin
+      ),
+      doc = "Embedding near-duplicate pairs: within-cell (label) pairwise " +
+        "cosine >= 0.35 — the IVF-cell-blocked quadratic check."
+    )
+  )
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.{Text, TextAnalysis}
+import graft.util.Cols._
+
+/** Text-analysis query surface over `documents`. */
+object TextQ {
+
+  /** DuckDB: the length>1-filtered token list for column `text`. */
+  private val toksSql =
+    s"list_filter(${Text.tokensSqlAll("text")}, w -> length(w) > 1)"
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "t_langid",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = TextAnalysis.LangMarkers.foldLeft(
+          docs.select(col("doc_id"), Text.tokensAll(col("text")).as("tk"))
+        ) { case (df, (lang, markers)) =>
+          df.withColumn(s"s_$lang", TextAnalysis.markerScore(col("tk"), markers))
+        }
+        val scores = TextAnalysis.LangMarkers.map { case (lang, _) =>
+          lang -> col(s"s_$lang")
+        }
+        toks
+          .select(
+            col("doc_id") +:
+              scores.map { case (l, c) => c.as(s"s_$l") } :+
+              TextAnalysis.predictLang(scores).as("pred_lang"): _*
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val scoreDefs = TextAnalysis.LangMarkers
+          .map { case (lang, ms) =>
+            s"len(list_filter(tk, w -> w IN (${inList(ms)}))) AS s_$lang"
+          }
+          .mkString(",\n       ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |s AS (SELECT doc_id,
+           |       $scoreDefs
+           |FROM t)
+           |SELECT doc_id, s_en, s_de, s_fr, s_es,
+           |  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+           |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           |       WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+           |       WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+           |       ELSE 'es' END AS pred_lang
+           |FROM s ORDER BY doc_id""".stripMargin
+      },
+      doc = "Language ID by marker-word occurrence counts (deterministic " +
+        "argmax, first-listed language wins ties)."
+    ),
+    Q(
+      "t_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = docs
+          .select(
+            col("doc_id") +: col("text") +: Nil: _*
+          )
+          .withColumn("tk", Text.tokensAll(col("text")))
+        val withMetrics = base.select(
+          col("doc_id") +: TextAnalysis.qualityCols(col("text"), col("tk")): _*
+        )
+        withMetrics
+          .withColumn(
+            "quality_score",
+            TextAnalysis.qualityScore(
+              col("alpha_ratio"),
+              col("stopword_ratio"),
+              col("uniq_ratio")
+            )
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+           |m AS (SELECT doc_id,
+           |  len(tk)::BIGINT AS n_tokens,
+           |  length(text)::BIGINT AS n_chars_raw,
+           |  list_sum(list_transform(tk, w -> length(w)))::DOUBLE / len(tk) AS avg_token_len,
+           |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio,
+           |  len(list_filter(tk, w -> w IN (${inList(Text.StopWords)})))::DOUBLE / len(tk) AS stopword_ratio,
+           |  len(list_distinct(tk))::DOUBLE / len(tk) AS uniq_ratio
+           |FROM t)
+           |SELECT doc_id, n_tokens, n_chars_raw, avg_token_len, alpha_ratio,
+           |       stopword_ratio, uniq_ratio,
+           |  (alpha_ratio * 0.3) + (least(stopword_ratio * 4.0, 1.0) * 0.3) + (uniq_ratio * 0.4)
+           |    AS quality_score
+           |FROM m ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Per-document quality metrics + composite score (length, alpha " +
+        "ratio, stop-word ratio, uniqueness)."
+    ),
+    Q(
+      "t_tokcount",
+      (s, d) =>
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            lng(size(split(trim(col("text")), "\\s+"))).as("ws_tokens"),
+            lng(size(regexp_extract_all(col("text"), lit(TextAnalysis.BpePattern), lit(0))))
+              .as("bpe_tokens"),
+            lng(length(col("text"))).as("char_len"),
+            col("n_chars")
+          )
+          .orderBy("doc_id"),
+      Some(
+        s"""SELECT doc_id,
+           |  len(string_split_regex(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+           |  len(regexp_extract_all(text, '${TextAnalysis.BpePattern}'))::BIGINT AS bpe_tokens,
+           |  length(text)::BIGINT AS char_len,
+           |  n_chars
+           |FROM documents ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Token counting: whitespace tokens and a BPE-ish regex token count."
+    ),
+    Q(
+      "t_fingerprint",
+      (s, d) => {
+        val n = graft.operators.Dedup.normText(col("text"))
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            md5(n).as("content_md5"),
+            md5Long(n).as("sig60"),
+            TextAnalysis.minShingleFingerprint(n, 8).as("min_shingle_fp")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    trim(regexp_replace(replace(lower(text), chr(39), ''), '[^a-z]+', ' ', 'g')) AS n
+          |  FROM documents)
+          |SELECT doc_id, md5(n) AS content_md5,
+          |  ('0x' || substr(md5(n), 1, 15))::BIGINT AS sig60,
+          |  list_min(list_transform(generate_series(1, greatest(length(n) - 7, 1)),
+          |    i -> ('0x' || substr(md5(substr(n, i, 8)), 1, 15))::BIGINT)) AS min_shingle_fp
+          |FROM t ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Document fingerprints: content hash, 60-bit signature, and a " +
+        "rolling min-shingle (1-perm MinHash) fingerprint."
+    )
+  )
+}
