@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** djb2 string hash as a native Catalyst expression (with codegen) — the
+  * reference's partitioner function (`/root/reference/src/index.js:32-39`:
+  * h = ((h<<5)+h)+code, truncated to int32 each step over UTF-16 code
+  * units).
+  *
+  * Deliberately NOT ported: the reference's `hash % MOD`, whose JS sign
+  * semantics sends ~half the key space to negative buckets that are then
+  * silently dropped (SURVEY.md §2.2 item 7). Bucketing here goes through
+  * `pmod`, which implements the evident intent; the no-rows-lost property
+  * the reference violates is pinned by Djb2Spec.
+  */
+case class Djb2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"djb2 requires a string argument, got ${child.dataType.catalogString}"
+      )
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 5381
+    var i = 0
+    while (i < s.length) {
+      h = ((h << 5) + h) + s.charAt(i)
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"""
+        java.lang.String ${ev.value}_s = $c.toString();
+        int ${ev.value}_h = 5381;
+        for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_s.length(); ${ev.value}_i++) {
+          ${ev.value}_h = ((${ev.value}_h << 5) + ${ev.value}_h) + ${ev.value}_s.charAt(${ev.value}_i);
+        }
+        ${ev.value} = ${ev.value}_h;
+      """
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GraftFunctions {
+
+  /** Register engine SQL functions on a session; idempotent. After this,
+    * `expr("djb2(col)")` / SQL `SELECT djb2(x)` work.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "djb2",
+      exprs => Djb2(exprs.head),
+      "built-in"
+    )
+}

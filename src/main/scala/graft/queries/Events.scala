@@ -60,6 +60,29 @@ object Events {
              |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
+    // ---- the streaming module's windowed aggregation, run in batch mode:
+    // same code path Structured Streaming executes (see graft.streaming).
+    Q(
+      "q_stream_hourly_batch",
+      (s, d) =>
+        graft.streaming.EventStreams
+          .hourlyStats(
+            graft.streaming.EventStreams.withEventTime(Tables.events(s, d))
+          )
+          .select(
+            unix_timestamp(col("window_start")).as("hour_epoch"),
+            col("event_type"),
+            col("n"),
+            col("sum_value")
+          )
+          .orderBy("hour_epoch", "event_type"),
+      Some("""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+             |       event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "graft.streaming.EventStreams.hourlyStats executed as a batch " +
+        "plan — one transform, two runtimes (backfill + live)."
+    ),
     // ---- sessionization: 30-minute inactivity gap, per user.
     Q(
       "q_sessionize",

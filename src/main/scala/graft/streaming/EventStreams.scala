@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.util.Cols._
+
+/** Structured-Streaming operators over the events stream.
+  *
+  * The reference is strictly batch (SURVEY.md §2.3 — its Pub/Sub fabric is
+  * control-plane, not data streaming); this module is the additive
+  * extension. Each transform here is written once and runs under BOTH
+  * `spark.read` (batch backfill) and `spark.readStream` (live) — the
+  * Spark-native way to keep lambda-architecture paths from diverging.
+  */
+object EventStreams {
+
+  /** Raw events carry `ts` as int64 nanoseconds (TESTDATA parquet is
+    * TIMESTAMP(NANOS) — see [[graft.Tables.events]]); derive a proper
+    * event-time column exactly (integer DIV to micros, no double math).
+    */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", expr("timestamp_micros(ts DIV 1000)"))
+
+  /** Tumbling 1-hour windowed counts/sums per event type. Under streaming,
+    * the 2-hour watermark bounds state and admits late events inside the
+    * horizon; under batch the watermark is a no-op and results equal the
+    * q_events_hourly batch query.
+    */
+  def hourlyStats(eventsWithTime: DataFrame): DataFrame =
+    eventsWithTime
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumDec2(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n"),
+        col("sum_value")
+      )
+
+  /** Input record for the stateful per-user aggregator. */
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+
+  /** Evolving per-user rollup emitted on every trigger. */
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  private def updateUser(
+      userId: Long,
+      events: Iterator[UserEvent],
+      state: GroupState[UserStats]
+  ): UserStats = {
+    val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+    val batch = events.toSeq
+    val next = UserStats(
+      userId,
+      prev.n_events + batch.size,
+      prev.total_value + batch.map(_.value).sum
+    )
+    state.update(next)
+    next
+  }
+
+  /** Arbitrary stateful processing (`mapGroupsWithState`): a per-user
+    * running rollup that survives across triggers. State is one small case
+    * class per user — bounded by user cardinality, spillable by Spark's
+    * state store, nothing driver-side.
+    */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout)(updateUser)
+  }
+}

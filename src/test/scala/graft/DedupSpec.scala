@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "spark engines shuffle data across partitions while catalyst optimizes the logical plan before execution"
+
+  test("exact dedup: identical normalized text → one group, min canonical id") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base.toUpperCase), // normalization folds case
+      (3L, "something else entirely here")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .exactDups(docs)
+      .select("doc_id", "dup_count", "canonical_id")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toMap0
+    assert(got(1L) === (2L, 1L))
+    assert(got(2L) === (2L, 1L))
+    assert(got(3L) === (1L, 3L))
+  }
+
+  implicit class Tup3Ops(rows: Array[(Long, Long, Long)]) {
+    def toMap0: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+
+  test("minhash LSH finds a near-duplicate pair and scores its jaccard") {
+    val nearDup = base.replace("optimizes", "rewrites") // 1 word of 14 changed
+    val docs = Seq(
+      (1L, base),
+      (2L, nearDup),
+      (3L, "completely unrelated words about cooking pasta with tomato sauce and basil leaves today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup
+      .minhashDups(docs, threshold = 0.5)
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(pairs.head._3 > 0.6 && pairs.head._3 < 1.0)
+  }
+
+  test("identical docs get identical simhash; unrelated docs differ") {
+    val docs = Seq((1L, base), (2L, base), (3L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sims = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sims(1L) === sims(2L))
+    assert(sims(1L) !== sims(3L))
+  }
+
+  test("simhash pair search reports hamming 0 for identical docs") {
+    val docs = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val pairs = Dedup
+      .simhashPairs(Dedup.simhash(docs), maxHamming = 3)
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(pairs === Seq((1L, 2L, 0L)))
+  }
+
+  test("blocked ngram jaccard: only within-block pairs are compared") {
+    val docs = Seq(
+      (1L, "en", base),
+      (2L, "en", base),
+      (3L, "de", base) // same text, different block → never paired
+    ).toDF("doc_id", "lang", "text")
+    val pairs = Dedup
+      .ngramJaccardPairs(docs, "lang", threshold = 0.9)
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(pairs.head._3 === 1.0)
+  }
+}
