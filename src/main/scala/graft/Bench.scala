@@ -3,8 +3,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
   * sys.env("SPARK_GRAFT_SF_DIR") and prints ONE JSON line with per-query
-  * seconds. Each query is forced with .count() (full plan execution, no
-  * driver-side result materialization beyond the count).
+  * seconds. Each query is forced with a noop-datasource write: unlike
+  * `.count()` (under which Catalyst's EliminateSorts legally drops top-level
+  * ORDER BYs), the noop sink consumes every output row, so declared sorts
+  * are part of what gets measured.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,7 +23,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
