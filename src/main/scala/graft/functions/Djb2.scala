@@ -60,12 +60,19 @@ case class Djb2(child: Expression) extends UnaryExpression {
 object GraftFunctions {
 
   /** Register engine SQL functions on a session; idempotent. After this,
-    * `expr("djb2(col)")` / SQL `SELECT djb2(x)` work.
+    * `expr("djb2(col)")` / SQL `SELECT djb2(x)` work, ditto `vec_dot`,
+    * `vec_cosine`, `sort_chars`, `sorted_intersect_count`.
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "djb2",
-      exprs => Djb2(exprs.head),
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("djb2", es => Djb2(es.head), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine", es => VecCosine(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("sort_chars", es => SortChars(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      es => SortedIntersectCount(es(0), es(1)),
       "built-in"
     )
+  }
 }

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Characters of a string sorted ascending — the anagram group key
+  * (`/root/reference/src/index.js:66`: `[...word].sort().join('')`, a
+  * UTF-16 code-unit sort; for the post-tokenizer `[a-z]` alphabet this is
+  * plain alphabetical order).
+  *
+  * Native replacement for `array_join(array_sort(split(w, "")), "")`:
+  * that chain allocates an array of one-char strings per word and runs
+  * interpreted; this is one `char[]` sort inside whole-stage codegen,
+  * and was the dominant cost of the flagship anagram pipeline.
+  */
+case class SortChars(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"sort_chars requires a string argument, got ${child.dataType.catalogString}"
+      )
+
+  override def nullSafeEval(input: Any): Any = {
+    val cs = input.asInstanceOf[UTF8String].toString.toCharArray
+    java.util.Arrays.sort(cs)
+    UTF8String.fromString(new String(cs))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => {
+        val cs = ctx.freshName("cs")
+        s"""
+          char[] $cs = $c.toString().toCharArray();
+          java.util.Arrays.sort($cs);
+          ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(new String($cs));
+        """
+      }
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of common elements between two SORTED, DISTINCT string arrays —
+  * a single O(m+n) merge instead of `size(array_intersect(a, b))`, which
+  * builds a hash set per invocation. On pairwise set-similarity joins
+  * (millions of invocations) the merge is the difference between the
+  * quadratic ground-truth Jaccard being usable and not.
+  *
+  * Precondition (caller-enforced, not checked): both arrays ascending and
+  * duplicate-free — exactly what `sort_array(array_distinct(...))`
+  * produces. Equal to `size(array_intersect(a, b))` under it.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _                        => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires two array<string> arguments, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})"
+      )
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => {
+        val n = ctx.freshName("n")
+        val m = ctx.freshName("m")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val cmp = ctx.freshName("cmp")
+        s"""
+          int $n = $a.numElements();
+          int $m = $b.numElements();
+          int $i = 0; int $j = 0; int $c = 0;
+          while ($i < $n && $j < $m) {
+            int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+            if ($cmp == 0) { $c++; $i++; $j++; }
+            else if ($cmp < 0) { $i++; }
+            else { $j++; }
+          }
+          ${ev.value} = $c;
+        """
+      }
+    )
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.util.Cols._
 
 /** The reference's whole pipeline (scan → tokenize → key-extract → shuffle →
@@ -24,10 +26,14 @@ import graft.util.Cols._
 object Anagrams {
 
   /** word → its characters sorted ascending — the anagram group key
-    * (`/root/reference/src/index.js:66`).
+    * (`/root/reference/src/index.js:66`). Native codegen char sort
+    * ([[graft.functions.SortChars]]); equals
+    * `array_join(array_sort(split(word, "")), "")` without the per-token
+    * array-of-one-char-strings allocation that dominated the round-1
+    * flagship profile.
     */
   def anagramKey(word: Column): Column =
-    array_join(array_sort(split(word, "")), "")
+    ExpressionUtils.column(graft.functions.SortChars(ExpressionUtils.expression(word)))
 
   /** documents(textCol) → one row per surviving token. */
   def words(docs: DataFrame, textCol: String = "text", dropStop: Boolean = true): DataFrame = {
@@ -42,9 +48,11 @@ object Anagrams {
   def groups(words: DataFrame, minSize: Int = 2): DataFrame =
     words
       .groupBy(anagramKey(col("word")).as("key"))
-      .agg(
-        array_join(sort_array(collect_set(col("word"))), " ").as("members"),
-        countDistinct(col("word")).as("n_words")
+      .agg(sort_array(collect_set(col("word"))).as("ws"))
+      .select(
+        col("key"),
+        array_join(col("ws"), " ").as("members"),
+        size(col("ws")).cast(LongType).as("n_words")
       )
       .filter(col("n_words") >= minSize)
 

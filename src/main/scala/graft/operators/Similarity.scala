@@ -1,26 +1,48 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TopKByScore
 import graft.util.Cols._
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
-  * Two paths:
-  *   - [[bruteTopK]]: exact cosine top-k — a broadcast of the (small) query
-  *     set against the full corpus scan. This is the correctness baseline
-  *     and also the right plan at any corpus size when |queries| is small:
-  *     the corpus is never shuffled, each partition emits only its local
-  *     top-k via the per-query window.
-  *   - [[ivfTopK]]: IVF-style two-stage search — cluster centroids (here the
-  *     `label` column plays the coarse-quantizer cell id, exactly the shape
-  *     a k-means assignment would produce) are ranked per query, then the
-  *     exact search runs only inside the nProbe nearest cells. At 100 TB the
-  *     corpus is bucketed/partitioned BY cell id, so a probe touches only
-  *     nProbe partitions — partition pruning does the work of an index.
+  * Three layers:
+  *   - [[bruteTopK]]: exact cosine top-k — broadcast the (small) query set
+  *     against one corpus scan. The scored pairs are reduced by a bounded
+  *     top-k aggregate ([[graft.functions.TopKByScore]]): each map
+  *     partition emits at most k rows per query BEFORE the exchange, so
+  *     the shuffle moves O(partitions × |Q| × k) rows — never the corpus.
+  *     (A `row_number()` window here would shuffle every scored pair into
+  *     |Q| partitions and sort them: the textbook plan that dies at scale.)
+  *   - [[kmeansCells]]: Lloyd's k-means coarse quantizer (spherical:
+  *     max-cosine assignment), the classic IVF training step. Driver state
+  *     is k centroids — O(k·dim), independent of corpus size; each
+  *     iteration is one broadcast join + one bounded-top-k argmax + one
+  *     partial-aggregable mean, i.e. corpus-scan passes, exactly how
+  *     k-means is run at scale.
+  *   - [[ivfTopK]] / [[ivfTopKKmeans]]: rank cells per query, search only
+  *     the nProbe best cells. At 100 TB the corpus is bucketed BY cell id,
+  *     so a probe touches only nProbe buckets — partition pruning does the
+  *     work of an index.
   */
 object Similarity {
+
+  /** Reduce scored (query_id, neighbor_id, cos) pairs to per-query top-k
+    * with ranks, via the partial-aggregable bounded top-k aggregate.
+    */
+  private def topKExplode(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(TopKByScore.topK(col("cos"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "nb")))
+      .select(
+        col("query_id"),
+        col("nb.id").as("neighbor_id"),
+        col("nb.score").as("cos"),
+        (col("pos") + 1).cast(LongType).as("rank")
+      )
 
   /** Exact cosine top-k: one row per (query, rank<=k neighbor). */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -32,17 +54,14 @@ object Similarity {
       col("vec_id").as("neighbor_id"),
       col("embedding").as("c_emb")
     )
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"),
         col("neighbor_id"),
         cosine(col("q_emb"), col("c_emb")).as("cos")
       )
-      .withColumn("rank", lng(row_number().over(w)))
-      .filter(col("rank") <= k)
+    topKExplode(scored, k)
   }
 
   /** Per-cell centroids: element-wise mean via posexplode → (cell, pos)
@@ -62,8 +81,79 @@ object Similarity {
         ).as("centroid")
       )
 
-  /** IVF search: rank cells by query↔centroid cosine, take nProbe cells,
-    * exact-search only those. Returns (query_id, neighbor_id, rank, cos).
+  /** Lloyd's k-means over the embedding column → (vec_id, cell).
+    *
+    * Spherical variant (assign to max-cosine centroid) since every search
+    * in this module ranks by cosine. Deterministic seeding: the kCells
+    * vectors with the smallest md5-order of vec_id (a fixed pseudo-random
+    * sample, no RNG state). Each iteration: broadcast the k centroids,
+    * argmax-assign via the bounded top-k aggregate (k=1), recompute means,
+    * collect k·dim doubles to the driver — the only driver state, bounded
+    * by k, never by the corpus.
+    */
+  def kmeansCells(corpus: DataFrame, kCells: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+
+    def centsDf(cents: Array[(Long, Array[Double])]): DataFrame = {
+      val rows = cents.map { case (cell, v) => Row(cell, v.toSeq) }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        StructType(
+          Seq(
+            StructField("cell", LongType, nullable = false),
+            StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false)
+          )
+        )
+      )
+    }
+
+    def assign(cents: Array[(Long, Array[Double])]): DataFrame =
+      emb
+        .join(broadcast(centsDf(cents)))
+        .select(
+          col("vec_id"),
+          col("cell"),
+          cosine(col("embedding"), col("centroid")).as("sim")
+        )
+        .groupBy(col("vec_id"))
+        .agg(TopKByScore.topK(col("sim"), col("cell"), 1).as("tk"))
+        .select(col("vec_id"), col("tk").getItem(0).getField("id").as("cell"))
+
+    // deterministic seed sample: kCells vectors in md5 order of vec_id
+    var cents: Array[(Long, Array[Double])] = emb
+      .orderBy(md5Long(col("vec_id")), col("vec_id"))
+      .limit(kCells)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i.toLong, r.getSeq[Float](1).map(_.toDouble).toArray)
+      }
+
+    var it = 0
+    while (it < iters) {
+      cents = assign(cents)
+        .join(emb, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")
+          ).as("centroid")
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      it += 1
+    }
+    assign(cents)
+  }
+
+  /** IVF search: rank cells by query↔centroid cosine (bounded top-nProbe
+    * aggregate — no window), exact-search only those cells.
+    * Returns (query_id, neighbor_id, cos, rank).
     */
   def ivfTopK(
       queries: DataFrame,
@@ -74,37 +164,47 @@ object Similarity {
   ): DataFrame = {
     val cents = centroids(corpus, cellCol)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val wCell = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("cell"))
     val probed = q
       .join(broadcast(cents))
       .select(
         col("query_id"),
-        col("q_emb"),
-        col("cell"),
+        col("cell").cast(LongType).as("cell"),
         cosine(col("q_emb"), col("centroid")).as("ccos")
       )
-      .withColumn("crank", row_number().over(wCell))
-      .filter(col("crank") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cell"))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore.topK(col("ccos"), col("cell"), nProbe).as("tk"))
+      .select(col("query_id"), explode(col("tk").getField("id")).as("cell"))
+      .join(q, Seq("query_id"))
     val c = corpus.select(
       col("vec_id").as("neighbor_id"),
-      col(cellCol).as("cell"),
+      col(cellCol).cast(LongType).as("cell"),
       col("embedding").as("c_emb")
     )
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(probed), Seq("cell"))
+    val scored = c
+      .join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"),
         col("neighbor_id"),
         cosine(col("q_emb"), col("c_emb")).as("cos")
       )
-      .withColumn("rank", lng(row_number().over(w)))
-      .filter(col("rank") <= k)
+    topKExplode(scored, k)
+  }
+
+  /** IVF with a trained coarse quantizer: k-means cells instead of a
+    * pre-labeled cell column.
+    */
+  def ivfTopKKmeans(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nProbe: Int,
+      kCells: Int = 10,
+      iters: Int = 4
+  ): DataFrame = {
+    val cells = kmeansCells(corpus, kCells, iters)
+    val corpusCelled = corpus.join(cells, Seq("vec_id"))
+    ivfTopK(queries, corpusCelled, k, nProbe, cellCol = "cell")
   }
 
   /** Embedding near-duplicate pairs: within-cell pairwise cosine >= thr.

@@ -41,13 +41,14 @@ object SimilarityQ {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity
-          .ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nProbe = 3)
+          .ivfTopKKmeans(emb.filter(col("vec_id") < 10), emb, k = 5, nProbe = 3)
           .orderBy("query_id", "rank")
       },
       None,
-      doc = "IVF-style ANN (label = coarse cell, nProbe=3): search only the " +
-        "probed cells. Approximate by construction → rows-only check here; " +
-        "recall vs s_ann_brute is asserted in ScalaTest."
+      doc = "IVF ANN with a trained k-means coarse quantizer (10 cells, " +
+        "nProbe=3): search only the probed cells. Approximate by " +
+        "construction → rows-only check here; recall vs s_ann_brute is " +
+        "asserted in ScalaTest."
     ),
     Q(
       "d_embed_cosine",

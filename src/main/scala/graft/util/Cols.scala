@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -42,17 +43,22 @@ object Cols {
 
   /** Dot product of two numeric array columns, computed left-to-right in
     * double (bit-reproducible across engines; DuckDB `list_dot_product`
-    * iterates in the same order).
+    * iterates in the same order). Native codegen expression — the
+    * `aggregate(zip_with(...))` HOF formulation computes the same values
+    * but runs interpreted, ~100× slower on pairwise workloads.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0),
-      (acc, x) => acc + x
+    ExpressionUtils.column(
+      graft.functions.VecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b))
     )
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity, single codegen pass (three independent
+    * left-to-right accumulators — bit-identical to dot/(|a||b|) composed).
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    ExpressionUtils.column(
+      graft.functions.VecCosine(ExpressionUtils.expression(a), ExpressionUtils.expression(b))
+    )
 }
