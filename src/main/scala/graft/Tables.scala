@@ -12,13 +12,37 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fact-table loader with a minimum-scan-parallelism guard.
+    *
+    * Parquet is only splittable at row-group boundaries, so a table written
+    * as one small file (one row group) scans as ONE partition — every
+    * per-row expression downstream then runs on a single core no matter how
+    * many the session has. On a real cluster a fact table has thousands of
+    * splits and this guard is a no-op (`getNumPartitions >=
+    * defaultParallelism`, no shuffle inserted); on under-split input it
+    * round-robins rows across the session's cores once, right after the
+    * scan. Predicate pushdown and column pruning still reach the scan —
+    * Catalyst pushes filters/pruning through Repartition (PlanSpec asserts
+    * both on guarded tables).
+    *
+    * Dimension tables (region/nation/customer/supplier/part) are left
+    * unguarded: they sit on the broadcast side of joins, where spreading a
+    * tiny scan buys nothing.
+    */
+  private def fact(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = table(spark, dir, name)
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) table(spark, dir, name).repartition(p)
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = fact(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = fact(s, d, "lineitem")
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
     * outright; read it as LongType nanoseconds instead. Set per-session at
@@ -28,8 +52,8 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    fact(s, d, "events")
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame = fact(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = fact(s, d, "embeddings")
 }

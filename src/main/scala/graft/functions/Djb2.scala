@@ -74,5 +74,15 @@ object GraftFunctions {
       es => SortedIntersectCount(es(0), es(1)),
       "built-in"
     )
+    reg.createOrReplaceTempFunction(
+      "min_shingle_md5",
+      es => MinShingleMd5(es(0), es(1).eval().asInstanceOf[Number].intValue),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "minhash_sig",
+      es => MinHashSig(es(0), es(1).eval().asInstanceOf[Number].intValue),
+      "built-in"
+    )
   }
 }

@@ -45,7 +45,10 @@ object Dedup {
       )
     )
 
-  /** The i-th MinHash of a shingle array: min over salted 60-bit hashes. */
+  /** The i-th MinHash of a shingle array: min over salted 60-bit hashes.
+    * (Reference formulation; [[signatures]] uses the one-pass native
+    * [[graft.functions.MinHashSig]], which computes the same values.)
+    */
   def minhash(shingles: Column, i: Int): Column =
     array_min(transform(shingles, s => md5LongSalted(s, i)))
 
@@ -68,9 +71,23 @@ object Dedup {
       col("doc_id"),
       wordShingles(Text.tokensAll(col("text")), shingleK).as("sh")
     )
-    (0 until NumHashes).foldLeft(base) { (df, i) =>
-      df.withColumn(s"mh$i", minhash(col("sh"), i))
-    }
+    // All NumHashes minhashes in one native pass over the shingle array;
+    // the per-salt `array_min(transform(...))` formulation is interpreted
+    // and re-walks the array NumHashes times.
+    base
+      .withColumn(
+        "mhs",
+        ExpressionUtils.column(
+          graft.functions.MinHashSig(
+            ExpressionUtils.expression(col("sh")),
+            NumHashes
+          )
+        )
+      )
+      .select(
+        col("doc_id") +: col("sh") +:
+          (0 until NumHashes).map(i => col("mhs").getItem(i).as(s"mh$i")): _*
+      )
   }
 
   /** Candidate pairs from LSH banding: doc pairs sharing at least one
@@ -206,34 +223,48 @@ object Dedup {
     * `blockCol` bounds the pair count; at 100 TB this operator is only for
     * within-block ground truth — LSH is the scale path.
     *
-    * Two exact (result-preserving) prunings keep the quadratic affordable:
+    * Three exact (result-preserving) techniques keep the quadratic usable:
+    *   - **fragment-replicate parallelism**: a low-cardinality block key
+    *     (here 5 langs) would nest-loop each block inside ONE task, capping
+    *     parallelism at the number of blocks no matter the cluster size.
+    *     Instead the left side is hash-split into `fanout` chunks and the
+    *     right side replicated to every chunk, so the join key is
+    *     (block, chunk): block×fanout evenly-sized tasks, each pair still
+    *     produced exactly once (at chunk = hash(a_id) mod fanout). This is
+    *     the classic fragment-and-replicate parallel theta-join; it took
+    *     this query from 142 s (≈1.5 busy cores) to seconds at sf0.1.
     *   - size-ratio filter IN the join condition: `J(A,B) <= min/max`, so
     *     at threshold t any qualifying pair has `|A| >= t·|B|` and vice
     *     versa — pairs failing it never reach the intersection;
     *   - shingle arrays are sorted once per document, so the per-pair
     *     intersection is a codegen O(m+n) merge
     *     ([[graft.functions.SortedIntersectCount]]) instead of
-    *     `array_intersect`'s per-pair hash-set build. This took the query
-    *     from 126 s to seconds at sf0.1 without changing one output row.
+    *     `array_intersect`'s per-pair hash-set build.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       blockCol: String,
       threshold: Double,
-      shingleK: Int = 2
+      shingleK: Int = 2,
+      fanout: Int = 32
   ): DataFrame = {
     val d = docs.select(
       col("doc_id"),
       col(blockCol).as("blk"),
       sort_array(wordShingles(Text.tokensAll(col("text")), shingleK)).as("sh")
     )
-    val l = d.as("l")
-    val r = d.as("r")
+    val l = d
+      .withColumn("chunk", pmod(hash(col("doc_id")), lit(fanout)))
+      .as("l")
+    val r = d
+      .withColumn("chunk", explode(array((0 until fanout).map(lit): _*)))
+      .as("r")
     val szL = size(col("l.sh")).cast("double")
     val szR = size(col("r.sh")).cast("double")
     l.join(
       r,
-      col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id") &&
+      col("l.blk") === col("r.blk") && col("l.chunk") === col("r.chunk") &&
+        col("l.doc_id") < col("r.doc_id") &&
         szL >= szR * threshold && szR >= szL * threshold
     ).select(
       col("l.doc_id").as("a_id"),

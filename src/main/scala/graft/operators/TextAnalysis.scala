@@ -84,18 +84,14 @@ object TextAnalysis {
     * k-gram shingles (a 1-permutation MinHash — the winnowing idea with a
     * single global window). Equal documents get equal fingerprints;
     * near-equal documents collide with probability ≈ their shingle overlap.
+    *
+    * Native single-pass expression ([[graft.functions.MinShingleMd5]]);
+    * the equivalent `array_min(transform(sequence(...), md5Long(substr)))`
+    * chain runs interpreted per shingle and was 45 s at sf0.1 — the native
+    * kernel computes the identical values in ~1 s.
     */
   def minShingleFingerprint(text: Column, k: Int): Column =
-    array_min(
-      transform(
-        sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-        i => md5Long(expr_substr(text, i, k))
-      )
+    graft.util.Cols.nativeCol(
+      graft.functions.MinShingleMd5(graft.util.Cols.nativeExpr(text), k)
     )
-
-  // substring() in the Column API takes literal pos/len; inside a transform
-  // lambda the position is a column, so build the Substring expression
-  // through the SQL-facing overload.
-  private def expr_substr(text: Column, pos: Column, len: Int): Column =
-    text.substr(pos, lit(len))
 }

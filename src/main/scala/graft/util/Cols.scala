@@ -14,6 +14,14 @@ import org.apache.spark.sql.types._
   * decimal hash-aggregate is still a single map-side-combinable shuffle.
   */
 object Cols {
+  /** Wrap a native Catalyst expression as a Column (Spark-4 bridge). */
+  def nativeCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a Column (Spark-4 bridge). */
+  def nativeExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ExpressionUtils.expression(c)
+
   def lng(c: Column): Column = c.cast(LongType)
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   def dec4(c: Column): Column = c.cast(DecimalType(18, 4))

@@ -45,8 +45,12 @@ class PlanSpec extends AnyFunSuite {
     val plan = physical("anagrams")
     // collect_set aggregates via ObjectHashAggregate (not codegen — expected);
     // the property that matters at scale is map-side partial aggregation
-    // feeding a single hash exchange on the anagram key.
-    assert(plan.contains("merge_collect_set"), plan.take(800))
+    // feeding a single hash exchange on the anagram key. Depending on AQE
+    // final-plan rendering the partial shows as partial_/merge_collect_set.
+    assert(
+      plan.contains("partial_collect_set") || plan.contains("merge_collect_set"),
+      plan.take(800)
+    )
     assert(plan.contains("Exchange hashpartitioning"), plan.take(800))
   }
 
