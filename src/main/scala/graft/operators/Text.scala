@@ -41,8 +41,14 @@ object Text {
     * codegen). For big external stop lists prefer
     * [[StopWordsOp.antiJoin]] (broadcast anti-join).
     */
-  def tokens(text: Column): Column =
-    filter(tokensAll(text), w => !w.isin(StopWords: _*))
+  def tokens(text: Column): Column = tokens(text, StopWords)
+
+  /** Same, against a caller-supplied stop list (e.g. one loaded from the
+    * reference's comma-separated config file via
+    * [[graft.sources.TextSource.stopWordsFile]]).
+    */
+  def tokens(text: Column, stopWords: Seq[String]): Column =
+    filter(tokensAll(text), w => !w.isin(stopWords: _*))
 
   /** DuckDB expression producing the same token list from column `c`
     * (before length/stop filtering — those are WHERE clauses at the

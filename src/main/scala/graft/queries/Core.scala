@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.operators.{Anagrams, StopWordsOp, Text}
+import graft.sources.TextSource
+import graft.util.Cols
 
 /** Parity queries: the reference's anagram pipeline and its stages
   * (SURVEY.md §2.1), each with a DuckDB oracle.
@@ -11,6 +13,12 @@ object Core {
 
   private val stop = Text.stopListSql
   private def toks = Text.tokensSqlAll("text")
+
+  /** In-repo golden corpus (FIXTURES.md §A.1). Declared before `all`: vals
+    * referenced during that Seq's initialization must already be assigned.
+    */
+  private val CorpusDir = "/root/repo/src/test/resources/corpus_tiny"
+  private val StopWordsPath = "/root/repo/src/test/resources/stop_words.txt"
 
   /** Shared oracle CTE: documents → surviving tokens (one row per token). */
   private val wordsCte =
@@ -105,6 +113,80 @@ object Core {
       ),
       doc = "The reference sink's line rendering `key: { a, b }` " +
         "(/root/reference/src/index.js:112)."
+    ),
+    Q(
+      "anagrams_txt",
+      (s, _) => {
+        // The reference's real input contract: a directory of .txt files plus
+        // a comma-separated stop-word file. The golden fixture corpus lives
+        // in-repo (FIXTURES.md §A.1) — the sf dir param is unused by design.
+        val docs = TextSource
+          .readTxtDir(s, CorpusDir)
+          .select(col("value").as("text"))
+        val sw = TextSource.stopWordsFile(s, StopWordsPath)
+        Anagrams
+          .groups(docs.select(explode(Text.tokens(col("text"), sw)).as("word")))
+          .orderBy("key")
+      },
+      Some(
+        s"""WITH f AS (SELECT content AS text FROM read_text('$CorpusDir/*.txt')),
+           |toks AS (SELECT unnest(${Text.tokensSqlAll("text")}) AS word FROM f),
+           |words AS (SELECT word FROM toks
+           |          WHERE length(word) > 1 AND word NOT IN ('the','a','an','and','she','are')),
+           |keyed AS (
+           |  SELECT list_aggregate(list_sort(string_split(word, '')), 'string_agg', '') AS key, word
+           |  FROM words
+           |)
+           |SELECT key,
+           |       array_to_string(list_sort(list(DISTINCT word)), ' ') AS members,
+           |       count(DISTINCT word) AS n_words
+           |FROM keyed GROUP BY key HAVING count(DISTINCT word) >= 2
+           |ORDER BY key""".stripMargin
+      ),
+      doc = "End-to-end flagship over the golden .txt corpus: directory scan " +
+        "with suffix filter, stop words from the reference's comma-separated " +
+        "file format, real anagram groups (acst/dorsw/eilnst) — non-vacuous " +
+        "HAVING>=2 coverage the synthetic vocabulary cannot provide."
+    ),
+    Q(
+      "djb2_buckets",
+      (s, d) => {
+        val keys = Anagrams
+          .words(Tables.documents(s, d))
+          .select(Anagrams.anagramKey(col("word")).as("key"))
+        keys
+          .groupBy(
+            pmod(
+              Cols.nativeCol(graft.functions.Djb2(Cols.nativeExpr(col("key")))),
+              lit(10)
+            ).as("bucket")
+          )
+          .agg(
+            count(lit(1)).as("n_words"),
+            countDistinct(col("key")).as("n_keys")
+          )
+          .orderBy("bucket")
+      },
+      Some {
+        // djb2 with int32 wrap each step (the reference's hashStr,
+        // /root/reference/src/index.js:32-39), then non-negative pmod —
+        // the evident intent its signed % violates (SURVEY.md §2.2 item 7).
+        val djb2 =
+          """list_reduce(list_prepend(5381::BIGINT,
+            |    list_transform(string_split(key, ''), c -> ascii(c)::BIGINT)),
+            |    (h, c) -> ((((h*33 + c + 2147483648) % 4294967296) + 4294967296)
+            |               % 4294967296) - 2147483648)""".stripMargin
+        s"""$wordsCte, keyed AS (
+           |  SELECT list_aggregate(list_sort(string_split(word, '')), 'string_agg', '') AS key
+           |  FROM words
+           |)
+           |SELECT (((($djb2) % 10) + 10) % 10)::INT AS bucket,
+           |       count(*) AS n_words,
+           |       count(DISTINCT key) AS n_keys
+           |FROM keyed GROUP BY 1 ORDER BY bucket""".stripMargin
+      },
+      doc = "The reference's shuffle partitioner as data: pmod(djb2(key), 10) " +
+        "bucket histogram, bit-exact vs an int32-wrapping DuckDB mirror."
     )
   )
 }

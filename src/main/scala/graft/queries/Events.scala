@@ -131,6 +131,35 @@ object Events {
              |       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
              |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_no""".stripMargin)
+    ),
+    // ---- semi-structured: parse the JSON props column, aggregate a field.
+    Q(
+      "q_json_props",
+      (s, d) =>
+        Tables
+          .events(s, d)
+          .select(
+            col("event_type"),
+            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+              .getField("k")
+              .as("k")
+          )
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k")
+          )
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |       SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
+             |       MIN(json_extract(props, '$.k')::BIGINT) AS min_k,
+             |       MAX(json_extract(props, '$.k')::BIGINT) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "Schema-on-read over the JSON `props` column: from_json with an " +
+        "explicit schema (codegen'd JsonToStructs in the scan projection — no " +
+        "per-row driver parsing), exact integer aggregates."
     )
   )
 }

@@ -386,6 +386,41 @@ object Relational {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
              |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
              |ORDER BY o_custkey""".stripMargin)
+    ),
+    // ---- full dimension chain: lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ region.
+    // Every dim broadcasts (region/nation/supplier are tiny, part is small),
+    // so the fact table never shuffles for the joins — only the final
+    // two-key aggregate exchanges data.
+    Q(
+      "q_region_part_revenue",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val p = Tables.part(s, d)
+        val sup = Tables.supplier(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(r("r_name"), p("p_brand"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sumDec4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue")
+          )
+          .orderBy("r_name", "p_brand")
+      },
+      Some("""SELECT r_name, p_brand, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN part     ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |GROUP BY r_name, p_brand ORDER BY r_name, p_brand""".stripMargin),
+      doc = "Revenue by region and part brand through the full star-schema " +
+        "dimension chain — exercises the region/part tables and the " +
+        "broadcast-everything join shape that keeps the fact side shuffle-free."
     )
   )
 }

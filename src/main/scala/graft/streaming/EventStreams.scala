@@ -40,36 +40,64 @@ object EventStreams {
       )
 
   /** Input record for the stateful per-user aggregator. */
-  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserEvent(
+      user_id: Long,
+      event_type: String,
+      value: Double,
+      event_time: java.sql.Timestamp
+  )
 
   /** Evolving per-user rollup emitted on every trigger. */
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
-  private def updateUser(
+  private def updateUser(ttlMs: Long)(
       userId: Long,
       events: Iterator[UserEvent],
       state: GroupState[UserStats]
   ): UserStats = {
-    val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
-    val batch = events.toSeq
-    val next = UserStats(
-      userId,
-      prev.n_events + batch.size,
-      prev.total_value + batch.map(_.value).sum
-    )
-    state.update(next)
-    next
+    if (state.hasTimedOut) {
+      // Idle past the TTL (watermark passed last-event-time + ttl): emit the
+      // final rollup and drop the state entry, so long-running state is
+      // bounded by ACTIVE users, never the all-time user universe.
+      val last = state.get
+      state.remove()
+      last
+    } else {
+      val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+      val batch = events.toSeq
+      val next = UserStats(
+        userId,
+        prev.n_events + batch.size,
+        prev.total_value + batch.map(_.value).sum
+      )
+      state.update(next)
+      state.setTimeoutTimestamp(batch.map(_.event_time.getTime).max + ttlMs)
+      next
+    }
   }
 
   /** Arbitrary stateful processing (`mapGroupsWithState`): a per-user
     * running rollup that survives across triggers. State is one small case
-    * class per user — bounded by user cardinality, spillable by Spark's
-    * state store, nothing driver-side.
+    * class per user — spillable by Spark's state store, nothing driver-side —
+    * with an EVENT-TIME TTL: a user idle for `ttlMs` of event time (as
+    * observed through the watermark) has its state emitted once more and
+    * evicted. Event-time (not processing-time) timeout is deliberate:
+    * processing-time timeouts force the microbatch engine to run batches
+    * continuously just to poll timers, and they break replay determinism —
+    * with event-time both the rollup and its evictions are a pure function
+    * of the input stream. In batch execution the watermark never advances,
+    * timeouts never fire, and the result is the plain per-user rollup.
     */
-  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+  def runningUserStats(
+      events: Dataset[UserEvent],
+      ttlMs: Long = 3600L * 1000
+  ): Dataset[UserStats] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("event_time", "10 seconds")
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout)(updateUser)
+      .mapGroupsWithState[UserStats, UserStats](
+        GroupStateTimeout.EventTimeTimeout
+      )(updateUser(ttlMs))
   }
 }

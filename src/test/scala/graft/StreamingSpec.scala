@@ -56,32 +56,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("stateful per-user rollup accumulates across triggers") {
+  test("stateful per-user rollup accumulates across triggers and evicts idle state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    def at(t: String) = Timestamp.valueOf(t)
     val stream = MemoryStream[UserEvent]
     val q = EventStreams
-      .runningUserStats(stream.toDS())
+      .runningUserStats(stream.toDS(), ttlMs = 3600L * 1000)
       .writeStream
       .format("memory")
       .queryName("user_stats")
       .outputMode(OutputMode.Update())
       .start()
     try {
-      stream.addData(UserEvent(1L, "click", 1.0), UserEvent(1L, "view", 2.0))
+      // batch 1: user 1 accumulates; timeout armed at 11:00 (+1 h TTL)
+      stream.addData(
+        UserEvent(1L, "click", 1.0, at("2024-01-01 09:55:00")),
+        UserEvent(1L, "view", 2.0, at("2024-01-01 10:00:00"))
+      )
       q.processAllAvailable()
-      stream.addData(UserEvent(1L, "click", 4.0), UserEvent(2L, "click", 7.0))
+      // batch 2: same-user update still accumulates (state survived)
+      stream.addData(UserEvent(1L, "click", 4.0, at("2024-01-01 10:05:00")))
       q.processAllAvailable()
-      val latest = spark
+      // batch 3: other user far in event time → after this batch the
+      // watermark (14:00 - 10 s) is past user 1's 11:05 timeout
+      stream.addData(UserEvent(2L, "click", 7.0, at("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      // batch 4: user 1 timed out here (no data for it) → final emit + evict;
+      // batch 5: user 1 returns → counter restarts from a FRESH state
+      stream.addData(UserEvent(2L, "view", 1.0, at("2024-01-01 14:01:00")))
+      q.processAllAvailable()
+      stream.addData(UserEvent(1L, "click", 5.0, at("2024-01-01 14:30:00")))
+      q.processAllAvailable()
+      val rows = spark
         .table("user_stats")
-        .groupBy("user_id")
-        .agg(max(struct(col("n_events"), col("total_value"))).as("s"))
-        .select(col("user_id"), col("s.n_events"), col("s.total_value"))
         .as[(Long, Long, Double)]
         .collect()
-        .toMap0
-      assert(latest(1L) === (3L, 7.0))
-      assert(latest(2L) === (1L, 7.0))
+        .toSeq
+      val u1 = rows.filter(_._1 == 1L).map(r => (r._2, r._3))
+      assert(u1.contains((3L, 7.0)), s"pre-eviction rollup accumulated: $u1")
+      assert(
+        u1.contains((1L, 5.0)),
+        s"post-eviction event must restart from fresh state (TTL eviction): $u1"
+      )
+      val u2 = rows.filter(_._1 == 2L).map(r => (r._2, r._3))
+      assert(u2.contains((2L, 8.0)), s"user 2 accumulated: $u2")
     } finally q.stop()
   }
 
