@@ -132,6 +132,22 @@ object Dedup {
     i.cast("double") / u
   }
 
+  /** [[jaccardSorted]] over 60-bit-hashed shingle sets (sorted long
+    * arrays): primitive merge, no per-element allocation.
+    */
+  def jaccardSortedLong(a: Column, b: Column): Column = {
+    val i = ExpressionUtils
+      .column(
+        graft.functions.SortedIntersectCountLong(
+          ExpressionUtils.expression(a),
+          ExpressionUtils.expression(b)
+        )
+      )
+      .cast("long")
+    val u = size(a).cast("long") + size(b).cast("long") - i
+    i.cast("double") / u
+  }
+
   /** Full MinHash-LSH near-dup pipeline: signatures → candidates → exact
     * verification at `threshold`. Output (a_id, b_id, jacc).
     *
@@ -248,28 +264,57 @@ object Dedup {
       shingleK: Int = 2,
       fanout: Int = 32
   ): DataFrame = {
+    // Each doc's distinct shingle set, 60-bit-hashed per ROW (corpus-linear
+    // cost) so the per-PAIR merge in the quadratic term compares primitive
+    // longs — the string merge spent most of its time allocating UTF8String
+    // wrappers, ~6x the whole query. Hashing keeps the result exact up to
+    // md5-60 collisions: P < |block-shingles|^2 / 2^61 (~1e-13 here), and
+    // any collision could only ever INFLATE one pair's intersection by 1.
     val d = docs.select(
       col("doc_id"),
       col(blockCol).as("blk"),
-      sort_array(wordShingles(Text.tokensAll(col("text")), shingleK)).as("sh")
+      sort_array(
+        array_distinct(
+          transform(
+            wordShingles(Text.tokensAll(col("text")), shingleK),
+            s => md5Long(s)
+          )
+        )
+      ).as("sh")
     )
+    // Explicit repartition on the join key pins (block, chunk) parallelism:
+    // the join reuses this partitioning (no extra exchange), and AQE honors
+    // user-specified partition counts — without this, AQE sees the tiny
+    // JOIN OUTPUT and coalesces the pair-loop stage down to a few tasks,
+    // silently undoing the fragment-replicate fanout.
     val l = d
       .withColumn("chunk", pmod(hash(col("doc_id")), lit(fanout)))
+      .repartition(fanout, col("blk"), col("chunk"))
       .as("l")
     val r = d
       .withColumn("chunk", explode(array((0 until fanout).map(lit): _*)))
+      .repartition(fanout, col("blk"), col("chunk"))
       .as("r")
     val szL = size(col("l.sh")).cast("double")
     val szR = size(col("r.sh")).cast("double")
+    // The jacc >= t predicate goes INSIDE the join condition, LAST. Written
+    // as a separate post-join filter, Catalyst pushes it into the join and
+    // PREPENDS it — the O(m+n) merge then runs on every candidate pair
+    // before the O(1) id/size conjuncts get a chance to discard it (and the
+    // projection recomputes it for survivors). Conjunct order is preserved
+    // and && short-circuits, so this shape runs the merge only on pairs
+    // that already passed the cheap pruning, and the projection recomputes
+    // it only for the handful of emitted rows.
     l.join(
       r,
       col("l.blk") === col("r.blk") && col("l.chunk") === col("r.chunk") &&
         col("l.doc_id") < col("r.doc_id") &&
-        szL >= szR * threshold && szR >= szL * threshold
+        szL >= szR * threshold && szR >= szL * threshold &&
+        jaccardSortedLong(col("l.sh"), col("r.sh")) >= threshold
     ).select(
       col("l.doc_id").as("a_id"),
       col("r.doc_id").as("b_id"),
-      jaccardSorted(col("l.sh"), col("r.sh")).as("jacc")
-    ).filter(col("jacc") >= threshold)
+      jaccardSortedLong(col("l.sh"), col("r.sh")).as("jacc")
+    )
   }
 }

@@ -31,6 +31,11 @@ object Probe {
       }
       val t1 = once()
       val t2 = once()
+      if (sys.env.contains("PROBE_EXPLAIN")) {
+        val df = q.run(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        println(df.queryExecution.executedPlan.toString.take(6000))
+      }
       q.run(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       println(f"TIMED $name%-20s $t1%8.2f s  warm $t2%8.2f s")
     }
