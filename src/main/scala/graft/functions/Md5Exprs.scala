@@ -122,6 +122,63 @@ case class MinShingleMd5(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object SimHashKernel {
+  /** 60-bit term-frequency SimHash over a token array: md5Top60 per token
+    * occurrence, signed per-bit tally, sign → bit. Bit-identical to the
+    * explode-(doc,bit)-tally formulation (exact integer math), without the
+    * 60× row amplification and its two shuffles.
+    */
+  def simhash60(arr: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = Md5Exprs.md5Top60(arr.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** `simhash60(tokens)`: the whole per-document SimHash in one codegen call. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"simhash60 requires an array<string> argument, got ${other.catalogString}"
+        )
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashKernel.simhash60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"${ev.value} = graft.functions.SimHashKernel.simhash60($c);"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `minhash_sig(shingles, n)`: the full n-hash MinHash signature in one
   * pass over the shingle array (vs n interpreted `transform` passes).
   */

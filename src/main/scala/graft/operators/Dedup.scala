@@ -175,27 +175,25 @@ object Dedup {
       .filter(col("jacc") >= threshold)
   }
 
-  /** SimHash (60-bit, term-frequency weighted), distributed formulation:
-    * explode tokens → per-(doc, bit) signed counts → per-doc bit assembly.
-    * Both groupBys are partial-aggregable sums.
+  /** SimHash (60-bit, term-frequency weighted), one codegen pass per doc
+    * ([[graft.functions.SimHash60]]): md5 per token occurrence, signed
+    * per-bit tally, sign → bit. Map-only — no shuffle at all. The
+    * equivalent explode → per-(doc,bit) tally → reassembly formulation
+    * (still mirrored by the DuckDB oracle, exact integer math) amplifies
+    * every token into 60 rows and pays two groupBy exchanges for what is a
+    * per-row computation.
     */
   def simhash(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(Text.tokensAll(col("text"))).as("w"))
-      .select(col("doc_id"), md5Long(col("w")).as("h"))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
-      .select(
-        col("doc_id"),
-        col("b"),
-        when(expr("shiftright(h, b) & 1") === 1, lit(1L)).otherwise(lit(-1L)).as("s")
-      )
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("s")).as("t"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(when(col("t") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
-          .as("simhash")
-      )
+    docs.select(
+      col("doc_id"),
+      ExpressionUtils
+        .column(
+          graft.functions.SimHash60(
+            ExpressionUtils.expression(Text.tokensAll(col("text")))
+          )
+        )
+        .as("simhash")
+    )
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, found by
     * joining on 15-bit chunks (4 chunks: any pair within hamming 3 must

@@ -93,7 +93,10 @@ object Similarity {
     */
   def kmeansCells(corpus: DataFrame, kCells: Int, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
-    val emb = corpus.select(col("vec_id"), col("embedding"))
+    // Each Lloyd's iteration re-scans the vectors (assign + mean); pin the
+    // narrow (id, vector) projection once instead of re-reading the source
+    // per iteration — the standard shape for iterative training at scale.
+    val emb = corpus.select(col("vec_id"), col("embedding")).cache()
 
     def centsDf(cents: Array[(Long, Array[Double])]): DataFrame = {
       val rows = cents.map { case (cell, v) => Row(cell, v.toSeq) }
