@@ -122,6 +122,38 @@ case class MinShingleMd5(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `md5_top60(bin)`: top 60 bits of md5 of a binary value — the native
+  * form of `cast(conv(substring(md5(x),1,15),16,10) as bigint)`
+  * ([[graft.util.Cols.md5Long]] / the [[graft.plans.Md5Top60Rewrite]]
+  * optimizer rule's target). One digest, no hex-string materialization.
+  */
+case class Md5Top60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"md5_top60 requires a binary argument, got ${other.catalogString}"
+        )
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Exprs.md5Top60(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"${ev.value} = graft.functions.Md5Exprs.md5Top60($c);"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SimHashKernel {
   /** 60-bit term-frequency SimHash over a token array: md5Top60 per token
     * occurrence, signed per-bit tally, sign → bit. Bit-identical to the

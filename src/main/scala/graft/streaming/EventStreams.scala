@@ -5,6 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.util.Cols._
 
+/** A gap-closed user session emitted by [[EventStreams.streamingSessions]]. */
+case class SessionOut(
+    user_id: Long,
+    n_events: Long,
+    start_ms: Long,
+    end_ms: Long,
+    sum_value: Double
+)
+
+/** Open-session state carried between triggers (one per active user). */
+case class SessionState(n: Long, startMs: Long, lastMs: Long, sum: Double)
+
 /** Structured-Streaming operators over the events stream.
   *
   * The reference is strictly batch (SURVEY.md §2.3 — its Pub/Sub fabric is
@@ -99,5 +111,59 @@ object EventStreams {
       .mapGroupsWithState[UserStats, UserStats](
         GroupStateTimeout.EventTimeTimeout
       )(updateUser(ttlMs))
+  }
+
+  /** Streaming sessionization (`flatMapGroupsWithState`, Append mode): a
+    * session closes when a user is idle past `gapMs` of EVENT time, as
+    * observed through the watermark — the streaming face of the batch
+    * `q_sessionize` window query, emitting each closed session exactly
+    * once. State per user is one open session (4 numbers); eviction rides
+    * the same event-time timeout as the TTL above, so a stream over any
+    * user cardinality holds state only for currently-active users. Late
+    * events inside the watermark delay still extend their session; events
+    * later than that are dropped by the watermark, which is the documented
+    * trade of every watermarked streaming operator.
+    */
+  def streamingSessions(
+      events: Dataset[UserEvent],
+      gapMs: Long = 1800L * 1000
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout
+      ) { (uid, evs, state) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(SessionOut(uid, s.n, s.startMs, s.lastMs, s.sum))
+        } else {
+          // Within a trigger, replay this user's events in event-time order;
+          // gaps INSIDE the batch close sessions immediately, the trailing
+          // open session is parked in state with a timeout at lastMs + gap.
+          val sorted = evs.toSeq.sortBy(e => (e.event_time.getTime, e.event_type))
+          var closed = List.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.event_time.getTime
+            cur = cur match {
+              case Some(s) if t - s.lastMs > gapMs =>
+                closed ::= SessionOut(uid, s.n, s.startMs, s.lastMs, s.sum)
+                Some(SessionState(1L, t, t, e.value))
+              case Some(s) =>
+                Some(SessionState(s.n + 1, s.startMs, t, s.sum + e.value))
+              case None =>
+                Some(SessionState(1L, t, t, e.value))
+            }
+          }
+          val open = cur.get
+          state.update(open)
+          state.setTimeoutTimestamp(open.lastMs + gapMs)
+          closed.reverse.iterator
+        }
+      }
   }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink coverage beyond the reference's text-only contract: every
+  * format the engine claims (SURVEY §2.3 scans/sources/sinks) round-trips
+  * schema + values, and bucketed tables join without an exchange — the
+  * co-location technique that removes the big-side shuffle at 100 TB.
+  */
+class SourceSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$name").toString + "/t"
+
+  test("parquet round-trip preserves schema and values") {
+    val src = Tables.orders(spark, sf)
+    val out = tmp("parquet")
+    src.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.schema === src.schema)
+    assert(back.count() === src.count())
+    // exact decimal accumulation: a double sum is partition-order-dependent
+    // (the engine's own Cols.sumDec* rule), so compare order-insensitively
+    assert(
+      back.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().getDecimal(0) ===
+        src.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().getDecimal(0)
+    )
+  }
+
+  test("csv round-trip with header + explicit schema") {
+    val src = Tables
+      .nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val out = tmp("csv")
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read
+      .option("header", "true")
+      .schema(src.schema) // schema-on-read: no inference pass at scale
+      .csv(out)
+    assert(back.schema === src.schema)
+    assert(
+      back.orderBy("n_nationkey").collect().toSeq ===
+        src.orderBy("n_nationkey").collect().toSeq
+    )
+  }
+
+  test("json-lines round-trip with explicit schema") {
+    val src = Tables
+      .region(spark, sf)
+      .select(col("r_regionkey"), col("r_name"))
+    val out = tmp("json")
+    src.write.mode("overwrite").json(out)
+    val back = spark.read.schema(src.schema).json(out)
+    assert(back.schema === src.schema)
+    assert(
+      back.orderBy("r_regionkey").collect().toSeq ===
+        src.orderBy("r_regionkey").collect().toSeq
+    )
+  }
+
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    val s2 = spark
+    val prevBroadcast = s2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val db = "buckdb"
+    try {
+    s2.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Tables
+      .orders(s2, sf)
+      .write
+      .mode("overwrite")
+      .bucketBy(8, "o_custkey")
+      .sortBy("o_custkey")
+      .saveAsTable(s"$db.orders_b")
+    Tables
+      .customer(s2, sf)
+      .write
+      .mode("overwrite")
+      .bucketBy(8, "c_custkey")
+      .sortBy("c_custkey")
+      .saveAsTable(s"$db.customer_b")
+    val joined = s2
+      .table(s"$db.orders_b")
+      .join(
+        s2.table(s"$db.customer_b"),
+        col("o_custkey") === col("c_custkey")
+      )
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(
+      !plan.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n${plan.take(1500)}"
+    )
+    // and it still computes the right thing
+    val expected = Tables
+      .orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .count()
+    assert(joined.count() === expected)
+    } finally {
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      s2.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+}

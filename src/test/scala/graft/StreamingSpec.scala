@@ -108,6 +108,50 @@ class StreamingSpec extends AnyFunSuite {
     def toMap0: Map[Long, (Long, Double)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("streamingSessions closes sessions on in-batch gaps and on watermark timeouts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(t: String) = Timestamp.valueOf(t)
+    def ms(t: String) = at(t).getTime
+    val stream = MemoryStream[graft.streaming.EventStreams.UserEvent]
+    import graft.streaming.EventStreams.UserEvent
+    val q = graft.streaming.EventStreams
+      .streamingSessions(stream.toDS(), gapMs = 1800L * 1000) // 30 min gap
+      .writeStream
+      .format("memory")
+      .queryName("sessions_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // one batch containing TWO sessions for user 1 (65-min in-batch gap):
+      // the first closes immediately, the second stays open in state
+      stream.addData(
+        UserEvent(1L, "click", 1.0, at("2024-01-01 10:00:00")),
+        UserEvent(1L, "view", 2.0, at("2024-01-01 10:10:00")),
+        UserEvent(1L, "click", 4.0, at("2024-01-01 11:15:00"))
+      )
+      q.processAllAvailable()
+      // push the watermark far past 11:15 + 30 min → next batch times out
+      // user 1's open session; user 2 opens its own
+      stream.addData(UserEvent(2L, "click", 7.0, at("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      stream.addData(UserEvent(2L, "view", 1.0, at("2024-01-01 14:05:00")))
+      q.processAllAvailable()
+      val got = spark
+        .table("sessions_out")
+        .as[graft.streaming.SessionOut]
+        .collect()
+        .toSet
+      val expected = Set(
+        graft.streaming.SessionOut(
+          1L, 2L, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:10:00"), 3.0),
+        graft.streaming.SessionOut(
+          1L, 1L, ms("2024-01-01 11:15:00"), ms("2024-01-01 11:15:00"), 4.0)
+      )
+      assert(got === expected, s"got $got")
+    } finally q.stop()
+  }
+
   test("event-time derivation from int64 nanos is exact") {
     import spark.implicits._
     val ns = 1704067200123456789L // 2024-01-01 00:00:00.123456789
