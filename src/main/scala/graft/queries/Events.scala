@@ -160,6 +160,70 @@ object Events {
       doc = "Schema-on-read over the JSON `props` column: from_json with an " +
         "explicit schema (codegen'd JsonToStructs in the scan projection — no " +
         "per-row driver parsing), exact integer aggregates."
+    ),
+    // ---- the streaming sessionizer executed as a batch plan: emits every
+    // session CLOSED by an in-batch gap; each user's trailing session stays
+    // open in state (batch never fires timeouts), so the oracle excludes
+    // each user's last session. Makes flatMapGroupsWithState oracle-checked.
+    Q(
+      "q_sessions_batch",
+      (s, d) => {
+        import s.implicits._
+        val typed = graft.streaming.EventStreams
+          .withEventTime(Tables.events(s, d))
+          .select(
+            col("user_id"),
+            col("event_type"),
+            col("value"),
+            col("event_time")
+          )
+          .as[graft.streaming.EventStreams.UserEvent]
+        graft.streaming.EventStreams
+          .streamingSessions(typed, gapMs = 1800L * 1000)
+          .select(col("user_id"), col("n_events"), col("start_ms"), col("end_ms"))
+          .orderBy("user_id", "start_ms")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) // 1000000 AS ms
+             |  FROM events
+             |), g AS (
+             |  SELECT user_id, ms,
+             |    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)
+             |), sno AS (
+             |  SELECT user_id, ms,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+             |                        ROWS UNBOUNDED PRECEDING) AS sess_no
+             |  FROM g
+             |), sess AS (
+             |  SELECT user_id, sess_no, COUNT(*) AS n_events,
+             |         MIN(ms) AS start_ms, MAX(ms) AS end_ms
+             |  FROM sno GROUP BY user_id, sess_no
+             |), last AS (
+             |  SELECT user_id, MAX(sess_no) AS mx FROM sess GROUP BY user_id
+             |)
+             |SELECT s.user_id, s.n_events, s.start_ms, s.end_ms
+             |FROM sess s JOIN last l ON s.user_id = l.user_id AND s.sess_no < l.mx
+             |ORDER BY s.user_id, s.start_ms""".stripMargin),
+      doc = "Gap sessionization via flatMapGroupsWithState run in BATCH: " +
+        "closed sessions only (the oracle drops each user's open trailing " +
+        "session) — one sessionizer, batch and streaming, oracle-checked."
+    ),
+    // ---- hot-key distinct-collect with salting (skew mitigation).
+    Q(
+      "q_salted_collect",
+      (s, d) =>
+        graft.operators.Skew
+          .saltedCollectSet(Tables.events(s, d), "event_type", "user_id", saltN = 8)
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  array_to_string(list_sort(list(DISTINCT user_id)), ',') AS members,
+             |  COUNT(DISTINCT user_id) AS n_distinct
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "collect_set under a hot 5-value key, two-stage via salting: " +
+        "per-(key,salt) partials then merge, so no single task holds a hot " +
+        "key's whole value set. Exact (salt never reaches the result)."
     )
   )
 }

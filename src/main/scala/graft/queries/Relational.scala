@@ -421,6 +421,64 @@ object Relational {
       doc = "Revenue by region and part brand through the full star-schema " +
         "dimension chain — exercises the region/part tables and the " +
         "broadcast-everything join shape that keeps the fact side shuffle-free."
+    ),
+    // ---- PIVOT: status columns per priority. Explicit pivot values keep
+    // the plan a single pass (no extra distinct-scan to discover columns),
+    // which is also the only scalable form — column discovery over 100 TB
+    // is a full scan before the real one.
+    Q(
+      "q_pivot",
+      (s, d) =>
+        Tables
+          .orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na
+          .fill(0L, Seq("F", "O", "P"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      doc = "Pivot order counts to one status column each (explicit value " +
+        "list → single-pass plan), null-filled to match the conditional-" +
+        "aggregation semantics."
+    ),
+    // ---- explicit GROUPING SETS (beyond rollup/cube).
+    Q(
+      "q_grouping_sets",
+      (s, d) =>
+        Tables
+          .orders(s, d)
+          .groupingSets(
+            Seq(
+              Seq(col("o_orderstatus")),
+              Seq(col("o_orderpriority")),
+              Seq.empty
+            ),
+            col("o_orderstatus"),
+            col("o_orderpriority")
+          )
+          .agg(count(lit(1)).as("n"), sumDec2(col("o_totalprice")).as("spend"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"),
+            col("spend")
+          )
+          .orderBy("status", "priority"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |       coalesce(o_orderpriority, 'ALL') AS priority,
+             |       COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY status, priority""".stripMargin),
+      doc = "Explicit GROUPING SETS — disjoint dimension rollups in one " +
+        "pass (one expand + one shuffle, not one scan per set)."
     )
   )
 }
