@@ -224,6 +224,75 @@ object Events {
       doc = "collect_set under a hot 5-value key, two-stage via salting: " +
         "per-(key,salt) partials then merge, so no single task holds a hot " +
         "key's whole value set. Exact (salt never reaches the result)."
+    ),
+    // ---- as-of join: each click paired with the user's latest prior
+    // purchase. Time compared in microseconds on both engines (the parquet
+    // nanos truncate identically on each side).
+    Q(
+      "q_asof",
+      (s, d) => {
+        val ev = Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val purchases = ev
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), col("value"))
+        graft.operators.AsofJoin
+          .leftAsof(
+            clicks,
+            purchases,
+            keyCol = "user_id",
+            timeCol = "ts_us",
+            payloadCol = "value",
+            asCol = "last_purchase_value"
+          )
+          .orderBy("event_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+             |  FROM events WHERE event_type = 'click'
+             |), p AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us, value
+             |  FROM events WHERE event_type = 'purchase'
+             |)
+             |SELECT c.event_id, c.user_id, c.ts_us, p.value AS last_purchase_value
+             |FROM c ASOF LEFT JOIN p
+             |  ON c.user_id = p.user_id AND p.ts_us <= c.ts_us
+             |ORDER BY c.event_id""".stripMargin),
+      doc = "Left as-of join (click → latest prior purchase per user) via " +
+        "the tagged-union + ignore-nulls-window formulation: one shuffle, " +
+        "no pair explosion; oracle is DuckDB's native ASOF JOIN."
+    ),
+    // ---- RANGE window frame: per-customer trailing-30-day order stats.
+    Q(
+      "q_window_range",
+      (s, d) => {
+        val o = Tables
+          .orders(s, d)
+          .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("epoch_s"))
+          .rangeBetween(-2592000L, 0L) // 30 days in seconds
+        o.select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          col("epoch_s"),
+          count(lit(1)).over(w).as("n_30d"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double").as("spend_30d")
+        ).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+             |  COUNT(*) OVER w AS n_30d,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY floor(epoch(o_orderdate))
+             |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderkey""".stripMargin),
+      doc = "RANGE-frame window (value-based, not row-based): trailing " +
+        "30-day per-customer order count and exact-decimal spend."
     )
   )
 }
