@@ -479,6 +479,31 @@ object Relational {
              |ORDER BY status, priority""".stripMargin),
       doc = "Explicit GROUPING SETS — disjoint dimension rollups in one " +
         "pass (one expand + one shuffle, not one scan per set)."
+    ),
+    // ---- exact percentiles (linear interpolation) per group.
+    Q(
+      "q_percentile",
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("q25"),
+            expr("percentile(l_quantity, 0.5)").as("q50"),
+            expr("percentile(l_quantity, 0.75)").as("q75"),
+            expr("percentile(l_extendedprice, 0.5)").as("median_price")
+          )
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS q25,
+             |  quantile_cont(l_quantity, 0.5) AS q50,
+             |  quantile_cont(l_quantity, 0.75) AS q75,
+             |  quantile_cont(l_extendedprice, 0.5) AS median_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      doc = "Exact per-group percentiles (linear interpolation, the " +
+        "quantile_cont formula both engines share). Exact percentile sorts " +
+        "per group; at 100 TB prefer approx_percentile — registered next " +
+        "to it here because the oracle can only bit-check the exact form."
     )
   )
 }
