@@ -65,6 +65,64 @@ object Multimodal {
       }
   }
 
+  /** "Resize" stub: the deterministic stand-in for a decoder-side
+    * downscale — halves the stub-decoded dimensions and fingerprints a
+    * 2:1 byte-subsampled payload (every other byte, in order). A real
+    * resize replaces the subsample expression with a codec call; the
+    * schema, scaling arithmetic, and digest plumbing are what downstream
+    * consumers actually depend on.
+    */
+  def resizeStub(payloads: DataFrame, factor: Int): DataFrame =
+    payloads.select(
+      col("doc_id"),
+      (lng(length(col("payload"))) / factor).cast(LongType).as("scaled_len"),
+      md5(
+        array_join(
+          transform(
+            sequence(lit(1), greatest(length(col("payload")), lit(1)), lit(factor)),
+            i => col("payload").cast(StringType).substr(i, lit(1))
+          ),
+          ""
+        )
+      ).as("subsample_md5")
+    )
+
+  /** Feature extraction over the raw bytes — exact integer features only
+    * (distinct byte count, modal byte, byte checksum), so the result is
+    * engine-independent. The histogram is a distributed explode + count,
+    * the shape any per-byte/per-pixel statistic takes at scale.
+    */
+  def byteFeatures(payloads: DataFrame): DataFrame = {
+    val perByte = payloads
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(1), greatest(length(col("payload")), lit(1))),
+            i => ascii(col("payload").cast(StringType).substr(i, lit(1)))
+          )
+        ).as("b")
+      )
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    perByte
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_distinct_bytes"),
+        max(struct(col("cnt"), (-col("b")).as("nb")))
+          .getField("nb")
+          .cast(LongType)
+          .as("neg_mode_byte"),
+        sum(col("b") * col("cnt")).cast(LongType).as("byte_sum")
+      )
+      .select(
+        col("doc_id"),
+        col("n_distinct_bytes"),
+        (-col("neg_mode_byte")).cast(LongType).as("mode_byte"),
+        col("byte_sum")
+      )
+  }
+
   /** Strided frame sampling: `nFrames` slices of `frameLen` bytes taken
     * every `stride` bytes, fingerprinted with md5. Pure expressions —
     * whole-stage codegen, no decoder needed for coverage-style checks.

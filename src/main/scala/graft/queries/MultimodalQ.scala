@@ -63,6 +63,53 @@ object MultimodalQ {
       ),
       doc = "STUB decoder (mapPartitions batch shape — where a real codec " +
         "plugs in): header bytes → typed MediaMeta columns."
+    ),
+    Q(
+      "m_resize",
+      (s, d) =>
+        Multimodal
+          .resizeStub(Multimodal.withPayload(Tables.documents(s, d)), factor = 2)
+          .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  (octet_length(encode(text)) // 2)::BIGINT AS scaled_len,
+          |  md5(array_to_string(list_transform(
+          |        generate_series(1, greatest(length(text), 1), 2),
+          |        i -> substr(text, i, 1)), '')) AS subsample_md5
+          |FROM documents ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Resize stub: scaled length + digest of the 2:1 byte-subsampled " +
+        "payload — the decoder-side downscale's schema and plumbing, " +
+        "deterministic without codecs."
+    ),
+    Q(
+      "m_features",
+      (s, d) =>
+        Multimodal
+          .byteFeatures(Multimodal.withPayload(Tables.documents(s, d)))
+          .orderBy("doc_id"),
+      Some(
+        """WITH bytes AS (
+          |  SELECT doc_id, unnest(list_transform(
+          |           generate_series(1, greatest(length(text), 1)),
+          |           i -> ascii(substr(text, i, 1)))) AS b
+          |  FROM documents
+          |), counts AS (
+          |  SELECT doc_id, b, count(*) AS cnt FROM bytes GROUP BY doc_id, b
+          |), ranked AS (
+          |  SELECT doc_id, b, cnt, max(cnt) OVER (PARTITION BY doc_id) AS mx
+          |  FROM counts
+          |)
+          |SELECT doc_id,
+          |  count(*)::BIGINT AS n_distinct_bytes,
+          |  min(CASE WHEN cnt = mx THEN b END)::BIGINT AS mode_byte,
+          |  sum(b * cnt)::BIGINT AS byte_sum
+          |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Byte-level feature extraction (distinct bytes, modal byte with " +
+        "lowest-wins ties, checksum) — exact integer features via a " +
+        "distributed histogram, the shape any per-byte/per-pixel statistic " +
+        "takes at scale."
     )
   )
 }
