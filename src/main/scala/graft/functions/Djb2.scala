@@ -84,5 +84,12 @@ object GraftFunctions {
       es => MinHashSig(es(0), es(1).eval().asInstanceOf[Number].intValue),
       "built-in"
     )
+    reg.createOrReplaceTempFunction(
+      "sorted_intersect_count_long",
+      es => SortedIntersectCountLong(es(0), es(1)),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction("simhash60", es => SimHash60(es.head), "built-in")
+    reg.createOrReplaceTempFunction("md5_top60", es => Md5Top60(es.head), "built-in")
   }
 }

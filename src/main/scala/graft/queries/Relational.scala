@@ -504,6 +504,38 @@ object Relational {
         "quantile_cont formula both engines share). Exact percentile sorts " +
         "per group; at 100 TB prefer approx_percentile — registered next " +
         "to it here because the oracle can only bit-check the exact form."
+    ),
+    // ---- bounded top-k as a partial-aggregable AGGREGATE (not a window):
+    // each map partition reduces to k rows per group before the exchange,
+    // vs row_number() shuffling every row into one partition per group.
+    Q(
+      "q_topk_agg",
+      (s, d) =>
+        Tables
+          .orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(
+            graft.functions.TopKByScore
+              .topK(col("o_totalprice"), col("o_orderkey"), 3)
+              .as("tk")
+          )
+          .select(col("o_custkey"), posexplode(col("tk")).as(Seq("pos", "nb")))
+          .select(
+            col("o_custkey"),
+            col("nb.id").as("o_orderkey"),
+            col("nb.score").as("o_totalprice"),
+            (col("pos") + 1).cast("long").as("rank")
+          )
+          .orderBy("o_custkey", "rank"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+             |  FROM orders) t
+             |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin),
+      doc = "Top-3 orders per customer via the bounded TopKByScore " +
+        "aggregate — O(k) partial state per group before the shuffle; the " +
+        "oracle's row_number window proves the identical result."
     )
   )
 }

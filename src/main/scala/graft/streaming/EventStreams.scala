@@ -113,6 +113,23 @@ object EventStreams {
       )(updateUser(ttlMs))
   }
 
+  /** Streaming exact dedup: first occurrence of each key combination wins;
+    * duplicates arriving within the watermark horizon are suppressed, and
+    * the per-key state is dropped once the watermark passes it
+    * (`dropDuplicatesWithinWatermark`), so dedup state is bounded by the
+    * horizon's key arrival rate — never by the all-time key universe. The
+    * streaming face of the batch `d_exact` operator: at 100 TB+ the batch
+    * pass dedups the corpus and this keeps the incremental feed clean.
+    */
+  def streamingDedup(
+      eventsWithTime: DataFrame,
+      keys: Seq[String],
+      delay: String = "10 seconds"
+  ): DataFrame =
+    eventsWithTime
+      .withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming sessionization (`flatMapGroupsWithState`, Append mode): a
     * session closes when a user is idle past `gapMs` of EVENT time, as
     * observed through the watermark — the streaming face of the batch

@@ -152,6 +152,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDedup suppresses duplicates within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(t: String) = Timestamp.valueOf(t)
+    val stream = MemoryStream[(String, Timestamp)]
+    val q = graft.streaming.EventStreams
+      .streamingDedup(
+        stream.toDF().toDF("content_hash", "event_time"),
+        keys = Seq("content_hash")
+      )
+      .writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      stream.addData(
+        ("h1", at("2024-01-01 10:00:00")),
+        ("h1", at("2024-01-01 10:00:01")), // same-batch duplicate
+        ("h2", at("2024-01-01 10:00:02"))
+      )
+      q.processAllAvailable()
+      stream.addData(("h1", at("2024-01-01 10:00:03"))) // cross-batch dup
+      q.processAllAvailable()
+      val got = spark
+        .table("dedup_out")
+        .select("content_hash")
+        .as[String]
+        .collect()
+        .sorted
+        .toSeq
+      assert(got === Seq("h1", "h2"), s"duplicates must be suppressed: $got")
+    } finally q.stop()
+  }
+
   test("event-time derivation from int64 nanos is exact") {
     import spark.implicits._
     val ns = 1704067200123456789L // 2024-01-01 00:00:00.123456789
