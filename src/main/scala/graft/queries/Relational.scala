@@ -536,6 +536,37 @@ object Relational {
       doc = "Top-3 orders per customer via the bounded TopKByScore " +
         "aggregate — O(k) partial state per group before the shuffle; the " +
         "oracle's row_number window proves the identical result."
+    ),
+    // ---- UNPIVOT (wide → long reshape), then aggregate the long form.
+    Q(
+      "q_unpivot",
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"), col("l_discount"), col("l_tax"))
+          .unpivot(
+            Array(col("l_returnflag")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "metric",
+            "value"
+          )
+          .groupBy(col("l_returnflag"), col("metric"))
+          .agg(count(lit(1)).as("n"), sumDec4(col("value")).as("total"))
+          .orderBy("l_returnflag", "metric"),
+      Some("""WITH long AS (
+             |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+             |  UNION ALL
+             |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+             |  UNION ALL
+             |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+             |)
+             |SELECT l_returnflag, metric, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+             |FROM long GROUP BY l_returnflag, metric
+             |ORDER BY l_returnflag, metric""".stripMargin),
+      doc = "UNPIVOT: wide metric columns melted to (metric, value) rows in " +
+        "the scan projection (no self-union of the fact table), then one " +
+        "exact-decimal aggregate over the long form."
     )
   )
 }
