@@ -210,6 +210,35 @@ object Similarity {
     ivfTopK(queries, corpusCelled, k, nProbe, cellCol = "cell")
   }
 
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * standard 4x storage/bandwidth cut for vector corpora (the dominant
+    * cost of embedding search at 100 TB is reading floats). Per vector:
+    * scale = max|x| / 127, q_i = floor(x_i / scale + 0.5) — an explicit
+    * round-half-up formula rather than round(), whose tie rule differs
+    * between engines. Pure expressions, map-only, no shuffle.
+    */
+  def quantizeInt8(corpus: DataFrame): DataFrame = {
+    val absMax = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val scale = greatest(absMax, lit(1e-30)) / 127.0
+    corpus
+      .withColumn("scale", scale)
+      .select(
+        col("vec_id"),
+        col("scale"),
+        transform(
+          col("embedding"),
+          x => floor(x.cast("double") / col("scale") + 0.5).cast("long")
+        ).as("q")
+      )
+      .select(
+        col("vec_id"),
+        col("scale"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max")
+      )
+  }
+
   /** Embedding near-duplicate pairs: within-cell pairwise cosine >= thr.
     * The cell id bounds the quadratic term exactly like an IVF cell.
     */

@@ -66,6 +66,29 @@ object SimilarityQ {
       ),
       doc = "Embedding near-duplicate pairs: within-cell (label) pairwise " +
         "cosine >= 0.35 — the IVF-cell-blocked quadratic check."
+    ),
+    Q(
+      "s_quantize",
+      (s, d) =>
+        Similarity
+          .quantizeInt8(Tables.embeddings(s, d))
+          .orderBy("vec_id"),
+      Some(
+        """WITH q AS (
+          |  SELECT vec_id,
+          |    greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-30) / 127.0 AS scale,
+          |    embedding::DOUBLE[] AS e
+          |  FROM embeddings
+          |)
+          |SELECT vec_id, scale,
+          |  list_sum(list_transform(e, x -> floor(x / scale + 0.5)))::BIGINT AS q_sum,
+          |  list_min(list_transform(e, x -> floor(x / scale + 0.5)))::BIGINT AS q_min,
+          |  list_max(list_transform(e, x -> floor(x / scale + 0.5)))::BIGINT AS q_max
+          |FROM q ORDER BY vec_id""".stripMargin
+      ),
+      doc = "Symmetric int8 scalar quantization of the embedding column " +
+        "(per-vector scale = max|x|/127, explicit round-half-up) — the 4x " +
+        "storage cut for vector corpora, map-only, bit-checked end to end."
     )
   )
 }

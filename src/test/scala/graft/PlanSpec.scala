@@ -61,4 +61,39 @@ class PlanSpec extends AnyFunSuite {
       plan.take(800)
     )
   }
+
+  test("star-schema chain: every dimension broadcasts, fact side never shuffles for joins") {
+    val plan = physical("q_region_part_revenue")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(
+      !plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "no dimension join may shuffle the fact table:\n" + plan.take(1500)
+    )
+  }
+
+  test("n-gram jaccard: fragment-replicate fanout is pinned in the plan") {
+    val plan = physical("d_ngram_jaccard")
+    // both sides repartitioned on (block, chunk) with a user-specified
+    // count — the property that spreads the quadratic loop across the
+    // cluster and that AQE must not coalesce away
+    assert(plan.contains("REPARTITION_BY_NUM"), plan.take(1500))
+  }
+
+  test("top-k aggregate reduces per-partition before the exchange (no global window sort)") {
+    val plan = physical("q_topk_agg")
+    assert(
+      plan.contains("partial_top_k") || plan.contains("ObjectHashAggregate"),
+      plan.take(1200)
+    )
+    assert(!plan.contains("Window"), "top-k must not be a window:\n" + plan.take(1200))
+  }
+
+  test("salted collect aggregates in two stages (salt key first)") {
+    val plan = physical("q_salted_collect")
+    // stage 1 groups on (key, salt) — the salt shows up as an inlined
+    // grouping expression; stage 2 merges on the key alone
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges >= 2, s"expected (key,salt) + key exchanges, got $exchanges:\n${plan.take(1500)}")
+    assert(plan.contains("partial_collect_set"), plan.take(1500))
+  }
 }
