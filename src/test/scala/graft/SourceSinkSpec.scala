@@ -63,6 +63,32 @@ class SourceSinkSpec extends AnyFunSuite {
     )
   }
 
+  test("partitioned-sorted layout: pruned reads, sorted files, bounded file count") {
+    val out = tmp("layout")
+    graft.sources.Layout.writePartitionedSorted(
+      Tables.events(spark, sf),
+      out,
+      partitionCol = "event_type",
+      sortCols = Seq("ts"),
+      maxRecordsPerFile = 1000L
+    )
+    val back = spark.read.parquet(out)
+    // pruning: the event_type predicate must be a PartitionFilter
+    val plan = back
+      .filter(col("event_type") === "click")
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"), plan.take(800))
+    // one directory per key, each file internally sorted by ts
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("event_type="))
+    assert(dirs.length === 5)
+    val firstFile = dirs.head.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val ts = spark.read.parquet(firstFile.toString).select("ts").collect().map(_.getLong(0))
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b }, "rows sorted within file")
+    assert(back.count() === Tables.events(spark, sf).count())
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     val s2 = spark
     val prevBroadcast = s2.conf.get("spark.sql.autoBroadcastJoinThreshold")
