@@ -149,6 +149,61 @@ object TextQ {
       ),
       doc = "Document fingerprints: content hash, 60-bit signature, and a " +
         "rolling min-shingle (1-perm MinHash) fingerprint."
+    ),
+    Q(
+      "t_bigram_freq",
+      (s, d) => {
+        // corpus-level bigram statistics as a fluency/quality proxy: a
+        // document whose word pairs are common across the corpus reads like
+        // the corpus; junk and boilerplate score at the extremes. Exact
+        // integer arithmetic end to end (counts, one final division) — the
+        // log-probability variant differs across libm implementations.
+        val docs = Tables.documents(s, d)
+        // bigrams carry only their 60-bit hash past the scan: the groupBy
+        // and join shuffle 8-byte keys instead of the bigram strings (the
+        // strings never leave the map side). Same output up to md5-60
+        // collisions (~|bigrams|^2/2^61, nil at any realistic vocab).
+        val bigrams = docs.select(
+          col("doc_id"),
+          explode(
+            graft.operators.Dedup.wordShingles(
+              graft.operators.Text.tokensAll(col("text")),
+              2
+            )
+          ).as("bg")
+        ).select(col("doc_id"), md5Long(col("bg")).as("bgh"))
+        val df = bigrams
+          .groupBy(col("bgh"))
+          .agg(countDistinct(col("doc_id")).as("bg_df"))
+        bigrams
+          .join(df, Seq("bgh"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).cast("long").as("n_bigrams"),
+            sum(col("bg_df")).cast("long").as("sum_df")
+          )
+          .withColumn(
+            "avg_df",
+            col("sum_df").cast("double") / col("n_bigrams")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |bg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |         generate_series(1, greatest(len(tk) - 1, 1)),
+           |         i -> array_to_string(tk[i:i+1], ' ')))) AS bg
+           |       FROM t),
+           |df AS (SELECT bg, count(DISTINCT doc_id) AS bg_df FROM bg GROUP BY bg)
+           |SELECT b.doc_id, COUNT(*) AS n_bigrams, SUM(d.bg_df)::BIGINT AS sum_df,
+           |       SUM(d.bg_df)::DOUBLE / COUNT(*) AS avg_df
+           |FROM bg b JOIN df d ON b.bg = d.bg
+           |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+      ),
+      doc = "Corpus-bigram document-frequency score per document (fluency " +
+        "proxy): distinct word bigrams joined to their corpus DF, exact " +
+        "integer sums — the self-join + two-aggregate shape of any " +
+        "corpus-statistics feature at scale."
     )
   )
 }
