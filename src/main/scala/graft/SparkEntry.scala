@@ -6,9 +6,12 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Word-count over the reference tokenizer: scan → flatMap → filter →
-    * shuffle → agg (the anagram pipeline's spine; the full `anagrams` query
-    * is registered too, but legitimately returns 0 groups on the synthetic
-    * 30-word vocabulary, which contains no anagram pairs).
+    * shuffle → agg (the anagram pipeline's spine). The full `anagrams`
+    * query is registered too — 0 groups on the synthetic vocabulary, which
+    * contains no anagram pairs — and `anagrams_txt` runs the pipeline
+    * end-to-end over the golden .txt corpus with REAL anagram groups
+    * (acst/dorsw/eilnst), so the HAVING>=2 path is oracle-checked
+    * non-vacuously.
     */
   def entry(spark: SparkSession): DataFrame =
     Registry.runners("wordcount")(spark, "/root/testdata/sf0.001")

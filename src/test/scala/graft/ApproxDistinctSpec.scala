@@ -21,4 +21,20 @@ class ApproxDistinctSpec extends AnyFunSuite {
       assert(relErr <= 0.15, s"$c: approx=$approx exact=$exact relErr=$relErr")
     }
   }
+
+  test("approx_percentile tracks exact percentile within the accuracy bound") {
+    val l = Tables.lineitem(spark, sf)
+    Seq(0.25, 0.5, 0.75).foreach { p =>
+      val exact = l
+        .select(expr(s"percentile(l_extendedprice, $p)"))
+        .head()
+        .getDouble(0)
+      val approx = l
+        .select(expr(s"approx_percentile(l_extendedprice, $p, 1000)"))
+        .head()
+        .getDouble(0)
+      val relErr = math.abs(approx - exact) / exact
+      assert(relErr <= 0.05, s"p=$p approx=$approx exact=$exact relErr=$relErr")
+    }
+  }
 }
