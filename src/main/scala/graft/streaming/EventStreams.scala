@@ -113,6 +113,39 @@ object EventStreams {
       )(updateUser(ttlMs))
   }
 
+  /** Stream-stream interval join (attribution): each left event matched to
+    * the same key's right events inside `[left_time - lookback, left_time]`.
+    * Both sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can size the join state to watermark + lookback and
+    * evict behind it — the REQUIRED shape for an unbounded stream-stream
+    * join (an unconstrained join's state grows without limit). Inner
+    * matches emit as they arrive; state cleanup rides the watermarks.
+    */
+  def streamIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      lookback: String = "1 hour",
+      delay: String = "10 seconds"
+  ): DataFrame = {
+    val l = left
+      .select(col(key), col("event_time").as("l_time"), col("value").as("l_value"))
+      .withWatermark("l_time", delay)
+    val r = right
+      .select(
+        col(key).as("_rk"),
+        col("event_time").as("r_time"),
+        col("value").as("r_value")
+      )
+      .withWatermark("r_time", delay)
+    l.join(
+      r,
+      col(key) === col("_rk") &&
+        col("r_time") >= col("l_time") - expr(s"INTERVAL $lookback") &&
+        col("r_time") <= col("l_time")
+    ).drop("_rk")
+  }
+
   /** Streaming exact dedup: first occurrence of each key combination wins;
     * duplicates arriving within the watermark horizon are suppressed, and
     * the per-key state is dropped once the watermark passes it

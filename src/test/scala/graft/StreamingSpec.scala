@@ -187,6 +187,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within lookback, per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(t: String) = Timestamp.valueOf(t)
+    import graft.streaming.EventStreams.UserEvent
+    val clicks = MemoryStream[UserEvent]
+    val purchases = MemoryStream[UserEvent]
+    val joined = graft.streaming.EventStreams.streamIntervalJoin(
+      clicks.toDF(),
+      purchases.toDF(),
+      key = "user_id",
+      lookback = "1 hour"
+    )
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("attrib_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      purchases.addData(
+        UserEvent(1L, "purchase", 30.0, at("2024-01-01 11:30:00")), // in window
+        UserEvent(1L, "purchase", 10.0, at("2024-01-01 10:00:00")), // too old
+        UserEvent(2L, "purchase", 55.0, at("2024-01-01 11:55:00")) // other user
+      )
+      clicks.addData(UserEvent(1L, "click", 1.0, at("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val got = spark
+        .table("attrib_out")
+        .select("user_id", "l_value", "r_value")
+        .as[(Long, Double, Double)]
+        .collect()
+        .toSet
+      assert(got === Set((1L, 1.0, 30.0)), s"got $got")
+    } finally q.stop()
+  }
+
   test("event-time derivation from int64 nanos is exact") {
     import spark.implicits._
     val ns = 1704067200123456789L // 2024-01-01 00:00:00.123456789
