@@ -133,6 +133,8 @@ object Events {
              |FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_no""".stripMargin)
     ),
     // ---- semi-structured: parse the JSON props column, aggregate a field.
+    // Oracle note: DuckDB SUM(BIGINT) yields HUGEINT, which pandas renders
+    // as float — the outer ::BIGINT keeps the hash-compare type-exact.
     Q(
       "q_json_props",
       (s, d) =>
@@ -153,7 +155,7 @@ object Events {
           )
           .orderBy("event_type"),
       Some("""SELECT event_type, COUNT(*) AS n,
-             |       SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
+             |       SUM(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
              |       MIN(json_extract(props, '$.k')::BIGINT) AS min_k,
              |       MAX(json_extract(props, '$.k')::BIGINT) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
