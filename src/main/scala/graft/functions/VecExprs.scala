@@ -22,10 +22,15 @@ import org.apache.spark.sql.types._
   */
 trait VecArrayInputs { self: BinaryExpression =>
 
-  protected def elemType: DataType = left.dataType match {
+  // Element type resolved PER SIDE: a float-embedding column is routinely
+  // compared against double centroids/literals, and reading a double slot
+  // with getFloat returns garbage, not a rounded value.
+  private def elemTypeOf(e: Expression): DataType = e.dataType match {
     case ArrayType(et, _) => et
     case _ => NullType
   }
+  protected def leftElem: DataType = elemTypeOf(left)
+  protected def rightElem: DataType = elemTypeOf(right)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -40,13 +45,13 @@ trait VecArrayInputs { self: BinaryExpression =>
       )
   }
 
-  protected def getD(a: ArrayData, i: Int): Double = elemType match {
+  protected def getD(a: ArrayData, i: Int, et: DataType): Double = et match {
     case FloatType => a.getFloat(i).toDouble
     case _         => a.getDouble(i)
   }
 
   /** Java source reading element `i` of `arr` as double. */
-  protected def getCode(arr: String, i: String): String = elemType match {
+  protected def getCode(arr: String, i: String, et: DataType): String = et match {
     case FloatType => s"((double) $arr.getFloat($i))"
     case _         => s"$arr.getDouble($i)"
   }
@@ -65,7 +70,7 @@ case class VecDot(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += getD(x, i) * getD(y, i); i += 1 }
+    while (i < n) { s += getD(x, i, leftElem) * getD(y, i, rightElem); i += 1 }
     s
   }
 
@@ -81,7 +86,7 @@ case class VecDot(left: Expression, right: Expression)
           int $n = java.lang.Math.min($a.numElements(), $b.numElements());
           double $s = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            $s += ${getCode(a, i)} * ${getCode(b, i)};
+            $s += ${getCode(a, i, leftElem)} * ${getCode(b, i, rightElem)};
           }
           ${ev.value} = $s;
         """
@@ -111,8 +116,8 @@ case class VecCosine(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val xv = getD(x, i)
-      val yv = getD(y, i)
+      val xv = getD(x, i, leftElem)
+      val yv = getD(y, i, rightElem)
       dot += xv * yv
       na += xv * xv
       nb += yv * yv
@@ -139,8 +144,8 @@ case class VecCosine(left: Expression, right: Expression)
           double $na = 0.0;
           double $nb = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            double $xv = ${getCode(a, i)};
-            double $yv = ${getCode(b, i)};
+            double $xv = ${getCode(a, i, leftElem)};
+            double $yv = ${getCode(b, i, rightElem)};
             $dot += $xv * $yv;
             $na += $xv * $xv;
             $nb += $yv * $yv;

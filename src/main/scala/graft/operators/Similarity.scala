@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TopKByScore
@@ -92,36 +92,28 @@ object Similarity {
     * by k, never by the corpus.
     */
   def kmeansCells(corpus: DataFrame, kCells: Int, iters: Int): DataFrame = {
-    val spark = corpus.sparkSession
     // Each Lloyd's iteration re-scans the vectors (assign + mean); pin the
     // narrow (id, vector) projection once instead of re-reading the source
     // per iteration — the standard shape for iterative training at scale.
     val emb = corpus.select(col("vec_id"), col("embedding")).cache()
 
-    def centsDf(cents: Array[(Long, Array[Double])]): DataFrame = {
-      val rows = cents.map { case (cell, v) => Row(cell, v.toSeq) }
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
-        StructType(
-          Seq(
-            StructField("cell", LongType, nullable = false),
-            StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false)
+    // Map-only argmax against the k driver-held centroids: the centroids
+    // are literals inside one codegen'd projection (k cosine loops + a
+    // struct array_max), so an assignment pass is a scan with NO join and
+    // NO shuffle. Driver state stays O(k·dim). Ties take the higher cell
+    // id (struct (sim, cell) lexicographic max) — measure-zero on doubles.
+    def cellOf(cents: Array[(Long, Array[Double])]): Column =
+      array_max(
+        array(cents.map { case (cell, v) =>
+          struct(
+            cosine(col("embedding"), typedLit(v.toSeq)).as("sim"),
+            lit(cell).as("cell")
           )
-        )
-      )
-    }
+        }.toIndexedSeq: _*)
+      ).getField("cell")
 
     def assign(cents: Array[(Long, Array[Double])]): DataFrame =
-      emb
-        .join(broadcast(centsDf(cents)))
-        .select(
-          col("vec_id"),
-          col("cell"),
-          cosine(col("embedding"), col("centroid")).as("sim")
-        )
-        .groupBy(col("vec_id"))
-        .agg(TopKByScore.topK(col("sim"), col("cell"), 1).as("tk"))
-        .select(col("vec_id"), col("tk").getItem(0).getField("id").as("cell"))
+      emb.select(col("vec_id"), cellOf(cents).as("cell"))
 
     // deterministic seed sample: kCells vectors in md5 order of vec_id
     var cents: Array[(Long, Array[Double])] = emb
@@ -135,9 +127,11 @@ object Similarity {
 
     var it = 0
     while (it < iters) {
-      cents = assign(cents)
-        .join(emb, Seq("vec_id"))
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      // M-step: one scan, one (cell,pos)-keyed partial-aggregable shuffle
+      // of k·dim running means — the embedding rides from the argmax
+      // projection straight into posexplode, no re-join with the corpus.
+      cents = emb
+        .select(cellOf(cents).as("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("x")).as("m"))
         .groupBy(col("cell"))

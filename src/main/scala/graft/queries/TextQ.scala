@@ -163,6 +163,10 @@ object TextQ {
         // and join shuffle 8-byte keys instead of the bigram strings (the
         // strings never leave the map side). Same output up to md5-60
         // collisions (~|bigrams|^2/2^61, nil at any realistic vocab).
+        // Persisted: the DF aggregate and the join both consume this; without
+        // the pin Spark would tokenize + md5 the corpus twice (the two
+        // branches' exchanges differ — partial agg below one — so exchange
+        // reuse can't kick in). 16 bytes/row, the compact thing to pin.
         val bigrams = docs.select(
           col("doc_id"),
           explode(
@@ -171,10 +175,13 @@ object TextQ {
               2
             )
           ).as("bg")
-        ).select(col("doc_id"), md5Long(col("bg")).as("bgh"))
+        ).select(col("doc_id"), md5Long(col("bg")).as("bgh")).persist()
+        // wordShingles is array_distinct per doc, so every (doc_id, bgh) row
+        // is unique and plain count == count(DISTINCT doc_id) — without the
+        // distinct-expand shuffle the latter plans.
         val df = bigrams
           .groupBy(col("bgh"))
-          .agg(countDistinct(col("doc_id")).as("bg_df"))
+          .agg(count(lit(1)).as("bg_df"))
         bigrams
           .join(df, Seq("bgh"))
           .groupBy(col("doc_id"))

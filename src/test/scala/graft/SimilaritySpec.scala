@@ -125,6 +125,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pruned > 0 && pruned < full, s"pruned=$pruned full=$full")
   }
 
+  test("vector expressions handle mixed float/double array inputs") {
+    // Regression: element type must resolve per side — float embeddings are
+    // routinely compared against double centroid literals, and reading a
+    // double slot with getFloat returns garbage (not a rounded value).
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0, 2.0, 3.0)))
+      .toDF("f", "d")
+      .select(
+        graft.util.Cols.dot(col("f"), col("d")).as("fd"),
+        graft.util.Cols.dot(col("d"), col("f")).as("df"),
+        graft.util.Cols.cosine(col("f"), col("d")).as("cfd")
+      )
+      .as[(Double, Double, Double)]
+      .head()
+    assert(df._1 === 14.0)
+    assert(df._2 === 14.0)
+    assert(math.abs(df._3 - 1.0) < 1e-12)
+  }
+
   test("centroids have the embedding dimension and one row per cell") {
     val emb = Tables.embeddings(spark, sf)
     val cents = Similarity.centroids(emb).collect()
