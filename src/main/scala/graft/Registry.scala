@@ -9,7 +9,8 @@ object Registry {
       queries.TextQ.all ++
       queries.DedupQ.all ++
       queries.SimilarityQ.all ++
-      queries.MultimodalQ.all
+      queries.MultimodalQ.all ++
+      queries.PipelineQ.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

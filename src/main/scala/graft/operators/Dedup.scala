@@ -222,6 +222,66 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected pair graph (a_id, b_id) →
+    * (id, component) with component = the minimum doc id reachable. This is
+    * the step that turns pairwise near-dup hits into dedup GROUPS: every
+    * member of a transitive cluster maps to one canonical id.
+    *
+    * Algorithm: iterative min-label propagation — each round every vertex
+    * takes min(own label, neighbors' labels), until a fixpoint. Rounds
+    * needed = graph diameter; near-dup clusters are shallow (a hub dup and
+    * its variants), so this converges in 2–4 scans in practice. Each round
+    * is one key-partitioned join + partial-aggregable min — no driver
+    * state beyond the loop counter and a converged? count. (For adversarial
+    * long-chain graphs the alternating large-star/small-star formulation
+    * bounds rounds at O(log² n); same per-round plan shape.)
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val und = edges
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .cache()
+    var labels = und
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .cache()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val prop = und
+        .join(labels, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(min(col("comp")).as("nb_min"))
+      val next = labels
+        .join(prop, col("id") === col("dst"), "left")
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("nb_min"), col("comp"))).as("comp"),
+          (col("nb_min") < col("comp")).as("moved")
+        )
+        .cache()
+      changed = next.filter(col("moved")).count()
+      labels.unpersist()
+      labels = next.select("id", "comp").cache()
+      it += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** Near-dup clusters: MinHash-LSH pairs → connected components → per-doc
+    * (doc_id, component, csize). Only docs in >= 1 verified pair appear.
+    */
+  def dupClusters(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    val comp = connectedComponents(minhashDups(docs, threshold))
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
+    comp
+      .join(sizes, Seq("comp"))
+      .select(col("id").as("doc_id"), col("comp").as("component"), col("csize"))
+  }
+
   /** Exact-dup annotation: per-document content hash, the size of its
     * duplicate group, and the canonical (minimum) doc_id of the group.
     */

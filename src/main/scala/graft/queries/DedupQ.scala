@@ -24,6 +24,45 @@ object DedupQ {
        |         i -> array_to_string(tk[i:i+1], ' '))) AS sh
        |       FROM t)""".stripMargin
 
+  /** CTE chain ending in `pairs(a_id, b_id, jacc)`: the verified
+    * MinHash-LSH near-dup pairs (mirror of Dedup.minhashDups). Shared by
+    * d_minhash_lsh and the connected-components clustering oracle.
+    */
+  private val minhashPairsCtes: String = {
+    val mhDefs = (0 until Dedup.NumHashes)
+      .map(i => s"list_min(list_transform(sh, s -> ${h60(s"s || '#$i'")})) AS mh$i")
+      .mkString(",\n         ")
+    val bandSelects = (0 until Dedup.NumBands)
+      .map { b =>
+        val catted = (0 until Dedup.RowsPerBand)
+          .map(r => s"mh${b * Dedup.RowsPerBand + r}::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, ${h60(s"($catted)")} AS bhash FROM mh"
+      }
+      .mkString("\n  UNION ALL ")
+    s"""$shinglesCte,
+       |mh AS (SELECT doc_id, sh,
+       |         $mhDefs
+       |       FROM sh),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+       |),
+       |pairs AS (
+       |  SELECT a_id, b_id,
+       |    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jacc
+       |  FROM cand JOIN sh sa ON a_id = sa.doc_id JOIN sh sb ON b_id = sb.doc_id
+       |  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+       |      >= ${Dedup.JaccardThreshold}
+       |)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "d_exact",
@@ -47,41 +86,42 @@ object DedupQ {
         Dedup
           .minhashDups(Tables.documents(s, d))
           .orderBy("a_id", "b_id"),
-      Some {
-        val mhDefs = (0 until Dedup.NumHashes)
-          .map(i => s"list_min(list_transform(sh, s -> ${h60(s"s || '#$i'")})) AS mh$i")
-          .mkString(",\n         ")
-        val bandSelects = (0 until Dedup.NumBands)
-          .map { b =>
-            val catted = (0 until Dedup.RowsPerBand)
-              .map(r => s"mh${b * Dedup.RowsPerBand + r}::VARCHAR")
-              .mkString(" || ',' || ")
-            s"SELECT doc_id, $b AS band, ${h60(s"($catted)")} AS bhash FROM mh"
-          }
-          .mkString("\n  UNION ALL ")
-        s"""$shinglesCte,
-           |mh AS (SELECT doc_id, sh,
-           |         $mhDefs
-           |       FROM sh),
-           |bands AS (
-           |  $bandSelects
-           |),
-           |cand AS (
-           |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-           |  FROM bands l JOIN bands r
-           |    ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
-           |)
-           |SELECT a_id, b_id,
-           |  len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-           |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jacc
-           |FROM cand JOIN sh sa ON a_id = sa.doc_id JOIN sh sb ON b_id = sb.doc_id
-           |WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-           |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
-           |    >= ${Dedup.JaccardThreshold}
-           |ORDER BY a_id, b_id""".stripMargin
-      },
+      Some(
+        s"""$minhashPairsCtes
+           |SELECT a_id, b_id, jacc FROM pairs ORDER BY a_id, b_id""".stripMargin
+      ),
       doc = s"MinHash(${Dedup.NumHashes})+LSH(${Dedup.NumBands} bands) near-dup " +
         s"pairs over word-2-shingles, verified at Jaccard >= ${Dedup.JaccardThreshold}."
+    ),
+    Q(
+      "d_cc_clusters",
+      (s, d) =>
+        Dedup
+          .dupClusters(Tables.documents(s, d))
+          .orderBy("doc_id"),
+      Some(
+        // WITH RECURSIVE: walk(id, root) enumerates "root reaches id" over
+        // the undirected pair graph; min reachable root == component id.
+        s"""${minhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+           |und AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION
+           |  SELECT b_id, a_id FROM pairs
+           |),
+           |walk(id, root) AS (
+           |  SELECT DISTINCT src, src FROM und
+           |  UNION
+           |  SELECT u.dst, w.root FROM walk w JOIN und u ON u.src = w.id
+           |),
+           |comp AS (SELECT id, MIN(root) AS component FROM walk GROUP BY id),
+           |sz AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
+           |SELECT c.id AS doc_id, c.component, s.csize
+           |FROM comp c JOIN sz s USING (component) ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Near-dup CLUSTERS: MinHash-LSH verified pairs closed under " +
+        "transitivity via distributed min-label propagation (connected " +
+        "components), each member mapped to the canonical min doc id. " +
+        "Oracle replays the closure with a recursive CTE."
     ),
     Q(
       "d_simhash",

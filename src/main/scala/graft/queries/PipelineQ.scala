@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.{Dedup, Split, Text, TextAnalysis}
+
+/** Training-data pipeline surface: deterministic dataset splitting and the
+  * composed corpus-cleaning query (language ID + quality gate + exact-dedup
+  * canonicalization in one plan) — the end-to-end shapes a 100 TB data-prep
+  * job actually runs, not just their parts.
+  */
+object PipelineQ {
+
+  private val toksSql =
+    s"list_filter(${Text.tokensSqlAll("text")}, w -> length(w) > 1)"
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB mirror of Cols.md5Long over a BIGINT id. */
+  private def h60id(e: String) = s"('0x' || substr(md5($e::VARCHAR), 1, 15))::BIGINT"
+
+  val all: Seq[Q] = Seq(
+    // ---- deterministic train/val/test hash split. Membership is a pure
+    // function of doc_id (md5 bucket mod 100): reproducible across reruns,
+    // engines, and partitionings — the only split discipline that works at
+    // 100 TB (random() samples are none of those). Checked as per-split
+    // aggregates whose sums pin every row's assignment.
+    Q(
+      "q_hash_split",
+      (s, d) =>
+        Split
+          .hashSplit(Tables.documents(s, d), "doc_id")
+          .groupBy(col("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            min(col("bucket")).as("min_bucket"),
+            max(col("bucket")).as("max_bucket")
+          )
+          .orderBy("split"),
+      Some(
+        s"""WITH b AS (
+           |  SELECT doc_id, n_chars, ${h60id("doc_id")} % 100 AS bucket
+           |  FROM documents
+           |), s AS (
+           |  SELECT n_chars, bucket,
+           |    CASE WHEN bucket < 80 THEN 'train'
+           |         WHEN bucket < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM b
+           |)
+           |SELECT split, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+           |       MIN(bucket) AS min_bucket, MAX(bucket) AS max_bucket
+           |FROM s GROUP BY split ORDER BY split""".stripMargin
+      ),
+      doc = "Deterministic 80/10/10 train/val/test split by md5-bucket of " +
+        "doc_id: map-only, shuffle-free, stable under repartitioning and " +
+        "identical across engines (bit-checked here)."
+    ),
+    // ---- the composed cleaning pass: predict language, score quality,
+    // keep canonical exact-dedup representatives that pass both gates, and
+    // tag each survivor with its split. One scan + one content-hash window
+    // — the whole thing stays two shuffles regardless of corpus size.
+    Q(
+      "t_clean_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val withTk = docs
+          .select(col("doc_id"), col("text"))
+          .withColumn("tk", Text.tokensAll(col("text")))
+        val scored = TextAnalysis.LangMarkers
+          .foldLeft(withTk) { case (df, (lang, ms)) =>
+            df.withColumn(s"s_$lang", TextAnalysis.markerScore(col("tk"), ms))
+          }
+          .withColumn(
+            "pred_lang",
+            TextAnalysis.predictLang(
+              TextAnalysis.LangMarkers.map { case (l, _) => l -> col(s"s_$l") }
+            )
+          )
+        val withQuality = scored
+          .select(
+            col("doc_id") +: col("pred_lang") +:
+              TextAnalysis.qualityCols(col("text"), col("tk")): _*
+          )
+          .withColumn(
+            "quality_score",
+            TextAnalysis.qualityScore(
+              col("alpha_ratio"),
+              col("stopword_ratio"),
+              col("uniq_ratio")
+            )
+          )
+        val canonical = Dedup
+          .exactDups(docs)
+          .filter(col("doc_id") === col("canonical_id"))
+          .select(col("doc_id"))
+        withQuality
+          .join(canonical, Seq("doc_id"), "semi")
+          .filter(col("pred_lang") === "en" && col("quality_score") >= 0.45)
+          .select(
+            col("doc_id"),
+            col("quality_score"),
+            col("n_tokens"),
+            Split.splitLabel(col("doc_id")).as("split")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val scoreDefs = TextAnalysis.LangMarkers
+          .map { case (lang, ms) =>
+            s"len(list_filter(tk, w -> w IN (${inList(ms)}))) AS s_$lang"
+          }
+          .mkString(",\n       ")
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+           |s AS (SELECT doc_id, text, tk,
+           |       $scoreDefs
+           |FROM t),
+           |lang AS (SELECT doc_id, text, tk,
+           |  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+           |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           |       WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+           |       WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+           |       ELSE 'es' END AS pred_lang
+           |FROM s),
+           |q AS (SELECT doc_id, pred_lang,
+           |  len(tk)::BIGINT AS n_tokens,
+           |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio,
+           |  len(list_filter(tk, w -> w IN (${inList(Text.StopWords)})))::DOUBLE / len(tk) AS stopword_ratio,
+           |  len(list_distinct(tk))::DOUBLE / len(tk) AS uniq_ratio
+           |FROM lang),
+           |qs AS (SELECT doc_id, pred_lang, n_tokens,
+           |  (alpha_ratio * 0.3) + (least(stopword_ratio * 4.0, 1.0) * 0.3) + (uniq_ratio * 0.4)
+           |    AS quality_score
+           |FROM q),
+           |canon AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id,
+           |      min(doc_id) OVER (PARTITION BY
+           |        md5(trim(regexp_replace(replace(lower(text), chr(39), ''), '[^a-z]+', ' ', 'g'))))
+           |        AS canonical_id
+           |    FROM documents)
+           |  WHERE doc_id = canonical_id
+           |)
+           |SELECT qs.doc_id, quality_score, n_tokens,
+           |  CASE WHEN ${h60id("qs.doc_id")} % 100 < 80 THEN 'train'
+           |       WHEN ${h60id("qs.doc_id")} % 100 < 90 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM qs JOIN canon ON qs.doc_id = canon.doc_id
+           |WHERE pred_lang = 'en' AND quality_score >= 0.45
+           |ORDER BY qs.doc_id""".stripMargin
+      },
+      doc = "End-to-end corpus cleaning in ONE plan: language ID (en), " +
+        "quality gate (score >= 0.45), exact-dedup canonical filter, split " +
+        "tag. Scan-heavy, two shuffles total (content-hash window + final " +
+        "sort) at any corpus size."
+    )
+  )
+}

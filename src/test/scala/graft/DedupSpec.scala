@@ -66,6 +66,50 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === Seq((1L, 2L, 0L)))
   }
 
+  test("connected components: chain, triangle, and isolated pair resolve to min ids") {
+    // chain 1-2-3-4 (diameter 3: needs >1 propagation round), triangle
+    // 10-11-12, pair 20-21 — every member must map to its cluster's min id.
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("a_id", "b_id")
+    val comp = graft.operators.Dedup
+      .connectedComponents(edges)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(comp === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L
+    ))
+  }
+
+  test("hash split: deterministic, exhaustive, and percent-shaped") {
+    val df = spark.range(0, 2000).toDF("doc_id")
+    val split = graft.operators.Split.hashSplit(df, "doc_id")
+    val counts = split
+      .groupBy("split")
+      .count()
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 2000L)
+    // md5 buckets are uniform: 80/10/10 within generous tolerance
+    assert(counts("train") > 1400 && counts("train") < 1800)
+    // same ids → same assignment on a re-run (pure function of the id)
+    val again = graft.operators.Split
+      .hashSplit(df, "doc_id")
+      .groupBy("split")
+      .count()
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(again === counts)
+  }
+
   test("blocked ngram jaccard: only within-block pairs are compared") {
     val docs = Seq(
       (1L, "en", base),
