@@ -204,6 +204,73 @@ object Similarity {
     ivfTopK(queries, corpusCelled, k, nProbe, cellCol = "cell")
   }
 
+  // ---- random-hyperplane (sign) LSH — the bucketed ANN scale path that
+  // needs no training pass, complementing IVF's trained quantizer.
+
+  val LshPlanes = 16
+  val LshBands = 4
+  val LshPlanesPerBand: Int = LshPlanes / LshBands
+
+  /** Deterministic pseudo-random hyperplanes BOTH engines can rebuild:
+    * plane p, component j = md5_60("p:j") mod 2001 − 1000 (a centered
+    * integer lattice direction). Randomness quality is md5's; the point of
+    * the construction is that the DuckDB oracle regenerates the identical
+    * planes from the same formula, making the whole ANN result — buckets,
+    * candidates, ranks — bit-checkable, where a seeded-RNG plane set would
+    * force a weaker rows-only check.
+    */
+  def lshHyperplanes(dim: Int): IndexedSeq[Seq[Double]] =
+    (0 until LshPlanes).map { p =>
+      (0 until dim).map { j =>
+        (graft.functions.Md5Exprs.md5Top60(
+          s"$p:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ) % 2001L - 1000L).toDouble
+      }
+    }
+
+  /** Per-band bucket ids of one embedding: band b = the 4 sign bits of
+    * planes 4b..4b+3 packed little-endian. Map-only (16 codegen dot loops).
+    */
+  private def bandBuckets(emb: Column, planes: IndexedSeq[Seq[Double]]): Column =
+    array((0 until LshBands).map { b =>
+      (0 until LshPlanesPerBand)
+        .map { r =>
+          (dot(emb, typedLit(planes(b * LshPlanesPerBand + r))) >= 0)
+            .cast(LongType) * lit(1L << r)
+        }
+        .reduce(_ + _)
+    }: _*)
+
+  /** LSH-bucketed ANN: candidates are corpus vectors sharing >= 1
+    * (band, bucket) with the query; candidates (and only candidates) get
+    * exact cosine, then the bounded top-k aggregate ranks them. The corpus
+    * is touched once, map-only, and shuffles only candidate rows — at
+    * 100 TB the bands table is the index, bucket-bucketed on disk.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int): DataFrame = {
+    val planes = lshHyperplanes(dim)
+    def withBands(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select(
+        col("vec_id").as(idAs),
+        col("embedding").as(embAs),
+        posexplode(bandBuckets(col("embedding"), planes)).as(Seq("band", "bucket"))
+      )
+    val qb = withBands(queries, "query_id", "q_emb")
+    val cb = withBands(corpus, "neighbor_id", "c_emb")
+    val scored = cb
+      .join(broadcast(qb), Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos")
+      )
+      // multi-band hits duplicate (q, n) with identical cos — distinct is
+      // exact here, not a tolerance
+      .distinct()
+    topKExplode(scored, k)
+  }
+
   /** Symmetric int8 scalar quantization of the embedding column — the
     * standard 4x storage/bandwidth cut for vector corpora (the dominant
     * cost of embedding search at 100 TB is reading floats). Per vector:

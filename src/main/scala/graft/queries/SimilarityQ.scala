@@ -51,6 +51,56 @@ object SimilarityQ {
         "asserted in ScalaTest."
     ),
     Q(
+      "s_ann_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity
+          .lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH planes AS (
+           |  SELECT u.p, list_transform(generate_series(0, 63), j ->
+           |    ((('0x' || substr(md5(u.p::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT % 2001) - 1000)::DOUBLE)
+           |    AS h
+           |  FROM (SELECT unnest(generate_series(0, ${Similarity.LshPlanes - 1})) AS p) u
+           |),
+           |bits AS (
+           |  SELECT e.vec_id, pl.p,
+           |    CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.h) >= 0
+           |         THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+           |  FROM embeddings e CROSS JOIN planes pl
+           |),
+           |bands AS (
+           |  SELECT vec_id, p // ${Similarity.LshPlanesPerBand} AS band,
+           |         SUM(bit << (p % ${Similarity.LshPlanesPerBand}))::BIGINT AS bucket
+           |  FROM bits GROUP BY vec_id, p // ${Similarity.LshPlanesPerBand}
+           |),
+           |qb AS (SELECT * FROM bands WHERE vec_id < 10),
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           |  FROM qb q JOIN bands c ON q.band = c.band AND q.bucket = c.bucket
+           |  WHERE q.vec_id != c.vec_id
+           |),
+           |sc AS (
+           |  SELECT query_id, neighbor_id, ${cosSql("qe.embedding", "ce.embedding")} AS cos
+           |  FROM cand
+           |  JOIN embeddings qe ON query_id = qe.vec_id
+           |  JOIN embeddings ce ON neighbor_id = ce.vec_id
+           |),
+           |r AS (SELECT query_id, neighbor_id, cos,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |      FROM sc)
+           |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      ),
+      doc = "LSH-bucketed ANN (16 random-hyperplane sign bits, 4 bands of " +
+        "4): candidates share a band bucket with the query, only they pay " +
+        "exact cosine. Hyperplanes are md5-derived so the ENTIRE " +
+        "approximate result — buckets, candidates, ranks — is bit-checked " +
+        "against the oracle, not just row counts."
+    ),
+    Q(
       "d_embed_cosine",
       (s, d) =>
         Similarity
