@@ -159,11 +159,22 @@ object Dedup {
     */
   def minhashDups(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
     val sigs = signatures(docs).drop("sh").cache()
-    val cands = lshCandidates(sigs)
-    val sh = docs.select(
-      col("doc_id"),
-      wordShingles(Text.tokensAll(col("text")), 2).as("sh")
-    )
+    // Pinned: consumed by both the candidate-doc list and the pair join;
+    // O(candidate pairs) rows — tiny by LSH construction.
+    val cands = lshCandidates(sigs).cache()
+    // Re-shingle ONLY docs that appear in some candidate pair (a semi-join
+    // Catalyst cannot derive itself — it sees two joins against the full
+    // projection). LSH's whole point is that candidates are a sliver of the
+    // corpus; without this the verification stage re-tokenizes everything.
+    val candDocs = cands
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+    val sh = docs
+      .join(candDocs, Seq("doc_id"), "semi")
+      .select(
+        col("doc_id"),
+        wordShingles(Text.tokensAll(col("text")), 2).as("sh")
+      )
     cands
       .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(sh.as("sb"), col("b_id") === col("sb.doc_id"))
@@ -237,16 +248,28 @@ object Dedup {
     * bounds rounds at O(log² n); same per-round plan shape.)
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    val und = edges
+    // LINEAGE DISCIPLINE: each round's plan references the previous round's
+    // labels twice (in the neighbor-min aggregate and in the merge join),
+    // so an unbroken lineage doubles per iteration — by round 4 the driver
+    // is canonicalizing a 16×-duplicated tree per action, and analysis +
+    // cache lookup (both O(plan size)) dwarf the actual 510-row compute.
+    // localCheckpoint truncates the plan to the materialized partitions
+    // each round — the same reason GraphX/MLlib checkpoint their iterative
+    // lineages. (On a cluster, executor loss then costs a re-run from the
+    // checkpoint; a reliable checkpoint dir is the production variant.)
+    // The cache() underneath lets a rerun in the same session skip the
+    // upstream pair computation before the checkpoint re-materializes.
+    val e = edges.cache().localCheckpoint()
+    val und = e
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .unionByName(e.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint()
     var labels = und
       .select(col("src").as("id"))
       .distinct()
       .withColumn("comp", col("id"))
-      .cache()
+      .localCheckpoint()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -261,13 +284,11 @@ object Dedup {
           least(col("comp"), coalesce(col("nb_min"), col("comp"))).as("comp"),
           (col("nb_min") < col("comp")).as("moved")
         )
-        .cache()
+        .localCheckpoint()
       changed = next.filter(col("moved")).count()
-      labels.unpersist()
-      labels = next.select("id", "comp").cache()
+      labels = next.select("id", "comp")
       it += 1
     }
-    und.unpersist()
     labels
   }
 
