@@ -88,6 +88,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "top-k must not be a window:\n" + plan.take(1200))
   }
 
+  test("hash split: map-only labeling — the only exchange is the final aggregate's") {
+    val plan = physical("q_hash_split")
+    // split assignment itself must add no shuffle: the only hash exchange
+    // is the final aggregate's (the RoundRobin scan-parallelism guard and
+    // the ORDER BY's range partitioning are not the labeling's doing)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"split labeling must not shuffle:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan.take(1500))
+  }
+
+  test("LSH ANN: query bands broadcast; candidates reduced by partial top-k, not a window") {
+    val plan = physical("s_ann_lsh")
+    assert(plan.contains("BroadcastHashJoin"), "query band table must broadcast:\n" + plan.take(1500))
+    assert(!plan.contains("Window"), "top-k must be the bounded aggregate:\n" + plan.take(1500))
+    assert(
+      plan.contains("partial_top_k") || plan.contains("ObjectHashAggregate"),
+      plan.take(1500)
+    )
+  }
+
+  test("clean pipeline: quality + language gates evaluate in the scan stage (no extra shuffle)") {
+    val plan = physical("t_clean_pipeline")
+    // content-hash window + final sort are the only wide operations; the
+    // semi-join against canonical ids must broadcast
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"pipeline should add no shuffles beyond dedup window + semi-join:\n${plan.take(2000)}")
+  }
+
   test("salted collect aggregates in two stages (salt key first)") {
     val plan = physical("q_salted_collect")
     // stage 1 groups on (key, salt) — the salt shows up as an inlined
