@@ -41,4 +41,26 @@ object Split {
   ): DataFrame =
     df.withColumn("bucket", bucket100(col(idCol)))
       .withColumn("split", splitLabel(col(idCol), splits))
+
+  /** Weighted dataset mixing: keep each row with its source's sampling
+    * percent, decided by an md5 bucket of the id salted with "#mix" (so the
+    * mix decision is independent of the train/val/test bucket of the same
+    * id). Map-only and deterministic — rerunning the mix, on any cluster,
+    * keeps exactly the same rows.
+    */
+  def weightedMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      percents: Map[String, Int],
+      defaultPercent: Int = 0
+  ): DataFrame = {
+    val mixBucket = pmod(md5Long(concat(col(idCol).cast("string"), lit("#mix"))), lit(100))
+    val rate = percents.foldLeft(lit(defaultPercent)) { case (acc, (src, p)) =>
+      when(col(sourceCol) === src, p).otherwise(acc)
+    }
+    df.withColumn("mix_bucket", mixBucket)
+      .withColumn("mix_rate", rate)
+      .filter(col("mix_bucket") < col("mix_rate"))
+  }
 }

@@ -57,6 +57,46 @@ object PipelineQ {
         "doc_id: map-only, shuffle-free, stable under repartitioning and " +
         "identical across engines (bit-checked here)."
     ),
+    // ---- weighted dataset mixing: per-source sampling rates (the "data
+    // mixture" step of corpus assembly), decided row-locally by a salted
+    // md5 bucket so the mix is independent of the train/val/test split.
+    Q(
+      "q_mix_weighted",
+      (s, d) =>
+        Split
+          .weightedMix(
+            Tables.documents(s, d),
+            "doc_id",
+            "lang",
+            percents = Map("en" -> 100, "de" -> 50, "fr" -> 25, "es" -> 10),
+            defaultPercent = 5
+          )
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            max(col("mix_bucket")).as("max_bucket"),
+            min(col("mix_rate")).cast("long").as("rate")
+          )
+          .orderBy("lang"),
+      Some(
+        s"""WITH m AS (
+           |  SELECT lang, n_chars,
+           |    ('0x' || substr(md5(doc_id::VARCHAR || '#mix'), 1, 15))::BIGINT % 100 AS mix_bucket,
+           |    CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50
+           |              WHEN 'fr' THEN 25 WHEN 'es' THEN 10 ELSE 5 END AS mix_rate
+           |  FROM documents
+           |)
+           |SELECT lang, COUNT(*) AS n_kept, SUM(n_chars)::BIGINT AS sum_chars,
+           |       MAX(mix_bucket) AS max_bucket, MIN(mix_rate)::BIGINT AS rate
+           |FROM m WHERE mix_bucket < mix_rate
+           |GROUP BY lang ORDER BY lang""".stripMargin
+      ),
+      doc = "Weighted data mixture: en 100% / de 50% / fr 25% / es 10% / " +
+        "other 5%, each row kept by a deterministic salted md5 bucket — " +
+        "map-only, reproducible sampling (bit-checked per-source counts, " +
+        "char sums, and the bucket < rate invariant)."
+    ),
     // ---- the composed cleaning pass: predict language, score quality,
     // keep canonical exact-dedup representatives that pass both gates, and
     // tag each survivor with its split. One scan + one content-hash window
