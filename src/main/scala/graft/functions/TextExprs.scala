@@ -201,3 +201,68 @@ case class SortedIntersectCountLong(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Static kernel behind [[WordShingles]] (called from generated code). */
+object ShingleKernel {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Distinct word-k-shingles of a token array, each the space-join of k
+    * consecutive tokens, in first-occurrence order — element-for-element
+    * equal to `array_distinct(transform(sequence(1, greatest(n-k+1, 1)),
+    * i -> array_join(slice(tokens, i, k), ' ')))`, including the
+    * degenerate n < k case (one shorter shingle; [""] for empty input).
+    */
+  def wordShingles(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val count = math.max(n - k + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i < count) {
+      val m = math.min(k, n - i)
+      var j = 0
+      while (j < m) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      val s =
+        if (m == k) UTF8String.concatWs(Space, parts: _*)
+        else UTF8String.concatWs(Space, java.util.Arrays.copyOf(parts, math.max(m, 0)): _*)
+      seen.add(s)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray(new Array[AnyRef](seen.size()))
+    )
+  }
+}
+
+/** `word_shingles(tokens, k)`: one pass, one hash-set — replaces the
+  * `array_distinct(transform(sequence(...), slice/array_join))` chain,
+  * which executes interpreted (HOFs fall out of codegen) and re-allocates
+  * a slice array per shingle. Feeds every MinHash/Jaccard signature scan.
+  */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"word_shingles requires an array<string> argument, got ${other.catalogString}"
+        )
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.wordShingles(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"${ev.value} = graft.functions.ShingleKernel.wordShingles($c, $k);"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

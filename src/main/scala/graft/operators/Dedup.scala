@@ -36,8 +36,18 @@ object Dedup {
   /** Normalized text used for exact dedup (whitespace-canonical). */
   def normText(text: Column): Column = trim(Text.normalize(text))
 
-  /** doc → distinct word-k-shingle array (input to MinHash / Jaccard). */
+  /** doc → distinct word-k-shingle array (input to MinHash / Jaccard).
+    * Native one-pass kernel; [[wordShinglesHof]] is the reference
+    * formulation it is pinned equal to (DedupSpec), which runs interpreted
+    * and re-allocates a slice per shingle.
+    */
   def wordShingles(tokens: Column, k: Int): Column =
+    ExpressionUtils.column(
+      graft.functions.WordShingles(ExpressionUtils.expression(tokens), k)
+    )
+
+  /** The HOF formulation of [[wordShingles]] (spec oracle only). */
+  def wordShinglesHof(tokens: Column, k: Int): Column =
     array_distinct(
       transform(
         sequence(lit(1), greatest(size(tokens) - (k - 1), lit(1))),

@@ -66,6 +66,34 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === Seq((1L, 2L, 0L)))
   }
 
+  test("native word_shingles equals the HOF formulation on real corpus text") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    for (k <- Seq(2, 3)) {
+      val mismatches = docs
+        .select(
+          graft.operators.Dedup
+            .wordShingles(graft.operators.Text.tokensAll(col("text")), k)
+            .as("native"),
+          graft.operators.Dedup
+            .wordShinglesHof(graft.operators.Text.tokensAll(col("text")), k)
+            .as("hof")
+        )
+        .filter(not(col("native") === col("hof")))
+        .count()
+      assert(mismatches === 0L, s"k=$k")
+    }
+    // degenerate inputs: empty token array and fewer tokens than k
+    val edge = Seq(Seq.empty[String], Seq("one"), Seq("a", "b"))
+      .toDF("tk")
+      .select(
+        graft.operators.Dedup.wordShingles(col("tk"), 3).as("native"),
+        graft.operators.Dedup.wordShinglesHof(col("tk"), 3).as("hof")
+      )
+      .collect()
+    edge.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("connected components: chain, triangle, and isolated pair resolve to min ids") {
     // chain 1-2-3-4 (diameter 3: needs >1 propagation round), triangle
     // 10-11-12, pair 20-21 — every member must map to its cluster's min id.
