@@ -91,5 +91,10 @@ object GraftFunctions {
     )
     reg.createOrReplaceTempFunction("simhash60", es => SimHash60(es.head), "built-in")
     reg.createOrReplaceTempFunction("md5_top60", es => Md5Top60(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_shingles",
+      es => WordShingles(es(0), es(1).eval().asInstanceOf[Number].intValue),
+      "built-in"
+    )
   }
 }
