@@ -43,7 +43,16 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val a = once()
+      val b = once()
+      // Shared-host CPU-steal spikes show up as one run being a multiple of
+      // the other; a third run disambiguates noise from plan cost so a
+      // single contended measurement can't masquerade as a regression.
+      val best =
+        if (math.max(a, b) > 2 * math.min(a, b) && math.min(a, b) > 0.2)
+          math.min(math.min(a, b), once())
+        else math.min(a, b)
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
