@@ -72,7 +72,12 @@ object Similarity {
     corpus
       .select(col(cellCol).as("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("x")).as("m"))
+      // order-insensitive exact mean — see kmeansCells
+      .agg(
+        (sum(col("x").cast(DecimalType(38, 18))) / count(lit(1)))
+          .cast(DoubleType)
+          .as("m")
+      )
       .groupBy(col("cell"))
       .agg(
         transform(
@@ -133,7 +138,15 @@ object Similarity {
       cents = emb
         .select(cellOf(cents).as("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        // exact decimal mean: a double sum is partition-order dependent,
+        // which would make the trained cells (and every downstream probe)
+        // vary run to run; the decimal accumulation is order-insensitive,
+        // so training is bit-reproducible on any cluster layout
+        .agg(
+          (sum(col("x").cast(DecimalType(38, 18))) / count(lit(1)))
+            .cast(DoubleType)
+            .as("m")
+        )
         .groupBy(col("cell"))
         .agg(
           transform(

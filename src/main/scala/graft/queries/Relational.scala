@@ -480,6 +480,86 @@ object Relational {
       doc = "Explicit GROUPING SETS — disjoint dimension rollups in one " +
         "pass (one expand + one shuffle, not one scan per set)."
     ),
+    // ---- exact second moments: stddev / correlation from decimal power
+    // sums. The built-in stddev/corr stream doubles (Welford/naive sums),
+    // so their low bits depend on partition order — unreproducible across
+    // runs and engines. Power sums in DECIMAL are exact and
+    // order-insensitive; the final double arithmetic is a fixed expression
+    // (IEEE mult/div/sqrt are correctly rounded), so both engines produce
+    // identical bits. One partial-aggregable shuffle, same as any sum.
+    Q(
+      "q_stats_exact",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        // y = l_discount (not extendedprice): every power sum then has
+        // unscaled magnitude < 2^53, so the exact decimal converts to
+        // double without rounding in BOTH engines — price sums are big
+        // enough that DuckDB's int128/10^scale conversion (two roundings)
+        // and Java's BigDecimal.doubleValue (one) can differ by 1 ulp.
+        val qx = dec2(col("l_quantity"))
+        val px = dec2(col("l_discount"))
+        val a = l
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(qx).as("sx"),
+            sum(qx * qx).as("sxx"),
+            sum(px).as("sy"),
+            sum(px * px).as("syy"),
+            sum(qx * px).as("sxy")
+          )
+          .select(
+            col("l_returnflag"),
+            col("n"),
+            col("n").cast("double").as("nd"),
+            col("sx").cast("double").as("sxd"),
+            col("sxx").cast("double").as("sxxd"),
+            col("sy").cast("double").as("syd"),
+            col("syy").cast("double").as("syyd"),
+            col("sxy").cast("double").as("sxyd")
+          )
+        a.select(
+          col("l_returnflag"),
+          col("n"),
+          (col("sxd") / col("nd")).as("mean_qty"),
+          sqrt(
+            (col("nd") * col("sxxd") - col("sxd") * col("sxd")) /
+              (col("nd") * (col("nd") - 1.0))
+          ).as("std_qty"),
+          ((col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+            sqrt(
+              (col("nd") * col("sxxd") - col("sxd") * col("sxd")) *
+                (col("nd") * col("syyd") - col("syd") * col("syd"))
+            )).as("corr_qty_disc")
+        ).orderBy("l_returnflag")
+      },
+      Some(
+        """WITH a AS (
+          |  SELECT l_returnflag, COUNT(*) AS n,
+          |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+          |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+          |    SUM(CAST(l_discount AS DECIMAL(18,2))) AS sy,
+          |    SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS syy,
+          |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sxy
+          |  FROM lineitem GROUP BY l_returnflag
+          |), b AS (
+          |  SELECT l_returnflag, n, n::DOUBLE AS nd, sx::DOUBLE AS sxd,
+          |         sxx::DOUBLE AS sxxd, sy::DOUBLE AS syd,
+          |         syy::DOUBLE AS syyd, sxy::DOUBLE AS sxyd
+          |  FROM a
+          |)
+          |SELECT l_returnflag, n,
+          |  (sxd / nd) AS mean_qty,
+          |  sqrt((nd * sxxd - sxd * sxd) / (nd * (nd - 1.0))) AS std_qty,
+          |  ((nd * sxyd - sxd * syd) /
+          |    sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))) AS corr_qty_disc
+          |FROM b ORDER BY l_returnflag""".stripMargin
+      ),
+      doc = "Exact stddev + correlation from decimal power sums: " +
+        "order-insensitive accumulation (reproducible on any partitioning) " +
+        "+ a fixed IEEE double expression — bit-identical across engines, " +
+        "unlike the built-in streaming stddev/corr."
+    ),
     // ---- exact percentiles (linear interpolation) per group.
     Q(
       "q_percentile",

@@ -125,6 +125,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pruned > 0 && pruned < full, s"pruned=$pruned full=$full")
   }
 
+  test("LSH ANN recovers high-similarity neighbors: recall >= 0.85") {
+    // Sign-LSH's collision probability is (1 - θ/π)^bits per band — it is
+    // the near-duplicate retrieval structure, sharp for high-cosine pairs
+    // and intentionally weak for far ones. Noise 0.05/dim puts
+    // within-cluster pairs at cosine ≈ 0.86, where 4 bands × 4 bits gives
+    // ≥-one-band collision ≈ 0.93 (at cosine 0.5 it would be ~0.6 — use
+    // IVF, which trains to the data, for that regime).
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(10)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val points = for {
+      c <- centers.indices
+      i <- 0 until 30
+    } yield {
+      val p = unit(centers(c).map(_ + 0.05 * rnd.nextGaussian()))
+      (c.toLong * 30 + i, p.map(_.toFloat))
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 30 === 0)
+    def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id")
+        .as[(Long, Long)]
+        .collect()
+        .groupBy(_._1)
+        .view
+        .mapValues(_.map(_._2).toSet)
+        .toMap
+    val brute = topkSet(Similarity.bruteTopK(queries, corpus, k = 5))
+    val lsh = topkSet(Similarity.lshTopK(queries, corpus, k = 5, dim = dim))
+    val recalls = brute.map { case (q, trueSet) =>
+      lsh.getOrElse(q, Set.empty).intersect(trueSet).size.toDouble / trueSet.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.85, s"mean recall@5 (LSH) on clustered corpus was $meanRecall")
+  }
+
+  test("k-means training is bit-reproducible across partition layouts") {
+    // The decimal-exact M-step makes the trained cells independent of how
+    // the corpus happens to be partitioned — the property that makes a
+    // 100 TB training job reproducible. Double-sum means would not be.
+    val emb = Tables.embeddings(spark, sf)
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Similarity
+        .kmeansCells(df, kCells = 5, iters = 2)
+        .as[(Long, Long)]
+        .collect()
+        .toMap
+    val a = cells(emb.repartition(3))
+    val b = cells(emb.repartition(17, col("vec_id")))
+    assert(a === b)
+  }
+
   test("vector expressions handle mixed float/double array inputs") {
     // Regression: element type must resolve per side — float embeddings are
     // routinely compared against double centroid literals, and reading a
