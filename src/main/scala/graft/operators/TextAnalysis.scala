@@ -75,6 +75,36 @@ object TextAnalysis {
   ): Column =
     (alphaRatio * 0.3) + (least(stopRatio * 4.0, lit(1.0)) * 0.3) + (uniqRatio * 0.4)
 
+  /** (doc_id, text) → language prediction, quality metrics + composite
+    * score, and the deterministic split tag, in ONE stateless projection.
+    * Map-only (no shuffle, no state), so the exact same transform runs
+    * under batch and Structured Streaming — the corpus-cleaning annotation
+    * pass of `t_clean_pipeline`, reusable on a live document stream.
+    */
+  def annotateDocs(docs: DataFrame): DataFrame = {
+    val withTk = docs
+      .select(col("doc_id"), col("text"))
+      .withColumn("tk", Text.tokensAll(col("text")))
+    val scored = LangMarkers
+      .foldLeft(withTk) { case (df, (lang, ms)) =>
+        df.withColumn(s"s_$lang", markerScore(col("tk"), ms))
+      }
+      .withColumn(
+        "pred_lang",
+        predictLang(LangMarkers.map { case (l, _) => l -> col(s"s_$l") })
+      )
+    scored
+      .select(
+        col("doc_id") +: col("pred_lang") +:
+          qualityCols(col("text"), col("tk")): _*
+      )
+      .withColumn(
+        "quality_score",
+        qualityScore(col("alpha_ratio"), col("stopword_ratio"), col("uniq_ratio"))
+      )
+      .withColumn("split", Split.splitLabel(col("doc_id")))
+  }
+
   /** BPE-ish token pattern: letter runs, single digits, single punctuation.
     * Kept to syntax valid in both Java regex and RE2 (DuckDB).
     */

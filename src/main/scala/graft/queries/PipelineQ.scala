@@ -105,44 +105,19 @@ object PipelineQ {
       "t_clean_pipeline",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val withTk = docs
-          .select(col("doc_id"), col("text"))
-          .withColumn("tk", Text.tokensAll(col("text")))
-        val scored = TextAnalysis.LangMarkers
-          .foldLeft(withTk) { case (df, (lang, ms)) =>
-            df.withColumn(s"s_$lang", TextAnalysis.markerScore(col("tk"), ms))
-          }
-          .withColumn(
-            "pred_lang",
-            TextAnalysis.predictLang(
-              TextAnalysis.LangMarkers.map { case (l, _) => l -> col(s"s_$l") }
-            )
-          )
-        val withQuality = scored
-          .select(
-            col("doc_id") +: col("pred_lang") +:
-              TextAnalysis.qualityCols(col("text"), col("tk")): _*
-          )
-          .withColumn(
-            "quality_score",
-            TextAnalysis.qualityScore(
-              col("alpha_ratio"),
-              col("stopword_ratio"),
-              col("uniq_ratio")
-            )
-          )
         val canonical = Dedup
           .exactDups(docs)
           .filter(col("doc_id") === col("canonical_id"))
           .select(col("doc_id"))
-        withQuality
+        TextAnalysis
+          .annotateDocs(docs)
           .join(canonical, Seq("doc_id"), "semi")
           .filter(col("pred_lang") === "en" && col("quality_score") >= 0.45)
           .select(
             col("doc_id"),
             col("quality_score"),
             col("n_tokens"),
-            Split.splitLabel(col("doc_id")).as("split")
+            col("split")
           )
           .orderBy("doc_id")
       },

@@ -233,4 +233,48 @@ class StreamingSpec extends AnyFunSuite {
       .head()
     assert(got === Timestamp.valueOf("2024-01-01 00:00:00.123456"))
   }
+
+  test("document annotation (clean pipeline) runs identically under streaming") {
+    // annotateDocs is a stateless projection (language ID, quality score,
+    // split tag) — the batch cleaning pass applied to a live document
+    // stream with no code change, watermark, or state. Append mode works
+    // because there is no aggregation at all.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the cat and the dog sat with the rat for the hat"),
+      (2L, "der hund und die katze ist nicht mit auf dem tisch"),
+      (3L, "xyzzy plugh"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again")
+    )
+    val stream = MemoryStream[(Long, String)]
+    val streamingDf = graft.operators.TextAnalysis.annotateDocs(
+      stream.toDF().toDF("doc_id", "text")
+    )
+    val q = streamingDf.writeStream
+      .format("memory")
+      .queryName("annotate_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark
+        .table("annotate_out")
+        .orderBy("doc_id")
+        .collect()
+        .toSeq
+      val batch = graft.operators.TextAnalysis
+        .annotateDocs(rows.toDF("doc_id", "text"))
+        .orderBy("doc_id")
+        .collect()
+        .toSeq
+      assert(streamed === batch)
+      val byId = batch.map(r => r.getLong(0) -> r).toMap
+      assert(byId(1L).getString(1) === "en")
+      assert(byId(2L).getString(1) === "de")
+      assert(byId(3L).getString(1) === "und")
+      assert(Set("train", "val", "test").contains(byId(4L).getString(byId(4L).length - 1)))
+    } finally q.stop()
+  }
 }
