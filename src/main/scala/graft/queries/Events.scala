@@ -266,6 +266,33 @@ object Events {
         "the tagged-union + ignore-nulls-window formulation: one shuffle, " +
         "no pair explosion; oracle is DuckDB's native ASOF JOIN."
     ),
+    // ---- banded range join: per event, how many other events landed
+    // within ±60 s. A raw |Δt|<=w predicate would plan as broadcast-
+    // nested-loop (O(N·M), dead at scale); bucketizing by the window turns
+    // it into an equi-join shuffle — see operators.RangeJoin.
+    Q(
+      "q_time_proximity",
+      (s, d) =>
+        graft.operators.RangeJoin
+          .timeProximityCounts(
+            Tables.events(s, d),
+            tsCol = "ts",
+            idCol = "event_id",
+            windowNs = 60L * 1000000000L
+          )
+          .orderBy("event_id"),
+      Some(
+        """SELECT a.event_id, COUNT(b.event_id) AS n_nearby
+          |FROM events a LEFT JOIN events b
+          |  ON abs(epoch_ns(a.ts) - epoch_ns(b.ts)) <= 60000000000
+          |  AND a.event_id != b.event_id
+          |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin
+      ),
+      doc = "Time-proximity range join (±60 s neighbor counts) via window " +
+        "bucketization: every qualifying pair shares exactly one bucket, so " +
+        "the range predicate becomes an equi-join key plus an exact refine " +
+        "— 3N+M shuffled rows instead of a nested-loop broadcast."
+    ),
     // ---- RANGE window frame: per-customer trailing-30-day order stats.
     Q(
       "q_window_range",

@@ -117,6 +117,19 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"pipeline should add no shuffles beyond dedup window + semi-join:\n${plan.take(2000)}")
   }
 
+  test("banded range join plans as an equi-join, not a nested loop") {
+    val plan = physical("q_time_proximity")
+    assert(
+      !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "range predicate must ride the bucket equi-key:\n" + plan.take(1500)
+    )
+    assert(
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+        plan.contains("BroadcastHashJoin"),
+      plan.take(1500)
+    )
+  }
+
   test("salted collect aggregates in two stages (salt key first)") {
     val plan = physical("q_salted_collect")
     // stage 1 groups on (key, salt) — the salt shows up as an inlined
