@@ -151,6 +151,42 @@ object TextQ {
         "rolling min-shingle (1-perm MinHash) fingerprint."
     ),
     Q(
+      "t_heavy_hitters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs
+          .select(col("lang"), explode(Text.tokensAll(col("text"))).as("token"))
+          .groupBy(col("lang"))
+          .agg(
+            graft.functions.SpaceSavingAgg
+              .spaceSaving(col("token"), capacity = 4096, outK = 10)
+              .as("hh")
+          )
+          .select(col("lang"), posexplode(col("hh")).as(Seq("pos", "e")))
+          .select(
+            col("lang"),
+            col("e").getField("item").as("token"),
+            col("e").getField("est").as("cnt"),
+            (col("pos") + 1).cast("long").as("rank")
+          )
+          .orderBy("lang", "rank")
+      },
+      Some(
+        s"""WITH tok AS (SELECT lang, unnest($toksSql) AS token FROM documents),
+           |c AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY lang, token),
+           |r AS (SELECT lang, token, cnt,
+           |        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rank
+           |      FROM c)
+           |SELECT lang, token, cnt, rank FROM r WHERE rank <= 10
+           |ORDER BY lang, rank""".stripMargin
+      ),
+      doc = "Per-language top-10 tokens via the mergeable SpaceSaving " +
+        "heavy-hitters sketch (O(capacity) state per partial, the " +
+        "frequency analogue of bounded top-k). Capacity 4096 >> vocabulary " +
+        "here, so the sketch is provably exact and the oracle bit-checks " +
+        "it; the eviction regime's epsilon-guarantees are spec-checked."
+    ),
+    Q(
       "t_bigram_freq",
       (s, d) => {
         // corpus-level bigram statistics as a fluency/quality proxy: a
