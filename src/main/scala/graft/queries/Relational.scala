@@ -480,6 +480,39 @@ object Relational {
       doc = "Explicit GROUPING SETS — disjoint dimension rollups in one " +
         "pass (one expand + one shuffle, not one scan per set)."
     ),
+    // ---- data profiling: per-table column statistics in one scan — the
+    // ANALYZE-style pass every ingestion pipeline runs before planning
+    // (row counts, exact NDVs, ranges, null counts). All aggregates are
+    // partial-aggregable; the distinct counts are the only extra shuffle.
+    Q(
+      "q_table_stats",
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("l_orderkey")).as("ndv_orderkey"),
+            countDistinct(col("l_returnflag")).as("ndv_returnflag"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"),
+            (count(lit(1)) - count(col("l_quantity"))).as("nulls_qty"),
+            unix_timestamp(min(col("l_shipdate"))).as("min_ship_epoch"),
+            unix_timestamp(max(col("l_shipdate"))).as("max_ship_epoch")
+          ),
+      Some(
+        """SELECT COUNT(*) AS n_rows,
+          |  COUNT(DISTINCT l_orderkey) AS ndv_orderkey,
+          |  COUNT(DISTINCT l_returnflag) AS ndv_returnflag,
+          |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+          |  COUNT(*) - COUNT(l_quantity) AS nulls_qty,
+          |  CAST(floor(epoch(MIN(l_shipdate))) AS BIGINT) AS min_ship_epoch,
+          |  CAST(floor(epoch(MAX(l_shipdate))) AS BIGINT) AS max_ship_epoch
+          |FROM lineitem""".stripMargin
+      ),
+      doc = "One-scan table profiling: row count, exact NDVs, value ranges, " +
+        "null counts, timestamp extent — the statistics pass that feeds " +
+        "partition-layout and join-order decisions on a new dataset."
+    ),
     // ---- exact second moments: stddev / correlation from decimal power
     // sums. The built-in stddev/corr stream doubles (Welford/naive sums),
     // so their low bits depend on partition order — unreproducible across

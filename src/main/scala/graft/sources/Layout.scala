@@ -33,4 +33,24 @@ object Layout {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * ceil(bytes / targetFileBytes) files. Long-running ingestion leaves
+    * thousands of KB-sized files per partition (one per micro-batch/task);
+    * at 100 TB the scan's task-scheduling and footer-reading overhead then
+    * dwarfs the I/O. Row-count-preserving, content-identical rewrite; the
+    * round-robin repartition spreads rows evenly regardless of input skew.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): Unit = {
+    val in = spark.read.parquet(inDir)
+    val bytes = in.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles =
+      (((bytes + BigInt(targetFileBytes) - 1) / BigInt(targetFileBytes)) max BigInt(1)).toInt
+    in.repartition(nFiles).write.mode("overwrite").parquet(outDir)
+  }
 }

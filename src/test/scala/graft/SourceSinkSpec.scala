@@ -132,4 +132,27 @@ class SourceSinkSpec extends AnyFunSuite {
       s2.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  test("compaction: fragmented parquet rewrites to few files, content-identical") {
+    val frag = tmp("frag")
+    val li = Tables.lineitem(spark, sf)
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    def parquetFiles(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag) === 64)
+    val compacted = tmp("compacted")
+    graft.sources.Layout.compact(spark, frag, compacted, targetFileBytes = 64L * 1024 * 1024)
+    assert(parquetFiles(compacted) < 8, s"expected few files, got ${parquetFiles(compacted)}")
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(compacted)
+    assert(a.count() === b.count())
+    // content equality: order-insensitive exact checksum over a key + measure
+    import org.apache.spark.sql.functions._
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      df.agg(
+        sum(col("l_orderkey")).as("sk"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sq")
+      ).collect()(0)
+    assert(sums(a) === sums(b))
+  }
 }
