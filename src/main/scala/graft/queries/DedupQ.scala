@@ -173,6 +173,27 @@ object DedupQ {
         "chunk equality (pigeonhole: no candidate is missed)."
     ),
     Q(
+      "d_fuzzy_names",
+      (s, d) =>
+        graft.operators.Fuzzy
+          .fuzzyNamePairs(graft.Tables.part(s, d), "p_name", maxDist = 2)
+          .orderBy("a_name", "b_name"),
+      Some(
+        """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+          |SELECT a.name AS a_name, b.name AS b_name,
+          |       levenshtein(a.name, b.name)::BIGINT AS dist
+          |FROM n a JOIN n b
+          |  ON a.name < b.name
+          | AND abs(length(a.name) - length(b.name)) <= 2
+          | AND levenshtein(a.name, b.name) <= 2
+          |ORDER BY a_name, b_name""".stripMargin
+      ),
+      doc = "Fuzzy entity matching: distinct part names within edit " +
+        "distance 2, length-band blocked (edit distance >= length delta, " +
+        "so the band is lossless) with the O(m*n) levenshtein ordered " +
+        "last in the join condition."
+    ),
+    Q(
       "d_ngram_jaccard",
       (s, d) =>
         Dedup
