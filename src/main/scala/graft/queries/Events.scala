@@ -212,6 +212,58 @@ object Events {
         "closed sessions only (the oracle drops each user's open trailing " +
         "session) — one sessionizer, batch and streaming, oracle-checked."
     ),
+    // ---- Spark's native session_window (vs the hand-rolled lag/sum
+    // formulation of q_sessionize and the stateful streaming sessionizer):
+    // same 30-minute gap semantics, one groupBy, merge handled by the
+    // built-in SessionWindow operator. Window end = last event + gap.
+    Q(
+      "q_session_window",
+      (s, d) => {
+        val e = Tables
+          .events(s, d)
+          .withColumn("ts_ts", expr("timestamp_micros(ts DIV 1000)"))
+        e.groupBy(
+          col("user_id"),
+          session_window(col("ts_ts"), "30 minutes").as("w")
+        ).agg(
+          count(lit(1)).as("n_events"),
+          sumDec2(col("value")).as("sum_value")
+        ).select(
+          col("user_id"),
+          unix_timestamp(col("w.start")).as("start_epoch"),
+          unix_timestamp(col("w.end")).as("end_epoch"),
+          col("n_events"),
+          col("sum_value")
+        ).orderBy("user_id", "start_epoch")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, value, epoch_us(ts) AS us
+          |  FROM events
+          |), g AS (
+          |  SELECT user_id, value, us,
+          |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+          |         THEN 1 ELSE 0 END AS new_sess
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+          |), sno AS (
+          |  SELECT user_id, value, us,
+          |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+          |                        ROWS UNBOUNDED PRECEDING) AS sess_no
+          |  FROM g
+          |)
+          |SELECT user_id,
+          |  MIN(us) // 1000000 AS start_epoch,
+          |  (MAX(us) + 1800000000) // 1000000 AS end_epoch,
+          |  COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM sno GROUP BY user_id, sess_no
+          |ORDER BY user_id, start_epoch""".stripMargin
+      ),
+      doc = "Native session_window gap sessionization (30 min): the " +
+        "built-in operator's session merge, oracle-checked against the " +
+        "explicit lag/running-sum formulation — three sessionizers (window, " +
+        "native, stateful-streaming) one semantics."
+    ),
     // ---- hot-key distinct-collect with salting (skew mitigation).
     Q(
       "q_salted_collect",
