@@ -313,6 +313,25 @@ object Dedup {
       .select(col("id").as("doc_id"), col("comp").as("component"), col("csize"))
   }
 
+  /** The deduplicated corpus: keeps exactly one representative per
+    * exact-dup group AND per near-dup (MinHash-LSH, transitively closed)
+    * cluster — the min doc id in both cases. This is the composition a
+    * user actually ships: exact window + pair join + components, two
+    * shuffled stages over the corpus regardless of size.
+    */
+  def dedupCorpus(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    val exactCanon = exactDups(docs)
+      .filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"))
+    val nearDupLosers = dupClusters(docs, threshold)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id"))
+    docs
+      .join(exactCanon, Seq("doc_id"), "semi")
+      .join(nearDupLosers, Seq("doc_id"), "anti")
+      .select(col("doc_id"))
+  }
+
   /** Exact-dup annotation: per-document content hash, the size of its
     * duplicate group, and the canonical (minimum) doc_id of the group.
     */

@@ -173,6 +173,44 @@ object DedupQ {
         "chunk equality (pigeonhole: no candidate is missed)."
     ),
     Q(
+      "d_dedup_corpus",
+      (s, d) =>
+        Dedup
+          .dedupCorpus(Tables.documents(s, d))
+          .orderBy("doc_id"),
+      Some(
+        s"""${minhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+           |und AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION
+           |  SELECT b_id, a_id FROM pairs
+           |),
+           |walk(id, root) AS (
+           |  SELECT DISTINCT src, src FROM und
+           |  UNION
+           |  SELECT u.dst, w.root FROM walk w JOIN und u ON u.src = w.id
+           |),
+           |comp AS (SELECT id, MIN(root) AS component FROM walk GROUP BY id),
+           |losers AS (SELECT id FROM comp WHERE id != component),
+           |exact_canon AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id,
+           |      min(doc_id) OVER (PARTITION BY
+           |        md5(trim(regexp_replace(replace(lower(text), chr(39), ''), '[^a-z]+', ' ', 'g'))))
+           |        AS canonical_id
+           |    FROM documents)
+           |  WHERE doc_id = canonical_id
+           |)
+           |SELECT doc_id FROM exact_canon
+           |WHERE doc_id NOT IN (SELECT id FROM losers)
+           |ORDER BY doc_id""".stripMargin
+      ),
+      doc = "The shipped deduplicated corpus: one representative (min id) " +
+        "per exact-dup group and per transitively-closed near-dup cluster " +
+        "— exact window + LSH pairs + connected components composed, " +
+        "oracle-checked end to end."
+    ),
+    Q(
       "d_fuzzy_names",
       (s, d) =>
         graft.operators.Fuzzy
