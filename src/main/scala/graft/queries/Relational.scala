@@ -161,6 +161,70 @@ object Relational {
              |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     ),
+    // ---- left outer join: null-extended rows aggregate as "no match".
+    Q(
+      "q_join_outer",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        c.join(big, c("c_custkey") === big("o_custkey"), "left_outer")
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            countDistinct(col("c_custkey")).as("n_customers"),
+            countDistinct(when(col("o_orderkey").isNull, col("c_custkey")))
+              .as("n_without_big_order"),
+            count(col("o_orderkey")).as("n_big_orders")
+          )
+          .orderBy("c_mktsegment")
+      },
+      Some(
+        """SELECT c_mktsegment,
+          |  COUNT(DISTINCT c_custkey) AS n_customers,
+          |  COUNT(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END)
+          |    AS n_without_big_order,
+          |  COUNT(o_orderkey) AS n_big_orders
+          |FROM customer LEFT JOIN orders
+          |  ON c_custkey = o_custkey AND o_totalprice > 400000
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+      ),
+      doc = "Left outer join with null-extension semantics aggregated: " +
+        "customers kept with no matching order, counted via the null " +
+        "probe side."
+    ),
+    // ---- full outer join: year-over-year activity comparison.
+    Q(
+      "q_join_full",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def yearly(y: Int) =
+          o.filter(year(col("o_orderdate")) === y)
+            .groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as(s"n_$y"))
+        yearly(1996)
+          .join(yearly(1997), Seq("o_custkey"), "full_outer")
+          .select(
+            col("o_custkey"),
+            coalesce(col("n_1996"), lit(0L)).as("n_1996"),
+            coalesce(col("n_1997"), lit(0L)).as("n_1997")
+          )
+          .orderBy("o_custkey")
+      },
+      Some(
+        """WITH a AS (
+          |  SELECT o_custkey, COUNT(*) AS n_1996 FROM orders
+          |  WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+          |), b AS (
+          |  SELECT o_custkey, COUNT(*) AS n_1997 FROM orders
+          |  WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+          |)
+          |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+          |  COALESCE(n_1996, 0) AS n_1996, COALESCE(n_1997, 0) AS n_1997
+          |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+          |ORDER BY o_custkey""".stripMargin
+      ),
+      doc = "Full outer join (year-over-year customer activity): rows " +
+        "null-extend on either side, coalesced to zero counts."
+    ),
     // ---- anti join (NOT EXISTS).
     Q(
       "q_join_anti",
