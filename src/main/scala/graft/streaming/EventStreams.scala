@@ -216,4 +216,23 @@ object EventStreams {
         }
       }
   }
+
+  /** Idempotent (exactly-once-per-batch) file sink via foreachBatch: each
+    * micro-batch lands in a directory keyed by its batchId, and a replayed
+    * batch (the at-least-once case every restart produces) OVERWRITES its
+    * own directory instead of appending duplicates. This is the standard
+    * exactly-once recipe for sinks without transactional append: make the
+    * write idempotent on (batchId), let the streaming engine replay freely.
+    * Readers see `<dir>/batch_id=N/...` — a normal partitioned parquet
+    * table.
+    */
+  def idempotentParquetSink(
+      df: DataFrame,
+      outDir: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      batch.write
+        .mode("overwrite")
+        .parquet(s"$outDir/batch_id=$batchId")
+    }
 }
