@@ -544,6 +544,81 @@ object Relational {
       doc = "Explicit GROUPING SETS — disjoint dimension rollups in one " +
         "pass (one expand + one shuffle, not one scan per set)."
     ),
+    // ---- analytic window-function breadth: navigation (lead/lag),
+    // distribution (percent_rank, cume_dist — exact rationals, so
+    // cross-engine-safe doubles), and tiling (ntile) in one pass.
+    Q(
+      "q_window_fns",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables
+          .orders(s, d)
+          .select(
+            col("o_orderkey"),
+            col("o_orderpriority"),
+            col("o_totalprice"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(w).cast("long").as("quartile")
+          )
+          .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+      },
+      Some(
+        """SELECT o_orderkey, o_orderpriority, o_totalprice,
+          |  lead(o_orderkey, 1) OVER w AS next_key,
+          |  lag(o_orderkey, 1) OVER w AS prev_key,
+          |  percent_rank() OVER w AS pr,
+          |  cume_dist() OVER w AS cd,
+          |  (ntile(4) OVER w)::BIGINT AS quartile
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderpriority
+          |             ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin
+      ),
+      doc = "Window-function breadth: lead/lag navigation, percent_rank / " +
+        "cume_dist (exact rank ratios), ntile quartiles — one sort-once " +
+        "window pass, deterministic total order via the key tiebreak."
+    ),
+    // ---- fixed-width histogram (width_bucket): the profiling companion.
+    Q(
+      "q_histogram",
+      (s, d) =>
+        Tables
+          .orders(s, d)
+          .groupBy(
+            col("o_orderstatus"),
+            expr("CAST(width_bucket(o_totalprice, 0, 600000, 12) AS BIGINT)")
+              .as("bucket")
+          )
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi")
+          )
+          .orderBy("o_orderstatus", "bucket"),
+      Some(
+        // DuckDB has no width_bucket; this is its exact definition for
+        // (lo=0, hi=600000, n=12): step 50000, below-range 0, above 13.
+        """WITH b AS (
+          |  SELECT o_orderstatus, o_totalprice,
+          |    CASE WHEN o_totalprice < 0 THEN 0
+          |         WHEN o_totalprice >= 600000 THEN 13
+          |         ELSE floor(o_totalprice / 50000.0)::BIGINT + 1 END AS bucket
+          |  FROM orders
+          |)
+          |SELECT o_orderstatus, bucket,
+          |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+          |FROM b GROUP BY o_orderstatus, bucket
+          |ORDER BY o_orderstatus, bucket""".stripMargin
+      ),
+      doc = "Fixed-width value histogram via width_bucket, grouped per " +
+        "status — single partial-aggregable pass, the distribution " +
+        "companion to q_table_stats."
+    ),
     // ---- data profiling: per-table column statistics in one scan — the
     // ANALYZE-style pass every ingestion pipeline runs before planning
     // (row counts, exact NDVs, ranges, null counts). All aggregates are
