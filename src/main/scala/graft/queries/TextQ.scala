@@ -150,6 +150,74 @@ object TextQ {
       doc = "Document fingerprints: content hash, 60-bit signature, and a " +
         "rolling min-shingle (1-perm MinHash) fingerprint."
     ),
+    // ---- TF-IDF-style salient terms per document. The damping uses the
+    // raw rarity ratio N/df rather than log(N/df): a log crosses libm,
+    // whose low bits differ across engines, while tf*N/df is two exact
+    // integers and one correctly-rounded IEEE division — bit-identical
+    // everywhere and the same per-document ranking for any monotone
+    // damping. Bounded top-k aggregate (not a window) does the ranking;
+    // terms ride as md5-60 hashes through the aggregate and join back to
+    // strings via the term dictionary.
+    Q(
+      "t_tfidf_top",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(
+          col("doc_id"),
+          explode(Text.tokensAll(col("text"))).as("term")
+        )
+        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf
+          .join(dfreq, Seq("term"))
+          .crossJoin(broadcast(n))
+          .select(
+            col("doc_id"),
+            col("term"),
+            (col("tf").cast("double") * col("n_docs").cast("double") /
+              col("df").cast("double")).as("score"),
+            md5Long(col("term")).as("th")
+          )
+        val top = scored
+          .groupBy(col("doc_id"))
+          .agg(graft.functions.TopKByScore.topK(col("score"), col("th"), 5).as("tk"))
+          .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(
+            col("doc_id"),
+            col("e").getField("id").as("th"),
+            col("e").getField("score").as("score"),
+            (col("pos") + 1).cast("long").as("rank")
+          )
+        val dict = scored.select(col("th"), col("term")).distinct()
+        top
+          .join(dict, Seq("th"))
+          .select(col("doc_id"), col("term"), col("score"), col("rank"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(
+        s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+           |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+           |n AS (SELECT COUNT(*) AS nd FROM documents),
+           |sc AS (
+           |  SELECT doc_id, term,
+           |    tf::DOUBLE * nd::DOUBLE / df::DOUBLE AS score,
+           |    ('0x' || substr(md5(term), 1, 15))::BIGINT AS th
+           |  FROM tf JOIN dfreq USING (term), n
+           |),
+           |r AS (SELECT doc_id, term, score,
+           |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, th) AS rank
+           |      FROM sc)
+           |SELECT doc_id, term, score, rank FROM r WHERE rank <= 5
+           |ORDER BY doc_id, rank""".stripMargin
+      ),
+      doc = "Salient terms per document (TF-IDF with rational rarity " +
+        "damping, exact cross-engine arithmetic): term frequencies joined " +
+        "to corpus document frequencies, ranked by the bounded top-k " +
+        "aggregate with md5-hash tiebreak, dictionary-joined back to " +
+        "strings."
+    ),
     Q(
       "t_heavy_hitters",
       (s, d) => {
