@@ -287,18 +287,37 @@ object Dedup {
         .join(labels, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(min(col("comp")).as("nb_min"))
-      val next = labels
+      val stepped = labels
         .join(prop, col("id") === col("dst"), "left")
         .select(
           col("id"),
           least(col("comp"), coalesce(col("nb_min"), col("comp"))).as("comp"),
           (col("nb_min") < col("comp")).as("moved")
         )
+      // pointer jumping: comp ← comp(comp). Labels point at nodes, so the
+      // label table is its own parent function; one extra self-join per
+      // round halves every label chain, turning O(diameter) rounds into
+      // O(log diameter) — the difference between a 4-round and a
+      // 10^6-round job on a pathological long-chain dup graph.
+      val parent = stepped.select(col("id").as("p_id"), col("comp").as("p_comp"))
+      val next = stepped
+        .join(parent, col("comp") === col("p_id"), "left")
+        .select(
+          col("id"),
+          coalesce(col("p_comp"), col("comp")).as("comp"),
+          (col("moved") || col("p_comp") < col("comp")).as("moved")
+        )
         .localCheckpoint()
       changed = next.filter(col("moved")).count()
       labels = next.select("id", "comp")
       it += 1
     }
+    require(
+      changed == 0,
+      s"connectedComponents did not converge within $maxIters rounds " +
+        "(pointer-jumped min propagation needs ~log2(diameter) rounds; " +
+        "raise maxIters for adversarially deep graphs)"
+    )
     labels
   }
 

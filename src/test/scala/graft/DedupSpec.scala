@@ -114,6 +114,19 @@ class DedupSpec extends AnyFunSuite {
     ))
   }
 
+  test("connected components converge logarithmically on a 200-node chain") {
+    // diameter 199: min-propagation alone needs ~200 rounds; with pointer
+    // jumping ~log2 — must converge well inside maxIters=20 (the require
+    // inside connectedComponents throws on non-convergence)
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = graft.operators.Dedup
+      .connectedComponents(edges, maxIters = 20)
+      .as[(Long, Long)]
+      .collect()
+    assert(comp.length === 200)
+    assert(comp.forall(_._2 === 0L), "every chain node must resolve to node 0")
+  }
+
   test("hash split: deterministic, exhaustive, and percent-shaped") {
     val df = spark.range(0, 2000).toDF("doc_id")
     val split = graft.operators.Split.hashSplit(df, "doc_id")
