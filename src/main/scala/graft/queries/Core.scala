@@ -187,6 +187,38 @@ object Core {
       },
       doc = "The reference's shuffle partitioner as data: pmod(djb2(key), 10) " +
         "bucket histogram, bit-exact vs an int32-wrapping DuckDB mirror."
+    ),
+    // ---- the spark.sql(...) entry path: temp views + registered native
+    // functions, exercised end to end. Same result contract as the
+    // DataFrame API — this query IS a SQL string.
+    Q(
+      "q_sql_api",
+      (s, d) => {
+        graft.Graft.registerSql(s, d)
+        s.sql(
+          """SELECT pmod(djb2(n_name), 4) AS bucket,
+            |       COUNT(*) AS n_nations,
+            |       MIN(n_name) AS first_name
+            |FROM nation
+            |GROUP BY pmod(djb2(n_name), 4)
+            |ORDER BY bucket""".stripMargin
+        )
+      },
+      Some {
+        val djb2 =
+          """list_reduce(list_prepend(5381::BIGINT,
+            |    list_transform(string_split(n_name, ''), c -> ascii(c)::BIGINT)),
+            |    (h, c) -> ((((h*33 + c + 2147483648) % 4294967296) + 4294967296)
+            |               % 4294967296) - 2147483648)""".stripMargin
+        s"""SELECT (((($djb2) % 4) + 4) % 4)::INT AS bucket,
+           |       COUNT(*) AS n_nations,
+           |       MIN(n_name) AS first_name
+           |FROM nation GROUP BY 1 ORDER BY bucket""".stripMargin
+      },
+      doc = "SQL API end to end: Graft.registerSql views + native function " +
+        "registration, then a pure spark.sql text using djb2 — proving the " +
+        "engine's SQL face returns the same bit-checked results as the " +
+        "DataFrame face."
     )
   )
 }

@@ -51,4 +51,27 @@ class SpaceSavingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming heavy hitters (Complete mode) equal the batch summary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val agg = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(SpaceSavingAgg.spaceSaving(col("value"), 64, 3).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item"), col("e.est"))
+    val q = agg(stream.toDF())
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(skewed.take(50): _*)
+      q.processAllAvailable()
+      stream.addData(skewed.drop(50): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hh_out").as[(String, Long)].collect().toSet
+      val batch = agg(skewed.toDF("value")).as[(String, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.contains(("hot", 60L)))
+    } finally q.stop()
+  }
 }
