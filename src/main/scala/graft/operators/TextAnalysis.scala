@@ -105,6 +105,45 @@ object TextAnalysis {
       .withColumn("split", Split.splitLabel(col("doc_id")))
   }
 
+  /** Token-window chunking: split each document into windows of
+    * `chunkTokens` tokens advancing by `stride` (< chunkTokens ⇒ overlap) —
+    * the standard segmentation for LLM pre-training samples. Map-only
+    * row-local explode: a doc yields ceil((n-chunk)/stride)+1 chunks (one
+    * short trailing chunk keeps tail text; an empty doc yields one empty
+    * chunk), so the operator scales as a pure scan whatever the corpus
+    * size.
+    */
+  def chunkDocs(
+      docs: DataFrame,
+      chunkTokens: Int,
+      stride: Int
+  ): DataFrame = {
+    val tk = Text.tokensAll(col("text"))
+    docs
+      .select(col("doc_id"), tk.as("tk"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(
+              lit(0),
+              greatest(
+                ceil((size(col("tk")) - chunkTokens).cast("double") / stride).cast("int"),
+                lit(0)
+              )
+            ),
+            i => array_join(slice(col("tk"), i * stride + 1, lit(chunkTokens)), " ")
+          )
+        ).as(Seq("chunk_idx", "chunk_text"))
+      )
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"),
+        lng(size(split(col("chunk_text"), " "))).as("n_tokens")
+      )
+  }
+
   /** BPE-ish token pattern: letter runs, single digits, single punctuation.
     * Kept to syntax valid in both Java regex and RE2 (DuckDB).
     */

@@ -150,6 +150,31 @@ object TextQ {
       doc = "Document fingerprints: content hash, 60-bit signature, and a " +
         "rolling min-shingle (1-perm MinHash) fingerprint."
     ),
+    // ---- token-window chunking: the LLM pre-training segmentation.
+    Q(
+      "t_chunks",
+      (s, d) =>
+        TextAnalysis
+          .chunkDocs(Tables.documents(s, d), chunkTokens = 32, stride = 24)
+          .orderBy("doc_id", "chunk_idx"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |cl AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(0, greatest(ceil((len(tk) - 32)::DOUBLE / 24)::INT, 0)),
+           |    i -> struct_pack(i := i, t := array_to_string(tk[i*24+1 : i*24+32], ' ')))) AS s
+           |  FROM t
+           |)
+           |SELECT doc_id, s['i']::BIGINT AS chunk_idx, s['t'] AS chunk_text,
+           |       len(string_split(s['t'], ' '))::BIGINT AS n_tokens
+           |FROM cl ORDER BY doc_id, chunk_idx""".stripMargin
+      ),
+      doc = "Document chunking for training samples: 32-token windows at " +
+        "stride 24 (8-token overlap, sized to this corpus's 10-99-token " +
+        "docs so multi-chunk overlap is actually exercised), one short " +
+        "trailing chunk keeps tail " +
+        "text. Map-only row-local explode — scales as a pure scan."
+    ),
     // ---- TF-IDF-style salient terms per document. The damping uses the
     // raw rarity ratio N/df rather than log(N/df): a log crosses libm,
     // whose low bits differ across engines, while tf*N/df is two exact
