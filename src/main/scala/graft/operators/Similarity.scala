@@ -74,8 +74,7 @@ object Similarity {
       .groupBy(col("cell"), col("pos"))
       // order-insensitive exact mean — see kmeansCells
       .agg(
-        (sum(col("x").cast(DecimalType(38, 18))) / count(lit(1)))
-          .cast(DoubleType)
+        (sum(col("x").cast(DecimalType(38, 9))).cast(DoubleType) / count(lit(1)))
           .as("m")
       )
       .groupBy(col("cell"))
@@ -143,8 +142,7 @@ object Similarity {
         // vary run to run; the decimal accumulation is order-insensitive,
         // so training is bit-reproducible on any cluster layout
         .agg(
-          (sum(col("x").cast(DecimalType(38, 18))) / count(lit(1)))
-            .cast(DoubleType)
+          (sum(col("x").cast(DecimalType(38, 9))).cast(DoubleType) / count(lit(1)))
             .as("m")
         )
         .groupBy(col("cell"))

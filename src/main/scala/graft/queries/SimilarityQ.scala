@@ -50,6 +50,64 @@ object SimilarityQ {
         "construction → rows-only check here; recall vs s_ann_brute is " +
         "asserted in ScalaTest."
     ),
+    // ---- IVF with the label column as cells: no training pass, so the
+    // ENTIRE search — decimal-exact centroid means, cell ranking, probed
+    // search, final ranks — is deterministic and bit-checked. (The
+    // k-means variant below keeps its rows-only check: replaying Lloyd's
+    // in SQL is not worth the oracle.) Centroid means sum in
+    // DECIMAL(38,9): unscaled values stay under 2^53, where the
+    // decimal→double conversion is exact in BOTH engines, then one
+    // correctly-rounded double division — the q_stats_exact recipe.
+    Q(
+      "s_ann_ivf_label",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity
+          .ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nProbe = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+           |px AS (
+           |  SELECT label AS cell, unnest(list_transform(generate_series(1, len(emb)),
+           |    i -> struct_pack(p := i, x := emb[i]))) AS s
+           |  FROM e
+           |),
+           |cm AS (
+           |  SELECT cell, s['p'] AS pos,
+           |         SUM(CAST(s['x'] AS DECIMAL(38,9)))::DOUBLE / COUNT(*) AS m
+           |  FROM px GROUP BY cell, s['p']
+           |),
+           |cents AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+           |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+           |pr AS (
+           |  SELECT query_id, cell,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY
+           |      (list_dot_product(qe, centroid) /
+           |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(centroid, centroid))))
+           |        DESC, cell ASC) AS rn
+           |  FROM q CROSS JOIN cents
+           |),
+           |probe AS (SELECT query_id, cell FROM pr WHERE rn <= 3),
+           |sc AS (
+           |  SELECT q.query_id, c.vec_id AS neighbor_id,
+           |    (list_dot_product(q.qe, c.emb) /
+           |      (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.emb, c.emb)))) AS cos
+           |  FROM probe p
+           |  JOIN q ON p.query_id = q.query_id
+           |  JOIN e c ON c.label = p.cell AND c.vec_id != q.query_id
+           |),
+           |r AS (SELECT query_id, neighbor_id, cos,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |      FROM sc)
+           |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      ),
+      doc = "IVF ANN with pre-assigned cells, bit-checked END TO END: " +
+        "decimal-exact centroid means, cosine cell ranking (top-3 probe), " +
+        "probed exact search, final ranks — an approximate-search pipeline " +
+        "whose every intermediate is reproducible across engines."
+    ),
     Q(
       "s_ann_lsh",
       (s, d) => {
