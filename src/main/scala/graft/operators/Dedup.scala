@@ -196,6 +196,53 @@ object Dedup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** Incremental (delta-vs-corpus) near-dup detection: find every verified
+    * pair that involves at least one NEW document — new-vs-old and
+    * new-vs-new — without ever re-pairing the standing corpus with itself.
+    * The daily-ingest shape at 100 TB: the corpus side contributes only a
+    * band-table probe (at scale, a pre-materialized bucketed table), the
+    * quadratic term is bounded by the delta's bucket collisions, and
+    * old-vs-old pairs are structurally impossible rather than filtered.
+    */
+  def deltaDups(
+      corpus: DataFrame,
+      delta: DataFrame,
+      threshold: Double = JaccardThreshold
+  ): DataFrame = {
+    val allDocs = corpus.select(col("doc_id"), col("text"))
+      .unionByName(delta.select(col("doc_id"), col("text")))
+    val deltaSigs = signatures(delta).drop("sh")
+    val allSigs = signatures(allDocs).drop("sh").cache()
+    def bands(sigs: DataFrame) = sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until NumBands).map(bandHash): _*)).as(Seq("band", "bhash"))
+    )
+    val cands = bands(deltaSigs)
+      .as("l")
+      .join(
+        bands(allSigs).as("r"),
+        col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash") &&
+          col("l.doc_id") =!= col("r.doc_id")
+      )
+      .select(
+        least(col("l.doc_id"), col("r.doc_id")).as("a_id"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("b_id")
+      )
+      .distinct()
+      .cache()
+    val candDocs = cands
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+    val sh = allDocs
+      .join(candDocs, Seq("doc_id"), "semi")
+      .select(col("doc_id"), wordShingles(Text.tokensAll(col("text")), 2).as("sh"))
+    cands
+      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"), jaccard(col("sa.sh"), col("sb.sh")).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
   /** SimHash (60-bit, term-frequency weighted), one codegen pass per doc
     * ([[graft.functions.SimHash60]]): md5 per token occurrence, signed
     * per-bit tally, sign → bit. Map-only — no shuffle at all. The

@@ -172,6 +172,33 @@ object DedupQ {
       doc = "SimHash near-dup pairs at hamming <= 3, blocked by 15-bit " +
         "chunk equality (pigeonhole: no candidate is missed)."
     ),
+    // ---- incremental ingest dedup: odd doc_ids play the daily delta,
+    // even ids the standing corpus. Every verified pair touching a delta
+    // doc is found; corpus-vs-corpus pairs are structurally excluded (the
+    // oracle filters the full pair set to the same contract).
+    Q(
+      "d_delta_dups",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup
+          .deltaDups(
+            corpus = docs.filter(col("doc_id") % 2 === 0),
+            delta = docs.filter(col("doc_id") % 2 === 1)
+          )
+          .orderBy("a_id", "b_id")
+      },
+      Some(
+        s"""$minhashPairsCtes
+           |SELECT a_id, b_id, jacc FROM pairs
+           |WHERE a_id % 2 = 1 OR b_id % 2 = 1
+           |ORDER BY a_id, b_id""".stripMargin
+      ),
+      doc = "Incremental near-dup detection: the delta's band table probes " +
+        "the full band table, so new-vs-old and new-vs-new pairs surface " +
+        "without re-pairing the corpus with itself — the daily-ingest " +
+        "shape; oracle = the full pair set filtered to pairs touching a " +
+        "delta doc."
+    ),
     Q(
       "d_dedup_corpus",
       (s, d) =>
