@@ -212,6 +212,37 @@ object Events {
         "closed sessions only (the oracle drops each user's open trailing " +
         "session) — one sessionizer, batch and streaming, oracle-checked."
     ),
+    // ---- latest record per key: the upsert/compaction read of any
+    // append-only ingest (CDC, event logs). One partial-aggregable
+    // max(struct) — no window shuffle-and-sort, deterministic via the
+    // (ts, event_id) tiebreak.
+    Q(
+      "q_latest_version",
+      (s, d) =>
+        Tables
+          .events(s, d)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"))).as("m"))
+          .select(
+            col("user_id"),
+            col("m.event_id").as("last_event_id"),
+            expr("m.ts DIV 1000000").as("last_ts_ms")
+          )
+          .orderBy("user_id"),
+      Some(
+        """WITH r AS (
+          |  SELECT user_id, event_id, epoch_ns(ts) AS ns,
+          |    row_number() OVER (PARTITION BY user_id
+          |                       ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events
+          |)
+          |SELECT user_id, event_id AS last_event_id, ns // 1000000 AS last_ts_ms
+          |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+      ),
+      doc = "Latest record per key via one max(struct(ts, id)) aggregate — " +
+        "the upsert-compaction read, partial-aggregable (no per-key " +
+        "window sort), deterministic tiebreak on (ts, event_id)."
+    ),
     // ---- Spark's native session_window (vs the hand-rolled lag/sum
     // formulation of q_sessionize and the stateful streaming sessionizer):
     // same 30-minute gap semantics, one groupBy, merge handled by the

@@ -303,4 +303,25 @@ class StreamingSpec extends AnyFunSuite {
       assert(read().select("id").as[Long].collect().sorted === Array(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("stream-static join enriches a stream against a batch dimension") {
+    // The standard enrichment shape: a live stream joined to a slowly-
+    // changing dim loaded as a plain batch DataFrame — Structured
+    // Streaming broadcasts/rescans the static side per micro-batch with
+    // no state and no watermark.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((0L, "bronze"), (1L, "silver"), (2L, "gold")).toDF("tier_id", "tier")
+    val stream = MemoryStream[(Long, Long)]
+    val joined = stream.toDF().toDF("user_id", "tier_id").join(dim, Seq("tier_id"))
+    val q = joined.writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData((10L, 1L), (11L, 2L), (12L, 9L)) // 9 has no dim row
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("user_id", "tier").as[(Long, String)].collect().toSet
+      assert(got === Set((10L, "silver"), (11L, "gold")))
+    } finally q.stop()
+  }
 }
