@@ -819,6 +819,148 @@ object Relational {
       doc = "UNPIVOT: wide metric columns melted to (metric, value) rows in " +
         "the scan projection (no self-union of the fact table), then one " +
         "exact-decimal aggregate over the long form."
+    ),
+    // ---- correlated subqueries (EXISTS / NOT EXISTS / correlated scalar
+    // aggregates), submitted as SQL so Catalyst's decorrelation rewrites
+    // run: each subquery becomes a semi/anti/left-outer aggregate JOIN, not
+    // a per-row re-scan of orders. At 100 TB that rewrite is the difference
+    // between one shuffle join and |customer| table scans.
+    Q(
+      "q_subqueries",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("sq_customer")
+        Tables.orders(s, d).createOrReplaceTempView("sq_orders")
+        s.sql("""SELECT c_mktsegment,
+                |  COUNT(*) AS n_cust,
+                |  CAST(SUM(n_ord) AS BIGINT) AS n_orders,
+                |  CAST(SUM(CAST(max_price AS DECIMAL(18,2))) AS DOUBLE) AS sum_max_price
+                |FROM (
+                |  SELECT c.c_custkey, c.c_mktsegment,
+                |    (SELECT COUNT(*) FROM sq_orders o
+                |     WHERE o.o_custkey = c.c_custkey) AS n_ord,
+                |    (SELECT MAX(o_totalprice) FROM sq_orders o
+                |     WHERE o.o_custkey = c.c_custkey) AS max_price
+                |  FROM sq_customer c
+                |  WHERE EXISTS (SELECT 1 FROM sq_orders o
+                |                WHERE o.o_custkey = c.c_custkey
+                |                  AND o.o_orderpriority = '1-URGENT')
+                |    AND NOT EXISTS (SELECT 1 FROM sq_orders o
+                |                    WHERE o.o_custkey = c.c_custkey
+                |                      AND o.o_orderstatus = 'P'
+                |                      AND o.o_totalprice > 400000)
+                |) t
+                |GROUP BY c_mktsegment
+                |ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment,
+             |  COUNT(*) AS n_cust,
+             |  CAST(SUM(n_ord) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(max_price AS DECIMAL(18,2))) AS DOUBLE) AS sum_max_price
+             |FROM (
+             |  SELECT c.c_custkey, c.c_mktsegment,
+             |    (SELECT COUNT(*) FROM orders o
+             |     WHERE o.o_custkey = c.c_custkey) AS n_ord,
+             |    (SELECT MAX(o_totalprice) FROM orders o
+             |     WHERE o.o_custkey = c.c_custkey) AS max_price
+             |  FROM customer c
+             |  WHERE EXISTS (SELECT 1 FROM orders o
+             |                WHERE o.o_custkey = c.c_custkey
+             |                  AND o.o_orderpriority = '1-URGENT')
+             |    AND NOT EXISTS (SELECT 1 FROM orders o
+             |                    WHERE o.o_custkey = c.c_custkey
+             |                      AND o.o_orderstatus = 'P'
+             |                      AND o.o_totalprice > 400000)
+             |) t
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin),
+      doc = "Correlated EXISTS / NOT EXISTS / scalar-aggregate subqueries " +
+        "through the SQL front door; Catalyst decorrelates all four into " +
+        "joins (PlanSpec asserts no per-row subquery remains)."
+    ),
+    // ---- three-valued-logic surface: NULLIF-derived nulls, COUNT(col) vs
+    // COUNT(*), null-safe equality (<=>), NULL-conditional aggregation,
+    // COALESCE rendering. GROUP BY places all NULLs in one group in both
+    // engines. Pure map-side derivations — one scan, one aggregate.
+    Q(
+      "q_null_semantics",
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .select(
+            expr("nullif(l_returnflag, 'N')").as("rf"),
+            expr("nullif(l_linestatus, 'F')").as("ls"),
+            col("l_quantity")
+          )
+          .groupBy(col("rf"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("ls")).as("n_ls_nonnull"),
+            lng(sum(when(col("rf") <=> col("ls"), 1).otherwise(0)))
+              .as("n_nullsafe_eq"),
+            sumDec2(when(col("ls").isNull, col("l_quantity")).otherwise(lit(0)))
+              .as("qty_where_ls_null")
+          )
+          .select(
+            coalesce(col("rf"), lit("<null>")).as("rf_disp"),
+            col("n_rows"),
+            col("n_ls_nonnull"),
+            col("n_nullsafe_eq"),
+            col("qty_where_ls_null")
+          )
+          .orderBy("rf_disp"),
+      Some("""WITH t AS (
+             |  SELECT nullif(l_returnflag, 'N') AS rf,
+             |         nullif(l_linestatus, 'F') AS ls,
+             |         l_quantity
+             |  FROM lineitem)
+             |SELECT coalesce(rf, '<null>') AS rf_disp,
+             |  COUNT(*) AS n_rows,
+             |  COUNT(ls) AS n_ls_nonnull,
+             |  CAST(SUM(CASE WHEN rf IS NOT DISTINCT FROM ls THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+             |  CAST(SUM(CASE WHEN ls IS NULL THEN CAST(l_quantity AS DECIMAL(18,2))
+             |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_where_ls_null
+             |FROM t GROUP BY rf ORDER BY rf_disp""".stripMargin),
+      doc = "Three-valued logic end to end: NULLIF, COUNT(col) null " +
+        "exclusion, <=> (IS NOT DISTINCT FROM), conditional aggregation " +
+        "over NULL predicates, COALESCE display, NULL group-by bucket."
+    ),
+    // ---- array-function surface: collect per-group, canonical sort, then
+    // positional access / slice / membership — emitted as strings so the
+    // cross-engine compare is representation-independent. collect_list is
+    // bounded here (≤7 lineitems per order), so partial aggregation holds;
+    // unbounded groups would use the TopKByScore-style bounded aggregate.
+    Q(
+      "q_array_funcs",
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
+          .select(
+            col("l_orderkey"),
+            array_join(col("lns").cast("array<string>"), ",").as("lns_str"),
+            array_join(slice(col("lns"), 1, 3).cast("array<string>"), ",")
+              .as("first3_str"),
+            lng(size(col("lns"))).as("n"),
+            lng(element_at(col("lns"), 1)).as("first_ln"),
+            lng(element_at(col("lns"), -1)).as("last_ln"),
+            array_contains(col("lns"), 7).as("has7")
+          )
+          .orderBy("l_orderkey"),
+      Some("""WITH a AS (
+             |  SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns
+             |  FROM lineitem GROUP BY l_orderkey)
+             |SELECT l_orderkey,
+             |  array_to_string(lns, ',') AS lns_str,
+             |  array_to_string(lns[1:3], ',') AS first3_str,
+             |  CAST(len(lns) AS BIGINT) AS n,
+             |  CAST(lns[1] AS BIGINT) AS first_ln,
+             |  CAST(lns[-1] AS BIGINT) AS last_ln,
+             |  list_contains(lns, 7) AS has7
+             |FROM a ORDER BY l_orderkey""".stripMargin),
+      doc = "Array surface: collect_list → sort_array canonicalization, " +
+        "slice, element_at (front and back), array_contains, array_join " +
+        "rendering; DuckDB list functions as the oracle."
     )
   )
 }

@@ -130,6 +130,23 @@ class PlanSpec extends AnyFunSuite {
     )
   }
 
+  test("q_subqueries: all four correlated subqueries decorrelate into joins") {
+    val q = Registry.runners("q_subqueries")(spark, sf)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    // After RewriteCorrelatedScalarSubquery / RewritePredicateSubquery no
+    // correlated subquery expression may survive — each must have become a
+    // semi/anti/aggregate join. A surviving subquery re-scans orders once
+    // per customer row at execution time.
+    assert(!optimized.contains("scalar-subquery"), optimized.take(2000))
+    assert(!optimized.contains("exists"), optimized.take(2000))
+    val physicalPlan = q.queryExecution.executedPlan.toString
+    assert(
+      physicalPlan.contains("SortMergeJoin") || physicalPlan.contains("BroadcastHashJoin") ||
+        physicalPlan.contains("ShuffledHashJoin"),
+      physicalPlan.take(2000)
+    )
+  }
+
   test("salted collect aggregates in two stages (salt key first)") {
     val plan = physical("q_salted_collect")
     // stage 1 groups on (key, salt) — the salt shows up as an inlined
