@@ -233,6 +233,28 @@ object ShingleKernel {
       seen.toArray(new Array[AnyRef](seen.size()))
     )
   }
+
+  /** All word-k-shingles WITH multiplicity, in document order — the
+    * multiset [[wordShingles]] dedupes. Repetition scoring needs the
+    * duplicates (they ARE the signal), so this variant keeps them.
+    */
+  def wordShinglesAll(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val count = math.max(n - k + 1, 1)
+    val out = new Array[AnyRef](count)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i < count) {
+      val m = math.min(k, n - i)
+      var j = 0
+      while (j < m) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) =
+        if (m == k) UTF8String.concatWs(Space, parts: _*)
+        else UTF8String.concatWs(Space, java.util.Arrays.copyOf(parts, math.max(m, 0)): _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `word_shingles(tokens, k)`: one pass, one hash-set — replaces the
@@ -261,6 +283,38 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
       ctx,
       ev,
       c => s"${ev.value} = graft.functions.ShingleKernel.wordShingles($c, $k);"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `word_shingles_all(tokens, k)`: [[WordShingles]] without the dedup —
+  * every k-shingle with multiplicity, the input to repetition scoring
+  * (duplicate-gram ratios), where collapsing duplicates would erase the
+  * signal being measured.
+  */
+case class WordShinglesAll(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"word_shingles_all requires an array<string> argument, got ${other.catalogString}"
+        )
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.wordShinglesAll(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"${ev.value} = graft.functions.ShingleKernel.wordShinglesAll($c, $k);"
     )
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -46,6 +46,14 @@ object Dedup {
       graft.functions.WordShingles(ExpressionUtils.expression(tokens), k)
     )
 
+  /** All word-k-shingles WITH multiplicity ([[wordShingles]] without the
+    * dedup) — repetition scoring input, where the duplicates are the signal.
+    */
+  def wordShinglesAll(tokens: Column, k: Int): Column =
+    ExpressionUtils.column(
+      graft.functions.WordShinglesAll(ExpressionUtils.expression(tokens), k)
+    )
+
   /** The HOF formulation of [[wordShingles]] (spec oracle only). */
   def wordShinglesHof(tokens: Column, k: Int): Column =
     array_distinct(
@@ -490,5 +498,31 @@ object Dedup {
       col("r.doc_id").as("b_id"),
       jaccardSortedLong(col("l.sh"), col("r.sh")).as("jacc")
     )
+  }
+
+  /** Train/test contamination audit: test-split documents sharing at least
+    * one distinct word-k-shingle with ANY train-split document — the
+    * standard n-gram decontamination check run before an eval set is
+    * trusted. Splits come from [[Split.hashSplit]] (deterministic, no
+    * shuffle); one shingle scan covers both sides; the overlap is a
+    * semi-join keyed on the gram, so the train side is never deduplicated
+    * or collected — at 100 TB it stays a streamed shuffle-semi-join, and
+    * the output is one row per CONTAMINATED test doc (n_shared distinct
+    * grams + the lexicographically first example gram).
+    */
+  def contamination(docs: DataFrame, shingleK: Int = 4): DataFrame = {
+    val grams = Split
+      .hashSplit(docs, "doc_id")
+      .select(
+        col("doc_id"),
+        col("split"),
+        explode(wordShingles(Text.tokensAll(col("text")), shingleK)).as("gram")
+      )
+    val test = grams.filter(col("split") === "test").select(col("doc_id"), col("gram"))
+    val train = grams.filter(col("split") === "train").select(col("gram"))
+    test
+      .join(train, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"), min(col("gram")).as("sample_gram"))
   }
 }

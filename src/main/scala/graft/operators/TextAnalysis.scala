@@ -163,4 +163,43 @@ object TextAnalysis {
     graft.util.Cols.nativeCol(
       graft.functions.MinShingleMd5(graft.util.Cols.nativeExpr(text), k)
     )
+
+  /** Repetition quality stats (the Gopher/C4 duplicate-n-gram filters):
+    * per doc, the k-gram multiset's duplicate mass — `dup_share` (fraction
+    * of k-gram occurrences that are repeats) and `top_share` (the most
+    * frequent k-gram's fraction); `repetitive` flags docs past the
+    * 1/5 dup-share or 1/6 top-share thresholds via integer cross-products,
+    * so the flag never depends on a float compare at the boundary.
+    *
+    * Shape at scale: one codegen'd shingle scan (native kernel, WITH
+    * multiplicity — the duplicates are the signal), then two
+    * partial-aggregable hash aggregates, (doc, gram) → doc. Both ratios
+    * are divisions of exact longs, so both engines compute the identical
+    * IEEE doubles.
+    */
+  def repetitionStats(docs: DataFrame, k: Int = 2): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        explode(Dedup.wordShinglesAll(Text.tokensAll(col("text")), k)).as("gram")
+      )
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        lng(sum(col("cnt"))).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt")
+      )
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("n_distinct"),
+        col("top_cnt"),
+        ((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+          .as("dup_share"),
+        (col("top_cnt").cast("double") / col("n_grams")).as("top_share"),
+        ((col("n_grams") - col("n_distinct")) * 5 > col("n_grams") ||
+          col("top_cnt") * 6 > col("n_grams")).as("repetitive")
+      )
 }

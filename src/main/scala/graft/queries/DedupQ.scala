@@ -281,6 +281,27 @@ object DedupQ {
       ),
       doc = "Blocked (by lang) exact pairwise n-gram Jaccard — the ground " +
         "truth LSH approximates; quadratic within blocks by design."
+    ),
+    Q(
+      "d_contamination",
+      (s, d) =>
+        Dedup.contamination(Tables.documents(s, d), 4).orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk,
+           |  ${h60("doc_id::VARCHAR")} % 100 AS bucket FROM documents),
+           |sh AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(
+           |         generate_series(1, greatest(len(tk) - 3, 1)),
+           |         i -> array_to_string(tk[i:i+3], ' ')))) AS gram FROM t),
+           |test AS (SELECT doc_id, gram FROM sh WHERE bucket >= 90),
+           |train AS (SELECT DISTINCT gram FROM sh WHERE bucket < 80)
+           |SELECT doc_id, COUNT(*) AS n_shared, MIN(gram) AS sample_gram
+           |FROM test WHERE gram IN (SELECT gram FROM train)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Train/test n-gram decontamination audit: test-split docs " +
+        "(deterministic hash split) sharing any distinct 4-shingle with " +
+        "any train doc, via a gram-keyed semi-join — one shingle scan, " +
+        "no train-side dedup, contaminated docs only."
     )
   )
 }

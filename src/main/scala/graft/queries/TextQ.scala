@@ -340,6 +340,31 @@ object TextQ {
         "proxy): distinct word bigrams joined to their corpus DF, exact " +
         "integer sums — the self-join + two-aggregate shape of any " +
         "corpus-statistics feature at scale."
+    ),
+    Q(
+      "t_repetition",
+      (s, d) =>
+        TextAnalysis.repetitionStats(Tables.documents(s, d), 2).orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |g AS (SELECT doc_id, unnest(list_transform(
+           |        generate_series(1, greatest(len(tk) - 1, 1)),
+           |        i -> array_to_string(tk[i:i+1], ' '))) AS gram FROM t),
+           |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram),
+           |a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           |        COUNT(*) AS n_distinct, CAST(MAX(cnt) AS BIGINT) AS top_cnt
+           |      FROM c GROUP BY doc_id)
+           |SELECT doc_id, n_grams, n_distinct, top_cnt,
+           |  CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS dup_share,
+           |  CAST(top_cnt AS DOUBLE) / n_grams AS top_share,
+           |  ((n_grams - n_distinct) * 5 > n_grams OR top_cnt * 6 > n_grams)
+           |    AS repetitive
+           |FROM a ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Gopher-style repetition quality filters: per-doc duplicate " +
+        "bigram mass (dup_share) and most-frequent-bigram mass (top_share) " +
+        "over the k-gram MULTISET (native non-dedup shingle kernel), with " +
+        "integer-arithmetic threshold flags — exact in both engines."
     )
   )
 }

@@ -94,6 +94,38 @@ class DedupSpec extends AnyFunSuite {
     edge.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
+  test("native word_shingles_all equals the non-distinct HOF formulation") {
+    import org.apache.spark.sql.functions._
+    def hofAll(tokens: org.apache.spark.sql.Column, k: Int) =
+      transform(
+        sequence(lit(1), greatest(size(tokens) - (k - 1), lit(1))),
+        i => array_join(slice(tokens, i, lit(k)), " ")
+      )
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    for (k <- Seq(2, 3)) {
+      val mismatches = docs
+        .select(
+          graft.operators.Dedup
+            .wordShinglesAll(graft.operators.Text.tokensAll(col("text")), k)
+            .as("native"),
+          hofAll(graft.operators.Text.tokensAll(col("text")), k).as("hof")
+        )
+        .filter(not(col("native") === col("hof")))
+        .count()
+      assert(mismatches === 0L, s"k=$k")
+    }
+    // degenerate inputs: empty token array and fewer tokens than k; a
+    // repeated token must appear with multiplicity (the point of _all)
+    val edge = Seq(Seq.empty[String], Seq("one"), Seq("a", "b"), Seq("a", "a", "a"))
+      .toDF("tk")
+      .select(
+        graft.operators.Dedup.wordShinglesAll(col("tk"), 2).as("native"),
+        hofAll(col("tk"), 2).as("hof")
+      )
+      .collect()
+    edge.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("connected components: chain, triangle, and isolated pair resolve to min ids") {
     // chain 1-2-3-4 (diameter 3: needs >1 propagation round), triangle
     // 10-11-12, pair 20-21 — every member must map to its cluster's min id.
