@@ -123,6 +123,50 @@ object Multimodal {
       )
   }
 
+  /** Batched model-inference plumbing — the batch shape every real
+    * embedding/captioning model needs (GPU kernels amortize over a batch,
+    * so the model must be invoked once per BATCH, never once per row).
+    * Rows are grouped into fixed-size batches inside each partition
+    * (`it.grouped`), one "model call" per batch; per-partition init (the
+    * session/decoder handle) sits at the top of the partition loop. This is
+    * the Scala analogue of a `mapInPandas` batch UDF.
+    *
+    * The model here is an explicitly-marked deterministic STUB: component
+    * j of the vector is `(md5_60(payload ‖ "#j") mod 2001 − 1000) / 1000`,
+    * so the DuckDB oracle bit-checks the complete output vectors. A real
+    * encoder replaces only the body of `runModelBatch`.
+    *
+    * `batchCalls` (optional accumulator) counts model invocations so the
+    * once-per-batch contract is testable, not just claimed.
+    */
+  def embedBatchStub(
+      spark: SparkSession,
+      payloads: DataFrame,
+      dim: Int = 8,
+      batchSize: Int = 32,
+      batchCalls: Option[org.apache.spark.util.LongAccumulator] = None
+  ): DataFrame = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init goes here (model session, pinned batch buffers)
+        def runModelBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Array[Double])] = {
+          batchCalls.foreach(_.add(1))
+          batch.map { case (id, bytes) =>
+            val v = Array.tabulate(dim) { j =>
+              val salted = bytes ++ s"#$j".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              (graft.functions.Md5Exprs.md5Top60(salted) % 2001L - 1000L) / 1000.0
+            }
+            (id, v)
+          }
+        }
+        it.grouped(batchSize).flatMap(runModelBatch)
+      }
+      .toDF("doc_id", "embedding")
+  }
+
   /** Strided frame sampling: `nFrames` slices of `frameLen` bytes taken
     * every `stride` bytes, fingerprinted with md5. Pure expressions —
     * whole-stage codegen, no decoder needed for coverage-style checks.

@@ -32,7 +32,7 @@ object Similarity {
   /** Reduce scored (query_id, neighbor_id, cos) pairs to per-query top-k
     * with ranks, via the partial-aggregable bounded top-k aggregate.
     */
-  private def topKExplode(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def topKExplode(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("query_id"))
       .agg(TopKByScore.topK(col("cos"), col("neighbor_id"), k).as("tk"))

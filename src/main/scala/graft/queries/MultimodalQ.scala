@@ -110,6 +110,35 @@ object MultimodalQ {
         "lowest-wins ties, checksum) — exact integer features via a " +
         "distributed histogram, the shape any per-byte/per-pixel statistic " +
         "takes at scale."
+    ),
+    Q(
+      "m_embed_batch",
+      (s, d) => {
+        val emb = Multimodal.embedBatchStub(
+          s,
+          Multimodal.withPayload(Tables.documents(s, d))
+        )
+        emb
+          .select(
+            col("doc_id") +:
+              (0 until 8).map(j => element_at(col("embedding"), j + 1).as(s"e$j")): _*
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""SELECT doc_id,
+           |  ${(0 until 8)
+            .map(j =>
+              s"CAST((('0x' || substr(md5(text || '#$j'), 1, 15))::BIGINT % 2001 - 1000) AS DOUBLE) / 1000.0 AS e$j"
+            )
+            .mkString(",\n  ")}
+           |FROM documents ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Batched model-inference plumbing: fixed-size batches per model " +
+        "call inside mapPartitions (the GPU-amortization contract), with a " +
+        "deterministic md5-derived stub vector so the oracle bit-checks " +
+        "all 8 components; MultimodalSpec asserts the once-per-batch call " +
+        "count via accumulator."
     )
   )
 }

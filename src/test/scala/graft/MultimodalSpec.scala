@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("embedBatchStub invokes the model once per batch, never per row") {
+    // One partition + 100 rows + batchSize 32 → exactly ceil(100/32) = 4
+    // model calls. Per-row invocation (the bug this plumbing exists to
+    // prevent) would show 100.
+    val docs = Tables.documents(spark, sf).limit(100).repartition(1)
+    val acc = spark.sparkContext.longAccumulator("batchCalls")
+    val out = Multimodal.embedBatchStub(
+      spark,
+      Multimodal.withPayload(docs),
+      batchCalls = Some(acc)
+    )
+    assert(out.count() === 100L)
+    assert(acc.value === 4L, s"expected 4 batch calls, got ${acc.value}")
+  }
+
+  test("embedBatchStub vectors match the expression-level md5 formula") {
+    // The JVM-side md5Top60 in the partition loop must agree with the
+    // Catalyst md5Long expression the rest of the engine (and the DuckDB
+    // oracle) uses — otherwise the stub's determinism claim is vacuous.
+    val docs = Tables.documents(spark, sf).limit(20)
+    val got = Multimodal
+      .embedBatchStub(spark, Multimodal.withPayload(docs), dim = 2)
+      .select(
+        col("doc_id"),
+        element_at(col("embedding"), 1).as("e0"),
+        element_at(col("embedding"), 2).as("e1")
+      )
+    val want = docs.select(
+      col("doc_id"),
+      ((graft.util.Cols.md5Long(concat(col("text"), lit("#0"))) % 2001L - 1000L)
+        .cast("double") / 1000.0).as("e0"),
+      ((graft.util.Cols.md5Long(concat(col("text"), lit("#1"))) % 2001L - 1000L)
+        .cast("double") / 1000.0).as("e1")
+    )
+    val mismatches = got
+      .join(want.withColumnRenamed("e0", "w0").withColumnRenamed("e1", "w1"), "doc_id")
+      .filter(col("e0") =!= col("w0") || col("e1") =!= col("w1"))
+      .count()
+    assert(mismatches === 0L)
+  }
+}

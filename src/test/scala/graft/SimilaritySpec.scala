@@ -125,6 +125,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pruned > 0 && pruned < full, s"pruned=$pruned full=$full")
   }
 
+  test("persisted IVF index: search prunes to probed cells and matches in-memory IVF") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    // label stands in for the cell id (same rationale as the scale-path
+    // test: trained cells on isotropic vectors collapse, making the prune
+    // unobservable); the build/search mechanics are cell-column-agnostic.
+    graft.operators.IvfIndex.build(emb, dir, cellCol = Some("label"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = graft.operators.IvfIndex.search(spark, dir, queries, k = 5, nProbe = 3)
+
+    // 1) the probe is a partition prune on the corpus read, not a row filter
+    val plan = got.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe must prune cell partitions:\n${plan.take(1500)}"
+    )
+
+    // 2) same neighbors as the in-memory IVF over the same cells
+    val inMem = Similarity
+      .ivfTopK(queries, emb.withColumn("cell", col("label")), k = 5, nProbe = 3, cellCol = "cell")
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    val persisted = got
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(persisted === inMem)
+  }
+
   test("LSH ANN recovers high-similarity neighbors: recall >= 0.85") {
     // Sign-LSH's collision probability is (1 - θ/π)^bits per band — it is
     // the near-duplicate retrieval structure, sharp for high-cosine pairs
