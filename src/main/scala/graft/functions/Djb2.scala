@@ -96,5 +96,10 @@ object GraftFunctions {
       es => WordShingles(es(0), es(1).eval().asInstanceOf[Number].intValue),
       "built-in"
     )
+    reg.createOrReplaceTempFunction(
+      "word_shingles_all",
+      es => WordShinglesAll(es(0), es(1).eval().asInstanceOf[Number].intValue),
+      "built-in"
+    )
   }
 }

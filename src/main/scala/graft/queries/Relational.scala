@@ -961,6 +961,93 @@ object Relational {
       doc = "Array surface: collect_list → sort_array canonicalization, " +
         "slice, element_at (front and back), array_contains, array_join " +
         "rendering; DuckDB list functions as the oracle."
+    ),
+    // ---- time-series gap fill: month spine (sequence + explode) cross-
+    // joined to the key set, left-joined to the sparse aggregate, missing
+    // counts zero-filled and totals forward-filled with last_value IGNORE
+    // NULLS. The spine is data-derived (global min/max month — one tiny
+    // aggregate, broadcast), never hard-coded; the window runs per key, so
+    // the fill distributes across keys. The dominant cost at scale is the
+    // spine×key cross join, which is |keys|·|months| — output-sized, not
+    // fact-table-sized.
+    Q(
+      "q_gap_fill",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val bounds = orders.agg(
+          date_trunc("month", min(col("o_orderdate"))).as("mn"),
+          date_trunc("month", max(col("o_orderdate"))).as("mx")
+        )
+        val months = bounds.select(
+          explode(sequence(col("mn"), col("mx"), expr("interval 1 month"))).as("month")
+        )
+        val custs =
+          Tables.customer(s, d).filter(col("c_custkey") < 100).select(col("c_custkey"))
+        val spine = custs.crossJoin(broadcast(months))
+        val agg = orders
+          .filter(col("o_custkey") < 100)
+          .groupBy(
+            col("o_custkey"),
+            date_trunc("month", col("o_orderdate")).as("a_month")
+          )
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(dec2(col("o_totalprice"))).as("month_total")
+          )
+        val w = Window
+          .partitionBy(col("c_custkey"))
+          .orderBy(col("month"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine
+          .join(
+            agg,
+            col("c_custkey") === col("o_custkey") && col("month") === col("a_month"),
+            "left"
+          )
+          .select(
+            col("c_custkey"),
+            col("month"),
+            col("n_orders"),
+            col("month_total")
+          )
+          .withColumn(
+            "filled_total",
+            coalesce(
+              last(col("month_total"), ignoreNulls = true).over(w).cast("double"),
+              lit(0.0)
+            )
+          )
+          .select(
+            col("c_custkey"),
+            date_format(col("month"), "yyyy-MM").as("month"),
+            lng(coalesce(col("n_orders"), lit(0L))).as("n_orders"),
+            col("filled_total")
+          )
+          .orderBy("c_custkey", "month")
+      },
+      Some(
+        """WITH bounds AS (SELECT date_trunc('month', MIN(o_orderdate)) AS mn,
+          |                       date_trunc('month', MAX(o_orderdate)) AS mx FROM orders),
+          |months AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month FROM bounds),
+          |custs AS (SELECT c_custkey FROM customer WHERE c_custkey < 100),
+          |spine AS (SELECT c_custkey, month FROM custs CROSS JOIN months),
+          |agg AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+          |          COUNT(*) AS n_orders,
+          |          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS month_total
+          |        FROM orders WHERE o_custkey < 100 GROUP BY 1, 2)
+          |SELECT s.c_custkey, strftime(s.month, '%Y-%m') AS month,
+          |  COALESCE(a.n_orders, 0)::BIGINT AS n_orders,
+          |  COALESCE(CAST(last_value(a.month_total IGNORE NULLS)
+          |    OVER (PARTITION BY s.c_custkey ORDER BY s.month
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 0)
+          |    AS filled_total
+          |FROM spine s LEFT JOIN agg a
+          |  ON a.o_custkey = s.c_custkey AND a.month = s.month
+          |ORDER BY s.c_custkey, s.month""".stripMargin
+      ),
+      doc = "Time-series gap fill: data-derived month spine × key set, " +
+        "left join to the sparse per-month aggregate, zero-filled counts " +
+        "and forward-filled totals (last_value IGNORE NULLS window)."
     )
   )
 }

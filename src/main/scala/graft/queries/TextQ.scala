@@ -365,6 +365,33 @@ object TextQ {
         "bigram mass (dup_share) and most-frequent-bigram mass (top_share) " +
         "over the k-gram MULTISET (native non-dedup shingle kernel), with " +
         "integer-arithmetic threshold flags — exact in both engines."
+    ),
+    Q(
+      "t_regex",
+      (s, d) =>
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            regexp_extract(col("text"), "[a-z]*[aeiou][aeiou][a-z]*", 0)
+              .as("first_vv_word"),
+            lng(size(expr("regexp_extract_all(text, '[aeiou][aeiou]', 0)")))
+              .as("n_vv"),
+            md5(regexp_replace(col("text"), "[aeiou]", "_")).as("devoweled_md5")
+          )
+          .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  regexp_extract(text, '[a-z]*[aeiou][aeiou][a-z]*') AS first_vv_word,
+          |  CAST(len(regexp_extract_all(text, '[aeiou][aeiou]')) AS BIGINT) AS n_vv,
+          |  md5(regexp_replace(text, '[aeiou]', '_', 'g')) AS devoweled_md5
+          |FROM documents ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Regexp scalar surface: first-match extraction, non-overlapping " +
+        "match counting (regexp_extract_all), global regexp_replace (md5-" +
+        "digested). Patterns restricted to the Java-regex ∩ RE2 common " +
+        "subset (no backreferences/lookaround) so both engines agree. " +
+        "Map-only single scan."
     )
   )
 }
