@@ -147,6 +147,45 @@ class PlanSpec extends AnyFunSuite {
     )
   }
 
+  test("AQE splits skewed join partitions (skew=true in the final plan)") {
+    // The engine's sessions run with AQE on; this pins that a skewed shuffle
+    // join actually gets the runtime skew split (OptimizeSkewedJoin) — the
+    // mitigation the 100 TB story relies on when salting isn't in the plan.
+    // Thresholds are lowered to make a local[32]-sized skew observable; the
+    // mechanism under test is identical at production sizes.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+    ).map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32768")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{lit, when}
+      // 90% of left rows share key 0 → one shuffle partition dwarfs the rest
+      val left = spark
+        .range(200000)
+        .select(when($"id" % 10 =!= 0, lit(0L)).otherwise($"id").as("k"), $"id".as("v"))
+      val right = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("w"))
+      val j = left.join(right, "k")
+      // collect() (not count()) — it runs THIS dataset's QueryExecution, so
+      // the adaptive plan below is the executed, final one
+      assert(j.collect().length > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected a skew-split join:\n${plan.take(2000)}")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None)    => conf.unset(k)
+      }
+    }
+  }
+
   test("salted collect aggregates in two stages (salt key first)") {
     val plan = physical("q_salted_collect")
     // stage 1 groups on (key, salt) — the salt shows up as an inlined
