@@ -304,6 +304,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("availableNow file ingestion resumes from checkpoint across runs") {
+    // The daily-ingest contract: each scheduled run processes ONLY files
+    // that arrived since the last run (checkpointed source offsets), then
+    // terminates (Trigger.AvailableNow). Re-processing old files — the
+    // failure dedup downstream would have to absorb — must not happen.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_avnow")
+    val in = root.toString + "/in"
+    val out = root.toString + "/out"
+    val ckpt = root.toString + "/ckpt"
+    new java.io.File(in).mkdirs()
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, v STRING")
+        .parquet(in)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // the file source lists the watched dir non-recursively — land each
+    // day's file FLAT in `in`, the way an ingest job drops files
+    def addFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root.toString + "/tmp_" + name
+      rows.toDF("id", "v").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp)
+        .listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .head
+      java.nio.file.Files.move(
+        part.toPath,
+        java.nio.file.Paths.get(in, name + ".parquet")
+      )
+    }
+
+    addFile("day1", Seq((1L, "a"), (2L, "b")))
+    runOnce()
+    assert(spark.read.parquet(out).count() === 2)
+
+    addFile("day2", Seq((3L, "c")))
+    runOnce()
+    val got = spark.read.parquet(out).select("id").as[Long].collect().sorted
+    // 3 rows total: day1 was NOT re-ingested on the second run
+    assert(got === Array(1L, 2L, 3L))
+  }
+
   test("stream-static join enriches a stream against a batch dimension") {
     // The standard enrichment shape: a live stream joined to a slowly-
     // changing dim loaded as a plain batch DataFrame — Structured
