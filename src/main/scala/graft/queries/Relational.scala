@@ -757,6 +757,38 @@ object Relational {
         "per group; at 100 TB prefer approx_percentile — registered next " +
         "to it here because the oracle can only bit-check the exact form."
     ),
+    // ---- the scale path next to q_percentile's exact form: approximate
+    // percentiles via the GK sketch — mergeable partial state, no per-group
+    // sort. Rows-only correctness entry (sketch merge order is layout-
+    // dependent, so values are engine- and run-specific within the accuracy
+    // bound); the accuracy contract vs exact percentile is pinned in
+    // ApproxDistinctSpec.
+    Q(
+      "q_percentile_approx",
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
+              .as("q_arr"),
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+              .as("median_price")
+          )
+          .select(
+            col("l_returnflag"),
+            element_at(col("q_arr"), 1).as("q25"),
+            element_at(col("q_arr"), 2).as("q50"),
+            element_at(col("q_arr"), 3).as("q75"),
+            col("median_price")
+          )
+          .orderBy("l_returnflag"),
+      None,
+      doc = "Approximate per-group percentiles (Greenwald-Khanna sketch): " +
+        "the 100 TB form of q_percentile — bounded mergeable partial state " +
+        "instead of a per-group sort. Rows-only by construction; accuracy " +
+        "vs exact is ScalaTest-pinned."
+    ),
     // ---- bounded top-k as a partial-aggregable AGGREGATE (not a window):
     // each map partition reduces to k rows per group before the exchange,
     // vs row_number() shuffling every row into one partition per group.

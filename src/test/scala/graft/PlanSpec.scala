@@ -186,6 +186,46 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the big side of a selective join") {
+    // The other runtime-filtering leg of the 100 TB story (next to AQE
+    // skew): a selective predicate on the small side of a shuffle join
+    // should inject a bloom-filter semi-filter on the fact side, so fact
+    // rows that cannot match die at the scan, before the exchange.
+    // Thresholds lowered so local-sized inputs qualify; the injection rule
+    // (InjectRuntimeFilter) is what's under test.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    try {
+      import org.apache.spark.sql.functions.col
+      // raw scans (no fact-loader repartition guard): InjectRuntimeFilter
+      // tracks the join key's lineage down to a plain scan, which is the
+      // shape a properly-split cluster table presents anyway
+      val big = Tables.table(spark, sf, "lineitem")
+      val dim = Tables
+        .table(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val j = big.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(
+        optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"expected an injected bloom filter on lineitem:\n${optimized.take(2000)}"
+      )
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None)    => conf.unset(k)
+      }
+    }
+  }
+
   test("salted collect aggregates in two stages (salt key first)") {
     val plan = physical("q_salted_collect")
     // stage 1 groups on (key, salt) — the salt shows up as an inlined
