@@ -330,6 +330,42 @@ object Relational {
              |  FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
              |ORDER BY op""".stripMargin)
     ),
+    // ---- multiset (ALL) set ops — INTERSECT ALL / EXCEPT ALL keep
+    // multiplicities (min / difference), which the DISTINCT forms in
+    // q_setops erase; summarized to (count, key_sum) so the oracle compares
+    // whole multisets without materializing them.
+    Q(
+      "q_setops_all",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val a = l.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+        val b = l.filter(col("l_linestatus") === "F").select(col("l_suppkey"))
+        def stats(df: org.apache.spark.sql.DataFrame, op: String) =
+          df.agg(
+            lit(op).as("op"),
+            count(lit(1)).as("n"),
+            lng(sum(col("l_suppkey"))).as("key_sum")
+          )
+        stats(a.unionAll(b), "union_all")
+          .union(stats(a.intersectAll(b), "intersect_all"))
+          .union(stats(a.exceptAll(b), "except_all"))
+          .orderBy("op")
+      },
+      Some("""WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+             |     b AS (SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F')
+             |SELECT 'union_all' AS op, COUNT(*) AS n, CAST(SUM(l_suppkey) AS BIGINT) AS key_sum
+             |  FROM (SELECT l_suppkey FROM a UNION ALL SELECT l_suppkey FROM b)
+             |UNION ALL
+             |SELECT 'intersect_all', COUNT(*), CAST(SUM(l_suppkey) AS BIGINT)
+             |  FROM (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b)
+             |UNION ALL
+             |SELECT 'except_all', COUNT(*), CAST(SUM(l_suppkey) AS BIGINT)
+             |  FROM (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+             |ORDER BY op""".stripMargin),
+      doc = "Multiset set operations (UNION/INTERSECT/EXCEPT ALL): " +
+        "multiplicity-preserving semantics both engines define identically; " +
+        "whole-multiset equality via count + key-sum."
+    ),
     // ---- distinct aggregation.
     Q(
       "q_distinct_agg",

@@ -186,6 +186,42 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: dim predicate prunes the partitioned fact scan") {
+    // Third runtime-filtering leg: when the fact table is partitioned on
+    // the join key, a selective dimension predicate must become a
+    // dynamicpruning expression in the scan's PartitionFilters — whole
+    // partition directories skipped at runtime, the mechanism that makes
+    // date-partitioned 100 TB joins readable.
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/orders_part"
+    Tables
+      .table(spark, sf, "orders")
+      .write
+      .mode("overwrite")
+      .partitionBy("o_orderstatus")
+      .parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be file-backed: a LocalRelation dim gets its filter
+    // constant-folded away (ConvertToLocalRelation), and DPP only fires on
+    // a surviving selective predicate
+    val dimDir =
+      java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString + "/dim"
+    Seq(("O", 1L), ("F", 2L), ("P", 3L))
+      .toDF("st", "flag")
+      .write
+      .mode("overwrite")
+      .parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("flag") === 1L)
+    val j = fact.join(broadcast(dim), col("o_orderstatus") === col("st"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(
+      plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning PartitionFilter on the fact scan:\n${plan.take(2000)}"
+    )
+  }
+
   test("runtime bloom filter prunes the big side of a selective join") {
     // The other runtime-filtering leg of the 100 TB story (next to AQE
     // skew): a selective predicate on the small side of a shuffle join
