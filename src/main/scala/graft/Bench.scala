@@ -54,10 +54,22 @@ object Bench {
         else math.min(a, b)
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the single JSON line compact (~2.5 KB for
+    // ~95 queries): the round-4 artifact was truncated by a capture-side
+    // byte limit that full-precision doubles (9+ digits each) overflowed.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces: also persist the artifact next to the build so a
+    // truncated stdout capture can never lose the official numbers.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_last.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    )
     spark.stop()
   }
 }

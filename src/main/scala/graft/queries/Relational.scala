@@ -392,11 +392,24 @@ object Relational {
           .agg(
             approx_count_distinct(col("l_partkey")).as("approx_parts"),
             countDistinct(col("l_partkey")).as("exact_parts")
+          )
+          // The HLL++ estimate is engine-specific, so the driver-visible
+          // contract is the ERROR BOUND, not the estimate: |approx − exact|
+          // ≤ 3·rsd·exact (rsd = 0.05, Spark's default), emitted as a
+          // boolean the oracle reproduces as a constant. The estimate
+          // itself stays out of the compared columns.
+          .select(
+            col("exact_parts"),
+            (abs(col("approx_parts") - col("exact_parts"))
+              <= lit(3 * 0.05) * col("exact_parts")).as("within_bound")
           ),
-      None,
-      doc = "approx_count_distinct (HyperLogLog++) next to the exact count; " +
-        "sketch values are engine-specific so this is a rows-only check " +
-        "(its accuracy is asserted in ScalaTest)."
+      Some("""SELECT count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+             |  true AS within_bound
+             |FROM lineitem""".stripMargin),
+      doc = "approx_count_distinct (HyperLogLog++) checked against the " +
+        "exact count IN the query: the oracle verifies the 3·rsd error " +
+        "bound as a boolean (sketch values are engine-specific; tighter " +
+        "accuracy is asserted in ScalaTest)."
     ),
     // ---- scalar string/date functions.
     Q(
@@ -771,27 +784,45 @@ object Relational {
     // ---- exact percentiles (linear interpolation) per group.
     Q(
       "q_percentile",
-      (s, d) =>
-        Tables
+      (s, d) => {
+        // Both measures ride one unpivoted scan; the operator's histogram
+        // two-pass keeps per-task state at O(nBuckets), never O(group).
+        val base = Tables
           .lineitem(s, d)
+          .selectExpr(
+            "l_returnflag",
+            "stack(2, 'qty', CAST(l_quantity AS DOUBLE), " +
+              "'price', CAST(l_extendedprice AS DOUBLE)) AS (vc, v)"
+          )
+        val pcts = graft.operators.Percentiles.exactPercentiles(
+          base,
+          Seq("l_returnflag"),
+          Map("qty" -> Seq(0.25, 0.5, 0.75), "price" -> Seq(0.5))
+        )
+        def pick(vc: String, p: Double) =
+          max(when(col("vc") === vc && col("p") === p, col("pct")))
+        pcts
           .groupBy(col("l_returnflag"))
           .agg(
-            expr("percentile(l_quantity, 0.25)").as("q25"),
-            expr("percentile(l_quantity, 0.5)").as("q50"),
-            expr("percentile(l_quantity, 0.75)").as("q75"),
-            expr("percentile(l_extendedprice, 0.5)").as("median_price")
+            pick("qty", 0.25).as("q25"),
+            pick("qty", 0.5).as("q50"),
+            pick("qty", 0.75).as("q75"),
+            pick("price", 0.5).as("median_price")
           )
-          .orderBy("l_returnflag"),
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
              |  quantile_cont(l_quantity, 0.25) AS q25,
              |  quantile_cont(l_quantity, 0.5) AS q50,
              |  quantile_cont(l_quantity, 0.75) AS q75,
              |  quantile_cont(l_extendedprice, 0.5) AS median_price
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
-      doc = "Exact per-group percentiles (linear interpolation, the " +
-        "quantile_cont formula both engines share). Exact percentile sorts " +
-        "per group; at 100 TB prefer approx_percentile — registered next " +
-        "to it here because the oracle can only bit-check the exact form."
+      doc = "EXACT per-group percentiles with BOUNDED state " +
+        "(operators/Percentiles two-pass histogram: O(nBuckets) aggregate " +
+        "state + a row_number over one bucket's rows), replacing the " +
+        "built-in percentile's unbounded per-group buffer. Interpolation " +
+        "replicates Spark Percentile.getPercentile bit-for-bit, which " +
+        "matches DuckDB quantile_cont on this data."
     ),
     // ---- the scale path next to q_percentile's exact form: approximate
     // percentiles via the GK sketch — mergeable partial state, no per-group
