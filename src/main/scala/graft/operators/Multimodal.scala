@@ -8,29 +8,102 @@ import graft.util.Cols._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata.
   *
-  * The container has no image/audio codecs, so the DECODE step is an
-  * explicitly-marked deterministic STUB ([[decodeHeaderStub]]) — it parses
-  * "header" bytes arithmetically the way a real decoder would parse a
-  * magic number + dimensions. Everything around it is the real Spark
-  * plumbing a production decoder drops into:
+  * The image path is REAL: payloads are PNG byte streams produced by
+  * `javax.imageio`'s encoder and decoded back through `ImageIO.read` — an
+  * actual codec, not a header-arithmetic stub. Image CONTENT is
+  * deterministic (pixel values are a closed-form function of `doc_id`, see
+  * [[pixelChannels]]), which is what lets the DuckDB oracle verify the
+  * decoder's output (dimensions, channel sums, value histograms) from the
+  * same formula without running a codec itself.
+  *
+  * The Spark shape is what a production pipeline needs at 100 TB:
   *   - payloads live in a `binary` column next to typed metadata;
-  *   - per-record decode runs in `mapPartitions` (one decoder instance per
-  *     partition — the batch shape a JNI/FFI codec needs; this is the Scala
+  *   - per-record decode runs in `mapPartitions` (decoder/plugin-registry
+  *     init once per partition, `ImageIO.setUseCache(false)` so decode is
+  *     pure in-memory — the batch shape a JNI/GPU codec needs; the Scala
   *     analogue of `mapInPandas` batches);
-  *   - frame sampling is strided byte-slicing, a pure expression;
-  *   - everything downstream (schema, partitioning, joins) is ordinary
-  *     columnar Spark.
+  *   - per-image work (decode, downsample, feature extraction) stays inside
+  *     the partition loop; everything downstream (schema, partitioning,
+  *     joins, aggregation) is ordinary columnar Spark.
   */
 object Multimodal {
 
-  /** Typed decode result — the schema a real image decoder would emit. */
-  case class MediaMeta(
+  /** Typed decode result — what the image decoder emits per payload. */
+  case class ImageMeta(
       doc_id: Long,
-      format_id: Long,
+      format: String,
       width: Long,
       height: Long,
-      n_frames: Long
+      px_sum: Long
   )
+
+  /** Resize result: dimensions + pixel sum of the round-tripped
+    * (downsample → re-encode → re-decode) image.
+    */
+  case class ResizedMeta(doc_id: Long, new_w: Long, new_h: Long, px_sum: Long)
+
+  /** Per-image features over decoded channel values. */
+  case class ImageFeatures(
+      doc_id: Long,
+      n_distinct_vals: Long,
+      mode_val: Long,
+      r_sum: Long,
+      g_sum: Long,
+      b_sum: Long
+  )
+
+  /** Deterministic image content: channel values of pixel (x, y) of the
+    * doc_id image — r=(x+y+id)%256, g=(2x+y+id)%256, b=(x+2y+id)%256,
+    * dimensions w=4+id%13, h=3+id%7. The closed form is the oracle's side
+    * of the contract; the bytes on the wire are real PNG.
+    */
+  def imageDims(id: Long): (Int, Int) = ((4 + id % 13).toInt, (3 + id % 7).toInt)
+
+  private def pixelChannels(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((x + y + id) % 256).toInt,
+    ((2L * x + y + id) % 256).toInt,
+    ((x + 2L * y + id) % 256).toInt
+  )
+
+  private def toBufferedImage(id: Long): java.awt.image.BufferedImage = {
+    val (w, h) = imageDims(id)
+    val img =
+      new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixelChannels(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** documents → (doc_id, payload: binary) where payload is a REAL PNG
+    * stream (javax.imageio encoder) of the doc's deterministic image. The
+    * ingest step a datalake performs upstream; generated in mapPartitions
+    * exactly where a fetch-and-decode stage would run.
+    */
+  def withImagePayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        it.map(id => (id, encodePng(toBufferedImage(id))))
+      }
+      .toDF("doc_id", "payload")
+  }
 
   /** documents → (doc_id, payload: binary, byte_len): the ingest step.
     * In production the payload column arrives from the datalake as-is;
@@ -43,84 +116,126 @@ object Multimodal {
       lng(length(col("text").cast(BinaryType))).as("byte_len")
     )
 
-  /** STUB DECODER (deterministic fake): reads the first four "header"
-    * bytes as format/width/height, derives a frame count from the payload
-    * size. A real decoder replaces ONLY the body of the partition loop.
+  /** REAL DECODE: `ImageIO.read` over the PNG byte stream, format name
+    * from the codec's own reader introspection, dimensions and pixel-sum
+    * from the decoded raster. One decoder registry init per partition; no
+    * file-backed ImageIO cache, so decode never touches local disk.
     */
-  def decodeHeaderStub(spark: SparkSession, payloads: DataFrame): Dataset[MediaMeta] = {
+  def decodeImage(spark: SparkSession, payloads: DataFrame): Dataset[ImageMeta] = {
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init goes here (decoder handle, scratch buffers)
-        it.map { case (docId, bytes) =>
-          def b(i: Int): Long = if (i < bytes.length) bytes(i) & 0xffL else 0L
-          MediaMeta(
-            doc_id = docId,
-            format_id = b(0),
-            width = b(1) * 256L + b(2),
-            height = b(3) * 256L + b(0),
-            n_frames = bytes.length / 64L + 1L
-          )
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO
+            .createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+          val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+          val fmt = reader.getFormatName.toLowerCase
+          reader.setInput(iis)
+          val img = reader.read(0)
+          reader.dispose()
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          ImageMeta(id, fmt, img.getWidth.toLong, img.getHeight.toLong, sum)
         }
       }
   }
 
-  /** "Resize" stub: the deterministic stand-in for a decoder-side
-    * downscale — halves the stub-decoded dimensions and fingerprints a
-    * 2:1 byte-subsampled payload (every other byte, in order). A real
-    * resize replaces the subsample expression with a codec call; the
-    * schema, scaling arithmetic, and digest plumbing are what downstream
-    * consumers actually depend on.
+  /** REAL RESIZE round-trip: decode PNG → nearest-neighbor `factor`:1
+    * downsample (out(x,y) = in(factor·x, factor·y) — an explicit kernel,
+    * so the oracle can state the result) → RE-ENCODE to PNG → decode again
+    * and report the round-tripped raster's dimensions and pixel sum. PNG is
+    * lossless, so the second decode proves encoder and decoder agree.
     */
-  def resizeStub(payloads: DataFrame, factor: Int): DataFrame =
-    payloads.select(
-      col("doc_id"),
-      (lng(length(col("payload"))) / factor).cast(LongType).as("scaled_len"),
-      md5(
-        array_join(
-          transform(
-            sequence(lit(1), greatest(length(col("payload")), lit(1)), lit(factor)),
-            i => col("payload").cast(StringType).substr(i, lit(1))
-          ),
-          ""
-        )
-      ).as("subsample_md5")
-    )
+  def resizeImage(spark: SparkSession, payloads: DataFrame, factor: Int): Dataset[ResizedMeta] = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val nw = (img.getWidth + factor - 1) / factor
+          val nh = (img.getHeight + factor - 1) / factor
+          val small =
+            new java.awt.image.BufferedImage(nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < nh) {
+            var x = 0
+            while (x < nw) {
+              small.setRGB(x, y, img.getRGB(x * factor, y * factor))
+              x += 1
+            }
+            y += 1
+          }
+          val back =
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(encodePng(small)))
+          var sum = 0L
+          y = 0
+          while (y < back.getHeight) {
+            var x = 0
+            while (x < back.getWidth) {
+              val p = back.getRGB(x, y)
+              sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          ResizedMeta(id, back.getWidth.toLong, back.getHeight.toLong, sum)
+        }
+      }
+  }
 
-  /** Feature extraction over the raw bytes — exact integer features only
-    * (distinct byte count, modal byte, byte checksum), so the result is
-    * engine-independent. The histogram is a distributed explode + count,
-    * the shape any per-byte/per-pixel statistic takes at scale.
+  /** Feature extraction over the DECODED raster: distinct channel-value
+    * count, modal value (lowest-wins ties), per-channel sums. Per-image
+    * work stays in the partition loop (images are bounded; a 100 TB corpus
+    * is many images, not big ones), emitting one bounded feature row per
+    * image — the shape any pixel-statistic pipeline takes at scale.
     */
-  def byteFeatures(payloads: DataFrame): DataFrame = {
-    val perByte = payloads
-      .select(
-        col("doc_id"),
-        explode(
-          transform(
-            sequence(lit(1), greatest(length(col("payload")), lit(1))),
-            i => ascii(col("payload").cast(StringType).substr(i, lit(1)))
-          )
-        ).as("b")
-      )
-      .groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
-    perByte
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).cast(LongType).as("n_distinct_bytes"),
-        max(struct(col("cnt"), (-col("b")).as("nb")))
-          .getField("nb")
-          .cast(LongType)
-          .as("neg_mode_byte"),
-        sum(col("b") * col("cnt")).cast(LongType).as("byte_sum")
-      )
-      .select(
-        col("doc_id"),
-        col("n_distinct_bytes"),
-        (-col("neg_mode_byte")).cast(LongType).as("mode_byte"),
-        col("byte_sum")
-      )
+  def imageFeatures(spark: SparkSession, payloads: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val counts = new Array[Long](256)
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+              counts(r) += 1; counts(g) += 1; counts(b) += 1
+              rs += r; gs += g; bs += b
+              x += 1
+            }
+            y += 1
+          }
+          var nd = 0L; var mode = -1; var best = 0L
+          var v = 0
+          while (v < 256) {
+            if (counts(v) > 0) { nd += 1; if (counts(v) > best) { best = counts(v); mode = v } }
+            v += 1
+          }
+          ImageFeatures(id, nd, mode.toLong, rs, gs, bs)
+        }
+      }
   }
 
   /** Batched model-inference plumbing — the batch shape every real

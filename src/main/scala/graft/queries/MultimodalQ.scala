@@ -46,70 +46,96 @@ object MultimodalQ {
         "expressions; frames past end-of-payload hash the empty slice in " +
         "both engines)."
     ),
+    // ---- REAL image codec path: payloads are actual PNG streams written
+    // by javax.imageio; decode/resize/features run the real decoder in
+    // mapPartitions. Image CONTENT is a closed-form function of doc_id
+    // (Multimodal.pixelChannels), which is what the DuckDB oracle evaluates
+    // — so a decoder that mis-parses any byte of the PNG fails the gate.
     Q(
       "m_decode",
       (s, d) =>
         Multimodal
-          .decodeHeaderStub(s, Multimodal.withPayload(Tables.documents(s, d)))
+          .decodeImage(s, Multimodal.withImagePayload(s, Tables.documents(s, d)))
           .toDF()
           .orderBy("doc_id"),
       Some(
-        """SELECT doc_id,
-          |  ascii(substr(text, 1, 1))::BIGINT AS format_id,
-          |  (ascii(substr(text, 2, 1)) * 256 + ascii(substr(text, 3, 1)))::BIGINT AS width,
-          |  (ascii(substr(text, 4, 1)) * 256 + ascii(substr(text, 1, 1)))::BIGINT AS height,
-          |  (octet_length(encode(text)) // 64 + 1)::BIGINT AS n_frames
+        """SELECT doc_id, 'png' AS format,
+          |  (4 + doc_id % 13)::BIGINT AS width,
+          |  (3 + doc_id % 7)::BIGINT AS height,
+          |  list_sum(flatten(list_transform(generate_series(0, (3 + doc_id % 7) - 1), y ->
+          |    list_transform(generate_series(0, (4 + doc_id % 13) - 1), x ->
+          |      (x + y + doc_id) % 256 + (2*x + y + doc_id) % 256 + (x + 2*y + doc_id) % 256
+          |    ))))::BIGINT AS px_sum
           |FROM documents ORDER BY doc_id""".stripMargin
       ),
-      doc = "STUB decoder (mapPartitions batch shape — where a real codec " +
-        "plugs in): header bytes → typed MediaMeta columns."
+      doc = "REAL image decode: javax.imageio PNG reader in mapPartitions " +
+        "(per-partition codec init, no file cache) — format from reader " +
+        "introspection, dimensions + pixel sum from the decoded raster, " +
+        "verified against the closed-form image content."
     ),
     Q(
       "m_resize",
       (s, d) =>
         Multimodal
-          .resizeStub(Multimodal.withPayload(Tables.documents(s, d)), factor = 2)
+          .resizeImage(s, Multimodal.withImagePayload(s, Tables.documents(s, d)), factor = 2)
+          .toDF()
           .orderBy("doc_id"),
       Some(
         """SELECT doc_id,
-          |  (octet_length(encode(text)) // 2)::BIGINT AS scaled_len,
-          |  md5(array_to_string(list_transform(
-          |        generate_series(1, greatest(length(text), 1), 2),
-          |        i -> substr(text, i, 1)), '')) AS subsample_md5
+          |  ((4 + doc_id % 13 + 1) // 2)::BIGINT AS new_w,
+          |  ((3 + doc_id % 7 + 1) // 2)::BIGINT AS new_h,
+          |  list_sum(flatten(list_transform(generate_series(0, ((3 + doc_id % 7 + 1) // 2) - 1), y ->
+          |    list_transform(generate_series(0, ((4 + doc_id % 13 + 1) // 2) - 1), x ->
+          |      (2*x + 2*y + doc_id) % 256 + (4*x + 2*y + doc_id) % 256 + (2*x + 4*y + doc_id) % 256
+          |    ))))::BIGINT AS px_sum
           |FROM documents ORDER BY doc_id""".stripMargin
       ),
-      doc = "Resize stub: scaled length + digest of the 2:1 byte-subsampled " +
-        "payload — the decoder-side downscale's schema and plumbing, " +
-        "deterministic without codecs."
+      doc = "REAL resize round-trip: decode PNG, nearest-neighbor 2:1 " +
+        "downsample, re-encode, decode again — the oracle checks the " +
+        "round-tripped raster, so encoder and decoder must both be exact."
     ),
     Q(
       "m_features",
       (s, d) =>
         Multimodal
-          .byteFeatures(Multimodal.withPayload(Tables.documents(s, d)))
+          .imageFeatures(s, Multimodal.withImagePayload(s, Tables.documents(s, d)))
+          .toDF()
           .orderBy("doc_id"),
       Some(
-        """WITH bytes AS (
-          |  SELECT doc_id, unnest(list_transform(
-          |           generate_series(1, greatest(length(text), 1)),
-          |           i -> ascii(substr(text, i, 1)))) AS b
-          |  FROM documents
+        """WITH d AS (
+          |  SELECT doc_id, (4 + doc_id % 13) AS w, (3 + doc_id % 7) AS h FROM documents
+          |), px AS (
+          |  SELECT doc_id, unnest(flatten(flatten(list_transform(generate_series(0, h - 1), y ->
+          |    list_transform(generate_series(0, w - 1), x ->
+          |      [(x + y + doc_id) % 256, (2*x + y + doc_id) % 256, (x + 2*y + doc_id) % 256]
+          |    ))))) AS v
+          |  FROM d
           |), counts AS (
-          |  SELECT doc_id, b, count(*) AS cnt FROM bytes GROUP BY doc_id, b
+          |  SELECT doc_id, v, count(*) AS cnt FROM px GROUP BY doc_id, v
           |), ranked AS (
-          |  SELECT doc_id, b, cnt, max(cnt) OVER (PARTITION BY doc_id) AS mx
+          |  SELECT doc_id, v, cnt, max(cnt) OVER (PARTITION BY doc_id) AS mx
           |  FROM counts
+          |), md AS (
+          |  SELECT doc_id, count(*)::BIGINT AS n_distinct_vals,
+          |         min(CASE WHEN cnt = mx THEN v END)::BIGINT AS mode_val
+          |  FROM ranked GROUP BY doc_id
+          |), sums AS (
+          |  SELECT doc_id,
+          |    list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+          |      list_transform(generate_series(0, w - 1), x -> (x + y + doc_id) % 256))))::BIGINT AS r_sum,
+          |    list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+          |      list_transform(generate_series(0, w - 1), x -> (2*x + y + doc_id) % 256))))::BIGINT AS g_sum,
+          |    list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+          |      list_transform(generate_series(0, w - 1), x -> (x + 2*y + doc_id) % 256))))::BIGINT AS b_sum
+          |  FROM d
           |)
-          |SELECT doc_id,
-          |  count(*)::BIGINT AS n_distinct_bytes,
-          |  min(CASE WHEN cnt = mx THEN b END)::BIGINT AS mode_byte,
-          |  sum(b * cnt)::BIGINT AS byte_sum
-          |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+          |SELECT md.doc_id, n_distinct_vals, mode_val, r_sum, g_sum, b_sum
+          |FROM md JOIN sums USING (doc_id) ORDER BY doc_id""".stripMargin
       ),
-      doc = "Byte-level feature extraction (distinct bytes, modal byte with " +
-        "lowest-wins ties, checksum) — exact integer features via a " +
-        "distributed histogram, the shape any per-byte/per-pixel statistic " +
-        "takes at scale."
+      doc = "Feature extraction over the DECODED raster (distinct channel " +
+        "values, modal value with lowest-wins ties, per-channel sums): " +
+        "per-image work inside the partition loop, one bounded feature row " +
+        "out — verified value-exact against the closed-form content."
     ),
     Q(
       "m_embed_batch",

@@ -9,6 +9,27 @@ class MultimodalSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("image payloads are real PNG streams and decode round-trips exactly") {
+    val docs = Tables.documents(spark, sf).limit(25)
+    val payloads = Multimodal.withImagePayload(spark, docs)
+    // Real container format on the wire: PNG signature bytes.
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    payloads.collect().foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(bytes.take(4).sameElements(sig), s"doc ${r.getLong(0)}: not a PNG stream")
+    }
+    // Decoded dimensions + pixel sum match the closed-form image content.
+    Multimodal.decodeImage(spark, payloads).collect().foreach { m =>
+      val (w, h) = Multimodal.imageDims(m.doc_id)
+      assert(m.format == "png" && m.width == w && m.height == h)
+      val want = (for { y <- 0 until h; x <- 0 until w } yield {
+        (x + y + m.doc_id) % 256 + (2L * x + y + m.doc_id) % 256 +
+          (x + 2L * y + m.doc_id) % 256
+      }).sum
+      assert(m.px_sum == want, s"doc ${m.doc_id}: px_sum ${m.px_sum} != $want")
+    }
+  }
+
   test("embedBatchStub invokes the model once per batch, never per row") {
     // One partition + 100 rows + batchSize 32 → exactly ceil(100/32) = 4
     // model calls. Per-row invocation (the bug this plumbing exists to
