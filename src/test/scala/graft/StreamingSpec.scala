@@ -355,6 +355,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Array(1L, 2L, 3L))
   }
 
+  test("streaming band upsert: run 2 dedups against run 1's bands without re-shingling") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_bandup")
+    val in = root.toString + "/in"
+    val idx = root.toString + "/idx"
+    val ckpt = root.toString + "/ckpt"
+    new java.io.File(in).mkdirs()
+
+    def addFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root.toString + "/tmp_" + name
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(
+        part.toPath, java.nio.file.Paths.get(in, name + ".parquet"))
+    }
+    def runOnce(): Unit = {
+      val q = graft.operators.Dedup
+        .streamingBandUpsert(
+          spark.readStream.schema("doc_id LONG, text STRING").parquet(in),
+          idx
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val nearDupA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val distinct = "completely different subject matter about spark shuffles and partitions"
+    addFile("day1", Seq((1L, nearDupA), (2L, distinct)))
+    runOnce()
+    assert(spark.read.parquet(s"$idx/dups").count() === 0)
+    assert(spark.read.parquet(s"$idx/bands").select("doc_id").distinct().count() === 2)
+
+    // day 2: a near-duplicate of doc 1 arrives
+    addFile("day2", Seq((3L, nearDupA + " indeed")))
+    runOnce()
+    val dups = spark.read.parquet(s"$idx/dups")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(dups === Set((1L, 3L)), s"expected cross-run dup (1,3), got $dups")
+    // the second run shingled ONLY the delta — the corpus rows' shingles
+    // were reused from batch 0's store, never recomputed
+    val batch1Docs = spark.read.parquet(s"$idx/shingles")
+      .filter(col("batch_id") === 1).select("doc_id").as[Long].collect().toSeq
+    assert(batch1Docs === Seq(3L))
+  }
+
   test("stream-static join enriches a stream against a batch dimension") {
     // The standard enrichment shape: a live stream joined to a slowly-
     // changing dim loaded as a plain batch DataFrame — Structured
