@@ -832,29 +832,61 @@ object Relational {
     // ApproxDistinctSpec.
     Q(
       "q_percentile_approx",
-      (s, d) =>
-        Tables
+      (s, d) => {
+        val approx = Tables
           .lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
             expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
               .as("q_arr"),
             expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-              .as("median_price")
+              .as("ap_price")
           )
+        // Exact side of the accuracy contract comes from the BOUNDED exact
+        // operator (no per-group buffer anywhere in this plan either).
+        val base = Tables
+          .lineitem(s, d)
+          .selectExpr(
+            "l_returnflag",
+            "stack(2, 'qty', CAST(l_quantity AS DOUBLE), " +
+              "'price', CAST(l_extendedprice AS DOUBLE)) AS (vc, v)"
+          )
+        val exact = graft.operators.Percentiles
+          .exactPercentiles(
+            base,
+            Seq("l_returnflag"),
+            Map("qty" -> Seq(0.25, 0.5, 0.75), "price" -> Seq(0.5))
+          )
+          .groupBy(col("l_returnflag"))
+          .agg(
+            max(when(col("vc") === "qty" && col("p") === 0.25, col("pct"))).as("ex25"),
+            max(when(col("vc") === "qty" && col("p") === 0.5, col("pct"))).as("ex50"),
+            max(when(col("vc") === "qty" && col("p") === 0.75, col("pct"))).as("ex75"),
+            max(when(col("vc") === "price", col("pct"))).as("ex_price")
+          )
+        // GK sketch values are engine-specific; the driver-visible contract
+        // is the error bound (generous vs the measured ~0 qty / ≤3e-4 price
+        // rel error at accuracy=10000), stated as booleans.
+        approx
+          .join(exact, Seq("l_returnflag"))
           .select(
             col("l_returnflag"),
-            element_at(col("q_arr"), 1).as("q25"),
-            element_at(col("q_arr"), 2).as("q50"),
-            element_at(col("q_arr"), 3).as("q75"),
-            col("median_price")
+            (abs(element_at(col("q_arr"), 1) - col("ex25")) <= 1.0).as("q25_ok"),
+            (abs(element_at(col("q_arr"), 2) - col("ex50")) <= 1.0).as("q50_ok"),
+            (abs(element_at(col("q_arr"), 3) - col("ex75")) <= 1.0).as("q75_ok"),
+            (abs(col("ap_price") - col("ex_price")) <= lit(0.005) * abs(col("ex_price")))
+              .as("price_ok")
           )
-          .orderBy("l_returnflag"),
-      None,
-      doc = "Approximate per-group percentiles (Greenwald-Khanna sketch): " +
-        "the 100 TB form of q_percentile — bounded mergeable partial state " +
-        "instead of a per-group sort. Rows-only by construction; accuracy " +
-        "vs exact is ScalaTest-pinned."
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, true AS q25_ok, true AS q50_ok,
+             |  true AS q75_ok, true AS price_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      doc = "Approximate per-group percentiles (Greenwald-Khanna sketch, " +
+        "bounded mergeable partial state — the 100 TB form of " +
+        "q_percentile) checked IN the query against the bounded exact " +
+        "operator: the oracle verifies the accuracy contract as booleans " +
+        "(sketch values are engine-specific; tighter bounds in ScalaTest)."
     ),
     // ---- bounded top-k as a partial-aggregable AGGREGATE (not a window):
     // each map partition reduces to k rows per group before the exchange,
