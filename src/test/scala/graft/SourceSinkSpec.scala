@@ -32,6 +32,28 @@ class SourceSinkSpec extends AnyFunSuite {
     )
   }
 
+  test("orc round-trip preserves schema and values") {
+    // Spark bundles native ORC (the other columnar format a lakehouse
+    // actually serves); same contract as the parquet round-trip.
+    val src = Tables.orders(spark, sf)
+    val out = tmp("orc")
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema === src.schema)
+    assert(back.count() === src.count())
+    assert(
+      back.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().getDecimal(0) ===
+        src.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().getDecimal(0)
+    )
+    // pushdown reaches the ORC scan too
+    val plan = back
+      .filter(col("o_orderkey") === 42L)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderkey"), plan)
+  }
+
   test("csv round-trip with header + explicit schema") {
     val src = Tables
       .nation(spark, sf)
