@@ -151,8 +151,30 @@ object ScaleData {
         .withColumn("rep", rep)
         .select(
           remap("doc_id", dK),
+          // Per-TOKEN replica prefix: a suffix-only perturbation leaves
+          // replicas of one doc mutual near-dups (Jaccard ≈ 1), growing
+          // every dup cluster 10× and the pair count 100× — a skew bomb,
+          // not a scale-up. Prefixing every token bijectively gives
+          // replicas disjoint shingle sets: same dup RATE, 10× more
+          // clusters. The prefix must be PURELY ALPHABETIC and glued to
+          // the token (the tokenizer strips [^a-z] and length-1 tokens —
+          // a "r3_" prefix normalizes away entirely, silently making all
+          // replicas exact token-level duplicates).
           when(col("rep") === 0L, col("text"))
-            .otherwise(concat(col("text"), lit(" r"), col("rep")))
+            .otherwise(
+              regexp_replace(
+                col("text"),
+                lit("(\\S+)"),
+                concat(
+                  lit("q"),
+                  element_at(
+                    array("abcdefghijklmnopqrstuvwxyz".map(c => lit(c.toString)): _*),
+                    ((col("rep") - 1) % 26 + 1).cast(IntegerType)
+                  ),
+                  lit("$1")
+                )
+              )
+            )
             .as("text"),
           col("lang"),
           col("source")

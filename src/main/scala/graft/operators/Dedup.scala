@@ -489,87 +489,107 @@ object Dedup {
       .withColumn("canonical_id", min(col("doc_id")).over(w))
   }
 
-  /** Blocked pairwise n-gram Jaccard (the exact quadratic baseline).
-    * `blockCol` bounds the pair count; at 100 TB this operator is only for
-    * within-block ground truth — LSH is the scale path.
+  /** Blocked exact pairwise n-gram Jaccard via PREFIX FILTERING — the
+    * classic exact set-similarity join (SSJoin/PPJoin lineage: order the
+    * universe by ascending document frequency; if J(A,B) ≥ t, the first
+    * `|X| − ceil(t·|X|) + 1` elements of A and of B under that order must
+    * share an element). Candidate generation is therefore an EQUI-join on
+    * (block, prefix-shingle) — corpus-linear shuffle, no all-pairs term —
+    * and only candidates pay the exact verification. Result-identical to
+    * the naive quadratic (the prefix lemma is exact, not probabilistic):
+    * the same DuckDB all-pairs oracle still checks it.
     *
-    * Three exact (result-preserving) techniques keep the quadratic usable:
-    *   - **fragment-replicate parallelism**: a low-cardinality block key
-    *     (here 5 langs) would nest-loop each block inside ONE task, capping
-    *     parallelism at the number of blocks no matter the cluster size.
-    *     Instead the left side is hash-split into `fanout` chunks and the
-    *     right side replicated to every chunk, so the join key is
-    *     (block, chunk): block×fanout evenly-sized tasks, each pair still
-    *     produced exactly once (at chunk = hash(a_id) mod fanout). This is
-    *     the classic fragment-and-replicate parallel theta-join; it took
-    *     this query from 142 s (≈1.5 busy cores) to seconds at sf0.1.
-    *   - size-ratio filter IN the join condition: `J(A,B) <= min/max`, so
-    *     at threshold t any qualifying pair has `|A| >= t·|B|` and vice
-    *     versa — pairs failing it never reach the intersection;
-    *   - shingle arrays are sorted once per document, so the per-pair
-    *     intersection is a codegen O(m+n) merge
-    *     ([[graft.functions.SortedIntersectCount]]) instead of
-    *     `array_intersect`'s per-pair hash-set build.
+    * Scale shape, pass by pass (all corpus-linear):
+    *   1. shingle + 60-bit-hash per doc (map-only; hashing makes every
+    *      later comparison a primitive-long op — exact up to md5-60
+    *      collisions, P < |shingles|²/2^61, and a collision could only
+    *      INFLATE one intersection by 1);
+    *   2. document frequency per shingle (one partial-aggregable groupBy)
+    *      joined back, then per-doc re-aggregation into (a) the df-ascending
+    *      PREFIX and (b) the value-sorted array the O(m+n) codegen merge
+    *      ([[graft.functions.SortedIntersectCount]]) verifies with;
+    *   3. candidates: equi-join on (block, prefix shingle) + size-ratio
+    *      pruning in the join condition (J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t),
+    *      deduped to distinct pairs;
+    *   4. verification: the two shingle arrays ride a pair-keyed join,
+    *      merge-intersect, J ≥ t filter.
+    *
+    * Rare-first prefixes are what keep candidates sparse: unrelated
+    * documents share COMMON shingles, which df-ordering pushes out of the
+    * prefix; near-duplicates share everything, including their rare tail.
+    * (The previous fragment-replicate nested loop — exact too, but
+    * quadratic per block — measured 116 s on the 10× corpus, scaling at
+    * ~x² as constructed.)
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       blockCol: String,
       threshold: Double,
-      shingleK: Int = 2,
-      fanout: Int = 32
+      shingleK: Int = 2
   ): DataFrame = {
-    // Each doc's distinct shingle set, 60-bit-hashed per ROW (corpus-linear
-    // cost) so the per-PAIR merge in the quadratic term compares primitive
-    // longs — the string merge spent most of its time allocating UTF8String
-    // wrappers, ~6x the whole query. Hashing keeps the result exact up to
-    // md5-60 collisions: P < |block-shingles|^2 / 2^61 (~1e-13 here), and
-    // any collision could only ever INFLATE one pair's intersection by 1.
-    val d = docs.select(
+    val hashed = docs.select(
       col("doc_id"),
       col(blockCol).as("blk"),
-      sort_array(
-        array_distinct(
-          transform(
-            wordShingles(Text.tokensAll(col("text")), shingleK),
-            s => md5Long(s)
-          )
+      array_distinct(
+        transform(
+          wordShingles(Text.tokensAll(col("text")), shingleK),
+          s => md5Long(s)
         )
-      ).as("sh")
+      ).as("hs")
     )
-    // Explicit repartition on the join key pins (block, chunk) parallelism:
-    // the join reuses this partitioning (no extra exchange), and AQE honors
-    // user-specified partition counts — without this, AQE sees the tiny
-    // JOIN OUTPUT and coalesces the pair-loop stage down to a few tasks,
-    // silently undoing the fragment-replicate fanout.
-    val l = d
-      .withColumn("chunk", pmod(hash(col("doc_id")), lit(fanout)))
-      .repartition(fanout, col("blk"), col("chunk"))
+    val ex = hashed.select(col("doc_id"), col("blk"), explode(col("hs")).as("h"))
+    val df = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // (df, h) lexicographic is a total order on the universe — the ONE
+    // global order the prefix lemma requires on both sides of every pair.
+    val ranked = ex
+      .join(df, Seq("h"))
+      .groupBy(col("doc_id"), col("blk"))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("df"), col("h")))),
+          s => s.getField("h")
+        ).as("by_df"),
+        sort_array(collect_list(col("h"))).as("sh")
+      )
+      .withColumn("sz", size(col("sh")))
+      .withColumn(
+        "pref",
+        slice(col("by_df"), lit(1), (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+      )
+    val prefEx = ranked.select(
+      col("doc_id"),
+      col("blk"),
+      col("sz"),
+      explode(col("pref")).as("tok")
+    )
+    val cands = prefEx
       .as("l")
-    val r = d
-      .withColumn("chunk", explode(array((0 until fanout).map(lit): _*)))
-      .repartition(fanout, col("blk"), col("chunk"))
-      .as("r")
-    val szL = size(col("l.sh")).cast("double")
-    val szR = size(col("r.sh")).cast("double")
-    // The jacc >= t predicate goes INSIDE the join condition, LAST. Written
-    // as a separate post-join filter, Catalyst pushes it into the join and
-    // PREPENDS it — the O(m+n) merge then runs on every candidate pair
-    // before the O(1) id/size conjuncts get a chance to discard it (and the
-    // projection recomputes it for survivors). Conjunct order is preserved
-    // and && short-circuits, so this shape runs the merge only on pairs
-    // that already passed the cheap pruning, and the projection recomputes
-    // it only for the handful of emitted rows.
-    l.join(
-      r,
-      col("l.blk") === col("r.blk") && col("l.chunk") === col("r.chunk") &&
-        col("l.doc_id") < col("r.doc_id") &&
-        szL >= szR * threshold && szR >= szL * threshold &&
-        jaccardSortedLong(col("l.sh"), col("r.sh")) >= threshold
-    ).select(
-      col("l.doc_id").as("a_id"),
-      col("r.doc_id").as("b_id"),
-      jaccardSortedLong(col("l.sh"), col("r.sh")).as("jacc")
-    )
+      .join(
+        prefEx.as("r"),
+        col("l.blk") === col("r.blk") && col("l.tok") === col("r.tok") &&
+          col("l.doc_id") < col("r.doc_id") &&
+          col("l.sz").cast("double") >= col("r.sz") * threshold &&
+          col("r.sz").cast("double") >= col("l.sz") * threshold
+      )
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .distinct()
+    val sets = ranked.select(col("doc_id"), col("sh"))
+    // jacc >= t stays INSIDE the join condition, last conjunct: as a
+    // post-join filter Catalyst would push it in FRONT of the cheap
+    // equi-conjuncts (pushed filters prepend), running the O(m+n) merge
+    // before the O(1) checks.
+    cands
+      .join(sets.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(
+        sets.as("sb"),
+        col("b_id") === col("sb.doc_id") &&
+          jaccardSortedLong(col("sa.sh"), col("sb.sh")) >= threshold
+      )
+      .select(
+        col("a_id"),
+        col("b_id"),
+        jaccardSortedLong(col("sa.sh"), col("sb.sh")).as("jacc")
+      )
   }
 
   /** Train/test contamination audit: test-split documents sharing at least
