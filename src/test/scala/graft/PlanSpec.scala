@@ -71,12 +71,15 @@ class PlanSpec extends AnyFunSuite {
     )
   }
 
-  test("n-gram jaccard: fragment-replicate fanout is pinned in the plan") {
+  test("n-gram jaccard: candidate generation is an equi-join, never a nested loop") {
     val plan = physical("d_ngram_jaccard")
-    // both sides repartitioned on (block, chunk) with a user-specified
-    // count — the property that spreads the quadratic loop across the
-    // cluster and that AQE must not coalesce away
-    assert(plan.contains("REPARTITION_BY_NUM"), plan.take(1500))
+    // prefix filtering makes the exact similarity join's candidate stage a
+    // plain (block, prefix-shingle) equi-join — the plan must contain NO
+    // all-pairs operator anywhere
+    assert(
+      !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "candidates must come from an equi-join:\n" + plan.take(1500)
+    )
   }
 
   test("top-k aggregate reduces per-partition before the exchange (no global window sort)") {
