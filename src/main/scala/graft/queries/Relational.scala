@@ -145,6 +145,37 @@ object Relational {
              |JOIN nation   ON s_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)
     ),
+    // ---- co-located fact-fact join over bucketed tables: both sides big
+    // (broadcast can't serve it), so the shuffle is paid ONCE at write
+    // time — the bucket layout — and every subsequent join runs with no
+    // exchange on either side (PlanSpec pins the exchange-free plan).
+    Q(
+      "q_bucketed_join",
+      (s, d) => {
+        val (o, l) = graft.sources.Layout.bucketedOrdersLineitem(s, d)
+        // merge hint: at test SF the orders side is broadcast-small, which
+        // would silently bypass the co-location being demonstrated; at
+        // 100 TB SMJ is what the optimizer picks anyway.
+        o.hint("merge")
+          .join(l.hint("merge"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            sumDec4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items")
+          )
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  COUNT(*)::BIGINT AS n_items
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      doc = "Fact-fact join with ZERO join exchanges: orders and lineitem " +
+        "materialized once as same-bucketed catalog tables " +
+        "(Layout.bucketedOrdersLineitem), so the sort-merge join reads " +
+        "co-located buckets directly — the write-once/join-many shuffle " +
+        "amortization for joins too big to broadcast."
+    ),
     // ---- semi join (EXISTS).
     Q(
       "q_join_semi",

@@ -82,6 +82,17 @@ class PlanSpec extends AnyFunSuite {
     )
   }
 
+  test("bucketed fact-fact join: sort-merge with no exchange on either join side") {
+    val plan = physical("q_bucketed_join")
+    assert(plan.contains("SortMergeJoin"), plan.take(1200))
+    // co-location means the ONLY hash exchange is the post-join aggregate's
+    assert(
+      !plan.contains("Exchange hashpartitioning(o_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(l_orderkey"),
+      "join sides must read co-located buckets, not shuffle:\n" + plan.take(1500)
+    )
+  }
+
   test("top-k aggregate reduces per-partition before the exchange (no global window sort)") {
     val plan = physical("q_topk_agg")
     assert(
