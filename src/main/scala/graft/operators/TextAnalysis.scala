@@ -202,4 +202,23 @@ object TextAnalysis {
         ((col("n_grams") - col("n_distinct")) * 5 > col("n_grams") ||
           col("top_cnt") * 6 > col("n_grams")).as("repetitive")
       )
+
+  // ---- PII redaction: the masking pass every training corpus runs before
+  // the tokenizer. Patterns stay in the Java∩RE2 subset (character
+  // classes, +, {n}, literal escapes — the t_regex discipline) so the
+  // DuckDB oracle applies the identical automaton.
+
+  val EmailPattern = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  val PhonePattern = "[0-9]{3}-[0-9]{4}"
+
+  /** Mask emails then phone-shaped digit runs. Map-only codegen
+    * expressions; order matters (an email's host can't contain a phone,
+    * but masking numbers first could split a mixed token).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern,
+      "<PHONE>"
+    )
 }

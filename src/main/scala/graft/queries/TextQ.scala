@@ -366,6 +366,53 @@ object TextQ {
         "over the k-gram MULTISET (native non-dedup shingle kernel), with " +
         "integer-arithmetic threshold flags — exact in both engines."
     ),
+    // ---- PII redaction over deterministically-injected PII: the corpus is
+    // alpha-only, so both engines append the same synthetic email + phone
+    // per doc, then redact through their own regex engines — a decoded
+    // value mismatch anywhere in the pipeline (construction, match,
+    // replacement, ordering) fails the md5 compare.
+    Q(
+      "t_redact",
+      (s, d) =>
+        Tables
+          .documents(s, d)
+          .withColumn(
+            "t",
+            concat(
+              col("text"),
+              lit(" contact user"),
+              col("doc_id").cast("string"),
+              lit("@example.com or call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" now")
+            )
+          )
+          .select(
+            col("doc_id"),
+            lng(size(expr(s"regexp_extract_all(t, '${TextAnalysis.EmailPattern}', 0)")))
+              .as("n_emails"),
+            lng(size(expr(s"regexp_extract_all(t, '${TextAnalysis.PhonePattern}', 0)")))
+              .as("n_phones"),
+            md5(TextAnalysis.redactPii(col("t"))).as("redacted_md5")
+          )
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH a AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || doc_id || '@example.com or call 555-' ||
+           |      lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now' AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(t, '${TextAnalysis.EmailPattern}', 0))::BIGINT AS n_emails,
+           |  len(regexp_extract_all(t, '${TextAnalysis.PhonePattern}', 0))::BIGINT AS n_phones,
+           |  md5(regexp_replace(regexp_replace(t, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+           |      '${TextAnalysis.PhonePattern}', '<PHONE>', 'g')) AS redacted_md5
+           |FROM a ORDER BY doc_id""".stripMargin
+      ),
+      doc = "PII redaction (email + phone masking) over deterministically " +
+        "injected PII — map-only regexp_replace chain in the Java∩RE2 " +
+        "subset, md5-checked end to end."
+    ),
     Q(
       "t_regex",
       (s, d) =>
