@@ -203,6 +203,49 @@ object SimilarityQ {
       doc = "Embedding near-duplicate pairs: within-cell (label) pairwise " +
         "cosine >= 0.35 — the IVF-cell-blocked quadratic check."
     ),
+    // ---- centrality over the similarity graph: integer-exact PageRank on
+    // the within-cell cosine near-dup pairs (the d_embed_cosine edges) —
+    // how a pipeline picks the most central representative of a near-dup
+    // cluster. All arithmetic is scaled-integer with floor division, so
+    // the DuckDB oracle unrolls the identical iterations and every rank is
+    // bit-checked.
+    Q(
+      "s_pagerank_sim",
+      (s, d) =>
+        graft.operators.PageRank
+          .pagerankInt(
+            Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.35),
+            iters = 3
+          )
+          .select(col("id").as("vec_id"), col("pr"))
+          .orderBy("vec_id"),
+      Some {
+        val scale = graft.operators.PageRank.Scale
+        val base = scale * 3 / 20
+        s"""WITH p AS (
+           |  SELECT l.vec_id AS a_id, r.vec_id AS b_id
+           |  FROM embeddings l JOIN embeddings r
+           |    ON l.label = r.label AND l.vec_id < r.vec_id
+           |  WHERE ${cosSql("l.embedding", "r.embedding")} >= 0.35
+           |),
+           |e AS (SELECT a_id AS src, b_id AS dst FROM p
+           |      UNION ALL SELECT b_id, a_id FROM p),
+           |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+           |r0 AS (SELECT src AS id, ${scale}::BIGINT AS r FROM deg),
+           |r1 AS (SELECT e.dst AS id, $base + SUM((17 * r0.r) // (20 * deg.deg)) AS r
+           |       FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
+           |r2 AS (SELECT e.dst AS id, $base + SUM((17 * r1.r) // (20 * deg.deg)) AS r
+           |       FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
+           |r3 AS (SELECT e.dst AS id, $base + SUM((17 * r2.r) // (20 * deg.deg)) AS r
+           |       FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY e.dst)
+           |SELECT id AS vec_id, r::BIGINT AS pr FROM r3 ORDER BY vec_id""".stripMargin
+      },
+      doc = "Integer-exact PageRank (3 rounds, 17/20 damping, scaled-long " +
+        "floor-div arithmetic) over the embedding near-dup graph: one " +
+        "edge-join + partial-aggregable groupBy per round, lineage " +
+        "localCheckpointed — bit-identical ranks on any partitioning, " +
+        "fully oracle-checked."
+    ),
     Q(
       "s_quantize",
       (s, d) =>
