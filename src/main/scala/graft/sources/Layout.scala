@@ -60,6 +60,19 @@ object Layout {
     val db = s"graft_bkt_$tag"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     if (!spark.catalog.tableExists(s"$db.orders_b")) {
+      // In-memory catalog: a NEW process doesn't know the tables, but their
+      // warehouse directories survive — and saveAsTable refuses to create a
+      // managed table over an existing location. The materialization is a
+      // rebuildable cache, so clear the stale location and rewrite. (A real
+      // metastore keeps the catalog entry and skips this branch entirely.)
+      val dbLoc = new java.io.File(
+        new java.net.URI(spark.catalog.getDatabase(db).locationUri).getPath
+      )
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (dbLoc.exists()) rm(dbLoc)
       graft.Tables
         .orders(spark, sfDir)
         .write
