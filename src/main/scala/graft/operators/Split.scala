@@ -42,6 +42,80 @@ object Split {
     df.withColumn("bucket", bucket100(col(idCol)))
       .withColumn("split", splitLabel(col(idCol), splits))
 
+  /** Deterministic stratified sample: the k rows of each stratum whose
+    * salted id-hash is smallest — "cap every domain at k docs", decided by
+    * a pure function of the id, so the sample is identical across reruns,
+    * partitionings, and engines.
+    *
+    * Shape at scale: the bounded [[graft.functions.TopKByScore]] aggregate
+    * keeps O(k) state per stratum and reduces every map partition to ≤ k
+    * candidates per stratum BEFORE the exchange — a `row_number()` window
+    * would shuffle and sort every row of the stratum instead. One shuffle
+    * of ≤ k·strata rows total.
+    *
+    * The hash is folded to 52 bits so its double image (TopKByScore scores
+    * are doubles) is exact; ties (same 52-bit hash) break by lower id, the
+    * same total order the oracle's `ORDER BY h52, id` produces.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      k: Int,
+      salt: String = "#sample"
+  ): DataFrame = {
+    val h52 = pmod(
+      md5Long(concat(col(idCol).cast("string"), lit(salt))),
+      lit(TwoPow52)
+    )
+    df.groupBy(col(strataCol))
+      .agg(
+        graft.functions.TopKByScore
+          .topK(-h52.cast("double"), col(idCol), k)
+          .as("picked")
+      )
+      .select(col(strataCol), posexplode(col("picked")).as(Seq("pos", "pick")))
+      .select(
+        col(strataCol),
+        (col("pos") + 1).cast("long").as("sample_rank"),
+        col("pick.id").as(idCol)
+      )
+  }
+
+  /** 2^52: the largest power-of-two hash domain whose values are exact as
+    * doubles (TopKByScore's score type).
+    */
+  val TwoPow52: Long = 1L << 52
+
+  /** Sequence packing for training: assign each document to the fixed
+    * token-budget pack where its first token lands, given the documents of
+    * each group concatenated in id order. `pack_id = (cum_before) div
+    * budget` where cum_before is the running token count of all earlier
+    * docs in the group — the standard "pack documents into budget-length
+    * sequences, split at boundaries" layout, computed without materializing
+    * any sequence.
+    *
+    * Shape at scale: packing is inherently an ordered prefix-sum, so this
+    * is one shuffle + sort per group partition (the window); all arithmetic
+    * is exact LONG. Groups are sources/shards, so partitions stay bounded
+    * by shard size, not corpus size.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      nTokens: Column,
+      budget: Int
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("n_tok", nTokens.cast("long"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tok) div ${budget.toLong}"))
+  }
+
   /** Weighted dataset mixing: keep each row with its source's sampling
     * percent, decided by an md5 bucket of the id salted with "#mix" (so the
     * mix decision is independent of the train/val/test bucket of the same

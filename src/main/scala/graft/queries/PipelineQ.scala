@@ -97,6 +97,86 @@ object PipelineQ {
         "map-only, reproducible sampling (bit-checked per-source counts, " +
         "char sums, and the bucket < rate invariant)."
     ),
+    // ---- deterministic stratified sampling: cap each source at k docs,
+    // picked by smallest salted id-hash. The bounded top-k aggregate keeps
+    // O(k) per-stratum state and pre-reduces each map partition, so the
+    // exchange carries <= k*strata rows no matter the corpus size.
+    Q(
+      "q_sample_stratified",
+      (s, d) =>
+        Split
+          .stratifiedSample(Tables.documents(s, d), "doc_id", "source", k = 5)
+          .orderBy("source", "sample_rank"),
+      Some(
+        s"""WITH h AS (
+           |  SELECT source, doc_id,
+           |    ('0x' || substr(md5(doc_id::VARCHAR || '#sample'), 1, 15))::BIGINT
+           |      % ${Split.TwoPow52} AS h52
+           |  FROM documents
+           |), r AS (
+           |  SELECT source, doc_id,
+           |    row_number() OVER (PARTITION BY source ORDER BY h52, doc_id)
+           |      AS sample_rank
+           |  FROM h
+           |)
+           |SELECT source, sample_rank::BIGINT AS sample_rank, doc_id
+           |FROM r WHERE sample_rank <= 5
+           |ORDER BY source, sample_rank""".stripMargin
+      ),
+      doc = "Deterministic per-source downsample (cap each domain at 5 " +
+        "docs, chosen by smallest salted md5 of doc_id): bounded TopK " +
+        "aggregate, O(k) state per stratum, map-side pre-reduction — the " +
+        "scale-safe form of `row_number() <= k` sampling (bit-checked " +
+        "against the window formulation in DuckDB)."
+    ),
+    // ---- sequence packing: each doc assigned to the fixed token-budget
+    // training sequence where its first token lands (docs of a source
+    // concatenated in doc_id order, sequences split at budget boundaries).
+    Q(
+      "q_pack_sequences",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val packed = Split.packSequences(
+          docs.select(
+            col("doc_id"),
+            col("source"),
+            size(Text.tokensAll(col("text"))).as("n_tokens")
+          ),
+          "doc_id",
+          "source",
+          col("n_tokens"),
+          budget = 256
+        )
+        packed
+          .groupBy(col("source"), col("pack_id"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("pack_tokens"),
+            min(col("doc_id")).as("first_doc")
+          )
+          .orderBy("source", "pack_id")
+      },
+      Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, source, len($toksSql)::BIGINT AS n_tok
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, source, n_tok,
+           |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t
+           |)
+           |SELECT source, (cum - n_tok) // 256 AS pack_id,
+           |  COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS pack_tokens,
+           |  MIN(doc_id) AS first_doc
+           |FROM c GROUP BY source, pack_id
+           |ORDER BY source, pack_id""".stripMargin
+      ),
+      doc = "Token-budget sequence packing (256-token training sequences " +
+        "per source, docs in doc_id order, split at boundaries): ordered " +
+        "prefix-sum window + exact LONG arithmetic; per-pack doc counts " +
+        "and token sums bit-checked."
+    ),
     // ---- the composed cleaning pass: predict language, score quality,
     // keep canonical exact-dedup representatives that pass both gates, and
     // tag each survivor with its split. One scan + one content-hash window

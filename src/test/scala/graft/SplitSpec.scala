@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Split
+
+/** Determinism and boundedness properties of the dataset-assembly
+  * operators behind `q_sample_stratified` and `q_pack_sequences` (the
+  * value-level results are oracle-checked; these pin the properties the
+  * oracle can't see: partitioning-invariance and state bounds).
+  */
+class SplitSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stratifiedSample is invariant under repartitioning and caps at k") {
+    val docs = Tables.documents(spark, sf)
+    val a = Split.stratifiedSample(docs, "doc_id", "source", k = 3)
+    val b = Split.stratifiedSample(docs.repartition(7), "doc_id", "source", k = 3)
+    assert(
+      a.orderBy("source", "sample_rank").collect().toSeq ==
+        b.orderBy("source", "sample_rank").collect().toSeq,
+      "sample must be a pure function of ids, not of partitioning"
+    )
+    val perStratum = a.groupBy("source").count().collect()
+    assert(perStratum.forall(_.getLong(1) <= 3), "no stratum may exceed k")
+  }
+
+  test("stratifiedSample picks the k smallest 52-bit hashes per stratum") {
+    val docs = Tables.documents(spark, sf)
+    val h52 = pmod(
+      graft.util.Cols.md5Long(concat(col("doc_id").cast("string"), lit("#sample"))),
+      lit(Split.TwoPow52)
+    )
+    // reference formulation: full window sort (the shape the aggregate
+    // replaces at scale) — both must select the identical id set
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("h"), col("doc_id"))
+    val viaWindow = docs
+      .select(col("source"), col("doc_id"), h52.as("h"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= 4)
+      .select("source", "sample_rank", "doc_id")
+    val viaAgg = Split.stratifiedSample(docs, "doc_id", "source", k = 4)
+    assert(
+      viaAgg.orderBy("source", "sample_rank").collect().toSeq ==
+        viaWindow.orderBy("source", "sample_rank").collect().toSeq
+    )
+  }
+
+  test("packSequences: packs are contiguous and boundaries respect the budget") {
+    val docs = Tables.documents(spark, sf)
+    val packed = Split
+      .packSequences(
+        docs.select(
+          col("doc_id"),
+          col("source"),
+          size(operators.Text.tokensAll(col("text"))).as("n_tokens")
+        ),
+        "doc_id",
+        "source",
+        col("n_tokens"),
+        budget = 128
+      )
+      .select("source", "doc_id", "n_tok", "cum", "pack_id")
+      .collect()
+      .groupBy(_.getString(0))
+
+    packed.foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // pack_id is exactly the budget-division of the doc's start offset
+      sorted.foreach { r =>
+        val start = r.getLong(3) - r.getLong(2)
+        assert(r.getLong(4) == start / 128, s"$src doc ${r.getLong(1)}")
+      }
+      // pack ids are non-decreasing in doc order and start at pack 0
+      assert(sorted.head.getLong(4) == 0L)
+      assert(
+        sorted.sliding(2).forall(p => p.length < 2 || p(0).getLong(4) <= p(1).getLong(4))
+      )
+    }
+  }
+}
