@@ -302,6 +302,69 @@ object DedupQ {
         "(deterministic hash split) sharing any distinct 4-shingle with " +
         "any train doc, via a gram-keyed semi-join — one shingle scan, " +
         "no train-side dedup, contaminated docs only."
+    ),
+    Q(
+      "d_span_coverage",
+      (s, d) => {
+        // Duplicated-span mass per document (the substring-dedup decision
+        // signal of Lee et al., "Deduplicating Training Data Makes Language
+        // Models Better"): what fraction of a doc's word-4-gram spans also
+        // occur in some other document. High coverage = boilerplate /
+        // copy-pasta candidate for removal.
+        //
+        // Only the 60-bit gram hash crosses the shuffle (8-byte keys; the
+        // gram strings never leave the map side). Persisted: both the DF
+        // count and the join consume the exploded span table. The span-DF
+        // aggregate and the per-doc rollup are both partial-aggregable —
+        // two hash-key shuffles total at any corpus size.
+        import graft.util.Cols.md5Long
+        val docs = Tables.documents(s, d)
+        val spans = docs
+          .select(
+            col("doc_id"),
+            explode(
+              Dedup.wordShingles(Text.tokensAll(col("text")), 4)
+            ).as("g")
+          )
+          .select(col("doc_id"), md5Long(col("g")).as("gh"))
+          .persist()
+        // wordShingles is distinct-per-doc, so plain count == distinct-doc
+        // count per gram (no countDistinct expand needed).
+        val df = spans.groupBy(col("gh")).agg(count(lit(1)).as("g_df"))
+        spans
+          .join(df, Seq("gh"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).cast("long").as("n_spans"),
+            sum(when(col("g_df") >= 2, 1L).otherwise(0L))
+              .cast("long")
+              .as("shared_spans"),
+            max(col("g_df")).cast("long").as("max_span_df")
+          )
+          .withColumn(
+            "dup_coverage",
+            col("shared_spans").cast("double") / col("n_spans")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |         generate_series(1, greatest(len(tk) - 3, 1)),
+           |         i -> array_to_string(tk[i:i+3], ' ')))) AS g FROM t),
+           |df AS (SELECT g, COUNT(*) AS g_df FROM sh GROUP BY g)
+           |SELECT s.doc_id, COUNT(*) AS n_spans,
+           |  SUM(CASE WHEN d.g_df >= 2 THEN 1 ELSE 0 END)::BIGINT AS shared_spans,
+           |  MAX(d.g_df)::BIGINT AS max_span_df,
+           |  SUM(CASE WHEN d.g_df >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)
+           |    AS dup_coverage
+           |FROM sh s JOIN df d ON s.g = d.g
+           |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+      ),
+      doc = "Per-document duplicated-span coverage (fraction of distinct " +
+        "word-4-grams shared with any other doc) — the Lee-et-al " +
+        "substring-dedup signal; exact integer counts + one final " +
+        "division, hash-keyed shuffles only."
     )
   )
 }

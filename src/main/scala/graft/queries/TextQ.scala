@@ -439,6 +439,77 @@ object TextQ {
         "digested). Patterns restricted to the Java-regex ∩ RE2 common " +
         "subset (no backreferences/lookaround) so both engines agree. " +
         "Map-only single scan."
+    ),
+    Q(
+      "t_pmi_collocations",
+      (s, d) => {
+        // Corpus collocations: the 20 bigrams most over-represented vs
+        // their unigrams' independence baseline. Ranked by the exact
+        // integer quotient (c_xy * 1e6) div (c_x * c_y), which orders
+        // identically to PMI = log(N * c_xy / (c_x * c_y)) at fixed N —
+        // log() is libm-dependent across engines, integer division is not.
+        //
+        // Shape at scale: unigram counts are vocabulary-bounded, so both
+        // joins broadcast; bigram counts are one partial-aggregable
+        // shuffle; the final top-20 is TakeOrderedAndProject (no global
+        // sort materialization).
+        val toks = Tables
+          .documents(s, d)
+          .select(graft.operators.Text.tokensAll(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+        val uni = toks
+          .select(explode(col("tk")).as("w"))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("c_w"))
+        val bg = toks
+          .select(
+            explode(graft.operators.Dedup.wordShinglesAll(col("tk"), 2)).as("bg")
+          )
+          .groupBy(col("bg"))
+          .agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 5)
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .withColumn("w2", split(col("bg"), " ").getItem(1))
+        bg.join(
+            broadcast(uni.select(col("w").as("w1"), col("c_w").as("c_x"))),
+            Seq("w1")
+          )
+          .join(
+            broadcast(uni.select(col("w").as("w2"), col("c_w").as("c_y"))),
+            Seq("w2")
+          )
+          .withColumn("score_e6", expr("(c_xy * 1000000) div (c_x * c_y)"))
+          .orderBy(
+            col("score_e6").desc,
+            col("c_xy").desc,
+            col("w1"),
+            col("w2")
+          )
+          .select("w1", "w2", "c_xy", "c_x", "c_y", "score_e6")
+          .limit(20)
+      },
+      Some(
+        s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+           |t2 AS (SELECT tk FROM t WHERE len(tk) >= 2),
+           |cu AS (SELECT w, COUNT(*) AS c_w
+           |       FROM (SELECT unnest(tk) AS w FROM t2) GROUP BY w),
+           |cb AS (SELECT bg, COUNT(*) AS c_xy
+           |       FROM (SELECT unnest(list_transform(
+           |              generate_series(1, len(tk) - 1),
+           |              i -> array_to_string(tk[i:i+1], ' '))) AS bg FROM t2)
+           |       GROUP BY bg HAVING COUNT(*) >= 5),
+           |sp AS (SELECT split_part(bg, ' ', 1) AS w1,
+           |              split_part(bg, ' ', 2) AS w2, c_xy FROM cb)
+           |SELECT w1, w2, c_xy, x.c_w AS c_x, y.c_w AS c_y,
+           |  (c_xy * 1000000) // (x.c_w * y.c_w) AS score_e6
+           |FROM sp JOIN cu x ON sp.w1 = x.w JOIN cu y ON sp.w2 = y.w
+           |ORDER BY score_e6 DESC, c_xy DESC, w1, w2 LIMIT 20""".stripMargin
+      ),
+      doc = "Top-20 PMI collocations (bigram lift over unigram " +
+        "independence), min support 5: ranked by the exact integer " +
+        "quotient (c_xy*1e6) div (c_x*c_y) — the same order as PMI at " +
+        "fixed N, without cross-engine log() drift. Vocabulary-bounded " +
+        "broadcast joins + one bigram shuffle + bounded top-k."
     )
   )
 }

@@ -284,4 +284,19 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges >= 2, s"expected (key,salt) + key exchanges, got $exchanges:\n${plan.take(1500)}")
     assert(plan.contains("partial_collect_set"), plan.take(1500))
   }
+
+  test("PMI collocations: unigram sides broadcast; top-20 is bounded, not a global sort") {
+    val plan = physical("t_pmi_collocations")
+    assert(
+      plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "both vocabulary-bounded unigram joins must broadcast:\n" + plan.take(1500)
+    )
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
+  test("stratified sample: bounded top-k aggregate, no row_number window") {
+    val plan = physical("q_sample_stratified")
+    assert(plan.contains("partial_topkbyscore") || plan.contains("TopKByScore"), plan.take(1500))
+    assert(!plan.contains("Window"), "sample must not plan a window sort:\n" + plan.take(1500))
+  }
 }
