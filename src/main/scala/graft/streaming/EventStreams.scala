@@ -113,6 +113,90 @@ object EventStreams {
       )(updateUser(ttlMs))
   }
 
+  /** [[runningUserStats]] re-expressed on Spark 4's `transformWithState`
+    * API (the successor of `mapGroupsWithState`): explicit named state
+    * variables in the state store instead of one opaque case class, and
+    * explicit event-time timers instead of `setTimeoutTimestamp`.
+    *
+    * Semantics are kept identical to [[updateUser]] so the two APIs are
+    * parity-testable: accumulate per user, emit the rollup every trigger,
+    * and when a user is idle past `ttlMs` of EVENT time (timer fires once
+    * the watermark passes), emit the final rollup and evict the state.
+    * Exactly one live timer per user — each batch deletes the previous
+    * deadline before registering the new one, so a stale timer can never
+    * evict a still-active user.
+    *
+    * Requires the RocksDB state store provider under streaming execution
+    * (`spark.sql.streaming.stateStore.providerClass`) — which is also the
+    * right provider at scale: state lives off-heap per executor, bounded
+    * by ACTIVE users, with changelog checkpointing.
+    */
+  class UserStatsProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserStats] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var stats: ValueState[UserStats] = _
+    @transient private var deadline: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      stats = getHandle
+        .getValueState[UserStats]("stats", Encoders.product[UserStats], TTLConfig.NONE)
+      deadline = getHandle
+        .getValueState[Long]("deadline", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        userId: Long,
+        events: Iterator[UserEvent],
+        timers: TimerValues
+    ): Iterator[UserStats] = {
+      val batch = events.toSeq
+      val prev = if (stats.exists()) stats.get() else UserStats(userId, 0L, 0.0)
+      val next = UserStats(
+        userId,
+        prev.n_events + batch.size,
+        prev.total_value + batch.map(_.value).sum
+      )
+      stats.update(next)
+      if (deadline.exists()) getHandle.deleteTimer(deadline.get())
+      val due = batch.map(_.event_time.getTime).max + ttlMs
+      getHandle.registerTimer(due)
+      deadline.update(due)
+      Iterator.single(next)
+    }
+
+    override def handleExpiredTimer(
+        userId: Long,
+        timers: TimerValues,
+        info: ExpiredTimerInfo
+    ): Iterator[UserStats] = {
+      val out =
+        if (stats.exists()) Iterator.single(stats.get()) else Iterator.empty
+      stats.clear()
+      deadline.clear()
+      out
+    }
+  }
+
+  /** [[runningUserStats]] on the `transformWithState` API — same contract,
+    * see [[UserStatsProcessor]].
+    */
+  def runningUserStatsTws(
+      events: Dataset[UserEvent],
+      ttlMs: Long = 3600L * 1000
+  ): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", "10 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new UserStatsProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update()
+      )
+  }
+
   /** Stream-stream interval join (attribution): each left event matched to
     * the same key's right events inside `[left_time - lookback, left_time]`.
     * Both sides carry watermarks and the join condition bounds event-time

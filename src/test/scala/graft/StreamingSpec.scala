@@ -108,6 +108,63 @@ class StreamingSpec extends AnyFunSuite {
     def toMap0: Map[Long, (Long, Double)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("transformWithState rollup matches mapGroupsWithState semantics (accumulate + TTL evict)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(t: String) = Timestamp.valueOf(t)
+    // transformWithState requires the RocksDB state store provider
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(
+      provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val stream = MemoryStream[UserEvent]
+    val q = EventStreams
+      .runningUserStatsTws(stream.toDS(), ttlMs = 3600L * 1000)
+      .writeStream
+      .format("memory")
+      .queryName("user_stats_tws")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // the exact batch schedule of the mapGroupsWithState test above —
+      // the two APIs must produce the same emissions
+      stream.addData(
+        UserEvent(1L, "click", 1.0, at("2024-01-01 09:55:00")),
+        UserEvent(1L, "view", 2.0, at("2024-01-01 10:00:00"))
+      )
+      q.processAllAvailable()
+      stream.addData(UserEvent(1L, "click", 4.0, at("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      stream.addData(UserEvent(2L, "click", 7.0, at("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      stream.addData(UserEvent(2L, "view", 1.0, at("2024-01-01 14:01:00")))
+      q.processAllAvailable()
+      stream.addData(UserEvent(1L, "click", 5.0, at("2024-01-01 14:30:00")))
+      q.processAllAvailable()
+      val rows = spark
+        .table("user_stats_tws")
+        .as[(Long, Long, Double)]
+        .collect()
+        .toSeq
+      val u1 = rows.filter(_._1 == 1L).map(r => (r._2, r._3))
+      assert(u1.contains((3L, 7.0)), s"pre-eviction rollup accumulated: $u1")
+      assert(
+        u1.contains((1L, 5.0)),
+        s"post-eviction event must restart from fresh state (timer eviction): $u1"
+      )
+      val u2 = rows.filter(_._1 == 2L).map(r => (r._2, r._3))
+      assert(u2.contains((2L, 8.0)), s"user 2 accumulated: $u2")
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("streamingSessions closes sessions on in-batch gaps and on watermark timeouts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
