@@ -311,6 +311,44 @@ object Similarity {
       )
   }
 
+  /** Per-label centroid of the int8-quantized embeddings, dimension-wise:
+    * the class-prototype computation behind nearest-centroid classifiers,
+    * embedding-drift monitors, and IVF re-training. Quantizing first
+    * ([[quantizeInt8]]'s exact round-half-up formula) makes the aggregate
+    * integer-exact — a mean of raw floats is summation-order-dependent and
+    * can't be cross-engine-checked; the quantized mean is one exact LONG
+    * sum and a single final division.
+    *
+    * Shape at scale: the posexplode multiplies rows by dim, but the
+    * partial aggregate reduces every map partition to |labels|x|dims|
+    * rows before the one exchange — the shuffle is prototype-sized, not
+    * corpus-sized.
+    */
+  def labelCentroids(corpus: DataFrame): DataFrame = {
+    val absMax = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val scale = greatest(absMax, lit(1e-30)) / 127.0
+    corpus
+      .withColumn("scale", scale)
+      .select(
+        col("label"),
+        posexplode(
+          transform(
+            col("embedding"),
+            x => floor(x.cast("double") / col("scale") + 0.5).cast("long")
+          )
+        ).as(Seq("dim", "qv"))
+      )
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qv")).as("q_sum"))
+      .select(
+        col("label"),
+        col("dim").cast("long").as("dim"),
+        col("n_vecs").cast("long").as("n_vecs"),
+        col("q_sum"),
+        (col("q_sum").cast("double") / col("n_vecs")).as("centroid_q")
+      )
+  }
+
   /** Embedding near-duplicate pairs: within-cell pairwise cosine >= thr.
     * The cell id bounds the quadratic term exactly like an IVF cell.
     */

@@ -268,6 +268,33 @@ object SimilarityQ {
       doc = "Symmetric int8 scalar quantization of the embedding column " +
         "(per-vector scale = max|x|/127, explicit round-half-up) — the 4x " +
         "storage cut for vector corpora, map-only, bit-checked end to end."
+    ),
+    Q(
+      "s_centroids",
+      (s, d) =>
+        Similarity
+          .labelCentroids(Tables.embeddings(s, d))
+          .orderBy("label", "dim"),
+      Some(
+        """WITH q AS (
+          |  SELECT label,
+          |    greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-30) / 127.0 AS scale,
+          |    embedding::DOUBLE[] AS e
+          |  FROM embeddings
+          |), dv AS (
+          |  SELECT label,
+          |    unnest(generate_series(0, len(e) - 1)) AS dim,
+          |    unnest(list_transform(e, x -> floor(x / scale + 0.5)::BIGINT)) AS qv
+          |  FROM q
+          |)
+          |SELECT label, dim::BIGINT AS dim, COUNT(*) AS n_vecs,
+          |  SUM(qv)::BIGINT AS q_sum, SUM(qv)::DOUBLE / COUNT(*) AS centroid_q
+          |FROM dv GROUP BY label, dim ORDER BY label, dim""".stripMargin
+      ),
+      doc = "Per-label dimension-wise centroid over int8-quantized " +
+        "embeddings (class prototypes / drift baseline): exact LONG sums " +
+        "+ one final division; the explode's partial aggregate shrinks " +
+        "every map partition to |labels|x|dims| rows pre-exchange."
     )
   )
 }

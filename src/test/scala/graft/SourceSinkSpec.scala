@@ -177,4 +177,33 @@ class SourceSinkSpec extends AnyFunSuite {
       ).collect()(0)
     assert(sums(a) === sums(b))
   }
+
+  test("schema evolution: mergeSchema unions columns across parquet generations") {
+    // a long-lived 100 TB dataset is written by many pipeline versions; a
+    // column added in v2 must read as NULL for v1 files, with widened schema
+    val dir = tmp("evolve")
+    Seq((1L, "a"), (2L, "b"))
+      .toDF("id", "name")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/gen=1")
+    Seq((3L, "c", 0.5), (4L, "d", 0.7))
+      .toDF("id", "name", "score")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("gen", "id", "name", "score"))
+    assert(merged.count() === 4)
+    // v1 rows surface the evolved column as NULL, v2 rows keep their values
+    assert(merged.filter(col("score").isNull).count() === 2)
+    assert(
+      merged.filter(col("gen") === 2).agg(sum(col("score").cast("decimal(18,1)")))
+        .head().getDecimal(0) === new java.math.BigDecimal("1.2")
+    )
+    // without mergeSchema, the picked footer must still read the union dir
+    // without failing on the missing column (pruned to the common subset)
+    val plain = spark.read.parquet(dir).select("id", "name")
+    assert(plain.count() === 4)
+  }
 }
