@@ -510,6 +510,65 @@ object TextQ {
         "quotient (c_xy*1e6) div (c_x*c_y) — the same order as PMI at " +
         "fixed N, without cross-engine log() drift. Vocabulary-bounded " +
         "broadcast joins + one bigram shuffle + bounded top-k."
+    ),
+    Q(
+      "t_cm_freq",
+      (s, d) => {
+        // Count-Min sketch point-frequency estimates for the corpus's
+        // top-20 tokens, next to their true counts. The sketch is the
+        // mergeable O(d*w)-state aggregate; reading it back is pure
+        // built-in expressions. md5-salted rows make every counter (and
+        // so every estimate) a deterministic function of the token
+        // multiset — the oracle recomputes the same counters in SQL.
+        import graft.functions.CountMinSketchAgg
+        val (depth, width) = (4, 256)
+        val tokens = Tables
+          .documents(s, d)
+          .select(explode(Text.tokensAll(col("text"))).as("t"))
+        val counts = tokens.groupBy(col("t")).agg(count(lit(1)).as("true_count"))
+        val top = counts.orderBy(col("true_count").desc, col("t")).limit(20)
+        val sketch =
+          tokens.agg(CountMinSketchAgg.cmSketch(col("t"), depth, width).as("sk"))
+        top
+          .crossJoin(broadcast(sketch))
+          .withColumn(
+            "cm_est",
+            CountMinSketchAgg.estimate(col("sk"), col("t"), depth, width)
+          )
+          .select(
+            col("t").as("word"),
+            col("true_count"),
+            col("cm_est"),
+            (col("cm_est") - col("true_count")).as("overcount")
+          )
+          .orderBy(col("true_count").desc, col("word"))
+      },
+      Some {
+        val (depth, width) = (4, 256)
+        def b(j: Int, e: String) =
+          s"('0x' || substr(md5($e || '#cm$j'), 1, 15))::BIGINT % $width"
+        val rowSums = (0 until depth)
+          .map(j => s"r$j AS (SELECT ${b(j, "t")} AS b, SUM(true_count) AS s FROM c GROUP BY 1)")
+          .mkString(",\n")
+        val joins = (0 until depth)
+          .map(j => s"JOIN r$j ON ${b(j, "top.t")} = r$j.b")
+          .mkString("\n")
+        val estExpr = s"least(${(0 until depth).map(j => s"r$j.s").mkString(", ")})"
+        s"""WITH tk AS (SELECT unnest($toksSql) AS t FROM documents),
+           |c AS (SELECT t, COUNT(*) AS true_count FROM tk GROUP BY t),
+           |$rowSums,
+           |top AS (SELECT t, true_count FROM c ORDER BY true_count DESC, t LIMIT 20)
+           |SELECT top.t AS word, top.true_count AS true_count,
+           |  $estExpr AS cm_est,
+           |  $estExpr - top.true_count AS overcount
+           |FROM top
+           |$joins
+           |ORDER BY true_count DESC, word""".stripMargin
+      },
+      doc = "Count-Min sketch frequency estimation (d=4, w=256, mergeable " +
+        "O(d*w) aggregate state) checked value-exactly against a DuckDB " +
+        "recomputation of every counter: top-20 tokens with true count, " +
+        "CM estimate, and overcount (always >= 0 by the CM guarantee)."
     )
   )
 }
