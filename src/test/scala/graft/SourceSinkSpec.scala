@@ -206,4 +206,59 @@ class SourceSinkSpec extends AnyFunSuite {
     val plain = spark.read.parquet(dir).select("id", "name")
     assert(plain.count() === 4)
   }
+
+  test("malformed records: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST fails") {
+    // at 100 TB some fraction of ingested lines IS garbage; the read-mode
+    // contract decides whether a pipeline quarantines, skips, or halts
+    val dir = tmp("corrupt")
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part.json"),
+      Seq(
+        """{"id": 1, "name": "ok"}""",
+        """{"id": "notanumber", "name": "bad-type"}""",
+        """{broken json""",
+        """{"id": 4, "name": "ok2"}"""
+      ).mkString("\n").getBytes("UTF-8")
+    )
+    val schema = "id LONG, name STRING, _corrupt_record STRING"
+
+    // cache(): Spark disallows queries that touch ONLY the corrupt-record
+    // column of a raw file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val permissive = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache()
+    // quarantine split: good rows parse, bad rows carry their raw line
+    assert(permissive.filter(col("_corrupt_record").isNull).count() === 2)
+    val quarantined = permissive
+      .filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record")
+      .as[String]
+      .collect()
+    assert(quarantined.length === 2)
+    assert(quarantined.exists(_.contains("notanumber")))
+    assert(quarantined.exists(_.contains("{broken json")))
+
+    // DROPMALFORMED evaluates malformedness against the REQUIRED schema
+    // (a documented Spark nuance): count() needs no fields, so only the
+    // syntactically broken line is dropped — but any query that actually
+    // reads `id` re-parses it and also drops the type-mismatched record.
+    // Pipelines must therefore not rely on stable counts under this mode;
+    // PERMISSIVE + quarantine (above) is the deterministic contract.
+    val dropped = spark.read
+      .schema("id LONG, name STRING")
+      .option("mode", "DROPMALFORMED")
+      .json(dir)
+    assert(dropped.count() === 3)
+    assert(dropped.filter(col("id").isNotNull).count() === 2)
+
+    val failfast = spark.read
+      .schema("id LONG, name STRING")
+      .option("mode", "FAILFAST")
+      .json(dir)
+    intercept[org.apache.spark.SparkException] { failfast.collect() }
+  }
 }
