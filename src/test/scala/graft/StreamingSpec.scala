@@ -108,6 +108,41 @@ class StreamingSpec extends AnyFunSuite {
     def toMap0: Map[Long, (Long, Double)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("streaming CM-sketch maintenance: merged batch partials equal the whole-corpus sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_skstream").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val (half1, half2) = docs.splitAt(docs.length / 2)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.SketchStream
+      .sketchUpsert(stream.toDF().toDF("doc_id", "text"), dir)
+      .start()
+    try {
+      stream.addData(half1: _*); q.processAllAvailable()
+      stream.addData(half2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val merged = graft.streaming.SketchStream.mergedSketch(spark, dir)
+    // ground truth: one batch aggregate over the full corpus — the
+    // mergeable-state property says the two must be bit-identical
+    val whole = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(operators.Text.tokensAll(col("text"))).as("t"))
+      .agg(graft.functions.CountMinSketchAgg.cmSketch(col("t"), 4, 256))
+      .head().getSeq[Long](0)
+    assert(merged.toSeq === whole, "batch partials must merge to the corpus sketch")
+
+    // replay idempotence: re-writing a batch partition cannot double-count
+    val before = merged.sum
+    val rewrite = spark.createDataset(half2).toDF("doc_id", "text")
+      .select(explode(operators.Text.tokensAll(col("text"))).as("t"))
+      .agg(graft.functions.CountMinSketchAgg.cmSketch(col("t"), 4, 256).as("sk"))
+    rewrite.write.mode("overwrite").parquet(s"$dir/sketches/batch_id=1")
+    assert(graft.streaming.SketchStream.mergedSketch(spark, dir).sum === before)
+  }
+
   test("transformWithState rollup matches mapGroupsWithState semantics (accumulate + TTL evict)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
