@@ -207,6 +207,44 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(plain.count() === 4)
   }
 
+  test("z-order layout: file min/max stats can skip on EITHER clustered column") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val zDir = tmp("zorder")
+    val linDir = tmp("linear")
+    graft.sources.Layout.writeZOrdered(li, zDir, Seq("l_partkey", "l_suppkey"), nFiles = 16)
+    // the baseline every warehouse ships: linear sort on the leading column
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(linDir)
+
+    // a file is skippable for `c = v` when v falls outside its [min, max] —
+    // exactly the footer-stats test the parquet reader applies
+    def skippable(dir: String, c: String, v: Long): Int = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      files.count { f =>
+        val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+        v < r.getLong(0) || v > r.getLong(1)
+      }
+    }
+    val (pMid, sMid) = {
+      val r = li.agg(
+        expr("percentile(l_partkey, 0.5)"), expr("percentile(l_suppkey, 0.5)")
+      ).head()
+      (r.getDouble(0).toLong, r.getDouble(1).toLong)
+    }
+    // linear layout: excellent on the sort column, useless on the other
+    assert(skippable(linDir, "l_partkey", pMid) >= 12)
+    assert(skippable(linDir, "l_suppkey", sMid) <= 2)
+    // z-order: skips meaningfully on BOTH dimensions
+    val zp = skippable(zDir, "l_partkey", pMid)
+    val zs = skippable(zDir, "l_suppkey", sMid)
+    assert(zp >= 6, s"zorder should skip on l_partkey, skipped $zp/16")
+    assert(zs >= 6, s"zorder should skip on l_suppkey, skipped $zs/16")
+    // and the rewrite is content-preserving
+    assert(spark.read.parquet(zDir).count() === li.count())
+  }
+
   test("malformed records: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST fails") {
     // at 100 TB some fraction of ingested lines IS garbage; the read-mode
     // contract decides whether a pipeline quarantines, skips, or halts
