@@ -127,21 +127,27 @@ object Layout {
         lit(top.toDouble)
       ).cast("long")
     }
-    // interleave: bit b of column i lands at position b * nCols + i.
-    // Disjoint targets, so a plain sum composes the OR — stays codegen.
-    val n = zCols.size
-    val morton = (for {
-      b <- 0 until bits
-      (q, i) <- quantized.zipWithIndex
-    } yield shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * n + i))
-      .reduce[Column](_ + _)
-    df.withColumn("_z", morton)
+    df.withColumn("_z", mortonCode(quantized, bits))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write
       .mode("overwrite")
       .parquet(path)
+  }
+
+  /** Morton (z-curve) bit interleave of pre-quantized coordinates: bit b
+    * of column i lands at position `b * nCols + i`. The targets are
+    * disjoint, so a plain sum composes the OR and the whole code stays
+    * inside whole-stage codegen. Inputs must be in `[0, 2^bits)`.
+    */
+  def mortonCode(quantized: Seq[Column], bits: Int): Column = {
+    val n = quantized.size
+    (for {
+      b <- 0 until bits
+      (q, i) <- quantized.zipWithIndex
+    } yield shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * n + i))
+      .reduce[Column](_ + _)
   }
 
   /** Small-files compaction: rewrite a parquet directory into

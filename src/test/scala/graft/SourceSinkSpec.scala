@@ -245,6 +245,24 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(zDir).count() === li.count())
   }
 
+  test("morton code round-trips: de-interleaving recovers both coordinates") {
+    val bits = 16
+    // deterministic pseudo-random 16-bit pairs via the engine's own md5-60
+    val pairs = spark.range(500).select(
+      pmod(graft.util.Cols.md5Long(concat(col("id"), lit("#zx"))), lit(1L << bits)).as("a"),
+      pmod(graft.util.Cols.md5Long(concat(col("id"), lit("#zy"))), lit(1L << bits)).as("b")
+    )
+    val coded = pairs
+      .withColumn("z", graft.sources.Layout.mortonCode(Seq(col("a"), col("b")), bits))
+      .collect()
+    def deinterleave(z: Long, which: Int): Long =
+      (0 until bits).map(b => ((z >> (b * 2 + which)) & 1L) << b).sum
+    coded.foreach { r =>
+      assert(deinterleave(r.getLong(2), 0) === r.getLong(0))
+      assert(deinterleave(r.getLong(2), 1) === r.getLong(1))
+    }
+  }
+
   test("malformed records: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST fails") {
     // at 100 TB some fraction of ingested lines IS garbage; the read-mode
     // contract decides whether a pipeline quarantines, skips, or halts
