@@ -405,6 +405,72 @@ object Events {
              |ORDER BY o_orderkey""".stripMargin),
       doc = "RANGE-frame window (value-based, not row-based): trailing " +
         "30-day per-customer order count and exact-decimal spend."
+    ),
+    // ---- behavioral funnel: signup → view → click → purchase, each stage
+    // strictly after the previous one (ORDERED sequence matching, not mere
+    // co-occurrence). Four per-type filtered aggregates chained by same-key
+    // joins on user_id: every scan pushes its event_type filter to parquet,
+    // every join is an equi-join on the funnel key, all time math is exact
+    // integer nanos. At 100 TB this is 4 pushed scans + 3 same-key hash
+    // joins — no window over the full event stream, no per-user event-list
+    // materialization.
+    Q(
+      "q_funnel",
+      (s, d) => {
+        // DuckDB's parquet reader truncates TIMESTAMP(NANOS) to micros,
+        // so the funnel's time axis is exact integer MICROS on both sides
+        val ev = Tables
+          .events(s, d)
+          .withColumn("ts", expr("ts DIV 1000"))
+        def stage(t: String) = ev.filter(col("event_type") === t)
+        val s1 = stage("signup").groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val s2 = stage("view")
+          .join(s1, "user_id")
+          .filter(col("ts") > col("t1"))
+          .groupBy("user_id")
+          .agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+        val s3 = stage("click")
+          .join(s2, "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy("user_id")
+          .agg(min(col("ts")).as("t3"), min(col("t2")).as("t2"))
+        val s4 = stage("purchase")
+          .join(s3, "user_id")
+          .filter(col("ts") > col("t3"))
+          .groupBy("user_id")
+          .agg(min(col("ts")).as("t4"), min(col("t3")).as("t3"))
+        def row(idx: Int, name: String, df: org.apache.spark.sql.DataFrame, lag: org.apache.spark.sql.Column) =
+          df.agg(
+            lit(idx).cast("long").as("stage_idx"),
+            lit(name).as("stage"),
+            count(lit(1)).as("n_users"),
+            coalesce(sum(lag), lit(0L)).as("sum_lag_us")
+          )
+        row(1, "signup", s1, lit(0L))
+          .unionAll(row(2, "view", s2, col("t2") - col("t1")))
+          .unionAll(row(3, "click", s3, col("t3") - col("t2")))
+          .unionAll(row(4, "purchase", s4, col("t4") - col("t3")))
+          .orderBy("stage_idx")
+      },
+      Some(
+        """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ns FROM events),
+          |s1 AS (SELECT user_id, MIN(ns) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+          |s2 AS (SELECT e.user_id, MIN(ns) AS t2, MIN(t1) AS t1 FROM e JOIN s1 USING (user_id)
+          |       WHERE event_type = 'view' AND ns > t1 GROUP BY e.user_id),
+          |s3 AS (SELECT e.user_id, MIN(ns) AS t3, MIN(t2) AS t2 FROM e JOIN s2 USING (user_id)
+          |       WHERE event_type = 'click' AND ns > t2 GROUP BY e.user_id),
+          |s4 AS (SELECT e.user_id, MIN(ns) AS t4, MIN(t3) AS t3 FROM e JOIN s3 USING (user_id)
+          |       WHERE event_type = 'purchase' AND ns > t3 GROUP BY e.user_id)
+          |SELECT 1::BIGINT AS stage_idx, 'signup' AS stage, COUNT(*) AS n_users, 0::BIGINT AS sum_lag_us FROM s1
+          |UNION ALL SELECT 2, 'view', COUNT(*), COALESCE(SUM(t2 - t1), 0)::BIGINT FROM s2
+          |UNION ALL SELECT 3, 'click', COUNT(*), COALESCE(SUM(t3 - t2), 0)::BIGINT FROM s3
+          |UNION ALL SELECT 4, 'purchase', COUNT(*), COALESCE(SUM(t4 - t3), 0)::BIGINT FROM s4
+          |ORDER BY stage_idx""".stripMargin
+      ),
+      doc = "Ordered behavioral funnel (signup > view > click > purchase, " +
+        "each stage strictly later than the previous): per-stage reached-" +
+        "user counts and exact integer-nanos conversion-lag sums; pushed " +
+        "per-type scans + same-key joins, no full-stream window."
     )
   )
 }
