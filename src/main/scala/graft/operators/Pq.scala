@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.util.Cols._
+
+/** Product quantization (PQ) — the memory side of the large-scale vector
+  * index family (IVF narrows WHERE to look, PQ shrinks WHAT is stored):
+  * each embedding is split into `m` sub-vectors; every sub-vector is
+  * replaced by the id of its nearest block codebook centroid, so a
+  * D-float vector compresses to m small codes (here 8 codes for 64
+  * floats). Search runs over the codes via asymmetric distance
+  * computation (ADC): the query precomputes, per block, its L2 distance
+  * to each centroid; a candidate's approximate distance is then m array
+  * lookups and a sum — no float vector is ever read at query time.
+  *
+  * Everything is deterministic (md5-ordered seeds, exact-decimal means,
+  * ties to the lower code), so codes, reconstruction errors, and recall
+  * are stable, checkable quantities across engines and cluster layouts.
+  *
+  * Scale shape: codebooks are O(m·ksub·dsub) driver state (1 KB here,
+  * never corpus-sized); training is per-iteration corpus scans with
+  * partial-aggregable decimal means; encode is a map-only argmin against
+  * literal centroids; ADC search broadcasts the (tiny) query tables and
+  * reduces candidates with the bounded top-k aggregate.
+  */
+object Pq {
+
+  /** block codebooks: codebooks(b)(j) = centroid j of block b. */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  /** Squared L2 between an array slice and a literal centroid, written as
+    * `(x·x - 2·x·c) + c·c` with left-to-right dots (VecDot mirrors DuckDB
+    * `list_dot_product`), so both engines compute the identical double.
+    */
+  private def d2(xs: Column, c: Array[Double]): Column = {
+    val cs = typedLit(c.toSeq)
+    (dot(xs, xs) - lit(2.0) * dot(xs, cs)) + lit(c.map(v => v * v).sum)
+  }
+
+  private def blockSlice(emb: Column, b: Int, dsub: Int): Column =
+    slice(emb, b * dsub + 1, dsub)
+
+  /** argmin centroid id for one block: lexicographic min over
+    * (d2, code) structs — ties take the lower code on both engines.
+    */
+  private def codeOf(emb: Column, cb: Array[Array[Double]], b: Int, dsub: Int): Column =
+    array_min(
+      array(cb.zipWithIndex.map { case (c, j) =>
+        struct(d2(blockSlice(emb, b, dsub), c).as("d2"), lit(j.toLong).as("code"))
+      }.toIndexedSeq: _*)
+    ).getField("code")
+
+  /** Deterministic seed codebooks: the `ksub` corpus vectors in salted-md5
+    * order of vec_id, sliced per block — reproducible in SQL, no RNG.
+    */
+  def seedCodebooks(corpus: DataFrame, m: Int, ksub: Int, dim: Int): Codebooks = {
+    val dsub = dim / m
+    val seeds = corpus
+      .orderBy(md5Long(concat(col("vec_id").cast("string"), lit("#pq"))), col("vec_id"))
+      .limit(ksub)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    Array.tabulate(m)(b => seeds.map(v => v.slice(b * dsub, b * dsub + dsub)))
+  }
+
+  /** Lloyd's per-block k-means refinement of [[seedCodebooks]]: every
+    * iteration is ONE corpus scan that explodes each vector into its m
+    * (block, code, sub-vector) assignments and recomputes all m codebooks
+    * with order-insensitive exact-decimal means. Empty clusters keep their
+    * previous centroid. Driver state stays O(m·ksub·dsub).
+    */
+  def trainCodebooks(
+      corpus: DataFrame,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      iters: Int
+  ): Codebooks = {
+    val dsub = dim / m
+    val emb = corpus.select(col("embedding")).cache()
+    var cb = seedCodebooks(corpus, m, ksub, dim)
+    var it = 0
+    while (it < iters) {
+      val assigned = emb
+        .select(
+          explode(
+            array((0 until m).map { b =>
+              struct(
+                lit(b).as("blk"),
+                codeOf(col("embedding"), cb(b), b, dsub).as("code"),
+                blockSlice(col("embedding"), b, dsub).as("xs")
+              )
+            }: _*)
+          ).as("e")
+        )
+        .select(col("e.blk"), col("e.code"), posexplode(col("e.xs")).as(Seq("pos", "x")))
+        .groupBy(col("blk"), col("code"), col("pos"))
+        .agg(
+          (sum(col("x").cast(DecimalType(38, 9))).cast(DoubleType) / count(lit(1))).as("mv")
+        )
+        .groupBy(col("blk"), col("code"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("mv")))),
+            s => s.getField("mv")
+          ).as("centroid")
+        )
+        .collect()
+      val next = cb.map(_.map(identity)) // start from previous (empty-cluster keep)
+      assigned.foreach { r =>
+        next(r.getInt(0))(r.getLong(1).toInt) = r.getSeq[Double](2).toArray
+      }
+      cb = next
+      it += 1
+    }
+    emb.unpersist()
+    cb
+  }
+
+  /** Map-only encode: (vec_id, codes array<long> of length m). */
+  def encode(corpus: DataFrame, cb: Codebooks, dim: Int): DataFrame = {
+    val m = cb.length
+    val dsub = dim / m
+    corpus.select(
+      col("vec_id"),
+      array((0 until m).map(b => codeOf(col("embedding"), cb(b), b, dsub)): _*).as("codes")
+    )
+  }
+
+  /** Exact L2 top-k — the ground truth ADC approximates (PQ quantizes
+    * EUCLIDEAN cells; cosine order differs unless vectors are normalized,
+    * so the recall contract must compare like with like).
+    */
+  def bruteTopKL2(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val d2full =
+      (dot(col("q_emb"), col("q_emb")) - lit(2.0) * dot(col("q_emb"), col("c_emb"))) +
+        dot(col("c_emb"), col("c_emb"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), (-d2full).as("cos"))
+    Similarity
+      .topKExplode(scored, k)
+      .select(col("query_id"), col("neighbor_id"), (-col("cos")).as("d2"), col("rank"))
+  }
+
+  /** ADC top-k: per query, per block, the distance table to every centroid
+    * is a literal-codebook expression over the query vector (map-only on
+    * the tiny query side, then broadcast); a candidate's approximate
+    * distance is m `element_at` lookups + a left-to-right sum. Candidates
+    * reduce via the bounded top-k aggregate — the exchange carries
+    * O(partitions × |Q| × k) rows, never the corpus.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      cb: Codebooks,
+      dim: Int,
+      k: Int
+  ): DataFrame = {
+    val m = cb.length
+    val dsub = dim / m
+    val qt = queries.select(
+      (col("vec_id").as("query_id") +:
+        (0 until m).map { b =>
+          array(cb(b).map(c => d2(blockSlice(col("embedding"), b, dsub), c)).toIndexedSeq: _*)
+            .as(s"qt_$b")
+        }): _*
+    )
+    val codes = encode(corpus, cb, dim).withColumnRenamed("vec_id", "neighbor_id")
+    val dist = (0 until m)
+      .map(b => element_at(col(s"qt_$b"), (col("codes").getItem(b) + 1L).cast("int")))
+      .reduce[Column](_ + _)
+    val scored = codes
+      .join(broadcast(qt), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), (-dist).as("cos"))
+    // TopKByScore ranks descending, so negated distance = nearest-first;
+    // flip the sign back to emit the true ADC distance.
+    Similarity
+      .topKExplode(scored, k)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (-col("cos")).as("adc_d2"),
+        col("rank")
+      )
+  }
+
+  /** Production PQ search: ADC shortlist (`shortlist` candidates ranked
+    * purely over codes) + EXACT re-rank of the shortlist (float vectors
+    * read only for |Q|·shortlist rows via a semi-join-sized equi-join —
+    * never a corpus scan). This two-stage shape is how PQ indexes hit
+    * high recall: quantization error decides the shortlist, not the
+    * final ranks.
+    */
+  def pqTopKReranked(
+      queries: DataFrame,
+      corpus: DataFrame,
+      cb: Codebooks,
+      dim: Int,
+      k: Int,
+      shortlist: Int
+  ): DataFrame = {
+    val cands = pqTopK(queries, corpus, cb, dim, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val d2full =
+      (dot(col("q_emb"), col("q_emb")) - lit(2.0) * dot(col("q_emb"), col("c_emb"))) +
+        dot(col("c_emb"), col("c_emb"))
+    val rescored = cands
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), (-d2full).as("cos"))
+    Similarity
+      .topKExplode(rescored, k)
+      .select(col("query_id"), col("neighbor_id"), (-col("cos")).as("d2"), col("rank"))
+  }
+}

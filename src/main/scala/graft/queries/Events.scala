@@ -469,8 +469,58 @@ object Events {
       ),
       doc = "Ordered behavioral funnel (signup > view > click > purchase, " +
         "each stage strictly later than the previous): per-stage reached-" +
-        "user counts and exact integer-nanos conversion-lag sums; pushed " +
+        "user counts and exact integer-micros conversion-lag sums; pushed " +
         "per-type scans + same-key joins, no full-stream window."
+    ),
+    // ---- cohort retention: users grouped by first-signup week, counted
+    // in each later week they were active. Day/week arithmetic is integer
+    // division on the micros axis (no calendar functions — identical on
+    // both engines by construction). Two partial-aggregable aggregates +
+    // one same-key join; the output is |cohorts| x |weeks|, never
+    // event-sized.
+    Q(
+      "q_retention",
+      (s, d) => {
+        val usPerWeek = 7L * 24 * 3600 * 1000000L
+        val ev = Tables
+          .events(s, d)
+          .select(
+            col("user_id"),
+            col("event_type"),
+            expr(s"(ts DIV 1000) DIV $usPerWeek").as("week")
+          )
+        val cohorts = ev
+          .filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(min(col("week")).as("cohort_week"))
+        val active = ev.select("user_id", "week").distinct()
+        active
+          .join(cohorts, "user_id")
+          .filter(col("week") >= col("cohort_week"))
+          .groupBy(
+            col("cohort_week"),
+            (col("week") - col("cohort_week")).as("week_offset")
+          )
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some(
+        """WITH e AS (SELECT user_id, event_type,
+          |             epoch_us(ts) // 604800000000 AS week FROM events),
+          |c AS (SELECT user_id, MIN(week) AS cohort_week FROM e
+          |      WHERE event_type = 'signup' GROUP BY user_id),
+          |a AS (SELECT DISTINCT user_id, week FROM e)
+          |SELECT cohort_week, week - cohort_week AS week_offset,
+          |       COUNT(*) AS n_active
+          |FROM a JOIN c USING (user_id)
+          |WHERE week >= cohort_week
+          |GROUP BY cohort_week, week_offset
+          |ORDER BY cohort_week, week_offset""".stripMargin
+      ),
+      doc = "Cohort retention matrix (signup-week cohorts x active-week " +
+        "offsets): integer-exact epoch-week bucketing, distinct user-week " +
+        "activity + same-key cohort join; output is cohort-sized, not " +
+        "event-sized."
     )
   )
 }

@@ -295,6 +295,100 @@ object SimilarityQ {
         "embeddings (class prototypes / drift baseline): exact LONG sums " +
         "+ one final division; the explode's partial aggregate shrinks " +
         "every map partition to |labels|x|dims| rows pre-exchange."
+    ),
+    // ---- product quantization, seed-codebook path: with iters=0 the
+    // codebooks are the 16 salted-md5-ordered corpus vectors, so the WHOLE
+    // encode — seeds, block slicing, (x·x - 2·x·c) + c·c distances, argmin
+    // with lower-code ties — is a closed form the oracle replays exactly.
+    Q(
+      "s_pq_encode",
+      (s, d) => {
+        import graft.operators.Pq
+        val emb = Tables.embeddings(s, d)
+        val cb = Pq.seedCodebooks(emb, m = 8, ksub = 16, dim = 64)
+        Pq.encode(emb, cb, dim = 64)
+          .select(
+            col("vec_id"),
+            concat_ws(",", col("codes")).as("code_str")
+          )
+          .orderBy("vec_id")
+      },
+      Some {
+        val h = "('0x' || substr(md5(vec_id::VARCHAR || '#pq'), 1, 15))::BIGINT"
+        def sl(e: String) = s"$e[b.blk*8+1 : b.blk*8+8]"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |seeds AS (
+           |  SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS code,
+           |         embedding::DOUBLE[] AS ce
+           |  FROM embeddings ORDER BY $h, vec_id LIMIT 16
+           |),
+           |blocks AS (SELECT unnest(generate_series(0, 7)) AS blk),
+           |dist AS (
+           |  SELECT e.vec_id, b.blk, s.code,
+           |    ((list_dot_product(${sl("e.emb")}, ${sl("e.emb")})
+           |      - 2 * list_dot_product(${sl("e.emb")}, ${sl("s.ce")}))
+           |      + list_dot_product(${sl("s.ce")}, ${sl("s.ce")})) AS d2
+           |  FROM e, blocks b, seeds s
+           |),
+           |best AS (
+           |  SELECT vec_id, blk, code,
+           |    row_number() OVER (PARTITION BY vec_id, blk ORDER BY d2, code) AS rn
+           |  FROM dist
+           |)
+           |SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY blk) AS code_str
+           |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      },
+      doc = "Product-quantization encode (m=8 blocks x 16 codes): 64 " +
+        "floats -> 8 codes, map-only argmin against literal codebooks; " +
+        "seed-codebook path is bit-checked end to end (codes for all " +
+        "vectors) against a full SQL replay of the quantizer."
+    ),
+    // ---- trained PQ + ADC search: codebooks refined by per-block k-means
+    // over a bounded md5-ordered training sample (training cost independent
+    // of corpus size), search via asymmetric distance over the codes.
+    // Approximate by construction -> the driver-visible contract is
+    // per-query recall@5 vs s_ann_brute, like s_ann_ivf.
+    Q(
+      "s_pq_topk",
+      (s, d) => {
+        import graft.operators.Pq
+        val emb = Tables.embeddings(s, d)
+        val sample = emb
+          .orderBy(
+            graft.util.Cols
+              .md5Long(concat(col("vec_id").cast("string"), lit("#pqtrain"))),
+            col("vec_id")
+          )
+          .limit(256)
+        val cb = Pq.trainCodebooks(sample, m = 8, ksub = 16, dim = 64, iters = 2)
+        val q = emb.filter(col("vec_id") < 10)
+        // production two-stage search: ADC shortlist of 50 over codes,
+        // exact re-rank of the shortlist only
+        val pq = Pq.pqTopKReranked(q, emb, cb, dim = 64, k = 5, shortlist = 50)
+        // ground truth in the SAME metric ADC approximates (exact L2):
+        // cosine order differs on unnormalized vectors
+        val brute = Pq.bruteTopKL2(q, emb, k = 5)
+        val hits = pq
+          .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        pq.groupBy(col("query_id"))
+          .agg(count(lit(1)).cast("long").as("n_results"))
+          .join(hits, Seq("query_id"), "left")
+          .select(
+            col("query_id"),
+            col("n_results"),
+            (coalesce(col("n_hits"), lit(0L)) >= 2L).as("recall_ok")
+          )
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, 5::BIGINT AS n_results, true AS recall_ok
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin),
+      doc = "PQ-ADC approximate top-5 (trained per-block k-means codebooks " +
+        "over a bounded md5-ordered sample; candidates never read floats, " +
+        "only m code lookups + sum): oracle checks per-query recall@5 >= " +
+        "0.4 vs s_ann_brute plus result cardinality; mean recall pinned " +
+        "in SimilaritySpec."
     )
   )
 }

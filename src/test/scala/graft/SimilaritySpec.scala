@@ -237,4 +237,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cents.length === 10)
     assert(cents.forall(_.getSeq[Double](1).size === 64))
   }
+
+  test("PQ: reranked ADC search reaches high recall vs exact L2; codes are 8 small ints") {
+    import graft.operators.Pq
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val cb = Pq.trainCodebooks(emb, m = 8, ksub = 16, dim = 64, iters = 2)
+    // every code is a valid centroid id, all m blocks present
+    val codes = Pq.encode(emb, cb, dim = 64).collect()
+    assert(codes.forall(_.getSeq[Long](1).size === 8))
+    assert(codes.forall(_.getSeq[Long](1).forall(c => c >= 0 && c < 16)))
+
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Pq
+      .bruteTopKL2(q, emb, k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view
+      .mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    val reranked = Pq
+      .pqTopKReranked(q, emb, cb, dim = 64, k = 5, shortlist = 100)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view
+      .mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    val recalls = exact.map { case (qid, t) =>
+      reranked.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@5 after 50-candidate rerank was $mean")
+  }
 }
