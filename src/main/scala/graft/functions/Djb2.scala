@@ -101,5 +101,23 @@ object GraftFunctions {
       es => WordShinglesAll(es(0), es(1).eval().asInstanceOf[Number].intValue),
       "built-in"
     )
+    // aggregates: SQL `cm_sketch(x, 4, 256)` / `top_k(score, id, 10)`
+    reg.createOrReplaceTempFunction(
+      "cm_sketch",
+      es =>
+        CountMinSketchAgg(
+          es(0),
+          es(1).eval().asInstanceOf[Number].intValue,
+          es(2).eval().asInstanceOf[Number].intValue
+        ).toAggregateExpression(),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "top_k",
+      es =>
+        TopKByScore(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue)
+          .toAggregateExpression(),
+      "built-in"
+    )
   }
 }

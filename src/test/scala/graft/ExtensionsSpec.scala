@@ -59,4 +59,24 @@ class ExtensionsSpec extends AnyFunSuite {
     val optimized = df.queryExecution.optimizedPlan.toString
     assert(optimized.toLowerCase.contains("md5top60"), optimized)
   }
+
+  test("custom aggregates work from SQL text: cm_sketch and top_k") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("agg_probe")
+    val sk = spark
+      .sql("SELECT cm_sketch(lang, 2, 64) AS sk FROM agg_probe")
+      .head()
+      .getSeq[Long](0)
+    val n = Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(sk.length === 128)
+    assert(sk.slice(0, 64).sum === n, "row 0 mass = row count")
+    val tk = spark
+      .sql("SELECT top_k(CAST(n_chars AS DOUBLE), doc_id, 3) AS tk FROM agg_probe")
+      .head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.length === 3)
+    assert(tk.map(_.getDouble(1)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
 }
