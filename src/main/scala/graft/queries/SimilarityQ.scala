@@ -353,18 +353,15 @@ object SimilarityQ {
       (s, d) => {
         import graft.operators.Pq
         val emb = Tables.embeddings(s, d)
-        val sample = emb
-          .orderBy(
-            graft.util.Cols
-              .md5Long(concat(col("vec_id").cast("string"), lit("#pqtrain"))),
-            col("vec_id")
-          )
-          .limit(256)
-        val cb = Pq.trainCodebooks(sample, m = 8, ksub = 16, dim = 64, iters = 2)
+        // search the PERSISTED index (codebooks + code table built once per
+        // dataset — the IvfIndex amortization contract): no training pass
+        // and no corpus-sized encode at query time
+        val idxDir = Pq.defaultDir(d, emb)
+        Pq.ensureBuilt(emb, idxDir)
         val q = emb.filter(col("vec_id") < 10)
-        // production two-stage search: ADC shortlist of 50 over codes,
-        // exact re-rank of the shortlist only
-        val pq = Pq.pqTopKReranked(q, emb, cb, dim = 64, k = 5, shortlist = 50)
+        // production two-stage search: ADC shortlist of 50 over the stored
+        // codes, exact re-rank of the shortlist only
+        val pq = Pq.searchReranked(s, idxDir, q, emb, dim = 64, k = 5, shortlist = 50)
         // ground truth in the SAME metric ADC approximates (exact L2):
         // cosine order differs on unnormalized vectors
         val brute = Pq.bruteTopKL2(q, emb, k = 5)
