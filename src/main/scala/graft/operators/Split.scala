@@ -95,25 +95,63 @@ object Split {
     * sequences, split at boundaries" layout, computed without materializing
     * any sequence.
     *
-    * Shape at scale: packing is inherently an ordered prefix-sum, so this
-    * is one shuffle + sort per group partition (the window); all arithmetic
-    * is exact LONG. Groups are sources/shards, so partitions stay bounded
-    * by shard size, not corpus size.
+    * Shape at scale: packing is an ordered prefix-sum, but a single window
+    * `partitionBy(group).orderBy(id)` would sort one partition PER GROUP —
+    * with a handful of sources over 100 TB that is one task sorting
+    * terabytes. This is the classic two-level prefix sum instead:
+    *
+    *   1. shard each group by contiguous id range (`shard = id div
+    *      shardSize` — ranges, not hashes, so shard order IS id order);
+    *   2. one partial-aggregable pass computes per-(group, shard) token
+    *      totals; a window over that TINY frame (groups × shards rows)
+    *      turns them into per-shard starting offsets;
+    *   3. broadcast the offsets back and run the running sum WITHIN each
+    *      (group, shard) — sort partitions are bounded by shardSize rows
+    *      regardless of group skew; `cum = offset + local running sum`.
+    *
+    * All arithmetic is exact LONG and the result is bit-identical for any
+    * shardSize (the prefix sum is associative), which the spec pins.
     */
   def packSequences(
       df: DataFrame,
       idCol: String,
       groupCol: String,
       nTokens: Column,
-      budget: Int
+      budget: Int,
+      shardSize: Long = 1L << 20
   ): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
+    require(shardSize > 0, "shardSize must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("n_tok", nTokens.cast("long"))
+      .withColumn("_shard", expr(s"cast(`$idCol` as bigint) div ${shardSize}L"))
+    // per-(group, shard) totals -> cumulative offset of each shard within
+    // its group. The window runs over groups × shards rows (corpus-size
+    // independent), and the offsets frame broadcasts.
+    val offsets = base
+      .groupBy(col(groupCol), col("_shard"))
+      .agg(sum(col("n_tok")).as("_shard_tok"))
+      .withColumn(
+        "_offset",
+        coalesce(
+          sum(col("_shard_tok")).over(
+            W.partitionBy(col(groupCol))
+              .orderBy(col("_shard"))
+              .rowsBetween(W.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select(col(groupCol), col("_shard"), col("_offset"))
+    val wLocal = W
+      .partitionBy(col(groupCol), col("_shard"))
       .orderBy(col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.withColumn("n_tok", nTokens.cast("long"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
+      .rowsBetween(W.unboundedPreceding, 0)
+    base
+      .join(broadcast(offsets), Seq(groupCol, "_shard"))
+      .withColumn("cum", col("_offset") + sum(col("n_tok")).over(wLocal))
       .withColumn("pack_id", expr(s"(cum - n_tok) div ${budget.toLong}"))
+      .drop("_shard", "_offset")
   }
 
   /** Weighted dataset mixing: keep each row with its source's sampling

@@ -145,7 +145,11 @@ object PipelineQ {
           "doc_id",
           "source",
           col("n_tokens"),
-          budget = 256
+          budget = 256,
+          // small shards so the two-level prefix sum's sharded path (not
+          // its one-shard degenerate) is what the oracle hash-checks; the
+          // result is bit-identical for ANY shardSize (SplitSpec pins it)
+          shardSize = 64
         )
         packed
           .groupBy(col("source"), col("pack_id"))
@@ -166,16 +170,18 @@ object PipelineQ {
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            |  FROM t
            |)
-           |SELECT source, (cum - n_tok) // 256 AS pack_id,
+           |SELECT source, ((cum - n_tok) // 256)::BIGINT AS pack_id,
            |  COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS pack_tokens,
            |  MIN(doc_id) AS first_doc
            |FROM c GROUP BY source, pack_id
            |ORDER BY source, pack_id""".stripMargin
       ),
       doc = "Token-budget sequence packing (256-token training sequences " +
-        "per source, docs in doc_id order, split at boundaries): ordered " +
-        "prefix-sum window + exact LONG arithmetic; per-pack doc counts " +
-        "and token sums bit-checked."
+        "per source, docs in doc_id order, split at boundaries): two-level " +
+        "prefix sum (per-shard totals -> broadcast offsets -> shard-local " +
+        "window, sort partitions bounded by shardSize not group size) + " +
+        "exact LONG arithmetic; per-pack doc counts and token sums " +
+        "bit-checked."
     ),
     // ---- the composed cleaning pass: predict language, score quality,
     // keep canonical exact-dedup representatives that pass both gates, and

@@ -548,7 +548,7 @@ object TextQ {
         def b(j: Int, e: String) =
           s"('0x' || substr(md5($e || '#cm$j'), 1, 15))::BIGINT % $width"
         val rowSums = (0 until depth)
-          .map(j => s"r$j AS (SELECT ${b(j, "t")} AS b, SUM(true_count) AS s FROM c GROUP BY 1)")
+          .map(j => s"r$j AS (SELECT ${b(j, "t")} AS b, SUM(true_count)::BIGINT AS s FROM c GROUP BY 1)")
           .mkString(",\n")
         val joins = (0 until depth)
           .map(j => s"JOIN r$j ON ${b(j, "top.t")} = r$j.b")

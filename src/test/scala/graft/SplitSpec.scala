@@ -83,4 +83,31 @@ class SplitSpec extends AnyFunSuite {
       )
     }
   }
+
+  test("packSequences: two-level prefix sum is shardSize-invariant and sharded") {
+    val docs = Tables
+      .documents(spark, sf)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(operators.Text.tokensAll(col("text"))).as("n_tokens")
+      )
+    def run(shardSize: Long) = Split
+      .packSequences(docs, "doc_id", "source", col("n_tokens"), budget = 128, shardSize)
+      .select("source", "doc_id", "n_tok", "cum", "pack_id")
+    // the prefix sum is associative: ANY shard granularity must produce the
+    // identical cum/pack_id assignment (incl. shardSize=1, one doc per shard)
+    val ref = run(1L << 20).orderBy("source", "doc_id").collect().toSeq
+    assert(run(32L).orderBy("source", "doc_id").collect().toSeq == ref)
+    assert(run(1L).orderBy("source", "doc_id").collect().toSeq == ref)
+
+    // scale shape: the per-row running-sum window must partition by
+    // (group, shard) — never one sort partition per source. The offsets
+    // window (groups × shards rows) is the only group-partitioned one.
+    val plan = run(32L).queryExecution.executedPlan.toString
+    assert(
+      "hashpartitioning\\([^)]*_shard".r.findFirstIn(plan).isDefined,
+      s"expected the row-level window exchange to include _shard:\n$plan"
+    )
+  }
 }

@@ -24,12 +24,30 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def dtype_class(dt) -> str:
+    k = getattr(dt, "kind", "O")
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "other"
+
+
 def cmp_frames(a: pd.DataFrame, b: pd.DataFrame):
     if sorted(a.columns) != sorted(b.columns):
         return f"columns differ: spark={sorted(a.columns)} oracle={sorted(b.columns)}"
     if len(a) != len(b):
         return f"row counts differ: spark={len(a)} oracle={len(b)}"
     a, b = canon(a), canon(b)
+    # Dtype-class parity FIRST: the driver hashes string renderings, so an
+    # int64 5 vs float64 5.0 mismatch fails there even when values are equal
+    # (the DuckDB HUGEINT->float class of bug). Mirror that strictness.
+    for c in a.columns:
+        ca, cb = dtype_class(a[c].dtype), dtype_class(b[c].dtype)
+        if ca != cb:
+            return f"col {c}: dtype class differs: spark={a[c].dtype} ({ca}) oracle={b[c].dtype} ({cb})"
     for c in a.columns:
         av, bv = a[c], b[c]
         for i in range(len(av)):
