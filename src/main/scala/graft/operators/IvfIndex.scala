@@ -29,31 +29,21 @@ import graft.util.Cols._
   */
 object IvfIndex {
 
-  /** Index location for a corpus: keyed by the source dir plus a cheap
-    * content fingerprint (row count + vec_id sum — one scan of the small
-    * embeddings table), so a regenerated dataset can never silently reuse
-    * a stale index. Lives under target/ (build products, not source).
+  /** Index location for a corpus — the stale-proof content-fingerprint
+    * contract of [[Indexes.fingerprintDir]] (a regenerated or in-place
+    * edited dataset can never silently reuse a stale index). Lives under
+    * target/ (build products, not source).
     */
-  def defaultDir(sfDir: String, corpus: DataFrame): String = {
-    val fp = corpus
-      .agg(count(lit(1)).cast(LongType), sum(col("vec_id")).cast(LongType))
-      .head()
-    val key = s"$sfDir|${fp.getLong(0)}|${fp.getLong(1)}"
-    val tag = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_))
-      .mkString
-      .take(12)
-    s"target/ivf-index/$tag"
-  }
+  def defaultDir(sfDir: String, corpus: DataFrame): String =
+    Indexes.fingerprintDir("ivf-index", sfDir, corpus)
 
   /** Build once, reuse forever: training is deterministic (md5 seeding +
     * decimal means — see [[Similarity.kmeansCells]]), so same data ⇒ same
-    * index, and a completed build (the centroids `_SUCCESS` marker) is
-    * valid across processes. This is the 100 TB amortization contract: an
-    * ANN index is BUILT once and SEARCHED many times; a query that retrains
-    * per execution pays the training corpus scans on every search.
+    * index, and a completed build is valid across processes; publication
+    * is atomic ([[Indexes.atomicBuild]]). This is the 100 TB amortization
+    * contract: an ANN index is BUILT once and SEARCHED many times; a query
+    * that retrains per execution pays the training corpus scans on every
+    * search.
     */
   def ensureBuilt(
       corpus: DataFrame,
@@ -61,8 +51,9 @@ object IvfIndex {
       kCells: Int = 10,
       iters: Int = 4
   ): Unit =
-    if (!new java.io.File(s"$dir/centroids/_SUCCESS").exists())
-      build(corpus, dir, None, kCells, iters)
+    Indexes.atomicBuild(dir, "centroids/_SUCCESS") { tmp =>
+      build(corpus, tmp, None, kCells, iters)
+    }
 
   /** Train (or adopt `cellCol`) and write the index under `dir`. */
   def build(
@@ -102,31 +93,8 @@ object IvfIndex {
       nProbe: Int
   ): DataFrame = {
     // k centroid rows to the driver — the only driver state, O(k·dim).
-    val cents: Array[(Long, Array[Double])] = spark.read
-      .parquet(s"$dir/centroids")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-
-    // Map-only per-query cell ranking: the centroids are literals inside
-    // one projection (k cosine loops + array_sort), no join, no shuffle.
-    // Ties take the higher cell id ((sim, cell) lexicographic order).
-    val ranked = reverse(
-      array_sort(
-        array(cents.map { case (cell, v) =>
-          struct(
-            cosine(col("embedding"), typedLit(v.toSeq)).as("sim"),
-            lit(cell).as("cell")
-          )
-        }.toIndexedSeq: _*)
-      )
-    )
-    val probe = queries
-      .select(
-        col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"),
-        explode(slice(ranked, 1, nProbe)).as("pc")
-      )
-      .select(col("query_id"), col("q_emb"), col("pc.cell").as("cell"))
+    val cents = loadCentroids(spark, dir)
+    val probe = probeFrame(queries, cents, nProbe)
 
     // The union of probed cells as a LITERAL filter: this is what turns
     // the probe into partition pruning on the corpus read. (A join-derived
@@ -151,5 +119,45 @@ object IvfIndex {
         cosine(col("q_emb"), col("c_emb")).as("cos")
       )
     Similarity.topKExplode(scored, k)
+  }
+
+  /** The persisted cell centroids as driver state — O(k·dim). */
+  private[operators] def loadCentroids(
+      spark: SparkSession,
+      dir: String
+  ): Array[(Long, Array[Double])] =
+    spark.read
+      .parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** Map-only per-query cell ranking → exploded (query_id, q_emb, cell)
+    * probe rows: the centroids are literals inside one projection (k
+    * cosine loops + array_sort), no join, no shuffle. Ties take the
+    * higher cell id ((sim, cell) lexicographic order). Shared by [[search]]
+    * and [[IvfPq.search]].
+    */
+  private[operators] def probeFrame(
+      queries: DataFrame,
+      cents: Array[(Long, Array[Double])],
+      nProbe: Int
+  ): DataFrame = {
+    val ranked = reverse(
+      array_sort(
+        array(cents.map { case (cell, v) =>
+          struct(
+            cosine(col("embedding"), typedLit(v.toSeq)).as("sim"),
+            lit(cell).as("cell")
+          )
+        }.toIndexedSeq: _*)
+      )
+    )
+    queries
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        explode(slice(ranked, 1, nProbe)).as("pc")
+      )
+      .select(col("query_id"), col("q_emb"), col("pc.cell").as("cell"))
   }
 }

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.util.Cols._
+
+/** IVF-ADC: the composed persisted ANN index — IVF decides WHERE to look
+  * ([[IvfIndex]]: coarse cells, literal-probe partition pruning), PQ
+  * decides WHAT is stored ([[Pq]]: m byte-ish codes instead of D floats).
+  * This is the standard 100 TB vector-index layout (FAISS `IVFx,PQy`): the
+  * corpus is stored ONCE as a cell-partitioned code table; a search reads
+  * only the probed cells' codes, scores them with ADC table lookups
+  * (never touching a float vector), and exact-reranks the short list from
+  * the raw corpus.
+  *
+  * On disk under `dir/`:
+  *   - `centroids` — k cell centroids (k rows, O(k·dim) bytes);
+  *   - `codebooks` — PQ block codebooks (m·ksub rows, O(m·ksub·dsub));
+  *   - `codes/cell=<id>/...` — (vec_id, codes) partitioned by IVF cell.
+  *
+  * Search cost at scale: centroids+codebooks are driver-small reads; the
+  * codes scan is pruned to nProbe cells (`PartitionFilters`, pinned in
+  * SimilaritySpec); ADC scoring is m `element_at` lookups per candidate;
+  * the shortlist reduces through the bounded top-k aggregate; the exact
+  * rerank reads floats for |Q|·shortlist rows via equi-join — at no point
+  * does a full-corpus float scan or corpus-sized shuffle occur.
+  *
+  * Everything is deterministic (md5-seeded k-means with exact decimal
+  * means, md5-ordered PQ training sample), so the same data always builds
+  * the same index and recall is a stable, checkable quantity.
+  */
+object IvfPq {
+
+  /** Index location for a corpus — the stale-proof content-fingerprint
+    * contract of [[Indexes.fingerprintDir]].
+    */
+  def defaultDir(sfDir: String, corpus: DataFrame): String =
+    Indexes.fingerprintDir("ivfpq-index", sfDir, corpus)
+
+  /** Build once, search many — atomic publication, see
+    * [[Indexes.atomicBuild]].
+    */
+  def ensureBuilt(
+      corpus: DataFrame,
+      dir: String,
+      cellCol: Option[String] = None,
+      kCells: Int = 10,
+      ivfIters: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      dim: Int = 64,
+      pqIters: Int = 2,
+      trainSample: Int = 256
+  ): Unit =
+    Indexes.atomicBuild(dir, "codes/_SUCCESS") { tmp =>
+      build(corpus, tmp, cellCol, kCells, ivfIters, m, ksub, dim, pqIters, trainSample)
+    }
+
+  /** Train (or adopt `cellCol`) and write the composed index under `dir`:
+    * cell centroids + PQ codebooks + the cell-partitioned code table. The
+    * single corpus-sized cost (the encode pass) happens here, once.
+    */
+  def build(
+      corpus: DataFrame,
+      dir: String,
+      cellCol: Option[String] = None,
+      kCells: Int = 10,
+      ivfIters: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      dim: Int = 64,
+      pqIters: Int = 2,
+      trainSample: Int = 256
+  ): Unit = {
+    val spark = corpus.sparkSession
+    val celled = cellCol match {
+      case Some(c) => corpus.withColumn("cell", col(c).cast(LongType))
+      case None    => corpus.join(Similarity.kmeansCells(corpus, kCells, ivfIters), Seq("vec_id"))
+    }
+    Similarity
+      .centroids(celled, "cell")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/centroids")
+    val sample = corpus
+      .orderBy(md5Long(concat(col("vec_id").cast("string"), lit("#pqtrain"))), col("vec_id"))
+      .limit(trainSample)
+    val cb = Pq.trainCodebooks(sample, m, ksub, dim, pqIters)
+    Pq.writeCodebooks(spark, cb, s"$dir/codebooks")
+    Pq.encode(celled, cb, dim, keep = Seq("vec_id", "cell"))
+      .write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(s"$dir/codes")
+  }
+
+  /** Two-stage search against the persisted index: rank cells per query
+    * (literal centroids, map-only), prune the code read to the probed
+    * cells, ADC-score those codes within each query's own probed cells,
+    * bounded-top-k shortlist, exact rerank from the raw corpus.
+    *
+    * `metric` picks the FINAL ranking: "cos" (default — coherent with the
+    * spherical coarse quantizer, which ranks cells by cosine; emits
+    * (query_id, neighbor_id, cos, rank)) or "l2" (emits d2). The ADC
+    * shortlist stage is L2 over codes either way — within a probed cell
+    * it is a dense-candidate pre-filter, and the exact rerank decides the
+    * final ranks.
+    */
+  def search(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      dim: Int,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int,
+      metric: String = "cos"
+  ): DataFrame = {
+    val cents = IvfIndex.loadCentroids(spark, dir) // O(k·dim) driver state
+    val cb = Pq.loadCodebooks(spark, dir) // O(m·ksub·dsub) driver state
+    val probe = IvfIndex
+      .probeFrame(queries, cents, nProbe)
+      .select(col("query_id"), col("cell"))
+
+    // literal probe union -> partition pruning on the codes read (the
+    // IvfIndex.search contract; directories outside the probe set are
+    // never listed, let alone read)
+    val probedCells = probe.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val codes = spark.read
+      .parquet(s"$dir/codes")
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+      .select(
+        col("vec_id").as("neighbor_id"),
+        col("cell").cast(LongType).as("cell"),
+        col("codes")
+      )
+
+    // per-query ADC distance tables joined to that query's probed cells:
+    // candidates are (code row, query) pairs sharing a cell — each query
+    // scores only its own probed cells, exactly like IvfIndex.search
+    val qt = Pq
+      .queryTables(queries, cb, dim)
+      .join(probe, Seq("query_id"))
+    val scored = codes
+      .join(broadcast(qt), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), (-Pq.adcDist(cb.length)).as("cos"))
+    val cands = Similarity
+      .topKExplode(scored, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    metric match {
+      case "l2" => Pq.rerankExact(cands, queries, corpus, k)
+      case "cos" =>
+        val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+        val rescored = cands
+          .join(c, Seq("neighbor_id"))
+          .join(broadcast(q), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"), cosine(col("q_emb"), col("c_emb")).as("cos"))
+        Similarity.topKExplode(rescored, k)
+      case other => throw new IllegalArgumentException(s"metric must be cos|l2, got $other")
+    }
+  }
+}

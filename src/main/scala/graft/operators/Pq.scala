@@ -63,6 +63,11 @@ object Pq {
       .select(col("embedding"))
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(
+      seeds.length >= ksub,
+      s"PQ needs >= ksub=$ksub training vectors to seed codebooks, " +
+        s"got ${seeds.length} — shrink ksub or supply more data"
+    )
     Array.tabulate(m)(b => seeds.map(v => v.slice(b * dsub, b * dsub + dsub)))
   }
 
@@ -120,13 +125,21 @@ object Pq {
     cb
   }
 
-  /** Map-only encode: (vec_id, codes array<long> of length m). */
-  def encode(corpus: DataFrame, cb: Codebooks, dim: Int): DataFrame = {
+  /** Map-only encode: `keep` passthrough columns + codes array<long> of
+    * length m (the extra columns let [[IvfPq]] carry the cell id through
+    * to a partitioned write without a re-join).
+    */
+  def encode(
+      corpus: DataFrame,
+      cb: Codebooks,
+      dim: Int,
+      keep: Seq[String] = Seq("vec_id")
+  ): DataFrame = {
     val m = cb.length
     val dsub = dim / m
     corpus.select(
-      col("vec_id"),
-      array((0 until m).map(b => codeOf(col("embedding"), cb(b), b, dsub)): _*).as("codes")
+      keep.map(col) :+
+        array((0 until m).map(b => codeOf(col("embedding"), cb(b), b, dsub)): _*).as("codes"): _*
     )
   }
 
@@ -161,23 +174,45 @@ object Pq {
       cb: Codebooks,
       dim: Int,
       k: Int
-  ): DataFrame = {
+  ): DataFrame =
+    adcTopK(queries, encode(corpus, cb, dim).withColumnRenamed("vec_id", "neighbor_id"), cb, dim, k)
+
+  /** Per-query ADC distance tables: one array column per block holding the
+    * query's d2 to every centroid of that block — the driver-small frame
+    * every ADC search broadcasts.
+    */
+  private[operators] def queryTables(queries: DataFrame, cb: Codebooks, dim: Int): DataFrame = {
     val m = cb.length
     val dsub = dim / m
-    val qt = queries.select(
+    queries.select(
       (col("vec_id").as("query_id") +:
         (0 until m).map { b =>
           array(cb(b).map(c => d2(blockSlice(col("embedding"), b, dsub), c)).toIndexedSeq: _*)
             .as(s"qt_$b")
         }): _*
     )
-    val codes = encode(corpus, cb, dim).withColumnRenamed("vec_id", "neighbor_id")
-    val dist = (0 until m)
+  }
+
+  /** Sum of per-block table lookups for a `codes` array column. */
+  private[operators] def adcDist(m: Int): Column =
+    (0 until m)
       .map(b => element_at(col(s"qt_$b"), (col("codes").getItem(b) + 1L).cast("int")))
       .reduce[Column](_ + _)
+
+  /** ADC top-k over a pre-encoded `(neighbor_id, codes)` table (the
+    * persisted-index path — no encode pass at query time). [[pqTopK]] is
+    * this over an inline encode.
+    */
+  def adcTopK(
+      queries: DataFrame,
+      codes: DataFrame,
+      cb: Codebooks,
+      dim: Int,
+      k: Int
+  ): DataFrame = {
     val scored = codes
-      .join(broadcast(qt), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), (-dist).as("cos"))
+      .join(broadcast(queryTables(queries, cb, dim)), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), (-adcDist(cb.length)).as("cos"))
     // TopKByScore ranks descending, so negated distance = nearest-first;
     // flip the sign back to emit the true ADC distance.
     Similarity
@@ -190,62 +225,41 @@ object Pq {
       )
   }
 
-  /** ADC top-k over a PRE-ENCODED code table (the persisted-index path —
-    * no encode pass at query time).
+  /** Exact L2 re-rank of a `(query_id, neighbor_id)` candidate list: float
+    * vectors are read for |cands| rows only (equi-join), never a corpus
+    * scan. Shared tail of every two-stage PQ search.
     */
-  def adcTopK(
+  private[operators] def rerankExact(
+      cands: DataFrame,
       queries: DataFrame,
-      codes: DataFrame,
-      cb: Codebooks,
-      dim: Int,
+      corpus: DataFrame,
       k: Int
   ): DataFrame = {
-    val m = cb.length
-    val dsub = dim / m
-    val qt = queries.select(
-      (col("vec_id").as("query_id") +:
-        (0 until m).map { b =>
-          array(cb(b).map(c => d2(blockSlice(col("embedding"), b, dsub), c)).toIndexedSeq: _*)
-            .as(s"qt_$b")
-        }): _*
-    )
-    val dist = (0 until m)
-      .map(b => element_at(col(s"qt_$b"), (col("codes").getItem(b) + 1L).cast("int")))
-      .reduce[Column](_ + _)
-    val scored = codes
-      .join(broadcast(qt), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), (-dist).as("cos"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val d2full =
+      (dot(col("q_emb"), col("q_emb")) - lit(2.0) * dot(col("q_emb"), col("c_emb"))) +
+        dot(col("c_emb"), col("c_emb"))
+    val rescored = cands
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), (-d2full).as("cos"))
     Similarity
-      .topKExplode(scored, k)
-      .select(
-        col("query_id"),
-        col("neighbor_id"),
-        (-col("cos")).as("adc_d2"),
-        col("rank")
-      )
+      .topKExplode(rescored, k)
+      .select(col("query_id"), col("neighbor_id"), (-col("cos")).as("d2"), col("rank"))
   }
 
-  /** Index location for a corpus — same stale-proof fingerprint contract
-    * as [[IvfIndex.defaultDir]].
+  /** Index location for a corpus — the stale-proof content-fingerprint
+    * contract of [[Indexes.fingerprintDir]].
     */
-  def defaultDir(sfDir: String, corpus: DataFrame): String = {
-    val fp = corpus
-      .agg(count(lit(1)).cast(LongType), sum(col("vec_id")).cast(LongType))
-      .head()
-    val key = s"$sfDir|${fp.getLong(0)}|${fp.getLong(1)}"
-    val tag = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_))
-      .mkString
-      .take(12)
-    s"target/pq-index/$tag"
-  }
+  def defaultDir(sfDir: String, corpus: DataFrame): String =
+    Indexes.fingerprintDir("pq-index", sfDir, corpus)
 
   /** Build once, search many: train codebooks on a bounded md5-ordered
     * sample, persist them as rows plus the whole corpus's code table.
-    * Deterministic training ⇒ a completed build is valid across processes
-    * (the `_SUCCESS` marker of the codes write). The encode pass — the
+    * Deterministic training ⇒ a completed build is valid across processes.
+    * Publication is atomic (temp dir + rename — [[Indexes.atomicBuild]]),
+    * so concurrent builders can't interleave writes. The encode pass — the
     * only corpus-sized cost — is paid here exactly once per dataset; a
     * query that encodes inline pays it on every search.
     */
@@ -258,7 +272,7 @@ object Pq {
       iters: Int = 2,
       trainSample: Int = 256
   ): Unit =
-    if (!new java.io.File(s"$dir/codes/_SUCCESS").exists()) {
+    Indexes.atomicBuild(dir, "codes/_SUCCESS") { tmp =>
       val spark = corpus.sparkSession
       val sample = corpus
         .orderBy(
@@ -267,27 +281,37 @@ object Pq {
         )
         .limit(trainSample)
       val cb = trainCodebooks(sample, m, ksub, dim, iters)
-      import scala.jdk.CollectionConverters._
-      spark
-        .createDataFrame(
-          (for { b <- 0 until m; j <- 0 until ksub } yield org.apache.spark.sql.Row(
-            b.toLong,
-            j.toLong,
-            cb(b)(j).toSeq
-          )).asJava,
-          StructType(
-            Seq(
-              StructField("blk", LongType, nullable = false),
-              StructField("code", LongType, nullable = false),
-              StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false)
-            )
+      writeCodebooks(spark, cb, s"$tmp/codebooks")
+      encode(corpus, cb, dim).write.mode("overwrite").parquet(s"$tmp/codes")
+    }
+
+  /** Persist codebooks as (blk, code, centroid) rows. */
+  private[operators] def writeCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      cb: Codebooks,
+      path: String
+  ): Unit = {
+    import scala.jdk.CollectionConverters._
+    val m = cb.length
+    spark
+      .createDataFrame(
+        (for { b <- 0 until m; j <- cb(b).indices } yield org.apache.spark.sql.Row(
+          b.toLong,
+          j.toLong,
+          cb(b)(j).toSeq
+        )).asJava,
+        StructType(
+          Seq(
+            StructField("blk", LongType, nullable = false),
+            StructField("code", LongType, nullable = false),
+            StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false)
           )
         )
-        .write
-        .mode("overwrite")
-        .parquet(s"$dir/codebooks")
-      encode(corpus, cb, dim).write.mode("overwrite").parquet(s"$dir/codes")
-    }
+      )
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
 
   /** The persisted codebooks back as driver state — O(m·ksub·dsub). */
   def loadCodebooks(spark: org.apache.spark.sql.SparkSession, dir: String): Codebooks = {
@@ -318,18 +342,7 @@ object Pq {
       .withColumnRenamed("vec_id", "neighbor_id")
     val cands = adcTopK(queries, codes, cb, dim, shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
-    val d2full =
-      (dot(col("q_emb"), col("q_emb")) - lit(2.0) * dot(col("q_emb"), col("c_emb"))) +
-        dot(col("c_emb"), col("c_emb"))
-    val rescored = cands
-      .join(c, Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"), (-d2full).as("cos"))
-    Similarity
-      .topKExplode(rescored, k)
-      .select(col("query_id"), col("neighbor_id"), (-col("cos")).as("d2"), col("rank"))
+    rerankExact(cands, queries, corpus, k)
   }
 
   /** Production PQ search: ADC shortlist (`shortlist` candidates ranked
@@ -346,20 +359,11 @@ object Pq {
       dim: Int,
       k: Int,
       shortlist: Int
-  ): DataFrame = {
-    val cands = pqTopK(queries, corpus, cb, dim, shortlist)
-      .select(col("query_id"), col("neighbor_id"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
-    val d2full =
-      (dot(col("q_emb"), col("q_emb")) - lit(2.0) * dot(col("q_emb"), col("c_emb"))) +
-        dot(col("c_emb"), col("c_emb"))
-    val rescored = cands
-      .join(c, Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"), (-d2full).as("cos"))
-    Similarity
-      .topKExplode(rescored, k)
-      .select(col("query_id"), col("neighbor_id"), (-col("cos")).as("d2"), col("rank"))
-  }
+  ): DataFrame =
+    rerankExact(
+      pqTopK(queries, corpus, cb, dim, shortlist).select(col("query_id"), col("neighbor_id")),
+      queries,
+      corpus,
+      k
+    )
 }

@@ -313,10 +313,14 @@ object DedupQ {
         // copy-pasta candidate for removal.
         //
         // Only the 60-bit gram hash crosses the shuffle (8-byte keys; the
-        // gram strings never leave the map side). Persisted: both the DF
-        // count and the join consume the exploded span table. The span-DF
-        // aggregate and the per-doc rollup are both partial-aggregable —
-        // two hash-key shuffles total at any corpus size.
+        // gram strings never leave the map side). The exploded span table
+        // feeds BOTH the DF count and the join, so it is localCheckpointed
+        // (eager) — materialized once, lineage truncated, and its blocks
+        // are released by the context cleaner when the plan is dropped,
+        // unlike persist() which would pin executor memory for the rest of
+        // a full suite run. The span-DF aggregate and the per-doc rollup
+        // are both partial-aggregable — two hash-key shuffles total at any
+        // corpus size.
         import graft.util.Cols.md5Long
         val docs = Tables.documents(s, d)
         val spans = docs
@@ -327,7 +331,7 @@ object DedupQ {
             ).as("g")
           )
           .select(col("doc_id"), md5Long(col("g")).as("gh"))
-          .persist()
+          .localCheckpoint(true)
         // wordShingles is distinct-per-doc, so plain count == distinct-doc
         // count per gram (no countDistinct expand needed).
         val df = spans.groupBy(col("gh")).agg(count(lit(1)).as("g_df"))

@@ -386,6 +386,46 @@ object SimilarityQ {
         "only m code lookups + sum): oracle checks per-query recall@5 >= " +
         "0.4 vs s_ann_brute plus result cardinality; mean recall pinned " +
         "in SimilaritySpec."
+    ),
+    // ---- the composed index: IVF narrows WHERE to look (cell-partitioned
+    // storage, literal-probe partition pruning), PQ shrinks WHAT is stored
+    // (codes, ADC scoring) — FAISS's IVFx,PQy layout as a Spark storage
+    // contract. One persisted index; search touches nProbe cells' codes,
+    // then exact-reranks the shortlist from the raw corpus.
+    Q(
+      "s_ann_ivfpq",
+      (s, d) => {
+        import graft.operators.IvfPq
+        val emb = Tables.embeddings(s, d)
+        val idxDir = IvfPq.defaultDir(d, emb)
+        IvfPq.ensureBuilt(emb, idxDir)
+        val q = emb.filter(col("vec_id") < 10)
+        val ann = IvfPq.search(
+          s, idxDir, q, emb, dim = 64, k = 5, nProbe = 5, shortlist = 150
+        )
+        val brute = Similarity.bruteTopK(q, emb, k = 5)
+        val hits = ann
+          .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        ann
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).cast("long").as("n_results"))
+          .join(hits, Seq("query_id"), "left")
+          .select(
+            col("query_id"),
+            col("n_results"),
+            (coalesce(col("n_hits"), lit(0L)) >= 2L).as("recall_ok")
+          )
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, 5::BIGINT AS n_results, true AS recall_ok
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin),
+      doc = "IVF-ADC composed ANN (persisted IVF cells + PQ code table " +
+        "partitioned by cell; search = centroid probe -> partition-pruned " +
+        "code read -> ADC shortlist -> exact rerank): oracle checks " +
+        "per-query recall@5 >= 0.4 vs s_ann_brute plus cardinality; " +
+        "pruning + parity-vs-exact-IVF pinned in SimilaritySpec."
     )
   )
 }

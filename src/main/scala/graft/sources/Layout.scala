@@ -114,10 +114,22 @@ object Layout {
       bits: Int = 16
   ): Unit = {
     require(zCols.nonEmpty && zCols.size * bits <= 62, "morton code must fit a LONG")
+    // one aggregate carries the min/max spine AND the null validation —
+    // zCols must be non-null numeric (a NULL would morton-code to NULL and
+    // silently cluster garbage), so fail loud instead
     val aggCols = zCols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"mn_$c"), max(col(c).cast("double")).as(s"mx_$c"))
-    )
+    ) :+ sum(zCols.map(c => col(c).isNull.cast("long")).reduce(_ + _)).as("_nulls")
     val bounds = df.agg(aggCols.head, aggCols.tail: _*).head()
+    require(
+      !bounds.isNullAt(0),
+      s"writeZOrdered: input is empty or z-column '${zCols.head}' is all NULL — nothing to z-order"
+    )
+    require(
+      bounds.getLong(2 * zCols.size) == 0L,
+      s"writeZOrdered: z-columns ${zCols.mkString(", ")} contain NULLs " +
+        s"(${bounds.getLong(2 * zCols.size)} rows) — z-order columns must be non-null numeric"
+    )
     val top = (1L << bits) - 1
     val quantized = zCols.zipWithIndex.map { case (c, i) =>
       val (mn, mx) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))

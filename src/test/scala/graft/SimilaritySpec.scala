@@ -269,4 +269,82 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"mean recall@5 after 50-candidate rerank was $mean")
   }
+
+  test("IVF-PQ: search prunes the code read to probed cells and matches exact IVF") {
+    import graft.operators.{IvfPq, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString + "/idx"
+    // label stands in for the cell id so the prune is observable (trained
+    // cells on isotropic vectors collapse — same rationale as the IVF
+    // tests); build/search mechanics are cell-column-agnostic.
+    IvfPq.ensureBuilt(emb, dir, cellCol = Some("label"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = IvfPq.search(spark, dir, queries, emb, dim = 64, k = 5, nProbe = 3,
+      shortlist = 1 << 20)
+
+    // 1) the probe is a partition prune on the CODES read, not a row filter
+    val plan = got.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe must prune cell partitions of the code table:\n${plan.take(1500)}"
+    )
+
+    // 2) with an unbounded shortlist the exact rerank sees every probed
+    // candidate, so IVF-PQ must equal plain exact IVF over the same cells —
+    // ADC can shortlist but never change final ranks
+    val exactIvf = Similarity
+      .ivfTopK(queries, emb.withColumn("cell", col("label")), k = 5, nProbe = 3, cellCol = "cell")
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    val ivfpq = got
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(ivfpq === exactIvf)
+  }
+
+  test("IVF-PQ recovers clustered structure: recall >= 0.85 with a real shortlist") {
+    import graft.operators.IvfPq
+    // same constructed corpus as the k-means IVF test: trained coarse
+    // quantizer + trained PQ codebooks + bounded shortlist must still
+    // recover the true neighbors when the data has genuine structure
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(10)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val points = for {
+      c <- centers.indices
+      i <- 0 until 30
+    } yield {
+      val p = unit(centers(c).map(_ + 0.15 * rnd.nextGaussian()))
+      (c.toLong * 30 + i, p.map(_.toFloat))
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 30 === 0) // one per cluster
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_syn").toString + "/idx"
+    IvfPq.ensureBuilt(corpus, dir)
+    def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id")
+        .as[(Long, Long)]
+        .collect()
+        .groupBy(_._1)
+        .view
+        .mapValues(_.map(_._2).toSet)
+        .toMap
+    val brute = topkSet(Similarity.bruteTopK(queries, corpus, k = 5))
+    val ann = topkSet(
+      IvfPq.search(spark, dir, queries, corpus, dim = dim, k = 5, nProbe = 3, shortlist = 30)
+    )
+    val recalls = brute.map { case (q, trueSet) =>
+      ann.getOrElse(q, Set.empty).intersect(trueSet).size.toDouble / trueSet.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.85, s"mean recall@5 on clustered corpus was $meanRecall")
+  }
 }
