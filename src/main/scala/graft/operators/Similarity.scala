@@ -349,6 +349,68 @@ object Similarity {
       )
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the corpus into cells, and within each cell drop every document that
+    * has an above-threshold cosine near-duplicate CLOSER to the cell
+    * centroid (ties break to the lower id) — keeping, per duplicate
+    * neighborhood, the single most-representative member. Returns every
+    * row with its centroid cosine and a `kept` flag.
+    *
+    * Shape at scale: the quadratic term is bounded per cell (exactly the
+    * IVF-cell blocking of [[cosineDupPairs]] — at 100 TB the cells come
+    * from [[kmeansCells]] with k sized so |cell|² stays tractable, which
+    * is also how SemDeDup itself is run); centroids are the decimal-exact
+    * partial-aggregable means of [[centroids]] and broadcast back, so the
+    * whole operator is one centroid aggregate + one within-cell self-join
+    * — deterministic end to end, no all-pairs stage, no driver state
+    * beyond the broadcast centroids.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      threshold: Double,
+      cellCol: String = "label"
+  ): DataFrame = {
+    val withC = corpus
+      .select(col(cellCol).as("cell"), col("vec_id"), col("embedding"))
+      .join(broadcast(centroids(corpus, cellCol)), Seq("cell"))
+      .withColumn("ccos", cosine(col("embedding"), col("centroid")))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("ccos"))
+    val a = withC.select(
+      col("cell"),
+      col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"),
+      col("ccos").as("a_ccos")
+    )
+    val b = withC.select(
+      col("cell"),
+      col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"),
+      col("ccos").as("b_ccos")
+    )
+    // (a displaces b): same cell, above-threshold pair, a strictly more
+    // central (tie -> lower id wins). Evaluated over ordered pairs, so one
+    // within-cell self-join decides every drop.
+    val dropped = a
+      .join(b, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(cosine(col("a_emb"), col("b_emb")) >= threshold)
+      .filter(
+        col("a_ccos") > col("b_ccos") ||
+          (col("a_ccos") === col("b_ccos") && col("a_id") < col("b_id"))
+      )
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+      .withColumn("_dropped", lit(true))
+    withC
+      .join(dropped, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("cell"),
+        col("ccos"),
+        coalesce(col("_dropped"), lit(false)).unary_!.as("kept")
+      )
+  }
+
   /** Embedding near-duplicate pairs: within-cell pairwise cosine >= thr.
     * The cell id bounds the quadratic term exactly like an IVF cell.
     */

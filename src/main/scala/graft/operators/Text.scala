@@ -56,4 +56,50 @@ object Text {
     */
   def tokensSqlAll(c: String): String =
     s"string_split_regex(regexp_replace(replace(lower($c), chr(39), ''), '[^a-z]+', ' ', 'g'), ' ')"
+
+  // ---- Unicode-aware variant. [[normalize]]'s `[a-z]` alphabet is pinned
+  // to the reference's tokenizer (SURVEY §2.2) for the parity queries, but
+  // it DELETES every non-ASCII letter — wrong for the multilingual corpus
+  // the t_* pipeline models (t_langid already classifies de/fr/es docs).
+  // The Unicode tokenizer keeps any letter of any script via the \p{L}
+  // class (identical semantics in Java regex and DuckDB's RE2) and is the
+  // parallel entry the text-analysis pipeline uses.
+
+  /** lowercase, strip apostrophes, any non-LETTER run (any script) → one
+    * space. Same shape as [[normalize]], letter CLASS instead of ASCII
+    * range.
+    */
+  def normalizeUnicode(text: Column): Column =
+    regexp_replace(regexp_replace(lower(text), "'", ""), "[^\\p{L}]+", " ")
+
+  /** All Unicode tokens of length > 1. */
+  def tokensUnicodeAll(text: Column): Column =
+    filter(split(normalizeUnicode(text), " "), w => length(w) > 1)
+
+  /** DuckDB mirror of [[tokensUnicodeAll]]'s pre-filter token list. */
+  def tokensUnicodeSqlAll(c: String): String =
+    s"string_split_regex(regexp_replace(replace(lower($c), chr(39), ''), '[^\\p{L}]+', ' ', 'g'), ' ')"
+
+  /** Multilingual fixture rows (doc_id, text) unioned into the Unicode
+    * tokenizer's oracle query: the synthetic `documents` table is pure
+    * ASCII, so without these the Unicode-vs-ASCII distinction would be
+    * vacuous. Ids sit far above any generated doc_id. Both engines embed
+    * the SAME literals (Spark via createDataFrame, DuckDB via VALUES).
+    * No uppercase Σ (final-sigma lowercasing is locale-delicate); ß, ñ,
+    * ç, Greek, and Cyrillic all exercise letter classes outside [a-z].
+    */
+  val UnicodeFixture: Seq[(Long, String)] = Seq(
+    9000001L -> "Über dem Fluß wählte die Köchin süße Brötchen für die Gäste",
+    9000002L -> "Le garçon préfère le café crème et la crème brûlée à l'aéroport",
+    9000003L -> "El niño soñó con montañas y cañones según la canción española",
+    9000004L -> "η γλώσσα είναι το εργαλείο της σκέψης και της επικοινωνίας",
+    9000005L -> "Русский текст проверяет буквы кириллицы в словах разной длины",
+    9000006L -> "mixed ASCII and Ünïcödé wörds 123 with-dashes and.dots"
+  )
+
+  /** [[UnicodeFixture]] as a DuckDB VALUES list (apostrophes doubled). */
+  def unicodeFixtureSql: String =
+    UnicodeFixture
+      .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
+      .mkString(", ")
 }

@@ -212,6 +212,54 @@ object Events {
         "closed sessions only (the oracle drops each user's open trailing " +
         "session) — one sessionizer, batch and streaming, oracle-checked."
     ),
+    // ---- the transformWithState per-user rollup executed as a batch
+    // plan (the same processor StreamingSpec runs under RocksDB streaming
+    // execution): in batch every user's events arrive as one group, state
+    // starts empty, timers never fire, so the emitted rollup equals the
+    // plain per-user aggregate — which is exactly what the oracle states.
+    // Values ride as integral cent-doubles (exact DECIMAL(18,2) * 100), so
+    // the in-processor double accumulation is order-independent and the
+    // totals are bit-checkable.
+    Q(
+      "q_user_stats_batch",
+      (s, d) => {
+        import s.implicits._
+        // transformWithState runs on the RocksDB state store provider only
+        // (also the right provider at scale: off-heap per-executor state,
+        // changelog checkpointing). Session-level and sticky on purpose —
+        // the provider is read at EXECUTION time, which happens after this
+        // builder returns.
+        s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        )
+        val typed = graft.streaming.EventStreams
+          .withEventTime(Tables.events(s, d))
+          .select(
+            col("user_id"),
+            col("event_type"),
+            (col("value").cast("decimal(18,2)") * 100).cast("double").as("value"),
+            col("event_time")
+          )
+          .as[graft.streaming.EventStreams.UserEvent]
+        graft.streaming.EventStreams
+          .runningUserStatsTwsBatch(typed)
+          .select(
+            col("user_id"),
+            col("n_events"),
+            col("total_value").cast("long").as("total_cents")
+          )
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |       SUM((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS total_cents
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      doc = "transformWithState (Spark 4 stateful processor: named state " +
+        "variables + event-time timers) run in BATCH: per-user running " +
+        "rollup whose batch output equals the plain aggregate, " +
+        "bit-checked; the streaming face (RocksDB state store, TTL " +
+        "eviction, mapGroupsWithState parity) is pinned in StreamingSpec."
+    ),
     // ---- latest record per key: the upsert/compaction read of any
     // append-only ingest (CDC, event logs). One partial-aggregable
     // max(struct) — no window shuffle-and-sort, deterministic via the

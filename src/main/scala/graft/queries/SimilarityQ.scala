@@ -203,6 +203,50 @@ object SimilarityQ {
       doc = "Embedding near-duplicate pairs: within-cell (label) pairwise " +
         "cosine >= 0.35 — the IVF-cell-blocked quadratic check."
     ),
+    // ---- SemDeDup (Abbas et al. 2023): the semantic-dedup family member
+    // the pipeline needs beyond exact/MinHash/SimHash — drop near-identical
+    // MEANING, not near-identical text. Within each cell, every above-
+    // threshold pair keeps only the member closer to the cell centroid.
+    // Decimal-exact centroids + deterministic cosine make the whole result
+    // (kept flags included) bit-checkable, like s_ann_ivf_label.
+    Q(
+      "d_semantic",
+      (s, d) =>
+        Similarity
+          .semanticDedup(Tables.embeddings(s, d), threshold = 0.35)
+          .orderBy("vec_id"),
+      Some(
+        s"""WITH e AS (SELECT vec_id, label AS cell, embedding::DOUBLE[] AS emb FROM embeddings),
+           |px AS (
+           |  SELECT cell, unnest(list_transform(generate_series(1, len(emb)),
+           |    i -> struct_pack(p := i, x := emb[i]))) AS s
+           |  FROM e
+           |),
+           |cm AS (
+           |  SELECT cell, s['p'] AS pos,
+           |         SUM(CAST(s['x'] AS DECIMAL(38,9)))::DOUBLE / COUNT(*) AS m
+           |  FROM px GROUP BY cell, s['p']
+           |),
+           |cents AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+           |dd AS (
+           |  SELECT e.vec_id, e.cell, e.emb, ${cosSql("e.emb", "centroid")} AS ccos
+           |  FROM e JOIN cents USING (cell)
+           |),
+           |drp AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM dd a JOIN dd b ON a.cell = b.cell AND a.vec_id != b.vec_id
+           |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.35
+           |    AND (a.ccos > b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+           |)
+           |SELECT dd.vec_id AS vec_id, dd.cell, dd.ccos, (drp.vec_id IS NULL) AS kept
+           |FROM dd LEFT JOIN drp ON dd.vec_id = drp.vec_id
+           |ORDER BY dd.vec_id""".stripMargin
+      ),
+      doc = "Semantic dedup (SemDeDup): within-cell above-threshold cosine " +
+        "pairs keep only the member closest to the decimal-exact cell " +
+        "centroid (ties to the lower id). One centroid aggregate + one " +
+        "cell-blocked self-join — never all-pairs; kept flags bit-checked."
+    ),
     // ---- centrality over the similarity graph: integer-exact PageRank on
     // the within-cell cosine near-dup pairs (the d_embed_cosine edges) —
     // how a pipeline picks the most central representative of a near-dup

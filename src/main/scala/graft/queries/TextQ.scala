@@ -569,6 +569,49 @@ object TextQ {
         "O(d*w) aggregate state) checked value-exactly against a DuckDB " +
         "recomputation of every counter: top-20 tokens with true count, " +
         "CM estimate, and overcount (always >= 0 by the CM guarantee)."
+    ),
+    // ---- the Unicode tokenizer next to the reference-parity ASCII one:
+    // the corpus union includes multilingual fixture rows (the synthetic
+    // table is pure ASCII), so the \p{L}-vs-[a-z] difference is hash-
+    // checked on real non-ASCII text, token lists included, not just
+    // asserted to exist.
+    Q(
+      "t_tokcount_unicode",
+      (s, d) => {
+        import s.implicits._
+        val fixture = Text.UnicodeFixture.toDF("doc_id", "text")
+        Tables
+          .documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .unionByName(fixture)
+          .select(
+            col("doc_id"),
+            size(Text.tokensUnicodeAll(col("text"))).cast("long").as("n_tok_uni"),
+            size(Text.tokensAll(col("text"))).cast("long").as("n_tok_ascii"),
+            concat_ws(" ", Text.tokensUnicodeAll(col("text"))).as("toks_uni")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH d AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT * FROM (VALUES ${Text.unicodeFixtureSql}) AS f(doc_id, text)
+           |),
+           |t AS (SELECT doc_id,
+           |  list_filter(${Text.tokensUnicodeSqlAll("text")}, w -> length(w) > 1) AS tu,
+           |  list_filter(${Text.tokensSqlAll("text")}, w -> length(w) > 1) AS ta
+           |FROM d)
+           |SELECT doc_id, len(tu)::BIGINT AS n_tok_uni, len(ta)::BIGINT AS n_tok_ascii,
+           |  array_to_string(tu, ' ') AS toks_uni
+           |FROM t ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Unicode-aware tokenization (\\p{L} letter classes, any " +
+        "script) beside the reference-pinned [a-z] tokenizer: per-doc " +
+        "token counts under both alphabets plus the full Unicode token " +
+        "list, bit-checked over an ASCII corpus UNION a multilingual " +
+        "fixture (de/fr/es/el/ru) where the two tokenizers genuinely " +
+        "diverge. Map-only, stays in codegen."
     )
   )
 }

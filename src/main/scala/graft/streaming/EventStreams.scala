@@ -131,7 +131,7 @@ object EventStreams {
     * right provider at scale: state lives off-heap per executor, bounded
     * by ACTIVE users, with changelog checkpointing.
     */
-  class UserStatsProcessor(ttlMs: Long)
+  class UserStatsProcessor(ttlMs: Long, useTimers: Boolean = true)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserStats] {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
@@ -159,10 +159,12 @@ object EventStreams {
         prev.total_value + batch.map(_.value).sum
       )
       stats.update(next)
-      if (deadline.exists()) getHandle.deleteTimer(deadline.get())
-      val due = batch.map(_.event_time.getTime).max + ttlMs
-      getHandle.registerTimer(due)
-      deadline.update(due)
+      if (useTimers) {
+        if (deadline.exists()) getHandle.deleteTimer(deadline.get())
+        val due = batch.map(_.event_time.getTime).max + ttlMs
+        getHandle.registerTimer(due)
+        deadline.update(due)
+      }
       Iterator.single(next)
     }
 
@@ -193,6 +195,29 @@ object EventStreams {
       .transformWithState(
         new UserStatsProcessor(ttlMs),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update()
+      )
+  }
+
+  /** [[runningUserStatsTws]] under BATCH execution: same processor, but
+    * `TimeMode.None` and no timers — batch has no watermark to drive
+    * event-time timers (they throw), and none are needed: every user's
+    * events arrive as one group over empty state, so the emitted rollup
+    * is the complete per-user aggregate. One operator, two runtimes,
+    * like hourlyStats.
+    */
+  def runningUserStatsTwsBatch(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    // batch TWS still opens a real state store, whose provider reports to
+    // the StateStoreCoordinator endpoint only streaming queries create —
+    // register it if absent (idempotent)
+    org.apache.spark.sql.graftbridge.Bridge
+      .ensureStateStoreCoordinator(events.sparkSession)
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new UserStatsProcessor(0L, useTimers = false),
+        org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update()
       )
   }

@@ -16,4 +16,20 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register the driver's StateStoreCoordinator RPC endpoint if absent.
+    *
+    * Streaming queries create this endpoint as part of query startup, but
+    * `transformWithState` executed as a BATCH plan still opens a real
+    * (RocksDB) state store, whose provider reports to the coordinator —
+    * and no streaming query ever ran to create it, so the lookup dies with
+    * RpcEndpointNotFoundException. `forDriver` is idempotent (it falls
+    * back to a lookup when the endpoint already exists), making this safe
+    * to call before every batch TWS plan.
+    */
+  def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit = {
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get, spark.sessionState.conf)
+    ()
+  }
 }
