@@ -122,7 +122,7 @@ object IvfIndex {
   }
 
   /** The persisted cell centroids as driver state — O(k·dim). */
-  private[operators] def loadCentroids(
+  private[graft] def loadCentroids(
       spark: SparkSession,
       dir: String
   ): Array[(Long, Array[Double])] =
@@ -137,7 +137,7 @@ object IvfIndex {
     * higher cell id ((sim, cell) lexicographic order). Shared by [[search]]
     * and [[IvfPq.search]].
     */
-  private[operators] def probeFrame(
+  private[graft] def probeFrame(
       queries: DataFrame,
       cents: Array[(Long, Array[Double])],
       nProbe: Int

@@ -126,10 +126,11 @@ object IvfPq {
 
     // literal probe union -> partition pruning on the codes read (the
     // IvfIndex.search contract; directories outside the probe set are
-    // never listed, let alone read)
+    // never listed, let alone read). Pruning applies to base AND deltas:
+    // both are cell-partitioned, and the filter pushes into each branch
+    // of the union.
     val probedCells = probe.select(col("cell")).distinct().collect().map(_.getLong(0))
-    val codes = spark.read
-      .parquet(s"$dir/codes")
+    val codes = readCodes(spark, dir)
       .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
       .select(
         col("vec_id").as("neighbor_id"),
@@ -162,5 +163,23 @@ object IvfPq {
         Similarity.topKExplode(rescored, k)
       case other => throw new IllegalArgumentException(s"metric must be cos|l2, got $other")
     }
+  }
+
+  /** The full code table: the build-time base plus any incremental
+    * batch deltas appended by
+    * [[graft.streaming.VectorIndexStream.codesUpsert]]. Both trees are
+    * cell-partitioned, so a probe filter prunes each branch.
+    */
+  def readCodes(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read
+      .parquet(s"$dir/codes")
+      .select(col("vec_id"), col("cell"), col("codes"))
+    if (new java.io.File(s"$dir/delta").exists())
+      base.unionByName(
+        spark.read
+          .parquet(s"$dir/delta")
+          .select(col("vec_id"), col("cell"), col("codes"))
+      )
+    else base
   }
 }

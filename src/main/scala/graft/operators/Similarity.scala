@@ -411,6 +411,55 @@ object Similarity {
       )
   }
 
+  /** Incremental semantic dedup: flag each DELTA vector that has an
+    * above-threshold cosine neighbor in the EXISTING corpus, with its
+    * best match — the ingest-time face of [[semanticDedup]] (a daily
+    * embedding feed is checked against the corpus only, never delta ×
+    * delta, mirroring [[Dedup]]'s text-side `deltaDups`).
+    *
+    * Shape at scale: candidates are within-cell only (delta rows join the
+    * cell-partitioned corpus — with a persisted [[IvfIndex]] layout that
+    * read prunes to the delta's cells); the argmax is one
+    * partial-aggregable `max(struct(cos, id))`, no window. Deterministic:
+    * ties on cosine take the higher corpus id on both engines.
+    */
+  def semanticDeltaDups(
+      delta: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      cellCol: String = "label"
+  ): DataFrame = {
+    val d = delta.select(col(cellCol).as("cell"), col("vec_id"), col("embedding"))
+    val c = corpus.select(
+      col(cellCol).as("cell"),
+      col("vec_id").as("b_id"),
+      col("embedding").as("b_emb")
+    )
+    val best = d
+      .join(c, Seq("cell"))
+      .select(
+        col("vec_id"),
+        col("b_id"),
+        cosine(col("embedding"), col("b_emb")).as("cos")
+      )
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("cos"), col("b_id"))).as("m"),
+        count(lit(1)).cast(LongType).as("n_dups")
+      )
+    d.select(col("vec_id"), col("cell"))
+      .join(best, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("cell"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("m.b_id").as("best_match"),
+        col("m.cos").as("best_cos"),
+        col("m").isNull.as("is_unique")
+      )
+  }
+
   /** Embedding near-duplicate pairs: within-cell pairwise cosine >= thr.
     * The cell id bounds the quadratic term exactly like an IVF cell.
     */

@@ -247,6 +247,55 @@ object SimilarityQ {
         "centroid (ties to the lower id). One centroid aggregate + one " +
         "cell-blocked self-join — never all-pairs; kept flags bit-checked."
     ),
+    // ---- the ingest-time face of d_semantic: a deterministic ~10% slice
+    // plays the daily delta and is checked against the remaining corpus
+    // only (delta × corpus within cells — never delta × delta, never
+    // all-pairs), emitting each delta vector's duplicate count and best
+    // corpus match. Mirrors the text side's d_delta_dups.
+    Q(
+      "d_semantic_delta",
+      (s, d) => {
+        import graft.util.Cols.md5Long
+        val emb = Tables.embeddings(s, d)
+        val bkt = pmod(md5Long(concat(col("vec_id").cast("string"), lit("#delta"))), lit(100))
+        val withB = emb.withColumn("bkt", bkt)
+        Similarity
+          .semanticDeltaDups(
+            withB.filter(col("bkt") < 10),
+            withB.filter(col("bkt") >= 10),
+            threshold = 0.30
+          )
+          .orderBy("vec_id")
+      },
+      Some {
+        val h = "('0x' || substr(md5(vec_id::VARCHAR || '#delta'), 1, 15))::BIGINT % 100"
+        s"""WITH e AS (SELECT vec_id, label AS cell, embedding::DOUBLE[] AS emb, $h AS bkt
+           |           FROM embeddings),
+           |d AS (SELECT * FROM e WHERE bkt < 10),
+           |c AS (SELECT * FROM e WHERE bkt >= 10),
+           |sc AS (
+           |  SELECT d.vec_id AS vec_id, c.vec_id AS b_id,
+           |         ${cosSql("d.emb", "c.emb")} AS cos
+           |  FROM d JOIN c ON d.cell = c.cell
+           |  WHERE ${cosSql("d.emb", "c.emb")} >= 0.30
+           |),
+           |r AS (
+           |  SELECT vec_id, b_id, cos,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, b_id DESC) AS rn,
+           |    COUNT(*) OVER (PARTITION BY vec_id) AS n_dups
+           |  FROM sc
+           |)
+           |SELECT d.vec_id AS vec_id, d.cell, coalesce(r.n_dups, 0)::BIGINT AS n_dups,
+           |       r.b_id AS best_match, r.cos AS best_cos, (r.b_id IS NULL) AS is_unique
+           |FROM d LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON d.vec_id = r.vec_id
+           |ORDER BY d.vec_id""".stripMargin
+      },
+      doc = "Incremental semantic dedup: delta vectors (deterministic 10% " +
+        "md5 slice) checked against the existing corpus within cells only " +
+        "— delta x corpus, never delta x delta; per-vector dup count and " +
+        "argmax best match via one partial-aggregable max(struct), no " +
+        "window. Bit-checked including tie rule (higher corpus id)."
+    ),
     // ---- centrality over the similarity graph: integer-exact PageRank on
     // the within-cell cosine near-dup pairs (the d_embed_cosine edges) —
     // how a pipeline picks the most central representative of a near-dup

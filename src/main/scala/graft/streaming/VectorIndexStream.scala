@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, IvfPq, Pq}
+
+/** Incremental ANN-index maintenance: append each micro-batch of NEW
+  * vectors into a persisted [[IvfPq]] index without retraining and without
+  * touching the existing code table.
+  *
+  * The production discipline this encodes: the coarse quantizer (cell
+  * centroids) and the PQ codebooks are FROZEN at build time — an upsert
+  * assigns each new vector its nearest existing cell (map-only literal
+  * argmax, the nProbe=1 case of the probe projection) and encodes it with
+  * the stored codebooks; retraining is a REBUILD, never an upsert (FAISS's
+  * `add` vs `train` split). Each batch lands in its own
+  * `delta/batch_id=N/cell=.../` partition tree — idempotent per batch (a
+  * replayed batch overwrites only its own directory, the
+  * [[EventStreams.idempotentParquetSink]] discipline), cell-partitioned so
+  * probe pruning works on deltas exactly as on the base table.
+  *
+  * At 100 TB: batch deltas are code-sized (m bytes-ish per vector), the
+  * base table is never rewritten, and a periodic compaction folding
+  * `delta/` into `codes/` (plus an eventual retrain) is an offline
+  * maintenance job — the search path meanwhile reads base ∪ delta with
+  * identical pruning.
+  */
+object VectorIndexStream {
+
+  /** One micro-batch of (vec_id, embedding) rows → cell-assigned, PQ-coded,
+    * appended under `dir/delta/batch_id=<id>`. Exposed for batch callers
+    * and tests; [[codesUpsert]] wires it into foreachBatch.
+    */
+  def upsertBatch(batch: DataFrame, dir: String, batchId: Long, dim: Int): Unit = {
+    val spark = batch.sparkSession
+    val cents = IvfIndex.loadCentroids(spark, dir) // O(k·dim) driver state
+    val cb = Pq.loadCodebooks(spark, dir) // O(m·ksub·dsub) driver state
+    // nProbe=1 probe projection = nearest-cell assignment (map-only)
+    val celled = IvfIndex
+      .probeFrame(batch, cents, nProbe = 1)
+      .select(
+        col("query_id").as("vec_id"),
+        col("q_emb").as("embedding"),
+        col("cell")
+      )
+    Pq.encode(celled, cb, dim, keep = Seq("vec_id", "cell"))
+      .write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(s"$dir/delta/batch_id=$batchId")
+  }
+
+  /** foreachBatch writer over a (vec_id, embedding) stream. Start with
+    * `.trigger(...).option("checkpointLocation", ...)`.
+    */
+  def codesUpsert(
+      vecsStream: DataFrame,
+      dir: String,
+      dim: Int = 64
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      upsertBatch(batch, dir, batchId, dim)
+    }
+}

@@ -495,6 +495,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch1Docs === Seq(3L))
   }
 
+  test("streaming vector-index upsert: new vectors searchable without re-encoding the base") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vecup")
+    val in = root.toString + "/in"
+    val idx = root.toString + "/idx"
+    val ckpt = root.toString + "/ckpt"
+    new java.io.File(in).mkdirs()
+
+    // base corpus: the label-celled testdata embeddings, index built once
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    graft.operators.IvfPq.ensureBuilt(emb, idx, cellCol = Some("label"))
+    val baseCodes = spark.read.parquet(s"$idx/codes").count()
+
+    def addFile(name: String, rows: Seq[(Long, Seq[Float])]): Unit = {
+      val tmp = root.toString + "/tmp_" + name
+      rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(
+        part.toPath, java.nio.file.Paths.get(in, name + ".parquet"))
+    }
+    def runOnce(): Unit = {
+      val q = graft.streaming.VectorIndexStream
+        .codesUpsert(
+          spark.readStream
+            .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+            .parquet(in),
+          idx
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // day 1: two new vectors — one an exact copy of corpus vector 0 (must
+    // become its nearest neighbor), one a copy of vector 1
+    val v0 = emb.filter(col("vec_id") === 0).select("embedding")
+      .as[Seq[Float]].head()
+    val v1 = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Seq[Float]].head()
+    addFile("day1", Seq((100000L, v0), (100001L, v1)))
+    runOnce()
+
+    // the base code table was not rewritten; the delta holds only day 1
+    assert(spark.read.parquet(s"$idx/codes").count() === baseCodes)
+    val delta = spark.read.parquet(s"$idx/delta")
+    assert(delta.select("vec_id").as[Long].collect().toSet === Set(100000L, 100001L))
+
+    // search base ∪ delta: the upserted copy of v0 must be v0's top match
+    val corpusAll = emb.select(col("vec_id"), col("embedding")).unionByName(
+      Seq((100000L, v0), (100001L, v1)).toDF("vec_id", "embedding")
+    )
+    val got = graft.operators.IvfPq
+      .search(spark, idx, emb.filter(col("vec_id") === 0), corpusAll,
+        dim = 64, k = 1, nProbe = 2, shortlist = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 100000L)), s"expected the upserted exact copy as top-1, got $got")
+
+    // day 2 is a second batch: lands in its own batch_id partition,
+    // base still untouched
+    addFile("day2", Seq((100002L, v1)))
+    runOnce()
+    val batches = spark.read.parquet(s"$idx/delta")
+      .select("batch_id").distinct().as[Long].collect().toSet
+    assert(batches === Set(0L, 1L))
+    assert(spark.read.parquet(s"$idx/codes").count() === baseCodes)
+  }
+
   test("stream-static join enriches a stream against a batch dimension") {
     // The standard enrichment shape: a live stream joined to a slowly-
     // changing dim loaded as a plain batch DataFrame — Structured
