@@ -64,7 +64,7 @@ object Indexes {
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[operators] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
       java.nio.file.Files

@@ -182,4 +182,35 @@ object IvfPq {
       )
     else base
   }
+
+  /** Offline maintenance: fold the streamed `delta/` trees into the base
+    * code table and drop them — after compaction a search reads ONE
+    * cell-partitioned tree again (delta accumulation adds a file-listing
+    * and a union branch per batch; compaction restores the build-time
+    * read shape). Quantizers are untouched: compaction rewrites codes, a
+    * RETRAIN is a rebuild.
+    *
+    * Swap discipline: the merged table is fully written to a temp dir
+    * first, then two renames publish it. This is a maintenance operation
+    * for a quiesced index (the momentary gap between renames is visible
+    * to a concurrent searcher), matching lakehouse OPTIMIZE semantics —
+    * not a lock-free swap.
+    */
+  def compactDeltas(spark: SparkSession, dir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    if (new java.io.File(s"$dir/delta").exists()) {
+      val stamp = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
+      val tmp = s"$dir/codes.compact-$stamp"
+      readCodes(spark, dir)
+        .write
+        .mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+      val retired = Paths.get(s"$dir/codes.retired-$stamp")
+      Files.move(Paths.get(s"$dir/codes"), retired, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(tmp), Paths.get(s"$dir/codes"), StandardCopyOption.ATOMIC_MOVE)
+      Indexes.deleteRecursively(retired)
+      Indexes.deleteRecursively(Paths.get(s"$dir/delta"))
+    }
+  }
 }

@@ -183,6 +183,67 @@ object PipelineQ {
         "exact LONG arithmetic; per-pack doc counts and token sums " +
         "bit-checked."
     ),
+    // ---- materialize the packed sequences q_pack_sequences assigns: per
+    // (source, pack), the member docs' texts concatenated in doc_id order
+    // with a separator — the actual training-sequence payload. The content
+    // is pinned by md5 of the joined string (order included), so the check
+    // is bit-exact without shipping megabyte rows through the compare.
+    Q(
+      "q_pack_texts",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val packed = Split.packSequences(
+          docs.select(
+            col("doc_id"),
+            col("source"),
+            col("text"),
+            size(Text.tokensAll(col("text"))).as("n_tokens")
+          ),
+          "doc_id",
+          "source",
+          col("n_tokens"),
+          budget = 256,
+          shardSize = 64
+        )
+        packed
+          .groupBy(col("source"), col("pack_id"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("pack_tokens"),
+            md5(
+              concat_ws(
+                "\n\n",
+                transform(
+                  array_sort(collect_list(struct(col("doc_id"), col("text")))),
+                  e => e.getField("text")
+                )
+              )
+            ).as("seq_md5")
+          )
+          .orderBy("source", "pack_id")
+      },
+      Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, source, text, len($toksSql)::BIGINT AS n_tok
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, source, text, n_tok,
+           |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t
+           |)
+           |SELECT source, ((cum - n_tok) // 256)::BIGINT AS pack_id,
+           |  COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS pack_tokens,
+           |  md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS seq_md5
+           |FROM c GROUP BY source, pack_id
+           |ORDER BY source, pack_id""".stripMargin
+      ),
+      doc = "Packed training-sequence materialization: per (source, pack), " +
+        "member texts concatenated in doc_id order with a blank-line " +
+        "separator; the full sequence content (bytes AND order) is pinned " +
+        "by md5 — the write-side step after q_pack_sequences' assignment, " +
+        "same two-level prefix-sum shape."
+    ),
     // ---- the composed cleaning pass: predict language, score quality,
     // keep canonical exact-dedup representatives that pass both gates, and
     // tag each survivor with its split. One scan + one content-hash window

@@ -299,4 +299,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_topkbyscore") || plan.contains("TopKByScore"), plan.take(1500))
     assert(!plan.contains("Window"), "sample must not plan a window sort:\n" + plan.take(1500))
   }
+
+  test("semantic dedup: centroids broadcast; pairs are a cell equi-join, never a cross product") {
+    val plan = physical("d_semantic")
+    assert(
+      plan.contains("BroadcastHashJoin"),
+      "cell centroids must broadcast back onto the corpus:\n" + plan.take(1500)
+    )
+    assert(
+      !plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "within-cell pairing must stay an equi-join on the cell key:\n" + plan.take(1500)
+    )
+  }
+
+  test("semantic delta dedup: argmax is a partial max(struct) aggregate, no window") {
+    val plan = physical("d_semantic_delta")
+    assert(
+      plan.contains("partial_max") || plan.contains("partial_count"),
+      "best-match argmax must pre-aggregate on the map side:\n" + plan.take(1500)
+    )
+    assert(!plan.contains("Window"), "no window sort for the argmax:\n" + plan.take(1500))
+    assert(
+      !plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "delta x corpus must stay cell-keyed:\n" + plan.take(1500)
+    )
+  }
 }

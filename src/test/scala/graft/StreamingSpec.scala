@@ -562,6 +562,22 @@ class StreamingSpec extends AnyFunSuite {
       .select("batch_id").distinct().as[Long].collect().toSet
     assert(batches === Set(0L, 1L))
     assert(spark.read.parquet(s"$idx/codes").count() === baseCodes)
+
+    // compaction folds both deltas into the base and drops delta/; search
+    // results are unchanged (same codes, one tree)
+    val corpusAll2 = emb.select(col("vec_id"), col("embedding")).unionByName(
+      Seq((100000L, v0), (100001L, v1), (100002L, v1)).toDF("vec_id", "embedding")
+    )
+    def searchAll() = graft.operators.IvfPq
+      .search(spark, idx, emb.filter(col("vec_id") < 3), corpusAll2,
+        dim = 64, k = 3, nProbe = 2, shortlist = 50)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val before = searchAll()
+    graft.operators.IvfPq.compactDeltas(spark, idx)
+    assert(!new java.io.File(s"$idx/delta").exists(), "delta tree must be dropped")
+    assert(spark.read.parquet(s"$idx/codes").count() === baseCodes + 3)
+    assert(searchAll() === before, "compaction must not change search results")
   }
 
   test("stream-static join enriches a stream against a batch dimension") {
