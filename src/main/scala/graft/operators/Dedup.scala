@@ -204,6 +204,35 @@ object Dedup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** Corpus snapshot diff: classify every id across two corpus versions
+    * as added / removed / changed / same by RAW content hash (byte
+    * identity — versioning, unlike dedup, must not normalize). The
+    * audit/reproducibility primitive of dataset management: "what changed
+    * between the corpus a model trained on and today's?".
+    *
+    * Shape at scale: each side reduces to (id, md5) in the scan
+    * projection — 24-byte rows into one full-outer equi-join on the id;
+    * no text ever crosses the shuffle.
+    */
+  def snapshotDiff(
+      v1: DataFrame,
+      v2: DataFrame,
+      idCol: String = "doc_id",
+      contentCol: String = "text"
+  ): DataFrame = {
+    val a = v1.select(col(idCol).as("id"), md5(col(contentCol)).as("h1"))
+    val b = v2.select(col(idCol).as("id"), md5(col(contentCol)).as("h2"))
+    a.join(b, Seq("id"), "full")
+      .select(
+        col("id").as(idCol),
+        when(col("h2").isNull, "removed")
+          .when(col("h1").isNull, "added")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("same")
+          .as("status")
+      )
+  }
+
   /** Incremental (delta-vs-corpus) near-dup detection: find every verified
     * pair that involves at least one NEW document — new-vs-old and
     * new-vs-new — without ever re-pairing the standing corpus with itself.

@@ -199,6 +199,56 @@ object DedupQ {
         "shape; oracle = the full pair set filtered to pairs touching a " +
         "delta doc."
     ),
+    // ---- dataset versioning: diff two corpus snapshots by RAW content
+    // hash. v1 drops a deterministic 5% slice (the "removed" docs), v2
+    // drops a different 5% (so v1-only ids read as removed and v2-only as
+    // added) and rewrites another 10% (the "changed" docs) — every status
+    // class is non-vacuously exercised and the whole classification is
+    // bit-checked.
+    Q(
+      "d_snapshot_diff",
+      (s, d) => {
+        import graft.util.Cols.md5Long
+        val docs = Tables.documents(s, d)
+        def bkt(salt: String) =
+          pmod(md5Long(concat(col("doc_id").cast("string"), lit(salt))), lit(100))
+        val v1 = docs.filter(bkt("#v1") >= 5).select(col("doc_id"), col("text"))
+        val v2 = docs
+          .filter(bkt("#v2") >= 5)
+          .select(
+            col("doc_id"),
+            when(bkt("#mod") < 10, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text"))
+              .as("text")
+          )
+        Dedup.snapshotDiff(v1, v2).orderBy("doc_id")
+      },
+      Some {
+        def bkt(salt: String) =
+          s"('0x' || substr(md5(doc_id::VARCHAR || '$salt'), 1, 15))::BIGINT % 100"
+        s"""WITH b AS (
+           |  SELECT doc_id, text, ${bkt("#v1")} AS b1, ${bkt("#v2")} AS b2,
+           |         ${bkt("#mod")} AS bm
+           |  FROM documents
+           |),
+           |v1 AS (SELECT doc_id, text FROM b WHERE b1 >= 5),
+           |v2 AS (SELECT doc_id,
+           |         CASE WHEN bm < 10 THEN text || ' [rev2]' ELSE text END AS text
+           |       FROM b WHERE b2 >= 5)
+           |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           |  CASE WHEN v2.doc_id IS NULL THEN 'removed'
+           |       WHEN v1.doc_id IS NULL THEN 'added'
+           |       WHEN md5(v1.text) != md5(v2.text) THEN 'changed'
+           |       ELSE 'same' END AS status
+           |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+           |ORDER BY doc_id""".stripMargin
+      },
+      doc = "Corpus snapshot diff (dataset versioning audit): every id " +
+        "classified added/removed/changed/same by raw content md5 — each " +
+        "side reduces to (id, hash) in the scan projection, one full-outer " +
+        "equi-join, no text crosses the shuffle; all four classes " +
+        "non-vacuous and bit-checked."
+    ),
     Q(
       "d_dedup_corpus",
       (s, d) =>

@@ -612,6 +612,79 @@ object TextQ {
         "list, bit-checked over an ASCII corpus UNION a multilingual " +
         "fixture (de/fr/es/el/ru) where the two tokenizers genuinely " +
         "diverge. Map-only, stays in codegen."
+    ),
+    // ---- statistical-LM quality scoring (the CCNet/KenLM filtering
+    // family): score each document by the average corpus conditional
+    // bigram probability p(w2|w1) = c_xy / c_x over its OCCURRING bigrams
+    // (multiplicity kept — true LM counts, unlike t_bigram_freq's
+    // document-frequency proxy). All arithmetic is the scaled integer
+    // quotient (c_xy·1e6) div c_x — the same order as avg log-prob at
+    // fixed vocabulary without cross-engine libm drift.
+    Q(
+      "t_lm_score",
+      (s, d) => {
+        import graft.operators.Dedup
+        val docs = Tables.documents(s, d)
+        // bigram occurrences carry only their 60-bit hash past the scan
+        // (8-byte shuffle keys, strings stay map-side — the t_bigram_freq
+        // discipline); localCheckpointed because the corpus count aggregate
+        // AND the scoring join both consume it.
+        val bg = docs
+          .select(
+            col("doc_id"),
+            explode(
+              Dedup.wordShinglesAll(Text.tokensAll(col("text")), 2)
+            ).as("bg")
+          )
+          .select(
+            col("doc_id"),
+            md5Long(col("bg")).as("bgh"),
+            md5Long(substring_index(col("bg"), " ", 1)).as("w1h")
+          )
+          .localCheckpoint(true)
+        val cxy = bg.groupBy(col("bgh")).agg(count(lit(1)).as("c_xy"))
+        val cx = docs
+          .select(explode(Text.tokensAll(col("text"))).as("w"))
+          .select(md5Long(col("w")).as("w1h"))
+          .groupBy(col("w1h"))
+          .agg(count(lit(1)).as("c_x"))
+        bg.join(cxy, Seq("bgh"))
+          .join(broadcast(cx), Seq("w1h")) // vocabulary-bounded side
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).cast("long").as("n_bigrams"),
+            sum(expr("(c_xy * 1000000) div c_x")).as("sc")
+          )
+          .select(
+            col("doc_id"),
+            col("n_bigrams"),
+            expr("sc div n_bigrams").as("lm_score_e6")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |bg AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, len(tk) - 1),
+           |      i -> tk[i] || ' ' || tk[i+1])) AS bg
+           |  FROM t
+           |),
+           |cxy AS (SELECT bg, COUNT(*) AS c_xy FROM bg GROUP BY bg),
+           |cx AS (SELECT w, COUNT(*) AS c_x
+           |       FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w)
+           |SELECT doc_id, COUNT(*) AS n_bigrams,
+           |  (SUM((c_xy * 1000000) // c_x) // COUNT(*))::BIGINT AS lm_score_e6
+           |FROM bg
+           |JOIN cxy USING (bg)
+           |JOIN cx ON split_part(bg.bg, ' ', 1) = cx.w
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Statistical-LM quality score (CCNet-family filter): per-doc " +
+        "mean scaled conditional bigram probability (c_xy*1e6) div c_x " +
+        "over occurring bigrams, integer-exact end to end. One corpus " +
+        "bigram aggregate + one 8-byte-key scoring join + a broadcast " +
+        "vocabulary-bounded unigram side."
     )
   )
 }
