@@ -349,6 +349,63 @@ object Similarity {
       )
   }
 
+  /** Dimension-wise covariance of the embedding corpus — the input to
+    * PCA/whitening (the standard pre-transform before product
+    * quantization) and the drift-monitoring statistic for an embedding
+    * feed. Upper triangle only: (i, j, n, sxy, cov) for i <= j.
+    *
+    * Shape at scale: each row expands to its d(d+1)/2 pair products
+    * MAP-SIDE (nested sequence/transform — no join, no per-row shuffle),
+    * and the aggregate is partial-aggregable, so the exchange carries at
+    * most partitions × d² rows; the output is d²-bounded regardless of
+    * corpus size. Sums accumulate in DECIMAL(38,9) (order-insensitive,
+    * cross-engine exact); the final covariance is two deterministic
+    * double ops.
+    */
+  def dimCovariance(corpus: DataFrame, dim: Int): DataFrame = {
+    val eD = transform(col("embedding"), x => x.cast(DoubleType))
+    val pairs = flatten(
+      transform(
+        sequence(lit(0), lit(dim - 1)),
+        i =>
+          transform(
+            sequence(i, lit(dim - 1)),
+            j =>
+              struct(
+                i.cast(LongType).as("i"),
+                j.cast(LongType).as("j"),
+                (element_at(eD, i + 1) * element_at(eD, j + 1)).as("xy")
+              )
+          )
+      )
+    )
+    val sums = corpus
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos").cast(LongType).as("pos"))
+      .agg(
+        (sum(col("x").cast(DecimalType(38, 9))).cast(DoubleType)).as("sx"),
+        count(lit(1)).as("n")
+      )
+    val prods = corpus
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(
+        sum(col("p.xy").cast(DecimalType(38, 9))).cast(DoubleType).as("sxy"),
+        count(lit(1)).as("n")
+      )
+    prods
+      .join(broadcast(sums.select(col("pos").as("i"), col("sx").as("sx_i"))), Seq("i"))
+      .join(broadcast(sums.select(col("pos").as("j"), col("sx").as("sx_j"))), Seq("j"))
+      .select(
+        col("i"),
+        col("j"),
+        col("n"),
+        col("sxy"),
+        (col("sxy") / col("n") - (col("sx_i") / col("n")) * (col("sx_j") / col("n")))
+          .as("cov")
+      )
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     * the corpus into cells, and within each cell drop every document that
     * has an above-threshold cosine near-duplicate CLOSER to the cell

@@ -389,6 +389,51 @@ object SimilarityQ {
         "+ one final division; the explode's partial aggregate shrinks " +
         "every map partition to |labels|x|dims| rows pre-exchange."
     ),
+    // ---- the PCA/whitening input: dimension covariance, decimal-exact
+    // sums, map-side pair expansion, d²-bounded output. The whitening
+    // rotation itself is a driver-side eigendecomposition of this d×d
+    // result — the distributed part IS this query.
+    Q(
+      "s_covariance",
+      (s, d) =>
+        Similarity
+          .dimCovariance(Tables.embeddings(s, d), dim = 64)
+          .orderBy("i", "j"),
+      Some(
+        """WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+          |px AS (
+          |  SELECT unnest(generate_series(0, len(emb) - 1)) AS pos,
+          |         unnest(list_transform(emb, x -> x)) AS x
+          |  FROM e
+          |),
+          |dims AS (
+          |  SELECT pos, SUM(x::DECIMAL(38,9))::DOUBLE AS sx, COUNT(*) AS n
+          |  FROM px GROUP BY pos
+          |),
+          |pr AS (
+          |  SELECT ii.i AS i, jj.j AS j, emb[ii.i + 1] * emb[jj.j + 1] AS xy
+          |  FROM e,
+          |       (SELECT unnest(generate_series(0, 63)) AS i) ii,
+          |       (SELECT unnest(generate_series(0, 63)) AS j) jj
+          |  WHERE jj.j >= ii.i
+          |),
+          |pairs AS (
+          |  SELECT i, j, SUM(xy::DECIMAL(38,9))::DOUBLE AS sxy, COUNT(*) AS n
+          |  FROM pr GROUP BY i, j
+          |)
+          |SELECT p.i, p.j, p.n, p.sxy,
+          |  (p.sxy / p.n) - ((di.sx / di.n) * (dj.sx / dj.n)) AS cov
+          |FROM pairs p
+          |JOIN dims di ON p.i = di.pos
+          |JOIN dims dj ON p.j = dj.pos
+          |ORDER BY p.i, p.j""".stripMargin
+      ),
+      doc = "Embedding dimension covariance (upper triangle, 2080 rows at " +
+        "d=64): map-side pair-product expansion, DECIMAL(38,9) " +
+        "order-insensitive sums, two deterministic double ops for cov — " +
+        "the distributed half of PCA/whitening and the drift statistic, " +
+        "bit-checked."
+    ),
     // ---- product quantization, seed-codebook path: with iters=0 the
     // codebooks are the 16 salted-md5-ordered corpus vectors, so the WHOLE
     // encode — seeds, block slicing, (x·x - 2·x·c) + c·c distances, argmin
