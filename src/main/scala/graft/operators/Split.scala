@@ -111,6 +111,13 @@ object Split {
     *
     * All arithmetic is exact LONG and the result is bit-identical for any
     * shardSize (the prefix sum is associative), which the spec pins.
+    *
+    * Note: `df` (and therefore `nTokens`) is evaluated TWICE — once for
+    * the shard-total aggregate, once for the row-level pass. If the token
+    * count is expensive (a tokenizer over raw text), pre-materialize the
+    * narrow (id, group, n_tok) projection (persist/localCheckpoint) and
+    * pass the column through; the aggregate pass prunes to those three
+    * columns either way.
     */
   def packSequences(
       df: DataFrame,
