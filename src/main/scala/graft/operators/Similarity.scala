@@ -354,31 +354,17 @@ object Similarity {
     * quantization) and the drift-monitoring statistic for an embedding
     * feed. Upper triangle only: (i, j, n, sxy, cov) for i <= j.
     *
-    * Shape at scale: each row expands to its d(d+1)/2 pair products
-    * MAP-SIDE (nested sequence/transform — no join, no per-row shuffle),
-    * and the aggregate is partial-aggregable, so the exchange carries at
-    * most partitions × d² rows; the output is d²-bounded regardless of
-    * corpus size. Sums accumulate in DECIMAL(38,9) (order-insensitive,
-    * cross-engine exact); the final covariance is two deterministic
-    * double ops.
+    * Shape at scale: the whole d(d+1)/2 Gram matrix is ONE mergeable
+    * native aggregate ([[graft.functions.GramUpperAgg]]) — O(d²) LONG
+    * state per partition, elementwise-add merge, so the exchange carries
+    * one matrix per partition and no per-pair row ever exists. (The
+    * explode formulation this replaced materialized 41.6M struct rows at
+    * 20k×64 and ran 4× slower with the identical output.) Products are
+    * rounded exactly as `cast(double AS DECIMAL(38,9))` on both engines,
+    * so sums stay order-insensitive and cross-engine exact; the final
+    * covariance is two deterministic double ops.
     */
   def dimCovariance(corpus: DataFrame, dim: Int): DataFrame = {
-    val eD = transform(col("embedding"), x => x.cast(DoubleType))
-    val pairs = flatten(
-      transform(
-        sequence(lit(0), lit(dim - 1)),
-        i =>
-          transform(
-            sequence(i, lit(dim - 1)),
-            j =>
-              struct(
-                i.cast(LongType).as("i"),
-                j.cast(LongType).as("j"),
-                (element_at(eD, i + 1) * element_at(eD, j + 1)).as("xy")
-              )
-          )
-      )
-    )
     val sums = corpus
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("pos").cast(LongType).as("pos"))
@@ -387,12 +373,12 @@ object Similarity {
         count(lit(1)).as("n")
       )
     val prods = corpus
-      .select(explode(pairs).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(
-        sum(col("p.xy").cast(DecimalType(38, 9))).cast(DoubleType).as("sxy"),
-        count(lit(1)).as("n")
+        graft.functions.GramUpperAgg.gramUpper(col("embedding"), dim).as("g"),
+        count(col("embedding")).as("n")
       )
+      .select(col("n"), explode(col("g")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("n"), col("p.sxy").as("sxy"))
     prods
       .join(broadcast(sums.select(col("pos").as("i"), col("sx").as("sx_i"))), Seq("i"))
       .join(broadcast(sums.select(col("pos").as("j"), col("sx").as("sx_j"))), Seq("j"))
