@@ -270,6 +270,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8, s"mean recall@5 after 50-candidate rerank was $mean")
   }
 
+  test("dimCovariance: hand-computed values, partition-invariant native aggregate") {
+    // corpus {(1,2), (3,4)}: sums (4, 6), gram (10, 14, 20), n=2 →
+    // cov = E[xy] − E[x]E[y] = 1.0 for every cell
+    val corpus = Seq(
+      (0L, Seq(1.0f, 2.0f)),
+      (1L, Seq(3.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("i", "j", "n", "sxy", "cov")
+      .as[(Long, Long, Long, Double, Double)]
+      .collect()
+      .toSet
+    val got = rows(Similarity.dimCovariance(corpus, dim = 2))
+    assert(
+      got === Set((0L, 0L, 2L, 10.0, 1.0), (0L, 1L, 2L, 14.0, 1.0), (1L, 1L, 2L, 20.0, 1.0)),
+      got.toString
+    )
+    // the Gram aggregate's partial/merge path must be layout-invariant
+    val emb = Tables.embeddings(spark, sf)
+    val once = rows(Similarity.dimCovariance(emb.coalesce(1), dim = 64))
+    val many = rows(Similarity.dimCovariance(emb.repartition(7), dim = 64))
+    assert(once === many, "covariance must be bit-identical on any partitioning")
+  }
+
   test("IVF-PQ: search prunes the code read to probed cells and matches exact IVF") {
     import graft.operators.{IvfPq, Similarity}
     val emb = Tables.embeddings(spark, sf)
