@@ -392,6 +392,49 @@ object Similarity {
       )
   }
 
+  /** Per-dimension z-score standardization of the embedding column — the
+    * feature-normalization / diagonal-whitening step before distance
+    * computations, quantization, or drift comparison. Two phases:
+    *
+    *   1. per-dim mean and E[x²] via decimal-exact partial-aggregable
+    *      sums (one posexplode aggregate, d output rows); the d-row stats
+    *      collect to the driver — O(dim) state, the centroid-literal
+    *      pattern of [[kmeansCells]];
+    *   2. a MAP-ONLY projection `(x - μᵢ) / max(σᵢ, 1e-30)` against the
+    *      literal stat arrays — no join, no shuffle, whole corpus in one
+    *      codegen pass.
+    *
+    * All stats are deterministic doubles (decimal sums, then single
+    * double ops), so the standardized vectors are bit-reproducible and
+    * cross-engine exact.
+    */
+  def standardize(corpus: DataFrame): DataFrame = {
+    val stats = corpus
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(
+        (sum(col("x").cast(DecimalType(38, 9))).cast(DoubleType) / count(lit(1))).as("mu"),
+        (sum((col("x").cast(DoubleType) * col("x").cast(DoubleType)).cast(DecimalType(38, 9)))
+          .cast(DoubleType) / count(lit(1))).as("ex2")
+      )
+      .select(
+        col("pos"),
+        col("mu"),
+        greatest(sqrt(col("ex2") - col("mu") * col("mu")), lit(1e-30)).as("sigma")
+      )
+      .orderBy("pos")
+      .collect()
+    val mus = typedLit(stats.map(_.getDouble(1)).toSeq)
+    val sigmas = typedLit(stats.map(_.getDouble(2)).toSeq)
+    corpus.select(
+      col("vec_id"),
+      transform(
+        col("embedding"),
+        (x, i) => (x.cast(DoubleType) - element_at(mus, i + 1)) / element_at(sigmas, i + 1)
+      ).as("z")
+    )
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     * the corpus into cells, and within each cell drop every document that
     * has an above-threshold cosine near-duplicate CLOSER to the cell

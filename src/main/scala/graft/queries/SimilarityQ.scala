@@ -389,6 +389,53 @@ object SimilarityQ {
         "+ one final division; the explode's partial aggregate shrinks " +
         "every map partition to |labels|x|dims| rows pre-exchange."
     ),
+    // ---- feature normalization: per-dim z-score (diagonal whitening).
+    // Stats are decimal-exact; the projection is map-only against literal
+    // stat arrays. Checked per vector through order-pinned left-to-right
+    // sums plus min/max of the standardized components.
+    Q(
+      "s_standardize",
+      (s, d) =>
+        Similarity
+          .standardize(Tables.embeddings(s, d))
+          .select(
+            col("vec_id"),
+            aggregate(col("z"), lit(0.0), (acc, v) => acc + v).as("z_sum"),
+            array_min(col("z")).as("z_min"),
+            array_max(col("z")).as("z_max")
+          )
+          .orderBy("vec_id"),
+      Some(
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          |px AS (
+          |  SELECT unnest(generate_series(1, len(emb))) AS pos, unnest(emb) AS x
+          |  FROM e
+          |),
+          |st AS (
+          |  SELECT pos, SUM(x::DECIMAL(38,9))::DOUBLE / COUNT(*) AS mu,
+          |         SUM((x*x)::DECIMAL(38,9))::DOUBLE / COUNT(*) AS ex2
+          |  FROM px GROUP BY pos
+          |),
+          |s2 AS (SELECT pos, mu, greatest(sqrt(ex2 - mu*mu), 1e-30) AS sigma FROM st),
+          |lits AS (SELECT list(mu ORDER BY pos) AS mus,
+          |                list(sigma ORDER BY pos) AS sigmas FROM s2),
+          |z AS (
+          |  SELECT vec_id,
+          |    list_transform(generate_series(1, len(emb)),
+          |      i -> (emb[i] - mus[i]) / sigmas[i]) AS zv
+          |  FROM e, lits
+          |)
+          |SELECT vec_id,
+          |  list_reduce(list_prepend(0.0, zv), (acc, v) -> acc + v) AS z_sum,
+          |  list_min(zv) AS z_min, list_max(zv) AS z_max
+          |FROM z ORDER BY vec_id""".stripMargin
+      ),
+      doc = "Per-dimension z-score standardization (feature normalization " +
+        "/ diagonal whitening): decimal-exact per-dim mean and sigma, " +
+        "then a map-only projection against literal stat arrays — no " +
+        "join, no shuffle on the corpus pass. Checked per vector via " +
+        "left-to-right component sums plus min/max, bit-exact."
+    ),
     // ---- the PCA/whitening input: dimension covariance, decimal-exact
     // sums, map-side pair expansion, d²-bounded output. The whitening
     // rotation itself is a driver-side eigendecomposition of this d×d
