@@ -95,26 +95,74 @@ object Similarity {
     * collect k·dim doubles to the driver — the only driver state, bounded
     * by k, never by the corpus.
     */
+  /** Map-only argmax-cosine against driver-held centroids: the centroids
+    * are literals inside one codegen'd projection (k cosine loops + a
+    * struct array_max), so an assignment pass is a scan with NO join and
+    * NO shuffle. Driver state stays O(k·dim). Ties take the higher cell
+    * id (struct (sim, cell) lexicographic max) — measure-zero on doubles.
+    * Only valid for bounded k: at large k the literal tree blows past
+    * codegen's 64 KB method limit — [[assignCells]] switches to the
+    * broadcast-join path there.
+    */
+  private def cellOfLiteral(cents: Array[(Long, Array[Double])]): Column =
+    array_max(
+      array(cents.map { case (cell, v) =>
+        struct(
+          cosine(col("embedding"), typedLit(v.toSeq)).as("sim"),
+          lit(cell).as("cell")
+        )
+      }.toIndexedSeq: _*)
+    ).getField("cell")
+
+  /** Argmax-cosine centroid assignment → (vec_id, embedding, cell), with
+    * the tie rule of [[cellOfLiteral]] (higher cell wins) on BOTH paths:
+    *
+    *   - k <= litK: centroid literals in one codegen projection — map-only,
+    *     no join, no shuffle (the [[kmeansCells]] inner loop);
+    *   - k > litK: centroids as a BROADCAST table + the bounded top-1
+    *     partial-aggregable `max(struct(sim, cell))`. At the k ≈ √N a
+    *     100 TB IVF wants (tens of thousands of cells) the literal tree
+    *     exceeds codegen's 64 KB method limit and falls back to
+    *     interpreted — the join path stays codegen'd at any k: the
+    *     broadcast fans each row out k ways map-side, the partial
+    *     aggregate collapses them before the exchange, and the exchange
+    *     carries one row per vector.
+    *
+    * `max(struct(sim, cell))` and the literal `array_max` use the same
+    * struct lexicographic order, so the two paths are bit-identical
+    * (pinned in SimilaritySpec).
+    */
+  def assignCells(
+      corpus: DataFrame,
+      cents: Array[(Long, Array[Double])],
+      litK: Int = 256
+  ): DataFrame =
+    if (cents.length <= litK) {
+      corpus.select(col("vec_id"), col("embedding"), cellOfLiteral(cents).as("cell"))
+    } else {
+      val s = corpus.sparkSession
+      import s.implicits._
+      val centsDf = cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid")
+      val best = corpus
+        .join(broadcast(centsDf))
+        .select(
+          col("vec_id"),
+          col("cell"),
+          cosine(col("embedding"), col("centroid")).as("sim")
+        )
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"))
+      corpus.select(col("vec_id"), col("embedding")).join(best, Seq("vec_id"))
+    }
+
   def kmeansCells(corpus: DataFrame, kCells: Int, iters: Int): DataFrame = {
     // Each Lloyd's iteration re-scans the vectors (assign + mean); pin the
     // narrow (id, vector) projection once instead of re-reading the source
     // per iteration — the standard shape for iterative training at scale.
     val emb = corpus.select(col("vec_id"), col("embedding")).cache()
 
-    // Map-only argmax against the k driver-held centroids: the centroids
-    // are literals inside one codegen'd projection (k cosine loops + a
-    // struct array_max), so an assignment pass is a scan with NO join and
-    // NO shuffle. Driver state stays O(k·dim). Ties take the higher cell
-    // id (struct (sim, cell) lexicographic max) — measure-zero on doubles.
-    def cellOf(cents: Array[(Long, Array[Double])]): Column =
-      array_max(
-        array(cents.map { case (cell, v) =>
-          struct(
-            cosine(col("embedding"), typedLit(v.toSeq)).as("sim"),
-            lit(cell).as("cell")
-          )
-        }.toIndexedSeq: _*)
-      ).getField("cell")
+    def cellOf(cents: Array[(Long, Array[Double])]): Column = cellOfLiteral(cents)
 
     def assign(cents: Array[(Long, Array[Double])]): DataFrame =
       emb.select(col("vec_id"), cellOf(cents).as("cell"))
@@ -157,6 +205,96 @@ object Similarity {
       it += 1
     }
     assign(cents)
+  }
+
+  /** Data-scaled cell count: k = ceil(n / targetCellSize). Growing k with
+    * the corpus keeps EXPECTED cell size constant — the property SemDeDup's
+    * published cost bound needs (k ∝ N) and the one a fixed cell column
+    * (e.g. `label`) cannot provide: 100× the corpus in fixed cells makes
+    * each cell 100× larger and every within-cell pair join 10,000× bigger.
+    */
+  def scaledK(n: Long, targetCellSize: Int): Int =
+    math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt
+
+  /** Deterministic seed centroids: the k corpus vectors first in salted
+    * md5 order of vec_id (a fixed pseudo-random sample — no RNG state, so
+    * any engine rebuilds the identical seeds from the same formula, making
+    * downstream cell assignments bit-checkable; the [[kmeansCells]] /
+    * s_pq_encode seeding recipe). Driver state is O(k·dim).
+    */
+  def seedCentroids(corpus: DataFrame, k: Int, salt: String = "#seed"): Array[(Long, Array[Double])] =
+    corpus
+      .orderBy(md5Long(concat(col("vec_id").cast(StringType), lit(salt))), col("vec_id"))
+      .limit(k)
+      .select(col("embedding"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](0).map(_.toDouble).toArray) }
+
+  /** Data-scaled quantizer cells with an oversized-cell re-split guard →
+    * (vec_id, embedding, cell). The blocking structure for corpus-growth-
+    * proof semantic dedup:
+    *
+    *   1. k = [[scaledK]](N) seed centroids ([[seedCentroids]] — the
+    *      iters=0 closed form of [[kmeansCells]], chosen over trained
+    *      centroids so an oracle can replay the assignment exactly);
+    *   2. argmax-cosine assignment via [[assignCells]] (map-only literals
+    *      at small k, broadcast-join + bounded top-1 aggregate above);
+    *   3. RE-SPLIT GUARD: k ∝ N fixes the mean cell size but not skew — a
+    *      hot seed can still collect an unbounded cell. Cells above
+    *      maxCellSize are salted into ceil(|cell| / maxCellSize) subcells
+    *      by a second md5 hash (map-only after a broadcast join of the
+    *      k-row cell-count table), so EVERY cell's expected size is
+    *      ≤ maxCellSize and the within-cell pair join is bounded by
+    *      construction. Subcell ids are `sub·k + cell` — collision-free
+    *      since cell < k.
+    *
+    * The split trades a sliver of recall (pairs straddling subcells of one
+    * hot cell are not compared) for a hard quadratic bound — the standard
+    * cap-and-salt posture for near-dup blocking at 100 TB.
+    */
+  def scaledCells(
+      corpus: DataFrame,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256
+  ): DataFrame = {
+    val k = scaledK(corpus.count(), targetCellSize)
+    val coarse = assignCells(corpus, seedCentroids(corpus, k), litK)
+    resplitCells(coarse, cellCounts(coarse), k, maxCellSize)
+  }
+
+  /** Per-cell row counts of an assignment — k rows, broadcastable. */
+  private[operators] def cellCounts(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+
+  /** Salted sub-split of cells above maxCellSize (step 3 of
+    * [[scaledCells]]); left join + coalesce so rows in cells absent from
+    * the count table (possible when counts come from a different frame,
+    * as in [[semanticDeltaDupsScaled]]) pass through unsplit.
+    */
+  private[operators] def resplitCells(
+      assigned: DataFrame,
+      counts: DataFrame,
+      k: Int,
+      maxCellSize: Int
+  ): DataFrame = {
+    val splits = counts.select(
+      col("cell"),
+      floor((col("cnt") + lit((maxCellSize - 1).toLong)) / lit(maxCellSize.toLong))
+        .cast(LongType)
+        .as("nsplit")
+    )
+    assigned
+      .join(broadcast(splits), Seq("cell"), "left")
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        (pmod(
+          md5Long(concat(col("vec_id").cast(StringType), lit("#sub"))),
+          coalesce(col("nsplit"), lit(1L))
+        ) * k + col("cell")).as("cell")
+      )
   }
 
   /** IVF search: rank cells by query↔centroid cosine (bounded top-nProbe
@@ -442,23 +580,59 @@ object Similarity {
     * neighborhood, the single most-representative member. Returns every
     * row with its centroid cosine and a `kept` flag.
     *
+    * KEEP-RULE NOTE (deliberate deviation): Abbas et al.'s default keeps
+    * the example with the LOWEST centroid similarity inside a duplicate
+    * neighborhood (biasing the kept set toward cluster edges); this
+    * implementation keeps the MOST-CENTRAL member — the canonical-
+    * representative policy used everywhere else in this engine (cf.
+    * [[graft.operators.Dedup]]'s representatives, s_pagerank_sim). Same
+    * duplicate graph, opposite — and equally defensible — choice of which
+    * member survives it.
+    *
     * Shape at scale: the quadratic term is bounded per cell (exactly the
-    * IVF-cell blocking of [[cosineDupPairs]] — at 100 TB the cells come
-    * from [[kmeansCells]] with k sized so |cell|² stays tractable, which
-    * is also how SemDeDup itself is run); centroids are the decimal-exact
-    * partial-aggregable means of [[centroids]] and broadcast back, so the
-    * whole operator is one centroid aggregate + one within-cell self-join
-    * — deterministic end to end, no all-pairs stage, no driver state
-    * beyond the broadcast centroids.
+    * IVF-cell blocking of [[cosineDupPairs]]); at 100 TB feed it cells
+    * from [[scaledCells]] (k ∝ N + re-split guard — see
+    * [[semanticDedupScaled]], the production entry point) rather than a
+    * fixed cell column, whose cells grow with the corpus and make the
+    * pair join quadratic in corpus growth. Centroids are the
+    * decimal-exact partial-aggregable means of [[centroids]] and
+    * broadcast back, so the whole operator is one centroid aggregate +
+    * one within-cell self-join — deterministic end to end, no all-pairs
+    * stage, no driver state beyond the broadcast centroids.
     */
   def semanticDedup(
       corpus: DataFrame,
       threshold: Double,
       cellCol: String = "label"
-  ): DataFrame = {
-    val withC = corpus
-      .select(col(cellCol).as("cell"), col("vec_id"), col("embedding"))
-      .join(broadcast(centroids(corpus, cellCol)), Seq("cell"))
+  ): DataFrame =
+    semanticDedupCore(
+      corpus.select(col(cellCol).as("cell"), col("vec_id"), col("embedding")),
+      threshold
+    )
+
+  /** [[semanticDedup]] over [[scaledCells]] — the corpus-growth-proof
+    * form: cell count scales with N (constant expected cell size) and the
+    * re-split guard hard-bounds skewed cells, so the within-cell pair
+    * join stays linear in corpus size at any scale. Deterministic end to
+    * end (seed quantizer + salted split are closed-form md5 constructions
+    * both engines replay), so kept flags stay bit-checkable.
+    */
+  def semanticDedupScaled(
+      corpus: DataFrame,
+      threshold: Double,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256
+  ): DataFrame =
+    semanticDedupCore(
+      scaledCells(corpus, targetCellSize, maxCellSize, litK)
+        .select(col("cell"), col("vec_id"), col("embedding")),
+      threshold
+    )
+
+  private def semanticDedupCore(celled: DataFrame, threshold: Double): DataFrame = {
+    val withC = celled
+      .join(broadcast(centroids(celled, "cell")), Seq("cell"))
       .withColumn("ccos", cosine(col("embedding"), col("centroid")))
       .select(col("cell"), col("vec_id"), col("embedding"), col("ccos"))
     val a = withC.select(
@@ -514,10 +688,47 @@ object Similarity {
       corpus: DataFrame,
       threshold: Double,
       cellCol: String = "label"
+  ): DataFrame =
+    semanticDeltaDupsCore(
+      delta.select(col(cellCol).as("cell"), col("vec_id"), col("embedding")),
+      corpus.select(col(cellCol).as("cell"), col("vec_id"), col("embedding")),
+      threshold
+    )
+
+  /** [[semanticDeltaDups]] over [[scaledCells]] derived from the CORPUS
+    * (seeds, k, and re-split counts all come from the existing corpus —
+    * the delta is assigned into the corpus's cells, never the reverse, so
+    * a day's ingest can't perturb the blocking of the data already
+    * deduped). Corpus cells above maxCellSize are salted exactly as in
+    * [[semanticDedupScaled]], and the delta rides the same sub-split so
+    * the two operators agree on which pairs are comparable.
+    */
+  def semanticDeltaDupsScaled(
+      delta: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256
   ): DataFrame = {
-    val d = delta.select(col(cellCol).as("cell"), col("vec_id"), col("embedding"))
-    val c = corpus.select(
-      col(cellCol).as("cell"),
+    val k = scaledK(corpus.count(), targetCellSize)
+    val cents = seedCentroids(corpus, k)
+    val cCoarse = assignCells(corpus, cents, litK)
+    val counts = cellCounts(cCoarse)
+    def celled(coarse: DataFrame): DataFrame =
+      resplitCells(coarse, counts, k, maxCellSize)
+        .select(col("cell"), col("vec_id"), col("embedding"))
+    semanticDeltaDupsCore(celled(assignCells(delta, cents, litK)), celled(cCoarse), threshold)
+  }
+
+  private def semanticDeltaDupsCore(
+      dCelled: DataFrame,
+      cCelled: DataFrame,
+      threshold: Double
+  ): DataFrame = {
+    val d = dCelled
+    val c = cCelled.select(
+      col("cell"),
       col("vec_id").as("b_id"),
       col("embedding").as("b_emb")
     )

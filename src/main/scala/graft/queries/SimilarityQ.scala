@@ -205,22 +205,55 @@ object SimilarityQ {
     ),
     // ---- SemDeDup (Abbas et al. 2023): the semantic-dedup family member
     // the pipeline needs beyond exact/MinHash/SimHash — drop near-identical
-    // MEANING, not near-identical text. Within each cell, every above-
-    // threshold pair keeps only the member closer to the cell centroid.
-    // Decimal-exact centroids + deterministic cosine make the whole result
-    // (kept flags included) bit-checkable, like s_ann_ivf_label.
+    // MEANING, not near-identical text. Cells come from the DATA-SCALED
+    // quantizer (k = ceil(N/50) md5-seeded centroids, argmax-cosine
+    // assignment, cells above 100 salted into subcells), NOT a fixed cell
+    // column: fixed cells grow with the corpus and make the within-cell
+    // pair join quadratic in corpus growth; scaled cells keep it linear.
+    // The seed quantizer + salted split are closed-form md5 constructions,
+    // so the oracle replays the ENTIRE pipeline — seeds, assignment, split,
+    // decimal-exact centroids, kept flags — bit-exactly.
     Q(
       "d_semantic",
       (s, d) =>
         Similarity
-          .semanticDedup(Tables.embeddings(s, d), threshold = 0.35)
+          .semanticDedupScaled(
+            Tables.embeddings(s, d),
+            threshold = 0.35,
+            targetCellSize = 50,
+            maxCellSize = 100
+          )
           .orderBy("vec_id"),
       Some(
-        s"""WITH e AS (SELECT vec_id, label AS cell, embedding::DOUBLE[] AS emb FROM embeddings),
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |kk AS (SELECT ((COUNT(*) + 49) // 50) AS k FROM e),
+           |sdo AS (
+           |  SELECT emb, row_number() OVER (
+           |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '#seed'), 1, 15))::BIGINT, vec_id
+           |    ) - 1 AS cell
+           |  FROM e
+           |),
+           |seeds AS (SELECT cell, emb AS ce FROM sdo, kk WHERE cell < k),
+           |asg AS (
+           |  SELECT vec_id, emb, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |  FROM (
+           |    SELECT e.vec_id, e.emb, s.cell, ${cosSql("e.emb", "s.ce")} AS sim
+           |    FROM e CROSS JOIN seeds s
+           |  )
+           |),
+           |coarse AS (SELECT vec_id, emb, cell FROM asg WHERE rn = 1),
+           |spl AS (SELECT cell, ((COUNT(*) + 99) // 100) AS nsplit FROM coarse GROUP BY cell),
+           |celled AS (
+           |  SELECT c.vec_id, c.emb,
+           |    ((('0x' || substr(md5(c.vec_id::VARCHAR || '#sub'), 1, 15))::BIGINT
+           |       % coalesce(s.nsplit, 1)) * k + c.cell) AS cell
+           |  FROM coarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
+           |),
            |px AS (
            |  SELECT cell, unnest(list_transform(generate_series(1, len(emb)),
            |    i -> struct_pack(p := i, x := emb[i]))) AS s
-           |  FROM e
+           |  FROM celled
            |),
            |cm AS (
            |  SELECT cell, s['p'] AS pos,
@@ -229,8 +262,9 @@ object SimilarityQ {
            |),
            |cents AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
            |dd AS (
-           |  SELECT e.vec_id, e.cell, e.emb, ${cosSql("e.emb", "centroid")} AS ccos
-           |  FROM e JOIN cents USING (cell)
+           |  SELECT celled.vec_id, celled.cell, celled.emb,
+           |         ${cosSql("celled.emb", "centroid")} AS ccos
+           |  FROM celled JOIN cents USING (cell)
            |),
            |drp AS (
            |  SELECT DISTINCT b.vec_id
@@ -242,16 +276,21 @@ object SimilarityQ {
            |FROM dd LEFT JOIN drp ON dd.vec_id = drp.vec_id
            |ORDER BY dd.vec_id""".stripMargin
       ),
-      doc = "Semantic dedup (SemDeDup): within-cell above-threshold cosine " +
-        "pairs keep only the member closest to the decimal-exact cell " +
-        "centroid (ties to the lower id). One centroid aggregate + one " +
-        "cell-blocked self-join — never all-pairs; kept flags bit-checked."
+      doc = "Semantic dedup (SemDeDup) over DATA-SCALED cells: k = " +
+        "ceil(N/50) md5-seeded centroids, argmax-cosine assignment, " +
+        "oversized cells salted into <=100-expected-size subcells — cell " +
+        "size stays constant as the corpus grows, so the within-cell pair " +
+        "join is corpus-linear. Above-threshold pairs keep the member " +
+        "closest to the decimal-exact subcell centroid (ties to lower " +
+        "id); seeds, assignment, split and kept flags all bit-checked."
     ),
     // ---- the ingest-time face of d_semantic: a deterministic ~10% slice
     // plays the daily delta and is checked against the remaining corpus
     // only (delta × corpus within cells — never delta × delta, never
     // all-pairs), emitting each delta vector's duplicate count and best
-    // corpus match. Mirrors the text side's d_delta_dups.
+    // corpus match. Mirrors the text side's d_delta_dups. Cells are the
+    // corpus-derived data-scaled quantizer of d_semantic (seeds, k, and
+    // re-split counts from the corpus; the delta is assigned into them).
     Q(
       "d_semantic_delta",
       (s, d) => {
@@ -260,24 +299,59 @@ object SimilarityQ {
         val bkt = pmod(md5Long(concat(col("vec_id").cast("string"), lit("#delta"))), lit(100))
         val withB = emb.withColumn("bkt", bkt)
         Similarity
-          .semanticDeltaDups(
+          .semanticDeltaDupsScaled(
             withB.filter(col("bkt") < 10),
             withB.filter(col("bkt") >= 10),
-            threshold = 0.30
+            threshold = 0.30,
+            targetCellSize = 50,
+            maxCellSize = 100
           )
           .orderBy("vec_id")
       },
       Some {
         val h = "('0x' || substr(md5(vec_id::VARCHAR || '#delta'), 1, 15))::BIGINT % 100"
-        s"""WITH e AS (SELECT vec_id, label AS cell, embedding::DOUBLE[] AS emb, $h AS bkt
-           |           FROM embeddings),
-           |d AS (SELECT * FROM e WHERE bkt < 10),
-           |c AS (SELECT * FROM e WHERE bkt >= 10),
+        val sub = "('0x' || substr(md5(c.vec_id::VARCHAR || '#sub'), 1, 15))::BIGINT"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, $h AS bkt FROM embeddings),
+           |d0 AS (SELECT vec_id, emb FROM e WHERE bkt < 10),
+           |c0 AS (SELECT vec_id, emb FROM e WHERE bkt >= 10),
+           |kk AS (SELECT ((COUNT(*) + 49) // 50) AS k FROM c0),
+           |sdo AS (
+           |  SELECT emb, row_number() OVER (
+           |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '#seed'), 1, 15))::BIGINT, vec_id
+           |    ) - 1 AS cell
+           |  FROM c0
+           |),
+           |seeds AS (SELECT cell, emb AS ce FROM sdo, kk WHERE cell < k),
+           |casg AS (
+           |  SELECT vec_id, emb, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |  FROM (SELECT c0.vec_id, c0.emb, s.cell, ${cosSql("c0.emb", "s.ce")} AS sim
+           |        FROM c0 CROSS JOIN seeds s)
+           |),
+           |ccoarse AS (SELECT vec_id, emb, cell FROM casg WHERE rn = 1),
+           |dasg AS (
+           |  SELECT vec_id, emb, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |  FROM (SELECT d0.vec_id, d0.emb, s.cell, ${cosSql("d0.emb", "s.ce")} AS sim
+           |        FROM d0 CROSS JOIN seeds s)
+           |),
+           |dcoarse AS (SELECT vec_id, emb, cell FROM dasg WHERE rn = 1),
+           |spl AS (SELECT cell, ((COUNT(*) + 99) // 100) AS nsplit FROM ccoarse GROUP BY cell),
+           |cc AS (
+           |  SELECT c.vec_id, c.emb,
+           |    (($sub % coalesce(s.nsplit, 1)) * k + c.cell) AS cell
+           |  FROM ccoarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
+           |),
+           |dc AS (
+           |  SELECT c.vec_id, c.emb,
+           |    (($sub % coalesce(s.nsplit, 1)) * k + c.cell) AS cell
+           |  FROM dcoarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
+           |),
            |sc AS (
-           |  SELECT d.vec_id AS vec_id, c.vec_id AS b_id,
-           |         ${cosSql("d.emb", "c.emb")} AS cos
-           |  FROM d JOIN c ON d.cell = c.cell
-           |  WHERE ${cosSql("d.emb", "c.emb")} >= 0.30
+           |  SELECT dc.vec_id AS vec_id, cc.vec_id AS b_id,
+           |         ${cosSql("dc.emb", "cc.emb")} AS cos
+           |  FROM dc JOIN cc ON dc.cell = cc.cell
+           |  WHERE ${cosSql("dc.emb", "cc.emb")} >= 0.30
            |),
            |r AS (
            |  SELECT vec_id, b_id, cos,
@@ -285,16 +359,18 @@ object SimilarityQ {
            |    COUNT(*) OVER (PARTITION BY vec_id) AS n_dups
            |  FROM sc
            |)
-           |SELECT d.vec_id AS vec_id, d.cell, coalesce(r.n_dups, 0)::BIGINT AS n_dups,
+           |SELECT dc.vec_id AS vec_id, dc.cell, coalesce(r.n_dups, 0)::BIGINT AS n_dups,
            |       r.b_id AS best_match, r.cos AS best_cos, (r.b_id IS NULL) AS is_unique
-           |FROM d LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON d.vec_id = r.vec_id
-           |ORDER BY d.vec_id""".stripMargin
+           |FROM dc LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON dc.vec_id = r.vec_id
+           |ORDER BY dc.vec_id""".stripMargin
       },
-      doc = "Incremental semantic dedup: delta vectors (deterministic 10% " +
-        "md5 slice) checked against the existing corpus within cells only " +
-        "— delta x corpus, never delta x delta; per-vector dup count and " +
-        "argmax best match via one partial-aggregable max(struct), no " +
-        "window. Bit-checked including tie rule (higher corpus id)."
+      doc = "Incremental semantic dedup over corpus-derived data-scaled " +
+        "cells: delta vectors (deterministic 10% md5 slice) are assigned " +
+        "into the corpus's seed-quantizer cells (k = ceil(N/50), salted " +
+        "re-split of cells over 100) and checked against the corpus within " +
+        "cells only — delta x corpus, never delta x delta; per-vector dup " +
+        "count and argmax best match via one partial-aggregable " +
+        "max(struct), no window. Bit-checked end to end."
     ),
     // ---- centrality over the similarity graph: integer-exact PageRank on
     // the within-cell cosine near-dup pairs (the d_embed_cosine edges) —
