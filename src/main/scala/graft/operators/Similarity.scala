@@ -212,9 +212,26 @@ object Similarity {
     * published cost bound needs (k ∝ N) and the one a fixed cell column
     * (e.g. `label`) cannot provide: 100× the corpus in fixed cells makes
     * each cell 100× larger and every within-cell pair join 10,000× bigger.
+    *
+    * COST CAVEAT: constant cell size buys a linear pair join by paying
+    * O(N·k) = O(N²/target) in ASSIGNMENT (every vector scored against all
+    * k centroids) and O(k·dim) ∝ N driver state for the seed table — fine
+    * up to the tens-of-millions-of-vectors range, quadratic beyond it.
+    * The 100 TB entry point is [[hierCells]]: a two-level quantizer with
+    * the same constant-cell-size guarantee at O(N·√k) assignment and
+    * O(√k·dim) driver state.
     */
-  def scaledK(n: Long, targetCellSize: Int): Int =
-    math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt
+  def scaledK(n: Long, targetCellSize: Int): Int = {
+    val k = scaledKL(n, targetCellSize)
+    require(k <= Int.MaxValue, s"scaledK overflow: k=$k for n=$n — use hierCells at this scale")
+    k.toInt
+  }
+
+  /** [[scaledK]] without the Int cap (the two-level path sizes its total
+    * fine-cell budget with this).
+    */
+  def scaledKL(n: Long, targetCellSize: Int): Long =
+    math.max(1L, (n + targetCellSize - 1) / targetCellSize)
 
   /** Deterministic seed centroids: the k corpus vectors first in salted
     * md5 order of vec_id (a fixed pseudo-random sample — no RNG state, so
@@ -249,9 +266,16 @@ object Similarity {
     *      construction. Subcell ids are `sub·k + cell` — collision-free
     *      since cell < k.
     *
-    * The split trades a sliver of recall (pairs straddling subcells of one
-    * hot cell are not compared) for a hard quadratic bound — the standard
-    * cap-and-salt posture for near-dup blocking at 100 TB.
+    * The split trades recall inside hot cells for a hard quadratic bound:
+    * a pair in a cell split nsplit ways survives in the same subcell with
+    * probability 1/nsplit, i.e. the loss is 1 − 1/nsplit per hot-cell
+    * pair — concentrated in exactly the duplicate-dense cells the guard
+    * targets. (The delta path does not pay it: [[semanticDeltaDupsScaled]]
+    * probes all subcells.)
+    *
+    * SCALE LIMIT: the flat quantizer is the bit-replayable mid-scale tool
+    * (assignment O(N·k) = O(N²/target), driver seed state O(k·dim) ∝ N —
+    * see [[scaledK]]). For 100 TB use [[hierCells]].
     */
   def scaledCells(
       corpus: DataFrame,
@@ -259,34 +283,49 @@ object Similarity {
       maxCellSize: Int,
       litK: Int = 256
   ): DataFrame = {
-    val k = scaledK(corpus.count(), targetCellSize)
-    val coarse = assignCells(corpus, seedCentroids(corpus, k), litK)
-    resplitCells(coarse, cellCounts(coarse), k, maxCellSize)
+    // One cached pass of the narrow projection feeds count, seed sampling,
+    // assignment and the re-split recount (the kmeansCells pattern) — the
+    // quantizer is otherwise three full corpus scans. The result is
+    // localCheckpoint'd because every consumer (semanticDedupCore's
+    // centroid aggregate + both self-join sides) re-reads it.
+    val emb = corpus.select(col("vec_id"), col("embedding")).cache()
+    val k = scaledK(emb.count(), targetCellSize)
+    val coarse = assignCells(emb, seedCentroids(emb, k), litK)
+    val out = resplitCells(coarse, cellCounts(coarse), k, maxCellSize).localCheckpoint()
+    emb.unpersist()
+    out
   }
 
   /** Per-cell row counts of an assignment — k rows, broadcastable. */
   private[operators] def cellCounts(assigned: DataFrame): DataFrame =
     assigned.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
 
-  /** Salted sub-split of cells above maxCellSize (step 3 of
-    * [[scaledCells]]); left join + coalesce so rows in cells absent from
-    * the count table (possible when counts come from a different frame,
-    * as in [[semanticDeltaDupsScaled]]) pass through unsplit.
+  /** (cell, nsplit) table: nsplit = ceil(cnt / maxCellSize) — how many
+    * salted subcells each oversized cell splits into. k-row, broadcastable.
     */
-  private[operators] def resplitCells(
-      assigned: DataFrame,
-      counts: DataFrame,
-      k: Int,
-      maxCellSize: Int
-  ): DataFrame = {
-    val splits = counts.select(
+  private[operators] def splitsOf(counts: DataFrame, maxCellSize: Int): DataFrame =
+    counts.select(
       col("cell"),
       floor((col("cnt") + lit((maxCellSize - 1).toLong)) / lit(maxCellSize.toLong))
         .cast(LongType)
         .as("nsplit")
     )
+
+  /** Salted sub-split of cells above maxCellSize (step 3 of
+    * [[scaledCells]]); left join + coalesce so rows in cells absent from
+    * the count table (possible when counts come from a different frame,
+    * as in [[semanticDeltaDupsScaled]]) pass through unsplit. `k` is any
+    * exclusive upper bound on the incoming cell ids (subcell ids are
+    * `sub·k + cell`, collision-free given cell < k).
+    */
+  private[operators] def resplitCells(
+      assigned: DataFrame,
+      counts: DataFrame,
+      k: Long,
+      maxCellSize: Int
+  ): DataFrame =
     assigned
-      .join(broadcast(splits), Seq("cell"), "left")
+      .join(broadcast(splitsOf(counts, maxCellSize)), Seq("cell"), "left")
       .select(
         col("vec_id"),
         col("embedding"),
@@ -295,6 +334,84 @@ object Similarity {
           coalesce(col("nsplit"), lit(1L))
         ) * k + col("cell")).as("cell")
       )
+
+  /** TWO-LEVEL data-scaled quantizer → (vec_id, embedding, cell) — the
+    * 100 TB production entry point. Same constant-expected-cell-size
+    * contract as [[scaledCells]] (k = ceil(N/target) fine cells overall +
+    * the re-split skew guard) at a fundamentally cheaper shape:
+    *
+    *   1. k1 = ceil(√k) LEVEL-1 seed centroids ([[seedCentroids]], salt
+    *      "#seed1") — the only driver-collected state, O(√k·dim) vs the
+    *      flat quantizer's O(k·dim);
+    *   2. argmax-cosine coarse assignment via [[assignCells]];
+    *   3. per coarse cell c with |c| rows, k2(c) = ceil(|c|/target)
+    *      LEVEL-2 seeds: the first k2 members of c in salted md5 order
+    *      (salt "#seed2", per-cell row_number — a bounded within-cell
+    *      sort, never a global one). Seeds stay DISTRIBUTED — a
+    *      (c1, r2, centroid) table of ~k rows joined on c1, never
+    *      collected;
+    *   4. level-2 argmax within the coarse cell (join on c1 + one
+    *      partial-aggregable max(struct)) → fine cell id r2·k1 + c1
+    *      (collision-free: c1 < k1);
+    *   5. the [[resplitCells]] salt guard on fine cells, bound = max fine
+    *      id + 1.
+    *
+    * Cost: assignment is N·k1 + N·E[k2] ≈ 2N√k cosines — O(N^1.5/√target)
+    * overall vs the flat quantizer's O(N²/target) — with expected fine
+    * cell size still `target` (so near-dup recall does NOT degrade as N
+    * grows, unlike sizing k ∝ √N, which inflates cells — and their salted
+    * split count, and its straddle loss — as √N). Every step is a
+    * closed-form md5 construction, so an external oracle replays cells
+    * and kept flags bit-exactly.
+    */
+  def hierCells(
+      corpus: DataFrame,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = corpus.select(col("vec_id"), col("embedding")).cache()
+    val k = scaledKL(emb.count(), targetCellSize)
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toLong
+    require(k1 <= Int.MaxValue, s"hierCells k1 overflow: $k1")
+    val coarse = assignCells(emb, seedCentroids(emb, k1.toInt, "#seed1"), litK)
+      .withColumnRenamed("cell", "c1")
+      .localCheckpoint()
+    val counts1 = coarse.groupBy(col("c1")).agg(count(lit(1)).as("cnt"))
+    val seeds2 = coarse
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window
+            .partitionBy(col("c1"))
+            .orderBy(md5Long(concat(col("vec_id").cast(StringType), lit("#seed2"))), col("vec_id"))
+        )
+      )
+      .join(broadcast(counts1), Seq("c1"))
+      .filter(
+        col("rn") <= floor((col("cnt") + lit((targetCellSize - 1).toLong)) / lit(targetCellSize.toLong))
+      )
+      .select(col("c1"), (col("rn") - 1).cast(LongType).as("r2"), col("embedding").as("centroid"))
+    val fine = coarse
+      .join(seeds2, Seq("c1"))
+      .select(
+        col("c1"),
+        col("vec_id"),
+        col("r2"),
+        cosine(col("embedding"), col("centroid")).as("sim")
+      )
+      .groupBy(col("vec_id"), col("c1"))
+      .agg(max(struct(col("sim"), col("r2"))).as("m"))
+      .select(col("vec_id"), (col("m.r2") * k1 + col("c1")).as("cell"))
+    val assigned = coarse
+      .select(col("vec_id"), col("embedding"))
+      .join(fine, Seq("vec_id"))
+      .localCheckpoint()
+    emb.unpersist()
+    val fcounts = cellCounts(assigned)
+    val kb = fcounts.agg(max(col("cell"))).head.getLong(0) + 1L
+    resplitCells(assigned, fcounts, kb, maxCellSize).localCheckpoint()
   }
 
   /** IVF search: rank cells by query↔centroid cosine (bounded top-nProbe
@@ -580,34 +697,50 @@ object Similarity {
     * neighborhood, the single most-representative member. Returns every
     * row with its centroid cosine and a `kept` flag.
     *
-    * KEEP-RULE NOTE (deliberate deviation): Abbas et al.'s default keeps
-    * the example with the LOWEST centroid similarity inside a duplicate
-    * neighborhood (biasing the kept set toward cluster edges); this
-    * implementation keeps the MOST-CENTRAL member — the canonical-
-    * representative policy used everywhere else in this engine (cf.
-    * [[graft.operators.Dedup]]'s representatives, s_pagerank_sim). Same
-    * duplicate graph, opposite — and equally defensible — choice of which
-    * member survives it.
+    * KEEP-RULE NOTE: Abbas et al.'s default keeps the example with the
+    * LOWEST centroid similarity inside a duplicate neighborhood (biasing
+    * the kept set toward cluster edges); this engine's default keeps the
+    * MOST-CENTRAL member — the canonical-representative policy used
+    * everywhere else (cf. [[graft.operators.Dedup]]'s representatives,
+    * s_pagerank_sim). Same duplicate graph, opposite — and equally
+    * defensible — choice of which member survives it. Both policies are
+    * reachable via the `keep` parameter ([[KeepPolicy.Central]] default,
+    * [[KeepPolicy.Edge]] = the paper's rule).
     *
     * Shape at scale: the quadratic term is bounded per cell (exactly the
     * IVF-cell blocking of [[cosineDupPairs]]); at 100 TB feed it cells
     * from [[scaledCells]] (k ∝ N + re-split guard — see
-    * [[semanticDedupScaled]], the production entry point) rather than a
+    * [[semanticDedupScaled]] / [[semanticDedupHier]]) rather than a
     * fixed cell column, whose cells grow with the corpus and make the
-    * pair join quadratic in corpus growth. Centroids are the
+    * pair join quadratic in corpus growth ([[semanticDedupHier]] is the
+    * 100 TB form — same contract, O(N·√k) assignment). Centroids are the
     * decimal-exact partial-aggregable means of [[centroids]] and
     * broadcast back, so the whole operator is one centroid aggregate +
     * one within-cell self-join — deterministic end to end, no all-pairs
     * stage, no driver state beyond the broadcast centroids.
     */
+  /** Which member of a semantic-duplicate neighborhood survives dedup. */
+  sealed trait KeepPolicy
+  object KeepPolicy {
+    /** Keep the member closest to its cell centroid (engine default). */
+    case object Central extends KeepPolicy
+    /** Keep the member FARTHEST from its cell centroid — Abbas et al.
+      * 2023's published default (biases the kept set toward cluster
+      * edges / harder examples).
+      */
+    case object Edge extends KeepPolicy
+  }
+
   def semanticDedup(
       corpus: DataFrame,
       threshold: Double,
-      cellCol: String = "label"
+      cellCol: String = "label",
+      keep: KeepPolicy = KeepPolicy.Central
   ): DataFrame =
     semanticDedupCore(
       corpus.select(col(cellCol).as("cell"), col("vec_id"), col("embedding")),
-      threshold
+      threshold,
+      keep
     )
 
   /** [[semanticDedup]] over [[scaledCells]] — the corpus-growth-proof
@@ -622,15 +755,43 @@ object Similarity {
       threshold: Double,
       targetCellSize: Int,
       maxCellSize: Int,
-      litK: Int = 256
+      litK: Int = 256,
+      keep: KeepPolicy = KeepPolicy.Central
   ): DataFrame =
     semanticDedupCore(
       scaledCells(corpus, targetCellSize, maxCellSize, litK)
         .select(col("cell"), col("vec_id"), col("embedding")),
-      threshold
+      threshold,
+      keep
     )
 
-  private def semanticDedupCore(celled: DataFrame, threshold: Double): DataFrame = {
+  /** [[semanticDedup]] over the TWO-LEVEL quantizer of [[hierCells]] —
+    * the 100 TB form: constant expected cell size (linear pair join, no
+    * recall decay with corpus growth) at O(N·√k) assignment cost and
+    * O(√k·dim) driver state. Deterministic end to end — both quantizer
+    * levels and the salted split are closed-form md5 constructions an
+    * oracle replays bit-exactly.
+    */
+  def semanticDedupHier(
+      corpus: DataFrame,
+      threshold: Double,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256,
+      keep: KeepPolicy = KeepPolicy.Central
+  ): DataFrame =
+    semanticDedupCore(
+      hierCells(corpus, targetCellSize, maxCellSize, litK)
+        .select(col("cell"), col("vec_id"), col("embedding")),
+      threshold,
+      keep
+    )
+
+  private def semanticDedupCore(
+      celled: DataFrame,
+      threshold: Double,
+      keep: KeepPolicy = KeepPolicy.Central
+  ): DataFrame = {
     val withC = celled
       .join(broadcast(centroids(celled, "cell")), Seq("cell"))
       .withColumn("ccos", cosine(col("embedding"), col("centroid")))
@@ -648,15 +809,19 @@ object Similarity {
       col("ccos").as("b_ccos")
     )
     // (a displaces b): same cell, above-threshold pair, a strictly more
-    // central (tie -> lower id wins). Evaluated over ordered pairs, so one
-    // within-cell self-join decides every drop.
+    // central — or, under KeepPolicy.Edge, strictly LESS central — (tie ->
+    // lower id wins). Evaluated over ordered pairs, so one within-cell
+    // self-join decides every drop.
+    val aWins = keep match {
+      case KeepPolicy.Central => col("a_ccos") > col("b_ccos")
+      case KeepPolicy.Edge    => col("a_ccos") < col("b_ccos")
+    }
     val dropped = a
       .join(b, Seq("cell"))
       .filter(col("a_id") =!= col("b_id"))
       .filter(cosine(col("a_emb"), col("b_emb")) >= threshold)
       .filter(
-        col("a_ccos") > col("b_ccos") ||
-          (col("a_ccos") === col("b_ccos") && col("a_id") < col("b_id"))
+        aWins || (col("a_ccos") === col("b_ccos") && col("a_id") < col("b_id"))
       )
       .select(col("b_id").as("vec_id"))
       .distinct()
@@ -688,20 +853,27 @@ object Similarity {
       corpus: DataFrame,
       threshold: Double,
       cellCol: String = "label"
-  ): DataFrame =
+  ): DataFrame = {
+    val d = delta.select(col(cellCol).as("cell"), col("vec_id"), col("embedding"))
     semanticDeltaDupsCore(
-      delta.select(col(cellCol).as("cell"), col("vec_id"), col("embedding")),
+      d.select(col("vec_id"), col("cell")),
+      d,
       corpus.select(col(cellCol).as("cell"), col("vec_id"), col("embedding")),
       threshold
     )
+  }
 
   /** [[semanticDeltaDups]] over [[scaledCells]] derived from the CORPUS
     * (seeds, k, and re-split counts all come from the existing corpus —
     * the delta is assigned into the corpus's cells, never the reverse, so
     * a day's ingest can't perturb the blocking of the data already
     * deduped). Corpus cells above maxCellSize are salted exactly as in
-    * [[semanticDedupScaled]], and the delta rides the same sub-split so
-    * the two operators agree on which pairs are comparable.
+    * [[semanticDedupScaled]]; the delta PROBES EVERY SUBCELL of its
+    * coarse cell rather than riding its own salt — within-corpus dedup
+    * loses 1 − 1/nsplit of hot-cell pairs to subcell straddle (the price
+    * of bounding the self-join), but the delta×corpus join is NOT
+    * quadratic, so the delta path pays the nsplit-way fan-out and gives
+    * up no recall at all inside its coarse cell.
     */
   def semanticDeltaDupsScaled(
       delta: DataFrame,
@@ -711,28 +883,59 @@ object Similarity {
       maxCellSize: Int,
       litK: Int = 256
   ): DataFrame = {
-    val k = scaledK(corpus.count(), targetCellSize)
-    val cents = seedCentroids(corpus, k)
-    val cCoarse = assignCells(corpus, cents, litK)
+    // One cached narrow pass of the corpus feeds count, seeds, assignment
+    // and the split recount; coarse/celled frames are localCheckpoint'd
+    // because the core's candidate join and the final left join re-read
+    // them.
+    val cEmb = corpus.select(col("vec_id"), col("embedding")).cache()
+    val k = scaledK(cEmb.count(), targetCellSize)
+    val cents = seedCentroids(cEmb, k)
+    val cCoarse = assignCells(cEmb, cents, litK).localCheckpoint()
+    cEmb.unpersist()
     val counts = cellCounts(cCoarse)
-    def celled(coarse: DataFrame): DataFrame =
-      resplitCells(coarse, counts, k, maxCellSize)
-        .select(col("cell"), col("vec_id"), col("embedding"))
-    semanticDeltaDupsCore(celled(assignCells(delta, cents, litK)), celled(cCoarse), threshold)
+    val splits = splitsOf(counts, maxCellSize)
+    val cCelled = resplitCells(cCoarse, counts, k, maxCellSize)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val dCoarse = assignCells(
+      delta.select(col("vec_id"), col("embedding")),
+      cents,
+      litK
+    ).localCheckpoint()
+    // reporting cell: the delta row's OWN salted subcell (symmetric with
+    // semanticDedupScaled's blocking); probe cells: all subcells of its
+    // coarse cell.
+    val dOwn = resplitCells(dCoarse, counts, k, maxCellSize).select(col("vec_id"), col("cell"))
+    val dProbe = dCoarse
+      .join(broadcast(splits), Seq("cell"), "left")
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        col("cell").as("c0"),
+        explode(sequence(lit(0L), coalesce(col("nsplit"), lit(1L)) - 1)).as("sub")
+      )
+      .select(col("vec_id"), col("embedding"), (col("sub") * k + col("c0")).as("cell"))
+    semanticDeltaDupsCore(dOwn, dProbe, cCelled, threshold)
   }
 
+  /** @param dOwn   (vec_id, cell) — one row per delta vector, the cell it
+    *               reports (its own blocking cell);
+    * @param dProbe (vec_id, embedding, cell) — the delta fanned out over
+    *               every cell it should be COMPARED in (≥ its own; a
+    *               corpus row lives in exactly one cell, so no candidate
+    *               is double-counted).
+    */
   private def semanticDeltaDupsCore(
-      dCelled: DataFrame,
+      dOwn: DataFrame,
+      dProbe: DataFrame,
       cCelled: DataFrame,
       threshold: Double
   ): DataFrame = {
-    val d = dCelled
     val c = cCelled.select(
       col("cell"),
       col("vec_id").as("b_id"),
       col("embedding").as("b_emb")
     )
-    val best = d
+    val best = dProbe
       .join(c, Seq("cell"))
       .select(
         col("vec_id"),
@@ -745,7 +948,7 @@ object Similarity {
         max(struct(col("cos"), col("b_id"))).as("m"),
         count(lit(1)).cast(LongType).as("n_dups")
       )
-    d.select(col("vec_id"), col("cell"))
+    dOwn
       .join(best, Seq("vec_id"), "left")
       .select(
         col("vec_id"),

@@ -419,6 +419,120 @@ object DedupQ {
         "word-4-grams shared with any other doc) — the Lee-et-al " +
         "substring-dedup signal; exact integer counts + one final " +
         "division, hash-keyed shuffles only."
+    ),
+    Q(
+      "d_substr_removal",
+      (s, d) => {
+        // ExactSubstr dedup WITH REMOVAL (Lee et al. 2022): every
+        // duplicated token-4-gram occurrence except its canonical one
+        // (global (doc_id, start) minimum — first occurrence in corpus
+        // order) marks its 4 token positions; documents are rebuilt from
+        // the surviving positions. Greedy span union: overlapping
+        // duplicated grams just union their positions, and the canonical
+        // occurrence of one gram may still lose tokens to ANOTHER gram's
+        // removal — the standard deterministic resolution.
+        //
+        // Scale shape: only 8-byte gram hashes shuffle; the occurrence
+        // table is one row per token (linear), the dup table is gram-
+        // keyed, removal positions explode ×4 then dedup — hash-keyed
+        // shuffles only, no all-pairs stage. The token projection feeds
+        // three consumers, so it is localCheckpointed once.
+        import graft.util.Cols.md5Long
+        val toks = Tables
+          .documents(s, d)
+          .select(col("doc_id"), Text.tokensAll(col("text")).as("tk"))
+          .localCheckpoint(true)
+        val occ = toks
+          .select(
+            col("doc_id"),
+            posexplode(Dedup.wordShinglesAll(col("tk"), 4)).as(Seq("start", "g"))
+          )
+          .select(col("doc_id"), col("start"), md5Long(col("g")).as("gh"))
+        val dup = occ
+          .groupBy(col("gh"))
+          .agg(
+            min(struct(col("doc_id"), col("start"))).as("canon"),
+            count(lit(1)).as("n_occ")
+          )
+          .filter(col("n_occ") >= 2)
+        val removedPos = occ
+          .join(dup, Seq("gh"))
+          .filter(
+            !(col("doc_id") === col("canon.doc_id") && col("start") === col("canon.start"))
+          )
+          .select(col("doc_id"), explode(sequence(col("start"), col("start") + lit(3))).as("pos"))
+          .distinct()
+        val rebuilt = toks
+          .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+          .join(removedPos, Seq("doc_id", "pos"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(
+            concat_ws(
+              " ",
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("tok")))),
+                x => x.getField("tok")
+              )
+            ).as("clean_text"),
+            count(lit(1)).cast("long").as("n_kept")
+          )
+        toks
+          .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+            md5(coalesce(col("clean_text"), lit(""))).as("clean_md5")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |occ AS (
+           |  SELECT doc_id, u.i - 1 AS start,
+           |    ${h60("array_to_string(tk[u.i:u.i+3], ' ')")} AS gh
+           |  FROM t CROSS JOIN unnest(generate_series(1, greatest(len(tk) - 3, 1))) AS u(i)
+           |),
+           |rk AS (
+           |  SELECT doc_id, start, gh,
+           |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, start) AS rn,
+           |    COUNT(*) OVER (PARTITION BY gh) AS n_occ
+           |  FROM occ
+           |),
+           |rem AS (
+           |  SELECT DISTINCT doc_id, u.pos
+           |  FROM rk CROSS JOIN unnest(generate_series(start, start + 3)) AS u(pos)
+           |  WHERE n_occ >= 2 AND rn > 1
+           |),
+           |tok AS (
+           |  SELECT doc_id, u.i - 1 AS pos, tk[u.i] AS tok
+           |  FROM t CROSS JOIN unnest(generate_series(1, len(tk))) AS u(i)
+           |),
+           |kept AS (
+           |  SELECT k.doc_id, k.pos, k.tok
+           |  FROM tok k LEFT JOIN rem r ON k.doc_id = r.doc_id AND k.pos = r.pos
+           |  WHERE r.doc_id IS NULL
+           |),
+           |reb AS (
+           |  SELECT doc_id, COUNT(*) AS n_kept,
+           |         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           |  FROM kept GROUP BY doc_id
+           |)
+           |SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens,
+           |  coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+           |  (len(t.tk) - coalesce(reb.n_kept, 0))::BIGINT AS n_removed,
+           |  md5(coalesce(reb.clean_text, '')) AS clean_md5
+           |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+           |ORDER BY t.doc_id""".stripMargin
+      ),
+      doc = "ExactSubstr dedup WITH removal (Lee et al. 2022): duplicated " +
+        "token-4-gram spans keep only their canonical (corpus-first) " +
+        "occurrence; every other occurrence's positions are removed and " +
+        "each document's text rebuilt from the survivors — md5 of the " +
+        "rebuilt text bit-checked. Gram hashes (8 bytes) are the only " +
+        "shuffle keys; linear occurrence table, no all-pairs stage."
     )
   )
 }

@@ -13,6 +13,65 @@ object SimilarityQ {
        |   (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
        |    sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))""".stripMargin
 
+  /** DuckDB replay of [[Similarity.semanticDedupScaled]] (flat data-scaled
+    * quantizer: md5 seeds, argmax-cosine assignment, cap-and-salt split,
+    * decimal-exact centroids, keep-most-central drop rule) — shared by
+    * d_semantic and d_semantic_bigk, whose Spark sides differ only in the
+    * assignment PATH (codegen literals vs broadcast join), which is
+    * value-invariant by design.
+    */
+  private def semanticScaledSql(thr: Double): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |kk AS (SELECT ((COUNT(*) + 49) // 50) AS k FROM e),
+       |sdo AS (
+       |  SELECT emb, row_number() OVER (
+       |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '#seed'), 1, 15))::BIGINT, vec_id
+       |    ) - 1 AS cell
+       |  FROM e
+       |),
+       |seeds AS (SELECT cell, emb AS ce FROM sdo, kk WHERE cell < k),
+       |asg AS (
+       |  SELECT vec_id, emb, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+       |  FROM (
+       |    SELECT e.vec_id, e.emb, s.cell, ${cosSql("e.emb", "s.ce")} AS sim
+       |    FROM e CROSS JOIN seeds s
+       |  )
+       |),
+       |coarse AS (SELECT vec_id, emb, cell FROM asg WHERE rn = 1),
+       |spl AS (SELECT cell, ((COUNT(*) + 99) // 100) AS nsplit FROM coarse GROUP BY cell),
+       |celled AS (
+       |  SELECT c.vec_id, c.emb,
+       |    ((('0x' || substr(md5(c.vec_id::VARCHAR || '#sub'), 1, 15))::BIGINT
+       |       % coalesce(s.nsplit, 1)) * k + c.cell) AS cell
+       |  FROM coarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
+       |),
+       |px AS (
+       |  SELECT cell, unnest(list_transform(generate_series(1, len(emb)),
+       |    i -> struct_pack(p := i, x := emb[i]))) AS s
+       |  FROM celled
+       |),
+       |cm AS (
+       |  SELECT cell, s['p'] AS pos,
+       |         SUM(CAST(s['x'] AS DECIMAL(38,9)))::DOUBLE / COUNT(*) AS m
+       |  FROM px GROUP BY cell, s['p']
+       |),
+       |cents AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+       |dd AS (
+       |  SELECT celled.vec_id, celled.cell, celled.emb,
+       |         ${cosSql("celled.emb", "centroid")} AS ccos
+       |  FROM celled JOIN cents USING (cell)
+       |),
+       |drp AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM dd a JOIN dd b ON a.cell = b.cell AND a.vec_id != b.vec_id
+       |  WHERE ${cosSql("a.emb", "b.emb")} >= $thr
+       |    AND (a.ccos > b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+       |)
+       |SELECT dd.vec_id AS vec_id, dd.cell, dd.ccos, (drp.vec_id IS NULL) AS kept
+       |FROM dd LEFT JOIN drp ON dd.vec_id = drp.vec_id
+       |ORDER BY dd.vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "s_ann_brute",
@@ -224,31 +283,108 @@ object SimilarityQ {
             maxCellSize = 100
           )
           .orderBy("vec_id"),
+      Some(semanticScaledSql(0.35)),
+      doc = "Semantic dedup (SemDeDup) over DATA-SCALED cells: k = " +
+        "ceil(N/50) md5-seeded centroids, argmax-cosine assignment, " +
+        "oversized cells salted into <=100-expected-size subcells — cell " +
+        "size stays constant as the corpus grows, so the within-cell pair " +
+        "join is corpus-linear. Above-threshold pairs keep the member " +
+        "closest to the decimal-exact subcell centroid (ties to lower " +
+        "id); seeds, assignment, split and kept flags all bit-checked."
+    ),
+    // ---- same query, forced down assignCells' BROADCAST-JOIN path
+    // (litK=4 < k): at production k (tens of thousands of cells) the
+    // centroid-literal projection blows codegen's method-size limit, so
+    // the join + partial max(struct) path is the one that runs at 100 TB.
+    // Running it under the SAME oracle as d_semantic pins the two paths'
+    // bit-identity through the correctness gate, not just in a spec.
+    Q(
+      "d_semantic_bigk",
+      (s, d) =>
+        Similarity
+          .semanticDedupScaled(
+            Tables.embeddings(s, d),
+            threshold = 0.35,
+            targetCellSize = 50,
+            maxCellSize = 100,
+            litK = 4
+          )
+          .orderBy("vec_id"),
+      Some(semanticScaledSql(0.35)),
+      doc = "d_semantic with litK=4: k=ceil(N/50) exceeds the literal-" +
+        "codegen cap, so centroid assignment runs the broadcast-join + " +
+        "partial-aggregable max(struct) top-1 path — the plan shape the " +
+        "quantizer uses at production k. Same oracle SQL as d_semantic: " +
+        "the two assignment paths are bit-identical by construction, and " +
+        "this query makes the correctness gate prove it."
+    ),
+    // ---- the 100 TB form: TWO-LEVEL quantizer (k1=ceil(sqrt(k)) driver-
+    // held coarse seeds, then per-coarse-cell distributed level-2 seeds,
+    // k2=ceil(|cell|/50) each) — constant expected fine-cell size like
+    // d_semantic but O(N·sqrt(k)) assignment and O(sqrt(k)·dim) driver
+    // state instead of O(N·k) / O(k·dim). Both levels are closed-form md5
+    // constructions; the oracle replays seeds, both assignments, the salt
+    // split, centroids and kept flags bit-exactly.
+    Q(
+      "d_semantic_2l",
+      (s, d) =>
+        Similarity
+          .semanticDedupHier(
+            Tables.embeddings(s, d),
+            threshold = 0.35,
+            targetCellSize = 50,
+            maxCellSize = 100
+          )
+          .orderBy("vec_id"),
       Some(
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-           |kk AS (SELECT ((COUNT(*) + 49) // 50) AS k FROM e),
-           |sdo AS (
+           |kk AS (SELECT ((COUNT(*) + 49) // 50) AS k,
+           |              CEIL(SQRT(((COUNT(*) + 49) // 50)))::BIGINT AS k1 FROM e),
+           |sd1 AS (
            |  SELECT emb, row_number() OVER (
-           |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '#seed'), 1, 15))::BIGINT, vec_id
-           |    ) - 1 AS cell
+           |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '#seed1'), 1, 15))::BIGINT, vec_id
+           |    ) - 1 AS c1
            |  FROM e
            |),
-           |seeds AS (SELECT cell, emb AS ce FROM sdo, kk WHERE cell < k),
-           |asg AS (
-           |  SELECT vec_id, emb, cell,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
-           |  FROM (
-           |    SELECT e.vec_id, e.emb, s.cell, ${cosSql("e.emb", "s.ce")} AS sim
-           |    FROM e CROSS JOIN seeds s
-           |  )
+           |seeds1 AS (SELECT c1, emb AS ce FROM sd1, kk WHERE c1 < k1),
+           |a1 AS (
+           |  SELECT vec_id, emb, c1,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c1 DESC) AS rn
+           |  FROM (SELECT e.vec_id, e.emb, s.c1, ${cosSql("e.emb", "s.ce")} AS sim
+           |        FROM e CROSS JOIN seeds1 s)
            |),
-           |coarse AS (SELECT vec_id, emb, cell FROM asg WHERE rn = 1),
-           |spl AS (SELECT cell, ((COUNT(*) + 99) // 100) AS nsplit FROM coarse GROUP BY cell),
+           |coarse AS (SELECT vec_id, emb, c1 FROM a1 WHERE rn = 1),
+           |cnt1 AS (SELECT c1, COUNT(*) AS cnt FROM coarse GROUP BY c1),
+           |rk AS (
+           |  SELECT c.vec_id, c.emb, c.c1,
+           |    row_number() OVER (PARTITION BY c.c1
+           |      ORDER BY ('0x' || substr(md5(c.vec_id::VARCHAR || '#seed2'), 1, 15))::BIGINT,
+           |               c.vec_id) AS rn
+           |  FROM coarse c
+           |),
+           |seeds2 AS (
+           |  SELECT rk.c1, rk.rn - 1 AS r2, rk.emb AS ce
+           |  FROM rk JOIN cnt1 ON rk.c1 = cnt1.c1
+           |  WHERE rk.rn <= (cnt1.cnt + 49) // 50
+           |),
+           |a2 AS (
+           |  SELECT vec_id, c1, r2,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, r2 DESC) AS rn
+           |  FROM (SELECT c.vec_id, c.c1, s.r2, ${cosSql("c.emb", "s.ce")} AS sim
+           |        FROM coarse c JOIN seeds2 s ON c.c1 = s.c1)
+           |),
+           |fine AS (
+           |  SELECT coarse.vec_id, coarse.emb, (a2.r2 * k1 + a2.c1) AS cell
+           |  FROM coarse JOIN (SELECT vec_id, r2, c1 FROM a2 WHERE rn = 1) a2
+           |    ON coarse.vec_id = a2.vec_id CROSS JOIN kk
+           |),
+           |kb AS (SELECT MAX(cell) + 1 AS kb FROM fine),
+           |spl AS (SELECT cell, ((COUNT(*) + 99) // 100) AS nsplit FROM fine GROUP BY cell),
            |celled AS (
-           |  SELECT c.vec_id, c.emb,
-           |    ((('0x' || substr(md5(c.vec_id::VARCHAR || '#sub'), 1, 15))::BIGINT
-           |       % coalesce(s.nsplit, 1)) * k + c.cell) AS cell
-           |  FROM coarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
+           |  SELECT f.vec_id, f.emb,
+           |    ((('0x' || substr(md5(f.vec_id::VARCHAR || '#sub'), 1, 15))::BIGINT
+           |       % coalesce(s.nsplit, 1)) * kb + f.cell) AS cell
+           |  FROM fine f LEFT JOIN spl s ON f.cell = s.cell CROSS JOIN kb
            |),
            |px AS (
            |  SELECT cell, unnest(list_transform(generate_series(1, len(emb)),
@@ -276,13 +412,59 @@ object SimilarityQ {
            |FROM dd LEFT JOIN drp ON dd.vec_id = drp.vec_id
            |ORDER BY dd.vec_id""".stripMargin
       ),
-      doc = "Semantic dedup (SemDeDup) over DATA-SCALED cells: k = " +
-        "ceil(N/50) md5-seeded centroids, argmax-cosine assignment, " +
-        "oversized cells salted into <=100-expected-size subcells — cell " +
-        "size stays constant as the corpus grows, so the within-cell pair " +
-        "join is corpus-linear. Above-threshold pairs keep the member " +
-        "closest to the decimal-exact subcell centroid (ties to lower " +
-        "id); seeds, assignment, split and kept flags all bit-checked."
+      doc = "Semantic dedup over the TWO-LEVEL quantizer (hierCells): " +
+        "ceil(sqrt(k)) md5-seeded coarse cells, then per-cell distributed " +
+        "level-2 seeds sized ceil(|cell|/50) — constant expected fine-cell " +
+        "size with O(N*sqrt(k)) assignment and O(sqrt(k)*dim) driver " +
+        "state, the shape that survives 100 TB. Fully bit-checked: both " +
+        "quantizer levels, the salt split, centroids and kept flags."
+    ),
+    // ---- keep-policy surface: Abbas et al.'s published rule (keep the
+    // LEAST-central member of each duplicate neighborhood — bias the kept
+    // set toward cluster edges / harder examples), over the fixed label
+    // cells so the policy is isolated from the quantizer machinery.
+    Q(
+      "d_semantic_edge",
+      (s, d) =>
+        Similarity
+          .semanticDedup(
+            Tables.embeddings(s, d),
+            threshold = 0.35,
+            keep = Similarity.KeepPolicy.Edge
+          )
+          .orderBy("vec_id"),
+      Some(
+        s"""WITH e AS (SELECT vec_id, label AS cell, embedding::DOUBLE[] AS emb FROM embeddings),
+           |px AS (
+           |  SELECT cell, unnest(list_transform(generate_series(1, len(emb)),
+           |    i -> struct_pack(p := i, x := emb[i]))) AS s
+           |  FROM e
+           |),
+           |cm AS (
+           |  SELECT cell, s['p'] AS pos,
+           |         SUM(CAST(s['x'] AS DECIMAL(38,9)))::DOUBLE / COUNT(*) AS m
+           |  FROM px GROUP BY cell, s['p']
+           |),
+           |cents AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+           |dd AS (
+           |  SELECT e.vec_id, e.cell, e.emb, ${cosSql("e.emb", "centroid")} AS ccos
+           |  FROM e JOIN cents USING (cell)
+           |),
+           |drp AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM dd a JOIN dd b ON a.cell = b.cell AND a.vec_id != b.vec_id
+           |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.35
+           |    AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+           |)
+           |SELECT dd.vec_id AS vec_id, dd.cell, dd.ccos, (drp.vec_id IS NULL) AS kept
+           |FROM dd LEFT JOIN drp ON dd.vec_id = drp.vec_id
+           |ORDER BY dd.vec_id""".stripMargin
+      ),
+      doc = "SemDeDup with the paper's keep policy (KeepPolicy.Edge): " +
+        "within each duplicate neighborhood the member FARTHEST from its " +
+        "cell centroid survives — Abbas et al. 2023's default, exposed as " +
+        "a parameter alongside the engine's keep-most-central default. " +
+        "Fixed label cells isolate the policy; kept flags bit-checked."
     ),
     // ---- the ingest-time face of d_semantic: a deterministic ~10% slice
     // plays the daily delta and is checked against the remaining corpus
@@ -342,16 +524,21 @@ object SimilarityQ {
            |    (($sub % coalesce(s.nsplit, 1)) * k + c.cell) AS cell
            |  FROM ccoarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
            |),
-           |dc AS (
+           |down AS (
            |  SELECT c.vec_id, c.emb,
            |    (($sub % coalesce(s.nsplit, 1)) * k + c.cell) AS cell
            |  FROM dcoarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
            |),
+           |dpr AS (
+           |  SELECT c.vec_id, c.emb, (u.sub * k + c.cell) AS cell
+           |  FROM dcoarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
+           |  CROSS JOIN unnest(generate_series(0, coalesce(s.nsplit, 1) - 1)) AS u(sub)
+           |),
            |sc AS (
-           |  SELECT dc.vec_id AS vec_id, cc.vec_id AS b_id,
-           |         ${cosSql("dc.emb", "cc.emb")} AS cos
-           |  FROM dc JOIN cc ON dc.cell = cc.cell
-           |  WHERE ${cosSql("dc.emb", "cc.emb")} >= 0.30
+           |  SELECT dpr.vec_id AS vec_id, cc.vec_id AS b_id,
+           |         ${cosSql("dpr.emb", "cc.emb")} AS cos
+           |  FROM dpr JOIN cc ON dpr.cell = cc.cell
+           |  WHERE ${cosSql("dpr.emb", "cc.emb")} >= 0.30
            |),
            |r AS (
            |  SELECT vec_id, b_id, cos,
@@ -359,18 +546,20 @@ object SimilarityQ {
            |    COUNT(*) OVER (PARTITION BY vec_id) AS n_dups
            |  FROM sc
            |)
-           |SELECT dc.vec_id AS vec_id, dc.cell, coalesce(r.n_dups, 0)::BIGINT AS n_dups,
+           |SELECT down.vec_id AS vec_id, down.cell, coalesce(r.n_dups, 0)::BIGINT AS n_dups,
            |       r.b_id AS best_match, r.cos AS best_cos, (r.b_id IS NULL) AS is_unique
-           |FROM dc LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON dc.vec_id = r.vec_id
-           |ORDER BY dc.vec_id""".stripMargin
+           |FROM down LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON down.vec_id = r.vec_id
+           |ORDER BY down.vec_id""".stripMargin
       },
       doc = "Incremental semantic dedup over corpus-derived data-scaled " +
         "cells: delta vectors (deterministic 10% md5 slice) are assigned " +
         "into the corpus's seed-quantizer cells (k = ceil(N/50), salted " +
-        "re-split of cells over 100) and checked against the corpus within " +
-        "cells only — delta x corpus, never delta x delta; per-vector dup " +
-        "count and argmax best match via one partial-aggregable " +
-        "max(struct), no window. Bit-checked end to end."
+        "re-split of cells over 100) and PROBE EVERY SUBCELL of their " +
+        "coarse cell — delta x corpus is not quadratic, so the delta pays " +
+        "the fan-out and gives up none of the straddle recall the " +
+        "within-corpus salt split trades away; per-vector dup count and " +
+        "argmax best match via one partial-aggregable max(struct), no " +
+        "window. Bit-checked end to end."
     ),
     // ---- centrality over the similarity graph: integer-exact PageRank on
     // the within-cell cosine near-dup pairs (the d_embed_cosine edges) —

@@ -371,4 +371,106 @@ class SimilaritySpec extends AnyFunSuite {
     val meanRecall = recalls.sum / recalls.size
     assert(meanRecall >= 0.85, s"mean recall@5 on clustered corpus was $meanRecall")
   }
+
+  // ---- data-scaled quantizer machinery (scaledCells / hierCells) ----
+
+  test("assignCells: broadcast-join path is row-identical to the literal path") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.seedCentroids(emb, k = 10)
+    def rows(litK: Int): Seq[(Long, Long)] =
+      Similarity
+        .assignCells(emb, cents, litK)
+        .select(col("vec_id"), col("cell").cast("long"))
+        .as[(Long, Long)]
+        .collect()
+        .toSeq
+        .sorted
+    // litK=0 forces the broadcast-join + max(struct) top-1 path; the
+    // default runs the codegen centroid-literal projection. Same tie rule
+    // (higher cell wins) on both -> bit-identical assignment.
+    assert(rows(litK = 0) === rows(litK = 256))
+  }
+
+  test("assignCells broadcast path: broadcast join + partial top-1 aggregate before exchange") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.seedCentroids(emb, k = 10)
+    val plan = Similarity.assignCells(emb, cents, litK = 0).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan.take(800))
+    // the k-way fan-out must collapse map-side: partial max(struct) before
+    // the vec_id exchange, so the shuffle carries one row per vector
+    assert(plan.contains("partial_max") || plan.contains("partial_"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("scaledCells: re-split guard bounds realized cell size under 10x replication") {
+    val emb = Tables.embeddings(spark, sf)
+    val maxCell = 100
+    def cellSizes(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Similarity
+        .scaledCells(df, targetCellSize = 50, maxCellSize = maxCell)
+        .groupBy("cell")
+        .count()
+        .as[(Long, Long)]
+        .collect()
+        .toSeq
+        .map(_._2)
+    val base = cellSizes(emb)
+    // 10x the corpus by id-shifted replication (same embeddings, fresh
+    // ids). k scales with N and hot cells re-split, so realized cell
+    // sizes stay bounded instead of growing 10x.
+    val n = emb.count()
+    val rep = (0 until 10)
+      .map(i => emb.select((col("vec_id") + lit(i * n)).as("vec_id"), col("embedding")))
+      .reduce(_ unionAll _)
+    val scaled = cellSizes(rep)
+    // salted subcells are multinomial around their expected size <= max;
+    // allow 2x slack for hash imbalance on a 5000-row fixture, but NOT
+    // the 10x a fixed-cell scheme would show
+    assert(scaled.max <= 2L * maxCell, s"max cell ${scaled.max} after 10x replication")
+    // within-cell pair mass (the dedup join's cost driver) grows ~linearly
+    val pairs0 = base.map(c => c * c).sum.toDouble
+    val pairs1 = scaled.map(c => c * c).sum.toDouble
+    assert(pairs1 <= 20.0 * pairs0, s"pair mass grew ${pairs1 / pairs0}x on 10x data (quadratic would be 100x)")
+  }
+
+  test("hierCells: constant-target fine cells, partition-layout invariant, two-level ids") {
+    val emb = Tables.embeddings(spark, sf)
+    val target = 50
+    val celled = Similarity.hierCells(emb, targetCellSize = target, maxCellSize = 100)
+    assert(celled.count() === emb.count(), "every vector assigned exactly one fine cell")
+    val sizes = celled.groupBy("cell").count().as[(Long, Long)].collect().toMap
+    assert(sizes.values.max <= 2L * 100, s"fine cell over bound: ${sizes.values.max}")
+    // bit-reproducible on any partitioning: the construction is closed-form
+    val re = Similarity
+      .hierCells(emb.repartition(7, col("vec_id")), targetCellSize = target, maxCellSize = 100)
+      .select("vec_id", "cell")
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+      .sorted
+    val first = celled.select("vec_id", "cell").as[(Long, Long)].collect().toSeq.sorted
+    assert(re === first, "hierCells must not depend on partition layout")
+  }
+
+  test("semanticDedup keep policies: Edge inverts the survivor within each duplicate pair") {
+    val emb = Tables.embeddings(spark, sf)
+    def keptSet(keep: Similarity.KeepPolicy): Set[Long] =
+      Similarity
+        .semanticDedup(emb, threshold = 0.35, keep = keep)
+        .filter(col("kept"))
+        .select(col("vec_id"))
+        .as[Long]
+        .collect()
+        .toSet
+    val central = keptSet(Similarity.KeepPolicy.Central)
+    val edge = keptSet(Similarity.KeepPolicy.Edge)
+    // same duplicate graph -> some rows dropped under both policies (only
+    // if the corpus has dups at all); the policies must differ somewhere
+    // when any neighborhood has members at distinct centroid distances
+    val n = emb.count()
+    assert(central.size <= n && edge.size <= n)
+    if (central.size < n) {
+      assert(central !== edge, "Edge policy should keep different members than Central")
+    }
+  }
 }
