@@ -202,6 +202,10 @@ object IvfPq {
       val stamp = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
       val tmp = s"$dir/codes.compact-$stamp"
       readCodes(spark, dir)
+        // a batch replayed AFTER a compaction folded it re-lands in delta/;
+        // frozen quantizers make the replayed rows bit-identical to the
+        // compacted ones, so a full-row distinct restores exactly-once
+        .distinct()
         .write
         .mode("overwrite")
         .partitionBy("cell")

@@ -75,6 +75,53 @@ object TextAnalysis {
   ): Column =
     (alphaRatio * 0.3) + (least(stopRatio * 4.0, lit(1.0)) * 0.3) + (uniqRatio * 0.4)
 
+  /** Hashed-feature dimension of the bigram quality classifier. */
+  val ClfDim = 64
+
+  /** The classifier's weight vector in integer MILLIS, derived from the
+    * same md5 lattice as the LSH hyperplanes ([[Similarity.lshHyperplanes]]):
+    * w_j = md5_60(j || "#w") mod 2001 − 1000. A production deployment
+    * would broadcast weights from a real training run; the md5 derivation
+    * stands in so BOTH engines rebuild the identical vector from a
+    * formula — the deployment shape (literal broadcast into a codegen
+    * projection) is the same either way.
+    */
+  def classifierWeightsMilli(dim: Int = ClfDim): IndexedSeq[Long] =
+    (0 until dim).map { j =>
+      graft.functions.Md5Exprs.md5Top60(
+        s"$j#w".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ) % 2001L - 1000L
+    }
+
+  /** fastText-style linear quality classifier over HASHED BIGRAM features
+    * → (doc_id, logit_milli, n_feats): each word bigram hashes into one
+    * of `dim` buckets (md5 mod dim), the doc's logit is the exact integer
+    * sum of its buckets' milli-weights. Integer accumulation end to end —
+    * no float sum order, no cross-engine exp() drift — so scores (not
+    * just labels) hash-compare bit-exactly; callers threshold `logit_milli
+    * >= 0` for the keep gate (sigmoid is monotone, the probability adds
+    * nothing to a gate). One scan + one doc-keyed partial-aggregable
+    * shuffle at any corpus size; the weight vector is a literal inside
+    * the codegen projection.
+    */
+  def classifierLogits(docs: DataFrame, dim: Int = ClfDim): DataFrame = {
+    val w = classifierWeightsMilli(dim)
+    docs
+      .select(
+        col("doc_id"),
+        explode(Dedup.wordShinglesAll(Text.tokensAll(col("text")), 2)).as("g")
+      )
+      .select(
+        col("doc_id"),
+        element_at(typedLit(w), (pmod(md5Long(col("g")), lit(dim)) + 1).cast("int")).as("wi")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("wi")).cast("long").as("logit_milli"),
+        count(lit(1)).cast("long").as("n_feats")
+      )
+  }
+
   /** (doc_id, text) → language prediction, quality metrics + composite
     * score, and the deterministic split tag, in ONE stateless projection.
     * Map-only (no shuffle, no state), so the exact same transform runs

@@ -93,6 +93,60 @@ object DedupQ {
       doc = s"MinHash(${Dedup.NumHashes})+LSH(${Dedup.NumBands} bands) near-dup " +
         s"pairs over word-2-shingles, verified at Jaccard >= ${Dedup.JaccardThreshold}."
     ),
+    // ---- the same dedup, SQL face: every stage (tokenize, shingle,
+    // minhash, band, candidate join, exact-Jaccard verify) written as ONE
+    // spark.sql text over the registered views + native functions
+    // (word_shingles, minhash_sig run the same codegen kernels as the
+    // DataFrame query above) — proving a SQL-only user gets bit-identical
+    // dedup results to the DataFrame API.
+    Q(
+      "q_sql_dedup",
+      (s, d) => {
+        graft.Graft.registerSql(s, d)
+        s.sql(
+          s"""WITH sh AS (
+             |  SELECT doc_id,
+             |    word_shingles(filter(
+             |      split(regexp_replace(regexp_replace(lower(text), chr(39), ''), '[^a-z]+', ' '), ' '),
+             |      w -> length(w) > 1), 2) AS sh
+             |  FROM documents
+             |),
+             |mh AS (SELECT doc_id, sh, minhash_sig(sh, ${Dedup.NumHashes}) AS mhs FROM sh),
+             |bands AS (
+             |  SELECT doc_id, b AS band,
+             |    CAST(conv(substring(md5(CAST(concat_ws(',',
+             |      mhs[${Dedup.RowsPerBand}*b], mhs[${Dedup.RowsPerBand}*b+1],
+             |      mhs[${Dedup.RowsPerBand}*b+2], mhs[${Dedup.RowsPerBand}*b+3]) AS STRING)),
+             |      1, 15), 16, 10) AS BIGINT) AS bhash
+             |  FROM mh LATERAL VIEW explode(sequence(0, ${Dedup.NumBands - 1})) bx AS b
+             |),
+             |cand AS (
+             |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+             |  FROM bands l JOIN bands r
+             |    ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+             |),
+             |pairs AS (
+             |  SELECT a_id, b_id,
+             |    CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             |      (CAST(size(sa.sh) AS BIGINT) + CAST(size(sb.sh) AS BIGINT)
+             |       - CAST(size(array_intersect(sa.sh, sb.sh)) AS BIGINT)) AS jacc
+             |  FROM cand JOIN sh sa ON a_id = sa.doc_id JOIN sh sb ON b_id = sb.doc_id
+             |)
+             |SELECT a_id, b_id, jacc FROM pairs
+             |WHERE jacc >= ${Dedup.JaccardThreshold}
+             |ORDER BY a_id, b_id""".stripMargin
+        )
+      },
+      Some(
+        s"""$minhashPairsCtes
+           |SELECT a_id, b_id, jacc FROM pairs ORDER BY a_id, b_id""".stripMargin
+      ),
+      doc = "End-to-end MinHash-LSH dedup through the SQL surface alone: " +
+        "one spark.sql text using the registered native functions " +
+        "(word_shingles, minhash_sig — the same codegen kernels the " +
+        "DataFrame face runs) over the registered table views; " +
+        "bit-identical pairs and Jaccard values to d_minhash_lsh."
+    ),
     Q(
       "d_cc_clusters",
       (s, d) =>

@@ -245,9 +245,12 @@ object PipelineQ {
         "same two-level prefix-sum shape."
     ),
     // ---- the composed cleaning pass: predict language, score quality,
-    // keep canonical exact-dedup representatives that pass both gates, and
-    // tag each survivor with its split. One scan + one content-hash window
-    // — the whole thing stays two shuffles regardless of corpus size.
+    // gate on the trained hashed-bigram classifier (loose operating point,
+    // logit >= -2000 milli — the strict >= 0 label lives in
+    // t_classifier_score), keep canonical exact-dedup representatives that
+    // pass all gates, and tag each survivor with its split. One scan + one
+    // content-hash window + one doc-keyed classifier aggregate — three
+    // hash-keyed shuffles regardless of corpus size.
     Q(
       "t_clean_pipeline",
       (s, d) => {
@@ -256,14 +259,22 @@ object PipelineQ {
           .exactDups(docs)
           .filter(col("doc_id") === col("canonical_id"))
           .select(col("doc_id"))
+        val clf = TextAnalysis
+          .classifierLogits(docs)
+          .select(col("doc_id"), col("logit_milli").as("clf_logit_milli"))
         TextAnalysis
           .annotateDocs(docs)
           .join(canonical, Seq("doc_id"), "semi")
-          .filter(col("pred_lang") === "en" && col("quality_score") >= 0.45)
+          .join(clf, Seq("doc_id"))
+          .filter(
+            col("pred_lang") === "en" && col("quality_score") >= 0.45 &&
+              col("clf_logit_milli") >= -2000L
+          )
           .select(
             col("doc_id"),
             col("quality_score"),
             col("n_tokens"),
+            col("clf_logit_milli"),
             col("split")
           )
           .orderBy("doc_id")
@@ -303,19 +314,34 @@ object PipelineQ {
            |        AS canonical_id
            |    FROM documents)
            |  WHERE doc_id = canonical_id
-           |)
-           |SELECT qs.doc_id, quality_score, n_tokens,
+           |),
+           |bg AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, greatest(len(tk) - 1, 1)),
+           |    i -> array_to_string(tk[i:i+1], ' '))) AS g
+           |  FROM t
+           |),
+           |fx AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % ${TextAnalysis.ClfDim} AS j FROM bg),
+           |wt AS (SELECT j, ((('0x' || substr(md5(j::VARCHAR || '#w'), 1, 15))::BIGINT % 2001) - 1000) AS wi
+           |       FROM (SELECT unnest(generate_series(0, ${TextAnalysis.ClfDim - 1})) AS j)),
+           |clf AS (SELECT fx.doc_id, SUM(wi)::BIGINT AS clf_logit_milli
+           |        FROM fx JOIN wt ON fx.j = wt.j GROUP BY fx.doc_id)
+           |SELECT qs.doc_id, quality_score, n_tokens, clf.clf_logit_milli,
            |  CASE WHEN ${h60id("qs.doc_id")} % 100 < 80 THEN 'train'
            |       WHEN ${h60id("qs.doc_id")} % 100 < 90 THEN 'val'
            |       ELSE 'test' END AS split
            |FROM qs JOIN canon ON qs.doc_id = canon.doc_id
+           |          JOIN clf ON qs.doc_id = clf.doc_id
            |WHERE pred_lang = 'en' AND quality_score >= 0.45
+           |  AND clf.clf_logit_milli >= -2000
            |ORDER BY qs.doc_id""".stripMargin
       },
       doc = "End-to-end corpus cleaning in ONE plan: language ID (en), " +
-        "quality gate (score >= 0.45), exact-dedup canonical filter, split " +
-        "tag. Scan-heavy, two shuffles total (content-hash window + final " +
-        "sort) at any corpus size."
+        "quality gate (score >= 0.45), trained hashed-bigram classifier " +
+        "gate (integer logit >= -2000 milli), exact-dedup canonical " +
+        "filter, split tag. Scan-heavy, three hash-keyed shuffles " +
+        "(content-hash window + classifier aggregate + final sort) at " +
+        "any corpus size."
     )
   )
 }

@@ -99,6 +99,37 @@ object TextQ {
         "ratio, stop-word ratio, uniqueness)."
     ),
     Q(
+      "t_classifier_score",
+      (s, d) =>
+        TextAnalysis
+          .classifierLogits(Tables.documents(s, d))
+          .withColumn("clf_keep", col("logit_milli") >= 0L)
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |bg AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, greatest(len(tk) - 1, 1)),
+           |    i -> array_to_string(tk[i:i+1], ' '))) AS g
+           |  FROM t
+           |),
+           |f AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % ${TextAnalysis.ClfDim} AS j FROM bg),
+           |w AS (SELECT j, ((('0x' || substr(md5(j::VARCHAR || '#w'), 1, 15))::BIGINT % 2001) - 1000) AS wi
+           |      FROM (SELECT unnest(generate_series(0, ${TextAnalysis.ClfDim - 1})) AS j))
+           |SELECT f.doc_id, SUM(wi)::BIGINT AS logit_milli, COUNT(*)::BIGINT AS n_feats,
+           |       (SUM(wi) >= 0) AS clf_keep
+           |FROM f JOIN w ON f.j = w.j
+           |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+      ),
+      doc = "Trained-classifier quality scoring (fastText-style linear " +
+        "model over hashed bigram features): each word bigram hashes to " +
+        "one of 64 buckets, the document logit is the exact integer sum " +
+        "of md5-derived milli-weights — broadcast-literal weights inside " +
+        "one codegen projection, one doc-keyed partial-aggregable " +
+        "shuffle, and integer accumulation makes scores (not just keep " +
+        "flags) bit-checkable across engines."
+    ),
+    Q(
       "t_tokcount",
       (s, d) =>
         Tables

@@ -20,18 +20,49 @@ import graft.operators.{IvfIndex, IvfPq, Pq}
   * probe pruning works on deltas exactly as on the base table.
   *
   * At 100 TB: batch deltas are code-sized (m bytes-ish per vector), the
-  * base table is never rewritten, and a periodic compaction folding
-  * `delta/` into `codes/` (plus an eventual retrain) is an offline
-  * maintenance job — the search path meanwhile reads base ∪ delta with
-  * identical pruning.
+  * base table is never rewritten, and compaction folding `delta/` into
+  * `codes/` (plus an eventual retrain) runs POLICY-DRIVEN from the write
+  * path itself ([[maybeCompact]]: delta rows > `compactAt` × base rows) —
+  * the search path meanwhile reads base ∪ delta with identical pruning.
   */
 object VectorIndexStream {
 
-  /** One micro-batch of (vec_id, embedding) rows → cell-assigned, PQ-coded,
-    * appended under `dir/delta/batch_id=<id>`. Exposed for batch callers
-    * and tests; [[codesUpsert]] wires it into foreachBatch.
+  /** Fold `delta/` into the base code table iff accumulated delta rows
+    * exceed `maxDeltaFraction` of base rows — the debt policy that keeps
+    * the per-batch amortized compaction cost O(maxDeltaFraction⁻¹) base
+    * rewrites per base-size of ingest while bounding the search-path read
+    * amplification (file-listing + union branch per surviving batch) at
+    * the same fraction. Row counts come from parquet metadata (footer
+    * counts — no data scan). Returns true iff compaction ran.
     */
-  def upsertBatch(batch: DataFrame, dir: String, batchId: Long, dim: Int): Unit = {
+  def maybeCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      maxDeltaFraction: Double = 0.2
+  ): Boolean = {
+    if (!new java.io.File(s"$dir/delta").exists()) false
+    else {
+      val base = spark.read.parquet(s"$dir/codes").count()
+      val delta = spark.read.parquet(s"$dir/delta").count()
+      val due = delta > 0 && delta >= maxDeltaFraction * base
+      if (due) IvfPq.compactDeltas(spark, dir)
+      due
+    }
+  }
+
+  /** One micro-batch of (vec_id, embedding) rows → cell-assigned, PQ-coded,
+    * appended under `dir/delta/batch_id=<id>`, then the [[maybeCompact]]
+    * policy settles the delta debt (compactAt <= 0 disables — the manual-
+    * maintenance mode). Exposed for batch callers and tests;
+    * [[codesUpsert]] wires it into foreachBatch.
+    */
+  def upsertBatch(
+      batch: DataFrame,
+      dir: String,
+      batchId: Long,
+      dim: Int,
+      compactAt: Double = 0.2
+  ): Unit = {
     val spark = batch.sparkSession
     val cents = IvfIndex.loadCentroids(spark, dir) // O(k·dim) driver state
     val cb = Pq.loadCodebooks(spark, dir) // O(m·ksub·dsub) driver state
@@ -48,6 +79,7 @@ object VectorIndexStream {
       .mode("overwrite")
       .partitionBy("cell")
       .parquet(s"$dir/delta/batch_id=$batchId")
+    if (compactAt > 0.0) maybeCompact(spark, dir, compactAt)
   }
 
   /** foreachBatch writer over a (vec_id, embedding) stream. Start with
@@ -56,9 +88,10 @@ object VectorIndexStream {
   def codesUpsert(
       vecsStream: DataFrame,
       dir: String,
-      dim: Int = 64
+      dim: Int = 64,
+      compactAt: Double = 0.2
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      upsertBatch(batch, dir, batchId, dim)
+      upsertBatch(batch, dir, batchId, dim, compactAt)
     }
 }

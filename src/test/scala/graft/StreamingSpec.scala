@@ -580,6 +580,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(searchAll() === before, "compaction must not change search results")
   }
 
+  test("policy-driven compaction: upsert folds deltas when they exceed the base fraction") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_veccompact")
+    val idx = root.toString + "/idx"
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    graft.operators.IvfPq.ensureBuilt(emb, idx, cellCol = Some("label"))
+    val baseCodes = spark.read.parquet(s"$idx/codes").count() // 500
+
+    val v0 = emb.filter(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    def upsert(batchId: Long, ids: Seq[Long]): Unit =
+      graft.streaming.VectorIndexStream.upsertBatch(
+        ids.map(id => (id, v0)).toDF("vec_id", "embedding"),
+        idx,
+        batchId,
+        dim = 64,
+        compactAt = 0.2
+      )
+
+    // batch 0: 50 rows — 50 < 0.2 * 500, debt tolerated, delta survives
+    upsert(0L, (200000L until 200050L).toSeq)
+    assert(new java.io.File(s"$idx/delta").exists(), "below threshold: delta must persist")
+    assert(spark.read.parquet(s"$idx/codes").count() === baseCodes)
+
+    // batch 1: +60 rows — 110 >= 0.2 * 500: the policy fires, the delta
+    // tree folds into the base and is dropped
+    upsert(1L, (200050L until 200110L).toSeq)
+    assert(!new java.io.File(s"$idx/delta").exists(), "threshold crossed: delta must fold")
+    assert(spark.read.parquet(s"$idx/codes").count() === baseCodes + 110)
+
+    // searches see the same vectors through the compacted single tree
+    val corpusAll = emb
+      .select(col("vec_id"), col("embedding"))
+      .unionByName((200000L until 200110L).map(id => (id, v0)).toDF("vec_id", "embedding"))
+    val got = graft.operators.IvfPq
+      .search(spark, idx, emb.filter(col("vec_id") === 0), corpusAll,
+        dim = 64, k = 1, nProbe = 2, shortlist = 200)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got.subsetOf((200000L until 200110L).toSet), s"top-1 must be an upserted copy, got $got")
+
+    // a REPLAY of the already-folded batch 1 re-lands in delta/ with
+    // bit-identical rows; the next compaction's distinct() restores
+    // exactly-once instead of double-counting
+    upsert(1L, (200050L until 200110L).toSeq)
+    graft.operators.IvfPq.compactDeltas(spark, idx)
+    assert(spark.read.parquet(s"$idx/codes").count() === baseCodes + 110,
+      "replayed batch must not duplicate rows after compaction")
+  }
+
   test("stream-static join enriches a stream against a batch dimension") {
     // The standard enrichment shape: a live stream joined to a slowly-
     // changing dim loaded as a plain batch DataFrame — Structured
