@@ -452,6 +452,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(re === first, "hierCells must not depend on partition layout")
   }
 
+  test("hierCells at production shape: 20k vectors, k=400 > litK, bounded cells, level-2 exercised") {
+    // The oracle fixtures cap at 2k vectors (k <= 40), so every quantizer
+    // query trains on toy cell counts. This pins the REALISTIC shape: 20k
+    // vectors -> k = 400 fine cells (> litK=256: level-1 runs the literal
+    // path at k1=20 but d_semantic_bigk-style broadcast kicks in if forced),
+    // level-2 seeds genuinely distributed (~400 rows over 20 coarse cells).
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val n = 20000
+    val corpus = (0 until n)
+      .map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+      .repartition(8)
+    val target = 50
+    val celled = Similarity.hierCells(corpus, targetCellSize = target, maxCellSize = 100)
+    assert(celled.count() === n.toLong)
+    val sizes = celled.groupBy("cell").count().as[(Long, Long)].collect().map(_._2)
+    // ~400 realized cells around the 50-row target, every cell under the
+    // re-split bound (2x slack for hash multinomial spread)
+    assert(sizes.length >= 200, s"expected hundreds of fine cells, got ${sizes.length}")
+    assert(sizes.max <= 200, s"fine cell over bound at production shape: ${sizes.max}")
+    val mean = sizes.sum.toDouble / sizes.length
+    assert(mean <= 2.0 * target, s"mean fine cell $mean drifted far from target $target")
+  }
+
   test("semanticDedup keep policies: Edge inverts the survivor within each duplicate pair") {
     val emb = Tables.embeddings(spark, sf)
     def keptSet(keep: Similarity.KeepPolicy): Set[Long] =
