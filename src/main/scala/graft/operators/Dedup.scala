@@ -518,6 +518,73 @@ object Dedup {
       .withColumn("canonical_id", min(col("doc_id")).over(w))
   }
 
+  /** Undersized on purpose at oracle scale so the false-positive path is
+    * non-vacuous; production sizing is ~10–15 bits per corpus key (see
+    * [[graft.functions.BloomFilterAgg]]).
+    */
+  val BloomBits = 4096
+  val BloomHashes = 2
+
+  /** Exact delta-vs-corpus dedup through a broadcast BLOOM FILTER — the
+    * 100 TB shape for "is this ingested document already in the corpus?".
+    *
+    * A direct semi-join keys the ENTIRE standing corpus through a shuffle
+    * on every ingest batch; the Bloom filter replaces that with:
+    *
+    *   1. one corpus-linear aggregation into an O(numBits) bit array
+    *      (mergeable by OR, so map-side combined — one fixed-size array per
+    *      partition crosses the exchange; amortizable across batches since
+    *      the filter only ever needs bits ADDED as the corpus grows);
+    *   2. a broadcast of those bits to the delta: the membership probe is
+    *      map-only, built-in `bit_get` expressions over the array;
+    *   3. an exact-verify join AGAINST THE CANDIDATE SUBSET ONLY — true
+    *      dups plus the engineered false-positive tail. Bloom negatives are
+    *      definitive (no false negatives), so dropping them unverified is
+    *      exact, and the expensive join carries candidate-sized, not
+    *      delta-sized, input.
+    *
+    * Emits one row per delta doc: the Bloom verdict (`candidate`), the
+    * ground truth (`dup`), and the corpus canonical id for true dups —
+    * so the one-sided-error contract (dup ⇒ candidate) is visible in, and
+    * hash-checked by, the output itself.
+    */
+  def bloomDeltaDups(
+      corpus: DataFrame,
+      delta: DataFrame,
+      numBits: Int = BloomBits,
+      numHashes: Int = BloomHashes
+  ): DataFrame = {
+    import graft.functions.BloomFilterAgg
+    def hashed(df: DataFrame) =
+      df.select(col("doc_id"), md5(normText(col("text"))).as("h"))
+    val corpusH = hashed(corpus)
+    val filt = corpusH.agg(BloomFilterAgg.bloom(col("h"), numBits, numHashes).as("bf"))
+    val probed = hashed(delta)
+      .crossJoin(broadcast(filt))
+      .withColumn(
+        "candidate",
+        BloomFilterAgg.mightContain(col("bf"), col("h"), numBits, numHashes)
+      )
+      .drop("bf")
+    val canon = corpusH.groupBy(col("h")).agg(min(col("doc_id")).as("canonical_id"))
+    // only the candidate subset pays the verify join; negatives are exact
+    // non-members by the Bloom contract
+    val verified = probed
+      .filter(col("candidate"))
+      .join(canon, Seq("h"), "left")
+    val negatives = probed
+      .filter(!col("candidate"))
+      .withColumn("canonical_id", lit(null).cast("long"))
+    verified
+      .unionByName(negatives)
+      .select(
+        col("doc_id"),
+        col("candidate"),
+        col("canonical_id").isNotNull.as("dup"),
+        col("canonical_id")
+      )
+  }
+
   /** Blocked exact pairwise n-gram Jaccard via PREFIX FILTERING — the
     * classic exact set-similarity join (SSJoin/PPJoin lineage: order the
     * universe by ascending document frequency; if J(A,B) ≥ t, the first

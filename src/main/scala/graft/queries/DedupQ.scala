@@ -253,6 +253,74 @@ object DedupQ {
         "shape; oracle = the full pair set filtered to pairs touching a " +
         "delta doc."
     ),
+    // ---- the same ingest shape through a broadcast Bloom filter: corpus
+    // keys become an O(numBits) bit array, the delta's membership probe is
+    // map-only, and only the candidate subset (true dups + the engineered
+    // false-positive tail) pays the exact-verify join. The oracle
+    // recomputes every set bit and every verdict from the same md5-salted
+    // construction — candidate, dup, and canonical id all hash-checked.
+    Q(
+      "d_bloom_delta",
+      (s, d) => {
+        import graft.util.Cols.md5Long
+        val docs = Tables.documents(s, d)
+        // the odd half plays the ingest batch; a deterministic ~10% slice
+        // of the corpus is replayed into it under fresh ids (re-crawled
+        // exact copies) so every verdict class — true dup, false positive,
+        // true negative — is non-vacuous and hash-checked
+        val recrawled = docs
+          .filter(col("doc_id") % 2 === 0)
+          .filter(
+            pmod(md5Long(concat(col("doc_id").cast("string"), lit("#re"))), lit(100)) < 10
+          )
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        Dedup
+          .bloomDeltaDups(
+            corpus = docs.filter(col("doc_id") % 2 === 0),
+            delta = docs.filter(col("doc_id") % 2 === 1).unionByName(recrawled)
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val (bits, k) = (Dedup.BloomBits, Dedup.BloomHashes)
+        def pos(j: Int, e: String) =
+          s"('0x' || substr(md5($e || '#bf$j'), 1, 15))::BIGINT % $bits"
+        val bitsCte = (0 until k)
+          .map(j => s"SELECT DISTINCT ${pos(j, "h")} AS b FROM corpus")
+          .mkString("\n  UNION\n  ")
+        val memberExpr = (0 until k)
+          .map(j => s"((${pos(j, "d.h")}) IN (SELECT b FROM bits))")
+          .mkString("\n    AND ")
+        s"""WITH n AS (
+           |  SELECT doc_id,
+           |    md5(trim(regexp_replace(replace(lower(text), chr(39), ''), '[^a-z]+', ' ', 'g')))
+           |      AS h
+           |  FROM documents),
+           |corpus AS (SELECT doc_id, h FROM n WHERE doc_id % 2 = 0),
+           |delta AS (
+           |  SELECT doc_id, h FROM n WHERE doc_id % 2 = 1
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, h FROM n
+           |  WHERE doc_id % 2 = 0
+           |    AND ('0x' || substr(md5(doc_id::VARCHAR || '#re'), 1, 15))::BIGINT % 100 < 10),
+           |bits AS (
+           |  $bitsCte),
+           |cand AS (
+           |  SELECT d.doc_id, d.h,
+           |    $memberExpr AS candidate
+           |  FROM delta d),
+           |canon AS (SELECT h, MIN(doc_id) AS canonical_id FROM corpus GROUP BY h)
+           |SELECT c.doc_id, c.candidate, (canon.canonical_id IS NOT NULL) AS dup,
+           |  canon.canonical_id
+           |FROM cand c LEFT JOIN canon ON c.h = canon.h
+           |ORDER BY c.doc_id""".stripMargin
+      },
+      doc = s"Broadcast-Bloom delta-vs-corpus exact dedup (${Dedup.BloomBits} bits, " +
+        s"${Dedup.BloomHashes} hashes, mergeable OR-combined aggregate): corpus-linear " +
+        "filter build, map-only membership probe on the delta, exact-verify join on " +
+        "the candidate subset only — per-doc Bloom verdict, ground truth, and " +
+        "canonical id all bit-checked against a DuckDB replay of every set bit."
+    ),
     // ---- dataset versioning: diff two corpus snapshots by RAW content
     // hash. v1 drops a deterministic 5% slice (the "removed" docs), v2
     // drops a different 5% (so v1-only ids read as removed and v2-only as
