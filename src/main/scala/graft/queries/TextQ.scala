@@ -601,6 +601,91 @@ object TextQ {
         "recomputation of every counter: top-20 tokens with true count, " +
         "CM estimate, and overcount (always >= 0 by the CM guarantee)."
     ),
+    // ---- the cardinality leg of the sketch family: per-language distinct
+    // token counts through the mergeable HLL aggregate, next to the exact
+    // answer. Bucket ranks come from integer bit lengths (no floating log)
+    // and the estimate from DECIMAL-exact arithmetic, so DuckDB replays
+    // every bucket and the final estimate bit-for-bit.
+    Q(
+      "t_hll_distinct",
+      (s, d) => {
+        import graft.functions.HllAgg
+        val m = 256
+        // distinct POSTINGS (token, doc) per language — the synthetic
+        // corpus' closed 30-word vocabulary is below the raw-HLL regime,
+        // postings (~thousands per language) are squarely inside it
+        val toks = Tables
+          .documents(s, d)
+          .select(
+            col("lang"),
+            col("doc_id"),
+            explode(Text.tokensAll(col("text"))).as("w")
+          )
+          .select(
+            col("lang"),
+            concat(col("w"), lit("#"), col("doc_id").cast("string")).as("t")
+          )
+        toks
+          .groupBy(col("lang"))
+          .agg(
+            countDistinct(col("t")).as("true_distinct"),
+            HllAgg.hll(col("t"), m).as("sk")
+          )
+          .withColumn("hll_est", HllAgg.estimate(col("sk"), m))
+          .withColumn(
+            "err_bp",
+            call_function(
+              "div",
+              abs(col("hll_est") - col("true_distinct")) * lit(10000L),
+              col("true_distinct")
+            )
+          )
+          .select("lang", "true_distinct", "hll_est", "err_bp")
+          .orderBy("lang")
+      },
+      Some {
+        val m = 256
+        val alpha = graft.functions.HllAgg.alphaE6(m)
+        // windowBits = 60 - log2(m) = 52; rank = 52 - bitLength(v) + 1,
+        // capped at 53 when the whole window is zero
+        s"""WITH tk AS (
+           |  SELECT lang, unnest($toksSql) || '#' || doc_id::VARCHAR AS t FROM documents),
+           |dt AS (SELECT DISTINCT lang, t FROM tk),
+           |truth AS (SELECT lang, COUNT(*)::BIGINT AS true_distinct FROM dt GROUP BY lang),
+           |h AS (
+           |  SELECT lang,
+           |    ('0x' || substr(md5(t || '#hll'), 1, 15))::BIGINT % $m AS bucket,
+           |    ('0x' || substr(md5(t || '#hll'), 1, 15))::BIGINT // $m AS v
+           |  FROM dt),
+           |r AS (
+           |  SELECT lang, bucket,
+           |    MAX(CASE WHEN v = 0 THEN 53 ELSE 52 - length(format('{:b}', v)) + 1 END) AS rank
+           |  FROM h GROUP BY lang, bucket),
+           |fullb AS (
+           |  SELECT truth.lang, gs.b AS bucket, coalesce(r.rank, 0) AS rank
+           |  FROM truth CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS b) gs
+           |  LEFT JOIN r ON r.lang = truth.lang AND r.bucket = gs.b),
+           |s AS (
+           |  SELECT lang,
+           |    SUM(CASE WHEN rank = 0 THEN 2::HUGEINT * ((1::BIGINT << 62)::HUGEINT)
+           |             ELSE ((1::BIGINT << (63 - rank)))::HUGEINT END) AS ssum
+           |  FROM fullb GROUP BY lang),
+           |est AS (
+           |  SELECT lang,
+           |    (($alpha::HUGEINT * ${m.toLong * m} * (2::HUGEINT * ((1::BIGINT << 62)::HUGEINT)))
+           |      // (ssum * 1000000))::BIGINT AS hll_est
+           |  FROM s)
+           |SELECT truth.lang AS lang, true_distinct, hll_est,
+           |  ((abs(hll_est - true_distinct) * 10000) // true_distinct)::BIGINT AS err_bp
+           |FROM truth JOIN est ON truth.lang = est.lang
+           |ORDER BY lang""".stripMargin
+      },
+      doc = s"HyperLogLog distinct-postings estimation per language (m=256, " +
+        "mergeable O(m) max-rank aggregate, ~6.5% standard error): true " +
+        "distinct, HLL estimate, and basis-point error — every bucket rank " +
+        "(integer bit lengths, no floating log) and the DECIMAL-exact " +
+        "estimator replayed bit-for-bit by the DuckDB oracle."
+    ),
     // ---- the Unicode tokenizer next to the reference-parity ASCII one:
     // the corpus union includes multilingual fixture rows (the synthetic
     // table is pure ASCII), so the \p{L}-vs-[a-z] difference is hash-
