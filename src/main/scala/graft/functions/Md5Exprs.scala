@@ -154,6 +154,63 @@ case class Md5Top60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object CdcKernel {
+
+  /** Content-defined chunk END positions (1-based, ascending): every
+    * position `i ∈ [w, n]` whose trailing w-char window hashes to
+    * `md5Top60 % modulo == 0`, plus the document end `n` — so chunks are
+    * `[prev_end+1, end]` and every document is fully covered. Matches
+    * `list_append(list_filter(generate_series(w, n), i -> md5(substr(text,
+    * i-w+1, w)) % modulo = 0), n)` (deduped, sorted) bit-for-bit.
+    *
+    * One tight loop per row with a reused MessageDigest — the composed
+    * `transform(sequence(...))` form runs interpreted per position (the
+    * 45-s-at-sf0.1 lesson behind [[MinShingleMd5]]).
+    */
+  def cdcEnds(s: UTF8String, w: Int, modulo: Int): ArrayData = {
+    val n = s.numChars()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = w
+    while (i <= n) {
+      if (Md5Exprs.md5Top60(s.substring(i - w, i).getBytes) % modulo == 0L) {
+        out += i
+      }
+      i += 1
+    }
+    if (out.isEmpty || out.last != n) out += n
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `cdc_ends(text, w, modulo)`: content-defined chunk boundaries (the
+  * LBFS/Rabin-style shift-robust chunking primitive) in one codegen call
+  * per row.
+  */
+case class CdcEnds(child: Expression, w: Int, modulo: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"cdc_ends requires a string argument, got ${child.dataType.catalogString}"
+      )
+
+  override def nullSafeEval(input: Any): Any =
+    CdcKernel.cdcEnds(input.asInstanceOf[UTF8String], w, modulo)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"${ev.value} = graft.functions.CdcKernel.cdcEnds($c, $w, $modulo);"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SimHashKernel {
   /** 60-bit term-frequency SimHash over a token array: md5Top60 per token
     * occurrence, signed per-bit tally, sign → bit. Bit-identical to the

@@ -191,6 +191,74 @@ object TextAnalysis {
       )
   }
 
+  /** CDC window / boundary-modulo defaults: expected chunk ≈ CdcModulo
+    * chars. Storage-dedup practice sizes chunks in KiB; the fixture's
+    * few-hundred-char docs size down proportionally.
+    */
+  val CdcWindow = 16
+  val CdcModulo = 64
+
+  /** CONTENT-DEFINED chunking (the LBFS/Rabin idea): a chunk boundary
+    * falls wherever the trailing [[CdcWindow]]-char window's hash ≡ 0
+    * (mod [[CdcModulo]]) — a pure function of LOCAL content, so an edit
+    * only redraws boundaries inside its own neighborhood and every chunk
+    * after the next surviving boundary keeps its identity. That's the
+    * property fixed-stride chunking ([[chunkDocs]]) lacks: inserting one
+    * character there shifts every downstream chunk, and chunk-hash dedup
+    * across near-identical documents collapses.
+    *
+    * Emits one row per chunk — (doc_id, chunk_idx, chunk_start, chunk_len,
+    * chunk_md5, dup_count) — where dup_count counts the chunk hash across
+    * the whole corpus: the storage-dedup signal (shared boilerplate,
+    * templated spans, re-crawled fragments) at chunk rather than document
+    * granularity.
+    *
+    * Shape at scale: boundary detection is one codegen'd pass per doc
+    * (native [[graft.functions.CdcEnds]] kernel — the composed
+    * transform(sequence(...)) form runs interpreted per position), the
+    * explode is map-only, and the only shuffle is the hash-keyed window
+    * for dup_count — corpus-linear in CHUNKS, with no skew worse than the
+    * duplicate mass itself.
+    */
+  def cdcChunks(
+      docs: DataFrame,
+      window: Int = CdcWindow,
+      modulo: Int = CdcModulo
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ends = graft.util.Cols.nativeCol(
+      graft.functions.CdcEnds(graft.util.Cols.nativeExpr(col("text")), window, modulo)
+    )
+    val flat = docs
+      .select(col("doc_id"), col("text"), ends.as("ends"))
+      .select(
+        col("doc_id"),
+        col("text"),
+        col("ends"),
+        posexplode(col("ends")).as(Seq("chunk_idx", "chunk_end"))
+      )
+      .withColumn(
+        "chunk_start",
+        when(col("chunk_idx") === 0, lit(1))
+          .otherwise(element_at(col("ends"), col("chunk_idx")) + 1)
+      )
+      .withColumn("chunk_len", col("chunk_end") - col("chunk_start") + 1)
+      .withColumn(
+        "chunk_md5",
+        md5(call_function("substring", col("text"), col("chunk_start"), col("chunk_len")))
+      )
+    flat
+      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(col("chunk_md5"))))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        col("chunk_len").cast("long").as("chunk_len"),
+        col("chunk_md5"),
+        col("dup_count")
+      )
+  }
+
   /** BPE-ish token pattern: letter runs, single digits, single punctuation.
     * Kept to syntax valid in both Java regex and RE2 (DuckDB).
     */

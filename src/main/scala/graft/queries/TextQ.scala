@@ -206,6 +206,43 @@ object TextQ {
         "trailing chunk keeps tail " +
         "text. Map-only row-local explode — scales as a pure scan."
     ),
+    // ---- the shift-robust complement of t_chunks: boundaries from LOCAL
+    // content (trailing-window hash ≡ 0 mod D), so an edit redraws only its
+    // own neighborhood and chunk-hash dedup survives across near-identical
+    // docs. Every boundary and chunk hash replayed by the oracle.
+    Q(
+      "t_cdc_chunks",
+      (s, d) =>
+        TextAnalysis.cdcChunks(Tables.documents(s, d)).orderBy("doc_id", "chunk_idx"),
+      Some {
+        val (w, dm) = (TextAnalysis.CdcWindow, TextAnalysis.CdcModulo)
+        s"""WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+           |e AS (SELECT doc_id, text, n,
+           |  list_sort(list_distinct(list_append(
+           |    list_filter(CASE WHEN n >= $w THEN generate_series($w, n) ELSE [] END,
+           |      i -> ('0x' || substr(md5(substr(text, (i - ${w - 1})::INT, $w)), 1, 15))::BIGINT % $dm = 0),
+           |    n))) AS ends FROM base),
+           |flat AS (
+           |  SELECT doc_id, text,
+           |    unnest(generate_series(1, len(ends))) - 1 AS chunk_idx,
+           |    unnest(list_transform(list_prepend(0::BIGINT, ends[:len(ends)-1]), p -> p + 1)) AS chunk_start,
+           |    unnest(ends) AS chunk_end
+           |  FROM e)
+           |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, chunk_start::BIGINT AS chunk_start,
+           |  (chunk_end - chunk_start + 1)::BIGINT AS chunk_len,
+           |  md5(substr(text, chunk_start::INT, (chunk_end - chunk_start + 1)::INT)) AS chunk_md5,
+           |  COUNT(*) OVER (PARTITION BY md5(substr(text, chunk_start::INT, (chunk_end - chunk_start + 1)::INT)))
+           |    AS dup_count
+           |FROM flat ORDER BY doc_id, chunk_idx""".stripMargin
+      },
+      doc = s"Content-defined chunking (window=${TextAnalysis.CdcWindow}, " +
+        s"modulo=${TextAnalysis.CdcModulo}, expected chunk ~${TextAnalysis.CdcModulo} " +
+        "chars): boundary wherever the trailing-window md5 ≡ 0 — the " +
+        "LBFS/Rabin storage-dedup primitive, robust to insertions where " +
+        "fixed-stride chunking shifts every downstream chunk. Native " +
+        "single-pass boundary kernel; dup_count = corpus-wide chunk-hash " +
+        "multiplicity, the chunk-granular dedup signal."
+    ),
     // ---- TF-IDF-style salient terms per document. The damping uses the
     // raw rarity ratio N/df rather than log(N/df): a log crosses libm,
     // whose low bits differ across engines, while tf*N/df is two exact
