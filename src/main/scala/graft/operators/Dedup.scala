@@ -507,6 +507,44 @@ object Dedup {
       .select(col("doc_id"))
   }
 
+  /** LEAKAGE-SAFE train/dev/test split: the split hash is keyed by the
+    * near-dup CLUSTER (connected component of verified MinHash-LSH pairs;
+    * singletons key by their own id), not by the document — so no
+    * near-duplicate pair can straddle a split boundary. Per-document hash
+    * splitting ([[graft.operators.Split]]'s `q_hash_split` shape) puts a
+    * near-dup of a training doc into the test set with probability
+    * 2·p·(1−p) per pair — the classic evaluation-contamination vector this
+    * operator closes. Exact dups are subsumed: identical docs share all
+    * shingles, so every exact-dup pair is a verified Jaccard-1 pair and
+    * lands in one component.
+    *
+    * Scale shape: reuses [[dupClusters]] (pair join + pointer-jumped
+    * components, corpus-linear shuffles), one left join back to the
+    * corpus, and a map-only md5 bucket of the group id. Deterministic:
+    * same corpus → same split, regardless of partitioning.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      trainPct: Int = 80,
+      devPct: Int = 10,
+      threshold: Double = JaccardThreshold
+  ): DataFrame = {
+    val comp = dupClusters(docs, threshold).select(col("doc_id"), col("component"))
+    val grouped = docs
+      .select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("component"), col("doc_id")))
+    val b = pmod(md5Long(concat(col("group_id").cast("string"), lit("#split"))), lit(100))
+    grouped.select(
+      col("doc_id"),
+      col("group_id"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + devPct, "dev")
+        .otherwise("test")
+        .as("split")
+    )
+  }
+
   /** Exact-dup annotation: per-document content hash, the size of its
     * duplicate group, and the canonical (minimum) doc_id of the group.
     */

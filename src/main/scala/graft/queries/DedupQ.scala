@@ -253,6 +253,44 @@ object DedupQ {
         "shape; oracle = the full pair set filtered to pairs touching a " +
         "delta doc."
     ),
+    // ---- split assignment keyed by near-dup CLUSTER, not document: no
+    // verified near-dup pair can straddle train/test — the contamination
+    // vector a per-doc hash split leaves open. Oracle replays components
+    // (recursive CTE) + the group-keyed md5 bucket.
+    Q(
+      "d_split_leakage_safe",
+      (s, d) =>
+        Dedup.leakageSafeSplit(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(
+        s"""${minhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+           |und AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION
+           |  SELECT b_id, a_id FROM pairs
+           |),
+           |walk(id, root) AS (
+           |  SELECT DISTINCT src, src FROM und
+           |  UNION
+           |  SELECT u.dst, w.root FROM walk w JOIN und u ON u.src = w.id
+           |),
+           |comp AS (SELECT id, MIN(root) AS component FROM walk GROUP BY id),
+           |g AS (
+           |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id
+           |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+           |bkt AS (
+           |  SELECT doc_id, group_id,
+           |    ('0x' || substr(md5(group_id::VARCHAR || '#split'), 1, 15))::BIGINT % 100 AS b
+           |  FROM g)
+           |SELECT doc_id, group_id,
+           |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'dev' ELSE 'test' END AS split
+           |FROM bkt ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Leakage-safe 80/10/10 split: md5 bucket of the near-dup " +
+        "COMPONENT id (singletons: own id), so near-duplicate pairs never " +
+        "straddle a split boundary — closes the train/test contamination " +
+        "vector per-document hash splitting leaves open. Components + one " +
+        "left join + a map-only bucket; fully deterministic."
+    ),
     // ---- the same ingest shape through a broadcast Bloom filter: corpus
     // keys become an O(numBits) bit array, the delta's membership probe is
     // map-only, and only the candidate subset (true dups + the engineered

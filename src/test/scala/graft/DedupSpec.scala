@@ -32,6 +32,36 @@ class DedupSpec extends AnyFunSuite {
     def toMap0: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("leakage-safe split: no verified near-dup pair straddles a split; per-doc hashing does") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val pairs = Dedup.minhashDups(docs).select("a_id", "b_id")
+    val split = Dedup.leakageSafeSplit(docs)
+    val straddling = pairs
+      .join(split.select(col("doc_id").as("a_id"), col("split").as("sa")), Seq("a_id"))
+      .join(split.select(col("doc_id").as("b_id"), col("split").as("sb")), Seq("b_id"))
+      .filter(col("sa") =!= col("sb"))
+    assert(straddling.count() === 0, "a near-dup pair crossed the split boundary")
+    // the contrast that motivates the operator: per-DOC bucketing puts at
+    // least one verified pair on different sides on this fixture
+    import graft.util.Cols.md5Long
+    val perDoc = docs.select(
+      col("doc_id"),
+      pmod(md5Long(concat(col("doc_id").cast("string"), lit("#split"))), lit(100)).as("b")
+    )
+    val naiveStraddle = pairs
+      .join(perDoc.select(col("doc_id").as("a_id"), col("b").as("ba")), Seq("a_id"))
+      .join(perDoc.select(col("doc_id").as("b_id"), col("b").as("bb")), Seq("b_id"))
+      .filter((col("ba") < 80) =!= (col("bb") < 80))
+    assert(naiveStraddle.count() > 0, "fixture should exhibit naive-split leakage")
+    // split is total and deterministic
+    assert(split.count() === docs.count())
+    val again = Dedup.leakageSafeSplit(docs.repartition(7))
+    assert(
+      split.orderBy("doc_id").collect() === again.orderBy("doc_id").collect(),
+      "split must not depend on partitioning"
+    )
+  }
+
   test("minhash LSH finds a near-duplicate pair and scores its jaccard") {
     val nearDup = base.replace("optimizes", "rewrites") // 1 word of 14 changed
     val docs = Seq(
