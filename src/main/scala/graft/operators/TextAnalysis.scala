@@ -191,6 +191,48 @@ object TextAnalysis {
       )
   }
 
+  /** POSITIONAL INVERTED INDEX: one row per (term, doc) with term
+    * frequency and the sorted in-document position list — the IR
+    * structure that turns phrase/proximity search from a corpus scan
+    * into a seek of the query terms' postings.
+    *
+    * Build shape at scale: one map-only tokenize+posexplode pass, one
+    * partial-aggregable groupBy (term, doc) — corpus-linear, shuffle
+    * keyed by the term (df-skewed terms are bounded by per-doc tf, not
+    * corpus size, since the doc id is in the key). Persist partitioned
+    * by a term hash and a phrase query reads only its terms' buckets.
+    */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        posexplode(Text.tokensAll(col("text"))).as(Seq("pos", "term"))
+      )
+      .groupBy(col("term"), col("doc_id"))
+      .agg(
+        count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions")
+      )
+
+  /** Phrase search over [[invertedIndex]]: all occurrences of the exact
+    * two-word phrase, found by POSITION-LIST ADJACENCY — join the two
+    * terms' postings on doc and check `pos+1 ∈ positions(w2)` — never by
+    * re-scanning text. The index rows for the two query terms are the
+    * only input: on a term-partitioned persisted index this is an index
+    * seek, independent of corpus size.
+    */
+  def phraseSearch(index: DataFrame, w1: String, w2: String): DataFrame = {
+    val p1 = index
+      .filter(col("term") === w1)
+      .select(col("doc_id"), explode(col("positions")).as("pos"))
+    val p2 = index
+      .filter(col("term") === w2)
+      .select(col("doc_id"), col("positions").as("positions2"))
+    p1.join(p2, Seq("doc_id"))
+      .filter(array_contains(col("positions2"), col("pos") + 1))
+      .select(lit(w1).as("w1"), lit(w2).as("w2"), col("doc_id"), col("pos"))
+  }
+
   /** CDC window / boundary-modulo defaults: expected chunk ≈ CdcModulo
     * chars. Storage-dedup practice sizes chunks in KiB; the fixture's
     * few-hundred-char docs size down proportionally.

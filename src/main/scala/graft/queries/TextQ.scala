@@ -638,6 +638,78 @@ object TextQ {
         "recomputation of every counter: top-20 tokens with true count, " +
         "CM estimate, and overcount (always >= 0 by the CM guarantee)."
     ),
+    // ---- the IR pair: build the positional inverted index, then answer a
+    // phrase query by postings adjacency — an index seek, never a corpus
+    // re-scan. The searched phrase is data-derived (top bigram,
+    // deterministic tie-break) so the match set is non-vacuous at any SF.
+    Q(
+      "t_inverted_index",
+      (s, d) =>
+        TextAnalysis
+          .invertedIndex(Tables.documents(s, d))
+          .orderBy("term", "doc_id"),
+      Some(
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |tok AS (
+           |  SELECT doc_id, unnest(t) AS term,
+           |         unnest(generate_series(1, len(t))) - 1 AS pos
+           |  FROM tk)
+           |SELECT term, doc_id, COUNT(*)::BIGINT AS tf,
+           |  list_sort(list(pos)) AS positions
+           |FROM tok GROUP BY term, doc_id ORDER BY term, doc_id""".stripMargin
+      ),
+      doc = "Positional inverted index: (term, doc, tf, sorted positions) " +
+        "— one tokenize+posexplode pass and one partial-aggregable " +
+        "groupBy, corpus-linear; persisted term-partitioned it turns " +
+        "phrase search into an index seek. Postings bit-checked."
+    ),
+    Q(
+      "t_phrase_search",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(
+          col("doc_id"),
+          posexplode(Text.tokensAll(col("text"))).as(Seq("pos", "term"))
+        )
+        // data-derived phrase: the corpus's top bigram (deterministic
+        // tie-break); a 2-value collect, bounded like an IVF probe list
+        val top = toks
+          .as("a")
+          .join(
+            toks.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1
+          )
+          .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w1"), col("w2"))
+          .limit(1)
+          .collect()(0)
+        TextAnalysis
+          .phraseSearch(TextAnalysis.invertedIndex(docs), top.getString(0), top.getString(1))
+          .orderBy("doc_id", "pos")
+      },
+      Some(
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |tok AS (
+           |  SELECT doc_id, unnest(t) AS term,
+           |         unnest(generate_series(1, len(t))) - 1 AS pos
+           |  FROM tk),
+           |bg AS (
+           |  SELECT a.term AS w1, b.term AS w2, COUNT(*) AS c
+           |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           |  GROUP BY 1, 2),
+           |top AS (SELECT w1, w2 FROM bg ORDER BY c DESC, w1, w2 LIMIT 1)
+           |SELECT top.w1, top.w2, a.doc_id AS doc_id, a.pos AS pos
+           |FROM tok a
+           |JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           |JOIN top ON a.term = top.w1 AND b.term = top.w2
+           |ORDER BY a.doc_id, a.pos""".stripMargin
+      ),
+      doc = "Exact phrase search via postings adjacency: the top corpus " +
+        "bigram's every occurrence, answered from the two query terms' " +
+        "index rows only (pos+1 membership in the second term's position " +
+        "list) — an index seek, not a corpus scan. Occurrences bit-checked."
+    ),
     // ---- the cardinality leg of the sketch family: per-language distinct
     // token counts through the mergeable HLL aggregate, next to the exact
     // answer. Bucket ranks come from integer bit lengths (no floating log)
