@@ -143,6 +143,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.streaming.SketchStream.mergedSketch(spark, dir).sum === before)
   }
 
+  test("streaming Bloom ingest: repeats blocked, new docs flow, partials merge to the corpus filter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomstream").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val (half1, half2) = docs.splitAt(docs.length / 2)
+    // batch 2 = genuinely new docs + re-crawled copies of batch-1 docs
+    val recrawled = half1.take(10).map { case (id, t) => (id + 1000000L, t) }
+
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.BloomStream
+      .bloomIngest(stream.toDF().toDF("doc_id", "text"), dir)
+      .start()
+    try {
+      stream.addData(half1: _*); q.processAllAvailable()
+      stream.addData((half2 ++ recrawled): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val acc0 = spark.read.parquet(s"$dir/accepted/batch_id=0")
+    val acc1 = spark.read.parquet(s"$dir/accepted/batch_id=1")
+    assert(acc0.count() === half1.size.toLong, "first batch has no prior filter")
+    // no false negatives: every re-crawled copy (same normalized content)
+    // must be blocked by the prior filter
+    val accepted1 = acc1.select("doc_id").as[Long].collect().toSet
+    assert(
+      recrawled.forall(r => !accepted1.contains(r._1)),
+      "a re-crawled duplicate sailed through the Bloom gate"
+    )
+    // false-positive loss is the contract's price, but must be small at
+    // this sizing (~11% fill, 2 hashes -> ~1% FP)
+    assert(
+      accepted1.size >= (half2.size * 9) / 10,
+      s"only ${accepted1.size}/${half2.size} new docs accepted — FP rate out of contract"
+    )
+
+    // mergeable-state property: OR of partials == whole-corpus filter
+    val merged = graft.streaming.BloomStream.mergedFilter(spark, dir).get
+    val whole = spark.createDataset(docs ++ recrawled).toDF("doc_id", "text")
+      .select(md5(graft.operators.Dedup.normText(col("text"))).as("h"))
+      .agg(graft.functions.BloomFilterAgg.bloom(col("h"), 4096, 2))
+      .head().getSeq[Long](0)
+    assert(merged.toSeq === whole, "batch partials must OR-merge to the corpus filter")
+
+    // replay determinism: the batch-1 gate only sees partials with
+    // batch_id < 1, so a replay computes the identical accepted set
+    val priorFor1 = graft.streaming.BloomStream
+      .mergedFilter(spark, dir, beforeBatch = Some(1L)).get
+    val only0 = spark.read.parquet(s"$dir/bloom/batch_id=0").head().getSeq[Long](0)
+    assert(priorFor1.toSeq === only0, "prior filter for batch 1 must exclude batch >= 1")
+  }
+
   test("transformWithState rollup matches mapGroupsWithState semantics (accumulate + TTL evict)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
