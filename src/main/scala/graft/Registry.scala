@@ -10,7 +10,8 @@ object Registry {
       queries.DedupQ.all ++
       queries.SimilarityQ.all ++
       queries.MultimodalQ.all ++
-      queries.PipelineQ.all
+      queries.PipelineQ.all ++
+      queries.VersionedQ.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

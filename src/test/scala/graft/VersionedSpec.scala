@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Versioned
+
+/** Versioned-table guarantees: snapshot isolation (a version's row set
+  * never changes, whatever is committed later), append vs overwrite
+  * semantics, schema evolution across commits, and manifest atomicity
+  * (no torn manifests on disk).
+  */
+class VersionedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft_versioned").toString
+
+  test("append and overwrite commits: each version is its exact row set, forever") {
+    val dir = freshDir()
+    val v1 = Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    val v2 = Versioned.commit(Seq((3L, "c")).toDF("id", "s"), dir) // append
+    val v3 =
+      Versioned.commit(Seq((9L, "z")).toDF("id", "s"), dir, append = false) // overwrite
+    assert((v1, v2, v3) === (1, 2, 3))
+    def ids(v: Int) =
+      Versioned.readVersion(spark, dir, v).select("id").as[Long].collect().toSet
+    assert(ids(1) === Set(1L, 2L))
+    assert(ids(2) === Set(1L, 2L, 3L), "append version unions prior data")
+    assert(ids(3) === Set(9L), "overwrite version replaces contents")
+    // snapshot isolation: v1/v2 unchanged after the overwrite commit
+    assert(ids(1) === Set(1L, 2L))
+    assert(ids(2) === Set(1L, 2L, 3L))
+    assert(Versioned.latestVersion(dir) === 3)
+    assert(
+      Versioned.readVersion(spark, dir).select("id").as[Long].collect().toSet === Set(9L),
+      "default read resolves the latest version"
+    )
+  }
+
+  test("schema evolution: a later commit may add columns; old commits read as null") {
+    val dir = freshDir()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), dir)
+    Versioned.commit(Seq((2L, "b", "en")).toDF("id", "s", "lang"), dir)
+    val v2 = Versioned.readVersion(spark, dir, 2)
+    assert(v2.columns.sorted === Array("id", "lang", "s"))
+    val byId = v2.select("id", "lang").as[(Long, Option[String])].collect().toMap
+    assert(byId(1L) === None, "pre-evolution rows surface null for the new column")
+    assert(byId(2L) === Some("en"))
+    // time travel below the evolution point keeps the old schema
+    assert(Versioned.readVersion(spark, dir, 1).columns.sorted === Array("id", "s"))
+  }
+
+  test("no torn manifests: every manifest on disk names only existing data dirs") {
+    val dir = freshDir()
+    (1 to 5).foreach(i => Versioned.commit(Seq((i.toLong, s"v$i")).toDF("id", "s"), dir))
+    val manifests = java.nio.file.Files
+      .list(java.nio.file.Paths.get(dir, "_manifests"))
+      .iterator()
+    manifests.forEachRemaining { m =>
+      assert(!m.getFileName.toString.startsWith("."), s"temp manifest leaked: $m")
+      java.nio.file.Files
+        .readAllLines(m)
+        .forEach { d =>
+          assert(
+            java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "data", d)),
+            s"manifest $m references missing dir $d"
+          )
+        }
+    }
+    assert(Versioned.readVersion(spark, dir, 5).count() === 5L)
+  }
+}
