@@ -378,4 +378,123 @@ object TextAnalysis {
       PhonePattern,
       "<PHONE>"
     )
+
+  // ---- Vocabulary construction + tokenizer training. The distributed
+  // cost shape both share: ONE heavy corpus pass to the (word, cnt)
+  // frequency table, then everything else runs on that compact table —
+  // at 100 TB the vocabulary is MBs where the corpus is TBs, so the
+  // iterative/driver-coordinated parts never touch corpus-sized data.
+
+  /** Corpus word-frequency table: (token, cnt) over [[Text.tokensAll]].
+    * The single corpus-wide shuffle every vocabulary op builds on.
+    */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(Text.tokensAll(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Top-V vocabulary by corpus frequency, deterministic tiebreak
+    * (cnt desc, token asc).
+    */
+  def vocabTop(docs: DataFrame, v: Int): DataFrame =
+    wordCounts(docs).orderBy(col("cnt").desc, col("token")).limit(v)
+
+  /** Per-document out-of-vocabulary stats against the top-`v` corpus
+    * vocabulary: (doc_id, n_tok, n_oov, oov_permille). The vocabulary is
+    * broadcast (V rows), so the membership check is map-side — the only
+    * shuffles are the vocab build and the per-doc aggregate.
+    * `oov_permille` stays integral (1000·n_oov div n_tok) so the oracle
+    * comparison never meets double division.
+    */
+  def oovStats(docs: DataFrame, v: Int): DataFrame = {
+    val tk =
+      docs.select(col("doc_id"), explode(Text.tokensAll(col("text"))).as("token"))
+    val vocab = vocabTop(docs, v).select(col("token"), lit(1L).as("in_vocab"))
+    tk.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        lng(sum(when(col("in_vocab").isNull, 1L).otherwise(0L))).as("n_oov")
+      )
+      .withColumn("oov_permille", expr("(1000 * n_oov) div n_tok"))
+  }
+
+  /** BPE tokenizer training: learn `nMerges` merge rules over the
+    * corpus vocabulary's character sequences, each occurrence weighted by
+    * word frequency (Sennrich et al. 2016, the standard subword recipe).
+    *
+    * Shape: the corpus is touched ONCE ([[wordCounts]]); each merge step
+    * then (a) counts adjacent symbol pairs on the compact (word, cnt,
+    * seq) table, (b) collects the single argmax row (cnt desc, pair asc
+    * tiebreak) to the driver, (c) rewrites sequences with a canonical
+    * greedy left-to-right fold. The fold is a pure `aggregate` HOF whose
+    * merge condition checks the accumulated string's LAST SYMBOL (exact
+    * token match via the ' '||x suffix — a merged symbol can never
+    * re-match because symbols contain no spaces), which reproduces
+    * greedy BPE application exactly, including same-character runs
+    * ('aaaa' + (a,a) → [aa, aa]). DuckDB replays the identical fold with
+    * `list_reduce`, so every learned rule and support count is bit-exact
+    * cross-engine.
+    *
+    * Returns (step, x, y, merged, support) — the trained merge table,
+    * which IS the tokenizer artifact. `seqs` lineage is truncated per
+    * step (localCheckpoint) so the plan stays flat across iterations.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var seqs = wordCounts(docs)
+      .select(
+        col("token").as("word"),
+        col("cnt"),
+        trim(regexp_replace(col("token"), "(.)", "$1 ")).as("seq")
+      )
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val tk = split(col("seq"), " ")
+      val n = size(tk)
+      val best = seqs
+        .select(
+          col("cnt"),
+          explode(
+            zip_with(
+              slice(tk, lit(1), n - 1),
+              slice(tk, lit(2), n - 1),
+              (a, b) => concat(a, lit(" "), b)
+            )
+          ).as("pair")
+        )
+        .groupBy(col("pair"))
+        .agg(lng(sum(col("cnt"))).as("c"))
+        .orderBy(col("c").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val Array(x, y) = best(0).getString(0).split(" ", 2)
+        val support = best(0).getLong(1)
+        merges += ((step.toLong, x, y, x + y, support))
+        val fold = aggregate(
+          split(col("seq"), " "),
+          lit(""),
+          (acc, t) =>
+            when(
+              (acc === lit(x) || endswith(acc, lit(" " + x))) && t === lit(y),
+              concat(acc, lit(y))
+            ).otherwise(
+              when(acc === lit(""), t).otherwise(concat(acc, lit(" "), t))
+            )
+        )
+        seqs = seqs
+          .select(col("word"), col("cnt"), fold.as("seq"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "x", "y", "merged", "support")
+  }
 }

@@ -14,6 +14,11 @@ object TextQ {
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** Merge steps the BPE trainer query learns (must precede `all`:
+    * object vals initialize in declaration order).
+    */
+  private val BpeSteps = 8
+
   val all: Seq[Q] = Seq(
     Q(
       "t_langid",
@@ -910,6 +915,79 @@ object TextQ {
         "over occurring bigrams, integer-exact end to end. One corpus " +
         "bigram aggregate + one 8-byte-key scoring join + a broadcast " +
         "vocabulary-bounded unigram side."
+    ),
+    Q(
+      "t_vocab_coverage",
+      (s, d) =>
+        TextAnalysis
+          .oovStats(Tables.documents(s, d), 25)
+          .orderBy("doc_id"),
+      Some(s"""WITH tk AS (
+             |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+             |cnt AS (SELECT token, COUNT(*)::BIGINT AS c FROM tk GROUP BY token),
+             |vocab AS (SELECT token FROM cnt ORDER BY c DESC, token LIMIT 25)
+             |SELECT tk.doc_id, COUNT(*)::BIGINT AS n_tok,
+             |  SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+             |  ((1000 * SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)) // COUNT(*))::BIGINT
+             |    AS oov_permille
+             |FROM tk LEFT JOIN vocab v ON tk.token = v.token
+             |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin),
+      doc = "Vocabulary construction + coverage: top-25 corpus vocabulary " +
+        "(cnt desc, token asc tiebreak) broadcast against the token " +
+        "stream; per-doc OOV counts and integral permille rate. The " +
+        "vocab is MBs at any corpus size, so membership stays map-side."
+    ),
+    Q(
+      "t_bpe_merges",
+      (s, d) =>
+        TextAnalysis
+          .bpeTrain(Tables.documents(s, d), BpeSteps)
+          .orderBy("step"),
+      Some(bpeOracle(BpeSteps)),
+      doc = "BPE tokenizer training (Sennrich et al. 2016): " +
+        s"$BpeSteps merge rules learned over frequency-weighted " +
+        "vocabulary char sequences. One corpus pass builds (word, cnt); " +
+        "every merge step runs on that compact table — pair counts, " +
+        "argmax (cnt desc, pair asc), canonical greedy left-to-right " +
+        "rewrite as a pure fold. The DuckDB oracle replays all steps " +
+        "with list_reduce: every rule and support count is bit-exact."
     )
   )
+
+  /** Generated n-step BPE oracle: each step is three CTEs (pair counts,
+    * argmax pair, fold-rewritten sequences) chained off the previous
+    * step's sequence table; the result unions the per-step argmax rows.
+    * The fold lambda reproduces [[TextAnalysis.bpeTrain]]'s exact-last-
+    * symbol greedy merge (see its scaladoc); `CROSS JOIN b$i` carries the
+    * step's learned pair into the lambda as plain columns (DuckDB allows
+    * column capture, not subqueries, inside lambdas).
+    */
+  private def bpeOracle(n: Int): String = {
+    val steps = (1 to n).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+         |    k -> l[k] || ' ' || l[k+1])) AS pair, cnt
+         |  FROM (SELECT cnt, string_split(seq, ' ') AS l FROM $prev)),
+         |b$i AS (SELECT string_split(pair, ' ')[1] AS x,
+         |    string_split(pair, ' ')[2] AS y, SUM(cnt)::BIGINT AS c
+         |  FROM p$i GROUP BY pair ORDER BY c DESC, pair LIMIT 1),
+         |s$i AS (SELECT word, cnt, list_reduce(string_split(seq, ' '),
+         |    (acc, t) -> CASE
+         |      WHEN (acc = x OR ends_with(acc, ' ' || x)) AND t = y
+         |      THEN acc || y ELSE acc || ' ' || t END) AS seq
+         |  FROM $prev CROSS JOIN b$i)""".stripMargin
+    }
+    val unions = (1 to n)
+      .map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, x, y, x || y AS merged, c AS support FROM b$i"
+      )
+      .mkString("\nUNION ALL\n")
+    s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
+       |wc AS (SELECT token AS word, COUNT(*)::BIGINT AS cnt FROM tk GROUP BY token),
+       |s0 AS (SELECT word, cnt,
+       |  trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq FROM wc),
+       |${steps.mkString(",\n")}
+       |$unions
+       |ORDER BY step""".stripMargin
+  }
 }
