@@ -938,6 +938,55 @@ object TextQ {
         "vocab is MBs at any corpus size, so membership stays map-side."
     ),
     Q(
+      "t_dist_drift",
+      (s, d) => {
+        val tk = Tables
+          .documents(s, d)
+          .filter(col("lang").isin("en", "de"))
+          .select(col("lang"), explode(Text.tokensAll(col("text"))).as("token"))
+        val cnt = tk.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("f"))
+        val tot = cnt.groupBy(col("lang")).agg(lng(sum(col("f"))).as("n"))
+        val p = cnt
+          .join(broadcast(tot), "lang")
+          .select(col("lang"), col("token"), expr("(f * 1000000) div n").as("p_e6"))
+        val pv = p
+          .groupBy(col("token"))
+          .agg(
+            lng(sum(when(col("lang") === "en", col("p_e6")).otherwise(0L))).as("p_en_e6"),
+            lng(sum(when(col("lang") === "de", col("p_e6")).otherwise(0L))).as("p_de_e6")
+          )
+          .withColumn("drift_e6", abs(col("p_en_e6") - col("p_de_e6")))
+        val tv = pv.agg(expr("sum(drift_e6) div 2").as("tv_e6"))
+        pv.crossJoin(broadcast(tv))
+          .select(col("token"), col("p_en_e6"), col("p_de_e6"), col("drift_e6"), col("tv_e6"))
+          .orderBy(col("drift_e6").desc, col("token"))
+          .limit(10)
+      },
+      Some(s"""WITH tk AS (
+             |  SELECT lang, unnest($toksSql) AS token
+             |  FROM documents WHERE lang IN ('en', 'de')),
+             |cnt AS (SELECT lang, token, COUNT(*)::BIGINT AS f FROM tk GROUP BY 1, 2),
+             |tot AS (SELECT lang, SUM(f)::BIGINT AS n FROM cnt GROUP BY 1),
+             |p AS (SELECT cnt.lang, token, ((f * 1000000) // n)::BIGINT AS p_e6
+             |      FROM cnt JOIN tot ON cnt.lang = tot.lang),
+             |pv AS (SELECT token,
+             |    SUM(CASE WHEN lang = 'en' THEN p_e6 ELSE 0 END)::BIGINT AS p_en_e6,
+             |    SUM(CASE WHEN lang = 'de' THEN p_e6 ELSE 0 END)::BIGINT AS p_de_e6
+             |  FROM p GROUP BY token),
+             |d AS (SELECT token, p_en_e6, p_de_e6,
+             |    abs(p_en_e6 - p_de_e6)::BIGINT AS drift_e6 FROM pv),
+             |tv AS (SELECT (SUM(drift_e6) // 2)::BIGINT AS tv_e6 FROM d)
+             |SELECT token, p_en_e6, p_de_e6, drift_e6, tv_e6
+             |FROM d CROSS JOIN tv
+             |ORDER BY drift_e6 DESC, token LIMIT 10""".stripMargin),
+      doc = "Corpus distribution drift: integral total-variation distance " +
+        "between two slices' token distributions (permicro shares, " +
+        "integer div — no double division anywhere), plus the top drift-" +
+        "contributing tokens. The monitoring primitive for detecting " +
+        "corpus composition shift between snapshots/sources; two " +
+        "hash-keyed aggregates + a 2-row broadcast, linear at any scale."
+    ),
+    Q(
       "t_bpe_merges",
       (s, d) =>
         TextAnalysis

@@ -324,4 +324,12 @@ class PlanSpec extends AnyFunSuite {
       "delta x corpus must stay cell-keyed:\n" + plan.take(1500)
     )
   }
+
+  test("vocab coverage: membership join is broadcast — the token stream never shuffles for it") {
+    val plan = physical("t_vocab_coverage")
+    assert(
+      plan.contains("BroadcastHashJoin"),
+      "top-V vocab must broadcast (V rows vs corpus-sized token stream):\n" + plan.take(1500)
+    )
+  }
 }
