@@ -54,6 +54,40 @@ class BpeSpec extends AnyFunSuite {
     assert(m.length === 1)
   }
 
+  test("deeper merge loop holds its invariants (16 steps, production loop shape)") {
+    // Longer training runs are the production shape (the per-step cost
+    // sits on the compact vocabulary table; localCheckpoint keeps the
+    // plan flat, so step count can grow without plan blowup). Pin the
+    // classic BPE invariant over a 16-step run: max pair support never
+    // increases step over step (a merge can only reduce or preserve the
+    // best remaining pair count), and merged symbols chain consistently.
+    val corpus = docs(
+      "banana bandana cabana banana",
+      "pepper peppers pepped pepper",
+      "mississippi missive mission",
+      "abracadabra abracadabra"
+    )
+    val m = TextAnalysis.bpeTrain(corpus, 16)
+      .orderBy("step")
+      .as[(Long, String, String, String, Long)]
+      .collect()
+    assert(m.length === 16, "rich corpus sustains 16 merges")
+    assert(m.map(_._1).toSeq === (1L to 16L), "contiguous steps")
+    val supports = m.map(_._5).toSeq
+    assert(
+      supports.zip(supports.tail).forall { case (a, b) => b <= a },
+      s"max pair support must be non-increasing: $supports"
+    )
+    m.foreach { case (_, x, y, merged, _) => assert(merged === x + y) }
+    // later merges must build on symbols constructible from earlier ones
+    val symbols = scala.collection.mutable.Set[String]()
+    m.foreach { case (_, x, y, merged, _) =>
+      def atomic(s: String) = s.length == 1 || symbols.contains(s)
+      assert(atomic(x) && atomic(y), s"merge ($x,$y) uses unknown symbol")
+      symbols += merged
+    }
+  }
+
   test("oovStats: exact counts and integral permille against top-V vocab") {
     // corpus tokens: 'aa' x3, 'bb' x2, 'cc' x1 -> top-2 vocab = {aa, bb}
     val d = docs("aa aa bb", "aa bb cc")
