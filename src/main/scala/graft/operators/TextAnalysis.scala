@@ -441,7 +441,40 @@ object TextAnalysis {
     * which IS the tokenizer artifact. `seqs` lineage is truncated per
     * step (localCheckpoint) so the plan stays flat across iterations.
     */
-  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame =
+    bpeTrainFull(docs, nMerges)._1
+
+  /** Trained per-word segmentation after `nMerges` steps: (word, cnt,
+    * seq) with `seq` the space-joined subword symbols. This is the
+    * lookup table [[bpeEncodeStats]] applies — encoding a corpus never
+    * re-runs merges per document; it broadcast-joins words to their
+    * trained segmentation.
+    */
+  def bpeVocab(docs: DataFrame, nMerges: Int): DataFrame =
+    bpeTrainFull(docs, nMerges)._2
+
+  /** Per-document subword encoding stats using the trained tokenizer:
+    * (doc_id, n_words, n_subwords, subwords_per_100w). The trained
+    * vocabulary is broadcast (vocabulary-sized, corpus-invariant), so
+    * encoding is one map-side join over the token stream plus the
+    * per-doc aggregate — the cost shape of production corpus
+    * tokenization.
+    */
+  def bpeEncodeStats(docs: DataFrame, nMerges: Int): DataFrame = {
+    val vocab = bpeVocab(docs, nMerges)
+      .select(col("word").as("token"), size(split(col("seq"), " ")).cast("long").as("n_sub"))
+    docs
+      .select(col("doc_id"), explode(Text.tokensAll(col("text"))).as("token"))
+      .join(broadcast(vocab), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        lng(sum(col("n_sub"))).as("n_subwords")
+      )
+      .withColumn("subwords_per_100w", expr("(100 * n_subwords) div n_words"))
+  }
+
+  private def bpeTrainFull(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     var seqs = wordCounts(docs)
@@ -495,6 +528,6 @@ object TextAnalysis {
         step += 1
       }
     }
-    merges.toSeq.toDF("step", "x", "y", "merged", "support")
+    (merges.toSeq.toDF("step", "x", "y", "merged", "support"), seqs)
   }
 }

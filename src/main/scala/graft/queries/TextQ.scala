@@ -1000,6 +1000,21 @@ object TextQ {
         "argmax (cnt desc, pair asc), canonical greedy left-to-right " +
         "rewrite as a pure fold. The DuckDB oracle replays all steps " +
         "with list_reduce: every rule and support count is bit-exact."
+    ),
+    Q(
+      "t_bpe_encode",
+      (s, d) =>
+        TextAnalysis
+          .bpeEncodeStats(Tables.documents(s, d), BpeSteps)
+          .orderBy("doc_id"),
+      Some(bpeEncodeOracle(BpeSteps)),
+      doc = "Corpus encoding with the trained BPE tokenizer: per-doc " +
+        "word count, subword count, and integral subwords-per-100-words " +
+        "fertility. The trained (word -> segmentation) table is " +
+        "broadcast — corpus-size-invariant — so encoding is a map-side " +
+        "join over the token stream plus one per-doc aggregate; no " +
+        "per-document merge replay. Oracle re-derives the full trained " +
+        "vocabulary and every doc's stats bit-exactly."
     )
   )
 
@@ -1011,7 +1026,10 @@ object TextQ {
     * step's learned pair into the lambda as plain columns (DuckDB allows
     * column capture, not subqueries, inside lambdas).
     */
-  private def bpeOracle(n: Int): String = {
+  /** The shared CTE chain (token counts, initial char seqs, and the n
+    * per-step triples) both BPE oracles build on.
+    */
+  private def bpeChain(n: Int): String = {
     val steps = (1 to n).map { i =>
       val prev = s"s${i - 1}"
       s"""p$i AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
@@ -1026,17 +1044,31 @@ object TextQ {
          |      THEN acc || y ELSE acc || ' ' || t END) AS seq
          |  FROM $prev CROSS JOIN b$i)""".stripMargin
     }
+    s"""tk AS (SELECT unnest($toksSql) AS token FROM documents),
+       |wc AS (SELECT token AS word, COUNT(*)::BIGINT AS cnt FROM tk GROUP BY token),
+       |s0 AS (SELECT word, cnt,
+       |  trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq FROM wc),
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeOracle(n: Int): String = {
     val unions = (1 to n)
       .map(i =>
         s"SELECT CAST($i AS BIGINT) AS step, x, y, x || y AS merged, c AS support FROM b$i"
       )
       .mkString("\nUNION ALL\n")
-    s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
-       |wc AS (SELECT token AS word, COUNT(*)::BIGINT AS cnt FROM tk GROUP BY token),
-       |s0 AS (SELECT word, cnt,
-       |  trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq FROM wc),
-       |${steps.mkString(",\n")}
+    s"""WITH ${bpeChain(n)}
        |$unions
        |ORDER BY step""".stripMargin
   }
+
+  private def bpeEncodeOracle(n: Int): String =
+    s"""WITH ${bpeChain(n)},
+       |dt AS (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+       |SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+       |  SUM(len(string_split(seq, ' ')))::BIGINT AS n_subwords,
+       |  ((100 * SUM(len(string_split(seq, ' ')))) // COUNT(*))::BIGINT
+       |    AS subwords_per_100w
+       |FROM dt JOIN s$n ON dt.token = s$n.word
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

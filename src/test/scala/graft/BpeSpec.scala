@@ -88,6 +88,18 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeEncodeStats: trained segmentation applied per doc, exact fertility") {
+    // merge 1 learns (a,b): 'ab' x2 beats 'a a' x1. Trained vocab:
+    // aa -> [a][a] (2 subwords), ab -> [ab] (1 subword).
+    val d = docs("aa ab", "ab")
+    val r = TextAnalysis.bpeEncodeStats(d, 1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+    assert(r(0) === ((0L, 2L, 3L, 150L)), "100*3 div 2 = 150 subwords/100w")
+    assert(r(1) === ((1L, 1L, 1L, 100L)))
+  }
+
   test("oovStats: exact counts and integral permille against top-V vocab") {
     // corpus tokens: 'aa' x3, 'bb' x2, 'cc' x1 -> top-2 vocab = {aa, bb}
     val d = docs("aa aa bb", "aa bb cc")
