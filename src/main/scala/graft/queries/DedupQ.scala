@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.operators.{Dedup, Text}
+import graft.util.Cols.lng
 
 /** Dedup query surface over `documents`. The DuckDB oracles re-implement
   * the exact same md5-derived hashing, so MinHash/SimHash values — not just
@@ -693,6 +694,89 @@ object DedupQ {
         "each document's text rebuilt from the survivors — md5 of the " +
         "rebuilt text bit-checked. Gram hashes (8 bytes) are the only " +
         "shuffle keys; linear occurrence table, no all-pairs stage."
+    ),
+    Q(
+      "d_chunk_storage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val src = docs.select(col("doc_id"), col("source"))
+        val ch = graft.operators.TextAnalysis
+          .cdcChunks(docs)
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_len"), col("chunk_md5"))
+        // canonical occurrence per chunk content: min packed (doc_id,
+        // chunk_idx) — integer packing keeps the argmin a plain partial-
+        // aggregable MIN in both engines (chunk_idx < 1e6 by construction:
+        // chunks are >= 1 char, docs are far shorter than 1e6 chars).
+        val canon = ch
+          .groupBy(col("chunk_md5"))
+          .agg(
+            min(col("doc_id") * 1000000 + col("chunk_idx")).as("packed"),
+            max(col("chunk_len")).as("chunk_len")
+          )
+          .select(expr("packed div 1000000").as("doc_id"), col("chunk_len"))
+        val tot = ch
+          .join(broadcast(src), "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_chunks"), lng(sum(col("chunk_len"))).as("total_bytes"))
+        val sto = canon
+          .join(broadcast(src), "doc_id")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_unique_chunks"),
+            lng(sum(col("chunk_len"))).as("stored_bytes")
+          )
+        tot
+          .join(sto, Seq("source"), "left")
+          .select(
+            col("source"),
+            col("n_chunks"),
+            col("total_bytes"),
+            coalesce(col("n_unique_chunks"), lit(0L)).as("n_unique_chunks"),
+            coalesce(col("stored_bytes"), lit(0L)).as("stored_bytes")
+          )
+          .withColumn(
+            "saved_permille",
+            expr("(1000 * (total_bytes - stored_bytes)) div total_bytes")
+          )
+          .orderBy("source")
+      },
+      Some {
+        val (w, dm) = (graft.operators.TextAnalysis.CdcWindow, graft.operators.TextAnalysis.CdcModulo)
+        s"""WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+           |e AS (SELECT doc_id, text, n,
+           |  list_sort(list_distinct(list_append(
+           |    list_filter(CASE WHEN n >= $w THEN generate_series($w, n) ELSE [] END,
+           |      i -> ('0x' || substr(md5(substr(text, (i - ${w - 1})::INT, $w)), 1, 15))::BIGINT % $dm = 0),
+           |    n))) AS ends FROM base),
+           |flat AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(list_prepend(0::BIGINT, ends[:len(ends)-1]), p -> p + 1)) AS chunk_start,
+           |    unnest(generate_series(1, len(ends))) - 1 AS chunk_idx,
+           |    unnest(ends) AS chunk_end, text
+           |  FROM e),
+           |ch AS (SELECT doc_id, chunk_idx, (chunk_end - chunk_start + 1)::BIGINT AS chunk_len,
+           |    md5(substr(text, chunk_start::INT, (chunk_end - chunk_start + 1)::INT)) AS chunk_md5
+           |  FROM flat),
+           |canon AS (SELECT chunk_md5, MIN(doc_id * 1000000 + chunk_idx)::BIGINT AS packed,
+           |    MAX(chunk_len)::BIGINT AS chunk_len
+           |  FROM ch GROUP BY chunk_md5),
+           |tot AS (SELECT source, COUNT(*)::BIGINT AS n_chunks, SUM(chunk_len)::BIGINT AS total_bytes
+           |  FROM ch JOIN documents USING (doc_id) GROUP BY source),
+           |sto AS (SELECT source, COUNT(*)::BIGINT AS n_unique_chunks, SUM(canon.chunk_len)::BIGINT AS stored_bytes
+           |  FROM canon JOIN documents ON canon.packed // 1000000 = documents.doc_id GROUP BY source)
+           |SELECT tot.source, n_chunks, total_bytes,
+           |  COALESCE(n_unique_chunks, 0)::BIGINT AS n_unique_chunks,
+           |  COALESCE(stored_bytes, 0)::BIGINT AS stored_bytes,
+           |  ((1000 * (total_bytes - COALESCE(stored_bytes, 0))) // total_bytes)::BIGINT AS saved_permille
+           |FROM tot LEFT JOIN sto ON tot.source = sto.source
+           |ORDER BY tot.source""".stripMargin
+      },
+      doc = "Chunk-level storage-dedup report: per source, total chunk " +
+        "bytes vs bytes stored after corpus-wide content dedup (each " +
+        "distinct chunk attributed to its canonical first occurrence via " +
+        "an integer-packed partial-aggregable argmin — no window), plus " +
+        "integral saved-permille. The capacity-planning readout of the " +
+        "CDC primitive; chunk-hash-keyed shuffles only."
     )
   )
 }
