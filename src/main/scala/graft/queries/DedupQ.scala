@@ -703,27 +703,39 @@ object DedupQ {
         val ch = graft.operators.TextAnalysis
           .cdcChunks(docs)
           .select(col("doc_id"), col("chunk_idx"), col("chunk_len"), col("chunk_md5"))
-        // canonical occurrence per chunk content: min packed (doc_id,
-        // chunk_idx) — integer packing keeps the argmin a plain partial-
-        // aggregable MIN in both engines (chunk_idx < 1e6 by construction:
-        // chunks are >= 1 char, docs are far shorter than 1e6 chars).
-        val canon = ch
-          .groupBy(col("chunk_md5"))
+        // ONE pass over the chunk stream: fold it into a (chunk_md5,
+        // source)-keyed aggregate first, so the CDC kernel runs once and
+        // every later step works on the far smaller aggregate. Canonical
+        // occurrence = global min of integer-packed (doc_id, chunk_idx) —
+        // a plain partial-aggregable MIN in both engines (chunk_idx < 1e6
+        // by construction), resolved per md5 on the aggregate and joined
+        // back to pick the owning source.
+        // localCheckpoint pins the aggregate (distinct (chunk, source)
+        // pairs — orders of magnitude smaller than the chunk stream), so
+        // the three consumers below never re-run the CDC kernel: the
+        // static planner materializes the common subtree twice otherwise
+        // (exchange reuse is not guaranteed across the join branches).
+        val g1 = ch
+          .join(broadcast(src), "doc_id")
+          .groupBy(col("chunk_md5"), col("source"))
           .agg(
-            min(col("doc_id") * 1000000 + col("chunk_idx")).as("packed"),
-            max(col("chunk_len")).as("chunk_len")
+            count(lit(1)).as("n"),
+            lng(sum(col("chunk_len"))).as("bytes"),
+            min(col("doc_id") * 1000000 + col("chunk_idx")).as("p"),
+            max(col("chunk_len")).as("len")
           )
-          .select(expr("packed div 1000000").as("doc_id"), col("chunk_len"))
-        val tot = ch
-          .join(broadcast(src), "doc_id")
+          .localCheckpoint()
+        val tot = g1
           .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_chunks"), lng(sum(col("chunk_len"))).as("total_bytes"))
-        val sto = canon
-          .join(broadcast(src), "doc_id")
+          .agg(lng(sum(col("n"))).as("n_chunks"), lng(sum(col("bytes"))).as("total_bytes"))
+        val cmin = g1.groupBy(col("chunk_md5")).agg(min(col("p")).as("pmin"))
+        val sto = g1
+          .join(cmin, Seq("chunk_md5"))
+          .filter(col("p") === col("pmin"))
           .groupBy(col("source"))
           .agg(
             count(lit(1)).as("n_unique_chunks"),
-            lng(sum(col("chunk_len"))).as("stored_bytes")
+            lng(sum(col("len"))).as("stored_bytes")
           )
         tot
           .join(sto, Seq("source"), "left")
