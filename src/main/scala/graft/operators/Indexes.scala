@@ -22,15 +22,27 @@ import org.apache.spark.sql.types.LongType
 object Indexes {
 
   /** `target/<family>/<fp12>` for this corpus's content. */
-  def fingerprintDir(family: String, sfDir: String, corpus: DataFrame): String = {
-    val fp = corpus
+  def fingerprintDir(family: String, sfDir: String, corpus: DataFrame): String =
+    fingerprintDirOn(family, sfDir, corpus, "vec_id", "embedding")
+
+  /** [[fingerprintDir]] over arbitrary id/payload columns (e.g. a document
+    * table's (doc_id, text)).
+    */
+  def fingerprintDirOn(
+      family: String,
+      sfDir: String,
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String
+  ): String = {
+    val fp = df
       .agg(
         count(lit(1)).cast(LongType),
-        sum(col("vec_id")).cast(LongType),
+        sum(col(idCol)).cast(LongType),
         // order-insensitive content checksum: XOR of row hashes over both
-        // the id and the embedding payload (array-typed xxhash64 hashes
-        // every element), so any in-place vector edit changes the key
-        expr("bit_xor(xxhash64(vec_id, embedding))")
+        // the id and the payload (array-typed xxhash64 hashes every
+        // element), so any in-place edit changes the key
+        expr(s"bit_xor(xxhash64($idCol, $payloadCol))")
       )
       .head()
     val key = s"$sfDir|${fp.getLong(0)}|${fp.getLong(1)}|${fp.getLong(2)}"

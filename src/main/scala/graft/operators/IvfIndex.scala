@@ -132,32 +132,23 @@ object IvfIndex {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
   /** Map-only per-query cell ranking → exploded (query_id, q_emb, cell)
-    * probe rows: the centroids are literals inside one projection (k
-    * cosine loops + array_sort), no join, no shuffle. Ties take the
-    * higher cell id ((sim, cell) lexicographic order). Shared by [[search]]
-    * and [[IvfPq.search]].
+    * probe rows: one native top-nProbe selection loop over the centroid
+    * table ([[graft.functions.TopCellsByCosine]], a codegen reference
+    * object — compact generated code at any k), no join, no shuffle. Ties
+    * take the higher cell id ((sim, cell) lexicographic order). Shared by
+    * [[search]] and [[IvfPq.search]].
     */
   private[graft] def probeFrame(
       queries: DataFrame,
       cents: Array[(Long, Array[Double])],
       nProbe: Int
-  ): DataFrame = {
-    val ranked = reverse(
-      array_sort(
-        array(cents.map { case (cell, v) =>
-          struct(
-            cosine(col("embedding"), typedLit(v.toSeq)).as("sim"),
-            lit(cell).as("cell")
-          )
-        }.toIndexedSeq: _*)
-      )
-    )
+  ): DataFrame =
     queries
       .select(
         col("vec_id").as("query_id"),
         col("embedding").as("q_emb"),
-        explode(slice(ranked, 1, nProbe)).as("pc")
+        explode(
+          nativeCol(graft.functions.TopCellsByCosine(nativeExpr(col("embedding")), cents, nProbe))
+        ).as("cell")
       )
-      .select(col("query_id"), col("q_emb"), col("pc.cell").as("cell"))
-  }
 }

@@ -42,15 +42,15 @@ object Pq {
   private def blockSlice(emb: Column, b: Int, dsub: Int): Column =
     slice(emb, b * dsub + 1, dsub)
 
-  /** argmin centroid id for one block: lexicographic min over
-    * (d2, code) structs — ties take the lower code on both engines.
+  /** argmin centroid id for one block — ties take the lower code on both
+    * engines. Native loop kernel ([[graft.functions.PqArgminCode]], the
+    * codebook a codegen reference object): the unrolled
+    * `array_min(array(struct(d2, code), ...))` literal tree this replaces
+    * blew janino's 64 KB method limit when fused under the training
+    * explode and silently fell back to interpreted.
     */
   private def codeOf(emb: Column, cb: Array[Array[Double]], b: Int, dsub: Int): Column =
-    array_min(
-      array(cb.zipWithIndex.map { case (c, j) =>
-        struct(d2(blockSlice(emb, b, dsub), c).as("d2"), lit(j.toLong).as("code"))
-      }.toIndexedSeq: _*)
-    ).getField("code")
+    nativeCol(graft.functions.PqArgminCode(nativeExpr(emb), cb, b * dsub, dsub))
 
   /** Deterministic seed codebooks: the `ksub` corpus vectors in salted-md5
     * order of vec_id, sliced per block — reproducible in SQL, no RNG.

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted data-scaled quantizer state: the build-once/dedup-many form of
+  * [[Similarity.semanticDedupScaled]] / [[Similarity.semanticDeltaDupsScaled]]
+  * (and the two-level [[Similarity.hierCells]] variant).
+  *
+  * At 100 TB the quantizer is an ASSET, not a query step: seeds, coarse
+  * counts and the celled corpus are derived once per corpus version, then
+  * every dedup sweep and every day's ingest delta reads them. A query that
+  * re-derives them pays three full corpus scans (count + seed sort +
+  * assignment) per execution — the round-8 `d_semantic` regression was
+  * exactly that cost. Same contract as [[IvfIndex]]/[[Pq]]:
+  *
+  *   - stale-proof location ([[Indexes.fingerprintDir]] — a corpus edited
+  *     in place maps to a new directory, never a stale index);
+  *   - atomic publication ([[Indexes.atomicBuild]] — concurrent builders
+  *     race to one complete rename; training is deterministic so the
+  *     loser's copy is identical and discarded).
+  *
+  * Layout under `dir`:
+  *   - `celled/` — (vec_id, embedding, cell): the corpus with its FINAL
+  *     (post-re-split) cell ids — the input [[Similarity.semanticDedupCore]]
+  *     consumes directly;
+  *   - `seeds/` — (cell, centroid): the k seed centroids (k = ceil(N/50)
+  *     rows, the only driver-collected state at read time, O(k·dim));
+  *   - `counts/` — (cell, cnt): COARSE cell counts, from which the delta
+  *     path re-derives the salted split table (k rows, broadcastable).
+  *
+  * The build is the exact closed-form md5 construction the DuckDB oracle
+  * replays, so reading the index yields bit-identical results to a fresh
+  * derivation — the amortization is invisible to the correctness gate.
+  */
+object SemanticIndex {
+
+  def defaultDir(sfDir: String, corpus: DataFrame): String =
+    Indexes.fingerprintDir("sem-cells", sfDir, corpus)
+
+  def defaultDir2l(sfDir: String, corpus: DataFrame): String =
+    Indexes.fingerprintDir("sem-cells-2l", sfDir, corpus)
+
+  /** Build the FLAT data-scaled quantizer state ([[Similarity.scaledCells]]'
+    * construction, with the intermediate seeds/counts also published for
+    * the delta path). No-op if `dir` already holds a completed build.
+    */
+  def ensureBuilt(
+      corpus: DataFrame,
+      dir: String,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256
+  ): Unit =
+    Indexes.atomicBuild(dir, "celled/_SUCCESS") { tmp =>
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val emb = corpus.select(col("vec_id"), col("embedding")).cache()
+      val k = Similarity.scaledK(emb.count(), targetCellSize)
+      val cents = Similarity.seedCentroids(emb, k)
+      val coarse = Similarity.assignCells(emb, cents, litK).localCheckpoint()
+      emb.unpersist()
+      val counts = Similarity.cellCounts(coarse)
+      cents.toSeq
+        .map { case (c, v) => (c, v.toSeq) }
+        .toDF("cell", "centroid")
+        .write
+        .mode("overwrite")
+        .parquet(s"$tmp/seeds")
+      counts.write.mode("overwrite").parquet(s"$tmp/counts")
+      Similarity
+        .resplitCells(coarse, counts, k, maxCellSize)
+        .write
+        .mode("overwrite")
+        .parquet(s"$tmp/celled")
+    }
+
+  /** Build the TWO-LEVEL quantizer state ([[Similarity.hierCells]]). Only
+    * `celled/` is published: the hierarchical seeds are distributed state,
+    * and the delta path rides the flat index.
+    */
+  def ensureBuilt2l(
+      corpus: DataFrame,
+      dir: String,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256
+  ): Unit =
+    Indexes.atomicBuild(dir, "celled/_SUCCESS") { tmp =>
+      Similarity
+        .hierCells(corpus, targetCellSize, maxCellSize, litK)
+        .write
+        .mode("overwrite")
+        .parquet(s"$tmp/celled")
+    }
+
+  /** Steady-state [[Similarity.semanticDedupScaled]]: ensure the index,
+    * then run the dedup core over the persisted celled corpus — the
+    * quantizer derivation is amortized across executions.
+    */
+  def dedup(
+      sfDir: String,
+      corpus: DataFrame,
+      threshold: Double,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256,
+      keep: Similarity.KeepPolicy = Similarity.KeepPolicy.Central
+  ): DataFrame = {
+    val dir = defaultDir(sfDir, corpus)
+    ensureBuilt(corpus, dir, targetCellSize, maxCellSize, litK)
+    Similarity.semanticDedupCore(readCelled(corpus.sparkSession, dir), threshold, keep)
+  }
+
+  /** Steady-state [[Similarity.semanticDedupHier]] over the persisted
+    * two-level celled corpus.
+    */
+  def dedup2l(
+      sfDir: String,
+      corpus: DataFrame,
+      threshold: Double,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256,
+      keep: Similarity.KeepPolicy = Similarity.KeepPolicy.Central
+  ): DataFrame = {
+    val dir = defaultDir2l(sfDir, corpus)
+    ensureBuilt2l(corpus, dir, targetCellSize, maxCellSize, litK)
+    Similarity.semanticDedupCore(readCelled(corpus.sparkSession, dir), threshold, keep)
+  }
+
+  /** Steady-state [[Similarity.semanticDeltaDupsScaled]]: the corpus side
+    * (count, seed sort, assignment, split counts) comes entirely from the
+    * persisted index — the delta pays only its own assignment against the
+    * k-row seed table plus the within-cell candidate join. This is the
+    * daily-ingest shape: zero corpus scans per delta.
+    */
+  def deltaDups(
+      sfDir: String,
+      delta: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val dir = defaultDir(sfDir, corpus)
+    ensureBuilt(corpus, dir, targetCellSize, maxCellSize, litK)
+    val cents = spark.read
+      .parquet(s"$dir/seeds")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val counts = spark.read.parquet(s"$dir/counts")
+    Similarity.deltaDupsAgainst(
+      delta,
+      cents,
+      counts,
+      maxCellSize,
+      readCelled(spark, dir),
+      threshold,
+      litK
+    )
+  }
+
+  private def readCelled(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .parquet(s"$dir/celled")
+      .select(col("cell"), col("vec_id"), col("embedding"))
+}

@@ -95,24 +95,21 @@ object Similarity {
     * collect k·dim doubles to the driver — the only driver state, bounded
     * by k, never by the corpus.
     */
-  /** Map-only argmax-cosine against driver-held centroids: the centroids
-    * are literals inside one codegen'd projection (k cosine loops + a
-    * struct array_max), so an assignment pass is a scan with NO join and
-    * NO shuffle. Driver state stays O(k·dim). Ties take the higher cell
-    * id (struct (sim, cell) lexicographic max) — measure-zero on doubles.
-    * Only valid for bounded k: at large k the literal tree blows past
-    * codegen's 64 KB method limit — [[assignCells]] switches to the
-    * broadcast-join path there.
+  /** Map-only argmax-cosine against driver-held centroids: one native
+    * loop kernel ([[graft.functions.ArgmaxCosineCell]]) over the centroid
+    * table held as a codegen reference object, so an assignment pass is a
+    * scan with NO join and NO shuffle — and the generated method stays a
+    * few hundred bytes at ANY k (the unrolled literal-struct tree this
+    * replaces blew janino's 64 KB method limit when fused under a
+    * Generate and silently fell back to interpreted). Driver state stays
+    * O(k·dim). Ties take the higher cell id — measure-zero on doubles.
+    * [[assignCells]] still switches to the broadcast-join path above
+    * litK: per-TASK centroid state O(k·dim) is fine bounded, but at the
+    * k ≈ √N a 100 TB IVF wants, shipping centroids once per executor via
+    * broadcast + a partial top-1 aggregate is the cheaper shape.
     */
   private def cellOfLiteral(cents: Array[(Long, Array[Double])]): Column =
-    array_max(
-      array(cents.map { case (cell, v) =>
-        struct(
-          cosine(col("embedding"), typedLit(v.toSeq)).as("sim"),
-          lit(cell).as("cell")
-        )
-      }.toIndexedSeq: _*)
-    ).getField("cell")
+    nativeCol(graft.functions.ArgmaxCosineCell(nativeExpr(col("embedding")), cents))
 
   /** Argmax-cosine centroid assignment → (vec_id, embedding, cell), with
     * the tie rule of [[cellOfLiteral]] (higher cell wins) on BOTH paths:
@@ -787,7 +784,7 @@ object Similarity {
       keep
     )
 
-  private def semanticDedupCore(
+  private[operators] def semanticDedupCore(
       celled: DataFrame,
       threshold: Double,
       keep: KeepPolicy = KeepPolicy.Central
@@ -893,9 +890,29 @@ object Similarity {
     val cCoarse = assignCells(cEmb, cents, litK).localCheckpoint()
     cEmb.unpersist()
     val counts = cellCounts(cCoarse)
-    val splits = splitsOf(counts, maxCellSize)
     val cCelled = resplitCells(cCoarse, counts, k, maxCellSize)
       .select(col("cell"), col("vec_id"), col("embedding"))
+    deltaDupsAgainst(delta, cents, counts, maxCellSize, cCelled, threshold, litK)
+  }
+
+  /** The delta side of [[semanticDeltaDupsScaled]] against ALREADY-DERIVED
+    * corpus quantizer state — seed centroids, coarse cell counts, and the
+    * final celled corpus. This is the steady-state ingest shape: with the
+    * corpus state persisted ([[SemanticIndex]]), a day's delta pays only
+    * its own assignment plus the within-cell candidate join — zero corpus
+    * scans.
+    */
+  private[operators] def deltaDupsAgainst(
+      delta: DataFrame,
+      cents: Array[(Long, Array[Double])],
+      counts: DataFrame,
+      maxCellSize: Int,
+      cCelled: DataFrame,
+      threshold: Double,
+      litK: Int
+  ): DataFrame = {
+    val k = cents.length.toLong
+    val splits = splitsOf(counts, maxCellSize)
     val dCoarse = assignCells(
       delta.select(col("vec_id"), col("embedding")),
       cents,
@@ -924,7 +941,7 @@ object Similarity {
     *               corpus row lives in exactly one cell, so no candidate
     *               is double-counted).
     */
-  private def semanticDeltaDupsCore(
+  private[operators] def semanticDeltaDupsCore(
       dOwn: DataFrame,
       dProbe: DataFrame,
       cCelled: DataFrame,

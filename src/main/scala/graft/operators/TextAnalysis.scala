@@ -199,8 +199,9 @@ object TextAnalysis {
     * Build shape at scale: one map-only tokenize+posexplode pass, one
     * partial-aggregable groupBy (term, doc) — corpus-linear, shuffle
     * keyed by the term (df-skewed terms are bounded by per-doc tf, not
-    * corpus size, since the doc id is in the key). Persist partitioned
-    * by a term hash and a phrase query reads only its terms' buckets.
+    * corpus size, since the doc id is in the key). [[TextIndex]] persists
+    * this term-hash-bucket-partitioned and sorted, making a phrase query
+    * a partition-pruned seek of its terms' buckets.
     */
   def invertedIndex(docs: DataFrame): DataFrame =
     docs
@@ -258,20 +259,47 @@ object TextAnalysis {
     * Shape at scale: boundary detection is one codegen'd pass per doc
     * (native [[graft.functions.CdcEnds]] kernel — the composed
     * transform(sequence(...)) form runs interpreted per position), the
-    * explode is map-only, and the only shuffle is the hash-keyed window
-    * for dup_count — corpus-linear in CHUNKS, with no skew worse than the
-    * duplicate mass itself.
+    * explode is map-only, and dup_count is a partial-aggregable
+    * groupBy(chunk_md5).count() joined back — NOT a window: a window
+    * partitioned by chunk_md5 buffers every occurrence of a hot chunk
+    * (shared boilerplate/license blocks in crawl data) in one task, and
+    * AQE skew handling splits joins, not windows. The groupBy combines
+    * map-side, and the join back is AQE-skew-splittable.
     */
   def cdcChunks(
       docs: DataFrame,
       window: Int = CdcWindow,
       modulo: Int = CdcModulo
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val flat = cdcChunkStream(docs, window, modulo)
+    val dupCounts =
+      flat.groupBy(col("chunk_md5")).agg(count(lit(1)).as("dup_count"))
+    flat
+      .join(dupCounts, Seq("chunk_md5"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        col("chunk_start"),
+        col("chunk_len"),
+        col("chunk_md5"),
+        col("dup_count")
+      )
+  }
+
+  /** The raw CDC chunk stream — (doc_id, chunk_idx, chunk_start,
+    * chunk_len, chunk_md5), no corpus-wide dup_count. Map-only after the
+    * scan: consumers that aggregate the chunks themselves (e.g. the
+    * storage-dedup report) start here and skip [[cdcChunks]]' count join.
+    */
+  def cdcChunkStream(
+      docs: DataFrame,
+      window: Int = CdcWindow,
+      modulo: Int = CdcModulo
+  ): DataFrame = {
     val ends = graft.util.Cols.nativeCol(
       graft.functions.CdcEnds(graft.util.Cols.nativeExpr(col("text")), window, modulo)
     )
-    val flat = docs
+    docs
       .select(col("doc_id"), col("text"), ends.as("ends"))
       .select(
         col("doc_id"),
@@ -289,15 +317,12 @@ object TextAnalysis {
         "chunk_md5",
         md5(call_function("substring", col("text"), col("chunk_start"), col("chunk_len")))
       )
-    flat
-      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(col("chunk_md5"))))
       .select(
         col("doc_id"),
         col("chunk_idx").cast("long").as("chunk_idx"),
         col("chunk_start").cast("long").as("chunk_start"),
         col("chunk_len").cast("long").as("chunk_len"),
-        col("chunk_md5"),
-        col("dup_count")
+        col("chunk_md5")
       )
   }
 

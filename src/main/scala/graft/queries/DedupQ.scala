@@ -701,7 +701,7 @@ object DedupQ {
         val docs = Tables.documents(s, d)
         val src = docs.select(col("doc_id"), col("source"))
         val ch = graft.operators.TextAnalysis
-          .cdcChunks(docs)
+          .cdcChunkStream(docs)
           .select(col("doc_id"), col("chunk_idx"), col("chunk_len"), col("chunk_md5"))
         // ONE pass over the chunk stream: fold it into a (chunk_md5,
         // source)-keyed aggregate first, so the CDC kernel runs once and

@@ -274,9 +274,16 @@ object SimilarityQ {
     // decimal-exact centroids, kept flags — bit-exactly.
     Q(
       "d_semantic",
+      // steady-state form: the quantizer (seeds, assignment, salted split)
+      // is a fingerprinted build-once asset (SemanticIndex, the IvfIndex
+      // amortization contract) — a dedup sweep reads the celled corpus
+      // instead of re-deriving three corpus scans per execution. The build
+      // is the same closed-form md5 construction the oracle replays, so
+      // results are bit-identical to a fresh derivation.
       (s, d) =>
-        Similarity
-          .semanticDedupScaled(
+        graft.operators.SemanticIndex
+          .dedup(
+            d,
             Tables.embeddings(s, d),
             threshold = 0.35,
             targetCellSize = 50,
@@ -328,8 +335,9 @@ object SimilarityQ {
     Q(
       "d_semantic_2l",
       (s, d) =>
-        Similarity
-          .semanticDedupHier(
+        graft.operators.SemanticIndex
+          .dedup2l(
+            d,
             Tables.embeddings(s, d),
             threshold = 0.35,
             targetCellSize = 50,
@@ -480,8 +488,13 @@ object SimilarityQ {
         val emb = Tables.embeddings(s, d)
         val bkt = pmod(md5Long(concat(col("vec_id").cast("string"), lit("#delta"))), lit(100))
         val withB = emb.withColumn("bkt", bkt)
-        Similarity
-          .semanticDeltaDupsScaled(
+        // steady-state ingest: corpus quantizer state (seeds, counts,
+        // celled corpus) comes from the fingerprinted SemanticIndex — the
+        // delta pays only its own assignment + the within-cell candidate
+        // join, zero corpus scans per day
+        graft.operators.SemanticIndex
+          .deltaDups(
+            d,
             withB.filter(col("bkt") < 10),
             withB.filter(col("bkt") >= 10),
             threshold = 0.30,

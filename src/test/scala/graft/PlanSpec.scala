@@ -13,6 +13,24 @@ class PlanSpec extends AnyFunSuite {
   private def physical(name: String): String =
     Registry.runners(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("t_cdc_chunks: dup_count is a partial-aggregable count, not a window") {
+    val plan = physical("t_cdc_chunks")
+    // a Window.partitionBy(chunk_md5) buffers every occurrence of a hot
+    // chunk (shared boilerplate across a crawl) in one task and AQE cannot
+    // split it — the count must come from a map-side-combinable aggregate
+    assert(!plan.contains("Window"), "dup_count must not plan a window:\n" + plan.take(1500))
+    assert(plan.contains("partial_count"), "expected partial aggregation:\n" + plan.take(1500))
+  }
+
+  test("t_phrase_search: postings read is partition-pruned to the terms' buckets") {
+    val plan = physical("t_phrase_search")
+    // the search must be an index SEEK: a literal tb IN (...) predicate
+    // pruning the postings directories, with no re-scan of the documents
+    // table anywhere in the plan
+    assert(plan.contains("PartitionFilters") && plan.contains("tb"), plan.take(1500))
+    assert(!plan.contains("documents.parquet"), "phrase search must not re-scan the corpus:\n" + plan.take(1500))
+  }
+
   test("q6: filters are pushed to the parquet scan") {
     val plan = physical("q6_filter_agg")
     // the plan string truncates the PushedFilters list, so check its prefix
