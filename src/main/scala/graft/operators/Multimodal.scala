@@ -238,6 +238,101 @@ object Multimodal {
       }
   }
 
+  /** Per-image difference hash (dHash). */
+  case class ImageHash(doc_id: Long, dhash: Long)
+
+  /** dHash grid: [[HashCols]]+1 sample columns × [[HashRows]] rows →
+    * HashCols·HashRows = 60 gradient bits, so the hash rides one positive
+    * BIGINT and the SimHash band machinery ([[Dedup.simhashPairs]]'
+    * 4×15-bit bands) applies unchanged.
+    */
+  val HashCols = 10
+  val HashRows = 6
+
+  /** PERCEPTUAL HASH over the decoded raster: nearest-neighbor sample the
+    * image to an ([[HashCols]]+1)×[[HashRows]] grayscale grid (gray =
+    * (r+g+b)/3, integer division), emit bit j·10+k = 1 iff gray increases
+    * left-to-right between adjacent sample columns — the classic dHash.
+    * Gradient signs survive uniform brightness shifts and re-encoding, so
+    * near-identical images land within a few bits of each other while a
+    * cryptographic hash ([[Dedup]]'s md5 exact path) scatters them.
+    *
+    * Same mapPartitions decode shape as [[decodeImage]] (real codec, one
+    * registry init per partition); one bounded hash row per image out. The
+    * grid sampling and gray formula are closed-form over the deterministic
+    * fixture pixels, so the oracle replays the hash bit-exactly without a
+    * codec.
+    */
+  def dHash(spark: SparkSession, payloads: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val w = img.getWidth
+          val h = img.getHeight
+          def gray(x: Int, y: Int): Int = {
+            val p = img.getRGB(x, y)
+            (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+          }
+          var hash = 0L
+          var j = 0
+          while (j < HashRows) {
+            val yj = j * h / HashRows
+            var k = 0
+            while (k < HashCols) {
+              val xa = k * w / (HashCols + 1)
+              val xb = (k + 1) * w / (HashCols + 1)
+              if (gray(xa, yj) < gray(xb, yj)) hash |= 1L << (j * HashCols + k)
+              k += 1
+            }
+            j += 1
+          }
+          ImageHash(id, hash)
+        }
+      }
+  }
+
+  /** Image near-dup pairs over the dHash column — the production two-stage
+    * composition:
+    *
+    *   1. EXACT-HASH COLLAPSE: group by dhash, keep the minimum doc id as
+    *      the cluster representative with its member count. On real crawl
+    *      data (and this gradient fixture) bit-identical perceptual hashes
+    *      are the bulk of the duplicate mass; collapsing first makes the
+    *      pair stage operate on DISTINCT hashes only, so a hot hash (2k+
+    *      members here) contributes ONE row to the join instead of a
+    *      quadratic within-bucket blow-up.
+    *   2. HAMMING-BANDED PAIR JOIN over representatives: the SimHash
+    *      4×15-bit band machinery ([[Dedup.simhashPairs]]) verbatim —
+    *      by pigeonhole a pair within hamming ≤ 3 shares at least one of
+    *      4 bands, so banding loses nothing at this threshold. Hamming 0
+    *      pairs are excluded (they were collapsed in stage 1); what
+    *      remains is the NEAR-miss set (1..3 differing gradient bits).
+    *
+    * Emits (a_id, b_id, hamming, a_n, b_n) — representative pair, bit
+    * distance, and both clusters' member counts (the mass a merge of the
+    * two clusters would dedup).
+    */
+  def dhashDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val reps = hashes
+      .groupBy(col("dhash"))
+      .agg(min(col("doc_id")).as("rid"), count(lit(1)).as("n"))
+    val pairs = Dedup
+      .simhashPairs(
+        reps.select(col("rid").as("doc_id"), col("dhash").as("simhash")),
+        maxHamming
+      )
+      .filter(col("hamming") >= 1)
+    pairs
+      .join(reps.select(col("rid").as("a_id"), col("n").as("a_n")), Seq("a_id"))
+      .join(reps.select(col("rid").as("b_id"), col("n").as("b_n")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("hamming"), col("a_n"), col("b_n"))
+  }
+
   /** Batched model-inference plumbing — the batch shape every real
     * embedding/captioning model needs (GPU kernels amortize over a batch,
     * so the model must be invoked once per BATCH, never once per row).

@@ -165,6 +165,73 @@ object MultimodalQ {
         "deterministic md5-derived stub vector so the oracle bit-checks " +
         "all 8 components; MultimodalSpec asserts the once-per-batch call " +
         "count via accumulator."
+    ),
+    // ---- the multimodal × dedup composition: perceptual hash from the
+    // REAL decoded raster, then the exact-collapse + Hamming-banded pair
+    // join. The oracle replays the hash from the closed-form pixel content
+    // (no codec), so a decoder or grid-sampling bug fails the gate
+    // bit-exactly.
+    Q(
+      "m_dhash",
+      (s, d) =>
+        Multimodal
+          .dHash(s, Multimodal.withImagePayload(s, Tables.documents(s, d)))
+          .toDF()
+          .orderBy("doc_id"),
+      Some(s"""$dhashSql SELECT doc_id, dhash FROM hx ORDER BY doc_id"""),
+      doc = "Perceptual difference hash (dHash) over the decoded raster: " +
+        "11x6 nearest-neighbor grayscale grid, 60 horizontal-gradient " +
+        "bits in one BIGINT — brightness-shift-robust image fingerprint, " +
+        "bit-checked against the closed-form pixel content."
+    ),
+    Q(
+      "m_phash_dups",
+      (s, d) =>
+        Multimodal
+          .dhashDups(
+            Multimodal
+              .dHash(s, Multimodal.withImagePayload(s, Tables.documents(s, d)))
+              .toDF()
+          )
+          .orderBy("a_id", "b_id"),
+      Some(
+        s"""$dhashSql, reps AS (
+           |  SELECT dhash, MIN(doc_id) AS rid, COUNT(*)::BIGINT AS n FROM hx GROUP BY dhash)
+           |SELECT r1.rid AS a_id, r2.rid AS b_id,
+           |  bit_count(xor(r1.dhash, r2.dhash))::BIGINT AS hamming,
+           |  r1.n AS a_n, r2.n AS b_n
+           |FROM reps r1 JOIN reps r2 ON r1.rid < r2.rid
+           |WHERE bit_count(xor(r1.dhash, r2.dhash)) BETWEEN 1 AND 3
+           |ORDER BY a_id, b_id""".stripMargin
+      ),
+      doc = "Image near-dup pairs: exact-dHash collapse to cluster " +
+        "representatives (a hot hash contributes ONE row to the pair " +
+        "stage, not a quadratic bucket), then the SimHash 4x15-bit " +
+        "Hamming-banded join over representatives — full recall at " +
+        "hamming <= 3 by pigeonhole, so the banded plan equals the " +
+        "oracle's exact pair join. Emits both clusters' member counts."
     )
   )
+
+  /** Closed-form dHash of the deterministic fixture image, as DuckDB CTEs
+    * `d` (dims) and `hx` (doc_id, dhash): gray((x,y)) = (r+g+b)/3 over
+    * the [[Multimodal.pixelChannels]] formula, sampled on the 11x6 grid,
+    * bit k set iff gray increases between adjacent sample columns —
+    * exactly [[Multimodal.dHash]]'s loop over the decoded raster.
+    */
+  private def dhashSql: String = {
+    def gray(xe: String, ye: String) =
+      s"((($xe + $ye + doc_id) % 256) + ((2*($xe) + $ye + doc_id) % 256) + (($xe + 2*($ye) + doc_id) % 256)) // 3"
+    val xa = "(((k%10) * w)//11)"
+    val xb = "((((k%10)+1) * w)//11)"
+    val yj = "(((k//10) * h)//6)"
+    s"""WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents),
+       |hx AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(generate_series(0, 59), k ->
+       |      CASE WHEN ${gray(xa, yj)} < ${gray(xb, yj)}
+       |      THEN (1::BIGINT << k) ELSE 0::BIGINT END))::BIGINT AS dhash
+       |  FROM d)
+       |""".stripMargin
+  }
 }

@@ -344,10 +344,78 @@ object SimilarityQ {
             maxCellSize = 100
           )
           .orderBy("vec_id"),
+      Some(semantic2lSql("SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings", 0.35)),
+      doc = "Semantic dedup over the TWO-LEVEL quantizer (hierCells): " +
+        "ceil(sqrt(k)) md5-seeded coarse cells, then per-cell distributed " +
+        "level-2 seeds sized ceil(|cell|/50) — constant expected fine-cell " +
+        "size with O(N*sqrt(k)) assignment and O(sqrt(k)*dim) driver " +
+        "state, the shape that survives 100 TB. Fully bit-checked: both " +
+        "quantizer levels, the salt split, centroids and kept flags."
+    ),
+    // ---- the PRODUCTION-SHAPE gate for the quantizer: 40 exact cyclic
+    // rotations of every fixture vector (arithmetic-free, so both engines
+    // expand bit-identically; rotations of an isotropic vector are
+    // near-orthogonal, so the cells are non-degenerate) give a 20k-vector
+    // corpus at sf0.01 -> k = 400 fine cells > litK = 256, two-level
+    // seeds genuinely distributed (~400 rows over 20 coarse cells). Until
+    // now this shape lived only in a spec (SimilaritySpec's in-test 20k
+    // corpus); here the ORACLE replays it end to end.
+    Q(
+      "d_semantic_prod",
+      (s, d) => {
+        val dim = 64
+        val expanded = Tables
+          .embeddings(s, d)
+          .select(
+            col("vec_id"),
+            col("embedding"),
+            explode(sequence(lit(0), lit(39))).as("c")
+          )
+          .select(
+            (col("vec_id") * 40 + col("c")).as("vec_id"),
+            concat(
+              slice(col("embedding"), pmod(col("c"), lit(dim)) + 1, lit(dim) - pmod(col("c"), lit(dim))),
+              slice(col("embedding"), lit(1), pmod(col("c"), lit(dim)))
+            ).as("embedding")
+          )
+        graft.operators.SemanticIndex
+          .dedup2l(
+            d,
+            expanded,
+            threshold = 0.35,
+            targetCellSize = 50,
+            maxCellSize = 100
+          )
+          .orderBy("vec_id")
+      },
       Some(
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-           |kk AS (SELECT ((COUNT(*) + 49) // 50) AS k,
-           |              CEIL(SQRT(((COUNT(*) + 49) // 50)))::BIGINT AS k1 FROM e),
+        semantic2lSql(
+          """SELECT e0.vec_id * 40 + c.c AS vec_id,
+            |         emb0[(c.c % 64)+1:] || emb0[1:(c.c % 64)] AS emb
+            |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb0 FROM embeddings) e0
+            |  CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS c) c""".stripMargin,
+          0.35
+        )
+      ),
+      doc = "Two-level semantic dedup at PRODUCTION quantizer shape: a " +
+        "20k-vector corpus (40 exact cyclic rotations per fixture vector " +
+        "— deterministic, arithmetic-free expansion both engines replay) " +
+        "drives k = 400 fine cells > litK, ceil(sqrt(400)) = 20 coarse " +
+        "cells, distributed level-2 seeds and the salt split — the full " +
+        "100 TB plan shape, bit-checked through the oracle instead of " +
+        "spec-only."
+    )
+  ) ++ keepPolicyAndDelta
+
+  /** DuckDB replay of [[Similarity.semanticDedupHier]] over an arbitrary
+    * source relation `eSql` (must yield (vec_id, emb DOUBLE[])) — shared
+    * by d_semantic_2l (raw fixture) and d_semantic_prod (rotation-expanded
+    * production shape).
+    */
+  private def semantic2lSql(eSql: String, thr: Double): String =
+    s"""WITH e AS ($eSql),
+       |kk AS (SELECT ((COUNT(*) + 49) // 50) AS k,
+       |              CEIL(SQRT(((COUNT(*) + 49) // 50)))::BIGINT AS k1 FROM e),
            |sd1 AS (
            |  SELECT emb, row_number() OVER (
            |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '#seed1'), 1, 15))::BIGINT, vec_id
@@ -413,20 +481,16 @@ object SimilarityQ {
            |drp AS (
            |  SELECT DISTINCT b.vec_id
            |  FROM dd a JOIN dd b ON a.cell = b.cell AND a.vec_id != b.vec_id
-           |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.35
+           |  WHERE ${cosSql("a.emb", "b.emb")} >= $thr
            |    AND (a.ccos > b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
            |)
            |SELECT dd.vec_id AS vec_id, dd.cell, dd.ccos, (drp.vec_id IS NULL) AS kept
            |FROM dd LEFT JOIN drp ON dd.vec_id = drp.vec_id
            |ORDER BY dd.vec_id""".stripMargin
-      ),
-      doc = "Semantic dedup over the TWO-LEVEL quantizer (hierCells): " +
-        "ceil(sqrt(k)) md5-seeded coarse cells, then per-cell distributed " +
-        "level-2 seeds sized ceil(|cell|/50) — constant expected fine-cell " +
-        "size with O(N*sqrt(k)) assignment and O(sqrt(k)*dim) driver " +
-        "state, the shape that survives 100 TB. Fully bit-checked: both " +
-        "quantizer levels, the salt split, centroids and kept flags."
-    ),
+
+  // a def, not a val: `all` above references it during object init, and a
+  // val declared below would still be null at that point
+  private def keepPolicyAndDelta: Seq[Q] = Seq(
     // ---- keep-policy surface: Abbas et al.'s published rule (keep the
     // LEAST-central member of each duplicate neighborhood — bias the kept
     // set toward cluster edges / harder examples), over the fixed label
