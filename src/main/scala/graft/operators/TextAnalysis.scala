@@ -499,14 +499,30 @@ object TextAnalysis {
       .withColumn("subwords_per_100w", expr("(100 * n_subwords) div n_words"))
   }
 
-  private def bpeTrainFull(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
-    val spark = docs.sparkSession
+  private def bpeTrainFull(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) =
+    bpeTrainWords(
+      wordCounts(docs).select(col("token").as("word"), col("cnt")),
+      nMerges
+    )
+
+  /** Sennrich-style BPE training over an arbitrary (word, cnt) table —
+    * the [[bpeTrainFull]] core, exposed so the trainer can be driven at
+    * production vocabulary scale (BpeSpec's 256-merge run) independent of
+    * the fixture corpus's closed vocabulary. Per-step cost is ONE pass
+    * over the compact word table (pair-count aggregate + bounded top-1
+    * collect) plus a map-only fold applying the merge; the
+    * localCheckpoint per step keeps the plan CONSTANT-SIZE across steps
+    * — without it the lineage (and analysis cost) grows linearly with
+    * the step index, which is what kills long trainings.
+    */
+  def bpeTrainWords(words: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
+    val spark = words.sparkSession
     import spark.implicits._
-    var seqs = wordCounts(docs)
+    var seqs = words
       .select(
-        col("token").as("word"),
+        col("word"),
         col("cnt"),
-        trim(regexp_replace(col("token"), "(.)", "$1 ")).as("seq")
+        trim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq")
       )
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]

@@ -88,6 +88,46 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("production-vocab shape: 256 merges sustained, per-step cost does not grow") {
+    // The fixture corpus has a CLOSED ~30-word/lang vocabulary, so long
+    // trainings exhaust; this drives the trainer at a production SHAPE:
+    // 5000 distinct 32-char hex words (16-symbol alphabet — rich pair
+    // structure) with skewed counts. Pins the two properties a 32k-merge
+    // production training rests on:
+    //   1. the pair supply sustains >= 256 merges (no early exhaustion);
+    //   2. per-step cost is FLAT in the step index — one pass over the
+    //      compact word table per merge, plan size held constant by the
+    //      per-step localCheckpoint. Without that checkpoint the lineage
+    //      grows linearly and step cost with it; we pin flatness by
+    //      comparing a 256-step run against a 64-step run: flat per-step
+    //      cost => T(256) ~= 4 x T(64); 8x allowed for noise.
+    def md5Hex(s: String): String =
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    val words = (0 until 5000)
+      .map(i => (md5Hex(s"w$i"), 1L + i % 7))
+      .toDF("word", "cnt")
+      .repartition(8)
+      .cache()
+    words.count()
+    def timedMerges(n: Int): (Long, Long) = {
+      val t0 = System.nanoTime()
+      val m = TextAnalysis.bpeTrainWords(words, n)._1.count()
+      (m, (System.nanoTime() - t0) / 1000000L)
+    }
+    val (m64, t64) = timedMerges(64)
+    val (m256, t256) = timedMerges(256)
+    info(s"64 merges: $t64 ms (${t64 / 64} ms/step); 256 merges: $t256 ms (${t256 / 256} ms/step)")
+    assert(m64 === 64L && m256 === 256L, "pair supply must sustain 256 merges")
+    assert(
+      t256 <= 8L * t64,
+      s"per-step cost grew with step index: T(256)=$t256 ms vs T(64)=$t64 ms"
+    )
+  }
+
   test("bpeEncodeStats: trained segmentation applied per doc, exact fertility") {
     // merge 1 learns (a,b): 'ab' x2 beats 'a a' x1. Trained vocab:
     // aa -> [a][a] (2 subwords), ab -> [ab] (1 subword).
