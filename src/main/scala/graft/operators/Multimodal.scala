@@ -333,6 +333,29 @@ object Multimodal {
       .select(col("a_id"), col("b_id"), col("hamming"), col("a_n"), col("b_n"))
   }
 
+  /** Image dedup CLUSTERS: [[dhashDups]] pairs closed under transitivity
+    * via [[Dedup.connectedComponents]] (min-label propagation), then every
+    * document mapped through its exact-hash representative to the
+    * component — docs whose representative sits in no near-miss pair form
+    * singleton clusters under their representative id. One (doc_id,
+    * component, csize) row per document: the image-side twin of
+    * [[Dedup.dupClusters]].
+    */
+  def dhashClusters(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val reps = hashes.groupBy(col("dhash")).agg(min(col("doc_id")).as("rid"))
+    val comp = Dedup
+      .connectedComponents(dhashDups(hashes, maxHamming).select(col("a_id"), col("b_id")))
+      .withColumnRenamed("id", "rid")
+    val docComp = hashes
+      .join(reps, Seq("dhash"))
+      .join(comp, Seq("rid"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("rid")).as("component"))
+    val sizes = docComp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    docComp
+      .join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("csize"))
+  }
+
   /** Batched model-inference plumbing — the batch shape every real
     * embedding/captioning model needs (GPU kernels amortize over a batch,
     * so the model must be invoked once per BATCH, never once per row).

@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
   *     pair (deterministic tie-break), derived once at build time from
   *     postings adjacency. Corpus statistics are index metadata: a search
   *     that re-derives them pays a corpus scan per query.
+  *   - `stats/` — one row: the corpus document count, the N every
+  *     idf-style ranking needs. Same metadata principle.
   *
   * Search-time driver state: the two query terms' bucket ids — O(1).
   */
@@ -34,17 +36,20 @@ object TextIndex {
   val DefaultBuckets = 16
 
   def defaultDir(sfDir: String, docs: DataFrame): String =
-    Indexes.fingerprintDirOn("text-index", sfDir, docs, "doc_id", "text")
+    Indexes.fingerprintDirOn("text-index2", sfDir, docs, "doc_id", "text")
 
   private def bucketOf(term: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(term), lit(nBuckets.toLong))
 
   /** Build once per corpus version: postings written term-bucket-
-    * partitioned/sorted, plus the top-bigram statistic. No-op if `dir`
+    * partitioned/sorted, plus the top-bigram and corpus-count statistics
+    * (stats/ written LAST — it is the completion marker). No-op if `dir`
     * already holds a completed build.
     */
   def ensureBuilt(docs: DataFrame, dir: String, nBuckets: Int = DefaultBuckets): Unit =
-    Indexes.atomicBuild(dir, "top_bigram/_SUCCESS") { tmp =>
+    Indexes.atomicBuild(dir, "stats/_SUCCESS") { tmp =>
+      val spark = docs.sparkSession
+      import spark.implicits._
       val index = TextAnalysis.invertedIndex(docs)
       graft.sources.Layout.writePartitionedSorted(
         index.withColumn("tb", bucketOf(col("term"), nBuckets)),
@@ -55,7 +60,6 @@ object TextIndex {
       // top adjacent pair from postings adjacency (one bounded aggregate
       // over the freshly built index — never a text re-scan), kept as
       // index metadata so a default phrase query is seek-only
-      val spark = docs.sparkSession
       val toks = spark.read
         .parquet(s"$tmp/postings")
         .select(col("term"), col("doc_id"), explode(col("positions")).as("pos"))
@@ -72,6 +76,11 @@ object TextIndex {
         .write
         .mode("overwrite")
         .parquet(s"$tmp/top_bigram")
+      Seq(docs.count())
+        .toDF("n_docs")
+        .write
+        .mode("overwrite")
+        .parquet(s"$tmp/stats")
     }
 
   /** The postings rows for `terms`, read partition-pruned: the terms'
@@ -99,6 +108,38 @@ object TextIndex {
   def topBigram(spark: SparkSession, dir: String): (String, String) = {
     val r = spark.read.parquet(s"$dir/top_bigram").select(col("w1"), col("w2")).head()
     (r.getString(0), r.getString(1))
+  }
+
+  /** The persisted corpus document count — one long of driver state. */
+  def nDocs(spark: SparkSession, dir: String): Long =
+    spark.read.parquet(s"$dir/stats").head().getLong(0)
+
+  /** tf·idf ranked retrieval answered ENTIRELY from the index: the query
+    * terms' postings (partition-pruned seek), df from those same rows,
+    * N from the persisted stats — zero corpus scans. Integral scoring
+    * (`score = Σ tf · ((1e6·N) div df)`, integer division) so ranks are
+    * bit-stable on any engine. Top-k by (score desc, doc_id) is a
+    * TakeOrdered over the seek's few rows, never a global sort.
+    */
+  def searchTopK(
+      spark: SparkSession,
+      dir: String,
+      terms: Seq[String],
+      k: Int,
+      nBuckets: Int = DefaultBuckets
+  ): DataFrame = {
+    val n = nDocs(spark, dir)
+    val p = postingsFor(spark, dir, terms.distinct, nBuckets)
+    val dfreq = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    p.join(broadcast(dfreq), Seq("term"))
+      .select(
+        col("doc_id"),
+        (col("tf") * call_function("div", lit(1000000L * n), col("df"))).as("w")
+      )
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).cast("long").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** Exact-phrase search answered ENTIRELY from the index: read the two

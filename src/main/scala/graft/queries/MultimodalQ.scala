@@ -210,6 +210,44 @@ object MultimodalQ {
         "Hamming-banded join over representatives — full recall at " +
         "hamming <= 3 by pigeonhole, so the banded plan equals the " +
         "oracle's exact pair join. Emits both clusters' member counts."
+    ),
+    Q(
+      "m_phash_clusters",
+      (s, d) =>
+        Multimodal
+          .dhashClusters(
+            Multimodal
+              .dHash(s, Multimodal.withImagePayload(s, Tables.documents(s, d)))
+              .toDF()
+          )
+          .orderBy("doc_id"),
+      Some(
+        s"""${dhashSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+           |reps AS (SELECT dhash, MIN(doc_id) AS rid FROM hx GROUP BY dhash),
+           |pairs AS (
+           |  SELECT r1.rid AS a_id, r2.rid AS b_id
+           |  FROM reps r1 JOIN reps r2 ON r1.rid < r2.rid
+           |  WHERE bit_count(xor(r1.dhash, r2.dhash)) BETWEEN 1 AND 3),
+           |und AS (SELECT a_id AS src, b_id AS dst FROM pairs
+           |        UNION SELECT b_id, a_id FROM pairs),
+           |walk(id, root) AS (
+           |  SELECT DISTINCT src, src FROM und
+           |  UNION
+           |  SELECT u.dst, w.root FROM walk w JOIN und u ON u.src = w.id),
+           |comp AS (SELECT id, MIN(root) AS component FROM walk GROUP BY id),
+           |dc AS (
+           |  SELECT hx.doc_id, coalesce(comp.component, reps.rid) AS component
+           |  FROM hx JOIN reps USING (dhash) LEFT JOIN comp ON reps.rid = comp.id),
+           |sz AS (SELECT component, COUNT(*) AS csize FROM dc GROUP BY component)
+           |SELECT dc.doc_id, dc.component, sz.csize
+           |FROM dc JOIN sz USING (component) ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Image dedup clusters: dHash near-miss pairs closed under " +
+        "transitivity (distributed min-label connected components), every " +
+        "document mapped through its exact-hash representative — " +
+        "singletons keep their representative id. One (doc, component, " +
+        "cluster size) row per document; the image twin of d_cc_clusters, " +
+        "oracle-replayed with a recursive CTE."
     )
   )
 

@@ -720,6 +720,48 @@ object TextQ {
         "index rows only (pos+1 membership in the second term's position " +
         "list) — an index seek, not a corpus scan. Occurrences bit-checked."
     ),
+    Q(
+      "t_search_topk",
+      (s, d) => {
+        // ranked retrieval ENTIRELY from the persisted index: query terms
+        // (top bigram), their postings, df, and N are all index reads —
+        // zero corpus scans, driver state = two bucket ids + one count
+        val docs = Tables.documents(s, d)
+        val dir = graft.operators.TextIndex.defaultDir(d, docs)
+        graft.operators.TextIndex.ensureBuilt(docs, dir)
+        val (w1, w2) = graft.operators.TextIndex.topBigram(s, dir)
+        graft.operators.TextIndex
+          .searchTopK(s, dir, Seq(w1, w2), 10)
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some(
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |tok AS (
+           |  SELECT doc_id, unnest(t) AS term,
+           |         unnest(generate_series(1, len(t))) - 1 AS pos
+           |  FROM tk),
+           |post AS (SELECT term, doc_id, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+           |bg AS (
+           |  SELECT a.term AS w1, b.term AS w2, COUNT(*) AS c
+           |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           |  GROUP BY 1, 2),
+           |top AS (SELECT w1, w2 FROM bg ORDER BY c DESC, w1, w2 LIMIT 1),
+           |q AS (SELECT DISTINCT term FROM
+           |        (SELECT w1 AS term FROM top UNION ALL SELECT w2 FROM top)),
+           |n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+           |p AS (SELECT post.term, post.doc_id, post.tf FROM post JOIN q USING (term)),
+           |dfq AS (SELECT term, COUNT(*)::BIGINT AS df FROM p GROUP BY term)
+           |SELECT p.doc_id, SUM(p.tf * ((1000000 * n.n) // dfq.df))::BIGINT AS score
+           |FROM p JOIN dfq USING (term) CROSS JOIN n
+           |GROUP BY p.doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      ),
+      doc = "tf-idf ranked retrieval from the persisted inverted index: " +
+        "top-10 documents for the top-bigram query terms, scored " +
+        "sum(tf * ((1e6*N) div df)) in pure integer arithmetic (rank-" +
+        "stable on any engine). Postings, df and N are all INDEX reads " +
+        "(partition-pruned seek + one stats row) — zero corpus scans; " +
+        "top-k is a TakeOrdered over the seek's rows, never a global sort."
+    ),
     // ---- the cardinality leg of the sketch family: per-language distinct
     // token counts through the mergeable HLL aggregate, next to the exact
     // answer. Bucket ranks come from integer bit lengths (no floating log)
