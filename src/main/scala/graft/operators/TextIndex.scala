@@ -38,7 +38,7 @@ object TextIndex {
   def defaultDir(sfDir: String, docs: DataFrame): String =
     Indexes.fingerprintDirOn("text-index2", sfDir, docs, "doc_id", "text")
 
-  private def bucketOf(term: org.apache.spark.sql.Column, nBuckets: Int) =
+  private[graft] def bucketOf(term: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(term), lit(nBuckets.toLong))
 
   /** Build once per corpus version: postings written term-bucket-
