@@ -271,7 +271,13 @@ object TextAnalysis {
       window: Int = CdcWindow,
       modulo: Int = CdcModulo
   ): DataFrame = {
-    val flat = cdcChunkStream(docs, window, modulo)
+    // pin the chunk stream: the count aggregate and the join probe both
+    // consume it, and without the checkpoint the static planner runs the
+    // CDC kernel once per branch (the d_chunk_storage lesson — exchange
+    // reuse is not guaranteed across join branches). The materialized
+    // stream is chunk rows of five scalar columns, far smaller than the
+    // text it came from.
+    val flat = cdcChunkStream(docs, window, modulo).localCheckpoint()
     val dupCounts =
       flat.groupBy(col("chunk_md5")).agg(count(lit(1)).as("dup_count"))
     flat
