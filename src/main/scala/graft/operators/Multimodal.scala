@@ -317,21 +317,33 @@ object Multimodal {
     * distance, and both clusters' member counts (the mass a merge of the
     * two clusters would dedup).
     */
-  def dhashDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val reps = hashes
+  def dhashDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    repPairs(repsOf(hashes), maxHamming)
+
+  /** Exact-hash cluster representatives — (dhash, rid, n), one row per
+    * DISTINCT hash. Checkpointed: every consumer reads it several times
+    * (both band-join sides + the two count join-backs), and without the
+    * pin each branch would re-run the aggregate — and behind it the whole
+    * image decode pass (the cdcChunks lesson: the static planner does not
+    * reuse common subtrees across join branches). The table is distinct-
+    * hash-sized — tiny next to the decode it guards.
+    */
+  private def repsOf(hashes: DataFrame): DataFrame =
+    hashes
       .groupBy(col("dhash"))
       .agg(min(col("doc_id")).as("rid"), count(lit(1)).as("n"))
-    val pairs = Dedup
+      .localCheckpoint()
+
+  private def repPairs(reps: DataFrame, maxHamming: Int): DataFrame =
+    Dedup
       .simhashPairs(
         reps.select(col("rid").as("doc_id"), col("dhash").as("simhash")),
         maxHamming
       )
       .filter(col("hamming") >= 1)
-    pairs
       .join(reps.select(col("rid").as("a_id"), col("n").as("a_n")), Seq("a_id"))
       .join(reps.select(col("rid").as("b_id"), col("n").as("b_n")), Seq("b_id"))
       .select(col("a_id"), col("b_id"), col("hamming"), col("a_n"), col("b_n"))
-  }
 
   /** Image dedup CLUSTERS: [[dhashDups]] pairs closed under transitivity
     * via [[Dedup.connectedComponents]] (min-label propagation), then every
@@ -342,12 +354,16 @@ object Multimodal {
     * [[Dedup.dupClusters]].
     */
   def dhashClusters(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val reps = hashes.groupBy(col("dhash")).agg(min(col("doc_id")).as("rid"))
+    // pin the hash table: the rep aggregate and the final doc→rep join
+    // both consume it, and each unpinned branch would re-run the image
+    // DECODE pass. One row per document, five scalar columns.
+    val h = hashes.localCheckpoint()
+    val reps = repsOf(h)
     val comp = Dedup
-      .connectedComponents(dhashDups(hashes, maxHamming).select(col("a_id"), col("b_id")))
+      .connectedComponents(repPairs(reps, maxHamming).select(col("a_id"), col("b_id")))
       .withColumnRenamed("id", "rid")
-    val docComp = hashes
-      .join(reps, Seq("dhash"))
+    val docComp = h
+      .join(reps.select(col("dhash"), col("rid")), Seq("dhash"))
       .join(comp, Seq("rid"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("rid")).as("component"))
     val sizes = docComp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
