@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -44,15 +46,28 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = fact(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = fact(s, d, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright; read it as LongType nanoseconds instead. Set per-session at
-    * call time so the loader works under any driver-built session. All
-    * downstream time math stays in integer nanos (exact, and immune to the
-    * double-precision loss a 1.7e18 value would suffer).
+  /** events.ts: the loader's contract with ALL downstream code is LongType
+    * epoch NANOSECONDS — exact integer time math, immune to the
+    * double-precision loss a 1.7e18 value would suffer, and deterministic
+    * for the DuckDB hash-compare.
+    *
+    * The physical parquet type has varied across data generations:
+    * TIMESTAMP(NANOS) (readable only via the nanosAsLong legacy flag, which
+    * yields LongType nanos directly) and TIMESTAMP(MICROS) (reads as a
+    * timestamp column). Normalize here, per the observed read schema, so
+    * every consumer keeps the nanos-long view regardless of which
+    * generation wrote the table. The micros→nanos conversion is a map-side
+    * expression; session timezone is UTC everywhere (Verify/Bench/tests),
+    * so the NTZ wall-clock→instant cast is the identity, matching DuckDB's
+    * epoch_ns() over the same naive timestamps.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fact(s, d, "events")
+    val df = fact(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = fact(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = fact(s, d, "embeddings")
