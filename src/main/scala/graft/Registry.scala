@@ -10,6 +10,7 @@ object Registry {
       queries.DedupQ.all ++
       queries.SimilarityQ.all ++
       queries.MultimodalQ.all ++
+      queries.AudioQ.all ++
       queries.PipelineQ.all ++
       queries.VersionedQ.all
 

@@ -1,0 +1,341 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Audio-modality plumbing: PCM payloads as opaque `binary` columns, decoded
+  * by a REAL codec, analyzed with integer-exact kernels.
+  *
+  * Mirrors the image path's contract ([[Multimodal]]): payloads on the wire
+  * are REAL WAV byte streams written by `javax.sound.sampled.AudioSystem`
+  * (the JDK's RIFF/WAVE encoder) and decoded back through
+  * `AudioSystem.getAudioInputStream` — an actual container/codec round-trip,
+  * not header arithmetic. Audio CONTENT is deterministic (each sample is a
+  * closed-form function of `doc_id`, see [[sampleAt]]), which is what lets
+  * the DuckDB oracle verify the decoder's output (format fields, sample
+  * count, amplitude sums, per-frame energies) from the same formula without
+  * running a codec itself.
+  *
+  * The Spark shape is the 100 TB one:
+  *   - payloads live in a `binary` column next to typed metadata;
+  *   - per-record decode runs in `mapPartitions` (one codec/provider
+  *     registry init per partition — the batch shape a native resampler or
+  *     GPU feature extractor needs);
+  *   - the kernel emits bounded rows (one meta row, or one row per ~50-
+  *     sample frame); everything downstream — voiced/silence classification,
+  *     trim-point aggregation — is ordinary columnar Spark, so Catalyst owns
+  *     the shuffle/aggregation plan.
+  *
+  * Reference scope note: the reference engine (`/root/reference/src/index.js`)
+  * has no media path at all; this family is extension surface for the
+  * training-data pipeline (speech corpora: VAD-style silence trim, energy
+  * screens) built on the engine's own dedup/agg machinery.
+  */
+object Audio {
+
+  /** Analysis frame length in samples (fixed, so frame boundaries are
+    * closed-form for the oracle). */
+  val FrameLen = 50
+
+  /** Frame sum-of-squares at or above this is "voiced". Fixture margins are
+    * wide by construction: all-quiet frames are ≤ FrameLen·16² = 12 800,
+    * any frame containing ≥1 loud sample is ≥ 1000² = 1 000 000. */
+  val VoicedThreshold = 500000L
+
+  // ---- closed-form fixture content (the oracle's side of the contract) ----
+
+  /** Total PCM16 samples of the doc_id clip: 240..440. */
+  def nSamples(id: Long): Int = (240 + (id % 5) * 50).toInt
+
+  /** Sample rate in Hz: 8000 / 12000 / 16000. */
+  def sampleRate(id: Long): Int = (8000 + 4000 * (id % 3)).toInt
+
+  /** Leading quiet samples: 0 / 50 / 100 (frame-aligned lead). */
+  def leadQuiet(id: Long): Int = (50 * (id % 3)).toInt
+
+  /** Trailing quiet samples: 0 / 30 (deliberately NOT frame-aligned, so the
+    * last voiced frame can be a mixed frame). */
+  def tailQuiet(id: Long): Int = (30 * ((id / 3) % 2)).toInt
+
+  /** Sample i of the doc_id clip. Quiet head/tail: |s| ≤ 16. Voiced middle:
+    * alternating-sign magnitude in [1000, 2000), so any frame overlapping it
+    * clears [[VoicedThreshold]] with a 2× margin.
+    */
+  def sampleAt(id: Long, i: Int): Int = {
+    val n = nSamples(id)
+    if (i < leadQuiet(id) || i >= n - tailQuiet(id))
+      ((7L * i + id) % 33 - 16).toInt
+    else {
+      val a = 3 + (id % 5)
+      val mag = 1000 + ((a * i + id) % 1000)
+      (if (i % 2 == 0) mag else -mag).toInt
+    }
+  }
+
+  private def encodeWavPcm(rate: Int, n: Int, sample: Int => Int): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2) // PCM16 little-endian mono
+    var i = 0
+    while (i < n) {
+      val s = sample(i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem
+      .write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def encodeWav(id: Long): Array[Byte] =
+    encodeWavPcm(sampleRate(id), nSamples(id), sampleAt(id, _))
+
+  /** documents → (doc_id, payload: binary) where payload is a REAL WAV
+    * stream (RIFF container + PCM16LE data chunk from the JDK encoder) of
+    * the doc's deterministic clip — the ingest step a speech datalake
+    * performs upstream, generated in mapPartitions exactly where a
+    * fetch-and-transcode stage would run.
+    */
+  def withAudioPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(it => it.map(id => (id, encodeWav(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Typed decode result — what the audio decoder emits per payload. */
+  case class AudioMeta(
+      doc_id: Long,
+      encoding: String,
+      sample_rate: Long,
+      channels: Long,
+      bits: Long,
+      n_samples: Long,
+      amp_sum: Long,
+      duration_micros: Long
+  )
+
+  /** One analysis frame: sum-of-squares energy over ≤ [[FrameLen]] samples. */
+  case class AudioFrame(doc_id: Long, frame_idx: Long, n_in_frame: Long, energy: Long)
+
+  private def decodePcm16(bytes: Array[Byte]): (javax.sound.sampled.AudioFormat, Array[Int]) = {
+    val ais = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    val f = ais.getFormat
+    val data = ais.readAllBytes()
+    ais.close()
+    val n = data.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (((data(2 * i + 1) & 0xff) << 8) | (data(2 * i) & 0xff)).toShort.toInt
+      i += 1
+    }
+    (f, out)
+  }
+
+  /** REAL DECODE: `AudioSystem.getAudioInputStream` parses the RIFF header
+    * and hands back format fields + raw frames; sample count, amplitude sum
+    * and integral duration come from the decoded PCM. One provider-registry
+    * init per partition (first call), no temp files — pure in-memory.
+    */
+  def decodeAudio(spark: SparkSession, payloads: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (f, samples) = decodePcm16(bytes)
+          var sum = 0L
+          var i = 0
+          while (i < samples.length) { sum += samples(i); i += 1 }
+          val rate = f.getSampleRate.toLong
+          AudioMeta(
+            id,
+            f.getEncoding.toString.toLowerCase,
+            rate,
+            f.getChannels.toLong,
+            f.getSampleSizeInBits.toLong,
+            samples.length.toLong,
+            sum,
+            samples.length.toLong * 1000000L / rate
+          )
+        }
+      }
+  }
+
+  /** Per-frame energy: decode once, tile the clip into [[FrameLen]]-sample
+    * frames (last frame partial), emit one (frame_idx, n_in_frame,
+    * sum-of-squares) row per frame. Integer-exact, so the oracle replays
+    * every energy value; voiced/silence classification happens DOWNSTREAM
+    * in Catalyst, keeping the kernel policy-free.
+    */
+  def frameEnergies(spark: SparkSession, payloads: DataFrame): Dataset[AudioFrame] = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (_, samples) = decodePcm16(bytes)
+          val nf = (samples.length + FrameLen - 1) / FrameLen
+          (0 until nf).iterator.map { fi =>
+            val lo = fi * FrameLen
+            val hi = math.min(lo + FrameLen, samples.length)
+            var e = 0L
+            var i = lo
+            while (i < hi) { val s = samples(i).toLong; e += s * s; i += 1 }
+            AudioFrame(id, fi.toLong, (hi - lo).toLong, e)
+          }
+        }
+      }
+  }
+
+  // ---- pad-variant fixture: the audio DEDUP contract ----------------------
+  //
+  // Real speech corpora are full of the same recording re-ingested with
+  // different leading/trailing silence (encoder padding, broadcast delays,
+  // re-uploads). Byte-level dedup misses all of them. The variant fixture
+  // models exactly that: clip CONTENT is keyed by a recording id
+  // (doc_id % DupMod) while the quiet padding is keyed by the doc — so docs
+  // sharing a recording are bit-DIFFERENT payloads whose voiced middles are
+  // sample-identical after the trim. Padding is frame-aligned by
+  // construction, which makes trim→fingerprint exactly invariant (the
+  // voiced frames contain only recording samples).
+
+  /** Distinct recordings in the variant fixture: rec = doc_id % DupMod. */
+  val DupMod = 40L
+
+  def recOf(id: Long): Long = ((id % DupMod) + DupMod) % DupMod
+
+  /** Variant padding (frame-aligned): 0/50/100 lead, 0/50 tail — doc-keyed. */
+  def vLeadQuiet(id: Long): Int = (50 * (id % 3)).toInt
+  def vTailQuiet(id: Long): Int = (50 * ((id / 3) % 2)).toInt
+
+  /** Recording length in samples (frame-aligned): 150..300. */
+  def voicedLen(rec: Long): Int = (150 + (rec % 4) * 50).toInt
+
+  def vNSamples(id: Long): Int =
+    vLeadQuiet(id) + voicedLen(recOf(id)) + vTailQuiet(id)
+
+  /** Recording-keyed sample rate — a re-padded copy keeps its rate. */
+  def vSampleRate(id: Long): Int = (8000 + 4000 * (recOf(id) % 3)).toInt
+
+  /** Variant sample i: doc-keyed quiet pad, recording-keyed voiced middle
+    * addressed by position WITHIN the recording (v = i − lead), so the
+    * voiced samples of two variants of one recording are identical.
+    */
+  def vSampleAt(id: Long, i: Int): Int = {
+    val lead = vLeadQuiet(id)
+    val rec = recOf(id)
+    if (i < lead || i >= lead + voicedLen(rec))
+      ((7L * i + id) % 33 - 16).toInt
+    else {
+      val v = i - lead
+      val a = 3 + (rec % 5)
+      val mag = 1000 + ((a * v + rec) % 1000)
+      (if (v % 2 == 0) mag else -mag).toInt
+    }
+  }
+
+  /** documents → (doc_id, payload) over the PAD-VARIANT fixture — same real
+    * WAV wire format as [[withAudioPayload]], content per [[vSampleAt]].
+    */
+  def withAudioPayloadVariants(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(it => it.map(id =>
+        (id, encodeWavPcm(vSampleRate(id), vNSamples(id), vSampleAt(id, _)))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Pad-invariant acoustic fingerprint, computed in CATALYST over the
+    * kernel's frame rows: trim quiet head/tail frames ([[silenceTrim]]
+    * bounds), then md5 the ordered voiced-frame energy sequence. Because
+    * the trim drops every padding frame and energies are integer-exact,
+    * two re-padded copies of one recording collide exactly; no all-pairs
+    * comparison ever happens — dedup is a hash groupBy, the cheapest shape
+    * there is. Output: (doc_id, fingerprint, n_voiced).
+    */
+  def audioFingerprint(frames: DataFrame): DataFrame = {
+    val bounds = silenceTrim(frames)
+      .select(col("doc_id"), col("first_voiced"), col("last_voiced"))
+    frames
+      .join(bounds, Seq("doc_id"))
+      .filter(col("frame_idx").between(col("first_voiced"), col("last_voiced")))
+      .groupBy(col("doc_id"))
+      .agg(
+        md5(
+          array_join(
+            transform(
+              array_sort(
+                collect_list(
+                  struct((col("frame_idx") - col("first_voiced")).as("rel"),
+                    col("energy").as("energy")))),
+              x => x.getField("energy").cast("string")
+            ),
+            ","
+          ).cast("binary")
+        ).as("fingerprint"),
+        count(lit(1)).as("n_voiced")
+      )
+  }
+
+  /** Audio dedup over the fingerprint: per doc its cluster representative
+    * (min doc id sharing the fingerprint) and cluster size. Exact-hash
+    * collapse — the same map+agg+broadcast-join shape as exact text dedup
+    * ([[Dedup]]), now invariant to silence padding instead of whitespace.
+    */
+  def audioDedup(fps: DataFrame): DataFrame = {
+    val clusters = fps
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_variants"))
+    fps
+      .join(broadcast(clusters), Seq("fingerprint"))
+      .select(
+        col("doc_id"),
+        col("fingerprint"),
+        col("rep"),
+        col("n_variants"),
+        (col("doc_id") =!= col("rep")).as("is_dup")
+      )
+  }
+
+  /** VAD-style silence trim, computed in CATALYST over the frame rows (the
+    * kernel only measured energy): per clip — frame counts, voiced frame
+    * span, and the kept sample range after trimming quiet head/tail frames.
+    * Every clip has a voiced middle by fixture construction, so the span
+    * columns are total. The aggregation is a plain partial-aggregable
+    * groupBy — no window, no skew surface.
+    */
+  def silenceTrim(frames: DataFrame): DataFrame = {
+    val voiced = col("energy") >= lit(VoicedThreshold)
+    frames
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(voiced, 1L).otherwise(0L)).as("n_voiced"),
+        min(when(voiced, col("frame_idx"))).as("first_voiced"),
+        max(when(voiced, col("frame_idx"))).as("last_voiced"),
+        sum(col("n_in_frame")).as("n_samples")
+      )
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        col("n_voiced"),
+        col("first_voiced"),
+        col("last_voiced"),
+        (least(col("n_samples"), (col("last_voiced") + 1) * FrameLen)
+          - col("first_voiced") * FrameLen).as("kept_samples")
+      )
+  }
+}

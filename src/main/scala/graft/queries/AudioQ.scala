@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.Audio
+
+/** Audio-modality query surface. Payloads are REAL WAV streams (JDK
+  * RIFF/WAVE encoder); content is the closed-form PCM16 clip of
+  * [[Audio.sampleAt]], so every decoder/kernel output below is replayed
+  * integer-exactly by the DuckDB oracle without a codec.
+  */
+object AudioQ {
+
+  /** Shared oracle CTEs: per-clip parameters `p`, matching
+    * [[Audio.nSamples]]/[[Audio.sampleRate]]/[[Audio.leadQuiet]]/
+    * [[Audio.tailQuiet]], and the sample formula of [[Audio.sampleAt]]
+    * inlined where needed.
+    */
+  private val paramsSql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    (240 + (doc_id % 5) * 50) AS n,
+      |    (8000 + 4000 * (doc_id % 3)) AS rate,
+      |    (50 * (doc_id % 3)) AS lead,
+      |    (30 * ((doc_id // 3) % 2)) AS tail,
+      |    (3 + (doc_id % 5)) AS a
+      |  FROM documents)
+      |""".stripMargin
+
+  /** `sampleAt` as a DuckDB expression over lambda var `i` (needs p's
+    * columns n/lead/tail/a in scope). */
+  private val sampleExpr =
+    """CASE WHEN i < lead OR i >= n - tail
+      |  THEN (7 * i + doc_id) % 33 - 16
+      |  ELSE (CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END) * (1000 + (a * i + doc_id) % 1000)
+      |END""".stripMargin
+
+  private def frameEnergySql(loExpr: String, hiExpr: String) =
+    s"""list_sum(list_transform(
+       |  list_transform(generate_series($loExpr, $hiExpr), i -> $sampleExpr),
+       |  v -> v * v))::BIGINT""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "m_audio_meta",
+      (s, d) =>
+        Audio
+          .decodeAudio(s, Audio.withAudioPayload(s, Tables.documents(s, d)))
+          .toDF()
+          .orderBy("doc_id"),
+      Some(
+        s"""$paramsSql
+           |SELECT doc_id, 'pcm_signed' AS encoding,
+           |  rate::BIGINT AS sample_rate, 1::BIGINT AS channels,
+           |  16::BIGINT AS bits, n::BIGINT AS n_samples,
+           |  list_sum(list_transform(generate_series(0, n - 1), i -> $sampleExpr))::BIGINT AS amp_sum,
+           |  (n * 1000000 // rate)::BIGINT AS duration_micros
+           |FROM p ORDER BY doc_id""".stripMargin
+      ),
+      doc = "REAL audio decode: AudioSystem parses the RIFF/WAVE container " +
+        "in mapPartitions — encoding/rate/channels/bits from the codec's " +
+        "format introspection, sample count + amplitude sum + integral " +
+        "duration from the decoded PCM, verified against the closed-form " +
+        "clip content."
+    ),
+    Q(
+      "m_audio_frames",
+      (s, d) =>
+        Audio
+          .frameEnergies(s, Audio.withAudioPayload(s, Tables.documents(s, d)))
+          .toDF()
+          .withColumn("voiced", col("energy") >= lit(Audio.VoicedThreshold))
+          .orderBy("doc_id", "frame_idx"),
+      Some(
+        s"""$paramsSql
+           |SELECT doc_id, f.frame_idx::BIGINT AS frame_idx,
+           |  (least((f.frame_idx + 1) * 50, n) - f.frame_idx * 50)::BIGINT AS n_in_frame,
+           |  ${frameEnergySql("f.frame_idx * 50", "least((f.frame_idx + 1) * 50, n) - 1")} AS energy,
+           |  (${frameEnergySql("f.frame_idx * 50", "least((f.frame_idx + 1) * 50, n) - 1")} >= 500000) AS voiced
+           |FROM p, (SELECT unnest(generate_series(0, 8)) AS frame_idx) f
+           |WHERE f.frame_idx * 50 < n
+           |ORDER BY doc_id, frame_idx""".stripMargin
+      ),
+      doc = "Per-frame integer energy over the decoded PCM (50-sample " +
+        "tiling, last frame partial): the kernel measures sum-of-squares " +
+        "only; the voiced/silence classification is a Catalyst column on " +
+        "top — policy lives in the plan, not the codec loop. Every energy " +
+        "value bit-replayed by the oracle."
+    ),
+    Q(
+      "m_audio_trim",
+      (s, d) =>
+        Audio
+          .silenceTrim(
+            Audio
+              .frameEnergies(s, Audio.withAudioPayload(s, Tables.documents(s, d)))
+              .toDF()
+          )
+          .orderBy("doc_id"),
+      Some(
+        s"""$paramsSql, fr AS (
+           |  SELECT doc_id, f.frame_idx AS frame_idx, n,
+           |    ${frameEnergySql("f.frame_idx * 50", "least((f.frame_idx + 1) * 50, n) - 1")} AS energy
+           |  FROM p, (SELECT unnest(generate_series(0, 8)) AS frame_idx) f
+           |  WHERE f.frame_idx * 50 < n)
+           |SELECT doc_id,
+           |  count(*)::BIGINT AS n_frames,
+           |  sum(CASE WHEN energy >= 500000 THEN 1 ELSE 0 END)::BIGINT AS n_voiced,
+           |  min(CASE WHEN energy >= 500000 THEN frame_idx END)::BIGINT AS first_voiced,
+           |  max(CASE WHEN energy >= 500000 THEN frame_idx END)::BIGINT AS last_voiced,
+           |  (least(min(n), (max(CASE WHEN energy >= 500000 THEN frame_idx END) + 1) * 50)
+           |    - min(CASE WHEN energy >= 500000 THEN frame_idx END) * 50)::BIGINT AS kept_samples
+           |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      ),
+      doc = "VAD-style silence trim: voiced-frame span and kept sample " +
+        "range per clip, aggregated in Catalyst over the kernel's frame " +
+        "rows (plain partial-aggregable groupBy — no window, no skew " +
+        "surface). The speech-corpus preprocessing twin of the text " +
+        "pipeline's quality gates."
+    ),
+    Q(
+      "m_audio_fp",
+      (s, d) =>
+        Audio
+          .audioFingerprint(
+            Audio
+              .frameEnergies(s, Audio.withAudioPayloadVariants(s, Tables.documents(s, d)))
+              .toDF()
+          )
+          .orderBy("doc_id"),
+      Some(
+        s"""$variantFpSql
+           |SELECT p.doc_id, fp.fingerprint, fp.n_voiced
+           |FROM p JOIN fp USING (rec) ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Pad-invariant acoustic fingerprint: trim quiet head/tail " +
+        "frames, md5 the ordered voiced-frame energy sequence. Re-padded " +
+        "copies of one recording collide exactly; the oracle re-derives " +
+        "every energy and the md5 from the closed-form recording content."
+    ),
+    Q(
+      "m_audio_dups",
+      (s, d) =>
+        Audio
+          .audioDedup(
+            Audio.audioFingerprint(
+              Audio
+                .frameEnergies(s, Audio.withAudioPayloadVariants(s, Tables.documents(s, d)))
+                .toDF()
+            )
+          )
+          .drop("n_voiced")
+          .orderBy("doc_id"),
+      Some(
+        s"""$variantFpSql,
+           |fpd AS (SELECT p.doc_id, fp.fingerprint FROM p JOIN fp USING (rec)),
+           |cl AS (SELECT fingerprint, min(doc_id) AS rep, count(*) AS n_variants
+           |       FROM fpd GROUP BY fingerprint)
+           |SELECT fpd.doc_id, fpd.fingerprint, cl.rep, cl.n_variants,
+           |  (fpd.doc_id != cl.rep) AS is_dup
+           |FROM fpd JOIN cl USING (fingerprint) ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Audio dedup by pad-invariant fingerprint: exact-hash collapse " +
+        "to a representative per recording — the map+agg+broadcast-join " +
+        "shape of exact text dedup, catching the byte-different re-padded " +
+        "re-uploads byte dedup misses. No pairwise comparison anywhere."
+    )
+  )
+
+  /** Oracle CTEs for the pad-variant fixture: recording-keyed voiced-frame
+    * energies and their md5 fingerprint, replaying
+    * [[Audio.vSampleAt]]/[[Audio.audioFingerprint]] closed-form. Padding
+    * frames never appear: they are trimmed by construction (frame-aligned
+    * pads, voiced length a multiple of the frame), so the energy list
+    * depends only on the recording id. Sign of a sample is irrelevant
+    * under sum-of-squares, hence no alternating-sign CASE here.
+    */
+  private def variantFpSql: String =
+    """WITH p AS (SELECT doc_id, doc_id % 40 AS rec FROM documents),
+      |r AS (SELECT DISTINCT rec, (150 + (rec % 4) * 50) // 50 AS nf,
+      |        3 + (rec % 5) AS a
+      |      FROM p),
+      |fp AS (
+      |  SELECT rec,
+      |    md5(array_to_string(
+      |      list_transform(generate_series(0, nf - 1),
+      |        j -> list_sum(list_transform(generate_series(j * 50, j * 50 + 49),
+      |               v -> (1000 + (a * v + rec) % 1000)
+      |                    * (1000 + (a * v + rec) % 1000)))::BIGINT),
+      |      ',')) AS fingerprint,
+      |    nf::BIGINT AS n_voiced
+      |  FROM r)""".stripMargin
+}

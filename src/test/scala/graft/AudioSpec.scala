@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Audio
+
+class AudioSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("audio payloads are real RIFF/WAVE streams and decode round-trips exactly") {
+    val docs = Tables.documents(spark, sf).limit(25)
+    val payloads = Audio.withAudioPayload(spark, docs)
+    // Real container format on the wire: RIFF....WAVE magic.
+    payloads.collect().foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF", s"doc ${r.getLong(0)}: not RIFF")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE", s"doc ${r.getLong(0)}: not WAVE")
+    }
+    // Decoded format fields + PCM content match the closed-form clip.
+    Audio.decodeAudio(spark, payloads).collect().foreach { m =>
+      assert(m.encoding == "pcm_signed" && m.channels == 1 && m.bits == 16)
+      assert(m.sample_rate == Audio.sampleRate(m.doc_id))
+      val n = Audio.nSamples(m.doc_id)
+      assert(m.n_samples == n.toLong)
+      val want = (0 until n).map(i => Audio.sampleAt(m.doc_id, i).toLong).sum
+      assert(m.amp_sum == want, s"doc ${m.doc_id}: amp_sum ${m.amp_sum} != $want")
+      assert(m.duration_micros == n.toLong * 1000000L / m.sample_rate)
+    }
+  }
+
+  test("frame energies tile the clip exactly and recompute from the formula") {
+    val docs = Tables.documents(spark, sf).limit(25)
+    val frames = Audio
+      .frameEnergies(spark, Audio.withAudioPayload(spark, docs))
+      .collect()
+      .groupBy(_.doc_id)
+    frames.foreach { case (id, fs) =>
+      val n = Audio.nSamples(id)
+      val nf = (n + Audio.FrameLen - 1) / Audio.FrameLen
+      assert(fs.length == nf, s"doc $id: ${fs.length} frames != $nf")
+      assert(fs.map(_.n_in_frame).sum == n.toLong, s"doc $id: frame tiling lossy")
+      fs.foreach { f =>
+        val lo = f.frame_idx.toInt * Audio.FrameLen
+        val hi = math.min(lo + Audio.FrameLen, n)
+        val want = (lo until hi).map { i =>
+          val s = Audio.sampleAt(id, i).toLong; s * s
+        }.sum
+        assert(f.energy == want, s"doc $id frame ${f.frame_idx}: ${f.energy} != $want")
+      }
+    }
+  }
+
+  test("silence trim keeps the voiced span and drops frame-aligned quiet lead") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val trimmed = Audio
+      .silenceTrim(Audio.frameEnergies(spark, Audio.withAudioPayload(spark, docs)).toDF())
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    trimmed.foreach { case (id, r) =>
+      val n = Audio.nSamples(id)
+      val lead = Audio.leadQuiet(id) // frame-aligned by fixture construction
+      val firstVoiced = r.getLong(3)
+      val lastVoiced = r.getLong(4)
+      val kept = r.getLong(5)
+      // Quiet lead is exactly leadQuiet/FrameLen frames, so the trim must
+      // start at that frame.
+      assert(firstVoiced == lead / Audio.FrameLen, s"doc $id: first_voiced")
+      // Every sample of the voiced middle survives the trim: the kept range
+      // [first_voiced*50, min(n, (last_voiced+1)*50)) covers [lead, n-tail).
+      val keptLo = firstVoiced * Audio.FrameLen
+      val keptHi = math.min(n.toLong, (lastVoiced + 1) * Audio.FrameLen)
+      assert(keptLo <= lead.toLong && keptHi >= (n - Audio.tailQuiet(id)).toLong,
+        s"doc $id: voiced middle truncated")
+      assert(kept == keptHi - keptLo, s"doc $id: kept_samples")
+      // And the trim is real whenever there is a frame-aligned quiet head.
+      assert(kept <= n.toLong - keptLo)
+    }
+  }
+
+  test("fingerprint is pad-invariant: variants of one recording collide, distinct recordings don't") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val fps = Audio
+      .audioFingerprint(
+        Audio.frameEnergies(spark, Audio.withAudioPayloadVariants(spark, docs)).toDF()
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // Same recording (doc_id % DupMod) → same fingerprint, despite the
+    // byte-different doc-keyed padding; different recording → different.
+    val byRec = fps.groupBy { case (id, _) => Audio.recOf(id) }
+    byRec.foreach { case (rec, members) =>
+      assert(members.map(_._2).distinct.length == 1, s"rec $rec: fingerprints diverge across pad variants")
+    }
+    assert(byRec.map(_._2.head._2).toSeq.distinct.length == byRec.size,
+      "distinct recordings produced colliding fingerprints")
+    // Invariance is non-vacuous: pick two variants of one recording with
+    // DIFFERENT padding signatures (same-rec docs with identical lead+tail
+    // are byte-identical by design — that's plain exact dedup) and check
+    // their payload bytes differ.
+    val ids = fps.map(_._1)
+    val sameRec = ids
+      .groupBy(Audio.recOf)
+      .values
+      .flatMap { g =>
+        val byPad = g.groupBy(id => (Audio.vLeadQuiet(id), Audio.vTailQuiet(id)))
+        if (byPad.size >= 2) Some(byPad.values.map(_.head).take(2).toSeq) else None
+      }
+      .head
+    val payloads = Audio
+      .withAudioPayloadVariants(spark, docs)
+      .filter(org.apache.spark.sql.functions.col("doc_id").isin(sameRec: _*))
+      .collect()
+      .map(r => r.getAs[Array[Byte]]("payload"))
+    assert(payloads.length == 2 && !payloads(0).sameElements(payloads(1)),
+      "fixture degenerate: pad variants are byte-identical")
+  }
+
+  test("audioDedup collapses every recording to its min-doc representative") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val out = Audio
+      .audioDedup(
+        Audio.audioFingerprint(
+          Audio.frameEnergies(spark, Audio.withAudioPayloadVariants(spark, docs)).toDF()
+        )
+      )
+      .collect()
+    val byRec = out.groupBy(r => Audio.recOf(r.getLong(0)))
+    byRec.foreach { case (rec, rows) =>
+      val wantRep = rows.map(_.getLong(0)).min
+      rows.foreach { r =>
+        assert(r.getAs[Long]("rep") == wantRep, s"rec $rec: wrong representative")
+        assert(r.getAs[Long]("n_variants") == rows.length.toLong)
+        assert(r.getAs[Boolean]("is_dup") == (r.getLong(0) != wantRep))
+      }
+    }
+  }
+}
