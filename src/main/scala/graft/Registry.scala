@@ -11,6 +11,7 @@ object Registry {
       queries.SimilarityQ.all ++
       queries.MultimodalQ.all ++
       queries.AudioQ.all ++
+      queries.VideoQ.all ++
       queries.PipelineQ.all ++
       queries.VersionedQ.all
 

@@ -65,7 +65,7 @@ object Multimodal {
     ((x + 2L * y + id) % 256).toInt
   )
 
-  private def toBufferedImage(id: Long): java.awt.image.BufferedImage = {
+  private[operators] def toBufferedImage(id: Long): java.awt.image.BufferedImage = {
     val (w, h) = imageDims(id)
     val img =
       new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -82,7 +82,7 @@ object Multimodal {
     img
   }
 
-  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+  private[operators] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -272,28 +272,35 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          val w = img.getWidth
-          val h = img.getHeight
-          def gray(x: Int, y: Int): Int = {
-            val p = img.getRGB(x, y)
-            (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
-          }
-          var hash = 0L
-          var j = 0
-          while (j < HashRows) {
-            val yj = j * h / HashRows
-            var k = 0
-            while (k < HashCols) {
-              val xa = k * w / (HashCols + 1)
-              val xb = (k + 1) * w / (HashCols + 1)
-              if (gray(xa, yj) < gray(xb, yj)) hash |= 1L << (j * HashCols + k)
-              k += 1
-            }
-            j += 1
-          }
-          ImageHash(id, hash)
+          ImageHash(id, dhashOf(img))
         }
       }
+  }
+
+  /** The dHash grid kernel over a decoded raster — shared by the per-image
+    * path above and the per-video-frame path ([[Video]]).
+    */
+  private[operators] def dhashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    def gray(x: Int, y: Int): Int = {
+      val p = img.getRGB(x, y)
+      (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+    }
+    var hash = 0L
+    var j = 0
+    while (j < HashRows) {
+      val yj = j * h / HashRows
+      var k = 0
+      while (k < HashCols) {
+        val xa = k * w / (HashCols + 1)
+        val xb = (k + 1) * w / (HashCols + 1)
+        if (gray(xa, yj) < gray(xb, yj)) hash |= 1L << (j * HashCols + k)
+        k += 1
+      }
+      j += 1
+    }
+    hash
   }
 
   /** Image near-dup pairs over the dHash column — the production two-stage

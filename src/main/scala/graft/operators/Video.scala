@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Video-modality plumbing: a video is an opaque `binary` column holding a
+  * length-prefixed stream of REAL PNG frames.
+  *
+  * There is no video codec in the JVM, so the CONTAINER is the honest
+  * minimal one — `GVID` magic, big-endian frame count, then per frame a
+  * big-endian byte length and the frame's full PNG stream — while every
+  * FRAME is a real `javax.imageio` PNG round-trip, exactly the image
+  * family's contract ([[Multimodal]]). Container parsing, per-frame codec
+  * decode, and per-frame perceptual hashing all run in `mapPartitions`
+  * (one codec-registry init per partition; one bounded row out per frame);
+  * everything downstream — scene-overlap scoring, near-dup thresholds — is
+  * ordinary columnar Spark.
+  *
+  * Fixture contract (the oracle's side): doc `id` shows scenes
+  * `start(id) + f` (f = 0..nFrames(id)−1) of RECORDING `id % DupMod`;
+  * a scene is the deterministic [[Multimodal]] image of the composite id
+  * `sceneId = rec·64 + sceneIdx`. Docs of one recording are byte-different
+  * videos (different start offset / frame count) whose shared scenes are
+  * pixel-identical — the re-cut/trimmed-intro duplicate class a byte hash
+  * can't see. Everything is closed-form, so the DuckDB oracle replays
+  * frame metadata, every dHash, and the overlap verdicts bit-exactly.
+  *
+  * Reference scope note: the reference engine
+  * (`/root/reference/src/index.js`) has no media path; this family is
+  * extension surface for the training-data pipeline (video corpora:
+  * scene-level dedup before training), composed from the engine's own
+  * dedup machinery.
+  */
+object Video {
+
+  /** Distinct recordings in the fixture: rec = doc_id % DupMod. */
+  val DupMod = 50L
+
+  def recOf(id: Long): Long = ((id % DupMod) + DupMod) % DupMod
+
+  /** First scene shown (temporal shift — the trimmed-intro variant). */
+  def startOf(id: Long): Int = (id % 3).toInt
+
+  /** Frames in the doc's video: 4..6. */
+  def nFrames(id: Long): Int = (4 + (id / 3) % 3).toInt
+
+  /** Composite scene id of frame f of doc id. Scene indexes stay < 64, so
+    * scene ids never collide across recs.
+    */
+  def sceneOf(id: Long, f: Int): Long = recOf(id) * 64L + startOf(id) + f
+
+  /** Scene raster dimensions — always larger than the dHash sample grid
+    * (11×6), so adjacent grid columns never collapse onto one pixel.
+    */
+  def sceneDims(sid: Long): (Int, Int) = ((16 + sid % 13).toInt, (12 + sid % 7).toInt)
+
+  /** Closed-form scene pixels. Unlike the image fixture's linear channels
+    * (whose horizontal gradient signs barely depend on the id — fine for a
+    * per-image hash check, catastrophic for an inverted index over scene
+    * hashes: with near-constant gradients most scenes collide and the
+    * hash-equijoin degenerates toward all-pairs), these mix per-scene
+    * coefficients with quadratic terms so distinct scenes get distinct
+    * gradient patterns. The dedup predicate is only as selective as the
+    * fingerprint is discriminative — that's a scale property, not a
+    * cosmetic one.
+    */
+  def scenePixel(sid: Long, x: Int, y: Int): (Int, Int, Int) = {
+    val ax = 1 + sid % 7
+    val ay = 1 + sid % 5
+    (
+      ((ax * x * x + ay * y + sid) % 256).toInt,
+      ((ay * x + ax * y * y + 2 * sid) % 256).toInt,
+      ((ax * x * y + sid) % 256).toInt
+    )
+  }
+
+  private def sceneImage(sid: Long): java.awt.image.BufferedImage = {
+    val (w, h) = sceneDims(sid)
+    val img =
+      new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = scenePixel(sid, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encodeVideo(id: Long): Array[Byte] = {
+    val frames = (0 until nFrames(id)).map(f =>
+      Multimodal.encodePng(sceneImage(sceneOf(id, f))))
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GVID")
+    out.writeInt(frames.length)
+    frames.foreach { png => out.writeInt(png.length); out.write(png) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Parse the container: per frame its PNG byte slice. */
+  private def framesOf(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    require(new String(magic, "US-ASCII") == "GVID", "not a GVID stream")
+    val n = in.readInt()
+    (0 until n).map { _ =>
+      val len = in.readInt()
+      val png = new Array[Byte](len)
+      in.readFully(png)
+      png
+    }
+  }
+
+  /** documents → (doc_id, payload: binary): the ingest step — a real
+    * container of real PNG frames, generated in mapPartitions where a
+    * fetch-and-transcode stage would run.
+    */
+  def withVideoPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => (id, encodeVideo(id)))
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-frame decode result. */
+  case class VideoFrame(doc_id: Long, frame_idx: Long, width: Long, height: Long, px_sum: Long)
+
+  /** REAL DECODE: parse the container, run the PNG codec on every frame,
+    * emit (frame_idx, dimensions, pixel sum) per frame.
+    */
+  def decodeVideoFrames(spark: SparkSession, payloads: DataFrame): Dataset[VideoFrame] = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          framesOf(bytes).iterator.zipWithIndex.map { case (png, f) =>
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            VideoFrame(id, f.toLong, img.getWidth.toLong, img.getHeight.toLong, sum)
+          }
+        }
+      }
+  }
+
+  /** Per-frame perceptual hash: the [[Multimodal.dhashOf]] grid over each
+    * decoded frame — (doc_id, frame_idx, dhash), the video's scene
+    * signature rows.
+    */
+  def videoFrameHashes(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          framesOf(bytes).iterator.zipWithIndex.map { case (png, f) =>
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+            (id, f.toLong, Multimodal.dhashOf(img))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "dhash")
+  }
+
+  /** Video near-dup pairs by SCENE OVERLAP: two videos are near-dups when
+    * the overlap coefficient of their frame-hash SETS clears the permille
+    * threshold — temporal-shift-invariant (a re-cut sharing most scenes
+    * matches even though no byte, frame index, or frame count agrees).
+    *
+    * Distributed shape: candidate pairs come from an equijoin on the frame
+    * hash itself (an inverted index over scenes — only videos sharing at
+    * least one scene ever meet; no all-pairs stage), then one
+    * partial-aggregable count of distinct shared hashes per pair. Signature
+    * sizes are a per-doc count broadcast back onto the pair rows. All
+    * outputs integral: matches, set sizes, permille overlap.
+    */
+  def videoDups(hashes: DataFrame, permille: Long = 500L): DataFrame = {
+    val sig = hashes.select(col("doc_id"), col("dhash")).distinct()
+    val sizes = sig.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sig
+      .join(sig.select(col("doc_id").as("b_id"), col("dhash")), Seq("dhash"))
+      .filter(col("doc_id") < col("b_id"))
+      .groupBy(col("doc_id").as("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("matches")) // sig rows are distinct per doc, so count = |A∩B|
+    pairs
+      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n"))), Seq("a_id"))
+      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n"))), Seq("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        col("matches"),
+        col("a_n"),
+        col("b_n"),
+        expr("(matches * 1000) DIV least(a_n, b_n)").as("overlap_permille")
+      )
+      .filter(col("overlap_permille") >= lit(permille))
+  }
+}

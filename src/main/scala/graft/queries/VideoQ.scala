@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.Video
+
+/** Video-modality query surface. Payloads are GVID containers of REAL PNG
+  * frames; scene content is the closed-form [[graft.operators.Multimodal]]
+  * image of `sceneId = (doc_id % 50)·64 + (doc_id % 3) + frame_idx`, so
+  * frame metadata, every per-frame dHash, and the scene-overlap near-dup
+  * verdicts are replayed bit-exactly by the DuckDB oracle without codecs.
+  */
+object VideoQ {
+
+  /** Frame spine: one row per (doc, frame) with the composite scene id —
+    * replays [[Video.sceneOf]]/[[Video.nFrames]]/[[Video.startOf]].
+    */
+  private val framesSql =
+    """WITH fr AS (
+      |  SELECT doc_id, f.frame_idx AS frame_idx,
+      |    (doc_id % 50) * 64 + (doc_id % 3) + f.frame_idx AS sid
+      |  FROM documents, (SELECT unnest(generate_series(0, 5)) AS frame_idx) f
+      |  WHERE f.frame_idx < 4 + (doc_id // 3) % 3)
+      |""".stripMargin
+
+  /** Scene channel formulas of [[Video.scenePixel]] (per-scene quadratic
+    * mixing; ax = 1 + sid%7, ay = 1 + sid%5) and dimensions of
+    * [[Video.sceneDims]].
+    */
+  private def rSql(xe: String, ye: String) =
+    s"((1 + sid % 7) * ($xe) * ($xe) + (1 + sid % 5) * ($ye) + sid) % 256"
+  private def gSql(xe: String, ye: String) =
+    s"((1 + sid % 5) * ($xe) + (1 + sid % 7) * ($ye) * ($ye) + 2 * sid) % 256"
+  private def bSql(xe: String, ye: String) =
+    s"((1 + sid % 7) * ($xe) * ($ye) + sid) % 256"
+  private val wSql = "(16 + sid % 13)"
+  private val hSql = "(12 + sid % 7)"
+
+  /** The dHash grid of [[graft.operators.Multimodal.dhashOf]] over the
+    * scene `sid`'s closed-form pixels.
+    */
+  private val sceneDhash = {
+    def gray(xe: String, ye: String) =
+      s"((${rSql(xe, ye)}) + (${gSql(xe, ye)}) + (${bSql(xe, ye)})) // 3"
+    val xa = s"(((k%10) * $wSql)//11)"
+    val xb = s"((((k%10)+1) * $wSql)//11)"
+    val yj = s"(((k//10) * $hSql)//6)"
+    s"""list_sum(list_transform(generate_series(0, 59), k ->
+       |  CASE WHEN ${gray(xa, yj)} < ${gray(xb, yj)}
+       |  THEN (1::BIGINT << k) ELSE 0::BIGINT END))::BIGINT""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "m_video_meta",
+      (s, d) =>
+        Video
+          .decodeVideoFrames(s, Video.withVideoPayload(s, Tables.documents(s, d)))
+          .toDF()
+          .orderBy("doc_id", "frame_idx"),
+      Some(
+        s"""$framesSql
+           |SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+           |  $wSql::BIGINT AS width, $hSql::BIGINT AS height,
+           |  list_sum(flatten(list_transform(generate_series(0, $hSql - 1), y ->
+           |    list_transform(generate_series(0, $wSql - 1), x ->
+           |      (${rSql("x", "y")}) + (${gSql("x", "y")}) + (${bSql("x", "y")})
+           |    ))))::BIGINT AS px_sum
+           |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+      ),
+      doc = "REAL video decode: parse the GVID container, run the PNG " +
+        "codec on every frame in mapPartitions — per-frame dimensions and " +
+        "pixel sums from the decoded rasters, verified against the " +
+        "closed-form scene content."
+    ),
+    Q(
+      "m_video_dhash",
+      (s, d) =>
+        Video
+          .videoFrameHashes(s, Video.withVideoPayload(s, Tables.documents(s, d)))
+          .orderBy("doc_id", "frame_idx"),
+      Some(
+        s"""$framesSql
+           |SELECT doc_id, frame_idx::BIGINT AS frame_idx, $sceneDhash AS dhash
+           |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+      ),
+      doc = "Per-frame perceptual hash: the image family's dHash grid over " +
+        "each decoded video frame — the video's scene signature, " +
+        "bit-checked against the closed-form pixels."
+    ),
+    Q(
+      "m_video_dups",
+      (s, d) =>
+        Video
+          .videoDups(
+            Video.videoFrameHashes(s, Video.withVideoPayload(s, Tables.documents(s, d)))
+          )
+          .orderBy("a_id", "b_id"),
+      Some(
+        s"""$framesSql,
+           |hx AS (SELECT DISTINCT doc_id, $sceneDhash AS dhash FROM fr),
+           |sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM hx GROUP BY doc_id),
+           |pm AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS matches
+           |       FROM hx a JOIN hx b ON a.dhash = b.dhash AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2)
+           |SELECT a_id, b_id, matches, sa.n AS a_n, sb.n AS b_n,
+           |  (matches * 1000 // least(sa.n, sb.n))::BIGINT AS overlap_permille
+           |FROM pm JOIN sz sa ON pm.a_id = sa.doc_id JOIN sz sb ON pm.b_id = sb.doc_id
+           |WHERE matches * 1000 // least(sa.n, sb.n) >= 500
+           |ORDER BY a_id, b_id""".stripMargin
+      ),
+      doc = "Video near-dup by scene overlap: candidate pairs from an " +
+        "equijoin on the frame hash (an inverted index over scenes — only " +
+        "videos sharing a scene ever meet, no all-pairs stage), distinct " +
+        "shared-hash count per pair, integral permille overlap " +
+        "coefficient >= 500. Catches re-cuts and trimmed-intro variants " +
+        "that share no byte, frame index, or frame count."
+    )
+  )
+}
