@@ -953,6 +953,100 @@ object SimilarityQ {
         "code read -> ADC shortlist -> exact rerank): oracle checks " +
         "per-query recall@5 >= 0.4 vs s_ann_brute plus cardinality; " +
         "pruning + parity-vs-exact-IVF pinned in SimilaritySpec."
+    ),
+    // ---- hybrid retrieval: the RAG-era query shape — one information
+    // need expressed both lexically (the corpus top bigram against the
+    // persisted inverted index) and semantically (a probe embedding
+    // against the vector corpus), fused by Reciprocal Rank Fusion. RRF
+    // scores are integral parts-per-billion (1e9 DIV (60 + rank)), so the
+    // fused ranking is bit-stable on any engine. Both legs are bounded
+    // top-20 reads (index seek / brute top-k — at scale the vector leg
+    // swaps to IvfIndex.search, same (doc, rank) interface); fusion joins
+    // two k-row frames — driver-trivial, corpus-size-independent.
+    Q(
+      "s_hybrid_search",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val dir = graft.operators.TextIndex.defaultDir(d, docs)
+        graft.operators.TextIndex.ensureBuilt(docs, dir)
+        val (w1, w2) = graft.operators.TextIndex.topBigram(s, dir)
+        // rank over the ALREADY-LIMITED k rows — the window never sees
+        // more than 20 rows, no global-sort hazard
+        val term = graft.operators.TextIndex
+          .searchTopK(s, dir, Seq(w1, w2), 20)
+          .withColumn(
+            "trank",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long")
+          )
+          .select(col("doc_id"), col("trank"))
+        val emb = Tables.embeddings(s, d)
+        val vec = Similarity
+          .bruteTopK(emb.filter(col("vec_id") === 0), emb, k = 20)
+          .select(col("neighbor_id").as("doc_id"), col("rank").as("vrank"))
+        term
+          .join(vec, Seq("doc_id"), "full_outer")
+          .select(
+            col("doc_id"),
+            coalesce(col("trank"), lit(0L)).as("trank"),
+            coalesce(col("vrank"), lit(0L)).as("vrank"),
+            (when(col("trank").isNotNull, expr("1000000000 DIV (60 + trank)"))
+              .otherwise(lit(0L)) +
+              when(col("vrank").isNotNull, expr("1000000000 DIV (60 + vrank)"))
+                .otherwise(lit(0L))).as("rrf_ppb")
+          )
+          .orderBy(col("rrf_ppb").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some {
+        val toks =
+          s"list_filter(${graft.operators.Text.tokensSqlAll("text")}, w -> length(w) > 1)"
+        s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+           |tok AS (
+           |  SELECT doc_id, unnest(t) AS term,
+           |         unnest(generate_series(1, len(t))) - 1 AS pos
+           |  FROM tk),
+           |post AS (SELECT term, doc_id, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+           |bg AS (
+           |  SELECT a.term AS w1, b.term AS w2, COUNT(*) AS c
+           |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           |  GROUP BY 1, 2),
+           |top AS (SELECT w1, w2 FROM bg ORDER BY c DESC, w1, w2 LIMIT 1),
+           |q AS (SELECT DISTINCT term FROM
+           |        (SELECT w1 AS term FROM top UNION ALL SELECT w2 FROM top)),
+           |n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+           |p AS (SELECT post.term, post.doc_id, post.tf FROM post JOIN q USING (term)),
+           |dfq AS (SELECT term, COUNT(*)::BIGINT AS df FROM p GROUP BY term),
+           |tl AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS trank
+           |  FROM (
+           |    SELECT p.doc_id, SUM(p.tf * ((1000000 * n.n) // dfq.df))::BIGINT AS score
+           |    FROM p JOIN dfq USING (term) CROSS JOIN n
+           |    GROUP BY p.doc_id ORDER BY score DESC, doc_id LIMIT 20)),
+           |vq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |vl AS (
+           |  SELECT vec_id AS doc_id,
+           |    row_number() OVER (ORDER BY cos DESC, vec_id)::BIGINT AS vrank
+           |  FROM (
+           |    SELECT c.vec_id, ${cosSql("qe", "c.embedding")} AS cos
+           |    FROM embeddings c CROSS JOIN vq WHERE c.vec_id != 0
+           |    ORDER BY cos DESC, c.vec_id LIMIT 20)),
+           |f AS (
+           |  SELECT coalesce(tl.doc_id, vl.doc_id) AS doc_id,
+           |    coalesce(tl.trank, 0) AS trank, coalesce(vl.vrank, 0) AS vrank,
+           |    (CASE WHEN tl.trank IS NULL THEN 0 ELSE 1000000000 // (60 + tl.trank) END
+           |     + CASE WHEN vl.vrank IS NULL THEN 0 ELSE 1000000000 // (60 + vl.vrank) END
+           |    )::BIGINT AS rrf_ppb
+           |  FROM tl FULL OUTER JOIN vl ON tl.doc_id = vl.doc_id)
+           |SELECT doc_id, trank::BIGINT AS trank, vrank::BIGINT AS vrank, rrf_ppb
+           |FROM f ORDER BY rrf_ppb DESC, doc_id LIMIT 10""".stripMargin
+      },
+      doc = "Hybrid retrieval with Reciprocal Rank Fusion: the lexical leg " +
+        "is tf-idf top-20 from the persisted inverted index (partition-" +
+        "pruned seek), the semantic leg cosine top-20 for a probe " +
+        "embedding; fused score = sum of 1e9 DIV (60 + rank) per leg — " +
+        "pure integers, rank-stable on any engine. Both legs and the " +
+        "fusion are bounded k-row work regardless of corpus size."
     )
   )
 }
