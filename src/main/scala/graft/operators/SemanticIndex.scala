@@ -164,6 +164,22 @@ object SemanticIndex {
     )
   }
 
+  /** The persisted celled corpus itself — for consumers of the quantizer
+    * BLOCKING beyond dedup (e.g. [[Similarity.hardNegatives]] mining):
+    * build-once like every other reader here, then a plain parquet read.
+    */
+  def cells(
+      sfDir: String,
+      corpus: DataFrame,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256
+  ): DataFrame = {
+    val dir = defaultDir(sfDir, corpus)
+    ensureBuilt(corpus, dir, targetCellSize, maxCellSize, litK)
+    readCelled(corpus.sparkSession, dir)
+  }
+
   private def readCelled(spark: SparkSession, dir: String): DataFrame =
     spark.read
       .parquet(s"$dir/celled")

@@ -992,4 +992,38 @@ object Similarity {
       )
       .filter(col("cos") >= threshold)
   }
+
+  /** HARD-NEGATIVE MINING for contrastive training: per anchor, the k
+    * closest vectors that are NOT near-duplicates — same quantizer cell
+    * (so they are semantically adjacent: that's what makes them hard),
+    * cosine BELOW the dedup threshold (so they are genuinely different
+    * content, not leakage). Reuses the celled blocking as-is: the pair
+    * join is within-cell (corpus-linear, same bound as the dedup sweep)
+    * and per-anchor selection rides the bounded [[TopKByScore]] aggregate
+    * — no window over an unbounded partition anywhere.
+    */
+  def hardNegatives(celled: DataFrame, threshold: Double, k: Int): DataFrame = {
+    val a = celled.select(col("cell"), col("vec_id"), col("embedding"))
+    val b = celled.select(
+      col("cell"),
+      col("vec_id").as("neg_id"),
+      col("embedding").as("n_emb")
+    )
+    val scored = a
+      .join(b, Seq("cell"))
+      .filter(col("vec_id") =!= col("neg_id"))
+      .select(
+        col("vec_id").as("query_id"),
+        col("neg_id").as("neighbor_id"),
+        cosine(col("embedding"), col("n_emb")).as("cos")
+      )
+      .filter(col("cos") < threshold)
+    topKExplode(scored, k)
+      .select(
+        col("query_id").as("anchor"),
+        col("neighbor_id").as("neg_id"),
+        col("rank"),
+        col("cos")
+      )
+  }
 }

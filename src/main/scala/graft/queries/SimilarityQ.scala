@@ -20,7 +20,11 @@ object SimilarityQ {
     * assignment PATH (codegen literals vs broadcast join), which is
     * value-invariant by design.
     */
-  private def semanticScaledSql(thr: Double): String =
+  /** The WITH-prefix deriving the data-scaled celled corpus (seeds,
+    * argmax assignment, salted split) — shared by the dedup replay below
+    * and any consumer of the celled blocking (hard-negative mining).
+    */
+  private def celledCtes: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |kk AS (SELECT ((COUNT(*) + 49) // 50) AS k FROM e),
        |sdo AS (
@@ -45,7 +49,10 @@ object SimilarityQ {
        |    ((('0x' || substr(md5(c.vec_id::VARCHAR || '#sub'), 1, 15))::BIGINT
        |       % coalesce(s.nsplit, 1)) * k + c.cell) AS cell
        |  FROM coarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
-       |),
+       |)""".stripMargin
+
+  private def semanticScaledSql(thr: Double): String =
+    s"""$celledCtes,
        |px AS (
        |  SELECT cell, unnest(list_transform(generate_series(1, len(emb)),
        |    i -> struct_pack(p := i, x := emb[i]))) AS s
@@ -1047,6 +1054,45 @@ object SimilarityQ {
         "embedding; fused score = sum of 1e9 DIV (60 + rank) per leg — " +
         "pure integers, rank-stable on any engine. Both legs and the " +
         "fusion are bounded k-row work regardless of corpus size."
+    ),
+    // ---- hard-negative mining: contrastive-training data construction
+    // composed from the SAME persisted quantizer asset the dedup sweep
+    // reads — same cell ⇒ semantically adjacent (hard), cosine below the
+    // dedup threshold ⇒ genuinely different content (not leakage).
+    Q(
+      "s_hard_negatives",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity
+          .hardNegatives(
+            graft.operators.SemanticIndex
+              .cells(d, emb, targetCellSize = 50, maxCellSize = 100),
+            threshold = 0.35,
+            k = 3
+          )
+          .orderBy("anchor", "rank")
+      },
+      Some(
+        s"""$celledCtes,
+           |sc AS (
+           |  SELECT a.vec_id AS anchor, b.vec_id AS neg_id,
+           |         ${cosSql("a.emb", "b.emb")} AS cos
+           |  FROM celled a JOIN celled b
+           |    ON a.cell = b.cell AND a.vec_id != b.vec_id),
+           |r AS (
+           |  SELECT anchor, neg_id, cos,
+           |    row_number() OVER (PARTITION BY anchor ORDER BY cos DESC, neg_id) AS rank
+           |  FROM sc WHERE cos < 0.35)
+           |SELECT anchor, neg_id, rank::BIGINT AS rank, cos
+           |FROM r WHERE rank <= 3 ORDER BY anchor, rank""".stripMargin
+      ),
+      doc = "Hard-negative mining for contrastive training: per anchor the " +
+        "3 closest same-cell vectors BELOW the dedup threshold — " +
+        "semantically adjacent but genuinely different. Reads the " +
+        "persisted quantizer cells (the dedup asset, zero extra builds); " +
+        "within-cell pair join is corpus-linear and per-anchor selection " +
+        "is the bounded top-k aggregate, no windows. Every rank and " +
+        "cosine bit-replayed."
     )
   )
 }
