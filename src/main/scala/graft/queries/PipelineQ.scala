@@ -342,6 +342,90 @@ object PipelineQ {
         "filter, split tag. Scan-heavy, three hash-keyed shuffles " +
         "(content-hash window + classifier aggregate + final sort) at " +
         "any corpus size."
+    ),
+    // ---- the corpus DATACARD: the one-page per-slice report a dataset
+    // release ships — docs, tokens, chars, global-canonical share — per
+    // (source, predicted language) with ROLLUP subtotals, all from one
+    // composed plan over the annotation + exact-dedup operators. Every
+    // number integral; dup share as permille integer division.
+    Q(
+      "t_datacard",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ann = TextAnalysis
+          .annotateDocs(docs)
+          .select(col("doc_id"), col("pred_lang"), col("n_tokens"))
+        val canon = Dedup
+          .exactDups(docs)
+          .select(
+            col("doc_id"),
+            (col("doc_id") === col("canonical_id")).cast("long").as("is_canonical")
+          )
+        docs
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .join(ann, Seq("doc_id"))
+          .join(canon, Seq("doc_id"))
+          .rollup(col("source"), col("pred_lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("is_canonical")).as("n_unique"),
+            expr("1000 - (1000 * sum(is_canonical)) DIV count(1)").as("dup_permille")
+          )
+          .select(
+            coalesce(col("source"), lit("ALL")).as("source"),
+            coalesce(col("pred_lang"), lit("ALL")).as("lang"),
+            col("n_docs"),
+            col("n_tokens"),
+            col("n_chars"),
+            col("n_unique"),
+            col("dup_permille")
+          )
+          .orderBy("source", "lang")
+      },
+      Some {
+        val scoreDefs = TextAnalysis.LangMarkers
+          .map { case (lang, ms) =>
+            s"len(list_filter(tk, w -> w IN (${inList(ms)}))) AS s_$lang"
+          }
+          .mkString(",\n       ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |s AS (SELECT doc_id, tk,
+           |       $scoreDefs
+           |FROM t),
+           |lang AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+           |  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+           |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           |       WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+           |       WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+           |       ELSE 'es' END AS pred_lang
+           |FROM s),
+           |cf AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY
+           |      md5(trim(regexp_replace(replace(lower(text), chr(39), ''), '[^a-z]+', ' ', 'g'))))
+           |    THEN 1 ELSE 0 END AS is_canonical
+           |  FROM documents),
+           |base AS (
+           |  SELECT d.source, l.pred_lang, l.n_tokens, d.n_chars, cf.is_canonical
+           |  FROM documents d JOIN lang l ON d.doc_id = l.doc_id
+           |                   JOIN cf ON d.doc_id = cf.doc_id)
+           |SELECT coalesce(source, 'ALL') AS source,
+           |  coalesce(pred_lang, 'ALL') AS lang,
+           |  COUNT(*)::BIGINT AS n_docs,
+           |  SUM(n_tokens)::BIGINT AS n_tokens,
+           |  SUM(n_chars)::BIGINT AS n_chars,
+           |  SUM(is_canonical)::BIGINT AS n_unique,
+           |  (1000 - (1000 * SUM(is_canonical)) // COUNT(*))::BIGINT AS dup_permille
+           |FROM base GROUP BY ROLLUP (source, pred_lang)
+           |ORDER BY source, lang""".stripMargin
+      },
+      doc = "Corpus datacard: per (source, predicted-language) slice with " +
+        "ROLLUP subtotals — docs, tokens, chars, globally-canonical doc " +
+        "count, duplicate share as integral permille. One composed plan " +
+        "over the annotation + exact-dedup operators; partial-aggregable " +
+        "rollup, no extra corpus scans."
     )
   )
 }
