@@ -90,6 +90,8 @@ object GraftFunctions {
       "built-in"
     )
     reg.createOrReplaceTempFunction("simhash60", es => SimHash60(es.head), "built-in")
+    reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("strip_accents", es => StripAccents(es.head), "built-in")
     reg.createOrReplaceTempFunction("md5_top60", es => Md5Top60(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "word_shingles",

@@ -751,4 +751,70 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"), min(col("gram")).as("sample_gram"))
   }
+
+  /** MinHash-LSH quality evaluation against exact ground truth: per block
+    * (and an ALL rollup row), the candidate-pair confusion matrix of the
+    * LSH banding vs the exact-Jaccard pair set at `threshold`, plus
+    * integral permille precision/recall. `fp` counts band collisions the
+    * exact verify must reject (wasted verify work — the banding's cost);
+    * `fn` counts true near-dup pairs that never collide in any band
+    * (recall the production pipeline silently loses — the banding's
+    * risk). "Measure, don't guess": this is the query that tells you
+    * whether NumHashes/NumBands fit YOUR corpus before a 100 TB run.
+    *
+    * The truth leg is [[ngramJaccardPairs]] — quadratic within blocks BY
+    * DESIGN (it is the ground truth LSH approximates). Run the harness on
+    * a block-bounded sample, never the full corpus; the LSH leg is the
+    * production-shaped banded join either way.
+    */
+  def lshEval(
+      docs: DataFrame,
+      blockCol: String = "lang",
+      threshold: Double = JaccardThreshold
+  ): DataFrame = {
+    val blocks = docs.select(col("doc_id"), col(blockCol).as("blk"))
+    val truth = ngramJaccardPairs(docs, blockCol, threshold)
+      .join(blocks.as("tb"), col("a_id") === col("tb.doc_id"))
+      .select(col("a_id"), col("b_id"), col("blk"), lit(1L).as("is_truth"))
+    // candidate pairs restricted to the truth leg's pair universe (same
+    // block): cross-block collisions are out of scope for the recall
+    // question the harness answers.
+    val cand = lshCandidates(signatures(docs).drop("sh"))
+      .join(blocks.as("ca"), col("a_id") === col("ca.doc_id"))
+      .join(
+        blocks.as("cb"),
+        col("b_id") === col("cb.doc_id") && col("ca.blk") === col("cb.blk")
+      )
+      .select(col("a_id"), col("b_id"), col("ca.blk").as("blk"), lit(1L).as("is_cand"))
+    val uni = truth
+      .join(cand, Seq("a_id", "b_id", "blk"), "full_outer")
+      .select(
+        col("blk"),
+        coalesce(col("is_truth"), lit(0L)).as("t"),
+        coalesce(col("is_cand"), lit(0L)).as("c")
+      )
+    uni
+      .rollup(col("blk"))
+      .agg(
+        sum(col("t")).as("n_truth"),
+        sum(col("c")).as("n_cand"),
+        sum(col("t") * col("c")).as("tp"),
+        sum((lit(1L) - col("t")) * col("c")).as("fp"),
+        sum(col("t") * (lit(1L) - col("c"))).as("fn")
+      )
+      .select(
+        coalesce(col("blk"), lit("ALL")).as("blk"),
+        col("n_truth"),
+        col("n_cand"),
+        col("tp"),
+        col("fp"),
+        col("fn"),
+        when(col("n_cand") > 0, expr("(1000 * tp) DIV n_cand"))
+          .otherwise(lit(null).cast("long"))
+          .as("precision_permille"),
+        when(col("n_truth") > 0, expr("(1000 * tp) DIV n_truth"))
+          .otherwise(lit(null).cast("long"))
+          .as("recall_permille")
+      )
+  }
 }

@@ -102,4 +102,36 @@ object Text {
     UnicodeFixture
       .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
       .mkString(", ")
+
+  /** Normalization fixture (doc_id, text) for the NFC / accent-fold
+    * oracle: rows 2 and 7 are built from EXPLICIT combining-mark escapes
+    * (u+0301 acute, u+0300 grave, u+0303 tilde) so the decomposed-input
+    * path of NFC is non-vacuous — a source-file literal would risk being
+    * silently precomposed by editors. Rows cover precomposed Latin, the
+    * same text decomposed (NFC must map both to identical bytes),
+    * mark-free special letters (ß æ ø œ — kept by accent folding), Greek
+    * tonos, Cyrillic short-i (й decomposes to и + combining breve),
+    * Vietnamese stacked marks, and a mixed NFC/NFD row.
+    */
+  val NormalizeFixture: Seq[(Long, String)] = {
+    val acute = "\u0301"; val grave = "\u0300"; val tilde = "\u0303"
+    Seq(
+      9100001L -> "caf\u00e9 d\u00e9j\u00e0 vu S\u00e3o Paulo",
+      9100002L -> s"cafe$acute de${acute}ja$grave vu Sa${tilde}o Paulo",
+      9100003L -> "Stra\u00dfe \u00c6r\u00f8 \u0153uvre",
+      9100004L -> "\u03b5\u03bb\u03bb\u03b7\u03bd\u03b9\u03ba\u03ac \u03ce\u03c1\u03b1",
+      9100005L -> "\u0419\u043e\u0448\u043a\u0430\u0440-\u041e\u043b\u0430 \u0439\u043e\u0433\u0443\u0440\u0442",
+      9100006L -> "Vi\u1ec7t Nam ph\u1edf H\u00e0 N\u1ed9i",
+      9100007L -> s"mixed caf\u00e9 and cafe$acute in one row"
+    )
+  }
+
+  /** [[NormalizeFixture]] as a DuckDB VALUES list (apostrophes doubled);
+    * the decomposed code points embed verbatim in the SQL text, so both
+    * engines normalize the same bytes.
+    */
+  def normalizeFixtureSql: String =
+    NormalizeFixture
+      .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
+      .mkString(", ")
 }

@@ -493,6 +493,60 @@ object DedupQ {
       doc = "Blocked (by lang) exact pairwise n-gram Jaccard — the ground " +
         "truth LSH approximates; quadratic within blocks by design."
     ),
+    // ---- the dedup-quality harness: LSH banding measured against the
+    // exact ground truth it approximates. fp = band collisions the exact
+    // verify rejects (wasted verify work); fn = true near-dup pairs no
+    // band catches (recall the production pipeline silently loses). The
+    // query that sizes NumHashes/NumBands on YOUR corpus before a 100 TB
+    // run, instead of trusting the S-curve on faith.
+    Q(
+      "d_lsh_eval",
+      (s, d) =>
+        Dedup
+          .lshEval(Tables.documents(s, d), "lang", Dedup.JaccardThreshold)
+          .orderBy("blk"),
+      Some(
+        s"""$minhashPairsCtes,
+           |lp AS (SELECT doc_id, lang AS blk FROM documents),
+           |candb AS (
+           |  SELECT c.a_id, c.b_id, la.blk
+           |  FROM cand c
+           |  JOIN lp la ON c.a_id = la.doc_id
+           |  JOIN lp lb ON c.b_id = lb.doc_id AND la.blk = lb.blk),
+           |truthb AS (
+           |  SELECT l.doc_id AS a_id, r.doc_id AS b_id, la.blk
+           |  FROM sh l
+           |  JOIN sh r ON l.doc_id < r.doc_id
+           |  JOIN lp la ON l.doc_id = la.doc_id
+           |  JOIN lp lb ON r.doc_id = lb.doc_id AND la.blk = lb.blk
+           |  WHERE len(list_intersect(l.sh, r.sh))::DOUBLE /
+           |    (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)))
+           |    >= ${Dedup.JaccardThreshold}),
+           |uni AS (
+           |  SELECT COALESCE(t.blk, c.blk) AS blk,
+           |    (t.a_id IS NOT NULL)::BIGINT AS tt,
+           |    (c.a_id IS NOT NULL)::BIGINT AS cc
+           |  FROM truthb t FULL OUTER JOIN candb c
+           |    ON t.a_id = c.a_id AND t.b_id = c.b_id)
+           |SELECT COALESCE(blk, 'ALL') AS blk,
+           |  SUM(tt)::BIGINT AS n_truth, SUM(cc)::BIGINT AS n_cand,
+           |  SUM(tt * cc)::BIGINT AS tp,
+           |  SUM((1 - tt) * cc)::BIGINT AS fp,
+           |  SUM(tt * (1 - cc))::BIGINT AS fn,
+           |  CASE WHEN SUM(cc) > 0
+           |    THEN ((1000 * SUM(tt * cc)) // SUM(cc))::BIGINT END AS precision_permille,
+           |  CASE WHEN SUM(tt) > 0
+           |    THEN ((1000 * SUM(tt * cc)) // SUM(tt))::BIGINT END AS recall_permille
+           |FROM uni GROUP BY ROLLUP(blk) ORDER BY blk""".stripMargin
+      ),
+      doc = "MinHash-LSH quality evaluation vs exact ground truth: per " +
+        "lang block plus an ALL rollup, the candidate-pair confusion " +
+        "matrix (n_truth, n_cand, tp, fp, fn) and integral permille " +
+        "precision/recall of the banding at the verify threshold. The " +
+        "truth leg is the declared-quadratic ground-truth query (run the " +
+        "harness on a sample at scale); the LSH leg is the production " +
+        "banded join. Every cell bit-replayed in DuckDB."
+    ),
     Q(
       "d_contamination",
       (s, d) =>

@@ -227,4 +227,53 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
     assert(pairs.head._3 === 1.0)
   }
+
+  test("lshEval confusion matrix matches independently recomputed truth/candidate sets") {
+    // seeded corpus of overlapping word soups: enough shared shingles that
+    // the truth and candidate pair sets genuinely differ from each other
+    // somewhere in [0, all] — the identities below hold for ANY outcome
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    // variants of shared base texts: same-base docs overlap heavily (truth
+    // pairs exist), one-word mutations push some pairs near the threshold
+    // (so the truth and candidate sets can genuinely disagree)
+    val bases = Vector.fill(12)(
+      Vector.fill(8 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size)))
+    )
+    val docs = (1L to 60L).map { id =>
+      val b = bases(rnd.nextInt(bases.size))
+      val words =
+        if (rnd.nextBoolean())
+          b.updated(rnd.nextInt(b.size), vocab(rnd.nextInt(vocab.size)))
+        else b
+      (id, if (id % 2 == 0) "en" else "de", words.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val t = 0.5
+    val truth = Dedup
+      .ngramJaccardPairs(docs, "lang", t)
+      .select("a_id", "b_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val blocks = docs.select(col("doc_id"), col("lang")).as[(Long, String)].collect().toMap
+    val cand = Dedup
+      .lshCandidates(Dedup.signatures(docs).drop("sh"))
+      .as[(Long, Long)]
+      .collect()
+      .toSet[(Long, Long)]
+      .filter { case (a, b) => blocks(a) == blocks(b) }
+    val got = Dedup
+      .lshEval(docs, "lang", t)
+      .filter(col("blk") === "ALL")
+      .select("n_truth", "n_cand", "tp", "fp", "fn")
+      .as[(Long, Long, Long, Long, Long)]
+      .collect()
+      .head
+    val tp = (truth intersect cand).size.toLong
+    assert(got === ((truth.size.toLong, cand.size.toLong, tp,
+      cand.size - tp, truth.size - tp)))
+    // the harness is non-vacuous on this corpus: there are real pairs
+    assert(truth.nonEmpty && cand.nonEmpty)
+  }
 }
