@@ -426,6 +426,65 @@ object PipelineQ {
         "count, duplicate share as integral permille. One composed plan " +
         "over the annotation + exact-dedup operators; partial-aggregable " +
         "rollup, no extra corpus scans."
+    ),
+    // ---- the delivery artifact: packed training sequences exported as
+    // (source, shard)-partitioned parquet plus a per-shard integrity
+    // manifest, build-once under the fingerprinted atomic-publication
+    // contract. The query reads the PERSISTED manifest — the oracle
+    // re-derives every count and every content hash from the raw corpus,
+    // so the check certifies the bytes on disk, not the plan that wrote
+    // them.
+    Q(
+      "q_export_manifest",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = graft.operators.TrainExport.defaultDir(d, docs)
+        graft.operators.TrainExport.ensureBuilt(docs, dir)
+        graft.operators.TrainExport
+          .manifest(s, dir)
+          .select(
+            col("source"),
+            col("shard").cast("long").as("shard"),
+            col("n_packs"),
+            col("n_docs"),
+            col("total_tokens"),
+            col("content_md5")
+          )
+          .orderBy("source", "shard")
+      },
+      Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, source, text, len($toksSql)::BIGINT AS n_tok
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, source, text, n_tok,
+           |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t
+           |), packs AS (
+           |  SELECT source,
+           |    ((cum - n_tok) // ${graft.operators.TrainExport.SeqBudget})::BIGINT AS pack_id,
+           |    COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS pack_tokens,
+           |    md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS seq_md5
+           |  FROM c GROUP BY source, pack_id
+           |)
+           |SELECT source,
+           |  (pack_id // ${graft.operators.TrainExport.PacksPerShard})::BIGINT AS shard,
+           |  COUNT(*)::BIGINT AS n_packs,
+           |  SUM(n_docs)::BIGINT AS n_docs,
+           |  SUM(pack_tokens)::BIGINT AS total_tokens,
+           |  md5(string_agg(seq_md5, '' ORDER BY pack_id)) AS content_md5
+           |FROM packs GROUP BY source, shard
+           |ORDER BY source, shard""".stripMargin
+      ),
+      doc = "Training-corpus export manifest: per (source, shard) of the " +
+        "persisted packed-sequence export — pack/doc/token counts and the " +
+        "shard content hash (md5 of member packs' sequence md5s in pack " +
+        "order). Shards are (source, shard)-directory-partitioned so a " +
+        "data-loader task lists exactly one directory; the manifest is " +
+        "written last as the build's completion marker and doubles as the " +
+        "copy-integrity and version-diff key. Every cell, including both " +
+        "hash levels, re-derived from the raw corpus by the oracle."
     )
   )
 }
