@@ -59,5 +59,6 @@ object Md5Top60Rewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => Md5Top60Rewrite)
+    ext.injectOptimizerRule(_ => SummaryRewrite)
   }
 }

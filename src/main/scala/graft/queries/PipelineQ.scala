@@ -485,6 +485,42 @@ object PipelineQ {
         "written last as the build's completion marker and doubles as the " +
         "copy-integrity and version-diff key. Every cell, including both " +
         "hash levels, re-derived from the raw corpus by the oracle."
+    ),
+    // ---- materialized-view rewrite through the optimizer: the query is
+    // written against the BASE table; SummaryRewrite answers it from the
+    // published per-source summary (|sources| rows instead of a corpus
+    // scan — the daily-dashboard shape at 100 TB). The oracle computes
+    // the truth from the raw table, so a rewrite that changed any value
+    // would go red; SummarySpec pins that the rewrite actually fires.
+    Q(
+      "q_summary_rewrite",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Summaries.enableFor(s, d, docs)
+        docs
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars")
+          )
+          .orderBy("source")
+      },
+      Some(
+        """SELECT source, COUNT(*)::BIGINT AS n_docs,
+          |  SUM(n_chars)::BIGINT AS sum_chars,
+          |  MIN(n_chars)::BIGINT AS min_chars,
+          |  MAX(n_chars)::BIGINT AS max_chars
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin
+      ),
+      doc = "Materialized-view rewrite (the Databricks-MV / Trino-MV " +
+        "contract): a count/sum/min/max per-source aggregate written " +
+        "against the base documents table is answered by the Catalyst " +
+        "rule from the fingerprinted published summary asset — users " +
+        "keep the base-table query, the optimizer substitutes the " +
+        "|sources|-row read. Values bit-checked against the raw table; " +
+        "the plan substitution itself is spec-pinned."
     )
   )
 }
