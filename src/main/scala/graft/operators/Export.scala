@@ -128,4 +128,35 @@ object TrainExport {
     spark.read
       .parquet(s"$dir/shards")
       .filter(col("source") === source && col("shard") === shardId)
+
+  /** Shard-level diff between two export versions — the COPY PLAN for
+    * publishing version B where version A is already distributed: `same`
+    * shards (content_md5 equal) are skipped, `changed`/`added` shards are
+    * the upload set, `removed` shards are deleted. Manifest-only: the
+    * diff never touches shard bytes, so it costs 2·|shards| rows however
+    * big the export is — the same economics as [[graft.operators]]
+    * snapshot diffing, applied to the delivery artifact.
+    */
+  def diffManifests(oldMan: DataFrame, newMan: DataFrame): DataFrame = {
+    val o = oldMan.select(
+      col("source"),
+      col("shard").cast("long").as("shard"),
+      col("content_md5").as("old_md5")
+    )
+    val n = newMan.select(
+      col("source"),
+      col("shard").cast("long").as("shard"),
+      col("content_md5").as("new_md5")
+    )
+    o.join(n, Seq("source", "shard"), "full_outer")
+      .select(
+        col("source"),
+        col("shard"),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") === col("new_md5"), "same")
+          .otherwise("changed")
+          .as("status")
+      )
+  }
 }

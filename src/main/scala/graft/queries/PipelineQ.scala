@@ -19,6 +19,37 @@ object PipelineQ {
   /** DuckDB mirror of Cols.md5Long over a BIGINT id. */
   private def h60id(e: String) = s"('0x' || substr(md5($e::VARCHAR), 1, 15))::BIGINT"
 
+  /** The export-manifest CTE chain over relation `rel` (prefix `p` keeps
+    * two instances disjoint in one query): per-source doc_id-ordered
+    * token prefix sums → 256-token packs with payload md5 → per-shard
+    * counts + chained content hash. Mirror of
+    * [[graft.operators.TrainExport]]'s build.
+    */
+  private def manifestCtes(rel: String, p: String): String =
+    s"""${p}t AS (
+       |  SELECT doc_id, source, text, len($toksSql)::BIGINT AS n_tok
+       |  FROM $rel
+       |), ${p}c AS (
+       |  SELECT doc_id, source, text, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM ${p}t
+       |), ${p}packs AS (
+       |  SELECT source,
+       |    ((cum - n_tok) // ${graft.operators.TrainExport.SeqBudget})::BIGINT AS pack_id,
+       |    COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS pack_tokens,
+       |    md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS seq_md5
+       |  FROM ${p}c GROUP BY source, pack_id
+       |), ${p}m AS (
+       |  SELECT source,
+       |    (pack_id // ${graft.operators.TrainExport.PacksPerShard})::BIGINT AS shard,
+       |    COUNT(*)::BIGINT AS n_packs,
+       |    SUM(n_docs)::BIGINT AS n_docs,
+       |    SUM(pack_tokens)::BIGINT AS total_tokens,
+       |    md5(string_agg(seq_md5, '' ORDER BY pack_id)) AS content_md5
+       |  FROM ${p}packs GROUP BY source, shard
+       |)""".stripMargin
+
   val all: Seq[Q] = Seq(
     // ---- deterministic train/val/test hash split. Membership is a pure
     // function of doc_id (md5 bucket mod 100): reproducible across reruns,
@@ -453,29 +484,9 @@ object PipelineQ {
           .orderBy("source", "shard")
       },
       Some(
-        s"""WITH t AS (
-           |  SELECT doc_id, source, text, len($toksSql)::BIGINT AS n_tok
-           |  FROM documents
-           |), c AS (
-           |  SELECT doc_id, source, text, n_tok,
-           |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-           |  FROM t
-           |), packs AS (
-           |  SELECT source,
-           |    ((cum - n_tok) // ${graft.operators.TrainExport.SeqBudget})::BIGINT AS pack_id,
-           |    COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS pack_tokens,
-           |    md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS seq_md5
-           |  FROM c GROUP BY source, pack_id
-           |)
-           |SELECT source,
-           |  (pack_id // ${graft.operators.TrainExport.PacksPerShard})::BIGINT AS shard,
-           |  COUNT(*)::BIGINT AS n_packs,
-           |  SUM(n_docs)::BIGINT AS n_docs,
-           |  SUM(pack_tokens)::BIGINT AS total_tokens,
-           |  md5(string_agg(seq_md5, '' ORDER BY pack_id)) AS content_md5
-           |FROM packs GROUP BY source, shard
-           |ORDER BY source, shard""".stripMargin
+        s"""WITH ${manifestCtes("documents", "e")}
+           |SELECT source, shard, n_packs, n_docs, total_tokens, content_md5
+           |FROM em ORDER BY source, shard""".stripMargin
       ),
       doc = "Training-corpus export manifest: per (source, shard) of the " +
         "persisted packed-sequence export — pack/doc/token counts and the " +
@@ -521,6 +532,69 @@ object PipelineQ {
         "keep the base-table query, the optimizer substitutes the " +
         "|sources|-row read. Values bit-checked against the raw table; " +
         "the plan substitution itself is spec-pinned."
+    ),
+    // ---- export version diff: corpus v2 = v1 with deterministic edits
+    // (every 97th doc's text doubled, every 89th deleted) exported
+    // independently; the shard-level manifest diff is the COPY PLAN for
+    // publishing v2 where v1 is already distributed — only changed/added
+    // shards upload, removed shards delete, same shards (the bulk, since
+    // packing is per-source) never move. Manifest-only: 2·|shards| rows
+    // compared, zero shard bytes touched.
+    Q(
+      "q_export_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // source-asymmetric edits so all four statuses are non-vacuous:
+        // src3's upper half is deleted (its shard count drops → removed),
+        // src5 doubles (its shard count grows → added), every 97th doc
+        // elsewhere changes in place (changed); untouched sources stay same
+        val v2 = docs
+          .filter(!(col("source") === "src3" && col("doc_id") >= 250))
+          .withColumn(
+            "text",
+            when(
+              col("source") === "src5" || col("doc_id") % 97 === 0,
+              concat(col("text"), lit(" "), col("text"))
+            ).otherwise(col("text"))
+          )
+        val d1 = graft.operators.TrainExport.defaultDir(d, docs)
+        graft.operators.TrainExport.ensureBuilt(docs, d1)
+        val d2 = graft.operators.TrainExport.defaultDir(d, v2)
+        graft.operators.TrainExport.ensureBuilt(v2, d2)
+        graft.operators.TrainExport
+          .diffManifests(
+            graft.operators.TrainExport.manifest(s, d1),
+            graft.operators.TrainExport.manifest(s, d2)
+          )
+          .orderBy("source", "shard")
+      },
+      Some(
+        s"""WITH v2 AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN source = 'src5' OR doc_id % 97 = 0
+           |      THEN text || ' ' || text ELSE text END AS text
+           |  FROM documents
+           |  WHERE NOT (source = 'src3' AND doc_id >= 250)
+           |),
+           |${manifestCtes("documents", "a")},
+           |${manifestCtes("v2", "b")}
+           |SELECT COALESCE(am.source, bm.source) AS source,
+           |  COALESCE(am.shard, bm.shard) AS shard,
+           |  CASE WHEN am.shard IS NULL THEN 'added'
+           |       WHEN bm.shard IS NULL THEN 'removed'
+           |       WHEN am.content_md5 = bm.content_md5 THEN 'same'
+           |       ELSE 'changed' END AS status
+           |FROM am FULL OUTER JOIN bm
+           |  ON am.source = bm.source AND am.shard = bm.shard
+           |ORDER BY source, shard""".stripMargin
+      ),
+      doc = "Export version diff: two corpus versions exported " +
+        "independently (content-fingerprinted dirs), then the shard " +
+        "manifests full-outer-joined into a per-shard status " +
+        "(same/changed/added/removed) — the copy plan that publishes a " +
+        "new training-data version by moving only changed shards. The " +
+        "oracle re-derives BOTH exports' manifests from raw text and " +
+        "replays every status."
     )
   )
 }
