@@ -182,4 +182,55 @@ object Split {
       .withColumn("mix_rate", rate)
       .filter(col("mix_bucket") < col("mix_rate"))
   }
+
+  /** Target-DISTRIBUTION resampling (domain-reweighting materialization):
+    * where [[weightedMix]] takes per-domain rates as given, this derives
+    * them from a target composition — "the shipped corpus should be 40%
+    * domain A, 15% domain B, …" — keeping the LARGEST corpus consistent
+    * with those shares. The feasible total is capped by the scarcest
+    * domain, `T = min_d floor(count_d * 1e6 / target_ppm_d)`; each domain
+    * then keeps `rate_ppm_d = floor(T * target_ppm_d / count_d)` of its
+    * rows, decided row-locally by a salted md5 bucket in [0, 1e6). All
+    * arithmetic is integer (parts-per-million), so the derivation is
+    * bit-reproducible on any engine.
+    *
+    * Shape at scale: one partial-aggregable count per domain (|domains|
+    * rows), a min over that tiny frame, rates broadcast back — the corpus
+    * itself sees exactly one map-only accept pass, zero data shuffles.
+    * Expected kept rows per domain ≈ T * target_ppm_d / 1e6, so achieved
+    * shares converge to the targets as domains grow; domains without a
+    * target entry are dropped (inner join), domains targeted but absent
+    * simply cannot constrain the min.
+    */
+  def targetMix(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      targetsPpm: Seq[(String, Long)],
+      salt: String = "#tmix"
+  ): DataFrame = {
+    require(targetsPpm.map(_._2).sum == 1000000L, "target shares must sum to 1e6 ppm")
+    require(targetsPpm.forall(_._2 > 0L), "target shares must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = targetsPpm.toDF(domainCol, "target_ppm")
+    val caps = df
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_domain"))
+      .join(broadcast(targets), Seq(domainCol))
+      .withColumn("cap", expr("n_domain * 1000000L div target_ppm"))
+    val total = caps.agg(min(col("cap")).as("feasible_total"))
+    val rates = caps
+      .crossJoin(broadcast(total))
+      .select(
+        col(domainCol),
+        col("n_domain"),
+        col("target_ppm"),
+        expr("feasible_total * target_ppm div n_domain").as("rate_ppm")
+      )
+    val bkt = pmod(md5Long(concat(col(idCol).cast("string"), lit(salt))), lit(1000000L))
+    df.join(broadcast(rates), Seq(domainCol))
+      .withColumn("mix_bucket", bkt)
+      .withColumn("accepted", col("mix_bucket") < col("rate_ppm"))
+  }
 }

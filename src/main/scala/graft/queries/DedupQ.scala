@@ -29,7 +29,7 @@ object DedupQ {
     * MinHash-LSH near-dup pairs (mirror of Dedup.minhashDups). Shared by
     * d_minhash_lsh and the connected-components clustering oracle.
     */
-  private val minhashPairsCtes: String = {
+  private[queries] val minhashPairsCtes: String = {
     val mhDefs = (0 until Dedup.NumHashes)
       .map(i => s"list_min(list_transform(sh, s -> ${h60(s"s || '#$i'")})) AS mh$i")
       .mkString(",\n         ")

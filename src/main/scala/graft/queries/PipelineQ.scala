@@ -19,6 +19,60 @@ object PipelineQ {
   /** DuckDB mirror of Cols.md5Long over a BIGINT id. */
   private def h60id(e: String) = s"('0x' || substr(md5($e::VARCHAR), 1, 15))::BIGINT"
 
+  /** The corpus-cleaning gate CTE chain (lang-ID scores → quality ratios →
+    * exact-dedup canon set → hashed-bigram classifier logits) shared by
+    * `t_clean_pipeline` and `t_drop_reasons` — one definition so both
+    * oracles replay the identical gate arithmetic.
+    */
+  private def gateCtes: String = {
+    val scoreDefs = TextAnalysis.LangMarkers
+      .map { case (lang, ms) =>
+        s"len(list_filter(tk, w -> w IN (${inList(ms)}))) AS s_$lang"
+      }
+      .mkString(",\n       ")
+    s"""gt AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+       |s AS (SELECT doc_id, text, tk,
+       |       $scoreDefs
+       |FROM gt),
+       |lang AS (SELECT doc_id, text, tk,
+       |  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+       |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |       WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |       WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+       |       ELSE 'es' END AS pred_lang
+       |FROM s),
+       |q AS (SELECT doc_id, pred_lang,
+       |  len(tk)::BIGINT AS n_tokens,
+       |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio,
+       |  len(list_filter(tk, w -> w IN (${inList(Text.StopWords)})))::DOUBLE / len(tk) AS stopword_ratio,
+       |  len(list_distinct(tk))::DOUBLE / len(tk) AS uniq_ratio
+       |FROM lang),
+       |qs AS (SELECT doc_id, pred_lang, n_tokens,
+       |  (alpha_ratio * 0.3) + (least(stopword_ratio * 4.0, 1.0) * 0.3) + (uniq_ratio * 0.4)
+       |    AS quality_score
+       |FROM q),
+       |canon AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      min(doc_id) OVER (PARTITION BY
+       |        md5(trim(regexp_replace(replace(lower(text), chr(39), ''), '[^a-z]+', ' ', 'g'))))
+       |        AS canonical_id
+       |    FROM documents)
+       |  WHERE doc_id = canonical_id
+       |),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(tk) - 1, 1)),
+       |    i -> array_to_string(tk[i:i+1], ' '))) AS g
+       |  FROM gt
+       |),
+       |fx AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % ${TextAnalysis.ClfDim} AS j FROM bg),
+       |wt AS (SELECT j, ((('0x' || substr(md5(j::VARCHAR || '#w'), 1, 15))::BIGINT % 2001) - 1000) AS wi
+       |       FROM (SELECT unnest(generate_series(0, ${TextAnalysis.ClfDim - 1})) AS j)),
+       |clf AS (SELECT fx.doc_id, SUM(wi)::BIGINT AS clf_logit_milli
+       |        FROM fx JOIN wt ON fx.j = wt.j GROUP BY fx.doc_id)""".stripMargin
+  }
+
   /** The export-manifest CTE chain over relation `rel` (prefix `p` keeps
     * two instances disjoint in one query): per-source doc_id-ordered
     * token prefix sums → 256-token packs with payload md5 → per-shard
@@ -127,6 +181,64 @@ object PipelineQ {
         "other 5%, each row kept by a deterministic salted md5 bucket — " +
         "map-only, reproducible sampling (bit-checked per-source counts, " +
         "char sums, and the bucket < rate invariant)."
+    ),
+    // ---- target-DISTRIBUTION resampling: the rates themselves are derived
+    // from a target composition (40% en / 15% each of zh-es-de-fr), capped
+    // by the scarcest domain — the DoReMi-style "hit this mixture, keep as
+    // much data as possible" step. Integer ppm arithmetic end to end.
+    Q(
+      "q_target_mix",
+      (s, d) =>
+        Split
+          .targetMix(
+            Tables.documents(s, d),
+            "doc_id",
+            "lang",
+            targetsPpm = Seq(
+              ("en", 400000L),
+              ("zh", 150000L),
+              ("es", 150000L),
+              ("de", 150000L),
+              ("fr", 150000L)
+            )
+          )
+          .select(
+            col("doc_id"),
+            col("lang"),
+            col("n_domain"),
+            col("target_ppm"),
+            col("rate_ppm"),
+            col("mix_bucket"),
+            col("accepted")
+          )
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH t(lang, target_ppm) AS (VALUES
+           |    ('en', 400000), ('zh', 150000), ('es', 150000),
+           |    ('de', 150000), ('fr', 150000)),
+           |c AS (SELECT lang, COUNT(*)::BIGINT AS n_domain FROM documents GROUP BY lang),
+           |caps AS (
+           |  SELECT c.lang, n_domain, target_ppm::BIGINT AS target_ppm,
+           |         (n_domain * 1000000) // target_ppm AS cap
+           |  FROM c JOIN t USING (lang)),
+           |ft AS (SELECT MIN(cap) AS feasible_total FROM caps),
+           |r AS (
+           |  SELECT lang, n_domain, target_ppm,
+           |         (feasible_total * target_ppm) // n_domain AS rate_ppm
+           |  FROM caps CROSS JOIN ft)
+           |SELECT d.doc_id, d.lang, r.n_domain, r.target_ppm, r.rate_ppm,
+           |  ('0x' || substr(md5(d.doc_id::VARCHAR || '#tmix'), 1, 15))::BIGINT % 1000000
+           |    AS mix_bucket,
+           |  (('0x' || substr(md5(d.doc_id::VARCHAR || '#tmix'), 1, 15))::BIGINT % 1000000
+           |    < r.rate_ppm) AS accepted
+           |FROM documents d JOIN r ON d.lang = r.lang
+           |ORDER BY d.doc_id""".stripMargin
+      ),
+      doc = "Target-distribution resampling: per-domain keep rates DERIVED " +
+        "from target corpus shares (ppm), total capped by the scarcest " +
+        "domain (T = min_d count_d*1e6/share_d), membership by salted md5 " +
+        "bucket — |domains| aggregate rows + one map-only pass over the " +
+        "corpus, rates and every accept verdict bit-checked."
     ),
     // ---- deterministic stratified sampling: cap each source at k docs,
     // picked by smallest salted id-hash. The bounded top-k aggregate keeps
@@ -311,52 +423,7 @@ object PipelineQ {
           .orderBy("doc_id")
       },
       Some {
-        val scoreDefs = TextAnalysis.LangMarkers
-          .map { case (lang, ms) =>
-            s"len(list_filter(tk, w -> w IN (${inList(ms)}))) AS s_$lang"
-          }
-          .mkString(",\n       ")
-        s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
-           |s AS (SELECT doc_id, text, tk,
-           |       $scoreDefs
-           |FROM t),
-           |lang AS (SELECT doc_id, text, tk,
-           |  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
-           |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-           |       WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
-           |       WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
-           |       ELSE 'es' END AS pred_lang
-           |FROM s),
-           |q AS (SELECT doc_id, pred_lang,
-           |  len(tk)::BIGINT AS n_tokens,
-           |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio,
-           |  len(list_filter(tk, w -> w IN (${inList(Text.StopWords)})))::DOUBLE / len(tk) AS stopword_ratio,
-           |  len(list_distinct(tk))::DOUBLE / len(tk) AS uniq_ratio
-           |FROM lang),
-           |qs AS (SELECT doc_id, pred_lang, n_tokens,
-           |  (alpha_ratio * 0.3) + (least(stopword_ratio * 4.0, 1.0) * 0.3) + (uniq_ratio * 0.4)
-           |    AS quality_score
-           |FROM q),
-           |canon AS (
-           |  SELECT doc_id FROM (
-           |    SELECT doc_id,
-           |      min(doc_id) OVER (PARTITION BY
-           |        md5(trim(regexp_replace(replace(lower(text), chr(39), ''), '[^a-z]+', ' ', 'g'))))
-           |        AS canonical_id
-           |    FROM documents)
-           |  WHERE doc_id = canonical_id
-           |),
-           |bg AS (
-           |  SELECT doc_id, unnest(list_transform(
-           |    generate_series(1, greatest(len(tk) - 1, 1)),
-           |    i -> array_to_string(tk[i:i+1], ' '))) AS g
-           |  FROM t
-           |),
-           |fx AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % ${TextAnalysis.ClfDim} AS j FROM bg),
-           |wt AS (SELECT j, ((('0x' || substr(md5(j::VARCHAR || '#w'), 1, 15))::BIGINT % 2001) - 1000) AS wi
-           |       FROM (SELECT unnest(generate_series(0, ${TextAnalysis.ClfDim - 1})) AS j)),
-           |clf AS (SELECT fx.doc_id, SUM(wi)::BIGINT AS clf_logit_milli
-           |        FROM fx JOIN wt ON fx.j = wt.j GROUP BY fx.doc_id)
+        s"""WITH $gateCtes
            |SELECT qs.doc_id, quality_score, n_tokens, clf.clf_logit_milli,
            |  CASE WHEN ${h60id("qs.doc_id")} % 100 < 80 THEN 'train'
            |       WHEN ${h60id("qs.doc_id")} % 100 < 90 THEN 'val'
@@ -373,6 +440,109 @@ object PipelineQ {
         "filter, split tag. Scan-heavy, three hash-keyed shuffles " +
         "(content-hash window + classifier aggregate + final sort) at " +
         "any corpus size."
+    ),
+    // ---- drop-attribution FUNNEL over the cleaning gates: every doc
+    // charged to the FIRST gate that rejects it (corpus dedup [exact +
+    // near-dup] → lang → quality → classifier), plus the survivor count
+    // after each gate — the observability report that explains WHERE a
+    // cleaning pipeline loses its data. Gate arithmetic shared with
+    // t_clean_pipeline (gateCtes) and d_dedup_corpus (minhashPairsCtes +
+    // the components walk), so the attribution is consistent with both.
+    Q(
+      "t_drop_reasons",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val docs = Tables.documents(s, d)
+        val inCorpus = Dedup
+          .dedupCorpus(docs)
+          .select(col("doc_id"), lit(true).as("in_corpus"))
+        val clf = TextAnalysis
+          .classifierLogits(docs)
+          .select(col("doc_id"), col("logit_milli"))
+        val staged = TextAnalysis
+          .annotateDocs(docs)
+          .join(inCorpus, Seq("doc_id"), "left")
+          .join(clf, Seq("doc_id"))
+          .select(
+            when(col("in_corpus").isNull, "1_dup")
+              .when(col("pred_lang") =!= "en", "2_lang")
+              .when(col("quality_score") < 0.45, "3_quality")
+              .when(col("logit_milli") < -2000L, "4_classifier")
+              .otherwise("5_kept")
+              .as("stage")
+          )
+        val agg = staged.groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+        val total = docs.agg(count(lit(1)).as("total"))
+        // complete 5-row funnel frame (a gate that drops nothing still
+        // reports a zero row); cumulative drops via a tiny post-aggregate
+        // self-join over <= 5 rows — no window, nothing data-sized here
+        val stages = Seq("1_dup", "2_lang", "3_quality", "4_classifier", "5_kept")
+          .toDF("stage")
+        val withN = stages
+          .join(agg, Seq("stage"), "left")
+          .select(col("stage"), coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        withN
+          .as("a")
+          .join(
+            withN.as("b"),
+            col("b.stage") <= col("a.stage") && col("b.stage") =!= "5_kept",
+            "left"
+          )
+          .groupBy(col("a.stage").as("stage"), col("a.n_docs").as("n_docs"))
+          .agg(coalesce(sum(col("b.n_docs")), lit(0L)).as("cum_dropped"))
+          .crossJoin(broadcast(total))
+          .select(
+            col("stage"),
+            col("n_docs"),
+            (col("total") - col("cum_dropped")).as("remaining_after")
+          )
+          .orderBy("stage")
+      },
+      Some(
+        s"""${DedupQ.minhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+           |und AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION
+           |  SELECT b_id, a_id FROM pairs
+           |),
+           |walk(id, root) AS (
+           |  SELECT DISTINCT src, src FROM und
+           |  UNION
+           |  SELECT u.dst, w.root FROM walk w JOIN und u ON u.src = w.id
+           |),
+           |comp AS (SELECT id, MIN(root) AS component FROM walk GROUP BY id),
+           |losers AS (SELECT id FROM comp WHERE id != component),
+           |$gateCtes,
+           |v AS (
+           |  SELECT d.doc_id,
+           |    CASE WHEN canon.doc_id IS NULL
+           |           OR d.doc_id IN (SELECT id FROM losers) THEN '1_dup'
+           |         WHEN qs.pred_lang <> 'en' THEN '2_lang'
+           |         WHEN qs.quality_score < 0.45 THEN '3_quality'
+           |         WHEN clf.clf_logit_milli < -2000 THEN '4_classifier'
+           |         ELSE '5_kept' END AS stage
+           |  FROM documents d
+           |  JOIN qs ON d.doc_id = qs.doc_id
+           |  JOIN clf ON d.doc_id = clf.doc_id
+           |  LEFT JOIN canon ON d.doc_id = canon.doc_id),
+           |st(stage) AS (VALUES ('1_dup'), ('2_lang'), ('3_quality'),
+           |                     ('4_classifier'), ('5_kept')),
+           |agg AS (SELECT stage, COUNT(*)::BIGINT AS n_docs FROM v GROUP BY stage),
+           |tot AS (SELECT COUNT(*)::BIGINT AS total FROM documents)
+           |SELECT st.stage, coalesce(agg.n_docs, 0)::BIGINT AS n_docs,
+           |  (tot.total - coalesce((SELECT SUM(a2.n_docs) FROM agg a2
+           |     WHERE a2.stage <= st.stage AND a2.stage <> '5_kept'), 0))::BIGINT
+           |    AS remaining_after
+           |FROM st LEFT JOIN agg USING (stage) CROSS JOIN tot
+           |ORDER BY st.stage""".stripMargin
+      ),
+      doc = "Per-gate drop attribution: each doc charged to its FIRST " +
+        "failing gate (corpus dedup [exact + near-dup components] -> " +
+        "lang -> quality -> classifier), with the survivor funnel after " +
+        "each gate. One pass over the gate annotations + a <=5-row " +
+        "report join — the funnel costs no more than the pipeline it " +
+        "explains; every count bit-checked via the shared gate CTEs."
     ),
     // ---- the corpus DATACARD: the one-page per-slice report a dataset
     // release ships — docs, tokens, chars, global-canonical share — per
