@@ -164,6 +164,41 @@ object SemanticIndex {
     )
   }
 
+  /** Steady-state [[Similarity.contaminationAgainst]]: semantic eval-
+    * decontamination of a TRAIN corpus against a TEST set, riding the
+    * train corpus's persisted quantizer — the test set pays only its own
+    * assignment plus the within-cell candidate join, exactly the
+    * [[deltaDups]] cost shape.
+    */
+  def contamination(
+      sfDir: String,
+      test: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val dir = defaultDir(sfDir, corpus)
+    ensureBuilt(corpus, dir, targetCellSize, maxCellSize, litK)
+    val cents = spark.read
+      .parquet(s"$dir/seeds")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val counts = spark.read.parquet(s"$dir/counts")
+    Similarity.contaminationAgainst(
+      test,
+      cents,
+      counts,
+      maxCellSize,
+      readCelled(spark, dir),
+      threshold,
+      litK
+    )
+  }
+
   /** The persisted celled corpus itself — for consumers of the quantizer
     * BLOCKING beyond dedup (e.g. [[Similarity.hardNegatives]] mining):
     * build-once like every other reader here, then a plain parquet read.

@@ -912,7 +912,6 @@ object Similarity {
       litK: Int
   ): DataFrame = {
     val k = cents.length.toLong
-    val splits = splitsOf(counts, maxCellSize)
     val dCoarse = assignCells(
       delta.select(col("vec_id"), col("embedding")),
       cents,
@@ -922,7 +921,22 @@ object Similarity {
     // semanticDedupScaled's blocking); probe cells: all subcells of its
     // coarse cell.
     val dOwn = resplitCells(dCoarse, counts, k, maxCellSize).select(col("vec_id"), col("cell"))
-    val dProbe = dCoarse
+    val dProbe = probeAllSubcells(dCoarse, counts, maxCellSize, k)
+    semanticDeltaDupsCore(dOwn, dProbe, cCelled, threshold)
+  }
+
+  /** Fan a coarse-assigned probe set out over EVERY salted subcell of its
+    * coarse cell — the no-straddle-loss probe shape shared by the delta
+    * ingest and contamination paths.
+    */
+  private def probeAllSubcells(
+      dCoarse: DataFrame,
+      counts: DataFrame,
+      maxCellSize: Int,
+      k: Long
+  ): DataFrame = {
+    val splits = splitsOf(counts, maxCellSize)
+    dCoarse
       .join(broadcast(splits), Seq("cell"), "left")
       .select(
         col("vec_id"),
@@ -931,7 +945,63 @@ object Similarity {
         explode(sequence(lit(0L), coalesce(col("nsplit"), lit(1L)) - 1)).as("sub")
       )
       .select(col("vec_id"), col("embedding"), (col("sub") * k + col("c0")).as("cell"))
-    semanticDeltaDupsCore(dOwn, dProbe, cCelled, threshold)
+  }
+
+  /** Embedding-level eval CONTAMINATION report: every CORPUS (train)
+    * vector with at least one TEST vector above `threshold` cosine, with
+    * its test-match count and the argmax closest test example — the
+    * semantic analogue of the n-gram `d_contamination` decontamination
+    * join, catching paraphrased/near-duplicate eval leakage that shares
+    * no exact n-gram.
+    *
+    * Shape at scale: the test set is assigned into the TRAIN corpus's
+    * quantizer cells and probes every subcell of its coarse cell (the
+    * [[deltaDupsAgainst]] fan-out — full recall within the coarse cell);
+    * candidates are within-cell only, the per-train-vector verdict is one
+    * partial-aggregable `max(struct)` + count, no window, and only
+    * flagged vectors are emitted (the report is |contaminated|-sized, not
+    * corpus-sized). Ties on cosine take the higher test id.
+    */
+  private[operators] def contaminationAgainst(
+      test: DataFrame,
+      cents: Array[(Long, Array[Double])],
+      counts: DataFrame,
+      maxCellSize: Int,
+      cCelled: DataFrame,
+      threshold: Double,
+      litK: Int
+  ): DataFrame = {
+    val k = cents.length.toLong
+    val tCoarse = assignCells(
+      test.select(col("vec_id"), col("embedding")),
+      cents,
+      litK
+    ).localCheckpoint()
+    val tProbe = probeAllSubcells(tCoarse, counts, maxCellSize, k)
+    val c = cCelled.select(
+      col("cell"),
+      col("vec_id").as("b_id"),
+      col("embedding").as("b_emb")
+    )
+    tProbe
+      .join(c, Seq("cell"))
+      .select(
+        col("b_id"),
+        col("vec_id").as("t_id"),
+        cosine(col("embedding"), col("b_emb")).as("cos")
+      )
+      .filter(col("cos") >= threshold)
+      .groupBy(col("b_id"))
+      .agg(
+        max(struct(col("cos"), col("t_id"))).as("m"),
+        count(lit(1)).cast(LongType).as("n_test_matches")
+      )
+      .select(
+        col("b_id").as("vec_id"),
+        col("n_test_matches"),
+        col("m.t_id").as("top_test_match"),
+        col("m.cos").as("max_cos")
+      )
   }
 
   /** @param dOwn   (vec_id, cell) — one row per delta vector, the cell it

@@ -645,6 +645,95 @@ object SimilarityQ {
         "argmax best match via one partial-aggregable max(struct), no " +
         "window. Bit-checked end to end."
     ),
+    // ---- embedding-level eval DECONTAMINATION: train vectors flagged for
+    // being semantically near a test vector (cosine >= thr) — the paraphrase
+    // leakage the n-gram d_contamination join cannot see. The test split
+    // rides the train corpus's persisted quantizer exactly like the ingest
+    // delta: test-side assignment + within-cell candidates only, verdicts
+    // train-side via one partial-aggregable max(struct) + count.
+    Q(
+      "d_semantic_contamination",
+      (s, d) => {
+        import graft.util.Cols.md5Long
+        val emb = Tables.embeddings(s, d)
+        // the engine's standard 80/10/10 hash-split discipline (q_hash_split
+        // convention: unsalted md5 bucket of the id)
+        val withB = emb.withColumn("bkt", pmod(md5Long(col("vec_id")), lit(100)))
+        graft.operators.SemanticIndex
+          .contamination(
+            d,
+            withB.filter(col("bkt") >= 90),
+            withB.filter(col("bkt") < 80),
+            threshold = 0.30,
+            targetCellSize = 50,
+            maxCellSize = 100
+          )
+          .orderBy("vec_id")
+      },
+      Some {
+        val h = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 100"
+        val sub = "('0x' || substr(md5(c.vec_id::VARCHAR || '#sub'), 1, 15))::BIGINT"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, $h AS bkt FROM embeddings),
+           |d0 AS (SELECT vec_id, emb FROM e WHERE bkt >= 90),
+           |c0 AS (SELECT vec_id, emb FROM e WHERE bkt < 80),
+           |kk AS (SELECT ((COUNT(*) + 49) // 50) AS k FROM c0),
+           |sdo AS (
+           |  SELECT emb, row_number() OVER (
+           |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '#seed'), 1, 15))::BIGINT, vec_id
+           |    ) - 1 AS cell
+           |  FROM c0
+           |),
+           |seeds AS (SELECT cell, emb AS ce FROM sdo, kk WHERE cell < k),
+           |casg AS (
+           |  SELECT vec_id, emb, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |  FROM (SELECT c0.vec_id, c0.emb, s.cell, ${cosSql("c0.emb", "s.ce")} AS sim
+           |        FROM c0 CROSS JOIN seeds s)
+           |),
+           |ccoarse AS (SELECT vec_id, emb, cell FROM casg WHERE rn = 1),
+           |dasg AS (
+           |  SELECT vec_id, emb, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |  FROM (SELECT d0.vec_id, d0.emb, s.cell, ${cosSql("d0.emb", "s.ce")} AS sim
+           |        FROM d0 CROSS JOIN seeds s)
+           |),
+           |dcoarse AS (SELECT vec_id, emb, cell FROM dasg WHERE rn = 1),
+           |spl AS (SELECT cell, ((COUNT(*) + 99) // 100) AS nsplit FROM ccoarse GROUP BY cell),
+           |cc AS (
+           |  SELECT c.vec_id, c.emb,
+           |    (($sub % coalesce(s.nsplit, 1)) * k + c.cell) AS cell
+           |  FROM ccoarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
+           |),
+           |dpr AS (
+           |  SELECT c.vec_id, c.emb, (u.sub * k + c.cell) AS cell
+           |  FROM dcoarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
+           |  CROSS JOIN unnest(generate_series(0, coalesce(s.nsplit, 1) - 1)) AS u(sub)
+           |),
+           |sc AS (
+           |  SELECT cc.vec_id AS b_id, dpr.vec_id AS t_id,
+           |         ${cosSql("dpr.emb", "cc.emb")} AS cos
+           |  FROM dpr JOIN cc ON dpr.cell = cc.cell
+           |  WHERE ${cosSql("dpr.emb", "cc.emb")} >= 0.30
+           |),
+           |r AS (
+           |  SELECT b_id, t_id, cos,
+           |    row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, t_id DESC) AS rn,
+           |    COUNT(*) OVER (PARTITION BY b_id) AS n_test_matches
+           |  FROM sc
+           |)
+           |SELECT b_id AS vec_id, n_test_matches::BIGINT AS n_test_matches,
+           |       t_id AS top_test_match, cos AS max_cos
+           |FROM r WHERE rn = 1
+           |ORDER BY vec_id""".stripMargin
+      },
+      doc = "Semantic train/test decontamination: train vectors within " +
+        "cosine 0.30 of any test vector, flagged with match count and the " +
+        "argmax closest test example — catches paraphrased eval leakage " +
+        "invisible to exact n-gram contamination joins. Test assigns into " +
+        "the train corpus's persisted quantizer cells and probes every " +
+        "subcell (full coarse-cell recall); report is |flagged|-sized. " +
+        "Bit-checked through the full quantizer CTE chain."
+    ),
     // ---- centrality over the similarity graph: integer-exact PageRank on
     // the within-cell cosine near-dup pairs (the d_embed_cosine edges) —
     // how a pipeline picks the most central representative of a near-dup
