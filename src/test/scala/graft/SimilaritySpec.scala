@@ -498,4 +498,27 @@ class SimilaritySpec extends AnyFunSuite {
       assert(central !== edge, "Edge policy should keep different members than Central")
     }
   }
+
+  test("contamination and deltaDups count the same cross-split pair set") {
+    import graft.util.Cols.md5Long
+    val emb = Tables.embeddings(spark, sf)
+    val withB = emb.withColumn("bkt", pmod(md5Long(col("vec_id")), lit(100)))
+    val test9 = withB.filter(col("bkt") >= 90)
+    val train = withB.filter(col("bkt") < 80)
+    // both paths probe every subcell of the test vector's coarse cell
+    // against the same persisted train quantizer, so the (test, train)
+    // match multiset is identical — only the aggregation side differs
+    val sfDir = sf
+    val contam = graft.operators.SemanticIndex
+      .contamination(sfDir, test9, train, threshold = 0.30, targetCellSize = 50, maxCellSize = 100)
+    val delta = graft.operators.SemanticIndex
+      .deltaDups(sfDir, test9, train, threshold = 0.30, targetCellSize = 50, maxCellSize = 100)
+    val trainSide = contam.agg(sum(col("n_test_matches"))).collect()(0).getLong(0)
+    val testSide = delta.agg(sum(col("n_dups"))).collect()(0).getLong(0)
+    assert(trainSide == testSide, "pair-count must agree across aggregation sides")
+    // flagged train vectors must be train ids, never test ids
+    val flagged = contam.select("vec_id").as[Long].collect().toSet
+    val trainIds = train.select("vec_id").as[Long].collect().toSet
+    assert(flagged.subsetOf(trainIds))
+  }
 }

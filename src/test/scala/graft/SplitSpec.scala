@@ -110,4 +110,52 @@ class SplitSpec extends AnyFunSuite {
       s"expected the row-level window exchange to include _shard:\n$plan"
     )
   }
+
+  test("targetMix: rates achieve the feasible max under the target shares") {
+    val docs = Tables.documents(spark, sf)
+    val targets = Seq(
+      ("en", 400000L),
+      ("zh", 150000L),
+      ("es", 150000L),
+      ("de", 150000L),
+      ("fr", 150000L)
+    )
+    val out = Split.targetMix(docs, "doc_id", "lang", targets)
+    val rates = out
+      .select("lang", "n_domain", "target_ppm", "rate_ppm")
+      .distinct()
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rates.keySet == targets.map(_._1).toSet, "one rate row per domain")
+    // every rate is admissible and at least one domain is the binding
+    // constraint (its expected kept count ~= its full count)
+    assert(rates.values.forall { case (_, _, rate) => rate >= 0L && rate <= 1000000L })
+    val t = rates.values.map { case (n, ppm, _) => n * 1000000L / ppm }.min
+    rates.foreach { case (lang, (n, ppm, rate)) =>
+      assert(rate == t * ppm / n, s"$lang rate must be floor(T*share/count)")
+    }
+    assert(
+      rates.values.exists { case (n, ppm, _) => t == n * 1000000L / ppm },
+      "the scarcest domain must bind the feasible total"
+    )
+    // determinism: same verdict set under repartitioning
+    val again = Split
+      .targetMix(docs.repartition(7), "doc_id", "lang", targets)
+      .filter(col("accepted"))
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val first =
+      out.filter(col("accepted")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first, "acceptance must be a pure function of ids")
+  }
+
+  test("targetMix rejects share vectors that do not sum to 1e6 ppm") {
+    val docs = Tables.documents(spark, sf)
+    intercept[IllegalArgumentException] {
+      Split.targetMix(docs, "doc_id", "lang", Seq(("en", 500000L)))
+    }
+  }
 }
