@@ -577,4 +577,46 @@ object TextAnalysis {
     }
     (merges.toSeq.toDF("step", "x", "y", "merged", "support"), seqs)
   }
+
+  /** Statistical-LM quality scores (CCNet family): per-doc mean scaled
+    * conditional bigram probability, `mean_d((c_xy * 1e6) div c_x)` over
+    * the doc's bigrams — integer arithmetic end to end so the score is
+    * bit-reproducible across engines.
+    *
+    * Scale shape: bigram occurrences carry only their 60-bit hashes past
+    * the scan (8-byte shuffle keys, strings stay map-side); the unigram
+    * count side is vocabulary-bounded and broadcast. One corpus pass, two
+    * hash-keyed aggregates. Output: (doc_id, n_bigrams, lm_score_e6).
+    */
+  def lmScores(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(
+        col("doc_id"),
+        explode(Dedup.wordShinglesAll(Text.tokensAll(col("text")), 2)).as("bg")
+      )
+      .select(
+        col("doc_id"),
+        md5Long(col("bg")).as("bgh"),
+        md5Long(substring_index(col("bg"), " ", 1)).as("w1h")
+      )
+      .localCheckpoint(true)
+    val cxy = bg.groupBy(col("bgh")).agg(count(lit(1)).as("c_xy"))
+    val cx = docs
+      .select(explode(Text.tokensAll(col("text"))).as("w"))
+      .select(md5Long(col("w")).as("w1h"))
+      .groupBy(col("w1h"))
+      .agg(count(lit(1)).as("c_x"))
+    bg.join(cxy, Seq("bgh"))
+      .join(broadcast(cx), Seq("w1h")) // vocabulary-bounded side
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        sum(expr("(c_xy * 1000000) div c_x")).as("sc")
+      )
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        expr("sc div n_bigrams").as("lm_score_e6")
+      )
+  }
 }

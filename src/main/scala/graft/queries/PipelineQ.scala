@@ -240,6 +240,74 @@ object PipelineQ {
         "bucket — |domains| aggregate rows + one map-only pass over the " +
         "corpus, rates and every accept verdict bit-checked."
     ),
+    // ---- curriculum phasing: docs bucketed into 4 phases by EXACT
+    // quartiles of their statistical-LM quality score — train easy/clean
+    // first, hard last. The quantiles come from the O(nBuckets)-state
+    // exact-percentile operator (no global sort), then phase assignment is
+    // one map-only comparison against three broadcast cutpoints.
+    Q(
+      "q_curriculum",
+      (s, d) => {
+        val scores = TextAnalysis.lmScores(Tables.documents(s, d)).localCheckpoint()
+        val base = scores.select(
+          lit("all").as("g"),
+          lit("sc").as("vc"),
+          col("lm_score_e6").cast("double").as("v")
+        )
+        val cuts = graft.operators.Percentiles
+          .exactPercentiles(base, Seq("g"), Map("sc" -> Seq(0.25, 0.5, 0.75)))
+          .groupBy(col("g"))
+          .agg(
+            max(when(col("p") === 0.25, col("pct"))).as("q25"),
+            max(when(col("p") === 0.5, col("pct"))).as("q50"),
+            max(when(col("p") === 0.75, col("pct"))).as("q75")
+          )
+          .select("q25", "q50", "q75")
+        scores
+          .crossJoin(broadcast(cuts))
+          .select(
+            col("doc_id"),
+            col("lm_score_e6"),
+            (lit(1L) + (col("lm_score_e6") > col("q25")).cast("long")
+              + (col("lm_score_e6") > col("q50")).cast("long")
+              + (col("lm_score_e6") > col("q75")).cast("long")).as("phase")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |bg AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, len(tk) - 1),
+           |      i -> tk[i] || ' ' || tk[i+1])) AS bg
+           |  FROM t
+           |),
+           |cxy AS (SELECT bg, COUNT(*) AS c_xy FROM bg GROUP BY bg),
+           |cx AS (SELECT w, COUNT(*) AS c_x
+           |       FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+           |sc AS (
+           |  SELECT doc_id,
+           |    (SUM((c_xy * 1000000) // c_x) // COUNT(*))::BIGINT AS lm_score_e6
+           |  FROM bg JOIN cxy USING (bg)
+           |  JOIN cx ON split_part(bg.bg, ' ', 1) = cx.w
+           |  GROUP BY doc_id),
+           |cuts AS (
+           |  SELECT quantile_cont(lm_score_e6::DOUBLE, 0.25) AS q25,
+           |         quantile_cont(lm_score_e6::DOUBLE, 0.5) AS q50,
+           |         quantile_cont(lm_score_e6::DOUBLE, 0.75) AS q75
+           |  FROM sc)
+           |SELECT doc_id, lm_score_e6,
+           |  (1 + (lm_score_e6 > q25)::INT + (lm_score_e6 > q50)::INT
+           |     + (lm_score_e6 > q75)::INT)::BIGINT AS phase
+           |FROM sc CROSS JOIN cuts
+           |ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Curriculum phasing: every doc assigned to one of 4 phases by " +
+        "exact quartiles of its integer LM quality score — cutpoints from " +
+        "the O(buckets)-state exact-percentile operator (no global sort), " +
+        "assignment map-only against three broadcast cutpoints. Scores, " +
+        "cut comparisons, and phases bit-checked."
+    ),
     // ---- deterministic stratified sampling: cap each source at k docs,
     // picked by smallest salted id-hash. The bounded top-k aggregate keeps
     // O(k) per-stratum state and pre-reduces each map partition, so the

@@ -899,46 +899,10 @@ object TextQ {
     // fixed vocabulary without cross-engine libm drift.
     Q(
       "t_lm_score",
-      (s, d) => {
-        import graft.operators.Dedup
-        val docs = Tables.documents(s, d)
-        // bigram occurrences carry only their 60-bit hash past the scan
-        // (8-byte shuffle keys, strings stay map-side — the t_bigram_freq
-        // discipline); localCheckpointed because the corpus count aggregate
-        // AND the scoring join both consume it.
-        val bg = docs
-          .select(
-            col("doc_id"),
-            explode(
-              Dedup.wordShinglesAll(Text.tokensAll(col("text")), 2)
-            ).as("bg")
-          )
-          .select(
-            col("doc_id"),
-            md5Long(col("bg")).as("bgh"),
-            md5Long(substring_index(col("bg"), " ", 1)).as("w1h")
-          )
-          .localCheckpoint(true)
-        val cxy = bg.groupBy(col("bgh")).agg(count(lit(1)).as("c_xy"))
-        val cx = docs
-          .select(explode(Text.tokensAll(col("text"))).as("w"))
-          .select(md5Long(col("w")).as("w1h"))
-          .groupBy(col("w1h"))
-          .agg(count(lit(1)).as("c_x"))
-        bg.join(cxy, Seq("bgh"))
-          .join(broadcast(cx), Seq("w1h")) // vocabulary-bounded side
-          .groupBy(col("doc_id"))
-          .agg(
-            count(lit(1)).cast("long").as("n_bigrams"),
-            sum(expr("(c_xy * 1000000) div c_x")).as("sc")
-          )
-          .select(
-            col("doc_id"),
-            col("n_bigrams"),
-            expr("sc div n_bigrams").as("lm_score_e6")
-          )
-          .orderBy("doc_id")
-      },
+      (s, d) =>
+        // operator body in TextAnalysis.lmScores (shared with the
+        // curriculum-phasing query)
+        TextAnalysis.lmScores(Tables.documents(s, d)).orderBy("doc_id"),
       Some(
         s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
            |bg AS (
