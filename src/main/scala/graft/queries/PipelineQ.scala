@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.operators.{Dedup, Split, Text, TextAnalysis}
+import graft.operators.{Dedup, Expectations, Split, Text, TextAnalysis}
 
 /** Training-data pipeline surface: deterministic dataset splitting and the
   * composed corpus-cleaning query (language ID + quality gate + exact-dedup
@@ -833,6 +833,142 @@ object PipelineQ {
         "new training-data version by moving only changed shards. The " +
         "oracle re-derives BOTH exports' manifests from raw text and " +
         "replays every status."
+    ),
+    Q(
+      "q_expectations",
+      (s, d) => {
+        import Expectations.{RowCheck, UniqueCheck}
+        val cust = Tables.customer(s, d)
+        val ord = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val docs = Tables.documents(s, d)
+        Expectations.suite(
+          Seq(
+            Expectations.evaluate(
+              "customer",
+              cust,
+              Seq(
+                RowCheck(
+                  "customer.acctbal_nonneg",
+                  coalesce(col("c_acctbal") < 0, lit(true))
+                )
+              )
+            ),
+            Expectations.evaluate(
+              "orders",
+              ord,
+              Seq(
+                UniqueCheck("orders.o_orderkey_unique", col("o_orderkey")),
+                RowCheck(
+                  "orders.status_in_set",
+                  not(coalesce(col("o_orderstatus").isin("O", "F", "P"), lit(false)))
+                )
+              )
+            ),
+            Expectations.evaluate(
+              "lineitem",
+              li,
+              Seq(
+                RowCheck(
+                  "lineitem.quantity_1_50",
+                  not(coalesce(col("l_quantity").between(1, 50), lit(false)))
+                )
+              )
+            ),
+            Expectations.evaluate(
+              "documents",
+              docs,
+              Seq(
+                UniqueCheck("documents.doc_id_unique", col("doc_id")),
+                RowCheck(
+                  "documents.text_min_100",
+                  col("text").isNull || length(col("text")) < 100
+                ),
+                RowCheck(
+                  "documents.n_chars_consistent",
+                  not(col("n_chars") <=> length(col("text")))
+                )
+              )
+            ),
+            Expectations.foreignKey(
+              "lineitem.l_orderkey_fk_orders",
+              "lineitem",
+              li,
+              "l_orderkey",
+              ord,
+              "o_orderkey"
+            ),
+            Expectations.foreignKey(
+              "orders.o_custkey_fk_customer",
+              "orders",
+              ord,
+              "o_custkey",
+              cust,
+              "c_custkey"
+            )
+          )
+        )
+      },
+      Some("""WITH r AS (
+             |  SELECT 'customer.acctbal_nonneg' AS check_name, 'customer' AS table_name,
+             |    (SELECT COUNT(*) FROM customer
+             |      WHERE c_acctbal < 0 OR c_acctbal IS NULL)::BIGINT AS violations,
+             |    (SELECT COUNT(*) FROM customer)::BIGINT AS total
+             |  UNION ALL
+             |  SELECT 'orders.o_orderkey_unique', 'orders',
+             |    (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)::BIGINT,
+             |    (SELECT COUNT(*) FROM orders)::BIGINT
+             |  UNION ALL
+             |  SELECT 'orders.status_in_set', 'orders',
+             |    (SELECT COUNT(*) FROM orders
+             |      WHERE o_orderstatus IS NULL
+             |         OR o_orderstatus NOT IN ('O', 'F', 'P'))::BIGINT,
+             |    (SELECT COUNT(*) FROM orders)::BIGINT
+             |  UNION ALL
+             |  SELECT 'lineitem.quantity_1_50', 'lineitem',
+             |    (SELECT COUNT(*) FROM lineitem
+             |      WHERE l_quantity IS NULL
+             |         OR l_quantity < 1 OR l_quantity > 50)::BIGINT,
+             |    (SELECT COUNT(*) FROM lineitem)::BIGINT
+             |  UNION ALL
+             |  SELECT 'documents.doc_id_unique', 'documents',
+             |    (SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents)::BIGINT,
+             |    (SELECT COUNT(*) FROM documents)::BIGINT
+             |  UNION ALL
+             |  SELECT 'documents.text_min_100', 'documents',
+             |    (SELECT COUNT(*) FROM documents
+             |      WHERE text IS NULL OR length(text) < 100)::BIGINT,
+             |    (SELECT COUNT(*) FROM documents)::BIGINT
+             |  UNION ALL
+             |  SELECT 'documents.n_chars_consistent', 'documents',
+             |    (SELECT COUNT(*) FROM documents
+             |      WHERE n_chars IS DISTINCT FROM length(text))::BIGINT,
+             |    (SELECT COUNT(*) FROM documents)::BIGINT
+             |  UNION ALL
+             |  SELECT 'lineitem.l_orderkey_fk_orders', 'lineitem',
+             |    (SELECT COUNT(*) FROM lineitem l
+             |      WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                        WHERE o.o_orderkey = l.l_orderkey))::BIGINT,
+             |    (SELECT COUNT(*) FROM lineitem)::BIGINT
+             |  UNION ALL
+             |  SELECT 'orders.o_custkey_fk_customer', 'orders',
+             |    (SELECT COUNT(*) FROM orders o
+             |      WHERE NOT EXISTS (SELECT 1 FROM customer c
+             |                        WHERE c.c_custkey = o.o_custkey))::BIGINT,
+             |    (SELECT COUNT(*) FROM orders)::BIGINT
+             |)
+             |SELECT check_name, table_name, violations, total,
+             |  (violations = 0) AS passed
+             |FROM r ORDER BY check_name""".stripMargin),
+      doc = "Data-quality expectations suite (the Deequ/dbt-test shape): " +
+        "nine contracts over four tables — uniqueness, referential " +
+        "integrity, value domains, derived-column consistency, text " +
+        "length — evaluated as a violations report. All row checks " +
+        "against one table fold into a single scan (one zero-group " +
+        "aggregate, one conditional-sum slot per check); uniqueness is " +
+        "one count-distinct; each FK is one join against the parent's " +
+        "distinct keys. Non-vacuous: acctbal_nonneg and text_min_100 " +
+        "fail on this corpus, and the report says so."
     )
   )
 }

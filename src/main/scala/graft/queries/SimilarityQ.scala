@@ -51,7 +51,11 @@ object SimilarityQ {
        |  FROM coarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
        |)""".stripMargin
 
-  private def semanticScaledSql(thr: Double): String =
+  /** [[celledCtes]] extended with decimal-exact per-cell centroids and the
+    * per-vector centroid cosine (`dd`) — shared by the dedup replay and
+    * the cluster-quality audit.
+    */
+  private def ddCtes: String =
     s"""$celledCtes,
        |px AS (
        |  SELECT cell, unnest(list_transform(generate_series(1, len(emb)),
@@ -68,7 +72,10 @@ object SimilarityQ {
        |  SELECT celled.vec_id, celled.cell, celled.emb,
        |         ${cosSql("celled.emb", "centroid")} AS ccos
        |  FROM celled JOIN cents USING (cell)
-       |),
+       |)""".stripMargin
+
+  private def semanticScaledSql(thr: Double): String =
+    s"""$ddCtes,
        |drp AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM dd a JOIN dd b ON a.cell = b.cell AND a.vec_id != b.vec_id
@@ -1182,6 +1189,42 @@ object SimilarityQ {
         "within-cell pair join is corpus-linear and per-anchor selection " +
         "is the bounded top-k aggregate, no windows. Every rank and " +
         "cosine bit-replayed."
+    ),
+    // ---- quantizer-health audit over the SAME persisted asset: per-cell
+    // cohesion from the centroid cosines the dedup sweep already computes.
+    // One corpus-linear pass (centroid join + zero extra builds); the
+    // report is O(k) rows.
+    Q(
+      "s_cluster_quality",
+      (s, d) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val celled = graft.operators.SemanticIndex
+          .cells(d, Tables.embeddings(s, d), targetCellSize = 50, maxCellSize = 100)
+        celled
+          .join(broadcast(Similarity.centroids(celled, "cell")), Seq("cell"))
+          .withColumn("ccos", graft.util.Cols.cosine(col("embedding"), col("centroid")))
+          .groupBy(col("cell"))
+          .agg(
+            count(lit(1)).cast("long").as("n"),
+            (sum(col("ccos").cast(DecimalType(38, 9))).cast(DoubleType) / count(lit(1)))
+              .as("mean_ccos"),
+            min(col("ccos")).as("min_ccos")
+          )
+          .orderBy("cell")
+      },
+      Some(
+        s"""$ddCtes
+           |SELECT cell, COUNT(*)::BIGINT AS n,
+           |  SUM(ccos::DECIMAL(38,9))::DOUBLE / COUNT(*) AS mean_ccos,
+           |  MIN(ccos) AS min_ccos
+           |FROM dd GROUP BY cell ORDER BY cell""".stripMargin
+      ),
+      doc = "Cluster-quality audit of the persisted quantizer: per-cell " +
+        "size, decimal-exact mean centroid cosine (cohesion) and the " +
+        "cohesion floor (min) — the monitoring view that says when the " +
+        "quantizer needs retraining as the corpus drifts. Reads the same " +
+        "fingerprinted celled asset as the dedup sweep (zero extra " +
+        "builds); one corpus-linear aggregate, O(cells) output."
     )
   )
 }

@@ -66,6 +66,78 @@ object VersionedQ {
         "the snapshot-isolation proof; manifests are O(commits) and a " +
         "version read is a plain multi-dir parquet scan with pushdown " +
         "intact."
+    ),
+    Q(
+      "v_vacuum",
+      (s, d) => {
+        val dir =
+          java.nio.file.Files.createTempDirectory("graft_vac").toString
+        val docs = Tables.documents(s, d)
+        Versioned.commit(docs.filter(col("doc_id") % 3 === 0), dir) // v1
+        Versioned.commit(docs.filter(col("doc_id") % 3 === 1), dir) // v2 (append)
+        Versioned.commit(docs.filter(col("lang") === "en"), dir, append = false) // v3
+        Versioned.commit( // v4 (append onto v3)
+          docs.filter(col("doc_id") % 3 === 2 && col("lang") =!= "en"),
+          dir
+        )
+        Versioned.vacuum(dir, retainLast = 2) // retires v1+v2, reclaims c1+c2
+        val retired = Seq(1, 2).map { v =>
+          // A vacuumed version must be GONE: its manifest removed, so the
+          // read fails. If it unexpectedly still resolves, surface a
+          // 'leaked' status — the oracle expects 'vacuumed', so any
+          // retention leak breaks the hash gate.
+          val status =
+            try { Versioned.readVersion(s, dir, v); "leaked" }
+            catch { case _: IllegalArgumentException => "vacuumed" }
+          (v.toLong, status)
+        }
+        import s.implicits._
+        val retiredDf = retired
+          .toDF("version", "status")
+          .withColumn("n_docs", lit(null).cast("long"))
+          .withColumn("sum_chars", lit(null).cast("long"))
+        val retainedDf = Seq(3, 4)
+          .map { v =>
+            Versioned
+              .readVersion(s, dir, v)
+              .agg(
+                count(lit(1)).as("n_docs"),
+                sum(col("n_chars")).as("sum_chars")
+              )
+              .select(
+                lit(v.toLong).as("version"),
+                lit("retained").as("status"),
+                col("n_docs"),
+                col("sum_chars")
+              )
+          }
+          .reduce(_ unionByName _)
+        retiredDf
+          .unionByName(retainedDf)
+          .orderBy("version")
+      },
+      Some("""WITH v3 AS (SELECT * FROM documents WHERE lang = 'en'),
+             |v4 AS (SELECT * FROM documents
+             |       WHERE lang = 'en' OR (doc_id % 3 = 2 AND lang <> 'en'))
+             |SELECT CAST(1 AS BIGINT) AS version, 'vacuumed' AS status,
+             |       CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS sum_chars
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), 'vacuumed', NULL, NULL
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), 'retained',
+             |       COUNT(*)::BIGINT, SUM(n_chars)::BIGINT FROM v3
+             |UNION ALL
+             |SELECT CAST(4 AS BIGINT), 'retained',
+             |       COUNT(*)::BIGINT, SUM(n_chars)::BIGINT FROM v4
+             |ORDER BY version""".stripMargin),
+      doc = "Versioned-table VACUUM (retention GC): four commits, retain " +
+        "the last 2 — v1/v2's manifests are removed first (atomic " +
+        "unreadability), then the data dirs only they referenced. " +
+        "Retired versions must fail to resolve ('vacuumed'; a successful " +
+        "read would surface 'leaked' and break the hash gate) while " +
+        "retained versions read back byte-identical. Liveness is " +
+        "manifest-level set arithmetic, O(commits) driver work — no data " +
+        "read or rewritten."
     )
   )
 }

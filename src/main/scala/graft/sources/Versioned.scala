@@ -92,4 +92,57 @@ object Versioned {
     val dirs = readManifest(dir, version).map(d => s"$dir/data/$d")
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
+
+  /** One vacuum run's outcome: which versions survived, which data dirs
+    * were reclaimed. Driver-sized (O(commits)), never O(files).
+    */
+  final case class VacuumReport(
+      retained: Seq[Int],
+      vacuumedVersions: Seq[Int],
+      removedDataDirs: Seq[String]
+  )
+
+  /** VACUUM: retire all but the newest `retainLast` versions and reclaim
+    * the storage only they referenced — the retention/GC half of the
+    * table-format lifecycle (Delta VACUUM / Iceberg expire_snapshots).
+    *
+    * Liveness is manifest-level set arithmetic: a data dir is live iff
+    * some RETAINED manifest names it. Because append commits re-list
+    * their ancestors' dirs, a dir shared between a retired and a retained
+    * version survives — only dirs referenced exclusively by retired
+    * versions are deleted. Deletion order is crash-safe in the same sense
+    * the commit protocol is: retired MANIFESTS are removed first (the
+    * version atomically stops being readable), then the now-unreferenced
+    * data dirs — a crash between the two steps leaves orphaned data, never
+    * a readable version with missing data.
+    *
+    * Cost: O(commits) manifest reads on the driver + one recursive delete
+    * per dead dir. No data is read or rewritten; retained versions are
+    * byte-identical before and after. Idempotent: a second run with the
+    * same `retainLast` finds nothing to do.
+    */
+  def vacuum(dir: String, retainLast: Int): VacuumReport = {
+    require(retainLast >= 1, "must retain at least the latest version")
+    val latest = latestVersion(dir)
+    val all = (1 to latest).filter(v => Files.exists(manifestDir(dir).resolve(s"v$v.manifest")))
+    val retained = all.takeRight(retainLast)
+    val retired = all.dropRight(retainLast)
+    val live = retained.flatMap(readManifest(dir, _)).toSet
+    val dead = retired.flatMap(readManifest(dir, _)).toSet -- live
+    retired.foreach { v =>
+      Files.deleteIfExists(manifestDir(dir).resolve(s"v$v.manifest"))
+    }
+    dead.toSeq.sorted.foreach { d =>
+      val p = Paths.get(dir, "data", d)
+      if (Files.exists(p)) {
+        Files
+          .walk(p)
+          .sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator()
+          .asScala
+          .foreach(Files.delete)
+      }
+    }
+    VacuumReport(retained, retired, dead.toSeq.sorted)
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Expectations
+import graft.operators.Expectations.{RowCheck, UniqueCheck}
+
+/** Expectations-suite guarantees: exact violation counts on injected bad
+  * rows, null handling (a null never silently passes a guarded check),
+  * and the single-scan plan shape — all row checks against one table are
+  * one aggregate over one scan, not one scan per check.
+  */
+class ExpectationsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("row + uniqueness checks count injected violations exactly") {
+    val df = Seq(
+      (1L, 10, "ok"),
+      (2L, -5, "ok"), // range violation
+      (2L, 20, "ok"), // duplicate key
+      (3L, 30, null), // null violation (guarded)
+      (4L, 200, "ok") // range violation
+    ).toDF("id", "v", "s")
+    val rep = Expectations
+      .evaluate(
+        "t",
+        df,
+        Seq(
+          UniqueCheck("t.id_unique", col("id")),
+          RowCheck("t.v_0_100", not(coalesce(col("v").between(0, 100), lit(false)))),
+          RowCheck("t.s_not_null", col("s").isNull)
+        )
+      )
+      .orderBy("check_name")
+      .as[(String, String, Long, Long, Boolean)]
+      .collect()
+      .toSeq
+    assert(
+      rep === Seq(
+        ("t.id_unique", "t", 1L, 5L, false),
+        ("t.s_not_null", "t", 1L, 5L, false),
+        ("t.v_0_100", "t", 2L, 5L, false)
+      )
+    )
+  }
+
+  test("foreign key counts orphans; duplicate parent keys do not multiply") {
+    val child = Seq((1L, "a"), (2L, "b"), (9L, "orphan"), (1L, "c")).toDF("fk", "x")
+    val parent = Seq((1L, "p"), (1L, "p-dup"), (2L, "q")).toDF("pk", "y")
+    val rep = Expectations
+      .foreignKey("c.fk_p", "child", child, "fk", parent, "pk")
+      .as[(String, String, Long, Long, Boolean)]
+      .collect()
+      .head
+    assert(rep === (("c.fk_p", "child", 1L, 4L, false)), "total stays 4 despite dup parent")
+  }
+
+  test("all-pass contract reports passed=true everywhere") {
+    val df = Seq((1L, 5), (2L, 6)).toDF("id", "v")
+    val rep = Expectations
+      .evaluate(
+        "t",
+        df,
+        Seq(
+          UniqueCheck("t.id_unique", col("id")),
+          RowCheck("t.v_pos", not(coalesce(col("v") > 0, lit(false))))
+        )
+      )
+      .select("passed")
+      .as[Boolean]
+      .collect()
+    assert(rep.forall(identity))
+  }
+
+  test("row checks share ONE scan: a multi-check evaluate plans a single relation") {
+    val df = spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
+    val rep = Expectations.evaluate(
+      "t",
+      df,
+      Seq(
+        RowCheck("a", col("v") > 5),
+        RowCheck("b", col("v") < 1),
+        RowCheck("c", col("id") > 900)
+      )
+    )
+    val scans = rep.queryExecution.optimizedPlan
+      .collect { case r: org.apache.spark.sql.catalyst.plans.logical.LeafNode => r }
+    assert(scans.size === 1, s"expected one scan for three row checks, got ${scans.size}")
+  }
+}

@@ -71,4 +71,56 @@ class VersionedSpec extends AnyFunSuite {
     }
     assert(Versioned.readVersion(spark, dir, 5).count() === 5L)
   }
+
+  private def dataDirs(dir: String): Set[String] = {
+    val p = java.nio.file.Paths.get(dir, "data")
+    val it = java.nio.file.Files.list(p).iterator()
+    val b = Set.newBuilder[String]
+    it.forEachRemaining(d => b += d.getFileName.toString)
+    b.result()
+  }
+
+  test("vacuum reclaims exclusively-retired dirs; retained versions byte-identical") {
+    val dir = freshDir()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), dir) // v1 → c1
+    Versioned.commit(Seq((2L, "b")).toDF("id", "s"), dir) // v2 → c1+c2
+    Versioned.commit(Seq((9L, "z")).toDF("id", "s"), dir, append = false) // v3 → c3
+    Versioned.commit(Seq((10L, "y")).toDF("id", "s"), dir) // v4 → c3+c4
+    val before = Versioned.readVersion(spark, dir, 4).orderBy("id").collect().toSeq
+    val rep = Versioned.vacuum(dir, retainLast = 2)
+    assert(rep.retained === Seq(3, 4))
+    assert(rep.vacuumedVersions === Seq(1, 2))
+    assert(rep.removedDataDirs === Seq("c1", "c2"), "only dirs no retained manifest names")
+    assert(dataDirs(dir) === Set("c3", "c4"))
+    assert(Versioned.readVersion(spark, dir, 4).orderBy("id").collect().toSeq === before)
+    assert(Versioned.readVersion(spark, dir, 3).select("id").as[Long].collect().toSet === Set(9L))
+    intercept[IllegalArgumentException](Versioned.readVersion(spark, dir, 1))
+    intercept[IllegalArgumentException](Versioned.readVersion(spark, dir, 2))
+    assert(Versioned.latestVersion(dir) === 4, "latest unchanged by vacuum")
+  }
+
+  test("vacuum keeps dirs shared with a retained append chain") {
+    val dir = freshDir()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), dir) // v1 → c1
+    Versioned.commit(Seq((2L, "b")).toDF("id", "s"), dir) // v2 → c1+c2
+    val rep = Versioned.vacuum(dir, retainLast = 1) // retires v1, but v2 still needs c1
+    assert(rep.vacuumedVersions === Seq(1))
+    assert(rep.removedDataDirs === Nil, "c1 is live via v2's manifest")
+    assert(dataDirs(dir) === Set("c1", "c2"))
+    assert(
+      Versioned.readVersion(spark, dir, 2).select("id").as[Long].collect().toSet === Set(1L, 2L)
+    )
+  }
+
+  test("vacuum is idempotent and a full-retention run is a no-op") {
+    val dir = freshDir()
+    (1 to 3).foreach(i => Versioned.commit(Seq((i.toLong, s"v$i")).toDF("id", "s"), dir))
+    val noop = Versioned.vacuum(dir, retainLast = 5)
+    assert(noop.vacuumedVersions === Nil && noop.removedDataDirs === Nil)
+    Versioned.vacuum(dir, retainLast = 1)
+    val again = Versioned.vacuum(dir, retainLast = 1)
+    assert(again.retained === Seq(3))
+    assert(again.vacuumedVersions === Nil && again.removedDataDirs === Nil)
+    assert(Versioned.readVersion(spark, dir, 3).count() === 3L)
+  }
 }
