@@ -233,4 +233,37 @@ object Split {
       .withColumn("mix_bucket", bkt)
       .withColumn("accepted", col("mix_bucket") < col("rate_ppm"))
   }
+
+  /** Loss-driven domain reweighting (the DoReMi idea, Xie et al. 2023,
+    * in its deterministic multiplicative-weights core): domains where the
+    * reference LM does badly get UP-weighted, so the next mixture spends
+    * more of the token budget where the model has most to learn.
+    *
+    * `domainLoss` must provide one row per domain: (domain, n_docs,
+    * loss_ppm ∈ [0, 1e6]). Weights start uniform (1e6 ppm each) and run
+    * `iters` multiplicative-weights rounds, all integer-exact:
+    * u_d = w_d·(1e6 + loss_d), then renormalize w_d = u_d·1e6 div Σu —
+    * a closed-form both engines replay bit-identically (no exp/softmax
+    * floats). Bounds: u ≤ 2e12, u·1e6 ≤ 2e18 < 2^63.
+    *
+    * Shape at scale: the corpus is touched ONCE (by whatever computed
+    * `domainLoss`); every iteration runs on the |domains|-row frame
+    * (localCheckpointed so the loss derivation isn't replayed per round)
+    * — a scalar sum crossed back in, no windows, no corpus scans.
+    */
+  def domainReweight(domainLoss: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "at least one reweighting round")
+    var w = domainLoss
+      .localCheckpoint(true)
+      .withColumn("w", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val u = w.withColumn("u", col("w") * (lit(1000000L) + col("loss_ppm")))
+      val tot = u.agg(sum(col("u")).as("tot"))
+      w = u
+        .crossJoin(broadcast(tot))
+        .withColumn("w", expr("(u * 1000000L) div tot"))
+        .drop("u", "tot")
+    }
+    w.withColumnRenamed("w", "w_ppm")
+  }
 }

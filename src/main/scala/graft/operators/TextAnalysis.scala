@@ -619,4 +619,63 @@ object TextAnalysis {
         expr("sc div n_bigrams").as("lm_score_e6")
       )
   }
+
+  /** Interpolated Kneser–Ney bigram LM scores (Kneser & Ney 1995; the
+    * smoothing real LM-quality filters use where [[lmScores]]' raw MLE
+    * assigns unseen-context mass badly). Per occurring bigram (w1,w2),
+    * with absolute discount D = 3/4:
+    *
+    * {{{
+    *   P(w2|w1) = (c(w1w2) - D)/c(w1)  +  (D·N1+(w1·)/c(w1)) · N1+(·w2)/N1+(··)
+    * }}}
+    *
+    * where N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    * left-contexts of w2 (the "how many contexts has this word completed"
+    * continuation probability — KN's defining idea), N1+(··) = distinct
+    * bigram types. Everything is integer-exact at 1e-9 scale: with
+    * positive divisors, `a div b div c = a div (b·c)`, so both terms are
+    * single floor divisions both engines replay bit-identically.
+    *
+    * Scale shape: identical to [[lmScores]] — occurrences carry 60-bit
+    * hashes (8-byte shuffle keys); the unigram/continuation sides are
+    * vocabulary-bounded broadcasts; N1+(··) is one scalar crossed in.
+    * Output: (doc_id, n_bigrams, kn_score_e9).
+    */
+  def knScores(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(
+        col("doc_id"),
+        explode(Dedup.wordShinglesAll(Text.tokensAll(col("text")), 2)).as("bg")
+      )
+      .select(
+        col("doc_id"),
+        md5Long(col("bg")).as("bgh"),
+        md5Long(substring_index(col("bg"), " ", 1)).as("w1h"),
+        md5Long(substring_index(col("bg"), " ", -1)).as("w2h")
+      )
+      .localCheckpoint(true)
+    val cxy = bg.groupBy(col("bgh")).agg(count(lit(1)).as("c_xy"))
+    val cx = bg
+      .groupBy(col("w1h"))
+      .agg(count(lit(1)).as("c_x"), countDistinct(col("w2h")).as("n1f"))
+    val bw = bg.groupBy(col("w2h")).agg(countDistinct(col("w1h")).as("n1b"))
+    val nt = bg.select(countDistinct(col("bgh")).as("n_types"))
+    bg.join(cxy, Seq("bgh"))
+      .join(broadcast(cx), Seq("w1h")) // vocabulary-bounded sides
+      .join(broadcast(bw), Seq("w2h"))
+      .crossJoin(broadcast(nt))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        sum(
+          expr("((4 * c_xy - 3) * 250000000) div c_x") +
+            expr("(750000000 * n1f * n1b) div (c_x * n_types)")
+        ).as("sc")
+      )
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        expr("sc div n_bigrams").as("kn_score_e9")
+      )
+  }
 }

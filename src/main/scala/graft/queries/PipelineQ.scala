@@ -969,6 +969,72 @@ object PipelineQ {
         "one count-distinct; each FK is one join against the parent's " +
         "distinct keys. Non-vacuous: acctbal_nonneg and text_min_100 " +
         "fail on this corpus, and the report says so."
+    ),
+    Q(
+      "q_domain_reweight",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dom = docs
+          .select(col("doc_id"), col("source"))
+          .join(TextAnalysis.lmScores(docs), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            expr("sum(lm_score_e6) div count(1)").as("mean_e6")
+          )
+          .select(
+            col("source"),
+            col("n_docs"),
+            (lit(1000000L) - col("mean_e6")).as("loss_ppm")
+          )
+        Split
+          .domainReweight(dom, iters = 3)
+          .select("source", "n_docs", "loss_ppm", "w_ppm")
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |bg AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, len(tk) - 1),
+           |      i -> tk[i] || ' ' || tk[i+1])) AS bg
+           |  FROM t
+           |),
+           |cxy AS (SELECT bg, COUNT(*) AS c_xy FROM bg GROUP BY bg),
+           |cx AS (SELECT w, COUNT(*) AS c_x
+           |       FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+           |lm AS (
+           |  SELECT doc_id,
+           |    (SUM((c_xy * 1000000) // c_x) // COUNT(*))::BIGINT AS s
+           |  FROM bg JOIN cxy USING (bg)
+           |  JOIN cx ON split_part(bg.bg, ' ', 1) = cx.w
+           |  GROUP BY doc_id
+           |),
+           |dom AS (
+           |  SELECT d.source, COUNT(*)::BIGINT AS n_docs,
+           |    (1000000 - (SUM(s) // COUNT(*)))::BIGINT AS loss_ppm
+           |  FROM documents d JOIN lm USING (doc_id) GROUP BY d.source
+           |),
+           |i0 AS (SELECT source, n_docs, loss_ppm, 1000000::BIGINT AS w FROM dom),
+           |i1 AS (SELECT source, n_docs, loss_ppm,
+           |  ((w * (1000000 + loss_ppm) * 1000000)
+           |    // (SUM(w * (1000000 + loss_ppm)) OVER ()))::BIGINT AS w FROM i0),
+           |i2 AS (SELECT source, n_docs, loss_ppm,
+           |  ((w * (1000000 + loss_ppm) * 1000000)
+           |    // (SUM(w * (1000000 + loss_ppm)) OVER ()))::BIGINT AS w FROM i1),
+           |i3 AS (SELECT source, n_docs, loss_ppm,
+           |  ((w * (1000000 + loss_ppm) * 1000000)
+           |    // (SUM(w * (1000000 + loss_ppm)) OVER ()))::BIGINT AS w FROM i2)
+           |SELECT source, n_docs, loss_ppm, w AS w_ppm
+           |FROM i3 ORDER BY source""".stripMargin
+      ),
+      doc = "Loss-driven domain reweighting (the DoReMi multiplicative-" +
+        "weights core): per-source LM loss (1e6 - mean t_lm_score) feeds " +
+        "3 integer-exact multiplicative-weights rounds — hard domains " +
+        "up-weighted, renormalized to ppm each round, every weight " +
+        "bit-replayed (no exp/softmax floats). The corpus is scanned " +
+        "once for the losses; every iteration runs on the |domains|-row " +
+        "frame with a broadcast scalar total."
     )
   )
 }

@@ -928,6 +928,48 @@ object TextQ {
         "vocabulary-bounded unigram side."
     ),
     Q(
+      "t_kn_lm",
+      (s, d) =>
+        TextAnalysis.knScores(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |bg AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, len(tk) - 1),
+           |      i -> tk[i] || ' ' || tk[i+1])) AS bg
+           |  FROM t
+           |),
+           |sp AS (SELECT doc_id, bg,
+           |         split_part(bg, ' ', 1) AS w1,
+           |         split_part(bg, ' ', 2) AS w2
+           |       FROM bg),
+           |cxy AS (SELECT bg, COUNT(*) AS c_xy FROM sp GROUP BY bg),
+           |cx AS (SELECT w1, COUNT(*) AS c_x, COUNT(DISTINCT w2) AS n1f
+           |       FROM sp GROUP BY w1),
+           |bw AS (SELECT w2, COUNT(DISTINCT w1) AS n1b FROM sp GROUP BY w2),
+           |nt AS (SELECT COUNT(DISTINCT bg) AS n_types FROM sp)
+           |SELECT doc_id, COUNT(*) AS n_bigrams,
+           |  (SUM(((4 * c_xy - 3) * 250000000) // c_x
+           |     + (750000000 * n1f * n1b) // (c_x * n_types))
+           |   // COUNT(*))::BIGINT AS kn_score_e9
+           |FROM sp
+           |JOIN cxy USING (bg)
+           |JOIN cx USING (w1)
+           |JOIN bw USING (w2)
+           |CROSS JOIN nt
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Interpolated Kneser-Ney bigram LM score (D=3/4): discounted " +
+        "conditional probability plus the continuation-probability " +
+        "back-off N1+(.w2)/N1+(..) — the smoothing real LM-quality " +
+        "filters use. Integer-exact at 1e-9 scale (floor-division " +
+        "identity a div b div c = a div (b*c) keeps each term ONE " +
+        "division), so every score bit-replays. Same scale shape as " +
+        "t_lm_score: 8-byte hash shuffle keys, broadcast " +
+        "vocabulary-bounded unigram/continuation sides, one scalar " +
+        "bigram-type count crossed in."
+    ),
+    Q(
       "t_vocab_coverage",
       (s, d) =>
         TextAnalysis

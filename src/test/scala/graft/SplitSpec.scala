@@ -152,6 +152,47 @@ class SplitSpec extends AnyFunSuite {
     assert(again == first, "acceptance must be a pure function of ids")
   }
 
+  test("domainReweight: uniform loss keeps weights uniform; harder domains gain") {
+    import spark.implicits._
+    val uniform = Seq(("a", 10L, 500000L), ("b", 20L, 500000L), ("c", 5L, 500000L))
+      .toDF("source", "n_docs", "loss_ppm")
+    val wU = Split
+      .domainReweight(uniform, iters = 3)
+      .select("source", "w_ppm")
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(wU.values.toSet.size === 1, "equal losses must keep equal weights")
+    val skewed = Seq(("easy", 10L, 100000L), ("mid", 10L, 500000L), ("hard", 10L, 900000L))
+      .toDF("source", "n_docs", "loss_ppm")
+    val w = Split
+      .domainReweight(skewed, iters = 3)
+      .select("source", "w_ppm")
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(w("hard") > w("mid") && w("mid") > w("easy"), s"monotone in loss: $w")
+    val tot = w.values.sum
+    assert(tot <= 1000000L && tot > 1000000L - w.size, s"ppm-normalized (floor): $tot")
+  }
+
+  test("domainReweight is deterministic across partitioning") {
+    import spark.implicits._
+    def run(parts: Int) = Split
+      .domainReweight(
+        Seq(("a", 1L, 250000L), ("b", 1L, 750000L), ("c", 1L, 600000L), ("d", 1L, 10000L))
+          .toDF("source", "n_docs", "loss_ppm")
+          .repartition(parts),
+        iters = 4
+      )
+      .select("source", "w_ppm")
+      .as[(String, Long)]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    assert(run(1) === run(7))
+  }
+
   test("targetMix rejects share vectors that do not sum to 1e6 ppm") {
     val docs = Tables.documents(spark, sf)
     intercept[IllegalArgumentException] {
