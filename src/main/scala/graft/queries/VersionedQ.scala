@@ -138,6 +138,62 @@ object VersionedQ {
         "retained versions read back byte-identical. Liveness is " +
         "manifest-level set arithmetic, O(commits) driver work — no data " +
         "read or rewritten."
+    ),
+    Q(
+      "v_merge_upsert",
+      (s, d) => {
+        val dir =
+          java.nio.file.Files.createTempDirectory("graft_mor").toString
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        Versioned.commitMerge(docs, dir) // v1: full base
+        Versioned.commitMerge( // v2: update every 10th doc
+          docs
+            .filter(col("doc_id") % 10 === 0)
+            .withColumn("n_chars", col("n_chars") + 1000L),
+          dir
+        )
+        Versioned.commitMerge( // v3: delete every 7th doc (tombstones)
+          docs.filter(col("doc_id") % 7 === 0),
+          dir,
+          deleted = lit(true)
+        )
+        val merged = Versioned
+          .readMerged(s, dir, "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .withColumn("phase", lit("merged"))
+        Versioned.compactMerged(s, dir, "doc_id") // v4: fold to a fresh base
+        val compacted = Versioned
+          .readMerged(s, dir, "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .withColumn("phase", lit("compacted"))
+        merged
+          .unionByName(compacted)
+          .select("phase", "lang", "n_docs", "sum_chars")
+          .orderBy("phase", "lang")
+      },
+      Some("""WITH fin AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+             |         ELSE n_chars END AS n_chars
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |)
+             |SELECT 'compacted' AS phase, lang,
+             |  COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
+             |FROM fin GROUP BY lang
+             |UNION ALL
+             |SELECT 'merged', lang, COUNT(*)::BIGINT, SUM(n_chars)::BIGINT
+             |FROM fin GROUP BY lang
+             |ORDER BY phase, lang""".stripMargin),
+      doc = "MERGE INTO, merge-on-read: base commit + an UPDATE delta " +
+        "(every 10th doc, n_chars+1000) + a DELETE delta (every 7th doc, " +
+        "tombstones) — each commit appends only |delta| rows, zero " +
+        "copy-on-write. readMerged resolves latest-commit-wins per key " +
+        "via one partial-aggregable max(struct) (no window) and drops " +
+        "tombstoned keys; compactMerged then folds the resolved state " +
+        "into a fresh base and the re-read must hash-match the merged " +
+        "view — both phases replayed by the oracle."
     )
   )
 }

@@ -93,6 +93,77 @@ object Versioned {
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
+  /** MERGE INTO, merge-on-read form (Iceberg MOR / Hudi MOR at key
+    * granularity): an upsert/delete commit is a PURE APPEND of the delta
+    * rows — no copy-on-write of untouched data — tagged with the commit
+    * number and a tombstone flag; [[readMerged]] resolves each key to its
+    * latest-committed row and drops tombstoned keys.
+    *
+    * Contract: one row per key per commit (the usual MERGE source
+    * contract); later commits win per key, `deleted` rows win like any
+    * other update. Delta columns must cover the table schema (schema
+    * evolution still works through mergeSchema — new columns read null in
+    * old commits).
+    *
+    * Scale shape: a merge commit writes |delta| rows, period. The read
+    * adds one hash aggregate on the key (partial-aggregable max(struct) —
+    * the latest-per-key pattern, no window), which [[compactMerged]]
+    * amortizes away by folding the resolved state into a fresh base
+    * version (OPTIMIZE-style; old versions stay time-travelable until
+    * [[vacuum]]).
+    */
+  def commitMerge(
+      delta: DataFrame,
+      dir: String,
+      deleted: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(false)
+  ): Int = {
+    import org.apache.spark.sql.functions.lit
+    val next = latestVersion(dir) + 1
+    commit(
+      delta
+        .withColumn("_deleted", deleted)
+        .withColumn("_commit", lit(next.toLong)),
+      dir,
+      append = true
+    )
+  }
+
+  /** Resolve a merged table at version `v` (default latest): latest
+    * commit wins per key, tombstones drop the key. One partial-aggregable
+    * max(struct) per key — no windows, no driver state.
+    */
+  def readMerged(
+      spark: SparkSession,
+      dir: String,
+      keyCol: String,
+      v: Int = -1
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, not, struct}
+    val df = readVersion(spark, dir, v)
+    require(df.columns.contains("_commit"), "not a merge table: no _commit column")
+    val dataCols = df.columns.filterNot(c => c == keyCol || c == "_commit").toSeq
+    df.groupBy(col(keyCol))
+      .agg(max(struct((col("_commit") +: dataCols.map(col)): _*)).as("_r"))
+      .select(col(keyCol) +: dataCols.map(c => col(s"_r.$c").as(c)): _*)
+      .filter(not(col("_deleted")))
+      .drop("_deleted")
+  }
+
+  /** Fold the resolved merged state into a fresh base version (the
+    * OPTIMIZE/compaction half of merge-on-read): one [[readMerged]] pass
+    * re-committed as an overwrite, so subsequent reads resolve against a
+    * single tombstone-free commit. Returns the new version.
+    */
+  def compactMerged(spark: SparkSession, dir: String, keyCol: String): Int = {
+    import org.apache.spark.sql.functions.lit
+    // safe to read-while-committing: the commit writes a NEW immutable
+    // data dir; the dirs this read scans are never touched
+    val resolved = readMerged(spark, dir, keyCol)
+      .withColumn("_deleted", lit(false))
+      .withColumn("_commit", lit(0L))
+    commit(resolved, dir, append = false)
+  }
+
   /** One vacuum run's outcome: which versions survived, which data dirs
     * were reclaimed. Driver-sized (O(commits)), never O(files).
     */

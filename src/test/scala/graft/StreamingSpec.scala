@@ -448,6 +448,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality-gated ingest: violating batches quarantine whole, clean batches land") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Expectations.{RowCheck, UniqueCheck}
+    val out = java.nio.file.Files.createTempDirectory("graft_gate").toString + "/t"
+    val stream = MemoryStream[(Long, String)]
+    val checks = Seq(
+      UniqueCheck("id_unique", col("id")),
+      RowCheck("v_not_null", col("v").isNull)
+    )
+    val q = graft.streaming.QualityGateStream
+      .gatedParquetSink(stream.toDF().toDF("id", "v"), checks, out)
+      .option("checkpointLocation", out + "_ckpt")
+      .start()
+    try {
+      stream.addData((1L, "a"), (2L, "b")) // batch 0: clean
+      q.processAllAvailable()
+      stream.addData((3L, "c"), (3L, "dup")) // batch 1: duplicate key
+      q.processAllAvailable()
+      stream.addData((4L, "d")) // batch 2: clean
+      q.processAllAvailable()
+      val accepted = spark.read.parquet(out + "/accepted/batch_id=*")
+      assert(accepted.select("id").as[Long].collect().sorted === Array(1L, 2L, 4L))
+      val quarantined = spark.read.parquet(out + "/quarantine/batch_id=*")
+      assert(
+        quarantined.select("id").as[Long].collect().sorted === Array(3L, 3L),
+        "the violating batch lands whole in quarantine — nothing silently dropped"
+      )
+      val reports = spark.read.parquet(out + "/reports/batch_id=*")
+      assert(reports.count() === 6, "one report row per check per batch")
+      assert(
+        reports
+          .filter(!col("passed"))
+          .select("batch_id", "check_name")
+          .as[(Long, String)]
+          .collect()
+          .toSet === Set((1L, "id_unique")),
+        "exactly the duplicate-key violation in batch 1 is flagged"
+      )
+      // at-least-once replay: rewriting a batch's dirs under the same id is
+      // the same bytes — deterministic verdicts make the sink idempotent
+      Seq((4L, "d")).toDF("id", "v").write
+        .mode("overwrite").parquet(out + "/accepted/batch_id=2")
+      assert(
+        spark.read.parquet(out + "/accepted/batch_id=*").count() === 3
+      )
+    } finally q.stop()
+  }
+
   test("availableNow file ingestion resumes from checkpoint across runs") {
     // The daily-ingest contract: each scheduled run processes ONLY files
     // that arrived since the last run (checkpointed source offsets), then

@@ -112,6 +112,61 @@ class VersionedSpec extends AnyFunSuite {
     )
   }
 
+  test("merge-on-read: latest commit wins, tombstones delete, re-insert resurrects") {
+    val dir = freshDir()
+    Versioned.commitMerge(
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "s", "v"),
+      dir
+    )
+    Versioned.commitMerge(Seq((2L, "B", 21)).toDF("id", "s", "v"), dir) // update
+    Versioned.commitMerge(
+      Seq((3L, "c", 30)).toDF("id", "s", "v"),
+      dir,
+      deleted = lit(true)
+    ) // delete
+    def state() = Versioned
+      .readMerged(spark, dir, "id")
+      .select("id", "s", "v")
+      .as[(Long, String, Int)]
+      .collect()
+      .toSet
+    assert(state() === Set((1L, "a", 10), (2L, "B", 21)))
+    // time travel on the merge table: v2 resolves only commits <= 2
+    assert(
+      Versioned
+        .readMerged(spark, dir, "id", v = 2)
+        .select("id", "s", "v")
+        .as[(Long, String, Int)]
+        .collect()
+        .toSet === Set((1L, "a", 10), (2L, "B", 21), (3L, "c", 30))
+    )
+    Versioned.commitMerge(Seq((3L, "c2", 31)).toDF("id", "s", "v"), dir) // re-insert
+    assert(state() === Set((1L, "a", 10), (2L, "B", 21), (3L, "c2", 31)))
+  }
+
+  test("compactMerged folds state into one base commit; reads unchanged; deltas still win") {
+    val dir = freshDir()
+    Versioned.commitMerge(Seq((1L, "a", 1), (2L, "b", 2)).toDF("id", "s", "v"), dir)
+    Versioned.commitMerge(Seq((1L, "A", 9)).toDF("id", "s", "v"), dir)
+    Versioned.commitMerge(Seq((2L, "b", 2)).toDF("id", "s", "v"), dir, deleted = lit(true))
+    def state() = Versioned
+      .readMerged(spark, dir, "id")
+      .select("id", "s", "v")
+      .as[(Long, String, Int)]
+      .collect()
+      .toSet
+    val before = state()
+    val cv = Versioned.compactMerged(spark, dir, "id")
+    assert(state() === before, "compaction preserves the resolved view")
+    assert(
+      Versioned.readVersion(spark, dir, cv).count() === before.size.toLong,
+      "compacted base is tombstone-free: exactly the live rows"
+    )
+    // a post-compaction delta still wins over the folded base
+    Versioned.commitMerge(Seq((1L, "AA", 99)).toDF("id", "s", "v"), dir)
+    assert(state() === Set((1L, "AA", 99)))
+  }
+
   test("vacuum is idempotent and a full-retention run is a no-op") {
     val dir = freshDir()
     (1 to 3).foreach(i => Versioned.commit(Seq((i.toLong, s"v$i")).toDF("id", "s"), dir))
