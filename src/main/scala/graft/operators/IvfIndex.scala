@@ -37,6 +37,13 @@ object IvfIndex {
   def defaultDir(sfDir: String, corpus: DataFrame): String =
     Indexes.fingerprintDir("ivf-index", sfDir, corpus)
 
+  /** Index location for the metadata-carrying variant ([[searchFiltered]]).
+    * Separate family: the row payload differs (filter columns stored in
+    * the index), so the two layouts must never share a fingerprint dir.
+    */
+  def defaultMetaDir(sfDir: String, corpus: DataFrame): String =
+    Indexes.fingerprintDir("ivf-meta-index", sfDir, corpus)
+
   /** Build once, reuse forever: training is deterministic (md5 seeding +
     * decimal means — see [[Similarity.kmeansCells]]), so same data ⇒ same
     * index, and a completed build is valid across processes; publication
@@ -49,19 +56,24 @@ object IvfIndex {
       corpus: DataFrame,
       dir: String,
       kCells: Int = 10,
-      iters: Int = 4
+      iters: Int = 4,
+      metaCols: Seq[String] = Nil
   ): Unit =
     Indexes.atomicBuild(dir, "centroids/_SUCCESS") { tmp =>
-      build(corpus, tmp, None, kCells, iters)
+      build(corpus, tmp, None, kCells, iters, metaCols)
     }
 
-  /** Train (or adopt `cellCol`) and write the index under `dir`. */
+  /** Train (or adopt `cellCol`) and write the index under `dir`.
+    * `metaCols` are stored IN the index rows so [[searchFiltered]] can
+    * push metadata predicates into the pruned parquet read.
+    */
   def build(
       corpus: DataFrame,
       dir: String,
       cellCol: Option[String] = None,
       kCells: Int = 10,
-      iters: Int = 4
+      iters: Int = 4,
+      metaCols: Seq[String] = Nil
   ): Unit = {
     val celled = cellCol match {
       case Some(c) =>
@@ -70,7 +82,7 @@ object IvfIndex {
         corpus.join(Similarity.kmeansCells(corpus, kCells, iters), Seq("vec_id"))
     }
     celled
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select((Seq("vec_id", "embedding") ++ metaCols :+ "cell").map(col): _*)
       .write
       .mode("overwrite")
       .partitionBy("cell")
@@ -105,6 +117,50 @@ object IvfIndex {
     val corpus = spark.read
       .parquet(s"$dir/corpus")
       .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+      .select(
+        col("vec_id").as("neighbor_id"),
+        col("cell").cast(LongType).as("cell"),
+        col("embedding").as("c_emb")
+      )
+    val scored = corpus
+      .join(broadcast(probe), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos")
+      )
+    Similarity.topKExplode(scored, k)
+  }
+
+  /** FILTERED top-k search (the RAG / metadata-constrained shape: "top-k
+    * among vectors WHERE <predicate>"). Post-filtering an unfiltered
+    * top-k is wrong — a selective predicate can leave fewer than k
+    * survivors — so the predicate is evaluated as a PRE-filter on the
+    * candidate set: it lands on the pruned corpus read itself, where the
+    * parquet source pushes it to the scan (`PushedFilters` beside the
+    * probe's `PartitionFilters` — both plan-pinned in SimilaritySpec).
+    * The index must have been built with the predicate's columns in
+    * `metaCols`. Recall under filtering degrades with selectivity (the
+    * survivors of a probed cell thin out), so callers raise `nProbe`
+    * relative to the unfiltered search — the standard filtered-ANN
+    * tradeoff.
+    */
+  def searchFiltered(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      predicate: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val cents = loadCentroids(spark, dir)
+    val probe = probeFrame(queries, cents, nProbe)
+    val probedCells = probe.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val corpus = spark.read
+      .parquet(s"$dir/corpus")
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+      .filter(predicate)
       .select(
         col("vec_id").as("neighbor_id"),
         col("cell").cast(LongType).as("cell"),

@@ -142,6 +142,38 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Boolean retrieval answered ENTIRELY from the index: documents
+    * containing ALL `must` terms and NONE of `mustNot`, with the summed
+    * must-term frequency as a ranking signal. One partition-pruned seek
+    * for all terms together (their buckets union into one literal
+    * predicate), an AND via count-distinct-terms == |must| (no self-join
+    * per term — the classic postings-intersection done as one aggregate),
+    * and NOT via a left-anti join against the exclusion postings. Cost is
+    * O(Σ df) seek rows at any corpus size — zero corpus scans.
+    */
+  def booleanSearch(
+      spark: SparkSession,
+      dir: String,
+      must: Seq[String],
+      mustNot: Seq[String],
+      nBuckets: Int = DefaultBuckets
+  ): DataFrame = {
+    require(must.nonEmpty, "at least one required term")
+    val p = postingsFor(spark, dir, (must ++ mustNot).distinct, nBuckets)
+    val hits = p
+      .filter(col("term").isin(must: _*))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).cast("long").as("tf_sum")
+      )
+      .filter(col("n_terms") === must.distinct.size)
+    val excluded = p.filter(col("term").isin(mustNot: _*)).select(col("doc_id")).distinct()
+    hits
+      .join(excluded, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("tf_sum"))
+  }
+
   /** Exact-phrase search answered ENTIRELY from the index: read the two
     * terms' postings (partition-pruned seek, O(df) rows), join on doc and
     * check position adjacency — [[TextAnalysis.phraseSearch]] over a

@@ -151,6 +151,48 @@ object SimilarityQ {
         "s_ann_brute as a boolean plus full result cardinality; the " +
         "stronger mean-recall bound is pinned in SimilaritySpec."
     ),
+    // ---- FILTERED vector search (the RAG shape: top-k WHERE label=3).
+    // Post-filtering an unfiltered top-k is wrong under selective
+    // predicates (fewer than k survivors); the predicate pre-filters the
+    // candidate set ON the pruned index read, where parquet pushes it to
+    // the scan. The index stores the filter column (metaCols) and nProbe
+    // is raised 3→6 to hold recall against the ~10% selectivity.
+    Q(
+      "s_ann_filtered",
+      (s, d) => {
+        import graft.operators.IvfIndex
+        val emb = Tables.embeddings(s, d)
+        val idxDir = IvfIndex.defaultMetaDir(d, emb)
+        IvfIndex.ensureBuilt(emb, idxDir, metaCols = Seq("label"))
+        val q = emb.filter(col("vec_id") < 10)
+        val filtered =
+          IvfIndex.searchFiltered(s, idxDir, q, k = 5, nProbe = 6, col("label") === 3)
+        val brute = Similarity.bruteTopK(q, emb.filter(col("label") === 3), k = 5)
+        val hits = filtered
+          .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        filtered
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).cast("long").as("n_results"))
+          .join(hits, Seq("query_id"), "left")
+          .select(
+            col("query_id"),
+            col("n_results"),
+            (coalesce(col("n_hits"), lit(0L)) >= 2L).as("recall_ok")
+          )
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, 5::BIGINT AS n_results, true AS recall_ok
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin),
+      doc = "Metadata-filtered ANN against the persisted metadata-carrying " +
+        "IVF index: label=3 (~10% selectivity) evaluated as a PRE-filter " +
+        "pushed into the partition-pruned corpus read (PushedFilters " +
+        "beside PartitionFilters — plan-pinned in SimilaritySpec), never " +
+        "a post-filter of unfiltered top-k. Oracle checks per-query " +
+        "recall@5 >= 0.4 vs the filtered brute-force truth plus full " +
+        "result cardinality."
+    ),
     // ---- IVF with the label column as cells: no training pass, so the
     // ENTIRE search — decimal-exact centroid means, cell ranking, probed
     // search, final ranks — is deterministic and bit-checked. (The

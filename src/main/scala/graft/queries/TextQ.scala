@@ -762,6 +762,39 @@ object TextQ {
         "(partition-pruned seek + one stats row) — zero corpus scans; " +
         "top-k is a TakeOrdered over the seek's rows, never a global sort."
     ),
+    Q(
+      "t_bool_search",
+      (s, d) => {
+        // boolean retrieval ENTIRELY from the persisted index: one pruned
+        // seek for all three terms, AND as one aggregate, NOT as an
+        // anti-join — zero corpus scans
+        val docs = Tables.documents(s, d)
+        val dir = graft.operators.TextIndex.defaultDir(d, docs)
+        graft.operators.TextIndex.ensureBuilt(docs, dir)
+        graft.operators.TextIndex
+          .booleanSearch(s, dir, must = Seq("table", "hash"), mustNot = Seq("window"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |m AS (SELECT doc_id,
+           |        len(list_filter(tk, w -> w = 'table')) AS tf1,
+           |        len(list_filter(tk, w -> w = 'hash')) AS tf2,
+           |        len(list_filter(tk, w -> w = 'window')) AS tfx
+           |      FROM t)
+           |SELECT doc_id, (tf1 + tf2)::BIGINT AS tf_sum
+           |FROM m WHERE tf1 > 0 AND tf2 > 0 AND tfx = 0
+           |ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Boolean retrieval from the persisted inverted index: docs " +
+        "matching table AND hash AND NOT window, with summed must-term " +
+        "tf. All three terms' postings come from ONE partition-pruned " +
+        "seek; the AND is postings intersection as a single aggregate " +
+        "(count-distinct-terms == |must|, no per-term self-joins), the " +
+        "NOT one anti-join. O(sum df) seek rows at any corpus size; the " +
+        "oracle replays from raw text (non-vacuous: the exclusion " +
+        "removes ~80% of the conjunction's matches)."
+    ),
     // ---- the cardinality leg of the sketch family: per-language distinct
     // token counts through the mergeable HLL aggregate, next to the exact
     // answer. Bucket ranks come from integer bit lengths (no floating log)

@@ -157,6 +157,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(persisted === inMem)
   }
 
+  test("filtered search: predicate reaches the scan as PushedFilters beside the cell prune") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_filt").toString
+    // label-as-cell rationale as above; store a second metadata column
+    // (vec_id parity) to filter on, so the filter column differs from the
+    // cell column and the pushdown is observable independently.
+    graft.operators.IvfIndex.build(
+      emb.withColumn("parity", col("vec_id") % 2),
+      dir,
+      cellCol = Some("label"),
+      metaCols = Seq("parity")
+    )
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = graft.operators.IvfIndex
+      .searchFiltered(spark, dir, queries, k = 5, nProbe = 3, col("parity") === 0)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe must prune cell partitions:\n${plan.take(1500)}"
+    )
+    assert(
+      plan.contains("PushedFilters") && plan.contains("parity"),
+      s"metadata predicate must be pushed to the parquet scan:\n${plan.take(1500)}"
+    )
+    // every neighbor satisfies the predicate (pre-filter, not post-filter:
+    // full k results survive under the 50% predicate)
+    val res = got.select("neighbor_id").as[Long].collect()
+    assert(res.nonEmpty && res.forall(_ % 2 == 0))
+    assert(
+      got.groupBy("query_id").count().select("count").as[Long].collect().forall(_ == 5L),
+      "k results per query under a 50% predicate"
+    )
+  }
+
   test("LSH ANN recovers high-similarity neighbors: recall >= 0.85") {
     // Sign-LSH's collision probability is (1 - θ/π)^bits per band — it is
     // the near-duplicate retrieval structure, sharp for high-cosine pairs
