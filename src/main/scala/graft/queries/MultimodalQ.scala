@@ -248,6 +248,70 @@ object MultimodalQ {
         "singletons keep their representative id. One (doc, component, " +
         "cluster size) row per document; the image twin of d_cc_clusters, " +
         "oracle-replayed with a recursive CTE."
+    ),
+    // ---- the multimodal × similarity composition: CLIP-score-style
+    // alignment filtering of paired image-text data (the LAION recipe:
+    // keep a pair only if the two modalities' embeddings agree). Image
+    // embedding from the REAL decoded raster (channel sums — closed-form
+    // over the fixture pixels, so the oracle replays it); text embedding
+    // the deterministic md5 stub (m_embed_batch's formula, 3 dims).
+    Q(
+      "m_pair_filter",
+      (s, d) => {
+        import graft.util.Cols
+        val docs = Tables.documents(s, d)
+        val iv = Multimodal
+          .imageFeatures(s, Multimodal.withImagePayload(s, docs))
+          .toDF()
+          .select(
+            col("doc_id"),
+            array(
+              col("r_sum").cast("double"),
+              col("g_sum").cast("double"),
+              col("b_sum").cast("double")
+            ).as("iv")
+          )
+        def t(j: Int) =
+          ((Cols.md5Long(concat(col("text"), lit(s"#$j"))) % 2001 - 1000)
+            .cast("double") / 1000.0)
+        val tv = docs.select(col("doc_id"), array(t(0), t(1), t(2)).as("tv"))
+        iv.join(tv, Seq("doc_id"))
+          .select(col("doc_id"), Cols.cosine(col("iv"), col("tv")).as("score"))
+          .withColumn("kept", col("score") >= 0.5)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, text,
+          |            (4 + doc_id % 13) AS w, (3 + doc_id % 7) AS h FROM documents),
+          |sums AS (
+          |  SELECT doc_id, text,
+          |    list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+          |      list_transform(generate_series(0, w - 1), x -> (x + y + doc_id) % 256))))::DOUBLE AS r_sum,
+          |    list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+          |      list_transform(generate_series(0, w - 1), x -> (2*x + y + doc_id) % 256))))::DOUBLE AS g_sum,
+          |    list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+          |      list_transform(generate_series(0, w - 1), x -> (x + 2*y + doc_id) % 256))))::DOUBLE AS b_sum
+          |  FROM d),
+          |v AS (
+          |  SELECT doc_id,
+          |    [r_sum, g_sum, b_sum] AS iv,
+          |    [ (('0x' || substr(md5(text || '#0'), 1, 15))::BIGINT % 2001 - 1000)::DOUBLE / 1000.0,
+          |      (('0x' || substr(md5(text || '#1'), 1, 15))::BIGINT % 2001 - 1000)::DOUBLE / 1000.0,
+          |      (('0x' || substr(md5(text || '#2'), 1, 15))::BIGINT % 2001 - 1000)::DOUBLE / 1000.0 ] AS tv
+          |  FROM sums)
+          |SELECT doc_id,
+          |  (list_dot_product(iv, tv) /
+          |    (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(tv, tv)))) AS score,
+          |  ((list_dot_product(iv, tv) /
+          |    (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(tv, tv)))) >= 0.5) AS kept
+          |FROM v ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Image-text pair alignment filter (the CLIP-score gate for " +
+        "paired training data): image embedding from the REAL decoded " +
+        "raster's channel sums, text embedding from the deterministic " +
+        "inference stub, cosine agreement thresholded at 0.5 — 114/500 " +
+        "pairs survive at sf0.01, both classes non-vacuous. One decode " +
+        "pass + one map-side join per pair; every score bit-replayed."
     )
   )
 
