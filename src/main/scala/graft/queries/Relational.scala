@@ -1086,6 +1086,67 @@ object Relational {
         "exclusion, <=> (IS NOT DISTINCT FROM), conditional aggregation " +
         "over NULL predicates, COALESCE display, NULL group-by bucket."
     ),
+    // ---- error-tolerant transform surface (the try_* family): a derived
+    // column that can fail must not kill the job OR silently drop rows —
+    // failures become NULL, are ROUTED to an error status, and the report
+    // accounts for every input row. The transform-side twin of the
+    // read-side malformed-record contracts (SourceSinkSpec).
+    Q(
+      "q_try_transform",
+      (s, d) =>
+        Tables
+          .orders(s, d)
+          .select(
+            col("o_orderkey"),
+            // div-by-zero guard: the portable NULLIF pattern (double/0 is
+            // Infinity, not an error, so try_divide would not catch it)
+            (col("o_totalprice") / nullif(col("o_orderkey") % 3, lit(0))).as("ppl"),
+            // mixed-success parse: 1 in 5 rows carries a non-numeric
+            // source value; try_cast nulls those instead of failing
+            when(col("o_orderkey") % 5 === 0, col("o_orderstatus"))
+              .otherwise((col("o_orderkey") % 100).cast("string"))
+              .as("src")
+          )
+          .withColumn("parsed", expr("try_cast(src AS BIGINT)"))
+          .select(
+            when(col("ppl").isNull, lit("div_by_zero"))
+              .when(col("parsed").isNull, lit("parse_error"))
+              .otherwise(lit("ok"))
+              .as("status"),
+            col("ppl"),
+            col("parsed")
+          )
+          .groupBy(col("status"))
+          .agg(
+            count(lit(1)).as("n"),
+            sumDec4(col("ppl")).as("sum_ppl"),
+            sum(col("parsed")).as("sum_parsed")
+          )
+          .orderBy("status"),
+      Some("""WITH t AS (
+             |  SELECT o_orderkey,
+             |    o_totalprice / nullif(o_orderkey % 3, 0) AS ppl,
+             |    try_cast(CASE WHEN o_orderkey % 5 = 0 THEN o_orderstatus
+             |             ELSE (o_orderkey % 100)::VARCHAR END AS BIGINT) AS parsed
+             |  FROM orders
+             |)
+             |SELECT
+             |  CASE WHEN ppl IS NULL THEN 'div_by_zero'
+             |       WHEN parsed IS NULL THEN 'parse_error'
+             |       ELSE 'ok' END AS status,
+             |  COUNT(*)::BIGINT AS n,
+             |  CAST(SUM(CAST(ppl AS DECIMAL(18,4))) AS DOUBLE) AS sum_ppl,
+             |  SUM(parsed)::BIGINT AS sum_parsed
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Error-tolerant transforms with full accounting: the NULLIF " +
+        "division guard (double/0 is Infinity, so try_divide cannot " +
+        "catch it — the guard must precede the division) and try_cast " +
+        "over a 1-in-5-dirty source column. Failures become NULLs, " +
+        "route to a first-failure status, and the report covers every " +
+        "input row — no silent drops, no job kill. Divisions by 1 and 2 " +
+        "are IEEE-exact so the double sums bit-replay; successful " +
+        "values aggregate decimal-exact."
+    ),
     // ---- array-function surface: collect per-group, canonical sort, then
     // positional access / slice / membership — emitted as strings so the
     // cross-engine compare is representation-independent. collect_list is

@@ -194,6 +194,51 @@ object VersionedQ {
         "tombstoned keys; compactMerged then folds the resolved state " +
         "into a fresh base and the re-read must hash-match the merged " +
         "view — both phases replayed by the oracle."
+    ),
+    // ---- compliance erasure (GDPR right-to-be-forgotten): a logical MOR
+    // delete is NOT erasure — the tombstoned rows still sit in old commit
+    // dirs, readable via time travel. Physical erasure is the composition
+    // delete → compact (resolved state into a fresh dir) → vacuum (destroy
+    // every version that predates the delete). The query audits the claim
+    // by scanning EVERY byte that remains on disk.
+    Q(
+      "v_forget",
+      (s, d) => {
+        val dir =
+          java.nio.file.Files.createTempDirectory("graft_rtbf").toString
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "text", "n_chars")
+        Versioned.commitMerge(docs, dir) // v1: full base
+        Versioned.commitMerge( // v2: tombstone the forget set
+          docs.filter(col("doc_id") % 11 === 0),
+          dir,
+          deleted = lit(true)
+        )
+        Versioned.compactMerged(s, dir, "doc_id") // v3: resolved, tombstone-free
+        Versioned.vacuum(dir, retainLast = 1) // physically destroy c1 + c2
+        // physical audit: read EVERYTHING still under the table (all
+        // surviving data dirs, no manifest indirection) and count rows of
+        // the forgotten keys — the oracle pins this at zero, so a single
+        // surviving byte-row breaks the hash gate
+        val survivors = s.read.parquet(s"$dir/data/*")
+        survivors
+          .agg(
+            count(lit(1)).as("n_rows_on_disk"),
+            sum(when(col("doc_id") % 11 === 0, 1L).otherwise(0L))
+              .cast("long")
+              .as("n_leaked"),
+            sum(col("n_chars")).as("sum_chars")
+          )
+      },
+      Some("""SELECT COUNT(*)::BIGINT AS n_rows_on_disk,
+             |  CAST(0 AS BIGINT) AS n_leaked,
+             |  SUM(n_chars)::BIGINT AS sum_chars
+             |FROM documents WHERE doc_id % 11 <> 0""".stripMargin),
+      doc = "Right-to-be-forgotten: tombstone delete -> compact -> vacuum " +
+        "composes logical deletion into PHYSICAL erasure (pre-delete " +
+        "versions destroyed, no time travel back to the erased rows). " +
+        "The query then reads every surviving data file directly — no " +
+        "manifest indirection — and the oracle pins zero rows of the " +
+        "forgotten keys on disk and the exact surviving row/char totals."
     )
   )
 }
