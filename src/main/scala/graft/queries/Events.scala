@@ -43,6 +43,49 @@ object Events {
              |       MIN(value) AS min_value, MAX(value) AS max_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
+    // ---- HOPPING (sliding) windows via the native window() operator:
+    // 1-hour windows every 15 minutes, so each event lands in exactly 4
+    // overlapping windows (size/slide integral). Map-side the event is
+    // EXPANDED to its windows (no self-join, no re-scan), then one
+    // hash aggregate — the same partial-aggregable shape as tumbling.
+    // Event time floors ns→µs for the native operator; a 900 s window
+    // boundary is never crossed by sub-µs flooring, so the oracle works
+    // in exact integer nanos.
+    Q(
+      "q_events_sliding",
+      (s, d) =>
+        Tables
+          .events(s, d)
+          .select(
+            timestamp_micros(expr("ts div 1000")).as("tt"),
+            col("event_type"),
+            col("value")
+          )
+          .groupBy(window(col("tt"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sumDec2(col("value")).as("sum_value")
+          )
+          .select(
+            expr("unix_seconds(window.start)").as("ws"),
+            col("event_type"),
+            col("n"),
+            col("sum_value")
+          )
+          .orderBy("ws", "event_type"),
+      Some("""WITH e AS (SELECT epoch_ns(ts) AS tns, event_type, value FROM events),
+             |w AS (SELECT (tns // 900000000000) - j AS wi, event_type, value
+             |      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j))
+             |SELECT (wi * 900)::BIGINT AS ws, event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "Hopping-window aggregate (1 h windows sliding every 15 min) " +
+        "through Spark's native window() operator: each event expands " +
+        "map-side into its 4 overlapping windows, then one partial-" +
+        "aggregable hash aggregate — no self-joins, no re-scans. The " +
+        "oracle replays membership in exact integer nanos (window index " +
+        "arithmetic), counts and decimal-exact sums per (window, type)."
+    ),
     // ---- per-type rollup over users.
     Q(
       "q_events_type_stats",
