@@ -762,6 +762,65 @@ object TextQ {
         "(partition-pruned seek + one stats row) — zero corpus scans; " +
         "top-k is a TakeOrdered over the seek's rows, never a global sort."
     ),
+    // ---- the retrieve -> rerank pipeline (RAG stage 2): cheap index
+    // retrieval generates a BOUNDED candidate set, an expensive relevance
+    // model re-scores only those candidates. The "cross-encoder" here is
+    // the deterministic md5 stub (the m_embed_batch inference-stub
+    // convention — at scale this stage is the batched mapPartitions model
+    // call, and its cost is k rows per query, independent of corpus size).
+    Q(
+      "t_search_rerank",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = graft.operators.TextIndex.defaultDir(d, docs)
+        graft.operators.TextIndex.ensureBuilt(docs, dir)
+        val (w1, w2) = graft.operators.TextIndex.topBigram(s, dir)
+        graft.operators.TextIndex
+          .searchTopK(s, dir, Seq(w1, w2), 20)
+          .withColumn(
+            "ce_score",
+            graft.util.Cols.md5Long(
+              concat(lit(w1), lit(" "), lit(w2), lit("#"), col("doc_id"))
+            ) % 1000000L
+          )
+          .orderBy(col("ce_score").desc, col("doc_id"))
+          .limit(10)
+          .select("doc_id", "score", "ce_score")
+      },
+      Some(
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |tok AS (
+           |  SELECT doc_id, unnest(t) AS term,
+           |         unnest(generate_series(1, len(t))) - 1 AS pos
+           |  FROM tk),
+           |post AS (SELECT term, doc_id, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+           |bg AS (
+           |  SELECT a.term AS w1, b.term AS w2, COUNT(*) AS c
+           |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           |  GROUP BY 1, 2),
+           |top AS (SELECT w1, w2 FROM bg ORDER BY c DESC, w1, w2 LIMIT 1),
+           |q AS (SELECT DISTINCT term FROM
+           |        (SELECT w1 AS term FROM top UNION ALL SELECT w2 FROM top)),
+           |n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+           |p AS (SELECT post.term, post.doc_id, post.tf FROM post JOIN q USING (term)),
+           |dfq AS (SELECT term, COUNT(*)::BIGINT AS df FROM p GROUP BY term),
+           |cand AS (
+           |  SELECT p.doc_id, SUM(p.tf * ((1000000 * n.n) // dfq.df))::BIGINT AS score
+           |  FROM p JOIN dfq USING (term) CROSS JOIN n
+           |  GROUP BY p.doc_id ORDER BY score DESC, doc_id LIMIT 20)
+           |SELECT cand.doc_id, cand.score,
+           |  (('0x' || substr(md5(top.w1 || ' ' || top.w2 || '#' || cand.doc_id), 1, 15))::BIGINT
+           |    % 1000000)::BIGINT AS ce_score
+           |FROM cand CROSS JOIN top
+           |ORDER BY ce_score DESC, doc_id LIMIT 10""".stripMargin
+      ),
+      doc = "Retrieve-then-rerank (RAG stage 2): tf-idf index retrieval " +
+        "bounds the candidate set to 20 rows, then the deterministic " +
+        "cross-encoder stub re-scores ONLY those candidates and the " +
+        "final top-10 orders by model score. Rerank cost is k rows per " +
+        "query regardless of corpus size; both stages' scores and the " +
+        "final ranking bit-replay."
+    ),
     Q(
       "t_bool_search",
       (s, d) => {

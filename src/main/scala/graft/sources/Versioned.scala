@@ -93,6 +93,38 @@ object Versioned {
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
+  /** A [[commitChecked]] outcome: the new version (None = rejected) plus
+    * the full violations report, O(#checks) rows.
+    */
+  final case class CheckedCommit(
+      version: Option[Int],
+      report: Array[org.apache.spark.sql.Row]
+  )
+
+  /** Constraint-gated commit (table CHECK constraints enforced on write,
+    * the Delta/DLT expectations-on-ingest discipline): the candidate
+    * DataFrame is evaluated against a declarative
+    * [[graft.operators.Expectations]] contract — ONE zero-group aggregate
+    * pass — and only a fully-passing candidate becomes a version. A
+    * violating candidate commits NOTHING (the table's history never
+    * contains a version that broke its contract) and the report says
+    * exactly which checks failed. The batch twin of
+    * [[graft.streaming.QualityGateStream]]'s per-micro-batch gate.
+    */
+  def commitChecked(
+      df: DataFrame,
+      dir: String,
+      checks: Seq[graft.operators.Expectations.Check],
+      append: Boolean = true
+  ): CheckedCommit = {
+    df.persist() // evaluated once for the contract, once for the write
+    try {
+      val rep = graft.operators.Expectations.evaluate("commit", df, checks).collect()
+      if (rep.exists(r => !r.getAs[Boolean]("passed"))) CheckedCommit(None, rep)
+      else CheckedCommit(Some(commit(df, dir, append)), rep)
+    } finally df.unpersist()
+  }
+
   /** MERGE INTO, merge-on-read form (Iceberg MOR / Hudi MOR at key
     * granularity): an upsert/delete commit is a PURE APPEND of the delta
     * rows — no copy-on-write of untouched data — tagged with the commit

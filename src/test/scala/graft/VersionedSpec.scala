@@ -167,6 +167,36 @@ class VersionedSpec extends AnyFunSuite {
     assert(state() === Set((1L, "AA", 99)))
   }
 
+  test("commitChecked: a contract-violating candidate never becomes a version") {
+    import graft.operators.Expectations.{RowCheck, UniqueCheck}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val dir = freshDir()
+    val checks = Seq(
+      UniqueCheck("id_unique", col("id")),
+      RowCheck("v_pos", !coalesce(col("v") > 0, lit(false)))
+    )
+    val good = Versioned.commitChecked(Seq((1L, 5), (2L, 6)).toDF("id", "v"), dir, checks)
+    assert(good.version === Some(1))
+    assert(good.report.forall(_.getAs[Boolean]("passed")))
+    val bad = Versioned.commitChecked(
+      Seq((3L, 7), (3L, -1)).toDF("id", "v"), // dup key AND negative value
+      dir,
+      checks
+    )
+    assert(bad.version === None, "violating candidate rejected")
+    assert(Versioned.latestVersion(dir) === 1, "table history untouched by the reject")
+    assert(
+      bad.report.filter(!_.getAs[Boolean]("passed")).map(_.getAs[String]("check_name")).sorted
+        === Array("id_unique", "v_pos"),
+      "report names every failed check"
+    )
+    assert(Versioned.readVersion(spark, dir).count() === 2L)
+    // a later passing commit proceeds normally
+    assert(
+      Versioned.commitChecked(Seq((3L, 7)).toDF("id", "v"), dir, checks).version === Some(2)
+    )
+  }
+
   test("vacuum is idempotent and a full-retention run is a no-op") {
     val dir = freshDir()
     (1 to 3).foreach(i => Versioned.commit(Seq((i.toLong, s"v$i")).toDF("id", "s"), dir))
