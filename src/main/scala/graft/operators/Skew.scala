@@ -46,4 +46,56 @@ object Skew {
           .as("members"),
         size(col("_merged")).cast("long").as("n_distinct")
       )
+
+  /** Keys carrying at least `minShare` of the rows — the ones worth
+    * salting. One partial-aggregable count pass; the driver receives at
+    * most 1/minShare keys (a HARD bound: more keys cannot each exceed the
+    * share), so the collect is O(1/minShare) whatever the corpus size.
+    */
+  def heavyKeys(df: DataFrame, keyCol: String, minShare: Double): Seq[Any] = {
+    require(minShare > 0 && minShare <= 1, "minShare in (0, 1]")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+    val total = counts.agg(sum(col("_n")).as("_tot"))
+    counts
+      .crossJoin(broadcast(total))
+      .filter(col("_n") >= col("_tot") * minShare)
+      .select(col(keyCol))
+      .collect()
+      .map(_.get(0))
+      .toSeq
+  }
+
+  /** [[saltedCollectSet]] with AUTO-DETECTED hot keys: one counting pass
+    * finds the keys above `minShare`, and only THOSE are spread over
+    * saltN sub-keys — light keys take salt 0, so their stage-1 partial is
+    * already the full per-key set and stage 2 merges exactly one row per
+    * light key. One plan, one data pass (plus the bounded detection
+    * pass); the blanket variant pays saltN-way state spreading for every
+    * key, hot or not.
+    */
+  def autoSaltedCollectSet(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      saltN: Int = 8,
+      minShare: Double = 0.1
+  ): DataFrame = {
+    val heavy = heavyKeys(df, keyCol, minShare)
+    val saltCol =
+      if (heavy.isEmpty) lit(0L)
+      else when(col(keyCol).isin(heavy: _*), salt(saltN)).otherwise(lit(0L))
+    df.groupBy(col(keyCol), saltCol.as("_salt"))
+      .agg(collect_set(col(valCol)).as("_partial"))
+      .groupBy(col(keyCol))
+      .agg(
+        sort_array(array_distinct(flatten(collect_list(col("_partial")))))
+          .as("_merged")
+      )
+      .select(
+        col(keyCol),
+        array_join(transform(col("_merged"), v => v.cast("string")), ",")
+          .as("members"),
+        size(col("_merged")).cast("long").as("n_distinct")
+      )
+  }
 }

@@ -401,6 +401,29 @@ object Events {
         "per-(key,salt) partials then merge, so no single task holds a hot " +
         "key's whole value set. Exact (salt never reaches the result)."
     ),
+    Q(
+      "q_salted_auto",
+      (s, d) =>
+        graft.operators.Skew
+          .autoSaltedCollectSet(
+            Tables.events(s, d),
+            "event_type",
+            "user_id",
+            saltN = 8,
+            minShare = 0.1
+          )
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  array_to_string(list_sort(list(DISTINCT user_id)), ',') AS members,
+             |  COUNT(DISTINCT user_id) AS n_distinct
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "Auto-salted collect_set: a bounded counting pass detects the " +
+        "keys above 10% row share (driver receives <= 10 keys by the " +
+        "share bound) and only THOSE spread over 8 salts — light keys " +
+        "take salt 0, one stage-2 row each. Same oracle as the blanket " +
+        "q_salted_collect: detection can only change the plan, never " +
+        "the result."
+    ),
     // ---- as-of join: each click paired with the user's latest prior
     // purchase. Time compared in microseconds on both engines (the parquet
     // nanos truncate identically on each side).
