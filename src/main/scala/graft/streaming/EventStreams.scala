@@ -51,6 +51,26 @@ object EventStreams {
         col("sum_value")
       )
 
+  /** HOPPING (sliding) windowed counts/sums: 1-hour windows every 15
+    * minutes, each event expanding map-side into its 4 overlapping
+    * windows before the hash aggregate (q_events_sliding's shape). Under
+    * streaming the watermark still bounds state: a window's state is
+    * droppable once the watermark passes its END, exactly as for tumbling
+    * windows — overlap multiplies live windows by size/slide (4×), not by
+    * the corpus.
+    */
+  def slidingStats(eventsWithTime: DataFrame): DataFrame =
+    eventsWithTime
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumDec2(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n"),
+        col("sum_value")
+      )
+
   /** Input record for the stateful per-user aggregator. */
   case class UserEvent(
       user_id: Long,

@@ -74,6 +74,26 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(rep.forall(identity))
   }
 
+  test("observe(): pipeline counters ride the SAME pass as the transform") {
+    // the monitoring twin of the expectations suite: a cleaning filter
+    // instrumented with observe() reports input/drop counters from the
+    // one existing action — no second scan, no separate count() job
+    val obs = org.apache.spark.sql.Observation("gate")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val kept = docs
+      .observe(
+        obs,
+        count(lit(1)).as("n_in"),
+        sum(when(length(col("text")) < 100, 1L).otherwise(0L)).as("n_short")
+      )
+      .filter(length(col("text")) >= 100)
+      .count()
+    val m = obs.get
+    val nIn = m("n_in").asInstanceOf[Long]
+    val nShort = m("n_short").asInstanceOf[Long]
+    assert(nIn > 0 && kept === nIn - nShort, s"in=$nIn short=$nShort kept=$kept")
+  }
+
   test("row checks share ONE scan: a multi-check evaluate plans a single relation") {
     val df = spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
     val rep = Expectations.evaluate(

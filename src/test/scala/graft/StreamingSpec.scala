@@ -56,6 +56,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("slidingStats under streaming equals batch; each event hits its 4 hop windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("2024-01-01 10:05:00", "click", 1.0),
+      ("2024-01-01 10:20:00", "view", 5.0)
+    ).map { case (t, ty, v) => (Timestamp.valueOf(t), ty, v) }
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams
+      .slidingStats(stream.toDF().toDF("event_time", "event_type", "value"))
+      .writeStream
+      .format("memory")
+      .queryName("sliding_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark
+        .table("sliding_out")
+        .orderBy("window_start", "event_type")
+        .as[(Timestamp, String, Long, Double)]
+        .collect()
+        .toSeq
+      val batch = EventStreams
+        .slidingStats(rows.toDF("event_time", "event_type", "value"))
+        .orderBy("window_start", "event_type")
+        .as[(Timestamp, String, Long, Double)]
+        .collect()
+        .toSeq
+      assert(streamed === batch)
+      // a 10:05 event belongs to windows starting 09:15..10:00 (4 hops)
+      assert(
+        batch.filter(_._2 == "click").map(_._1) === Seq(
+          Timestamp.valueOf("2024-01-01 09:15:00"),
+          Timestamp.valueOf("2024-01-01 09:30:00"),
+          Timestamp.valueOf("2024-01-01 09:45:00"),
+          Timestamp.valueOf("2024-01-01 10:00:00")
+        )
+      )
+      assert(batch.count(_._2 == "view") === 4)
+    } finally q.stop()
+  }
+
   test("stateful per-user rollup accumulates across triggers and evicts idle state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
