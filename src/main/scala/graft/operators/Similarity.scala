@@ -576,6 +576,34 @@ object Similarity {
     * rows before the one exchange — the shuffle is prototype-sized, not
     * corpus-sized.
     */
+  /** Nearest-centroid classification (the embedding-space Rocchio
+    * classifier a curation pipeline uses to tag vectors from a labeled
+    * seed set): every vector takes the label of its max-cosine label
+    * centroid, ties to the LOWER label. One decimal-exact centroid pass
+    * (|labels|·dim rows), centroids broadcast, then a map-side scoring
+    * join reduced by one partial-aggregable max(struct) per vector — no
+    * windows, broadcast state O(|labels|·dim).
+    */
+  def centroidClassify(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(centroids(corpus, "label")))
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("cell"),
+        cosine(col("embedding"), col("centroid")).as("cos")
+      )
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("cos"), (-col("cell")).as("nc"), col("cell"))).as("m"))
+      .select(
+        col("vec_id"),
+        col("label").cast(LongType).as("true_label"),
+        col("m.cell").cast(LongType).as("pred_label"),
+        col("m.cos").as("cos"),
+        (col("label") === col("m.cell")).as("correct")
+      )
+
   def labelCentroids(corpus: DataFrame): DataFrame = {
     val absMax = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
     val scale = greatest(absMax, lit(1e-30)) / 127.0

@@ -251,6 +251,94 @@ object SimilarityQ {
         "probed exact search, final ranks — an approximate-search pipeline " +
         "whose every intermediate is reproducible across engines."
     ),
+    // ---- retrieval-quality evaluation harness: recall@5 and MRR of the
+    // deterministic IVF search against the brute-force truth, in pure
+    // integer arithmetic — the eval loop that tunes nProbe/bands/k before
+    // a configuration ships. Joins two bounded k-row result sets per
+    // query; cost is O(|Q|·k), independent of corpus size.
+    Q(
+      "s_retrieval_eval",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 10)
+        val truth = Similarity
+          .bruteTopK(q, emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"), lit(true).as("rel"))
+        Similarity
+          .ivfTopK(q, emb, k = 5, nProbe = 3)
+          .join(truth, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(
+            expr("(1000 * sum(case when rel then 1 else 0 end)) div 5")
+              .as("recall_permille"),
+            coalesce(
+              expr("1000000 div min(case when rel then rank end)"),
+              lit(0L)
+            ).as("mrr_e6")
+          )
+          .orderBy("query_id")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+           |px AS (
+           |  SELECT label AS cell, unnest(list_transform(generate_series(1, len(emb)),
+           |    i -> struct_pack(p := i, x := emb[i]))) AS s
+           |  FROM e
+           |),
+           |cm AS (
+           |  SELECT cell, s['p'] AS pos,
+           |         SUM(CAST(s['x'] AS DECIMAL(38,9)))::DOUBLE / COUNT(*) AS m
+           |  FROM px GROUP BY cell, s['p']
+           |),
+           |cents AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+           |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+           |pr AS (
+           |  SELECT query_id, cell,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY
+           |      (list_dot_product(qe, centroid) /
+           |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(centroid, centroid))))
+           |        DESC, cell ASC) AS rn
+           |  FROM q CROSS JOIN cents
+           |),
+           |probe AS (SELECT query_id, cell FROM pr WHERE rn <= 3),
+           |sc AS (
+           |  SELECT q.query_id, c.vec_id AS neighbor_id,
+           |    (list_dot_product(q.qe, c.emb) /
+           |      (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.emb, c.emb)))) AS cos
+           |  FROM probe p
+           |  JOIN q ON p.query_id = q.query_id
+           |  JOIN e c ON c.label = p.cell AND c.vec_id != q.query_id
+           |),
+           |r AS (SELECT query_id, neighbor_id, cos,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |      FROM sc),
+           |bsc AS (
+           |  SELECT q.query_id, c.vec_id AS neighbor_id,
+           |    (list_dot_product(q.qe, c.emb) /
+           |      (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.emb, c.emb)))) AS cos
+           |  FROM q JOIN e c ON c.vec_id != q.query_id
+           |),
+           |br AS (SELECT query_id, neighbor_id,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |      FROM bsc),
+           |j AS (
+           |  SELECT g.query_id, g.rank, (t.neighbor_id IS NOT NULL) AS rel
+           |  FROM (SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5) g
+           |  LEFT JOIN (SELECT query_id, neighbor_id FROM br WHERE rank <= 5) t
+           |    ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+           |)
+           |SELECT query_id,
+           |  ((1000 * SUM(CASE WHEN rel THEN 1 ELSE 0 END)) // 5)::BIGINT AS recall_permille,
+           |  COALESCE(1000000 // MIN(CASE WHEN rel THEN rank END), 0)::BIGINT AS mrr_e6
+           |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+      ),
+      doc = "Retrieval-evaluation harness: per-query recall@5 (permille) " +
+        "and MRR (1e6-scaled reciprocal rank of the first relevant hit) " +
+        "of the deterministic IVF search vs the brute-force truth — all " +
+        "integer arithmetic, every metric bit-replayed. The tuning loop " +
+        "for nProbe/bands/k; joins two bounded k-row result sets per " +
+        "query, O(|Q|*k) regardless of corpus size."
+    ),
     Q(
       "s_ann_lsh",
       (s, d) => {
@@ -1231,6 +1319,47 @@ object SimilarityQ {
         "within-cell pair join is corpus-linear and per-anchor selection " +
         "is the bounded top-k aggregate, no windows. Every rank and " +
         "cosine bit-replayed."
+    ),
+    // ---- nearest-centroid (Rocchio) classification: the label-propagation
+    // primitive for tagging vectors from a labeled seed set. Decimal-exact
+    // label centroids (the s_ann_ivf_label recipe), broadcast argmax-cosine
+    // assignment, ties to the lower label — every prediction bit-checked.
+    Q(
+      "s_centroid_classify",
+      (s, d) =>
+        Similarity
+          .centroidClassify(Tables.embeddings(s, d))
+          .orderBy("vec_id"),
+      Some(
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+           |px AS (
+           |  SELECT label AS cell, unnest(list_transform(generate_series(1, len(emb)),
+           |    i -> struct_pack(p := i, x := emb[i]))) AS s
+           |  FROM e
+           |),
+           |cm AS (
+           |  SELECT cell, s['p'] AS pos,
+           |         SUM(CAST(s['x'] AS DECIMAL(38,9)))::DOUBLE / COUNT(*) AS m
+           |  FROM px GROUP BY cell, s['p']
+           |),
+           |cents AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+           |asg AS (
+           |  SELECT vec_id, label, cell, cos,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+           |  FROM (
+           |    SELECT e.vec_id, e.label, c.cell, ${cosSql("e.emb", "c.centroid")} AS cos
+           |    FROM e CROSS JOIN cents c
+           |  )
+           |)
+           |SELECT vec_id, label::BIGINT AS true_label, cell::BIGINT AS pred_label,
+           |  cos, (label = cell) AS correct
+           |FROM asg WHERE rn = 1 ORDER BY vec_id""".stripMargin
+      ),
+      doc = "Nearest-centroid (Rocchio) classification over the label " +
+        "column: decimal-exact per-label centroids broadcast, argmax " +
+        "cosine per vector via one partial-aggregable max(struct) — no " +
+        "windows, no shuffle beyond the |labels|*dim centroid pass. " +
+        "Every prediction, score and correctness flag bit-replayed."
     ),
     // ---- quantizer-health audit over the SAME persisted asset: per-cell
     // cohesion from the centroid cosines the dedup sweep already computes.
