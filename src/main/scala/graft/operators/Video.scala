@@ -221,4 +221,52 @@ object Video {
       )
       .filter(col("overlap_permille") >= lit(permille))
   }
+
+  /** Video dedup CLUSTERS — the LINEAR-OUTPUT form of [[videoDups]] for
+    * corpora with high duplication rates. [[videoDups]]' pair set is the
+    * true answer but grows quadratically in the copies-per-recording
+    * count; this form first collapses videos with IDENTICAL scene-hash
+    * sets to a representative (identical sets overlap at 1000 permille by
+    * definition, so the collapse is lossless for the ≥ permille
+    * predicate), runs the overlap pair join on DISTINCT-signature
+    * representatives only, closes under transitivity
+    * ([[Dedup.connectedComponents]] min-label propagation, the
+    * [[Multimodal.dhashClusters]] recipe), and maps every video through
+    * its representative to the component. Output is one (doc, component,
+    * csize) row per video — linear — and the quadratic stage runs over
+    * distinct CONTENT, not over copies.
+    *
+    * Label equivalence with doc-level clustering: a representative is the
+    * MIN doc of its signature group, so each component's min-label equals
+    * the min doc id over its member groups — the same labels doc-level CC
+    * over the full [[videoDups]] pair set would produce.
+    */
+  def videoClusters(hashes: DataFrame, permille: Long = 500L): DataFrame = {
+    // pin: the sig aggregate and the final doc→rep join both consume the
+    // hash table, and each unpinned branch re-runs the frame DECODE pass
+    val sig = hashes.select(col("doc_id"), col("dhash")).distinct().localCheckpoint()
+    val fp = sig
+      .groupBy(col("doc_id"))
+      .agg(
+        md5(concat_ws(",", sort_array(collect_list(col("dhash"))).cast("array<string>")))
+          .as("sigfp")
+      )
+    val reps = fp.groupBy(col("sigfp")).agg(min(col("doc_id")).as("rid"))
+    val doc2rep =
+      fp.join(reps, Seq("sigfp")).select(col("doc_id"), col("rid")).localCheckpoint()
+    val repHashes = sig.join(
+      doc2rep.filter(col("doc_id") === col("rid")).select(col("doc_id")),
+      Seq("doc_id"),
+      "left_semi"
+    )
+    val pairs = videoDups(repHashes, permille).select(col("a_id"), col("b_id"))
+    val comp = Dedup.connectedComponents(pairs).withColumnRenamed("id", "rid")
+    val docComp = doc2rep
+      .join(comp, Seq("rid"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("rid")).as("component"))
+    val sizes = docComp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    docComp
+      .join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("csize"))
+  }
 }

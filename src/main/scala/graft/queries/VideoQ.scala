@@ -114,6 +114,59 @@ object VideoQ {
         "shared-hash count per pair, integral permille overlap " +
         "coefficient >= 500. Catches re-cuts and trimmed-intro variants " +
         "that share no byte, frame index, or frame count."
+    ),
+    // ---- the LINEAR-OUTPUT cluster form: m_video_dups' pair set is the
+    // true answer but inherently quadratic in copies-per-recording (the
+    // BASELINE.md sf1 analysis); this is the report a 100 TB pipeline
+    // ships. Identical-signature collapse → overlap pairs over DISTINCT
+    // content only → transitive closure → per-video cluster row.
+    Q(
+      "m_video_clusters",
+      (s, d) =>
+        Video
+          .videoClusters(
+            Video.videoFrameHashes(s, Video.withVideoPayload(s, Tables.documents(s, d)))
+          )
+          .orderBy("doc_id"),
+      Some(
+        s"""${framesSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+           |hx AS (SELECT DISTINCT doc_id, $sceneDhash AS dhash FROM fr),
+           |fp AS (SELECT doc_id, array_to_string(list_sort(list(dhash)), ',') AS sig
+           |       FROM hx GROUP BY doc_id),
+           |reps AS (SELECT sig, MIN(doc_id) AS rid FROM fp GROUP BY sig),
+           |d2r AS (SELECT fp.doc_id, reps.rid FROM fp JOIN reps USING (sig)),
+           |rh AS (SELECT hx.doc_id, hx.dhash FROM hx JOIN reps ON hx.doc_id = reps.rid),
+           |sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM rh GROUP BY doc_id),
+           |pm AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS matches
+           |       FROM rh a JOIN rh b ON a.dhash = b.dhash AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2),
+           |pr AS (SELECT a_id, b_id
+           |       FROM pm JOIN sz sa ON pm.a_id = sa.doc_id
+           |                JOIN sz sb ON pm.b_id = sb.doc_id
+           |       WHERE matches * 1000 // least(sa.n, sb.n) >= 500),
+           |und AS (SELECT a_id AS src, b_id AS dst FROM pr
+           |        UNION SELECT b_id, a_id FROM pr),
+           |walk(id, root) AS (
+           |  SELECT DISTINCT src, src FROM und
+           |  UNION
+           |  SELECT u.dst, w.root FROM walk w JOIN und u ON u.src = w.id),
+           |comp AS (SELECT id, MIN(root) AS component FROM walk GROUP BY id),
+           |dc AS (
+           |  SELECT d2r.doc_id, coalesce(comp.component, d2r.rid) AS component
+           |  FROM d2r LEFT JOIN comp ON d2r.rid = comp.id),
+           |szc AS (SELECT component, COUNT(*)::BIGINT AS csize FROM dc GROUP BY component)
+           |SELECT dc.doc_id, dc.component, szc.csize
+           |FROM dc JOIN szc USING (component) ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Video dedup clusters, the LINEAR-OUTPUT scale form of " +
+        "m_video_dups: videos with identical scene-hash signatures " +
+        "collapse to a representative (lossless for the overlap " +
+        "predicate — identical sets overlap at 1000 permille), the " +
+        "quadratic overlap join runs over DISTINCT content only, " +
+        "transitive closure labels components, every video maps through " +
+        "its representative. One row per video regardless of the " +
+        "corpus's duplication rate; labels provably equal doc-level " +
+        "clustering (rep = min doc of its signature group)."
     )
   )
 }

@@ -71,6 +71,63 @@ class VideoSpec extends AnyFunSuite {
     hashes.unpersist()
   }
 
+  test("videoClusters: labels equal doc-level pair closure; rep table is copy-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // sf0.01 (500 docs, 10 copies per recording) so within-recording pairs
+    // are non-vacuous
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val hashes = graft.operators.Video
+      .videoFrameHashes(spark, graft.operators.Video.withVideoPayload(spark, docs))
+      .localCheckpoint()
+    // 1) cluster labels equal the naive min-label closure of the DOC-LEVEL
+    // pair set (union-find, union toward the smaller root) — singletons
+    // label themselves
+    val pairs = graft.operators.Video
+      .videoDups(hashes)
+      .select("a_id", "b_id")
+      .as[(Long, Long)]
+      .collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = graft.operators.Video
+      .videoClusters(hashes)
+      .select("doc_id", "component")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got.nonEmpty)
+    got.foreach { case (d, comp) =>
+      assert(comp === find(d), s"doc $d: cluster label $comp != closure root ${find(d)}")
+    }
+    // 2) distinct-signature rep table is invariant under replication:
+    // +450/+900 offsets preserve (rec = id%50, start = id%3,
+    // nFrames = 4 + (id/3)%3) — 450 = lcm(50, 9) — so copies add ZERO
+    // distinct signatures and the quadratic stage's input does not grow
+    val rep3 = hashes
+      .union(hashes.withColumn("doc_id", col("doc_id") + 450L))
+      .union(hashes.withColumn("doc_id", col("doc_id") + 900L))
+    def nReps(h: org.apache.spark.sql.DataFrame) = h
+      .select(col("doc_id"), col("dhash"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(
+        md5(concat_ws(",", sort_array(collect_list(col("dhash"))).cast("array<string>")))
+          .as("fp")
+      )
+      .select("fp")
+      .distinct()
+      .count()
+    assert(nReps(rep3) === nReps(hashes), "3x copies add ZERO distinct signatures")
+  }
+
   test("near-dup variants of one recording are byte-different payloads") {
     val docs = Tables.documents(spark, sf).limit(60)
     val ids = docs.select("doc_id").collect().map(_.getLong(0))
