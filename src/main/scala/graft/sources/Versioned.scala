@@ -160,6 +160,51 @@ object Versioned {
     )
   }
 
+  /** [[commitMerge]] made EXACTLY-ONCE for at-least-once writers
+    * (Structured Streaming's foreachBatch replays a batch after any
+    * restart): the commit's data dir is named by the writer's `epochId`,
+    * and a replay whose epoch is already referenced by some manifest is a
+    * no-op (returns None). Crash-safety falls out of the commit protocol:
+    * a crash AFTER the data write but BEFORE the manifest rename leaves
+    * an unreferenced dir that the replay simply overwrites — the manifest
+    * rename is the single atomic commit point, so the epoch lands exactly
+    * once no matter how many times it is replayed. Detection is an
+    * O(commits) driver-side manifest scan, no data read.
+    */
+  def commitMergeOnce(
+      delta: DataFrame,
+      dir: String,
+      epochId: Long,
+      deleted: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(false)
+  ): Option[Int] = {
+    import org.apache.spark.sql.functions.lit
+    val prev = latestVersion(dir)
+    val dataDir = s"b$epochId"
+    val committed =
+      (1 to prev).exists(v => readManifest(dir, v).contains(dataDir))
+    if (committed) None
+    else {
+      val next = prev + 1
+      delta
+        .withColumn("_deleted", deleted)
+        .withColumn("_commit", lit(next.toLong))
+        .write
+        .mode("overwrite") // a torn prior attempt's dir is simply rewritten
+        .parquet(s"$dir/data/$dataDir")
+      val dirs =
+        if (prev > 0) readManifest(dir, prev) :+ dataDir else Seq(dataDir)
+      Files.createDirectories(manifestDir(dir))
+      val tmp = manifestDir(dir).resolve(s".v$next.tmp")
+      Files.write(tmp, dirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(
+        tmp,
+        manifestDir(dir).resolve(s"v$next.manifest"),
+        StandardCopyOption.ATOMIC_MOVE
+      )
+      Some(next)
+    }
+  }
+
   /** Resolve a merged table at version `v` (default latest): latest
     * commit wins per key, tombstones drop the key. One partial-aggregable
     * max(struct) per key — no windows, no driver state.

@@ -541,6 +541,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC apply: upsert/delete batches land as merge commits, replays exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/t"
+    val stream = MemoryStream[(Long, String, String)] // (id, v, op)
+    val q = graft.streaming.MergeStream
+      .mergeSink(
+        stream.toDF().toDF("id", "v", "op"),
+        dir,
+        deletedWhen = col("op") === "D"
+      )
+      .option("checkpointLocation", dir + "_ckpt")
+      .start()
+    def state() = Versioned
+      .readMerged(spark, dir, "id")
+      .select("id", "v")
+      .as[(Long, String)]
+      .collect()
+      .toSet
+    try {
+      stream.addData((1L, "a", "U"), (2L, "b", "U")) // batch 0: inserts
+      q.processAllAvailable()
+      assert(state() === Set((1L, "a"), (2L, "b")))
+      stream.addData((1L, "A", "U"), (2L, "b", "D")) // batch 1: update + delete
+      q.processAllAvailable()
+      assert(state() === Set((1L, "A")))
+      // at-least-once replay of batch 1's epoch: a second apply must be a
+      // no-op (the epoch's data dir is already referenced by a manifest)
+      val replay = Versioned.commitMergeOnce(
+        Seq((1L, "A", "U"), (2L, "b", "D")).toDF("id", "v", "op"),
+        dir,
+        epochId = 1L,
+        deleted = col("op") === "D"
+      )
+      assert(replay === None, "replayed epoch must not create a new version")
+      assert(state() === Set((1L, "A")))
+      assert(Versioned.latestVersion(dir) === 2)
+      // readers at any moment see whole batches only: version 1 is exactly
+      // batch 0's state (snapshot isolation through the merge resolution)
+      assert(
+        Versioned
+          .readMerged(spark, dir, "id", v = 1)
+          .select("id", "v")
+          .as[(Long, String)]
+          .collect()
+          .toSet === Set((1L, "a"), (2L, "b"))
+      )
+    } finally q.stop()
+  }
+
   test("availableNow file ingestion resumes from checkpoint across runs") {
     // The daily-ingest contract: each scheduled run processes ONLY files
     // that arrived since the last run (checkpointed source offsets), then
