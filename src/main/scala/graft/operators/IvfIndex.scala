@@ -103,6 +103,16 @@ object IvfIndex {
       queries: DataFrame,
       k: Int,
       nProbe: Int
+  ): DataFrame =
+    searchCore(spark, dir, queries, k, nProbe, lit(true))
+
+  private def searchCore(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      predicate: org.apache.spark.sql.Column
   ): DataFrame = {
     // k centroid rows to the driver — the only driver state, O(k·dim).
     val cents = loadCentroids(spark, dir)
@@ -117,6 +127,7 @@ object IvfIndex {
     val corpus = spark.read
       .parquet(s"$dir/corpus")
       .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+      .filter(predicate)
       .select(
         col("vec_id").as("neighbor_id"),
         col("cell").cast(LongType).as("cell"),
@@ -153,29 +164,8 @@ object IvfIndex {
       k: Int,
       nProbe: Int,
       predicate: org.apache.spark.sql.Column
-  ): DataFrame = {
-    val cents = loadCentroids(spark, dir)
-    val probe = probeFrame(queries, cents, nProbe)
-    val probedCells = probe.select(col("cell")).distinct().collect().map(_.getLong(0))
-    val corpus = spark.read
-      .parquet(s"$dir/corpus")
-      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
-      .filter(predicate)
-      .select(
-        col("vec_id").as("neighbor_id"),
-        col("cell").cast(LongType).as("cell"),
-        col("embedding").as("c_emb")
-      )
-    val scored = corpus
-      .join(broadcast(probe), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(
-        col("query_id"),
-        col("neighbor_id"),
-        cosine(col("q_emb"), col("c_emb")).as("cos")
-      )
-    Similarity.topKExplode(scored, k)
-  }
+  ): DataFrame =
+    searchCore(spark, dir, queries, k, nProbe, predicate)
 
   /** The persisted cell centroids as driver state — O(k·dim). */
   private[graft] def loadCentroids(

@@ -23,6 +23,31 @@ object Skew {
   def salt(saltN: Int): Column =
     pmod(monotonically_increasing_id(), lit(saltN.toLong))
 
+  /** The shared two-stage aggregate: per-(key, salt) partials, then the
+    * per-key merge and canonical members-string projection. Both salted
+    * variants delegate here so the formatting rule (numeric sort first,
+    * stringify after — array_join wants strings) lives in ONE place.
+    */
+  private def twoStageCollect(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      saltCol: Column
+  ): DataFrame =
+    df.groupBy(col(keyCol), saltCol.as("_salt"))
+      .agg(collect_set(col(valCol)).as("_partial"))
+      .groupBy(col(keyCol))
+      .agg(
+        sort_array(array_distinct(flatten(collect_list(col("_partial")))))
+          .as("_merged")
+      )
+      .select(
+        col(keyCol),
+        array_join(transform(col("_merged"), v => v.cast("string")), ",")
+          .as("members"),
+        size(col("_merged")).cast("long").as("n_distinct")
+      )
+
   /** Hot-key distinct-collect: per key, the sorted distinct values of
     * `valCol` (joined to a string) + their count, two-stage via salting.
     */
@@ -32,20 +57,7 @@ object Skew {
       valCol: String,
       saltN: Int = 8
   ): DataFrame =
-    df.groupBy(col(keyCol), salt(saltN).as("_salt"))
-      .agg(collect_set(col(valCol)).as("_partial"))
-      .groupBy(col(keyCol))
-      .agg(
-        sort_array(array_distinct(flatten(collect_list(col("_partial")))))
-          .as("_merged")
-      )
-      .select(
-        col(keyCol),
-        // sort numerically first, stringify after (array_join wants strings)
-        array_join(transform(col("_merged"), v => v.cast("string")), ",")
-          .as("members"),
-        size(col("_merged")).cast("long").as("n_distinct")
-      )
+    twoStageCollect(df, keyCol, valCol, salt(saltN))
 
   /** Keys carrying at least `minShare` of the rows — the ones worth
     * salting. One partial-aggregable count pass; the driver receives at
@@ -81,21 +93,16 @@ object Skew {
       minShare: Double = 0.1
   ): DataFrame = {
     val heavy = heavyKeys(df, keyCol, minShare)
-    val saltCol =
-      if (heavy.isEmpty) lit(0L)
-      else when(col(keyCol).isin(heavy: _*), salt(saltN)).otherwise(lit(0L))
-    df.groupBy(col(keyCol), saltCol.as("_salt"))
-      .agg(collect_set(col(valCol)).as("_partial"))
-      .groupBy(col(keyCol))
-      .agg(
-        sort_array(array_distinct(flatten(collect_list(col("_partial")))))
-          .as("_merged")
-      )
-      .select(
-        col(keyCol),
-        array_join(transform(col("_merged"), v => v.cast("string")), ",")
-          .as("members"),
-        size(col("_merged")).cast("long").as("n_distinct")
-      )
+    // NULL is a first-class skew key (missing/unparsed keys are a common
+    // hot group) and `isin` is three-valued — NULL IN (...) is never TRUE
+    // — so null-hotness gets its own IS NULL branch
+    val nonNull = heavy.filterNot(_ == null)
+    val isHot = {
+      val inList =
+        if (nonNull.nonEmpty) coalesce(col(keyCol).isin(nonNull: _*), lit(false))
+        else lit(false)
+      if (heavy.exists(_ == null)) inList || col(keyCol).isNull else inList
+    }
+    twoStageCollect(df, keyCol, valCol, when(isHot, salt(saltN)).otherwise(lit(0L)))
   }
 }

@@ -667,9 +667,17 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("long").as("n_bigrams"),
+        // numerators/denominators in DECIMAL(38,0): n1f·n1b is
+        // vocabulary² (overflows int64 beyond ~110k distinct tokens) and
+        // c_xy/c_x are corpus-scale; `div` on decimals keeps the exact
+        // integral quotient, which fits a long by construction (≤ 1e9)
         sum(
-          expr("((4 * c_xy - 3) * 250000000) div c_x") +
-            expr("(750000000 * n1f * n1b) div (c_x * n_types)")
+          expr(
+            "((4 * CAST(c_xy AS DECIMAL(38,0)) - 3) * 250000000) div CAST(c_x AS DECIMAL(38,0))"
+          ) +
+            expr(
+              "(CAST(750000000 AS DECIMAL(38,0)) * n1f * n1b) div (CAST(c_x AS DECIMAL(38,0)) * n_types)"
+            )
         ).as("sc")
       )
       .select(

@@ -1041,8 +1041,8 @@ object TextQ {
            |bw AS (SELECT w2, COUNT(DISTINCT w1) AS n1b FROM sp GROUP BY w2),
            |nt AS (SELECT COUNT(DISTINCT bg) AS n_types FROM sp)
            |SELECT doc_id, COUNT(*) AS n_bigrams,
-           |  (SUM(((4 * c_xy - 3) * 250000000) // c_x
-           |     + (750000000 * n1f * n1b) // (c_x * n_types))
+           |  (SUM(((4 * c_xy::HUGEINT - 3) * 250000000) // c_x
+           |     + (750000000::HUGEINT * n1f * n1b) // (c_x::HUGEINT * n_types))
            |   // COUNT(*))::BIGINT AS kn_score_e9
            |FROM sp
            |JOIN cxy USING (bg)

@@ -163,13 +163,20 @@ object Versioned {
   /** [[commitMerge]] made EXACTLY-ONCE for at-least-once writers
     * (Structured Streaming's foreachBatch replays a batch after any
     * restart): the commit's data dir is named by the writer's `epochId`,
-    * and a replay whose epoch is already referenced by some manifest is a
-    * no-op (returns None). Crash-safety falls out of the commit protocol:
+    * and a replay of an already-applied epoch is a no-op (returns None).
+    *
+    * Replay detection is vacuum-proof: applied epochs are recorded in a
+    * `_epochs/` ledger that [[vacuum]] never touches, with the manifest
+    * scan (existing manifests only — retired versions leave gaps) as the
+    * fallback for a crash between the manifest rename and the ledger
+    * write. Crash-safety of the commit itself falls out of the protocol:
     * a crash AFTER the data write but BEFORE the manifest rename leaves
     * an unreferenced dir that the replay simply overwrites — the manifest
-    * rename is the single atomic commit point, so the epoch lands exactly
-    * once no matter how many times it is replayed. Detection is an
-    * O(commits) driver-side manifest scan, no data read.
+    * rename is the single atomic commit point. The one double-apply
+    * window is a vacuum that removes the referencing manifest DURING the
+    * crashed writer's rename→ledger gap, before its replay — run table
+    * maintenance and the writer under the usual single-owner discipline
+    * and the window is unreachable.
     */
   def commitMergeOnce(
       delta: DataFrame,
@@ -180,8 +187,12 @@ object Versioned {
     import org.apache.spark.sql.functions.lit
     val prev = latestVersion(dir)
     val dataDir = s"b$epochId"
-    val committed =
-      (1 to prev).exists(v => readManifest(dir, v).contains(dataDir))
+    val ledger = Paths.get(dir, "_epochs", s"$epochId.applied")
+    val committed = Files.exists(ledger) ||
+      (1 to prev).exists { v =>
+        val m = manifestDir(dir).resolve(s"v$v.manifest")
+        Files.exists(m) && readManifest(dir, v).contains(dataDir)
+      }
     if (committed) None
     else {
       val next = prev + 1
@@ -201,6 +212,10 @@ object Versioned {
         manifestDir(dir).resolve(s"v$next.manifest"),
         StandardCopyOption.ATOMIC_MOVE
       )
+      // ledger AFTER the commit point: a crash in between is covered by
+      // the manifest-scan fallback; the reverse order could drop a batch
+      Files.createDirectories(ledger.getParent)
+      Files.write(ledger, Array.emptyByteArray)
       Some(next)
     }
   }

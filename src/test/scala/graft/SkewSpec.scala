@@ -45,6 +45,37 @@ class SkewSpec extends AnyFunSuite {
     assert(auto === canon(plain))
   }
 
+  test("a NULL hot key is spread too (isin is three-valued; IS NULL branch required)") {
+    import spark.implicits._
+    val hotNull = (1 to 800).map(i => (Option.empty[String], i % 37)) ++
+      (1 to 200).map(i => (Some(s"k${i % 20}"), i))
+    val df = hotNull.toDF("k", "v").repartition(8)
+    val heavy = Skew.heavyKeys(df, "k", minShare = 0.1)
+    assert(heavy === Seq(null), "the null key carries 80% of rows")
+    // result correctness under the null-hot corpus
+    val auto = Skew
+      .autoSaltedCollectSet(df, "k", "v", saltN = 8, minShare = 0.1)
+      .filter(col("k").isNull)
+      .select("n_distinct")
+      .as[Long]
+      .collect()
+    assert(auto === Array(37L))
+    // and the hot NULL group is actually spread across salts in stage 1
+    val nonNull = heavy.filterNot(_ == null)
+    val isHot = {
+      val inList =
+        if (nonNull.nonEmpty) coalesce(col("k").isin(nonNull: _*), lit(false))
+        else lit(false)
+      if (heavy.exists(_ == null)) inList || col("k").isNull else inList
+    }
+    val spread = df
+      .groupBy(col("k"), when(isHot, Skew.salt(8)).otherwise(lit(0L)).as("_salt"))
+      .agg(count(lit(1)))
+      .filter(col("k").isNull)
+      .count()
+    assert(spread > 1L, "null-keyed rows must not funnel into one (null, 0) group")
+  }
+
   test("light keys take salt 0: stage-1 emits one partial per light key") {
     val df = skewed()
     val heavy = Skew.heavyKeys(df, "k", minShare = 0.1)

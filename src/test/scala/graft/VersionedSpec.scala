@@ -197,6 +197,40 @@ class VersionedSpec extends AnyFunSuite {
     )
   }
 
+  test("commitMergeOnce survives vacuum: retired manifests neither crash nor reopen old epochs") {
+    val dir = freshDir()
+    assert(
+      Versioned
+        .commitMergeOnce(Seq((1L, "a")).toDF("id", "v"), dir, epochId = 0L)
+        .contains(1)
+    )
+    assert(
+      Versioned
+        .commitMergeOnce(Seq((1L, "A")).toDF("id", "v"), dir, epochId = 1L)
+        .contains(2)
+    )
+    Versioned.compactMerged(spark, dir, "id") // v3
+    Versioned.vacuum(dir, retainLast = 1) // retires v1/v2 — manifest gaps appear
+    // 1) a NEW epoch after vacuum must not crash on the manifest gaps
+    assert(
+      Versioned
+        .commitMergeOnce(Seq((2L, "b")).toDF("id", "v"), dir, epochId = 2L)
+        .contains(4)
+    )
+    // 2) replays of epochs whose manifests were vacuumed stay no-ops (the
+    // _epochs ledger outlives the manifests) — a re-applied old epoch
+    // would resurrect stale state with a NEWER _commit and win resolution
+    assert(Versioned.commitMergeOnce(Seq((1L, "a")).toDF("id", "v"), dir, epochId = 0L) === None)
+    assert(
+      Versioned
+        .readMerged(spark, dir, "id")
+        .select("id", "v")
+        .as[(Long, String)]
+        .collect()
+        .toSet === Set((1L, "A"), (2L, "b"))
+    )
+  }
+
   test("vacuum is idempotent and a full-retention run is a no-op") {
     val dir = freshDir()
     (1 to 3).foreach(i => Versioned.commit(Seq((i.toLong, s"v$i")).toDF("id", "s"), dir))
