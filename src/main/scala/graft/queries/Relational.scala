@@ -855,6 +855,70 @@ object Relational {
         "replicates Spark Percentile.getPercentile bit-for-bit, which " +
         "matches DuckDB quantile_cont on this data."
     ),
+    // ---- equi-DEPTH histogram: buckets hold equal row counts (the ANALYZE
+    // histogram form optimizers want — equi-width q_histogram starves its
+    // tail buckets on skewed data). Cuts from the bounded-state exact
+    // percentile operator, assignment map-only against 3 broadcast
+    // cutpoints (the q_curriculum recipe on a relational measure).
+    Q(
+      "q_histogram_eqdepth",
+      (s, d) => {
+        val base = Tables
+          .orders(s, d)
+          .select(
+            lit("all").as("g"),
+            lit("tp").as("vc"),
+            col("o_totalprice").cast("double").as("v")
+          )
+        val cuts = graft.operators.Percentiles
+          .exactPercentiles(base, Seq("g"), Map("tp" -> Seq(0.25, 0.5, 0.75)))
+          .groupBy(col("g"))
+          .agg(
+            max(when(col("p") === 0.25, col("pct"))).as("q25"),
+            max(when(col("p") === 0.5, col("pct"))).as("q50"),
+            max(when(col("p") === 0.75, col("pct"))).as("q75")
+          )
+          .select("q25", "q50", "q75")
+        Tables
+          .orders(s, d)
+          .crossJoin(broadcast(cuts))
+          .select(
+            (lit(1L) + (col("o_totalprice") > col("q25")).cast("long")
+              + (col("o_totalprice") > col("q50")).cast("long")
+              + (col("o_totalprice") > col("q75")).cast("long")).as("bucket"),
+            col("o_totalprice")
+          )
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi")
+          )
+          .orderBy("bucket")
+      },
+      Some("""WITH c AS (
+             |  SELECT quantile_cont(o_totalprice, 0.25) AS q25,
+             |         quantile_cont(o_totalprice, 0.5) AS q50,
+             |         quantile_cont(o_totalprice, 0.75) AS q75
+             |  FROM orders
+             |),
+             |b AS (
+             |  SELECT (1 + (o_totalprice > q25)::BIGINT
+             |            + (o_totalprice > q50)::BIGINT
+             |            + (o_totalprice > q75)::BIGINT) AS bucket,
+             |         o_totalprice
+             |  FROM orders CROSS JOIN c
+             |)
+             |SELECT bucket, COUNT(*)::BIGINT AS n,
+             |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+      doc = "Equi-depth histogram (4 quartile buckets over o_totalprice): " +
+        "cut points from the bounded-state exact-percentile operator, " +
+        "bucket assignment map-only against 3 broadcast cutpoints, then " +
+        "one partial-aggregable count/min/max — the ANALYZE histogram " +
+        "shape that stays balanced on skewed data where equi-width " +
+        "buckets starve. Counts and exact boundaries bit-replayed."
+    ),
     // ---- the scale path next to q_percentile's exact form: approximate
     // percentiles via the GK sketch — mergeable partial state, no per-group
     // sort. Rows-only correctness entry (sketch merge order is layout-
