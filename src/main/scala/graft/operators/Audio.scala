@@ -292,15 +292,21 @@ object Audio {
 
   /** Audio dedup over the fingerprint: per doc its cluster representative
     * (min doc id sharing the fingerprint) and cluster size. Exact-hash
-    * collapse — the same map+agg+broadcast-join shape as exact text dedup
+    * collapse — the same map+agg+join shape as exact text dedup
     * ([[Dedup]]), now invariant to silence padding instead of whitespace.
+    *
+    * No broadcast hint on `clusters`: it holds one row per DISTINCT
+    * fingerprint, i.e. corpus cardinality, so forcing it broadcast is a
+    * driver/executor OOM at crawl scale. Left as a plain shuffle equi-join
+    * (partial-aggregable groupBy on one side), AQE broadcasts it on its
+    * own whenever the aggregate is actually small.
     */
   def audioDedup(fps: DataFrame): DataFrame = {
     val clusters = fps
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_variants"))
     fps
-      .join(broadcast(clusters), Seq("fingerprint"))
+      .join(clusters, Seq("fingerprint"))
       .select(
         col("doc_id"),
         col("fingerprint"),

@@ -547,13 +547,27 @@ object Dedup {
 
   /** Exact-dup annotation: per-document content hash, the size of its
     * duplicate group, and the canonical (minimum) doc_id of the group.
+    *
+    * Scale shape: group stats come from a `groupBy(content_hash)` aggregate
+    * joined back to the hashed corpus — NOT a `Window.partitionBy`. A window
+    * makes one unsplittable partition per key, so a single boilerplate
+    * document (license text, template page) duplicated millions of times in
+    * a crawl pins one task; the aggregate is partial-aggregable (map-side
+    * combine collapses each partition's copies to one row before the
+    * exchange) and the join-back is an ordinary equi-join AQE can split on
+    * skew. Same fix as `TextAnalysis.cdcChunks`' dup_count.
     */
   def exactDups(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("content_hash"))
-    docs
-      .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
-      .withColumn("dup_count", count(lit(1)).over(w))
-      .withColumn("canonical_id", min(col("doc_id")).over(w))
+    val hashed = docs.select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
+    val groups = hashed
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("canonical_id"))
+    hashed.join(groups, Seq("content_hash")).select(
+      col("doc_id"),
+      col("content_hash"),
+      col("dup_count"),
+      col("canonical_id")
+    )
   }
 
   /** Undersized on purpose at oracle scale so the false-positive path is

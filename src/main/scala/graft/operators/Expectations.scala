@@ -28,8 +28,13 @@ object Expectations {
     */
   final case class RowCheck(name: String, violated: Column) extends Check
 
-  /** Key-uniqueness contract: violations = rows beyond the first per key
-    * (`count(*) - count(distinct key)`), so 0 iff the key is unique.
+  /** Key-uniqueness contract: violations = `count(*) - count(distinct key)`,
+    * so 0 iff the key is unique AND non-null. NULL-keyed rows are ALWAYS
+    * violations (countDistinct ignores NULLs — one null-keyed row already
+    * counts as 1): deliberate, since a "unique key" that admits NULLs isn't
+    * a key, and it matches the DuckDB oracle's arithmetic bit-for-bit.
+    * Callers wanting nullable-unique should filter nulls first or pair with
+    * a RowCheck on key.isNull.
     */
   final case class UniqueCheck(name: String, key: Column) extends Check
 
@@ -43,9 +48,12 @@ object Expectations {
     require(checks.nonEmpty, "at least one check")
     // internal slot names are index-based: check names are user strings
     // (often dotted) and must not be parsed as nested-field references
+    // coalesce: on an EMPTY table sum(...) is NULL, which would make
+    // `passed` NULL and downstream getAs[Boolean] unbox it to false —
+    // a vacuously-valid empty micro-batch must report 0 violations / pass
     val aggs = count(lit(1)).cast("long").as("_total") +: checks.zipWithIndex.map {
       case (RowCheck(_, viol), i) =>
-        sum(when(viol, 1L).otherwise(0L)).cast("long").as(s"_v_$i")
+        coalesce(sum(when(viol, 1L).otherwise(0L)), lit(0L)).cast("long").as(s"_v_$i")
       case (UniqueCheck(_, key), i) =>
         (count(lit(1)) - countDistinct(key)).cast("long").as(s"_v_$i")
     }
@@ -90,7 +98,9 @@ object Expectations {
       )
       .agg(
         count(lit(1)).cast("long").as("total"),
-        sum(when(col("_pk").isNull, 1L).otherwise(0L)).cast("long").as("violations")
+        // coalesce: an empty child yields sum=NULL → passed=NULL otherwise
+        coalesce(sum(when(col("_pk").isNull, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("violations")
       )
       .select(
         lit(name).as("check_name"),

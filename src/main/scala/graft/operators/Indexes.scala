@@ -21,9 +21,19 @@ import org.apache.spark.sql.types.LongType
   */
 object Indexes {
 
-  /** `target/<family>/<fp12>` for this corpus's content. */
-  def fingerprintDir(family: String, sfDir: String, corpus: DataFrame): String =
-    fingerprintDirOn(family, sfDir, corpus, "vec_id", "embedding")
+  /** `target/<family>/<fp12>` for this corpus's content. `params` encodes
+    * everything else the persisted layout depends on — build knobs (kCells,
+    * iters) and stored metadata columns — so a CONTRACT change (not just a
+    * data change) also forces a rebuild instead of silently adopting a
+    * stale index with the wrong columns.
+    */
+  def fingerprintDir(
+      family: String,
+      sfDir: String,
+      corpus: DataFrame,
+      params: String = ""
+  ): String =
+    fingerprintDirOn(family, sfDir, corpus, "vec_id", "embedding", params)
 
   /** [[fingerprintDir]] over arbitrary id/payload columns (e.g. a document
     * table's (doc_id, text)).
@@ -33,7 +43,8 @@ object Indexes {
       sfDir: String,
       df: DataFrame,
       idCol: String,
-      payloadCol: String
+      payloadCol: String,
+      params: String = ""
   ): String = {
     val fp = df
       .agg(
@@ -45,7 +56,7 @@ object Indexes {
         expr(s"bit_xor(xxhash64($idCol, $payloadCol))")
       )
       .head()
-    val key = s"$sfDir|${fp.getLong(0)}|${fp.getLong(1)}|${fp.getLong(2)}"
+    val key = s"$sfDir|${fp.getLong(0)}|${fp.getLong(1)}|${fp.getLong(2)}|$params"
     val tag = java.security.MessageDigest
       .getInstance("MD5")
       .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))

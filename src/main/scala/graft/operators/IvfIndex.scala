@@ -34,15 +34,34 @@ object IvfIndex {
     * edited dataset can never silently reuse a stale index). Lives under
     * target/ (build products, not source).
     */
-  def defaultDir(sfDir: String, corpus: DataFrame): String =
-    Indexes.fingerprintDir("ivf-index", sfDir, corpus)
+  def defaultDir(
+      sfDir: String,
+      corpus: DataFrame,
+      kCells: Int = 10,
+      iters: Int = 4
+  ): String =
+    Indexes.fingerprintDir("ivf-index", sfDir, corpus, s"k=$kCells|it=$iters")
 
   /** Index location for the metadata-carrying variant ([[searchFiltered]]).
     * Separate family: the row payload differs (filter columns stored in
     * the index), so the two layouts must never share a fingerprint dir.
+    * Build params AND metaCols are part of the fingerprint — changing the
+    * stored metadata contract forces a rebuild instead of adopting a stale
+    * index missing the new columns.
     */
-  def defaultMetaDir(sfDir: String, corpus: DataFrame): String =
-    Indexes.fingerprintDir("ivf-meta-index", sfDir, corpus)
+  def defaultMetaDir(
+      sfDir: String,
+      corpus: DataFrame,
+      kCells: Int = 10,
+      iters: Int = 4,
+      metaCols: Seq[String] = Nil
+  ): String =
+    Indexes.fingerprintDir(
+      "ivf-meta-index",
+      sfDir,
+      corpus,
+      s"k=$kCells|it=$iters|meta=${metaCols.mkString(",")}"
+    )
 
   /** Build once, reuse forever: training is deterministic (md5 seeding +
     * decimal means — see [[Similarity.kmeansCells]]), so same data ⇒ same

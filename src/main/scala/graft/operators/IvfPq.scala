@@ -35,8 +35,23 @@ object IvfPq {
   /** Index location for a corpus — the stale-proof content-fingerprint
     * contract of [[Indexes.fingerprintDir]].
     */
-  def defaultDir(sfDir: String, corpus: DataFrame): String =
-    Indexes.fingerprintDir("ivfpq-index", sfDir, corpus)
+  def defaultDir(
+      sfDir: String,
+      corpus: DataFrame,
+      kCells: Int = 10,
+      ivfIters: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      dim: Int = 64,
+      pqIters: Int = 2,
+      trainSample: Int = 256
+  ): String =
+    Indexes.fingerprintDir(
+      "ivfpq-index",
+      sfDir,
+      corpus,
+      s"k=$kCells|ivfIt=$ivfIters|m=$m|ksub=$ksub|dim=$dim|pqIt=$pqIters|ts=$trainSample"
+    )
 
   /** Build once, search many — atomic publication, see
     * [[Indexes.atomicBuild]].

@@ -252,8 +252,17 @@ object Pq {
   /** Index location for a corpus — the stale-proof content-fingerprint
     * contract of [[Indexes.fingerprintDir]].
     */
-  def defaultDir(sfDir: String, corpus: DataFrame): String =
-    Indexes.fingerprintDir("pq-index", sfDir, corpus)
+  def defaultDir(
+      sfDir: String,
+      corpus: DataFrame,
+      m: Int = 8,
+      ksub: Int = 16,
+      dim: Int = 64,
+      iters: Int = 2,
+      trainSample: Int = 256
+  ): String =
+    Indexes.fingerprintDir(
+      "pq-index", sfDir, corpus, s"m=$m|ksub=$ksub|dim=$dim|it=$iters|ts=$trainSample")
 
   /** Build once, search many: train codebooks on a bounded md5-ordered
     * sample, persist them as rows plus the whole corpus's code table.

@@ -35,11 +35,29 @@ import org.apache.spark.sql.functions._
   */
 object SemanticIndex {
 
-  def defaultDir(sfDir: String, corpus: DataFrame): String =
-    Indexes.fingerprintDir("sem-cells", sfDir, corpus)
+  /** Quantizer params are part of the fingerprint: a changed target/max
+    * cell size or literal-k is a different index layout, never a silent
+    * reuse of the old one.
+    */
+  def defaultDir(
+      sfDir: String,
+      corpus: DataFrame,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256
+  ): String =
+    Indexes.fingerprintDir(
+      "sem-cells", sfDir, corpus, s"t=$targetCellSize|m=$maxCellSize|k=$litK")
 
-  def defaultDir2l(sfDir: String, corpus: DataFrame): String =
-    Indexes.fingerprintDir("sem-cells-2l", sfDir, corpus)
+  def defaultDir2l(
+      sfDir: String,
+      corpus: DataFrame,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256
+  ): String =
+    Indexes.fingerprintDir(
+      "sem-cells-2l", sfDir, corpus, s"t=$targetCellSize|m=$maxCellSize|k=$litK")
 
   /** Build the FLAT data-scaled quantizer state ([[Similarity.scaledCells]]'
     * construction, with the intermediate seeds/counts also published for
@@ -107,7 +125,7 @@ object SemanticIndex {
       litK: Int = 256,
       keep: Similarity.KeepPolicy = Similarity.KeepPolicy.Central
   ): DataFrame = {
-    val dir = defaultDir(sfDir, corpus)
+    val dir = defaultDir(sfDir, corpus, targetCellSize, maxCellSize, litK)
     ensureBuilt(corpus, dir, targetCellSize, maxCellSize, litK)
     Similarity.semanticDedupCore(readCelled(corpus.sparkSession, dir), threshold, keep)
   }
@@ -124,7 +142,7 @@ object SemanticIndex {
       litK: Int = 256,
       keep: Similarity.KeepPolicy = Similarity.KeepPolicy.Central
   ): DataFrame = {
-    val dir = defaultDir2l(sfDir, corpus)
+    val dir = defaultDir2l(sfDir, corpus, targetCellSize, maxCellSize, litK)
     ensureBuilt2l(corpus, dir, targetCellSize, maxCellSize, litK)
     Similarity.semanticDedupCore(readCelled(corpus.sparkSession, dir), threshold, keep)
   }
@@ -145,7 +163,7 @@ object SemanticIndex {
       litK: Int = 256
   ): DataFrame = {
     val spark = corpus.sparkSession
-    val dir = defaultDir(sfDir, corpus)
+    val dir = defaultDir(sfDir, corpus, targetCellSize, maxCellSize, litK)
     ensureBuilt(corpus, dir, targetCellSize, maxCellSize, litK)
     val cents = spark.read
       .parquet(s"$dir/seeds")
@@ -180,7 +198,7 @@ object SemanticIndex {
       litK: Int = 256
   ): DataFrame = {
     val spark = corpus.sparkSession
-    val dir = defaultDir(sfDir, corpus)
+    val dir = defaultDir(sfDir, corpus, targetCellSize, maxCellSize, litK)
     ensureBuilt(corpus, dir, targetCellSize, maxCellSize, litK)
     val cents = spark.read
       .parquet(s"$dir/seeds")
@@ -210,7 +228,7 @@ object SemanticIndex {
       maxCellSize: Int,
       litK: Int = 256
   ): DataFrame = {
-    val dir = defaultDir(sfDir, corpus)
+    val dir = defaultDir(sfDir, corpus, targetCellSize, maxCellSize, litK)
     ensureBuilt(corpus, dir, targetCellSize, maxCellSize, litK)
     readCelled(corpus.sparkSession, dir)
   }

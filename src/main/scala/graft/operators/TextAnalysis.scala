@@ -296,22 +296,32 @@ object TextAnalysis {
     * chunk_len, chunk_md5), no corpus-wide dup_count. Map-only after the
     * scan: consumers that aggregate the chunks themselves (e.g. the
     * storage-dedup report) start here and skip [[cdcChunks]]' count join.
+    *
+    * `carry` names extra per-document columns to PROJECT THROUGH the
+    * kernel scan onto every chunk row (e.g. `source` for the storage
+    * report). That keeps the consumer map-only where a join back to the
+    * doc table would otherwise key one row PER DOCUMENT through a shuffle
+    * — or worse, invite an O(corpus) broadcast hint.
     */
   def cdcChunkStream(
       docs: DataFrame,
       window: Int = CdcWindow,
-      modulo: Int = CdcModulo
+      modulo: Int = CdcModulo,
+      carry: Seq[String] = Nil
   ): DataFrame = {
     val ends = graft.util.Cols.nativeCol(
       graft.functions.CdcEnds(graft.util.Cols.nativeExpr(col("text")), window, modulo)
     )
+    val carried = carry.map(col)
     docs
-      .select(col("doc_id"), col("text"), ends.as("ends"))
+      .select(Seq(col("doc_id"), col("text"), ends.as("ends")) ++ carried: _*)
       .select(
-        col("doc_id"),
-        col("text"),
-        col("ends"),
-        posexplode(col("ends")).as(Seq("chunk_idx", "chunk_end"))
+        Seq(
+          col("doc_id"),
+          col("text"),
+          col("ends"),
+          posexplode(col("ends")).as(Seq("chunk_idx", "chunk_end"))
+        ) ++ carried: _*
       )
       .withColumn(
         "chunk_start",
@@ -324,11 +334,13 @@ object TextAnalysis {
         md5(call_function("substring", col("text"), col("chunk_start"), col("chunk_len")))
       )
       .select(
-        col("doc_id"),
-        col("chunk_idx").cast("long").as("chunk_idx"),
-        col("chunk_start").cast("long").as("chunk_start"),
-        col("chunk_len").cast("long").as("chunk_len"),
-        col("chunk_md5")
+        Seq(
+          col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_start").cast("long").as("chunk_start"),
+          col("chunk_len").cast("long").as("chunk_len"),
+          col("chunk_md5")
+        ) ++ carried: _*
       )
   }
 

@@ -35,8 +35,8 @@ object TextIndex {
 
   val DefaultBuckets = 16
 
-  def defaultDir(sfDir: String, docs: DataFrame): String =
-    Indexes.fingerprintDirOn("text-index2", sfDir, docs, "doc_id", "text")
+  def defaultDir(sfDir: String, docs: DataFrame, nBuckets: Int = DefaultBuckets): String =
+    Indexes.fingerprintDirOn("text-index2", sfDir, docs, "doc_id", "text", s"nb=$nBuckets")
 
   private[graft] def bucketOf(term: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(term), lit(nBuckets.toLong))

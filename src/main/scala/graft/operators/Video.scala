@@ -188,6 +188,11 @@ object Video {
       .toDF("doc_id", "frame_idx", "dhash")
   }
 
+  /** Floor under the document-frequency ceiling so tiny corpora (unit
+    * fixtures, early ingest) never declare every scene hot.
+    */
+  val MinDfCeiling = 32L
+
   /** Video near-dup pairs by SCENE OVERLAP: two videos are near-dups when
     * the overlap coefficient of their frame-hash SETS clears the permille
     * threshold — temporal-shift-invariant (a re-cut sharing most scenes
@@ -195,22 +200,56 @@ object Video {
     *
     * Distributed shape: candidate pairs come from an equijoin on the frame
     * hash itself (an inverted index over scenes — only videos sharing at
-    * least one scene ever meet; no all-pairs stage), then one
-    * partial-aggregable count of distinct shared hashes per pair. Signature
-    * sizes are a per-doc count broadcast back onto the pair rows. All
-    * outputs integral: matches, set sizes, permille overlap.
+    * least one scene ever meet; no all-pairs stage). HOT scene hashes —
+    * those whose document frequency exceeds
+    * `max(MinDfCeiling, n_videos * maxDfPermille / 1000)` — are excluded
+    * from CANDIDATE GENERATION only (the stop-word / prefix-filter analog:
+    * a black frame or intro card present in half the corpus would make that
+    * one key's candidate set quadratic in the corpus). Discovered pairs are
+    * then recounted against the FULL signatures, hot hashes included, so
+    * every emitted row is exact. Recall bound: a pair can only be missed
+    * when its ENTIRE intersection is hot hashes — at threshold p permille
+    * and min signature size n that means ≥ ceil(p·n/1000) shared frames
+    * each so common they are non-discriminative; for real thresholds such
+    * pairs are boilerplate-only matches, not re-cuts.
+    *
+    * No broadcast hints: `sizes` is one row per VIDEO and the per-hash df
+    * frame one row per distinct scene — both corpus-cardinality, so hinting
+    * them broadcast is an OOM at crawl scale. AQE picks broadcast on its
+    * own when a side is actually small. All outputs integral: matches, set
+    * sizes, permille overlap.
     */
-  def videoDups(hashes: DataFrame, permille: Long = 500L): DataFrame = {
+  def videoDups(
+      hashes: DataFrame,
+      permille: Long = 500L,
+      maxDfPermille: Long = 100L
+  ): DataFrame = {
     val sig = hashes.select(col("doc_id"), col("dhash")).distinct()
     val sizes = sig.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sig
-      .join(sig.select(col("doc_id").as("b_id"), col("dhash")), Seq("dhash"))
+    val total = sig.select(countDistinct(col("doc_id")).as("n_videos")) // 1 row
+    val dfs = sig.groupBy(col("dhash")).agg(count(lit(1)).as("df"))
+    val rare = sig
+      .join(dfs, Seq("dhash"))
+      .crossJoin(total)
+      .filter(
+        col("df") <= greatest(lit(MinDfCeiling), col("n_videos") * maxDfPermille / 1000)
+      )
+      .select(col("doc_id"), col("dhash"))
+    val cand = rare
+      .join(rare.select(col("doc_id").as("b_id"), col("dhash")), Seq("dhash"))
       .filter(col("doc_id") < col("b_id"))
-      .groupBy(col("doc_id").as("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("matches")) // sig rows are distinct per doc, so count = |A∩B|
+      .select(col("doc_id").as("a_id"), col("b_id"))
+      .distinct()
+    // exact |A∩B| recount over full signatures (hot hashes included); the
+    // expansion is bounded by frames-per-video, not corpus size
+    val pairs = cand
+      .join(sig.select(col("doc_id").as("a_id"), col("dhash")), Seq("a_id"))
+      .join(sig.select(col("doc_id").as("b_id"), col("dhash")), Seq("b_id", "dhash"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("matches"))
     pairs
-      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n"))), Seq("a_id"))
-      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n"))), Seq("b_id"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n")), Seq("b_id"))
       .select(
         col("a_id"),
         col("b_id"),

@@ -753,10 +753,14 @@ object DedupQ {
       "d_chunk_storage",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val src = docs.select(col("doc_id"), col("source"))
+        // `source` rides the CDC kernel scan itself (cdcChunkStream's
+        // `carry`) — no join back to a one-row-per-document frame, and in
+        // particular no O(corpus) broadcast of it.
         val ch = graft.operators.TextAnalysis
-          .cdcChunkStream(docs)
-          .select(col("doc_id"), col("chunk_idx"), col("chunk_len"), col("chunk_md5"))
+          .cdcChunkStream(docs, carry = Seq("source"))
+          .select(
+            col("doc_id"), col("chunk_idx"), col("chunk_len"), col("chunk_md5"),
+            col("source"))
         // ONE pass over the chunk stream: fold it into a (chunk_md5,
         // source)-keyed aggregate first, so the CDC kernel runs once and
         // every later step works on the far smaller aggregate. Canonical
@@ -770,7 +774,6 @@ object DedupQ {
         // static planner materializes the common subtree twice otherwise
         // (exchange reuse is not guaranteed across the join branches).
         val g1 = ch
-          .join(broadcast(src), "doc_id")
           .groupBy(col("chunk_md5"), col("source"))
           .agg(
             count(lit(1)).as("n"),

@@ -162,7 +162,7 @@ object SimilarityQ {
       (s, d) => {
         import graft.operators.IvfIndex
         val emb = Tables.embeddings(s, d)
-        val idxDir = IvfIndex.defaultMetaDir(d, emb)
+        val idxDir = IvfIndex.defaultMetaDir(d, emb, metaCols = Seq("label"))
         IvfIndex.ensureBuilt(emb, idxDir, metaCols = Seq("label"))
         val q = emb.filter(col("vec_id") < 10)
         val filtered =

@@ -18,12 +18,28 @@ import graft.sources.Versioned
   */
 object VersionedQ {
 
+  /** Per-(query, process) scratch table location: WIPED at the start of
+    * every invocation (a bench best-of-5 within one process reuses one
+    * slot instead of accumulating five corpus copies) and registered for
+    * recursive deletion at JVM exit (nothing survives the run). Safe to
+    * wipe at entry: by the time a query is re-invoked, the previous
+    * invocation's DataFrame has been fully consumed.
+    */
+  private def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      "target", "graft_scratch", s"$name-${ProcessHandle.current().pid()}")
+    graft.operators.Indexes.deleteRecursively(p)
+    java.nio.file.Files.createDirectories(p)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => graft.operators.Indexes.deleteRecursively(p)))
+    p.toString
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "v_time_travel",
       (s, d) => {
-        val dir =
-          java.nio.file.Files.createTempDirectory("graft_vq").toString
+        val dir = scratchDir("v_time_travel")
         val docs = Tables.documents(s, d)
         Versioned.commit(docs.filter(col("doc_id") % 2 === 0), dir) // v1
         Versioned.commit(docs.filter(col("doc_id") % 2 === 1), dir) // v2 (append)
@@ -70,8 +86,7 @@ object VersionedQ {
     Q(
       "v_vacuum",
       (s, d) => {
-        val dir =
-          java.nio.file.Files.createTempDirectory("graft_vac").toString
+        val dir = scratchDir("v_vacuum")
         val docs = Tables.documents(s, d)
         Versioned.commit(docs.filter(col("doc_id") % 3 === 0), dir) // v1
         Versioned.commit(docs.filter(col("doc_id") % 3 === 1), dir) // v2 (append)
@@ -142,8 +157,7 @@ object VersionedQ {
     Q(
       "v_merge_upsert",
       (s, d) => {
-        val dir =
-          java.nio.file.Files.createTempDirectory("graft_mor").toString
+        val dir = scratchDir("v_merge_upsert")
         val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
         Versioned.commitMerge(docs, dir) // v1: full base
         Versioned.commitMerge( // v2: update every 10th doc
@@ -204,8 +218,7 @@ object VersionedQ {
     Q(
       "v_forget",
       (s, d) => {
-        val dir =
-          java.nio.file.Files.createTempDirectory("graft_rtbf").toString
+        val dir = scratchDir("v_forget")
         val docs = Tables.documents(s, d).select("doc_id", "lang", "text", "n_chars")
         Versioned.commitMerge(docs, dir) // v1: full base
         Versioned.commitMerge( // v2: tombstone the forget set

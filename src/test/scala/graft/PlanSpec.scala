@@ -343,6 +343,29 @@ class PlanSpec extends AnyFunSuite {
     )
   }
 
+  test("d_exact: dup stats are a partial-aggregable groupBy + join-back, no window") {
+    val plan = physical("d_exact")
+    // a Window.partitionBy(content_hash) buffers EVERY copy of a hot
+    // boilerplate document in one unsplittable task; the stats must come
+    // from a map-side-combinable aggregate joined back (AQE-skew-splittable)
+    assert(!plan.contains("Window"), "exact dedup must not plan a window:\n" + plan.take(1500))
+    assert(plan.contains("partial_count"), "expected partial aggregation:\n" + plan.take(1500))
+  }
+
+  test("no corpus-cardinality frame carries a broadcast() hint") {
+    // a broadcast hint on a frame that grows with the corpus (one row per
+    // video / per distinct fingerprint / per document) is an OOM at crawl
+    // scale even when the join itself is fine — AQE picks broadcast on its
+    // own when a side is genuinely small, so these plans must carry NO hint
+    for (name <- Seq("m_video_dups", "m_video_clusters", "m_audio_dups", "d_chunk_storage", "d_exact")) {
+      val analyzed = Registry.runners(name)(spark, sf).queryExecution.analyzed.toString
+      assert(
+        !analyzed.contains("ResolvedHint"),
+        s"$name hints a corpus-sized broadcast:\n" + analyzed.take(1500)
+      )
+    }
+  }
+
   test("vocab coverage: membership join is broadcast — the token stream never shuffles for it") {
     val plan = physical("t_vocab_coverage")
     assert(

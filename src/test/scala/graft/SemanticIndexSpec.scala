@@ -32,7 +32,7 @@ class SemanticIndexSpec extends AnyFunSuite {
     assert(keptSet(amortized) === keptSet(fresh))
     // second call must reuse the published asset (same fingerprint dir,
     // marker present) — the steady-state read path
-    val dir = SemanticIndex.defaultDir(sf, emb)
+    val dir = SemanticIndex.defaultDir(sf, emb, targetCellSize = 50, maxCellSize = 100)
     assert(new java.io.File(s"$dir/celled/_SUCCESS").exists(), s"no published asset at $dir")
     assert(keptSet(SemanticIndex.dedup(sf, emb, 0.35, 50, 100)) === keptSet(fresh))
   }
@@ -44,7 +44,7 @@ class SemanticIndexSpec extends AnyFunSuite {
       when(col("vec_id") === 0, reverse(col("embedding"))).otherwise(col("embedding"))
     )
     assert(
-      SemanticIndex.defaultDir(sf, emb) !== SemanticIndex.defaultDir(sf, edited),
+      SemanticIndex.defaultDir(sf, emb, 50, 100) !== SemanticIndex.defaultDir(sf, edited, 50, 100),
       "same ids + changed payload must not reuse the old index"
     )
   }

@@ -128,6 +128,43 @@ class VideoSpec extends AnyFunSuite {
     assert(nReps(rep3) === nReps(hashes), "3x copies add ZERO distinct signatures")
   }
 
+  test("videoDups: near-universal scene hash is capped out of candidate generation; emitted counts stay exact") {
+    import spark.implicits._
+    // Pathological shared-intro corpus: ALL 100 videos contain the hot
+    // "intro card" hash 0 (df=100 > ceiling greatest(32, 100·100‰)=32).
+    // Without the df cap that one key alone makes C(100,2)=4950 candidate
+    // pairs; with it, candidates can only come from rare hashes. Videos 0
+    // and 1 additionally share rare hashes 1,2,3 — the one real near-dup.
+    val rows =
+      (0L until 100L).flatMap { id =>
+        (id, 0L) +: (0 until 4).map(k => (id, 1000L + id * 10 + k))
+      } ++ Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 1L), (1L, 2L), (1L, 3L))
+    // videos 0/1 carry hot+rare+1 filler (drop 3 fillers to keep |sig|=5)
+    val hashes = rows.toDF("doc_id", "dhash")
+      .filter(
+        !(col("doc_id").isin(0L, 1L) &&
+          col("dhash") >= 1000L && col("dhash") =!= col("doc_id") * 10 + 1000L))
+
+    // permille=0 emits every DISCOVERED pair: the hot key must contribute
+    // none, so the candidate set is exactly the rare-hash pair
+    val discovered = Video.videoDups(hashes, permille = 0L).collect()
+    assert(discovered.length == 1, s"hot-key candidates leaked: ${discovered.length} pairs")
+
+    // and the emitted row's intersection count is EXACT — it includes the
+    // hot hash (recount over full signatures), not just the rare candidates
+    val r = discovered.head
+    assert(r.getAs[Long]("a_id") == 0L && r.getAs[Long]("b_id") == 1L)
+    assert(r.getAs[Long]("matches") == 4L, "recount must include the hot hash")
+    assert(r.getAs[Long]("a_n") == 5L && r.getAs[Long]("b_n") == 5L)
+    assert(r.getAs[Long]("overlap_permille") == 800L)
+
+    // raising the cap so nothing is hot gives the same thresholded answer
+    // (hot-only pairs sit at 200 permille, below any real threshold)
+    val uncapped = Video.videoDups(hashes, permille = 500L, maxDfPermille = 1000L).collect()
+    val capped = Video.videoDups(hashes, permille = 500L).collect()
+    assert(capped.map(_.toString).sorted.sameElements(uncapped.map(_.toString).sorted))
+  }
+
   test("near-dup variants of one recording are byte-different payloads") {
     val docs = Tables.documents(spark, sf).limit(60)
     val ids = docs.select("doc_id").collect().map(_.getLong(0))
