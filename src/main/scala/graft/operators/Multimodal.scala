@@ -379,6 +379,94 @@ object Multimodal {
       .select(col("doc_id"), col("component"), col("csize"))
   }
 
+  /** Persisted image near-dup index location — the stale-proof fingerprint
+    * contract ([[Indexes.fingerprintDirOn]]) keyed on the CORPUS membership.
+    * The fixture's image content is a pure function of doc_id, so the id
+    * doubles as the payload key; a production build fingerprints the
+    * payload bytes (same call, payloadCol = the binary column).
+    */
+  def dhashIndexDir(sfDir: String, corpusDocs: DataFrame): String =
+    Indexes.fingerprintDirOn("dhash-reps", sfDir, corpusDocs, "doc_id", "doc_id")
+
+  /** Build the persisted image-dedup index ONCE per corpus version: decode
+    * every corpus image, collapse to exact-hash representatives, and write
+    *
+    *   - `dir/bands` — the 4×15-bit SimHash band rows of each DISTINCT
+    *     hash, partitioned by chunk (a delta probe reads band buckets, not
+    *     the rep sweep);
+    *   - `dir/reps` — (dhash, rid, n), written LAST (completion marker).
+    *
+    * This is what makes modality dedup INCREMENTAL: the daily-crawl path
+    * ([[dhashDeltaDups]]) never re-decodes the standing corpus — the
+    * decode, the one unavoidable corpus-linear cost, is paid here exactly
+    * once per corpus version (the text side's deltaDups/SemanticIndex
+    * amortization contract, for images).
+    */
+  def ensureDhashIndex(spark: SparkSession, corpusDocs: DataFrame, dir: String): Unit =
+    Indexes.atomicBuild(dir, "reps/_SUCCESS") { tmp =>
+      val reps = hashReps(dHash(spark, withImagePayload(spark, corpusDocs)).toDF())
+      reps
+        .select(col("dhash"), col("rid"), col("n"), bandCols)
+        .write
+        .mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(s"$tmp/bands")
+      reps.write.mode("overwrite").parquet(s"$tmp/reps")
+    }
+
+  private def bandCols =
+    posexplode(
+      array((0 until 4).map(c => expr(s"shiftright(dhash, ${c * 15}) & 32767")): _*)
+    ).as(Seq("chunk", "cval"))
+
+  private def hashReps(hashes: DataFrame): DataFrame =
+    hashes
+      .groupBy(col("dhash"))
+      .agg(min(col("doc_id")).as("rid"), count(lit(1)).as("n"))
+
+  /** INCREMENTAL image near-dup ingest: decode and hash the DELTA only,
+    * then consult the standing corpus exclusively through the persisted
+    * band/rep tables — zero corpus re-decode, zero corpus re-scan on the
+    * steady-state path. Candidates come from the same 4×15-bit Hamming
+    * band equijoin as [[dhashDups]] (full recall at hamming ≤ 3 by
+    * pigeonhole); hamming 0 IS emitted here (a delta image identical to a
+    * corpus image is the primary ingest verdict, not a collapsed given).
+    *
+    * Emits one row per (delta doc, matched corpus cluster):
+    * (doc_id, dhash, rep_id, hamming, rep_n).
+    */
+  def dhashDeltaDups(
+      spark: SparkSession,
+      dir: String,
+      deltaDocs: DataFrame,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    // pin the delta hashes: the band probe and the final join-back both
+    // consume them, and each unpinned branch would re-run the delta decode
+    val dh = dHash(spark, withImagePayload(spark, deltaDocs)).toDF().localCheckpoint()
+    val dbands = dh
+      .select(col("dhash"))
+      .distinct()
+      .select(col("dhash").as("d_hash"), bandCols)
+    val bands = spark.read
+      .parquet(s"$dir/bands")
+      .select(col("dhash").as("c_hash"), col("rid"), col("n"), col("chunk"), col("cval"))
+    val cand = dbands
+      .join(bands, Seq("chunk", "cval"))
+      .select(col("d_hash"), col("c_hash"), col("rid"), col("n"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(d_hash ^ c_hash) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+    dh.join(cand, col("dhash") === col("d_hash"))
+      .select(
+        col("doc_id"),
+        col("dhash"),
+        col("rid").as("rep_id"),
+        col("hamming"),
+        col("n").as("rep_n")
+      )
+  }
+
   /** Batched model-inference plumbing — the batch shape every real
     * embedding/captioning model needs (GPU kernels amortize over a batch,
     * so the model must be invoked once per BATCH, never once per row).

@@ -164,6 +164,41 @@ object AudioQ {
         "to a representative per recording — the map+agg+broadcast-join " +
         "shape of exact text dedup, catching the byte-different re-padded " +
         "re-uploads byte dedup misses. No pairwise comparison anywhere."
+    ),
+    // ---- INCREMENTAL audio ingest: decode + fingerprint the delta ONLY,
+    // left-join the persisted corpus cluster table. Corpus = recordings
+    // 0..31's non-(doc_id%3=0) uploads; delta = every doc_id%3=0 upload, so
+    // the delta holds BOTH already-known recordings (rec < 32) and
+    // first-seen content (rec >= 32) — the two ingest verdicts.
+    Q(
+      "m_audio_delta",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 40 < 32)
+        val delta = docs.filter(col("doc_id") % 3 === 0)
+        val dir = Audio.audioFpIndexDir(d, corpus)
+        Audio.ensureAudioFpIndex(s, corpus, dir)
+        Audio.audioDeltaDups(s, dir, delta).orderBy("doc_id")
+      },
+      Some(
+        s"""$variantFpSql,
+           |fpd AS (SELECT p.doc_id, fp.fingerprint FROM p JOIN fp USING (rec)),
+           |cl AS (SELECT fingerprint, min(doc_id) AS rep, count(*)::BIGINT AS n_variants
+           |       FROM fpd WHERE doc_id % 3 <> 0 AND doc_id % 40 < 32
+           |       GROUP BY fingerprint)
+           |SELECT fpd.doc_id, fpd.fingerprint,
+           |  cl.rep AS corpus_rep, cl.n_variants AS corpus_n,
+           |  (cl.rep IS NOT NULL) AS is_known
+           |FROM fpd LEFT JOIN cl USING (fingerprint)
+           |WHERE fpd.doc_id % 3 = 0
+           |ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Incremental audio dedup ingest: the delta's pad-invariant " +
+        "fingerprints (only the delta is decoded) left-join the PERSISTED " +
+        "corpus cluster table — per delta clip its corpus verdict: matched " +
+        "cluster rep + size, or NULLs and is_known=false for first-seen " +
+        "recordings. The corpus is never re-decoded (plan-pinned); both " +
+        "verdict classes non-vacuous by the rec-window construction."
     )
   )
 

@@ -166,6 +166,52 @@ object MultimodalQ {
         "all 8 components; MultimodalSpec asserts the once-per-batch call " +
         "count via accumulator."
     ),
+    // ---- MODALITY VECTORS × THE SEMANTIC INDEX FAMILY: the inference-stub
+    // embeddings (a real encoder replaces one function body) run through
+    // the SAME fingerprinted data-scaled quantizer as text
+    // (SemanticIndex/Similarity.scaledCells). This is the recall class the
+    // perceptual-hash path (m_phash_dups) cannot cover: a re-encoded or
+    // re-rendered asset is pixel-different (dHash misses) but
+    // EMBEDDING-similar — semantic dedup in vector space catches it. The
+    // quantizer state is a build-once asset keyed by the VECTOR corpus's
+    // own fingerprint, so the steady-state sweep reads the persisted
+    // celled table, never the documents scan (plan-pinned in PlanSpec).
+    Q(
+      "m_semantic_dups",
+      (s, d) => {
+        val emb = Multimodal
+          .embedBatchStub(s, Multimodal.withPayload(Tables.documents(s, d)))
+          // the vector-index family's storage contract is float32 vectors
+          // (embeddings-table parity); the oracle mirrors the rounding with
+          // CAST(.. AS FLOAT) before widening back to double math
+          .withColumn("embedding", col("embedding").cast("array<float>"))
+          .withColumnRenamed("doc_id", "vec_id")
+        graft.operators.SemanticIndex
+          .dedup(d, emb, threshold = 0.9, targetCellSize = 50, maxCellSize = 100)
+          .select(
+            col("vec_id").as("doc_id"), col("cell"), col("ccos"), col("kept"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val stubE =
+          s"""SELECT doc_id AS vec_id, [
+             |  ${(0 until 8)
+              .map(j =>
+                s"CAST(CAST((('0x' || substr(md5(text || '#$j'), 1, 15))::BIGINT % 2001 - 1000) AS DOUBLE) / 1000.0 AS FLOAT)")
+              .mkString(",\n  ")}
+             |]::DOUBLE[] AS emb FROM documents""".stripMargin
+        SimilarityQ.semanticScaledSqlFrom(
+          SimilarityQ.ddCtesFrom(SimilarityQ.celledCtesFrom(stubE)), 0.9, "doc_id")
+      },
+      doc = "Semantic near-dup dedup over IMAGE-MODALITY vectors: the " +
+        "inference-stub embeddings fed through the fingerprinted " +
+        "data-scaled quantizer (SemanticIndex — md5 seeds, argmax " +
+        "assignment, salted cap-split, decimal-exact centroids) and the " +
+        "within-cell keep-most-central drop rule at cos >= 0.9. Oracle " +
+        "bit-replays cell assignment, centroid cosine, and kept flags; " +
+        "the celled corpus is a build-once persisted asset, so the dedup " +
+        "plan reads the index, not the corpus."
+    ),
     // ---- the multimodal × dedup composition: perceptual hash from the
     // REAL decoded raster, then the exact-collapse + Hamming-banded pair
     // join. The oracle replays the hash from the closed-form pixel content
@@ -248,6 +294,41 @@ object MultimodalQ {
         "singletons keep their representative id. One (doc, component, " +
         "cluster size) row per document; the image twin of d_cc_clusters, " +
         "oracle-replayed with a recursive CTE."
+    ),
+    // ---- INCREMENTAL modality ingest: the delta is decoded; the standing
+    // corpus is consulted only through the persisted band/rep index — the
+    // text deltaDups contract for images. A daily crawl pays decode for
+    // its OWN documents, never the corpus's.
+    Q(
+      "m_dhash_delta",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+        val delta = docs.filter(col("doc_id") % 10 === 7)
+        val dir = Multimodal.dhashIndexDir(d, corpus)
+        Multimodal.ensureDhashIndex(s, corpus, dir)
+        Multimodal
+          .dhashDeltaDups(s, dir, delta)
+          .orderBy("doc_id", "rep_id")
+      },
+      Some(
+        s"""$dhashSql, creps AS (
+           |  SELECT dhash, MIN(doc_id) AS rid, COUNT(*)::BIGINT AS n
+           |  FROM hx WHERE doc_id % 10 != 7 GROUP BY dhash)
+           |SELECT hx.doc_id, hx.dhash, creps.rid AS rep_id,
+           |  bit_count(xor(hx.dhash, creps.dhash))::BIGINT AS hamming,
+           |  creps.n AS rep_n
+           |FROM hx JOIN creps ON bit_count(xor(hx.dhash, creps.dhash)) <= 3
+           |WHERE hx.doc_id % 10 = 7
+           |ORDER BY doc_id, rep_id""".stripMargin
+      ),
+      doc = "Incremental image near-dup ingest: the delta's dHashes (only " +
+        "the delta is decoded) probe the PERSISTED corpus band/rep index " +
+        "via the 4x15-bit Hamming band equijoin — full recall at " +
+        "hamming <= 3 by pigeonhole, hamming 0 included (identical-image " +
+        "verdicts). One row per (delta doc, matched corpus cluster) with " +
+        "the cluster's rep and member count; the corpus is never " +
+        "re-decoded or re-scanned (plan-pinned)."
     ),
     // ---- the multimodal × similarity composition: CLIP-score-style
     // alignment filtering of paired image-text data (the LAION recipe:

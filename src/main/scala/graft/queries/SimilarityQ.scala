@@ -24,8 +24,16 @@ object SimilarityQ {
     * argmax assignment, salted split) — shared by the dedup replay below
     * and any consumer of the celled blocking (hard-negative mining).
     */
-  private def celledCtes: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+  private def celledCtes: String = celledCtesFrom(
+    "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings")
+
+  /** [[celledCtes]] over an arbitrary vector source (any SQL producing
+    * (vec_id, emb DOUBLE[]) rows) — the quantizer replay is
+    * source-agnostic, which is what lets MODALITY vectors (the image
+    * inference-stub embeddings) ride the same semantic-dedup oracle.
+    */
+  private[queries] def celledCtesFrom(eSql: String): String =
+    s"""WITH e AS ($eSql),
        |kk AS (SELECT ((COUNT(*) + 49) // 50) AS k FROM e),
        |sdo AS (
        |  SELECT emb, row_number() OVER (
@@ -55,8 +63,10 @@ object SimilarityQ {
     * per-vector centroid cosine (`dd`) — shared by the dedup replay and
     * the cluster-quality audit.
     */
-  private def ddCtes: String =
-    s"""$celledCtes,
+  private def ddCtes: String = ddCtesFrom(celledCtes)
+
+  private[queries] def ddCtesFrom(celled: String): String =
+    s"""$celled,
        |px AS (
        |  SELECT cell, unnest(list_transform(generate_series(1, len(emb)),
        |    i -> struct_pack(p := i, x := emb[i]))) AS s
@@ -75,16 +85,22 @@ object SimilarityQ {
        |)""".stripMargin
 
   private def semanticScaledSql(thr: Double): String =
-    s"""$ddCtes,
+    semanticScaledSqlFrom(ddCtes, thr, "vec_id")
+
+  private[queries] def semanticScaledSqlFrom(dd: String, thr: Double, idAs: String): String =
+    s"""$dd,
        |drp AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM dd a JOIN dd b ON a.cell = b.cell AND a.vec_id != b.vec_id
        |  WHERE ${cosSql("a.emb", "b.emb")} >= $thr
        |    AND (a.ccos > b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
        |)
-       |SELECT dd.vec_id AS vec_id, dd.cell, dd.ccos, (drp.vec_id IS NULL) AS kept
+       |SELECT dd.vec_id AS $idAs, dd.cell, dd.ccos, (drp.vec_id IS NULL) AS kept
        |FROM dd LEFT JOIN drp ON dd.vec_id = drp.vec_id
        |ORDER BY dd.vec_id""".stripMargin
+
+  /** DuckDB cosine helper exposed for cross-modal consumers. */
+  private[queries] def cosSqlFor(a: String, b: String): String = cosSql(a, b)
 
   val all: Seq[Q] = Seq(
     Q(

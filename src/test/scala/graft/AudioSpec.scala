@@ -136,4 +136,47 @@ class AudioSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("audio delta ingest: replay-idempotent; verdicts match joint recompute; both classes present") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 40 < 32)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val dir = Audio.audioFpIndexDir(sf, corpus)
+    Audio.ensureAudioFpIndex(spark, corpus, dir)
+    val marker = new java.io.File(s"$dir/clusters/_SUCCESS")
+    assert(marker.exists(), "index not published")
+    val built = marker.lastModified()
+
+    def run() = Audio
+      .audioDeltaDups(spark, dir, delta)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)), r.getBoolean(4)))
+      .toSet
+    val first = run()
+    Audio.ensureAudioFpIndex(spark, corpus, dir)
+    assert(run() === first, "delta replay diverged")
+    assert(marker.lastModified() === built, "replay rebuilt the published index")
+
+    // both ingest verdicts must be represented (known recording vs
+    // first-seen content) — otherwise the query is vacuous
+    assert(first.exists(_._4), "no known-recording verdicts")
+    assert(first.exists(!_._4), "no first-seen verdicts")
+
+    // joint recompute: fingerprint everything fresh, cluster the corpus,
+    // left-join the delta
+    val fps = Audio
+      .audioFingerprint(
+        Audio.frameEnergies(spark, Audio.withAudioPayloadVariants(spark, docs)).toDF())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cl = fps
+      .filter { case (id, _) => id % 3 != 0 && id % 40 < 32 }
+      .groupBy(_._2)
+      .map { case (f, xs) => (f, xs.map(_._1).min) }
+    val want = fps.collect { case (id, f) if id % 3 == 0 =>
+      (id, f, cl.get(f).map(_.asInstanceOf[Any]), cl.contains(f))
+    }.toSet
+    assert(first === want, "delta verdicts != joint recompute")
+  }
 }

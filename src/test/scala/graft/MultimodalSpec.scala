@@ -70,4 +70,45 @@ class MultimodalSpec extends AnyFunSuite {
       .count()
     assert(mismatches === 0L)
   }
+
+  test("dhash delta ingest: replay-idempotent, exact vs joint recompute, index built once") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val delta = docs.filter(col("doc_id") % 10 === 7)
+    val dir = Multimodal.dhashIndexDir(sf, corpus)
+    Multimodal.ensureDhashIndex(spark, corpus, dir)
+    val marker = new java.io.File(s"$dir/reps/_SUCCESS")
+    assert(marker.exists(), "index not published")
+    val built = marker.lastModified()
+
+    def run() = Multimodal
+      .dhashDeltaDups(spark, dir, delta)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val first = run()
+    // replay idempotence: same inputs, same verdicts; the build is a no-op
+    Multimodal.ensureDhashIndex(spark, corpus, dir)
+    assert(run() === first, "delta replay diverged")
+    assert(marker.lastModified() === built, "replay rebuilt the published index")
+
+    // exactness vs a from-scratch joint recompute (no index): every
+    // (delta doc, corpus rep) pair within hamming <= 3, hamming 0 included
+    val all = Multimodal
+      .dHash(spark, Multimodal.withImagePayload(spark, docs))
+      .collect()
+      .map(h => (h.doc_id, h.dhash))
+    val corpusReps = all
+      .filter(_._1 % 10 != 7)
+      .groupBy(_._2)
+      .map { case (h, xs) => (h, xs.map(_._1).min, xs.length.toLong) }
+    val want = (for {
+      (did, dh) <- all if did % 10 == 7
+      (ch, rid, n) <- corpusReps
+      ham = java.lang.Long.bitCount(dh ^ ch).toLong
+      if ham <= 3
+    } yield (did, dh, rid, ham, n)).toSet
+    assert(first === want, s"delta verdicts != joint recompute (missing=${(want -- first).take(3)})")
+  }
 }

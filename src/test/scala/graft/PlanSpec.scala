@@ -366,6 +366,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("m_semantic_dups: steady-state sweep reads the persisted celled index, never the corpus") {
+    val plan = physical("m_semantic_dups")
+    // modality vectors ride the SAME build-once quantizer contract as text:
+    // after the fingerprinted build, the dedup plan scans the celled
+    // parquet asset — a re-derivation would re-run the embedding stub and
+    // three corpus scans per execution
+    assert(plan.contains("sem-cells"), "expected the persisted index read:\n" + plan.take(1500))
+    assert(
+      !plan.contains("documents.parquet"),
+      "steady-state dedup must not re-scan the corpus:\n" + plan.take(1500)
+    )
+  }
+
+  test("modality delta ingest: the standing corpus is consulted via the persisted index only") {
+    // the daily-crawl contract: a delta run decodes ITS OWN documents and
+    // probes corpus state through the persisted index — a corpus rescan
+    // (re-decode) in the steady-state plan re-pays the full corpus cost
+    // every ingest batch
+    val dplan = physical("m_dhash_delta")
+    assert(dplan.contains("dhash-reps"), "expected the persisted band index read:\n" + dplan.take(1500))
+    assert(
+      !dplan.contains("documents.parquet"),
+      "delta probe must not re-scan the corpus (delta hashes are checkpointed):\n" + dplan.take(1500)
+    )
+    val aplan = physical("m_audio_delta")
+    assert(aplan.contains("audio-fp-reps"), "expected the persisted cluster read:\n" + aplan.take(1500))
+    assert(
+      aplan.linesIterator.count(_.contains("documents.parquet")) <= 1,
+      "only the DELTA decode may scan documents:\n" + aplan.take(2000)
+    )
+  }
+
   test("vocab coverage: membership join is broadcast — the token stream never shuffles for it") {
     val plan = physical("t_vocab_coverage")
     assert(
