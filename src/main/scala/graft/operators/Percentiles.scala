@@ -20,8 +20,11 @@ import org.apache.spark.sql.types._
   *     group locates, for each requested percentile, the bucket containing
   *     the lower / upper interpolation index (`floor(p·(n−1))`,
   *     `ceil(p·(n−1))`);
-  *   - pass 2: ONLY rows of the hit buckets are ranked (`row_number` within
-  *     a (group, bucket) partition of ≈ n/nBuckets rows — the bounded sort),
+  *   - pass 2: ONLY the hit buckets are ranked, over DISTINCT values (a
+  *     partial-aggregable per-value count, then a window over ≤ the
+  *     bucket's distinct-value count — bounded by ≈ n/nBuckets rows and
+  *     immune to hot-value skew: a constant or 99%-one-value group
+  *     contributes one window row per distinct value, not per duplicate),
   *     and the two indexed values are interpolated with EXACTLY Spark's
   *     `Percentile.getPercentile` formula
   *     `(hi − pos)·lower + (pos − lo)·higher`, so results are bit-identical
@@ -137,8 +140,18 @@ object Percentiles {
         ): _*
       )
 
-    // pass 2: rank ONLY the hit buckets' rows. Bucketing is monotone in v,
-    // so global index = cum_before + rank-within-bucket − 1.
+    // pass 2: locate the requested indices inside ONLY the hit buckets —
+    // over DISTINCT VALUES, not rows. Per (group, bucket, v) counts come
+    // from a partial-aggregable groupBy (map-side combine collapses
+    // duplicate values before the exchange), and the rank window then
+    // partitions over the bucket's DISTINCT values. This is what removes
+    // the degenerate-bucket cliff: a constant group (mn == mx, width
+    // fallback 1.0 — everything in bucket 0) or a 99%-one-value column
+    // collapses to one window row per distinct value, so the hot value
+    // contributes ONE row to the sort no matter how many duplicates it
+    // has. Worst case (all-distinct bucket) stays the documented
+    // ≈ n/nBuckets bound. Bucketing is monotone in v, so the value at
+    // global index i is the v whose cumulative row range covers i.
     val hitBuckets = targets
       .select(gc ++ Seq(col("bucket"), col("cum_before")): _*)
       .distinct()
@@ -146,11 +159,11 @@ object Percentiles {
       Window.partitionBy(gc :+ col("bucket"): _*).orderBy(col("v"))
     val indexed = bucketed
       .join(broadcast(hitBuckets), g :+ "bucket")
-      .withColumn(
-        "gidx",
-        row_number().over(wRank).cast(LongType) - 1L + col("cum_before")
-      )
-      .select(gc ++ Seq(col("gidx"), col("v")): _*)
+      .groupBy(gc ++ Seq(col("bucket"), col("cum_before"), col("v")): _*)
+      .agg(count(lit(1)).as("vn"))
+      .withColumn("cum_v_end", sum(col("vn")).over(wRank) + col("cum_before"))
+      .withColumn("cum_v_before", col("cum_v_end") - col("vn"))
+      .select(gc ++ Seq(col("cum_v_before"), col("cum_v_end"), col("v")): _*)
 
     val tg = targets.as("tg")
     val ix = indexed.as("ix")
@@ -158,7 +171,7 @@ object Percentiles {
       .join(
         broadcast(tg),
         g.map(c => col(s"tg.$c") === col(s"ix.$c")).reduce(_ && _) &&
-          col("tg.idx") === col("ix.gidx")
+          col("tg.idx") >= col("ix.cum_v_before") && col("tg.idx") < col("ix.cum_v_end")
       )
       .select(
         g.map(c => col(s"tg.$c").as(c)) ++ Seq(

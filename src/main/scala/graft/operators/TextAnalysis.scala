@@ -590,6 +590,142 @@ object TextAnalysis {
     (merges.toSeq.toDF("step", "x", "y", "merged", "support"), seqs)
   }
 
+  /** BATCHED Sennrich BPE training — BIT-EQUAL to [[bpeTrainWords]] but
+    * applying several merges per corpus pass, attacking the driver-
+    * sequential step count (the 32k-merge bottleneck: one cluster round
+    * trip per merge).
+    *
+    * Exactness argument (why the batch replays the sequential trainer's
+    * choices): candidates are the pair counts in sequential order
+    * (count desc, pair asc). The batch is the maximal CONTIGUOUS prefix
+    * whose members are pairwise disjoint on {x, y, x+y} and whose merged
+    * outputs are not already vocabulary symbols. Then
+    *
+    *   1. applying an accepted merge cannot change any other accepted
+    *      candidate's count (no shared symbols; the output is a brand-new
+    *      symbol, so no old pair gains occurrences);
+    *   2. every pair OUTSIDE the prefix has old count <= t (the first
+    *      excluded candidate's count) and can only decrease; pairs
+    *      CREATED by an accepted merge are bounded by their parent pair's
+    *      old count, and the parent shares a symbol with an accepted
+    *      candidate, so it sits outside the prefix: also <= t;
+    *   3. ties: an old outsider tying an accepted candidate at count t
+    *      ranks lexicographically AFTER it (prefix contiguity), so the
+    *      sequential tiebreak still picks the candidate. A CREATED pair
+    *      tying at t has no such lex guarantee, so accepted candidates
+    *      after the first must have count STRICTLY > t (the first
+    *      candidate precedes any created pair and keeps the lex argument).
+    *
+    * If the guards reduce the batch to nothing beyond the argmax, the pass
+    * degrades to exactly one sequential step — correctness never depends
+    * on batch luck. Returns (merge table, trained seqs, passes executed);
+    * the merge table is bit-equal to the sequential trainer's
+    * (BpeSpec-pinned).
+    */
+  def bpeTrainWordsBatched(
+      words: DataFrame,
+      nMerges: Int,
+      maxBatch: Int = 32
+  ): (DataFrame, DataFrame, Long) = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var seqs = words
+      .select(
+        col("word"),
+        col("cnt"),
+        trim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq")
+      )
+      .localCheckpoint()
+    // driver-side symbol vocabulary: initial characters + merged outputs.
+    // Alphabet-bounded at start, +1 per merge — O(nMerges) driver state.
+    val vocab = scala.collection.mutable.Set.empty[String]
+    vocab ++= seqs
+      .select(explode(split(col("seq"), " ")).as("s"))
+      .distinct()
+      .as[String]
+      .collect()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var rounds = 0L
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val tk = split(col("seq"), " ")
+      val n = size(tk)
+      val top = seqs
+        .select(
+          col("cnt"),
+          explode(
+            zip_with(
+              slice(tk, lit(1), n - 1),
+              slice(tk, lit(2), n - 1),
+              (a, b) => concat(a, lit(" "), b)
+            )
+          ).as("pair")
+        )
+        .groupBy(col("pair"))
+        .agg(lng(sum(col("cnt"))).as("c"))
+        .orderBy(col("c").desc, col("pair"))
+        .limit(maxBatch + 1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val cands = top.take(maxBatch).map { r =>
+          val Array(x, y) = r.getString(0).split(" ", 2)
+          (x, y, r.getLong(1))
+        }
+        // maximal safe contiguous prefix
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stop = false
+        for (cand @ (x, y, _) <- cands if !stop) {
+          val syms = Set(x, y, x + y)
+          if (syms.forall(s => !used(s)) && !vocab(x + y)) {
+            accepted += cand
+            used ++= syms
+          } else stop = true
+        }
+        // t = first excluded candidate's count (conflict, horizon, or none)
+        val t =
+          if (accepted.length < cands.length) cands(accepted.length)._3
+          else if (top.length > maxBatch) top(maxBatch).getLong(1)
+          else -1L
+        // cand_1 is the global argmax: exact even at count == t (it ranks
+        // lex-first among count-t pairs and precedes any created pair);
+        // later candidates need the strict > t guard against created-pair
+        // ties
+        val batch =
+          (accepted.head +: accepted.tail.takeWhile(_._3 > t))
+            .take(nMerges - merges.length)
+        batch.foreach { case (x, y, c) =>
+          merges += ((merges.length + 1L, x, y, x + y, c))
+          vocab += x + y
+        }
+        // one combined greedy fold: the merge rules as a literal map
+        // (x -> y); at most one rule can match a given (last symbol,
+        // token) slot because accepted x's are pairwise distinct — so the
+        // simultaneous fold equals applying the rules one at a time
+        val mm = map(
+          batch.toSeq.flatMap { case (x, y, _) => Seq(lit(x), lit(y)) }: _*
+        )
+        val fold = aggregate(
+          split(col("seq"), " "),
+          lit(""),
+          (acc, tkn) =>
+            when(
+              element_at(mm, substring_index(acc, " ", -1)) === tkn,
+              concat(acc, tkn)
+            ).otherwise(
+              when(acc === lit(""), tkn).otherwise(concat(acc, lit(" "), tkn))
+            )
+        )
+        seqs = seqs
+          .select(col("word"), col("cnt"), fold.as("seq"))
+          .localCheckpoint()
+        rounds += 1
+      }
+    }
+    (merges.toSeq.toDF("step", "x", "y", "merged", "support"), seqs, rounds)
+  }
+
   /** Statistical-LM quality scores (CCNet family): per-doc mean scaled
     * conditional bigram probability, `mean_d((c_xy * 1e6) div c_x)` over
     * the doc's bigrams — integer arithmetic end to end so the score is

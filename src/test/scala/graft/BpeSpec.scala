@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 import graft.operators.TextAnalysis
 
@@ -128,6 +129,67 @@ class BpeSpec extends AnyFunSuite {
     )
   }
 
+  test("batched trainer is BIT-EQUAL to the sequential trainer (merge table + final seqs)") {
+    // pathological shapes included: same-char runs (aaaa), composition
+    // over merged symbols (abab), ties — plus a natural-text corpus
+    val corpora = Seq(
+      docs("aaaa aaaa aaaa", "abab abab", "ab cd", "ab cd"),
+      docs(
+        "banana bandana cabana banana",
+        "pepper peppers pepped pepper",
+        "mississippi missive mission",
+        "abracadabra abracadabra"
+      )
+    )
+    for (corpus <- corpora; n <- Seq(4, 16)) {
+      val words = graft.operators.TextAnalysis
+        .wordCounts(corpus)
+        .select(col("token").as("word"), col("cnt"))
+        .localCheckpoint()
+      val (ms, ss) = TextAnalysis.bpeTrainWords(words, n)
+      val (mb, sb, rounds) = TextAnalysis.bpeTrainWordsBatched(words, n)
+      val a = ms.orderBy("step").collect().map(_.toString).toSeq
+      val b = mb.orderBy("step").collect().map(_.toString).toSeq
+      assert(a === b, s"merge tables diverge at n=$n")
+      assert(
+        ss.orderBy("word").collect().map(_.toString).toSeq ===
+          sb.orderBy("word").collect().map(_.toString).toSeq,
+        s"trained segmentations diverge at n=$n"
+      )
+      assert(rounds <= a.length, "rounds must not exceed merges")
+    }
+  }
+
+  test("batched trainer: production shape — bit-equal at 64 merges, fewer driver rounds at 256") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    val words = (0 until 5000)
+      .map(i => (md5Hex(s"w$i"), 1L + i % 7))
+      .toDF("word", "cnt")
+      .repartition(8)
+      .cache()
+    words.count()
+    // bit-equality on the production shape (hex alphabet, skewed counts)
+    val seqMerges = TextAnalysis.bpeTrainWords(words, 64)._1
+      .orderBy("step").collect().map(_.toString).toSeq
+    val (mb, _, r64) = TextAnalysis.bpeTrainWordsBatched(words, 64)
+    assert(mb.orderBy("step").collect().map(_.toString).toSeq === seqMerges)
+    info(s"64 merges in $r64 driver rounds")
+    assert(r64 < 64, "batching must save at least some rounds on the production shape")
+    // the round count is the quantity under attack: measure it at 256
+    val t0 = System.nanoTime()
+    val (m256, _, r256) = TextAnalysis.bpeTrainWordsBatched(words, 256)
+    val n256 = m256.count()
+    val ms = (System.nanoTime() - t0) / 1000000L
+    info(s"256 merges in $r256 driver rounds, $ms ms (${ms / 256} ms/merge)")
+    assert(n256 === 256L)
+    assert(r256 < 256, "batching must reduce the driver-sequential round count")
+  }
+
   test("bpeEncodeStats: trained segmentation applied per doc, exact fertility") {
     // merge 1 learns (a,b): 'ab' x2 beats 'a a' x1. Trained vocab:
     // aa -> [a][a] (2 subwords), ab -> [ab] (1 subword).
@@ -150,4 +212,5 @@ class BpeSpec extends AnyFunSuite {
     assert(r(0) === ((0L, 3L, 0L, 0L)))
     assert(r(1) === ((1L, 3L, 1L, 333L)), "1000*1 div 3 = 333, integral")
   }
+
 }

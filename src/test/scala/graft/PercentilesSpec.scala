@@ -69,4 +69,45 @@ class PercentilesSpec extends AnyFunSuite {
     assert(got(("const", 0.5)) == 7.0 && got(("const", 1.0)) == 7.0)
     assert(got(("two", 0.0)) == 1.0 && got(("two", 0.5)) == 1.5 && got(("two", 1.0)) == 2.0)
   }
+
+  test("degenerate buckets are skew-free: constant and 99%-one-value groups rank distinct values") {
+    import spark.implicits._
+    // constant group: mn == mx, width fallback 1.0 — every row lands in
+    // bucket 0. 99%-one-value group: the hot value's bucket holds almost
+    // all rows. Pass 2 ranks DISTINCT values, so both collapse: the hot
+    // value is ONE window row regardless of its duplicate count.
+    val constant = (0 until 10000).map(_ => ("const", 5.0))
+    val hot = (0 until 9900).map(_ => ("hot", 1.0)) ++
+      (0 until 100).map(i => ("hot", 2.0 + i))
+    val df = (constant ++ hot).toDF("g", "v").withColumn("vc", lit("x"))
+    val ps = Seq(0.01, 0.5, 0.99)
+    val got = Percentiles
+      .exactPercentiles(df, Seq("g"), Map("x" -> ps), nBuckets = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(2)) -> r.getDouble(3))
+      .toMap
+    val expected = df
+      .groupBy(col("g"))
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("q"))
+      .collect()
+      .flatMap(r => ps.zip(r.getSeq[Double](1)).map { case (p, v) => (r.getString(0), p) -> v })
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, v) =>
+      assert(
+        java.lang.Double.doubleToLongBits(v) ==
+          java.lang.Double.doubleToLongBits(expected(k)),
+        s"$k: got $v expected ${expected(k)}"
+      )
+    }
+    // and the plan property itself: the pass-2 window input is an
+    // aggregate over (group, bucket, v) — partial_count visible — so the
+    // hot value cannot materialize one row per duplicate into the sort
+    val plan = Percentiles
+      .exactPercentiles(df, Seq("g"), Map("x" -> ps), nBuckets = 16)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("partial_count"), plan.take(1500))
+  }
 }
