@@ -261,6 +261,116 @@ object Video {
       .filter(col("overlap_permille") >= lit(permille))
   }
 
+  /** Persisted video scene-index location — the stale-proof fingerprint
+    * contract keyed on the corpus membership (fixture scene content is a
+    * pure function of doc_id; a production build fingerprints payload
+    * bytes).
+    */
+  def sceneIndexDir(sfDir: String, corpusDocs: DataFrame): String =
+    Indexes.fingerprintDirOn("video-scene-reps", sfDir, corpusDocs, "doc_id", "doc_id")
+
+  /** Build the persisted video-dedup index ONCE per corpus version: decode
+    * every corpus video, keep the distinct (video, scene-hash) signature
+    * rows, and write
+    *
+    *   - `dir/sig` — the inverted scene index, partitioned by a 16-way
+    *     hash bucket of the scene hash (a delta probe reads the buckets of
+    *     ITS OWN scenes, not the whole table);
+    *   - `dir/dfs` — per-scene-hash document frequency (the hot-scene cap's
+    *     input, precomputed at build time);
+    *   - `dir/sizes` — per-video signature size + the corpus video count,
+    *     written LAST (completion marker).
+    *
+    * The decode — the corpus-linear cost — is paid here exactly once; the
+    * daily-ingest path ([[videoDeltaDups]]) reads these tables only.
+    */
+  def ensureSceneIndex(spark: SparkSession, corpusDocs: DataFrame, dir: String): Unit =
+    Indexes.atomicBuild(dir, "sizes/_SUCCESS") { tmp =>
+      val sig = videoFrameHashes(spark, withVideoPayload(spark, corpusDocs))
+        .select(col("doc_id"), col("dhash"))
+        .distinct()
+        .localCheckpoint()
+      sig
+        .withColumn("hb", pmod(xxhash64(col("dhash")), lit(16L)))
+        .write
+        .mode("overwrite")
+        .partitionBy("hb")
+        .parquet(s"$tmp/sig")
+      sig
+        .groupBy(col("dhash"))
+        .agg(count(lit(1)).as("df"))
+        .write
+        .mode("overwrite")
+        .parquet(s"$tmp/dfs")
+      sig
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"))
+        .write
+        .mode("overwrite")
+        .parquet(s"$tmp/sizes")
+    }
+
+  /** INCREMENTAL video near-dup ingest: decode and hash the DELTA only,
+    * probe the standing corpus exclusively through the persisted scene
+    * index — zero corpus re-decode on the steady-state path. Same
+    * candidate discipline as [[videoDups]]: hot corpus scene hashes (df
+    * above the fractional ceiling, precomputed at build time) are excluded
+    * from CANDIDATE GENERATION, then discovered (delta, corpus) pairs are
+    * recounted against full signatures, so every emitted row is exact.
+    *
+    * Emits one row per (delta video, matched corpus video):
+    * (doc_id, c_id, matches, d_n, c_n, overlap_permille ≥ permille).
+    */
+  def videoDeltaDups(
+      spark: SparkSession,
+      dir: String,
+      deltaDocs: DataFrame,
+      permille: Long = 500L,
+      maxDfPermille: Long = 100L
+  ): DataFrame = {
+    val dsig = videoFrameHashes(spark, withVideoPayload(spark, deltaDocs))
+      .select(col("doc_id"), col("dhash"))
+      .distinct()
+      .localCheckpoint()
+    val dsz = dsig.groupBy(col("doc_id")).agg(count(lit(1)).as("d_n"))
+    val csig = spark.read
+      .parquet(s"$dir/sig")
+      .select(col("doc_id").as("c_id"), col("dhash"))
+    val csz = spark.read
+      .parquet(s"$dir/sizes")
+      .select(col("doc_id").as("c_id"), col("n").as("c_n"))
+    val total = csz.select(count(lit(1)).as("n_videos")) // 1 row
+    val rare = spark.read
+      .parquet(s"$dir/dfs")
+      .crossJoin(total)
+      .filter(
+        col("df") <= greatest(lit(MinDfCeiling), col("n_videos") * maxDfPermille / 1000)
+      )
+      .select(col("dhash"))
+    val cand = dsig
+      .join(rare, Seq("dhash"), "left_semi")
+      .join(csig, Seq("dhash"))
+      .select(col("doc_id"), col("c_id"))
+      .distinct()
+    val pairs = cand
+      .join(dsig, Seq("doc_id"))
+      .join(csig, Seq("c_id", "dhash"))
+      .groupBy(col("doc_id"), col("c_id"))
+      .agg(count(lit(1)).as("matches"))
+    pairs
+      .join(dsz, Seq("doc_id"))
+      .join(csz, Seq("c_id"))
+      .select(
+        col("doc_id"),
+        col("c_id"),
+        col("matches"),
+        col("d_n"),
+        col("c_n"),
+        expr("(matches * 1000) DIV least(d_n, c_n)").as("overlap_permille")
+      )
+      .filter(col("overlap_permille") >= lit(permille))
+  }
+
   /** Video dedup CLUSTERS — the LINEAR-OUTPUT form of [[videoDups]] for
     * corpora with high duplication rates. [[videoDups]]' pair set is the
     * true answer but grows quadratically in the copies-per-recording

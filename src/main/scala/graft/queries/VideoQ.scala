@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
+
 import graft.{Q, Tables}
 import graft.operators.Video
 
@@ -114,6 +116,45 @@ object VideoQ {
         "shared-hash count per pair, integral permille overlap " +
         "coefficient >= 500. Catches re-cuts and trimmed-intro variants " +
         "that share no byte, frame index, or frame count."
+    ),
+    // ---- INCREMENTAL video ingest: the delta is decoded; the standing
+    // corpus is consulted only through the persisted scene index. Split by
+    // doc_id % 7 (7 does not divide the 50-recording cycle, so delta and
+    // corpus SHARE recordings — matches are non-vacuous).
+    Q(
+      "m_video_delta",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+        val delta = docs.filter(col("doc_id") % 7 === 3)
+        val dir = Video.sceneIndexDir(d, corpus)
+        Video.ensureSceneIndex(s, corpus, dir)
+        Video.videoDeltaDups(s, dir, delta).orderBy("doc_id", "c_id")
+      },
+      Some(
+        s"""$framesSql,
+           |hx AS (SELECT DISTINCT doc_id, $sceneDhash AS dhash FROM fr),
+           |dsig AS (SELECT * FROM hx WHERE doc_id % 7 = 3),
+           |csig AS (SELECT * FROM hx WHERE doc_id % 7 <> 3),
+           |dsz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM dsig GROUP BY doc_id),
+           |csz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM csig GROUP BY doc_id),
+           |pm AS (SELECT d.doc_id, c.doc_id AS c_id, COUNT(*)::BIGINT AS matches
+           |       FROM dsig d JOIN csig c ON d.dhash = c.dhash
+           |       GROUP BY 1, 2)
+           |SELECT pm.doc_id AS doc_id, pm.c_id, matches, dz.n AS d_n, cz.n AS c_n,
+           |  (matches * 1000 // least(dz.n, cz.n))::BIGINT AS overlap_permille
+           |FROM pm JOIN dsz dz ON pm.doc_id = dz.doc_id
+           |        JOIN csz cz ON pm.c_id = cz.doc_id
+           |WHERE matches * 1000 // least(dz.n, cz.n) >= 500
+           |ORDER BY pm.doc_id, pm.c_id""".stripMargin
+      ),
+      doc = "Incremental video near-dup ingest: the delta's scene hashes " +
+        "(only the delta is decoded) probe the PERSISTED corpus scene " +
+        "index — hash-bucket-partitioned inverted index, precomputed " +
+        "per-scene document frequencies feeding the hot-scene candidate " +
+        "cap, exact recount of discovered pairs against full signatures. " +
+        "One row per (delta video, matched corpus video) at >= 500 " +
+        "permille scene overlap; the corpus is never re-decoded."
     ),
     // ---- the LINEAR-OUTPUT cluster form: m_video_dups' pair set is the
     // true answer but inherently quadratic in copies-per-recording (the

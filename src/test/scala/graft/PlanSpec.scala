@@ -396,6 +396,12 @@ class PlanSpec extends AnyFunSuite {
       aplan.linesIterator.count(_.contains("documents.parquet")) <= 1,
       "only the DELTA decode may scan documents:\n" + aplan.take(2000)
     )
+    val vplan = physical("m_video_delta")
+    assert(vplan.contains("video-scene-reps"), "expected the persisted scene-index read:\n" + vplan.take(1500))
+    assert(
+      !vplan.contains("documents.parquet"),
+      "delta probe must not re-scan the corpus (delta signatures are checkpointed):\n" + vplan.take(1500)
+    )
   }
 
   test("vocab coverage: membership join is broadcast — the token stream never shuffles for it") {

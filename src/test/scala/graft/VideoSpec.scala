@@ -165,6 +165,45 @@ class VideoSpec extends AnyFunSuite {
     assert(capped.map(_.toString).sorted.sameElements(uncapped.map(_.toString).sorted))
   }
 
+  test("video delta ingest: replay-idempotent; verdicts match joint recompute") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+    val delta = docs.filter(col("doc_id") % 7 === 3)
+    val dir = Video.sceneIndexDir(sf, corpus)
+    Video.ensureSceneIndex(spark, corpus, dir)
+    val marker = new java.io.File(s"$dir/sizes/_SUCCESS")
+    assert(marker.exists(), "index not published")
+    val built = marker.lastModified()
+
+    def run() = Video
+      .videoDeltaDups(spark, dir, delta)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val first = run()
+    assert(first.nonEmpty, "fixture degenerate: no delta x corpus overlaps")
+    Video.ensureSceneIndex(spark, corpus, dir)
+    assert(run() === first, "delta replay diverged")
+    assert(marker.lastModified() === built, "replay rebuilt the published index")
+
+    // joint recompute from scratch: distinct signatures of everything,
+    // delta x corpus pairs above the permille threshold
+    val all = Video
+      .videoFrameHashes(spark, Video.withVideoPayload(spark, docs))
+      .select("doc_id", "dhash")
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = all.groupBy(_._1).map { case (id, xs) => (id, xs.map(_._2).toSet) }
+    val want = (for {
+      (did, ds) <- byDoc if did % 7 == 3
+      (cid, cs) <- byDoc if cid % 7 != 3
+      m = (ds & cs).size.toLong
+      if m > 0 && m * 1000 / math.min(ds.size, cs.size) >= 500
+    } yield (did, cid, m, ds.size.toLong, cs.size.toLong)).toSet
+    assert(first === want, "delta verdicts != joint recompute")
+  }
+
   test("near-dup variants of one recording are byte-different payloads") {
     val docs = Tables.documents(spark, sf).limit(60)
     val ids = docs.select("doc_id").collect().map(_.getLong(0))
