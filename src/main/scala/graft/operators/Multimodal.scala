@@ -386,7 +386,9 @@ object Multimodal {
     * payload bytes (same call, payloadCol = the binary column).
     */
   def dhashIndexDir(sfDir: String, corpusDocs: DataFrame): String =
-    Indexes.fingerprintDirOn("dhash-reps", sfDir, corpusDocs, "doc_id", "doc_id")
+    // layout=2: per-doc docs/ table added for streaming maintenance — the
+    // params key retires any asset built under the docs-less layout
+    Indexes.fingerprintDirOn("dhash-reps", sfDir, corpusDocs, "doc_id", "doc_id", "layout=2")
 
   /** Build the persisted image-dedup index ONCE per corpus version: decode
     * every corpus image, collapse to exact-hash representatives, and write
@@ -404,7 +406,13 @@ object Multimodal {
     */
   def ensureDhashIndex(spark: SparkSession, corpusDocs: DataFrame, dir: String): Unit =
     Indexes.atomicBuild(dir, "reps/_SUCCESS") { tmp =>
-      val reps = hashReps(dHash(spark, withImagePayload(spark, corpusDocs)).toDF())
+      // per-doc hash rows are the index's source of truth: a pure function
+      // of the document, which is what makes streaming maintenance
+      // replay-idempotent (MediaIndexStream folds deltas with a full-row
+      // distinct). reps/bands are derived aggregates.
+      val docs = dHash(spark, withImagePayload(spark, corpusDocs)).toDF().localCheckpoint()
+      docs.write.mode("overwrite").parquet(s"$tmp/docs")
+      val reps = hashReps(docs)
       reps
         .select(col("dhash"), col("rid"), col("n"), bandCols)
         .write
@@ -414,12 +422,12 @@ object Multimodal {
       reps.write.mode("overwrite").parquet(s"$tmp/reps")
     }
 
-  private def bandCols =
+  private[graft] def bandCols =
     posexplode(
       array((0 until 4).map(c => expr(s"shiftright(dhash, ${c * 15}) & 32767")): _*)
     ).as(Seq("chunk", "cval"))
 
-  private def hashReps(hashes: DataFrame): DataFrame =
+  private[graft] def hashReps(hashes: DataFrame): DataFrame =
     hashes
       .groupBy(col("dhash"))
       .agg(min(col("doc_id")).as("rid"), count(lit(1)).as("n"))
