@@ -558,7 +558,12 @@ object Dedup {
     * skew. Same fix as `TextAnalysis.cdcChunks`' dup_count.
     */
   def exactDups(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
+    // pin the hashed table: the group aggregate and the join probe both
+    // consume it, and the unpinned plan re-runs the scan + md5 once per
+    // branch. Two columns per row.
+    val hashed = docs
+      .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
+      .localCheckpoint()
     val groups = hashed
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("canonical_id"))

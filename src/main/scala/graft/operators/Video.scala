@@ -224,7 +224,11 @@ object Video {
       permille: Long = 500L,
       maxDfPermille: Long = 100L
   ): DataFrame = {
-    val sig = hashes.select(col("doc_id"), col("dhash")).distinct()
+    // pin the signature table: sizes, the df table, candidate generation,
+    // and the exact recount all consume it, and each unpinned branch
+    // re-runs the frame DECODE pass behind it (the cdcChunks lesson). Two
+    // long columns per row — tiny next to the decode it guards.
+    val sig = hashes.select(col("doc_id"), col("dhash")).distinct().localCheckpoint()
     val sizes = sig.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val total = sig.select(countDistinct(col("doc_id")).as("n_videos")) // 1 row
     val dfs = sig.groupBy(col("dhash")).agg(count(lit(1)).as("df"))
