@@ -295,6 +295,49 @@ object MultimodalQ {
         "cluster size) row per document; the image twin of d_cc_clusters, " +
         "oracle-replayed with a recursive CTE."
     ),
+    // ---- image vectors through the PERSISTED ANN index family: the same
+    // IvfIndex build/search amortization as the embeddings table, over the
+    // image-modality stub vectors — similarity SEARCH (not just dedup)
+    // composes with multimodal. Build once per corpus fingerprint;
+    // search reads only the probed cells (partition-pruned).
+    Q(
+      "m_ann_image",
+      (s, d) => {
+        import graft.operators.{IvfIndex, Similarity}
+        val emb = Multimodal
+          .embedBatchStub(s, Multimodal.withPayload(Tables.documents(s, d)))
+          .withColumn("embedding", col("embedding").cast("array<float>"))
+          .withColumnRenamed("doc_id", "vec_id")
+          .localCheckpoint()
+        val idxDir = IvfIndex.defaultDir(d, emb)
+        IvfIndex.ensureBuilt(emb, idxDir)
+        val q = emb.filter(col("vec_id") < 10)
+        val ivf = IvfIndex.search(s, idxDir, q, k = 5, nProbe = 4)
+        val brute = Similarity.bruteTopK(q, emb, k = 5)
+        val hits = ivf
+          .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        ivf
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).cast("long").as("n_results"))
+          .join(hits, Seq("query_id"), "left")
+          .select(
+            col("query_id"),
+            col("n_results"),
+            (coalesce(col("n_hits"), lit(0L)) >= 2L).as("recall_ok")
+          )
+          .orderBy("query_id")
+      },
+      Some("""SELECT doc_id AS query_id, 5::BIGINT AS n_results, true AS recall_ok
+             |FROM documents WHERE doc_id < 10 ORDER BY query_id""".stripMargin),
+      doc = "ANN search over IMAGE-MODALITY vectors through the persisted " +
+        "IVF index (trained k-means quantizer over the inference-stub " +
+        "embeddings, built once per corpus fingerprint, partition-pruned " +
+        "probed-cell reads): per-query recall@5 >= 0.4 vs the exact brute " +
+        "truth as a thresholded boolean plus full result cardinality — " +
+        "the search-side twin of m_semantic_dups' dedup composition."
+    ),
     // ---- INCREMENTAL modality ingest: the delta is decoded; the standing
     // corpus is consulted only through the persisted band/rep index — the
     // text deltaDups contract for images. A daily crawl pays decode for

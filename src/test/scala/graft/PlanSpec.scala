@@ -142,11 +142,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("clean pipeline: quality + language gates evaluate in the scan stage (no extra shuffle)") {
     val plan = physical("t_clean_pipeline")
-    // content-hash window + final sort are the only wide operations; the
+    // the content-hash dedup aggregate (groupBy+join since r10 — no
+    // window) and the final sort are the only wide operations; the
     // semi-join against canonical ids must broadcast
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"))
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges <= 3, s"pipeline should add no shuffles beyond dedup window + semi-join:\n${plan.take(2000)}")
+    assert(exchanges <= 3, s"pipeline should add no shuffles beyond dedup agg + semi-join:\n${plan.take(2000)}")
   }
 
   test("banded range join plans as an equi-join, not a nested loop") {
