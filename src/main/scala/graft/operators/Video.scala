@@ -230,27 +230,41 @@ object Video {
     // long columns per row — tiny next to the decode it guards.
     val sig = hashes.select(col("doc_id"), col("dhash")).distinct().localCheckpoint()
     val sizes = sig.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val total = sig.select(countDistinct(col("doc_id")).as("n_videos")) // 1 row
+    // ADAPTIVE plan choice (the litK-switch discipline: detection may
+    // change the plan, never the result): one cheap driver probe over the
+    // pinned signature table decides whether any scene hash is hot. The
+    // common healthy-corpus case takes the direct single-join count; only
+    // a corpus that actually contains a near-universal frame pays the
+    // capped-candidates + exact-recount machinery.
+    val nVideos =
+      sig.select(countDistinct(col("doc_id"))).head().getLong(0)
+    val ceiling = math.max(MinDfCeiling, nVideos * maxDfPermille / 1000)
     val dfs = sig.groupBy(col("dhash")).agg(count(lit(1)).as("df"))
-    val rare = sig
-      .join(dfs, Seq("dhash"))
-      .crossJoin(total)
-      .filter(
-        col("df") <= greatest(lit(MinDfCeiling), col("n_videos") * maxDfPermille / 1000)
-      )
-      .select(col("doc_id"), col("dhash"))
-    val cand = rare
-      .join(rare.select(col("doc_id").as("b_id"), col("dhash")), Seq("dhash"))
-      .filter(col("doc_id") < col("b_id"))
-      .select(col("doc_id").as("a_id"), col("b_id"))
-      .distinct()
-    // exact |A∩B| recount over full signatures (hot hashes included); the
-    // expansion is bounded by frames-per-video, not corpus size
-    val pairs = cand
-      .join(sig.select(col("doc_id").as("a_id"), col("dhash")), Seq("a_id"))
-      .join(sig.select(col("doc_id").as("b_id"), col("dhash")), Seq("b_id", "dhash"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("matches"))
+    val anyHot = !dfs.filter(col("df") > ceiling).isEmpty
+    val pairs =
+      if (!anyHot)
+        // every hash is a candidate key: the equijoin count IS |A∩B|
+        sig
+          .join(sig.select(col("doc_id").as("b_id"), col("dhash")), Seq("dhash"))
+          .filter(col("doc_id") < col("b_id"))
+          .groupBy(col("doc_id").as("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("matches"))
+      else {
+        val rare = sig
+          .join(dfs.filter(col("df") <= ceiling), Seq("dhash"), "left_semi")
+        val cand = rare
+          .join(rare.select(col("doc_id").as("b_id"), col("dhash")), Seq("dhash"))
+          .filter(col("doc_id") < col("b_id"))
+          .select(col("doc_id").as("a_id"), col("b_id"))
+          .distinct()
+        // exact |A∩B| recount over full signatures (hot hashes included);
+        // the expansion is bounded by frames-per-video, not corpus size
+        cand
+          .join(sig.select(col("doc_id").as("a_id"), col("dhash")), Seq("a_id"))
+          .join(sig.select(col("doc_id").as("b_id"), col("dhash")), Seq("b_id", "dhash"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("matches"))
+      }
     pairs
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n")), Seq("b_id"))
@@ -343,24 +357,33 @@ object Video {
     val csz = spark.read
       .parquet(s"$dir/sizes")
       .select(col("doc_id").as("c_id"), col("n").as("c_n"))
-    val total = csz.select(count(lit(1)).as("n_videos")) // 1 row
-    val rare = spark.read
-      .parquet(s"$dir/dfs")
-      .crossJoin(total)
-      .filter(
-        col("df") <= greatest(lit(MinDfCeiling), col("n_videos") * maxDfPermille / 1000)
-      )
-      .select(col("dhash"))
-    val cand = dsig
-      .join(rare, Seq("dhash"), "left_semi")
-      .join(csig, Seq("dhash"))
-      .select(col("doc_id"), col("c_id"))
-      .distinct()
-    val pairs = cand
-      .join(dsig, Seq("doc_id"))
-      .join(csig, Seq("c_id", "dhash"))
-      .groupBy(col("doc_id"), col("c_id"))
-      .agg(count(lit(1)).as("matches"))
+    // adaptive, like videoDups: the build-time df table makes the hot
+    // probe index-only (no corpus work at all); healthy corpora take the
+    // direct equijoin count, only an actually-hot corpus pays the
+    // capped-candidates + exact-recount path
+    val nVideos = csz.count()
+    val ceiling = math.max(MinDfCeiling, nVideos * maxDfPermille / 1000)
+    val dfs = spark.read.parquet(s"$dir/dfs")
+    val anyHot = !dfs.filter(col("df") > ceiling).isEmpty
+    val pairs =
+      if (!anyHot)
+        dsig
+          .join(csig, Seq("dhash"))
+          .groupBy(col("doc_id"), col("c_id"))
+          .agg(count(lit(1)).as("matches"))
+      else {
+        val rare = dfs.filter(col("df") <= ceiling).select(col("dhash"))
+        val cand = dsig
+          .join(rare, Seq("dhash"), "left_semi")
+          .join(csig, Seq("dhash"))
+          .select(col("doc_id"), col("c_id"))
+          .distinct()
+        cand
+          .join(dsig, Seq("doc_id"))
+          .join(csig, Seq("c_id", "dhash"))
+          .groupBy(col("doc_id"), col("c_id"))
+          .agg(count(lit(1)).as("matches"))
+      }
     pairs
       .join(dsz, Seq("doc_id"))
       .join(csz, Seq("c_id"))
