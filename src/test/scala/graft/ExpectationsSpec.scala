@@ -109,4 +109,29 @@ class ExpectationsSpec extends AnyFunSuite {
       .collect { case r: org.apache.spark.sql.catalyst.plans.logical.LeafNode => r }
     assert(scans.size === 1, s"expected one scan for three row checks, got ${scans.size}")
   }
+
+  test("empty input is vacuously valid: 0 violations, passed=true (not NULL-unboxed false)") {
+    import spark.implicits._
+    // a vacuously-valid empty micro-batch must PASS: sum(when(...)) over
+    // zero rows is NULL, and an unguarded report would unbox passed=NULL
+    // to false — quarantining empty batches and rejecting empty commits
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    val rep = Expectations
+      .evaluate("t", empty, Seq(
+        RowCheck("r", col("v") < 0),
+        UniqueCheck("u", col("id"))
+      ))
+      .collect()
+    assert(rep.length === 2)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("violations") === 0L, r.toString)
+      assert(r.getAs[Long]("total") === 0L)
+      assert(r.getAs[Boolean]("passed"), "empty input must pass, not NULL->false")
+    }
+    val fk = Expectations
+      .foreignKey("fk", "child", empty, "id", Seq((1L, 1L)).toDF("id", "v"), "id")
+      .collect()
+    assert(fk.head.getAs[Long]("violations") === 0L)
+    assert(fk.head.getAs[Boolean]("passed"))
+  }
 }
