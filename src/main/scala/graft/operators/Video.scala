@@ -398,6 +398,53 @@ object Video {
       .filter(col("overlap_permille") >= lit(permille))
   }
 
+  /** LINEAR-OUTPUT ingest verdict — the [[videoClusters]] analogue of
+    * [[videoDeltaDups]]: one row per DELTA video with its BEST corpus
+    * match (argmax overlap, ties to the smaller corpus id) or NULLs when
+    * nothing clears the threshold. [[videoDeltaDups]]' pair set is the
+    * true answer but grows with delta×copies-per-recording; an ingest
+    * pipeline deciding keep/drop per arriving video needs exactly one
+    * verdict row, selected by a partial-aggregable max(struct) — no
+    * window, output linear in the delta at any corpus duplication rate.
+    */
+  def videoDeltaVerdicts(
+      spark: SparkSession,
+      dir: String,
+      deltaDocs: DataFrame,
+      permille: Long = 500L,
+      maxDfPermille: Long = 100L
+  ): DataFrame = {
+    val pairs = videoDeltaDups(spark, dir, deltaDocs, permille, maxDfPermille)
+    val best = pairs
+      .groupBy(col("doc_id"))
+      .agg(
+        max(
+          struct(
+            col("overlap_permille").as("o"),
+            (-col("c_id")).as("negc"),
+            col("c_id").as("c_id"),
+            col("matches").as("matches")
+          )
+        ).as("b")
+      )
+      .select(
+        col("doc_id"),
+        col("b.c_id").as("best_match"),
+        col("b.matches").as("matches"),
+        col("b.o").as("overlap_permille")
+      )
+    deltaDocs
+      .select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("best_match"),
+        col("matches"),
+        col("overlap_permille"),
+        col("best_match").isNotNull.as("is_dup")
+      )
+  }
+
   /** Video dedup CLUSTERS — the LINEAR-OUTPUT form of [[videoDups]] for
     * corpora with high duplication rates. [[videoDups]]' pair set is the
     * true answer but grows quadratically in the copies-per-recording

@@ -156,6 +156,51 @@ object VideoQ {
         "One row per (delta video, matched corpus video) at >= 500 " +
         "permille scene overlap; the corpus is never re-decoded."
     ),
+    // ---- the LINEAR-OUTPUT ingest verdict: one row per delta video with
+    // its best corpus match — what a keep/drop gate consumes. The pair
+    // form (m_video_delta) is the true answer but pair-output-bound; this
+    // is output-linear in the delta at any corpus duplication rate.
+    Q(
+      "m_video_delta_best",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+        val delta = docs.filter(col("doc_id") % 7 === 3)
+        val dir = Video.sceneIndexDir(d, corpus)
+        Video.ensureSceneIndex(s, corpus, dir)
+        Video.videoDeltaVerdicts(s, dir, delta).orderBy("doc_id")
+      },
+      Some(
+        s"""$framesSql,
+           |hx AS (SELECT DISTINCT doc_id, $sceneDhash AS dhash FROM fr),
+           |dsig AS (SELECT * FROM hx WHERE doc_id % 7 = 3),
+           |csig AS (SELECT * FROM hx WHERE doc_id % 7 <> 3),
+           |dsz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM dsig GROUP BY doc_id),
+           |csz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM csig GROUP BY doc_id),
+           |pm AS (SELECT d.doc_id, c.doc_id AS c_id, COUNT(*)::BIGINT AS matches
+           |       FROM dsig d JOIN csig c ON d.dhash = c.dhash
+           |       GROUP BY 1, 2),
+           |pr AS (SELECT pm.doc_id AS doc_id, pm.c_id, matches,
+           |         (matches * 1000 // least(dz.n, cz.n))::BIGINT AS op
+           |       FROM pm JOIN dsz dz ON pm.doc_id = dz.doc_id
+           |               JOIN csz cz ON pm.c_id = cz.doc_id
+           |       WHERE matches * 1000 // least(dz.n, cz.n) >= 500),
+           |bst AS (SELECT doc_id, c_id, matches, op,
+           |          row_number() OVER (PARTITION BY doc_id ORDER BY op DESC, c_id) AS rn
+           |        FROM pr)
+           |SELECT dd.doc_id, b.c_id AS best_match, b.matches,
+           |  b.op AS overlap_permille, (b.c_id IS NOT NULL) AS is_dup
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 3) dd
+           |LEFT JOIN (SELECT * FROM bst WHERE rn = 1) b USING (doc_id)
+           |ORDER BY dd.doc_id""".stripMargin
+      ),
+      doc = "Linear-output video ingest verdict: per delta video its BEST " +
+        "corpus match (argmax scene overlap, ties to the smaller corpus " +
+        "id) via one partial-aggregable max(struct) — no window — or a " +
+        "NULL verdict row when nothing clears 500 permille. The keep/drop " +
+        "gate shape: output is one row per arriving video regardless of " +
+        "how duplicated the standing corpus is."
+    ),
     // ---- the LINEAR-OUTPUT cluster form: m_video_dups' pair set is the
     // true answer but inherently quadratic in copies-per-recording (the
     // BASELINE.md sf1 analysis); this is the report a 100 TB pipeline
