@@ -285,7 +285,10 @@ object Video {
     * bytes).
     */
   def sceneIndexDir(sfDir: String, corpusDocs: DataFrame): String =
-    Indexes.fingerprintDirOn("video-scene-reps", sfDir, corpusDocs, "doc_id", "doc_id")
+    // layout=2: distinct-signature rep tables (rsig/rsizes/rdfs) added for
+    // the scale-flat verdict probe — retires docs-less layout-1 assets
+    Indexes.fingerprintDirOn(
+      "video-scene-reps", sfDir, corpusDocs, "doc_id", "doc_id", "layout=2")
 
   /** Build the persisted video-dedup index ONCE per corpus version: decode
     * every corpus video, keep the distinct (video, scene-hash) signature
@@ -320,6 +323,39 @@ object Video {
         .write
         .mode("overwrite")
         .parquet(s"$tmp/dfs")
+      // distinct-signature representative tables (the videoClusters
+      // collapse, persisted): a rep is the MIN doc of its signature group,
+      // so verdict probes against reps are provably identical to probes
+      // against every member (identical sets ⇒ identical overlap; the
+      // smaller-id tiebreak lands on the rep) while the probe side stays
+      // DISTINCT-CONTENT-sized regardless of corpus duplication.
+      val fp = sig
+        .groupBy(col("doc_id"))
+        .agg(
+          md5(concat_ws(",", sort_array(collect_list(col("dhash"))).cast("array<string>")))
+            .as("sigfp")
+        )
+      val rids = fp
+        .groupBy(col("sigfp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val rsig = sig
+        .join(rids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("rid"), col("dhash"))
+        .localCheckpoint()
+      rsig.write.mode("overwrite").parquet(s"$tmp/rsig")
+      rsig
+        .groupBy(col("dhash"))
+        .agg(count(lit(1)).as("df"))
+        .write
+        .mode("overwrite")
+        .parquet(s"$tmp/rdfs")
+      rsig
+        .groupBy(col("rid"))
+        .agg(count(lit(1)).as("n"))
+        .write
+        .mode("overwrite")
+        .parquet(s"$tmp/rsizes")
       sig
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n"))
@@ -398,14 +434,20 @@ object Video {
       .filter(col("overlap_permille") >= lit(permille))
   }
 
-  /** LINEAR-OUTPUT ingest verdict — the [[videoClusters]] analogue of
+  /** LINEAR ingest verdict — the [[videoClusters]] analogue of
     * [[videoDeltaDups]]: one row per DELTA video with its BEST corpus
     * match (argmax overlap, ties to the smaller corpus id) or NULLs when
-    * nothing clears the threshold. [[videoDeltaDups]]' pair set is the
-    * true answer but grows with delta×copies-per-recording; an ingest
-    * pipeline deciding keep/drop per arriving video needs exactly one
-    * verdict row, selected by a partial-aggregable max(struct) — no
-    * window, output linear in the delta at any corpus duplication rate.
+    * nothing clears the threshold, selected by a partial-aggregable
+    * max(struct) — no window.
+    *
+    * Scale shape: the probe side is the persisted DISTINCT-SIGNATURE rep
+    * table (`rsig`), not the full corpus signature table — so both the
+    * candidate join and the verdict cost are (delta × distinct content),
+    * FLAT under corpus duplication, where [[videoDeltaDups]]' pair output
+    * necessarily grows with copies-per-recording. Verdicts are provably
+    * identical to probing every corpus video: members of one signature
+    * group have identical overlap with any delta video, and the
+    * smaller-id tiebreak lands on the group's min doc — the rep.
     */
   def videoDeltaVerdicts(
       spark: SparkSession,
@@ -414,7 +456,46 @@ object Video {
       permille: Long = 500L,
       maxDfPermille: Long = 100L
   ): DataFrame = {
-    val pairs = videoDeltaDups(spark, dir, deltaDocs, permille, maxDfPermille)
+    val dsig = videoFrameHashes(spark, withVideoPayload(spark, deltaDocs))
+      .select(col("doc_id"), col("dhash"))
+      .distinct()
+      .localCheckpoint()
+    val dsz = dsig.groupBy(col("doc_id")).agg(count(lit(1)).as("d_n"))
+    val rsig = spark.read
+      .parquet(s"$dir/rsig")
+      .select(col("rid").as("c_id"), col("dhash"))
+    val rsz = spark.read
+      .parquet(s"$dir/rsizes")
+      .select(col("rid").as("c_id"), col("n").as("c_n"))
+    // adaptive hot-scene cap over the REP-level dfs (precomputed at build)
+    val nReps = rsz.count()
+    val ceiling = math.max(MinDfCeiling, nReps * maxDfPermille / 1000)
+    val rdfs = spark.read.parquet(s"$dir/rdfs")
+    val anyHot = !rdfs.filter(col("df") > ceiling).isEmpty
+    val matched =
+      if (!anyHot)
+        dsig
+          .join(rsig, Seq("dhash"))
+          .groupBy(col("doc_id"), col("c_id"))
+          .agg(count(lit(1)).as("matches"))
+      else {
+        val rare = rdfs.filter(col("df") <= ceiling).select(col("dhash"))
+        val cand = dsig
+          .join(rare, Seq("dhash"), "left_semi")
+          .join(rsig, Seq("dhash"))
+          .select(col("doc_id"), col("c_id"))
+          .distinct()
+        cand
+          .join(dsig, Seq("doc_id"))
+          .join(rsig, Seq("c_id", "dhash"))
+          .groupBy(col("doc_id"), col("c_id"))
+          .agg(count(lit(1)).as("matches"))
+      }
+    val pairs = matched
+      .join(dsz, Seq("doc_id"))
+      .join(rsz, Seq("c_id"))
+      .withColumn("overlap_permille", expr("(matches * 1000) DIV least(d_n, c_n)"))
+      .filter(col("overlap_permille") >= lit(permille))
     val best = pairs
       .groupBy(col("doc_id"))
       .agg(
