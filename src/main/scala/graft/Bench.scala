@@ -54,22 +54,25 @@ object Bench {
         else math.min(a, b)
       name -> best
     }
-    // Millisecond precision keeps the single JSON line compact (~2.5 KB for
-    // ~95 queries): the round-4 artifact was truncated by a capture-side
-    // byte limit that full-precision doubles (9+ digits each) overflowed.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
+    val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // Belt-and-braces: also persist the artifact next to the build so a
-    // truncated stdout capture can never lose the official numbers.
+    // Per-query detail goes to a file: at ~180 queries the full line is
+    // ~6 KB, which overflows the harness's bounded stdout-tail capture.
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_last.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     )
     spark.stop()
+    // The harness parses the tail of stdout, so the LAST line must be the
+    // compact JSON (<100 chars) — printed after spark.stop() so no executor
+    // shutdown chatter can land below it.
+    val compact =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${results.size},"sf":"$sfDir"}"""
+    println(compact)
+    System.out.flush()
   }
 }

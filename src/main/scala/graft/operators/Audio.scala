@@ -328,24 +328,37 @@ object Audio {
     * the payload bytes).
     */
   def audioFpIndexDir(sfDir: String, corpusDocs: DataFrame): String =
-    Indexes.fingerprintDirOn("audio-fp-reps", sfDir, corpusDocs, "doc_id", "doc_id")
+    // layout=2: per-doc `docs/` table added beside the cluster aggregate —
+    // the source-of-truth rows [[graft.streaming.AudioIndexStream]] grows
+    // incrementally; retires docs-less layout-1 assets
+    Indexes.fingerprintDirOn("audio-fp-reps", sfDir, corpusDocs, "doc_id", "doc_id", "layout=2")
+
+  /** The (fingerprint, rep, n_variants) cluster aggregate over per-doc
+    * fingerprint rows — the derived table the dedup verdict joins;
+    * partial-aggregable, two-column input.
+    */
+  def fpClusters(fps: DataFrame): DataFrame =
+    fps
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_variants"))
 
   /** Build the persisted audio-dedup index ONCE per corpus version: decode
-    * every corpus clip, compute the pad-invariant fingerprint, collapse to
-    * (fingerprint, rep, n_variants) clusters, publish atomically. The
-    * decode — the corpus-linear cost — is paid here exactly once; the
-    * daily-ingest path ([[audioDeltaDups]]) reads this table only.
+    * every corpus clip, compute the pad-invariant fingerprint, keep the
+    * per-doc `docs/` rows (the index's source of truth — what incremental
+    * ingest appends to), collapse to the `clusters/` aggregate (written
+    * LAST — completion marker), publish atomically. The decode — the
+    * corpus-linear cost — is paid here exactly once; the daily-ingest
+    * path ([[audioDeltaDups]]) reads these tables only.
     */
   def ensureAudioFpIndex(spark: SparkSession, corpusDocs: DataFrame, dir: String): Unit =
     Indexes.atomicBuild(dir, "clusters/_SUCCESS") { tmp =>
-      audioFingerprint(
+      val fps = audioFingerprint(
         frameEnergies(spark, withAudioPayloadVariants(spark, corpusDocs)).toDF()
       )
-        .groupBy(col("fingerprint"))
-        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_variants"))
-        .write
-        .mode("overwrite")
-        .parquet(s"$tmp/clusters")
+        .select(col("doc_id"), col("fingerprint"))
+        .localCheckpoint()
+      fps.write.mode("overwrite").parquet(s"$tmp/docs")
+      fpClusters(fps).write.mode("overwrite").parquet(s"$tmp/clusters")
     }
 
   /** INCREMENTAL audio dedup ingest: decode and fingerprint the DELTA

@@ -836,4 +836,49 @@ object Dedup {
           .as("recall_permille")
       )
   }
+
+  /** The deterministic BLOCK sample [[lshEvalSampled]] evaluates on: keep
+    * a whole block iff md5(blockValue # salt) % inverseRate == 0. Exposed
+    * so a spec (or an operator wanting the same universe) can reproduce
+    * it.
+    */
+  def lshEvalSample(
+      docs: DataFrame,
+      blockCol: String = "lang",
+      inverseRate: Int = 2,
+      salt: String = "blocks"
+  ): DataFrame =
+    docs.filter(
+      pmod(
+        md5Long(concat(col(blockCol).cast("string"), lit("#" + salt))),
+        lit(inverseRate.toLong)
+      ) === 0L
+    )
+
+  /** SCALE-SAFE [[lshEval]]: the same confusion-matrix harness evaluated
+    * on a deterministic md5 BLOCK sample (rate 1/inverseRate of blocks).
+    * The harness's only super-linear cost is the exact-truth leg, which
+    * is quadratic WITHIN blocks — so sampling whole blocks bounds it by
+    * 1/inverseRate while keeping every pair of each surviving block:
+    * per-block cells are EXACT integers (identical to the full harness's
+    * rows for those blocks), per-block permille ratios are exact, and the
+    * ALL row is an unbiased per-pair rate-1/inverseRate estimate of the
+    * corpus totals (extrapolate counts by ×inverseRate). Sampling DOCS
+    * instead would thin pairs by 1/rate² and bias the harness toward
+    * missing exactly the near-dup pairs it exists to count. Determinism:
+    * the sample is a pure function of the block value (md5-keyed,
+    * partitioning-invariant) — the same corpus always evaluates the same
+    * universe, so results are bit-reproducible and oracle-checkable,
+    * unlike rand()-based sampling. This is the form you run against a
+    * 100 TB corpus (with a finer blockCol than lang — e.g. a domain or a
+    * hash prefix — inverseRate rises with block count).
+    */
+  def lshEvalSampled(
+      docs: DataFrame,
+      blockCol: String = "lang",
+      threshold: Double = JaccardThreshold,
+      inverseRate: Int = 2,
+      salt: String = "blocks"
+  ): DataFrame =
+    lshEval(lshEvalSample(docs, blockCol, inverseRate, salt), blockCol, threshold)
 }

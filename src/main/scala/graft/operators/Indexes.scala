@@ -87,16 +87,99 @@ object Indexes {
     }
   }
 
+  /** Crash-safe publication of a compaction over one or more index
+    * subdirectories. Contract: every `<name>.compact-<stamp>` dir under
+    * `dir` is fully written BEFORE this call; then
+    *
+    *   1. a journal file (`swap.journal`, listing stamp + names) is
+    *      installed by atomic rename — THE commit point;
+    *   2. each name is flipped: live dir retired, compacted dir moved in;
+    *   3. retired dirs and `delta/` are deleted, the journal last.
+    *
+    * Every step after the journal install is idempotent against partial
+    * completion (each flip checks which of compact/live exists), so a
+    * process death anywhere in 2-3 leaves a journal behind and the next
+    * [[recoverSwap]] — a cheap existence check every reader performs on
+    * open — finishes the identical steps. Readers therefore never observe
+    * a half-swapped index across a restart: before the journal lands the
+    * old asset is intact; after it lands, recovery completes the new one.
+    * (Concurrent readers IN the gap of a live process still see the
+    * momentary rename window — this is quiesced-maintenance OPTIMIZE
+    * semantics, not a lock-free swap; the crash-safety is what's new.)
+    */
+  private[graft] def commitSwap(dir: String, stamp: String, names: Seq[String]): Unit = {
+    val journal = java.nio.file.Paths.get(s"$dir/swap.journal")
+    val tmp = java.nio.file.Paths.get(s"$dir/swap.journal.tmp-$stamp")
+    java.nio.file.Files.write(
+      tmp,
+      (stamp +: names).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    )
+    java.nio.file.Files.move(
+      tmp,
+      journal,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING
+    )
+    replaySwap(dir, stamp, names)
+  }
+
+  /** Finish an interrupted [[commitSwap]] if a journal is present — called
+    * by index readers before their first listing; no-op (one existence
+    * check) in the steady state.
+    */
+  private[graft] def recoverSwap(dir: String): Unit = {
+    val journal = java.nio.file.Paths.get(s"$dir/swap.journal")
+    if (java.nio.file.Files.exists(journal)) {
+      import scala.jdk.CollectionConverters._
+      // the journal was installed by atomic rename, so its contents are
+      // complete: line 1 = stamp, rest = subdir names
+      val lines = java.nio.file.Files.readAllLines(journal).asScala.toSeq
+      if (lines.nonEmpty) replaySwap(dir, lines.head, lines.tail.filter(_.nonEmpty))
+    }
+  }
+
+  private def replaySwap(dir: String, stamp: String, names: Seq[String]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    names.foreach { name =>
+      val live = Paths.get(s"$dir/$name")
+      val compact = Paths.get(s"$dir/$name.compact-$stamp")
+      val retired = Paths.get(s"$dir/$name.retired-$stamp")
+      if (Files.exists(compact)) {
+        if (Files.exists(live)) Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(compact, live, StandardCopyOption.ATOMIC_MOVE)
+      }
+      deleteRecursively(retired)
+    }
+    deleteRecursively(Paths.get(s"$dir/delta"))
+    Files.deleteIfExists(Paths.get(s"$dir/swap.journal"))
+  }
+
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
+    // Concurrent shutdown hooks (and Spark's own temp-dir cleanup) may
+    // delete entries while the walk materializes — the walk then throws
+    // NoSuchFileException wrapped in UncheckedIOException. The goal of this
+    // method is "gone afterwards", so someone else deleting first is
+    // success, not failure; swallow and retry the listing once.
+    def walkOnce(): Seq[java.nio.file.Path] =
+      try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      catch {
+        case _: java.io.UncheckedIOException      => Seq.empty
+        case _: java.nio.file.NoSuchFileException => Seq.empty
+        case _: java.io.IOException               => Seq.empty
+      }
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files
-        .walk(p)
-        .iterator()
-        .asScala
-        .toSeq
-        .reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      walkOnce().foreach { f =>
+        try java.nio.file.Files.deleteIfExists(f)
+        catch { case _: java.io.IOException => () }
+      }
+      // A racing creator/deleter may have left stragglers; one more pass.
+      if (java.nio.file.Files.exists(p)) {
+        walkOnce().foreach { f =>
+          try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () }
+        }
+      }
     }
   }
 }

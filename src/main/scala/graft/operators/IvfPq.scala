@@ -44,13 +44,19 @@ object IvfPq {
       ksub: Int = 16,
       dim: Int = 64,
       pqIters: Int = 2,
-      trainSample: Int = 256
+      trainSample: Int = 256,
+      metaCols: Seq[String] = Nil
   ): String =
+    // metaCols participate in the fingerprint (the IvfIndex.defaultMetaDir
+    // lesson): an index built WITHOUT the filter columns must never be
+    // adopted by a filtered search — it would fail at read time at best,
+    // silently post-filter at worst.
     Indexes.fingerprintDir(
       "ivfpq-index",
       sfDir,
       corpus,
-      s"k=$kCells|ivfIt=$ivfIters|m=$m|ksub=$ksub|dim=$dim|pqIt=$pqIters|ts=$trainSample"
+      s"k=$kCells|ivfIt=$ivfIters|m=$m|ksub=$ksub|dim=$dim|pqIt=$pqIters|ts=$trainSample" +
+        (if (metaCols.nonEmpty) s"|meta=${metaCols.mkString(",")}" else "")
     )
 
   /** Build once, search many — atomic publication, see
@@ -66,10 +72,11 @@ object IvfPq {
       ksub: Int = 16,
       dim: Int = 64,
       pqIters: Int = 2,
-      trainSample: Int = 256
+      trainSample: Int = 256,
+      metaCols: Seq[String] = Nil
   ): Unit =
     Indexes.atomicBuild(dir, "codes/_SUCCESS") { tmp =>
-      build(corpus, tmp, cellCol, kCells, ivfIters, m, ksub, dim, pqIters, trainSample)
+      build(corpus, tmp, cellCol, kCells, ivfIters, m, ksub, dim, pqIters, trainSample, metaCols)
     }
 
   /** Train (or adopt `cellCol`) and write the composed index under `dir`:
@@ -86,7 +93,8 @@ object IvfPq {
       ksub: Int = 16,
       dim: Int = 64,
       pqIters: Int = 2,
-      trainSample: Int = 256
+      trainSample: Int = 256,
+      metaCols: Seq[String] = Nil
   ): Unit = {
     val spark = corpus.sparkSession
     val celled = cellCol match {
@@ -103,7 +111,11 @@ object IvfPq {
       .limit(trainSample)
     val cb = Pq.trainCodebooks(sample, m, ksub, dim, pqIters)
     Pq.writeCodebooks(spark, cb, s"$dir/codebooks")
-    Pq.encode(celled, cb, dim, keep = Seq("vec_id", "cell"))
+    // metaCols ride IN the code rows so a filtered search can push its
+    // predicate into the pruned codes read (PushedFilters beside the
+    // probe's PartitionFilters) — a handful of scalar columns next to the
+    // m-byte codes, not the D-float vectors.
+    Pq.encode(celled, cb, dim, keep = Seq("vec_id", "cell") ++ metaCols)
       .write
       .mode("overwrite")
       .partitionBy("cell")
@@ -132,6 +144,47 @@ object IvfPq {
       nProbe: Int,
       shortlist: Int,
       metric: String = "cos"
+  ): DataFrame =
+    searchCore(spark, dir, queries, corpus, dim, k, nProbe, shortlist, metric, lit(true))
+
+  /** FILTERED IVF-ADC search (the RAG shape at 100 TB-of-vectors scale:
+    * "top-k WHERE <metadata predicate>" against the composed code-table
+    * index). Post-filtering an unfiltered top-k is wrong under selective
+    * predicates, so the predicate PRE-filters the candidate codes: it
+    * lands directly on the partition-pruned codes read, where parquet
+    * pushes it to the scan (`PushedFilters` beside the probe's
+    * `PartitionFilters` — plan-pinned in SimilaritySpec). The index must
+    * have been built with the predicate's columns in `metaCols`
+    * ([[build]]); the exact rerank then only ever sees surviving
+    * candidates. As with [[IvfIndex.searchFiltered]], recall under
+    * filtering thins with selectivity — raise `nProbe`/`shortlist`
+    * relative to the unfiltered search.
+    */
+  def searchFiltered(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      dim: Int,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int,
+      predicate: org.apache.spark.sql.Column,
+      metric: String = "cos"
+  ): DataFrame =
+    searchCore(spark, dir, queries, corpus, dim, k, nProbe, shortlist, metric, predicate)
+
+  private def searchCore(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      dim: Int,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int,
+      metric: String,
+      predicate: org.apache.spark.sql.Column
   ): DataFrame = {
     val cents = IvfIndex.loadCentroids(spark, dir) // O(k·dim) driver state
     val cb = Pq.loadCodebooks(spark, dir) // O(m·ksub·dsub) driver state
@@ -143,10 +196,13 @@ object IvfPq {
     // IvfIndex.search contract; directories outside the probe set are
     // never listed, let alone read). Pruning applies to base AND deltas:
     // both are cell-partitioned, and the filter pushes into each branch
-    // of the union.
+    // of the union. The metadata predicate (lit(true) when unfiltered)
+    // filters the same read — column pruning still drops unreferenced
+    // meta columns from ReadSchema.
     val probedCells = probe.select(col("cell")).distinct().collect().map(_.getLong(0))
     val codes = readCodes(spark, dir)
       .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+      .filter(predicate)
       .select(
         col("vec_id").as("neighbor_id"),
         col("cell").cast(LongType).as("cell"),
@@ -186,15 +242,18 @@ object IvfPq {
     * cell-partitioned, so a probe filter prunes each branch.
     */
   def readCodes(spark: SparkSession, dir: String): DataFrame = {
-    val base = spark.read
-      .parquet(s"$dir/codes")
-      .select(col("vec_id"), col("cell"), col("codes"))
+    // Full schema (vec_id, codes, metaCols..., cell): searchers prune what
+    // they don't reference; compaction must preserve meta columns or a
+    // filtered search would break after the first OPTIMIZE.
+    Indexes.recoverSwap(dir)
+    val base = spark.read.parquet(s"$dir/codes")
     if (new java.io.File(s"$dir/delta").exists())
-      base.unionByName(
-        spark.read
-          .parquet(s"$dir/delta")
-          .select(col("vec_id"), col("cell"), col("codes"))
-      )
+      // batch_id is delta bookkeeping (the partition dir name), not index
+      // data — drop it before the union. Otherwise strict unionByName: a
+      // delta writer that dropped the meta columns of a meta-carrying
+      // index fails loudly here rather than silently null-filtering its
+      // rows out of every filtered search
+      base.unionByName(spark.read.parquet(s"$dir/delta").drop("batch_id"))
     else base
   }
 
@@ -205,17 +264,16 @@ object IvfPq {
     * read shape). Quantizers are untouched: compaction rewrites codes, a
     * RETRAIN is a rebuild.
     *
-    * Swap discipline: the merged table is fully written to a temp dir
-    * first, then two renames publish it. This is a maintenance operation
-    * for a quiesced index (the momentary gap between renames is visible
-    * to a concurrent searcher), matching lakehouse OPTIMIZE semantics —
-    * not a lock-free swap.
+    * Swap discipline: the merged table is fully written first, then the
+    * journaled crash-safe swap ([[Indexes.commitSwap]]) publishes it — a
+    * process death mid-flip is finished by the next reader's
+    * [[Indexes.recoverSwap]]. A concurrent searcher of a LIVE process can
+    * still observe the momentary rename window, matching lakehouse
+    * OPTIMIZE (quiesced-maintenance) semantics — not a lock-free swap.
     */
   def compactDeltas(spark: SparkSession, dir: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     if (new java.io.File(s"$dir/delta").exists()) {
       val stamp = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
-      val tmp = s"$dir/codes.compact-$stamp"
       readCodes(spark, dir)
         // a batch replayed AFTER a compaction folded it re-lands in delta/;
         // frozen quantizers make the replayed rows bit-identical to the
@@ -224,12 +282,8 @@ object IvfPq {
         .write
         .mode("overwrite")
         .partitionBy("cell")
-        .parquet(tmp)
-      val retired = Paths.get(s"$dir/codes.retired-$stamp")
-      Files.move(Paths.get(s"$dir/codes"), retired, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(Paths.get(tmp), Paths.get(s"$dir/codes"), StandardCopyOption.ATOMIC_MOVE)
-      Indexes.deleteRecursively(retired)
-      Indexes.deleteRecursively(Paths.get(s"$dir/delta"))
+        .parquet(s"$dir/codes.compact-$stamp")
+      Indexes.commitSwap(dir, stamp, Seq("codes"))
     }
   }
 }

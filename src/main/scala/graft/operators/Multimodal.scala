@@ -105,6 +105,113 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** JPEG encode at an explicit quality — the second real codec through
+    * the same `javax.imageio` registry the PNG path uses. No alpha
+    * (TYPE_INT_RGB fixtures), explicit-mode compression so the quality is
+    * a fixed, deterministic input.
+    */
+  private[operators] def encodeJpeg(
+      img: java.awt.image.BufferedImage,
+      quality: Float
+  ): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Distinct contents in the mixed-codec fixture: content(id) = id %
+    * CodecContents, so every content has both PNG and JPEG uploads.
+    */
+  val CodecContents = 25L
+
+  /** Mixed-codec fixture content: a dHash-GRID-ALIGNED block image whose
+    * 60 gradient bits are drawn from md5(content) with a ±12 gray margin
+    * per compared sample pair, samples 3 px inside their blocks (66×36 =
+    * (HashCols+1)·6 × HashRows·6, stripes shifted half a block so the
+    * kernel's boundary samples sit block-centered). The margin is the
+    * point: lossy JPEG (quality 0.9) perturbs block interiors by ±3 gray
+    * levels, far under the margin, so the perceptual hash is bit-identical
+    * across PNG and JPEG encodes of the same content — the re-encode
+    * robustness class perceptual dedup exists for — while distinct
+    * contents differ in ≥ ~18 of 60 bits (independent md5 draws). The
+    * tiny ramp fixture ([[toBufferedImage]]) deliberately has ~1-gray
+    * gradients and is NOT JPEG-stable; codec-invariance needs content
+    * whose structure out-scales codec noise, which is what real
+    * photographs are.
+    */
+  private[operators] def toBlockImage(content: Long): java.awt.image.BufferedImage = {
+    val w = (HashCols + 1) * 6 // 66
+    val h = HashRows * 6 // 36
+    val md = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"codec#$content".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def bit(i: Int): Boolean = ((md(i / 8) >> (i % 8)) & 1) == 1
+    // per row band, a level walk over 21 gray levels (8 + 12·lvl): a set
+    // bit steps up, a clear bit steps down; starting mid-scale, the
+    // HashCols-step walk never clamps, so every compared pair differs by
+    // EXACTLY ±12 — no equal-value cells whose strict-< bit codec noise
+    // could flip
+    val v = Array.ofDim[Int](HashRows, HashCols + 1)
+    var j = 0
+    while (j < HashRows) {
+      var lvl = HashCols
+      v(j)(0) = 8 + 12 * lvl
+      var k = 0
+      while (k < HashCols) {
+        lvl = if (bit(j * HashCols + k)) lvl + 1 else lvl - 1
+        v(j)(k + 1) = 8 + 12 * lvl
+        k += 1
+      }
+      j += 1
+    }
+    val img =
+      new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val jj = math.min(HashRows - 1, (y + 3) / 6)
+      var x = 0
+      while (x < w) {
+        val s = math.min(HashCols, (x + 3) / 6)
+        val g = v(jj)(s)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** documents → (doc_id, payload: binary) over the MIXED-CODEC corpus:
+    * even doc_ids upload their content as PNG, odd doc_ids as JPEG
+    * (quality 0.9) — the re-upload/re-encode shape a crawl actually sees.
+    * Same mapPartitions ingest slot as [[withImagePayload]]; the decode
+    * side ([[decodeImage]]/[[dHash]]) is codec-agnostic by construction
+    * (ImageIO reader introspection), which is what this fixture proves.
+    */
+  def withImagePayloadMixedCodec(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val img = toBlockImage(id % CodecContents)
+          val bytes = if (id % 2 == 0) encodePng(img) else encodeJpeg(img, 0.9f)
+          (id, bytes)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** documents → (doc_id, payload: binary, byte_len): the ingest step.
     * In production the payload column arrives from the datalake as-is;
     * here we materialize the document text's UTF-8 bytes as the payload.

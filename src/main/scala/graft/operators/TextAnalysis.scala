@@ -672,13 +672,19 @@ object TextAnalysis {
           val Array(x, y) = r.getString(0).split(" ", 2)
           (x, y, r.getLong(1))
         }
-        // maximal safe contiguous prefix
+        // maximal safe contiguous prefix. The FIRST candidate is the global
+        // argmax — a single-merge batch is exactly one sequential step, so
+        // it is always accepted (the sequential trainer merges the argmax
+        // unconditionally, even when x+y collides with an existing vocab
+        // symbol formed from a different decomposition). The vocab guard
+        // applies only to later candidates, where a collision would make
+        // the simultaneous fold diverge from one-at-a-time application.
         val used = scala.collection.mutable.Set.empty[String]
         val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         var stop = false
         for (cand @ (x, y, _) <- cands if !stop) {
           val syms = Set(x, y, x + y)
-          if (syms.forall(s => !used(s)) && !vocab(x + y)) {
+          if (syms.forall(s => !used(s)) && (accepted.isEmpty || !vocab(x + y))) {
             accepted += cand
             used ++= syms
           } else stop = true

@@ -218,6 +218,16 @@ object Video {
     * them broadcast is an OOM at crawl scale. AQE picks broadcast on its
     * own when a side is actually small. All outputs integral: matches, set
     * sizes, permille overlap.
+    *
+    * SCALE DEFAULT: this pair form is OUTPUT-BOUND — on a corpus with c
+    * copies per recording the true pair set (and therefore the runtime,
+    * which is sublinear per output row but linear in rows emitted) grows
+    * ~c² per recording (measured 27.9× at 10× data on a high-duplication
+    * fixture). Route pipelines through the LINEAR-output complements —
+    * [[videoClusters]] (one (doc, component) row per video) for corpus
+    * dedup and [[videoDeltaVerdicts]] (one best-match row per delta
+    * video) for ingest — and keep this form as a diagnostic for bounded
+    * investigations where the full pair list is the question.
     */
   def videoDups(
       hashes: DataFrame,
@@ -240,7 +250,17 @@ object Video {
       sig.select(countDistinct(col("doc_id"))).head().getLong(0)
     val ceiling = math.max(MinDfCeiling, nVideos * maxDfPermille / 1000)
     val dfs = sig.groupBy(col("dhash")).agg(count(lit(1)).as("df"))
-    val anyHot = !dfs.filter(col("df") > ceiling).isEmpty
+    val nHot = dfs.filter(col("df") > ceiling).count()
+    val anyHot = nHot > 0
+    // observable recall bound: when the cap engages, say which mass it
+    // excluded — a pair can only be missed if its ENTIRE intersection is
+    // hot, and this line is how an operator notices the regime at all
+    // (VideoSpec pins the intended divergence on a hot-only fixture)
+    if (anyHot)
+      System.err.println(
+        s"[graft] videoDups: $nHot scene hash(es) with df > $ceiling excluded " +
+          s"from candidate generation (pairs sharing ONLY those hashes are not emitted)"
+      )
     val pairs =
       if (!anyHot)
         // every hash is a candidate key: the equijoin count IS |A∩B|
@@ -305,44 +325,59 @@ object Video {
     * The decode — the corpus-linear cost — is paid here exactly once; the
     * daily-ingest path ([[videoDeltaDups]]) reads these tables only.
     */
+  /** Scene-hash document frequencies over distinct (doc, hash) sig rows —
+    * the hot-scene cap's input.
+    */
+  private[graft] def sigDfs(sig: DataFrame): DataFrame =
+    sig.groupBy(col("dhash")).agg(count(lit(1)).as("df"))
+
+  /** Per-video signature sizes over distinct (doc, hash) sig rows. */
+  private[graft] def sigSizes(sig: DataFrame): DataFrame =
+    sig.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
+  /** Distinct-signature representative sig rows (the [[videoClusters]]
+    * collapse): a rep is the MIN doc of its signature group, so verdict
+    * probes against reps are provably identical to probes against every
+    * member (identical sets ⇒ identical overlap; the smaller-id tiebreak
+    * lands on the rep) while the probe side stays DISTINCT-CONTENT-sized
+    * regardless of corpus duplication. Pure hash-row aggregation — no
+    * decode.
+    */
+  private[graft] def repSig(sig: DataFrame): DataFrame = {
+    val fp = sig
+      .groupBy(col("doc_id"))
+      .agg(
+        md5(concat_ws(",", sort_array(collect_list(col("dhash"))).cast("array<string>")))
+          .as("sigfp")
+      )
+    val rids = fp
+      .groupBy(col("sigfp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    sig
+      .join(rids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("rid"), col("dhash"))
+  }
+
+  /** Distinct (doc, scene-hash) signature rows for a set of video docs —
+    * the decode pass (corpus-linear; what the persisted index amortizes).
+    */
+  private[graft] def decodeSig(spark: SparkSession, docs: DataFrame): DataFrame =
+    videoFrameHashes(spark, withVideoPayload(spark, docs))
+      .select(col("doc_id"), col("dhash"))
+      .distinct()
+
   def ensureSceneIndex(spark: SparkSession, corpusDocs: DataFrame, dir: String): Unit =
     Indexes.atomicBuild(dir, "sizes/_SUCCESS") { tmp =>
-      val sig = videoFrameHashes(spark, withVideoPayload(spark, corpusDocs))
-        .select(col("doc_id"), col("dhash"))
-        .distinct()
-        .localCheckpoint()
+      val sig = decodeSig(spark, corpusDocs).localCheckpoint()
       sig
         .withColumn("hb", pmod(xxhash64(col("dhash")), lit(16L)))
         .write
         .mode("overwrite")
         .partitionBy("hb")
         .parquet(s"$tmp/sig")
-      sig
-        .groupBy(col("dhash"))
-        .agg(count(lit(1)).as("df"))
-        .write
-        .mode("overwrite")
-        .parquet(s"$tmp/dfs")
-      // distinct-signature representative tables (the videoClusters
-      // collapse, persisted): a rep is the MIN doc of its signature group,
-      // so verdict probes against reps are provably identical to probes
-      // against every member (identical sets ⇒ identical overlap; the
-      // smaller-id tiebreak lands on the rep) while the probe side stays
-      // DISTINCT-CONTENT-sized regardless of corpus duplication.
-      val fp = sig
-        .groupBy(col("doc_id"))
-        .agg(
-          md5(concat_ws(",", sort_array(collect_list(col("dhash"))).cast("array<string>")))
-            .as("sigfp")
-        )
-      val rids = fp
-        .groupBy(col("sigfp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      val rsig = sig
-        .join(rids, Seq("doc_id"), "left_semi")
-        .select(col("doc_id").as("rid"), col("dhash"))
-        .localCheckpoint()
+      sigDfs(sig).write.mode("overwrite").parquet(s"$tmp/dfs")
+      val rsig = repSig(sig).localCheckpoint()
       rsig.write.mode("overwrite").parquet(s"$tmp/rsig")
       rsig
         .groupBy(col("dhash"))
@@ -356,12 +391,7 @@ object Video {
         .write
         .mode("overwrite")
         .parquet(s"$tmp/rsizes")
-      sig
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n"))
-        .write
-        .mode("overwrite")
-        .parquet(s"$tmp/sizes")
+      sigSizes(sig).write.mode("overwrite").parquet(s"$tmp/sizes")
     }
 
   /** INCREMENTAL video near-dup ingest: decode and hash the DELTA only,
@@ -374,6 +404,13 @@ object Video {
     *
     * Emits one row per (delta video, matched corpus video):
     * (doc_id, c_id, matches, d_n, c_n, overlap_permille ≥ permille).
+    *
+    * SCALE DEFAULT: like [[videoDups]], this pair form is OUTPUT-BOUND —
+    * a delta video matching a heavily-duplicated recording emits one row
+    * per corpus COPY. Route ingest pipelines through
+    * [[videoDeltaVerdicts]] (one argmax row per delta video, probing the
+    * distinct-signature rep table — flat under corpus duplication); keep
+    * this form for diagnostics that need every matched copy listed.
     */
   def videoDeltaDups(
       spark: SparkSession,
@@ -400,7 +437,14 @@ object Video {
     val nVideos = csz.count()
     val ceiling = math.max(MinDfCeiling, nVideos * maxDfPermille / 1000)
     val dfs = spark.read.parquet(s"$dir/dfs")
-    val anyHot = !dfs.filter(col("df") > ceiling).isEmpty
+    val nHot = dfs.filter(col("df") > ceiling).count()
+    val anyHot = nHot > 0
+    if (anyHot)
+      System.err.println(
+        s"[graft] videoDeltaDups: $nHot corpus scene hash(es) with df > $ceiling " +
+          s"excluded from candidate generation (delta-corpus pairs sharing ONLY " +
+          s"those hashes are not emitted)"
+      )
     val pairs =
       if (!anyHot)
         dsig
@@ -471,7 +515,14 @@ object Video {
     val nReps = rsz.count()
     val ceiling = math.max(MinDfCeiling, nReps * maxDfPermille / 1000)
     val rdfs = spark.read.parquet(s"$dir/rdfs")
-    val anyHot = !rdfs.filter(col("df") > ceiling).isEmpty
+    val nHot = rdfs.filter(col("df") > ceiling).count()
+    val anyHot = nHot > 0
+    if (anyHot)
+      System.err.println(
+        s"[graft] videoDeltaVerdicts: $nHot rep scene hash(es) with df > $ceiling " +
+          s"excluded from candidate generation (verdicts resting ONLY on those " +
+          s"hashes are not emitted)"
+      )
     val matched =
       if (!anyHot)
         dsig

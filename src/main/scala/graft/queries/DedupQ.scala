@@ -547,6 +547,71 @@ object DedupQ {
         "harness on a sample at scale); the LSH leg is the production " +
         "banded join. Every cell bit-replayed in DuckDB."
     ),
+    // ---- the 100 TB-runnable form of the harness: the SAME confusion
+    // matrix on a deterministic md5 BLOCK sample (1/2 of lang blocks
+    // here). The quadratic truth leg is within-block, so block sampling
+    // bounds it by the rate while keeping every pair of each surviving
+    // block — per-block cells are bit-identical to the full harness's
+    // rows, the ALL row extrapolates by x2. md5-keyed sampling is a pure
+    // function of the block value — partitioning-invariant,
+    // bit-reproducible, oracle-able (rand() sampling is neither).
+    Q(
+      "d_lsh_eval_sampled",
+      (s, d) =>
+        Dedup
+          .lshEvalSampled(
+            Tables.documents(s, d), "lang", Dedup.JaccardThreshold, inverseRate = 2
+          )
+          .orderBy("blk"),
+      Some {
+        val keep = s"${h60("lang || '#blocks'")} % 2 = 0"
+        val ctes = minhashPairsCtes
+          .replace("FROM documents", "FROM sdocs")
+          .replaceFirst(
+            "^WITH ",
+            s"WITH sdocs AS (SELECT * FROM documents WHERE $keep),\n"
+          )
+        s"""$ctes,
+           |lp AS (SELECT doc_id, lang AS blk FROM sdocs),
+           |candb AS (
+           |  SELECT c.a_id, c.b_id, la.blk
+           |  FROM cand c
+           |  JOIN lp la ON c.a_id = la.doc_id
+           |  JOIN lp lb ON c.b_id = lb.doc_id AND la.blk = lb.blk),
+           |truthb AS (
+           |  SELECT l.doc_id AS a_id, r.doc_id AS b_id, la.blk
+           |  FROM sh l
+           |  JOIN sh r ON l.doc_id < r.doc_id
+           |  JOIN lp la ON l.doc_id = la.doc_id
+           |  JOIN lp lb ON r.doc_id = lb.doc_id AND la.blk = lb.blk
+           |  WHERE len(list_intersect(l.sh, r.sh))::DOUBLE /
+           |    (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)))
+           |    >= ${Dedup.JaccardThreshold}),
+           |uni AS (
+           |  SELECT COALESCE(t.blk, c.blk) AS blk,
+           |    (t.a_id IS NOT NULL)::BIGINT AS tt,
+           |    (c.a_id IS NOT NULL)::BIGINT AS cc
+           |  FROM truthb t FULL OUTER JOIN candb c
+           |    ON t.a_id = c.a_id AND t.b_id = c.b_id)
+           |SELECT COALESCE(blk, 'ALL') AS blk,
+           |  SUM(tt)::BIGINT AS n_truth, SUM(cc)::BIGINT AS n_cand,
+           |  SUM(tt * cc)::BIGINT AS tp,
+           |  SUM((1 - tt) * cc)::BIGINT AS fp,
+           |  SUM(tt * (1 - cc))::BIGINT AS fn,
+           |  CASE WHEN SUM(cc) > 0
+           |    THEN ((1000 * SUM(tt * cc)) // SUM(cc))::BIGINT END AS precision_permille,
+           |  CASE WHEN SUM(tt) > 0
+           |    THEN ((1000 * SUM(tt * cc)) // SUM(tt))::BIGINT END AS recall_permille
+           |FROM uni GROUP BY ROLLUP(blk) ORDER BY blk""".stripMargin
+      },
+      doc = "Sampled MinHash-LSH quality evaluation: the d_lsh_eval " +
+        "confusion matrix restricted to a deterministic md5 BLOCK sample " +
+        "(1/2 of lang blocks; the quadratic truth leg is within-block, " +
+        "so block sampling bounds it by the rate while keeping surviving " +
+        "blocks' cells bit-identical to the full harness). Exact integer " +
+        "counts, bit-replayed in DuckDB — the form of the tuning harness " +
+        "you run against a 100 TB corpus, with a finer blockCol."
+    ),
     Q(
       "d_contamination",
       (s, d) =>

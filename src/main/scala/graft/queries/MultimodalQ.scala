@@ -373,6 +373,57 @@ object MultimodalQ {
         "the cluster's rep and member count; the corpus is never " +
         "re-decoded or re-scanned (plan-pinned)."
     ),
+    // ---- CODEC-MATRIX dedup: the same content re-uploaded under TWO
+    // real codecs (PNG + lossy JPEG 0.9 via the same javax.imageio
+    // registry) must land in one perceptual-hash cluster — the re-encode
+    // recall class perceptual dedup exists for, which byte/exact-hash
+    // dedup is structurally blind to. The decode path is codec-agnostic
+    // (reader introspection); the fixture's block content out-scales JPEG
+    // noise (±12 gray margins vs ±3 perturbation), so the dHash is
+    // bit-identical across encodes and the cluster verdict is exact.
+    Q(
+      "m_codec_dups",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val hashes = Multimodal
+          .dHash(s, Multimodal.withImagePayloadMixedCodec(s, docs))
+          .toDF()
+        // exact-hash collapse (the dhashDups stage-1 shape): one cluster
+        // per distinct perceptual hash, min doc id as representative
+        val clusters = hashes
+          .groupBy(col("dhash"))
+          .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+        hashes
+          .join(clusters, Seq("dhash"))
+          .select(
+            col("doc_id"),
+            when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("codec"),
+            (col("doc_id") % Multimodal.CodecContents).as("content"),
+            col("rep"),
+            col("n"),
+            (col("rep") === col("doc_id") % Multimodal.CodecContents)
+              .as("codec_invariant")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH dd AS (SELECT doc_id, doc_id % ${Multimodal.CodecContents} AS content,
+           |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec FROM documents),
+           |g AS (SELECT content, COUNT(*)::BIGINT AS n FROM dd GROUP BY content)
+           |SELECT dd.doc_id, dd.codec, dd.content, dd.content AS rep, g.n,
+           |  true AS codec_invariant
+           |FROM dd JOIN g USING (content) ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Mixed-codec image dedup (PNG corpus + lossy JPEG re-uploads " +
+        "of the same contents through the SAME introspecting decode " +
+        "path): exact perceptual-hash collapse puts every upload of a " +
+        "content in one cluster whose rep is the content's min doc id — " +
+        "the oracle pins cluster membership, size, and the " +
+        "codec-invariance verdict for every document. Block fixture with " +
+        "±12 gray margins (codec noise ±3), so the dHash is provably " +
+        "stable under re-encode; cross-content hashes differ in >= 18/60 " +
+        "bits (md5 draws)."
+    ),
     // ---- the multimodal × similarity composition: CLIP-score-style
     // alignment filtering of paired image-text data (the LAION recipe:
     // keep a pair only if the two modalities' embeddings agree). Image

@@ -1203,6 +1203,51 @@ object SimilarityQ {
         "per-query recall@5 >= 0.4 vs s_ann_brute plus cardinality; " +
         "pruning + parity-vs-exact-IVF pinned in SimilaritySpec."
     ),
+    // ---- metadata-filtered search on the PQ path — the form that scales
+    // to 100 TB of vectors (the code table is the only corpus-sized
+    // asset). The predicate pre-filters the candidate CODES on the
+    // partition-pruned read (PushedFilters beside PartitionFilters); the
+    // exact rerank only ever sees surviving candidates, so fewer-than-k
+    // results under a selective predicate are impossible to fake by
+    // post-filtering. nProbe raised 5→7 against ~10% selectivity.
+    Q(
+      "s_ann_ivfpq_filtered",
+      (s, d) => {
+        import graft.operators.IvfPq
+        val emb = Tables.embeddings(s, d)
+        val idxDir = IvfPq.defaultDir(d, emb, metaCols = Seq("label"))
+        IvfPq.ensureBuilt(emb, idxDir, metaCols = Seq("label"))
+        val q = emb.filter(col("vec_id") < 10)
+        val ann = IvfPq.searchFiltered(
+          s, idxDir, q, emb, dim = 64, k = 5, nProbe = 7, shortlist = 150,
+          predicate = col("label") === 3
+        )
+        val brute = Similarity.bruteTopK(q, emb.filter(col("label") === 3), k = 5)
+        val hits = ann
+          .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        ann
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).cast("long").as("n_results"))
+          .join(hits, Seq("query_id"), "left")
+          .select(
+            col("query_id"),
+            col("n_results"),
+            (coalesce(col("n_hits"), lit(0L)) >= 2L).as("recall_ok")
+          )
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, 5::BIGINT AS n_results, true AS recall_ok
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin),
+      doc = "Metadata-filtered IVF-ADC ANN (label=3, ~10% selectivity) " +
+        "against the meta-carrying persisted code table: predicate " +
+        "evaluated as a PRE-filter pushed into the partition-pruned codes " +
+        "read (PushedFilters beside PartitionFilters — plan-pinned in " +
+        "SimilaritySpec), never a post-filter; exact rerank sees only " +
+        "surviving candidates. Oracle checks per-query recall@5 >= 0.4 vs " +
+        "the filtered brute-force truth plus full result cardinality."
+    ),
     // ---- hybrid retrieval: the RAG-era query shape — one information
     // need expressed both lexically (the corpus top bigram against the
     // persisted inverted index) and semantically (a probe embedding

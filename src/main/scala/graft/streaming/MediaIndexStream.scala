@@ -32,6 +32,7 @@ object MediaIndexStream {
     * (distinct over the pure-function rows).
     */
   def readDocs(spark: SparkSession, dir: String): DataFrame = {
+    Indexes.recoverSwap(dir)
     val base = spark.read.parquet(s"$dir/docs").select(col("doc_id"), col("dhash"))
     if (!new java.io.File(s"$dir/delta").exists()) base
     else
@@ -51,22 +52,26 @@ object MediaIndexStream {
     * the index exists to amortize — the image DECODE — is never re-paid.
     * With no outstanding delta, the persisted aggregate is served as-is.
     */
-  def readReps(spark: SparkSession, dir: String): DataFrame =
+  def readReps(spark: SparkSession, dir: String): DataFrame = {
+    Indexes.recoverSwap(dir)
     if (!new java.io.File(s"$dir/delta").exists())
       spark.read.parquet(s"$dir/reps").select(col("dhash"), col("rid"), col("n"))
     else Multimodal.hashReps(readDocs(spark, dir))
+  }
 
   /** Hamming-band rows over the LIVE reps (the probe table a delta-dup
     * query consumes): base bands stay the persisted partitioned layout;
     * the merged view is only needed while deltas are outstanding.
     */
-  def readBands(spark: SparkSession, dir: String): DataFrame =
+  def readBands(spark: SparkSession, dir: String): DataFrame = {
+    Indexes.recoverSwap(dir)
     if (!new java.io.File(s"$dir/delta").exists())
       spark.read
         .parquet(s"$dir/bands")
         .select(col("dhash"), col("rid"), col("n"), col("chunk"), col("cval"))
     else
       readReps(spark, dir).select(col("dhash"), col("rid"), col("n"), Multimodal.bandCols)
+  }
 
   /** Fold `delta/` into the base iff accumulated delta rows exceed
     * `maxDeltaFraction` of base rows. Returns true iff compaction ran.
@@ -87,11 +92,15 @@ object MediaIndexStream {
   }
 
   /** Merge base ∪ delta per-doc rows (full-row distinct = exactly-once),
-    * re-derive reps and bands, swap all three in atomically
-    * (write-retire-rename, the [[TextIndexStream.compactDeltas]] pattern).
+    * re-derive reps and bands, publish all three via the crash-safe
+    * journaled swap ([[Indexes.commitSwap]]): every compacted dir is
+    * fully written FIRST, a journal marks the commit point, and a process
+    * death mid-flip is finished by the next reader's
+    * [[Indexes.recoverSwap]] — the index can never be left without a
+    * `docs/` (or with reps/bands from a different generation than docs)
+    * across a restart.
     */
   def compactDeltas(spark: SparkSession, dir: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     if (new java.io.File(s"$dir/delta").exists()) {
       val stamp = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
       val docs = readDocs(spark, dir).localCheckpoint()
@@ -104,17 +113,7 @@ object MediaIndexStream {
         .partitionBy("chunk")
         .parquet(s"$dir/bands.compact-$stamp")
       reps.write.mode("overwrite").parquet(s"$dir/reps.compact-$stamp")
-      Seq("docs", "bands", "reps").foreach { name =>
-        val retired = Paths.get(s"$dir/$name.retired-$stamp")
-        Files.move(Paths.get(s"$dir/$name"), retired, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(
-          Paths.get(s"$dir/$name.compact-$stamp"),
-          Paths.get(s"$dir/$name"),
-          StandardCopyOption.ATOMIC_MOVE
-        )
-        Indexes.deleteRecursively(retired)
-      }
-      Indexes.deleteRecursively(Paths.get(s"$dir/delta"))
+      Indexes.commitSwap(dir, stamp, Seq("docs", "bands", "reps"))
     }
   }
 

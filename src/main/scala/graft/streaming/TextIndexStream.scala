@@ -31,6 +31,7 @@ object TextIndexStream {
     * what a search over a delta-carrying index consumes.
     */
   def readPostings(spark: SparkSession, dir: String): DataFrame = {
+    Indexes.recoverSwap(dir)
     val base = spark.read
       .parquet(s"$dir/postings")
       .select(col("term"), col("doc_id"), col("tf"), col("positions"), col("tb"))
@@ -61,73 +62,56 @@ object TextIndexStream {
     }
   }
 
-  /** Merge base ∪ delta into a fresh partitioned-sorted postings tree and
-    * swap it in atomically (write-retire-rename, the
-    * [[graft.operators.IvfPq.compactDeltas]] pattern), then refresh the
-    * persisted statistics from the merged postings. A batch replayed
-    * AFTER compaction folded it re-lands in `delta/` with bit-identical
-    * rows; the next fold's `distinct()` de-duplicates them — exactly-once
+  /** Merge base ∪ delta into a fresh partitioned-sorted postings tree,
+    * recompute the statistics (`top_bigram/`, `stats/`) from the SAME
+    * merged frame, and publish all three via the crash-safe journaled
+    * swap ([[Indexes.commitSwap]]): everything is fully written before
+    * the journal commit point, and a process death mid-flip is finished
+    * by the next reader's [[Indexes.recoverSwap]] — postings and stats
+    * always come from the same generation, and the index is never left
+    * without a `postings/` across a restart. A batch replayed AFTER
+    * compaction folded it re-lands in `delta/` with bit-identical rows;
+    * the next fold's `distinct()` de-duplicates them — exactly-once
     * without a ledger.
+    *
+    * The refreshed doc count is the number of INDEXED documents (>= 1
+    * posting); identical to the build-time corpus count whenever every
+    * document tokenizes (as in the fixtures), and the honest ranking
+    * denominator for a stream-grown index either way.
     */
   def compactDeltas(spark: SparkSession, dir: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
     if (new java.io.File(s"$dir/delta").exists()) {
       val stamp = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
-      val tmp = s"$dir/postings.compact-$stamp"
-      val merged = readPostings(spark, dir).distinct()
+      val merged = readPostings(spark, dir).distinct().localCheckpoint()
       merged
         .repartition(col("tb"))
         .sortWithinPartitions(col("tb"), col("term"), col("doc_id"))
         .write
         .mode("overwrite")
         .partitionBy("tb")
-        .parquet(tmp)
-      val retired = Paths.get(s"$dir/postings.retired-$stamp")
-      Files.move(Paths.get(s"$dir/postings"), retired, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(Paths.get(tmp), Paths.get(s"$dir/postings"), StandardCopyOption.ATOMIC_MOVE)
-      Indexes.deleteRecursively(retired)
-      Indexes.deleteRecursively(Paths.get(s"$dir/delta"))
-      refreshStats(spark, dir, stamp)
-    }
-  }
-
-  /** Recompute `top_bigram/` and `stats/` from the (compacted) postings —
-    * index-only aggregates. The refreshed doc count is the number of
-    * INDEXED documents (>= 1 posting); identical to the build-time corpus
-    * count whenever every document tokenizes (as in the fixtures), and
-    * the honest ranking denominator for a stream-grown index either way.
-    */
-  private def refreshStats(spark: SparkSession, dir: String, stamp: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import spark.implicits._
-    val postings = spark.read.parquet(s"$dir/postings")
-    val toks =
-      postings.select(col("term"), col("doc_id"), explode(col("positions")).as("pos"))
-    val bigramTmp = s"$dir/top_bigram.compact-$stamp"
-    toks
-      .as("a")
-      .join(
-        toks.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1
-      )
-      .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w1"), col("w2"))
-      .limit(1)
-      .write
-      .mode("overwrite")
-      .parquet(bigramTmp)
-    val statsTmp = s"$dir/stats.compact-$stamp"
-    Seq(postings.select(col("doc_id")).distinct().count())
-      .toDF("n_docs")
-      .write
-      .mode("overwrite")
-      .parquet(statsTmp)
-    Seq(("top_bigram", bigramTmp), ("stats", statsTmp)).foreach { case (name, tmp) =>
-      val retired = Paths.get(s"$dir/$name.retired-$stamp")
-      Files.move(Paths.get(s"$dir/$name"), retired, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(Paths.get(tmp), Paths.get(s"$dir/$name"), StandardCopyOption.ATOMIC_MOVE)
-      Indexes.deleteRecursively(retired)
+        .parquet(s"$dir/postings.compact-$stamp")
+      val toks =
+        merged.select(col("term"), col("doc_id"), explode(col("positions")).as("pos"))
+      toks
+        .as("a")
+        .join(
+          toks.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1
+        )
+        .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+        .limit(1)
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/top_bigram.compact-$stamp")
+      Seq(merged.select(col("doc_id")).distinct().count())
+        .toDF("n_docs")
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/stats.compact-$stamp")
+      Indexes.commitSwap(dir, stamp, Seq("postings", "top_bigram", "stats"))
     }
   }
 

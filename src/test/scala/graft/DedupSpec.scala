@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Dedup
@@ -275,5 +276,41 @@ class DedupSpec extends AnyFunSuite {
       cand.size - tp, truth.size - tp)))
     // the harness is non-vacuous on this corpus: there are real pairs
     assert(truth.nonEmpty && cand.nonEmpty)
+  }
+
+  test("lshEvalSampled: deterministic md5 block sample, surviving blocks bit-equal the full harness") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    // the block sample is a strict, non-empty subset of blocks
+    val allBlocks = docs.select("lang").distinct().as[String].collect().toSet
+    val sampled = Dedup.lshEvalSample(docs)
+    val keptBlocks = sampled.select("lang").distinct().as[String].collect().toSet
+    assert(keptBlocks.nonEmpty && keptBlocks != allBlocks,
+      s"kept $keptBlocks of $allBlocks")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+      df.orderBy("blk").collect().toSeq
+    val once = rows(Dedup.lshEvalSampled(docs))
+    // pure function of the block value: any physical layout evaluates the
+    // SAME universe and produces bit-identical cells (rand()-sampling
+    // fails exactly this pin)
+    val repart = rows(Dedup.lshEvalSampled(docs.repartition(7)))
+    assert(once === repart, "sampled eval must be partitioning-invariant")
+    // exact-on-sample contract: the sampled harness IS the full harness
+    // run on the sampled blocks — integer-identical, not an approximation
+    val direct = rows(Dedup.lshEval(sampled, "lang", Dedup.JaccardThreshold))
+    assert(once === direct)
+    // stronger: each surviving block's row is bit-identical to the FULL
+    // harness's row for that block (block sampling keeps every within-
+    // block pair; doc sampling would thin them by rate^2 and break this)
+    val full = rows(Dedup.lshEval(docs, "lang", Dedup.JaccardThreshold))
+    val fullByBlk = full.map(r => r.getString(0) -> r).toMap
+    once.filter(_.getString(0) != "ALL").foreach { r =>
+      assert(fullByBlk(r.getString(0)) === r,
+        s"surviving block ${r.getString(0)} must match the full harness")
+    }
+    // non-vacuous at this sf: the sampled universe still contains truth
+    // pairs, and never more than the full universe's
+    val allTruth = (df: Seq[Row]) =>
+      df.find(_.getString(0) == "ALL").map(_.getLong(1)).getOrElse(0L)
+    assert(allTruth(once) > 0 && allTruth(once) <= allTruth(full))
   }
 }

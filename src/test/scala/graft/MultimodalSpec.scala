@@ -111,4 +111,54 @@ class MultimodalSpec extends AnyFunSuite {
     } yield (did, dh, rid, ham, n)).toSet
     assert(first === want, s"delta verdicts != joint recompute (missing=${(want -- first).take(3)})")
   }
+
+  test("codec matrix: JPEG rides the same decode path; dHash is bit-stable across re-encode") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(100)
+    val payloads = Multimodal.withImagePayloadMixedCodec(spark, docs)
+
+    // real container formats on the wire: PNG signature for even ids,
+    // JPEG SOI marker for odd
+    payloads.collect().foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]]("payload")
+      if (id % 2 == 0)
+        assert(bytes.take(4).sameElements(
+          Array[Byte](0x89.toByte, 'P', 'N', 'G')), s"doc $id: not PNG")
+      else
+        assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+          s"doc $id: not JPEG")
+    }
+
+    // the introspecting decoder identifies each codec and recovers the
+    // fixture dimensions — format-agnostic by construction, now proven on
+    // a second real codec
+    val metas = Multimodal.decodeImage(spark, payloads).collect()
+    metas.foreach { m =>
+      assert(m.format === (if (m.doc_id % 2 == 0) "png" else "jpeg"))
+      assert(m.width === 66L && m.height === 36L)
+    }
+
+    // re-encode robustness, the recall class the family exists for: every
+    // upload of a content (PNG and lossy-JPEG alike) produces the SAME
+    // perceptual hash, and distinct contents stay far apart (no banded
+    // near-dup merge possible at hamming <= 3)
+    val hx = Multimodal
+      .dHash(spark, payloads)
+      .toDF()
+      .withColumn("content", col("doc_id") % Multimodal.CodecContents)
+      .select(col("content"), col("dhash"))
+      .as[(Long, Long)]
+      .collect()
+    val byContent = hx.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    byContent.foreach { case (c, hs) =>
+      assert(hs.size === 1, s"content $c: codec-variant hashes $hs")
+    }
+    val reps = byContent.toSeq.sortBy(_._1).map(_._2.head)
+    assert(reps.distinct.size === byContent.size, "cross-content hash collision")
+    val minHam = (for {
+      i <- reps.indices; j <- (i + 1) until reps.size
+    } yield java.lang.Long.bitCount(reps(i) ^ reps(j))).min
+    assert(minHam > 3, s"contents must not be band-mergeable: min hamming $minHam")
+  }
 }

@@ -358,7 +358,17 @@ class PlanSpec extends AnyFunSuite {
     // video / per distinct fingerprint / per document) is an OOM at crawl
     // scale even when the join itself is fine — AQE picks broadcast on its
     // own when a side is genuinely small, so these plans must carry NO hint
-    for (name <- Seq("m_video_dups", "m_video_clusters", "m_audio_dups", "d_chunk_storage", "d_exact")) {
+    for (
+      name <- Seq(
+        "m_video_dups", "m_video_clusters", "m_audio_dups", "d_chunk_storage", "d_exact",
+        // r10-added delta-ingest surface: all carry corpus-cardinality
+        // frames (per-image hashes, per-video signatures, cluster tables)
+        // that must never be hint-broadcast. (m_semantic_dups/m_ann_image
+        // are NOT in this sweep: their one hint is the k-row centroid
+        // aggregate — k-bounded driver state, correct to broadcast.)
+        "m_dhash_delta", "m_audio_delta", "m_video_delta", "m_video_delta_best"
+      )
+    ) {
       val analyzed = Registry.runners(name)(spark, sf).queryExecution.analyzed.toString
       assert(
         !analyzed.contains("ResolvedHint"),

@@ -406,6 +406,83 @@ class SimilaritySpec extends AnyFunSuite {
     assert(meanRecall >= 0.85, s"mean recall@5 on clustered corpus was $meanRecall")
   }
 
+  test("IVF-PQ filtered: predicate reaches the codes scan as PushedFilters beside the cell prune") {
+    import graft.operators.IvfPq
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_filt").toString + "/idx"
+    // label-as-cell + an independent metadata column (vec_id parity) so
+    // the pushdown is observable beside the partition prune — the same
+    // construction as the IvfIndex filtered test, now on the CODE table.
+    IvfPq.ensureBuilt(
+      emb.withColumn("parity", col("vec_id") % 2),
+      dir,
+      cellCol = Some("label"),
+      metaCols = Seq("parity")
+    )
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = IvfPq.searchFiltered(
+      spark, dir, queries, emb, dim = 64, k = 5, nProbe = 3,
+      shortlist = 1 << 20, predicate = col("parity") === 0
+    )
+    val plan = got.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe must prune cell partitions of the code table:\n${plan.take(1500)}"
+    )
+    assert(
+      plan.contains("PushedFilters") && plan.contains("parity"),
+      s"metadata predicate must be pushed to the codes scan:\n${plan.take(1500)}"
+    )
+    // pre-filter semantics: every neighbor satisfies the predicate and the
+    // full k survive under the 50% predicate (a post-filter of unfiltered
+    // top-5 would leave ~2.5 per query)
+    val res = got.select("neighbor_id").as[Long].collect()
+    assert(res.nonEmpty && res.forall(_ % 2 == 0))
+    assert(
+      got.groupBy("query_id").count().select("count").as[Long].collect().forall(_ == 5L),
+      "k results per query under a 50% predicate"
+    )
+    // with an unbounded shortlist the exact rerank sees every surviving
+    // candidate: results must equal exact cosine top-5 over the filtered
+    // corpus restricted to the SAME probed cells (probe ranking comes
+    // from the index's centroids on both sides)
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val scoredRows = graft.operators.IvfIndex
+      .probeFrame(queries, cents, nProbe = 3)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+      .join(
+        emb.filter(col("vec_id") % 2 === 0)
+          .select(
+            col("vec_id").as("neighbor_id"),
+            col("label").cast("long").as("cell"),
+            col("embedding").as("c_emb")
+          ),
+        Seq("cell")
+      )
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        graft.util.Cols.cosine(col("q_emb"), col("c_emb")).as("cos")
+      )
+      .as[(Long, Long, Double)]
+      .collect()
+    val exact = scoredRows
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (q, rs) =>
+        rs.toSeq.sortBy { case (_, nb, c) => (-c, nb) }.take(5).map(r => (q, r._2))
+      }
+      .toSet
+    val ivfpq = got
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(ivfpq === exact)
+  }
+
   // ---- data-scaled quantizer machinery (scaledCells / hierCells) ----
 
   test("assignCells: broadcast-join path is row-identical to the literal path") {

@@ -220,4 +220,46 @@ class VideoSpec extends AnyFunSuite {
     assert(payloads.length == 2 && !payloads(0).sameElements(payloads(1)),
       "fixture degenerate: near-dup variants are byte-identical")
   }
+
+  test("hot-scene cap: hot-only pairs are knowingly excluded; discovered pairs recount exactly") {
+    import spark.implicits._
+    // A corpus where two scene hashes (10, 11) appear in EVERY one of 40
+    // videos — df 40 > the MinDfCeiling of 32, so the adaptive cap
+    // engages. This pins the DOCUMENTED recall bound (a pair is missed
+    // only when its ENTIRE intersection is hot) on a fixture that
+    // actually trips the ceiling, which the corpus fixtures never do —
+    // without this pin, a regression on the hot path is invisible to the
+    // oracle suite.
+    val rows = Seq(
+      0L -> Seq(10L, 11L),
+      1L -> Seq(10L, 11L),
+      2L -> Seq(10L, 11L, 102L, 300L),
+      3L -> Seq(10L, 11L, 103L, 300L)
+    ) ++ (4L until 40L).map(i => i -> Seq(10L, 11L, 100L + i))
+    val hashes = rows.flatMap { case (id, hs) => hs.map(id -> _) }.toDF("doc_id", "dhash")
+
+    val got = Video
+      .videoDups(hashes, permille = 500L)
+      .select("a_id", "b_id", "matches", "a_n", "b_n", "overlap_permille")
+      .as[(Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .toSet
+    // the ONLY emitted pair is the one sharing a RARE hash (300) — and
+    // its match count is the exact recount INCLUDING the hot hashes
+    // (3 = {10, 11, 300}), not the rare-only candidate evidence
+    assert(got === Set((2L, 3L, 3L, 4L, 4L, 750L)))
+
+    // the intended divergence, stated: the uncapped exact answer emits
+    // every pair (all 40 videos share the two hot scenes at >= 500
+    // permille), so 779 hot-only pairs are knowingly excluded — the
+    // boilerplate-match class the cap exists to not pay for
+    val sig = hashes.distinct()
+    val exact = sig
+      .join(sig.select(col("doc_id").as("b_id"), col("dhash")), Seq("dhash"))
+      .filter(col("doc_id") < col("b_id"))
+      .groupBy(col("doc_id"), col("b_id"))
+      .agg(count(lit(1)).as("m"))
+      .count()
+    assert(exact === (40L * 39L) / 2, "fixture: every pair overlaps on the hot scenes")
+  }
 }
