@@ -154,6 +154,26 @@ object Indexes {
     Files.deleteIfExists(Paths.get(s"$dir/swap.journal"))
   }
 
+  /** Recursive file copy of a published index asset into a mutable
+    * scratch location (queries that exercise in-place maintenance fold
+    * into a COPY, so the cached fingerprinted base stays immutable).
+    */
+  private[graft] def copyDir(src: String, dst: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).iterator().asScala.foreach { p =>
+      val t = d.resolve(s.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else {
+        Option(t.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files
+          .copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     // Concurrent shutdown hooks (and Spark's own temp-dir cleanup) may

@@ -199,6 +199,58 @@ object AudioQ {
         "cluster rep + size, or NULLs and is_known=false for first-seen " +
         "recordings. The corpus is never re-decoded (plan-pinned); both " +
         "verdict classes non-vacuous by the rec-window construction."
+    ),
+    // ---- STREAMING index maintenance on the oracle gate: the corpus
+    // index is built on 4/5 of the corpus, the remaining fifth arrives as
+    // a stream batch that FOLDS into the asset (AudioIndexStream upsert +
+    // debt compaction, crash-safe journaled swap), and the ingest verdict
+    // then runs against the stream-grown index. The oracle is the
+    // m_audio_delta replay over the FULL corpus: the fold is only correct
+    // if the grown index is indistinguishable from a wholesale rebuild —
+    // which is exactly what the hash gate checks, end to end, on every
+    // run (not just in a spec).
+    Q(
+      "m_audio_index_fold",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val inCorpus = col("doc_id") % 3 =!= 0 && col("doc_id") % 40 < 32
+        val corpus0 = docs.filter(inCorpus && col("doc_id") % 5 =!= 1)
+        val growth = docs.filter(inCorpus && col("doc_id") % 5 === 1)
+        val delta = docs.filter(col("doc_id") % 3 === 0)
+        // the base asset is the normal fingerprint-cached build (decoded
+        // once per dataset, like every persisted-index query); the FOLD
+        // mutates a scratch COPY — the production shape, where the index
+        // already exists and the stream grows it
+        val baseDir = Audio.audioFpIndexDir(d, corpus0)
+        Audio.ensureAudioFpIndex(s, corpus0, baseDir)
+        val dir = QueryScratch.dir("m_audio_index_fold") + "/idx"
+        graft.operators.Indexes.copyDir(baseDir, dir)
+        graft.streaming.AudioIndexStream
+          .upsertBatch(growth, dir, batchId = 0L, compactAt = 1e-9)
+        Audio.audioDeltaDups(s, dir, delta).orderBy("doc_id")
+      },
+      Some(
+        s"""$variantFpSql,
+           |fpd AS (SELECT p.doc_id, fp.fingerprint FROM p JOIN fp USING (rec)),
+           |cl AS (SELECT fingerprint, min(doc_id) AS rep, count(*)::BIGINT AS n_variants
+           |       FROM fpd WHERE doc_id % 3 <> 0 AND doc_id % 40 < 32
+           |       GROUP BY fingerprint)
+           |SELECT fpd.doc_id, fpd.fingerprint,
+           |  cl.rep AS corpus_rep, cl.n_variants AS corpus_n,
+           |  (cl.rep IS NOT NULL) AS is_known
+           |FROM fpd LEFT JOIN cl USING (fingerprint)
+           |WHERE fpd.doc_id % 3 = 0
+           |ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Streaming audio-index fold on the oracle gate: base index on " +
+        "4/5 of the corpus, the last fifth folded in as a stream batch " +
+        "(delta append + debt-policy compaction + crash-safe swap), then " +
+        "the incremental ingest verdict against the stream-grown asset. " +
+        "Bit-equal to m_audio_delta's wholesale-rebuild replay — the " +
+        "grown index is provably indistinguishable from a fresh build. " +
+        "The base asset is the fingerprint-cached build; each run copies " +
+        "it to scratch and folds, so the measured cost is the honest " +
+        "incremental path: growth decode + compaction + delta verdict."
     )
   )
 

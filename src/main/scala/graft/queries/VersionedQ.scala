@@ -25,22 +25,7 @@ object VersionedQ {
     * wipe at entry: by the time a query is re-invoked, the previous
     * invocation's DataFrame has been fully consumed.
     */
-  private val hookedPaths =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
-
-  private def scratchDir(name: String): String = {
-    val p = java.nio.file.Paths.get(
-      "target", "graft_scratch", s"$name-${ProcessHandle.current().pid()}")
-    graft.operators.Indexes.deleteRecursively(p)
-    java.nio.file.Files.createDirectories(p)
-    // One hook per distinct path for the process lifetime: a bench
-    // best-of-N re-invokes each query, and hooks are never deduplicated by
-    // the JVM, so registering per-invocation accumulates threads.
-    if (hookedPaths.add(p))
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => graft.operators.Indexes.deleteRecursively(p)))
-    p.toString
-  }
+  private def scratchDir(name: String): String = QueryScratch.dir(name)
 
   val all: Seq[Q] = Seq(
     Q(

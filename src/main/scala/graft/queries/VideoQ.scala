@@ -201,6 +201,67 @@ object VideoQ {
         "gate shape: output is one row per arriving video regardless of " +
         "how duplicated the standing corpus is."
     ),
+    // ---- STREAMING scene-index maintenance on the oracle gate: base
+    // index on 4/5 of the corpus, the last fifth folded in as a stream
+    // batch (VideoIndexStream sig delta + debt compaction re-deriving all
+    // five aggregates, crash-safe journaled swap), then the linear ingest
+    // verdict against the stream-grown asset. The oracle is
+    // m_video_delta_best's full-corpus replay: the fold is only correct
+    // if the grown index — INCLUDING its distinct-signature rep tables —
+    // is indistinguishable from a wholesale rebuild, checked end to end
+    // by the hash gate on every run.
+    Q(
+      "m_video_index_fold",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus0 = docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 5 =!= 1)
+        val growth = docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 5 === 1)
+        val delta = docs.filter(col("doc_id") % 7 === 3)
+        // base asset from the normal fingerprint-cached build (decoded
+        // once per dataset); the FOLD mutates a scratch COPY — the
+        // production shape, where the index exists and the stream grows it
+        val baseDir = Video.sceneIndexDir(d, corpus0)
+        Video.ensureSceneIndex(s, corpus0, baseDir)
+        val dir = QueryScratch.dir("m_video_index_fold") + "/idx"
+        graft.operators.Indexes.copyDir(baseDir, dir)
+        graft.streaming.VideoIndexStream
+          .upsertBatch(growth, dir, batchId = 0L, compactAt = 1e-9)
+        Video.videoDeltaVerdicts(s, dir, delta).orderBy("doc_id")
+      },
+      Some(
+        s"""$framesSql,
+           |hx AS (SELECT DISTINCT doc_id, $sceneDhash AS dhash FROM fr),
+           |dsig AS (SELECT * FROM hx WHERE doc_id % 7 = 3),
+           |csig AS (SELECT * FROM hx WHERE doc_id % 7 <> 3),
+           |dsz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM dsig GROUP BY doc_id),
+           |csz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM csig GROUP BY doc_id),
+           |pm AS (SELECT d.doc_id, c.doc_id AS c_id, COUNT(*)::BIGINT AS matches
+           |       FROM dsig d JOIN csig c ON d.dhash = c.dhash
+           |       GROUP BY 1, 2),
+           |pr AS (SELECT pm.doc_id AS doc_id, pm.c_id, matches,
+           |         (matches * 1000 // least(dz.n, cz.n))::BIGINT AS op
+           |       FROM pm JOIN dsz dz ON pm.doc_id = dz.doc_id
+           |               JOIN csz cz ON pm.c_id = cz.doc_id
+           |       WHERE matches * 1000 // least(dz.n, cz.n) >= 500),
+           |bst AS (SELECT doc_id, c_id, matches, op,
+           |          row_number() OVER (PARTITION BY doc_id ORDER BY op DESC, c_id) AS rn
+           |        FROM pr)
+           |SELECT dd.doc_id, b.c_id AS best_match, b.matches,
+           |  b.op AS overlap_permille, (b.c_id IS NOT NULL) AS is_dup
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 3) dd
+           |LEFT JOIN (SELECT * FROM bst WHERE rn = 1) b USING (doc_id)
+           |ORDER BY dd.doc_id""".stripMargin
+      ),
+      doc = "Streaming video scene-index fold on the oracle gate: base " +
+        "index on 4/5 of the corpus, the last fifth folded in as a " +
+        "stream batch (sig delta + compaction re-deriving dfs/sizes and " +
+        "the distinct-signature rep tables + crash-safe swap), then the " +
+        "linear ingest verdict against the stream-grown asset. Bit-equal " +
+        "to m_video_delta_best's wholesale-rebuild replay. The base " +
+        "asset is the fingerprint-cached build; each run copies it to " +
+        "scratch and folds, so the measured cost is the honest " +
+        "incremental path: growth decode + compaction + delta verdict."
+    ),
     // ---- the LINEAR-OUTPUT cluster form: m_video_dups' pair set is the
     // true answer but inherently quadratic in copies-per-recording (the
     // BASELINE.md sf1 analysis); this is the report a 100 TB pipeline
