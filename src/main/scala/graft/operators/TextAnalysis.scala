@@ -732,6 +732,188 @@ object TextAnalysis {
     (merges.toSeq.toDF("step", "x", "y", "merged", "support"), seqs, rounds)
   }
 
+  /** DRIVER-LOCAL exact Sennrich BPE training — BIT-EQUAL to
+    * [[bpeTrainWords]] (same argmax, same (count desc, pair asc-in-
+    * UTF-8-bytes) tiebreak, same greedy fold), with the merge loop
+    * running entirely on the driver over the collected (word, cnt) table.
+    *
+    * Why this is the PRODUCTION-SCALE trainer, not a shortcut: the only
+    * corpus-sized work in BPE training is the single distributed pass
+    * producing the frequency-weighted vocabulary ([[wordCounts]]).
+    * Everything after runs on that table, whose size is the DISTINCT-WORD
+    * count — MBs where the corpus is TBs. The cluster trainers
+    * ([[bpeTrainWords]], [[bpeTrainWordsBatched]]) still pay one cluster
+    * round trip over that small table per merge (or per batch) — the
+    * 32k-merge tail BASELINE.md documents (~1.2 h extrapolated even after
+    * exact batching). This trainer collects the table once (`maxWords`
+    * bounds the driver heap; at open-web scale apply the standard
+    * minCount frequency floor to the word table first, or fall back to
+    * [[bpeTrainWordsBatched]]) and then maintains pair statistics
+    * INCREMENTALLY, the architecture of the published single-node
+    * trainers (Sennrich et al. 2016 `learn_bpe.py`; HuggingFace
+    * tokenizers):
+    *
+    *   - a lazy-deletion max-heap of (count, pair) entries ordered
+    *     exactly like the distributed argmax — count desc, then the
+    *     `"x y"` pair string ascending in unsigned UTF-8 byte order
+    *     (Spark's UTF8_BINARY collation) — so every tiebreak replays
+    *     bit-identically;
+    *   - per merge, only words CONTAINING the pair are rewritten (an
+    *     occurrence index keyed by pair), and global pair counts are
+    *     adjusted by each rewritten word's before/after pair-multiset
+    *     diff — O(affected words × word length) per merge instead of a
+    *     table pass, so 32k merges take seconds, not hours.
+    *
+    * Re-formed pairs are handled: a merge whose output lands adjacent to
+    * other symbols registers the new adjacencies (count bump + occurrence
+    * index), so a previously-consumed pair that re-forms can be learned
+    * again later — exactly as the recount-from-scratch trainers would.
+    */
+  def bpeTrainWordsLocal(
+      words: DataFrame,
+      nMerges: Int,
+      maxWords: Int = 5000000
+  ): (DataFrame, DataFrame) = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val rows = words.select(col("word"), lng(col("cnt"))).as[(String, Long)].collect()
+    require(
+      rows.length <= maxWords,
+      s"bpeTrainWordsLocal: ${rows.length} distinct words exceed maxWords=$maxWords; " +
+        "apply a minCount floor to the word table or use bpeTrainWordsBatched"
+    )
+    // per-word symbol sequences; code-point split = the distributed
+    // trainer's per-character regex split
+    val seqs: Array[Array[String]] = rows.map { case (w, _) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out.toArray
+    }
+    val cnts: Array[Long] = rows.map(_._2)
+
+    def pairBytes(p: (String, String)): Array[Byte] =
+      (p._1 + " " + p._2).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // unsigned byte-wise comparison — Spark's binary string ordering
+    def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+
+    final case class Entry(c: Long, b: Array[Byte], p: (String, String))
+    val heap = new java.util.PriorityQueue[Entry](new java.util.Comparator[Entry] {
+      def compare(u: Entry, v: Entry): Int =
+        if (u.c != v.c) java.lang.Long.compare(v.c, u.c) else cmpBytes(u.b, v.b)
+    })
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    // occurrence index: ⊇ the words whose CURRENT sequence contains the
+    // pair adjacently (rewrites register every new adjacency; members may
+    // go stale when another merge removes the pair — the merge loop
+    // re-checks adjacency before rewriting)
+    val where =
+      scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.BitSet]
+    def bump(p: (String, String), delta: Long): Unit = {
+      val c = counts.getOrElse(p, 0L) + delta
+      if (c <= 0L) { counts.remove(p); () }
+      else {
+        counts(p) = c
+        heap.add(Entry(c, pairBytes(p), p))
+        ()
+      }
+    }
+
+    var wi = 0
+    while (wi < seqs.length) {
+      val s = seqs(wi)
+      val c = cnts(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        counts.update(p, counts.getOrElse(p, 0L) + c)
+        where.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += wi
+        i += 1
+      }
+      wi += 1
+    }
+    counts.foreach { case (p, c) => heap.add(Entry(c, pairBytes(p), p)) }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      // pop to the live argmax (stale heap entries carry a count that no
+      // longer matches the map — discard)
+      var top: Entry = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (counts.get(e.p).contains(e.c)) top = e
+      }
+      if (top == null) exhausted = true
+      else {
+        val (x, y) = top.p
+        merges += ((merges.length + 1L, x, y, x + y, top.c))
+        val members = where.getOrElse(top.p, scala.collection.mutable.BitSet.empty).toArray
+        for (idx <- members) {
+          val s = seqs(idx)
+          var hit = false
+          var i = 0
+          while (!hit && i < s.length - 1) { hit = s(i) == x && s(i + 1) == y; i += 1 }
+          if (hit) {
+            val c = cnts(idx)
+            val diff = scala.collection.mutable.HashMap.empty[(String, String), Long]
+            i = 0
+            while (i < s.length - 1) {
+              val p = (s(i), s(i + 1))
+              diff.update(p, diff.getOrElse(p, 0L) - c)
+              i += 1
+            }
+            // greedy exact-last-symbol fold — the distributed fold's
+            // semantics (merged output never re-matches x, so one pass)
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < s.length) {
+              if (out.nonEmpty && out.last == x && s(j) == y)
+                out(out.length - 1) = x + y
+              else out += s(j)
+              j += 1
+            }
+            val ns = out.toArray
+            seqs(idx) = ns
+            i = 0
+            while (i < ns.length - 1) {
+              val p = (ns(i), ns(i + 1))
+              diff.update(p, diff.getOrElse(p, 0L) + c)
+              i += 1
+            }
+            diff.foreach { case (p, d) =>
+              if (d != 0L) {
+                bump(p, d)
+                if (d > 0L)
+                  where.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += idx
+              }
+            }
+          }
+        }
+        where.remove(top.p)
+      }
+    }
+    val mergesDf = merges.toSeq.toDF("step", "x", "y", "merged", "support")
+    val seqsDf = rows
+      .indices
+      .map(i => (rows(i)._1, cnts(i), seqs(i).mkString(" ")))
+      .toDF("word", "cnt", "seq")
+    (mergesDf, seqsDf)
+  }
+
   /** Statistical-LM quality scores (CCNet family): per-doc mean scaled
     * conditional bigram probability, `mean_d((c_xy * 1e6) div c_x)` over
     * the doc's bigrams — integer arithmetic end to end so the score is

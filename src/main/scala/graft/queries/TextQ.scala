@@ -1147,6 +1147,28 @@ object TextQ {
         "with list_reduce: every rule and support count is bit-exact."
     ),
     Q(
+      "t_bpe_local",
+      (s, d) =>
+        TextAnalysis
+          .bpeTrainWordsLocal(
+            TextAnalysis
+              .wordCounts(Tables.documents(s, d))
+              .select(col("token").as("word"), col("cnt")),
+            BpeSteps
+          )
+          ._1
+          .orderBy("step"),
+      Some(bpeOracle(BpeSteps)),
+      doc = "BPE training via the driver-local incremental trainer " +
+        "(lazy-deletion max-heap + occurrence-indexed pair-count " +
+        "maintenance, the Sennrich learn_bpe architecture): one " +
+        "distributed pass builds the frequency-weighted word table, " +
+        "then every merge is O(affected words) on the driver instead " +
+        "of a cluster round trip — the production path for 32k-merge " +
+        "vocabularies. Same DuckDB oracle as t_bpe_merges: the merge " +
+        "table must stay bit-equal to the distributed trainer."
+    ),
+    Q(
       "t_bpe_encode",
       (s, d) =>
         TextAnalysis

@@ -190,6 +190,73 @@ class BpeSpec extends AnyFunSuite {
     assert(r256 < 256, "batching must reduce the driver-sequential round count")
   }
 
+  test("local trainer is BIT-EQUAL to the sequential trainer (merge table + final seqs)") {
+    val corpora = Seq(
+      docs("aaaa aaaa aaaa", "abab abab", "ab cd", "ab cd"),
+      docs(
+        "banana bandana cabana banana",
+        "pepper peppers pepped pepper",
+        "mississippi missive mission",
+        "abracadabra abracadabra"
+      )
+    )
+    for (corpus <- corpora; n <- Seq(4, 16)) {
+      val words = graft.operators.TextAnalysis
+        .wordCounts(corpus)
+        .select(col("token").as("word"), col("cnt"))
+        .localCheckpoint()
+      val (ms, ss) = TextAnalysis.bpeTrainWords(words, n)
+      val (ml, sl) = TextAnalysis.bpeTrainWordsLocal(words, n)
+      assert(
+        ml.orderBy("step").collect().map(_.toString).toSeq ===
+          ms.orderBy("step").collect().map(_.toString).toSeq,
+        s"merge tables diverge at n=$n"
+      )
+      assert(
+        sl.orderBy("word").collect().map(_.toString).toSeq ===
+          ss.orderBy("word").collect().map(_.toString).toSeq,
+        s"trained segmentations diverge at n=$n"
+      )
+    }
+  }
+
+  test("local trainer: production shape — bit-equal at 64 merges, 1024 merges in seconds") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    val words = (0 until 5000)
+      .map(i => (md5Hex(s"w$i"), 1L + i % 7))
+      .toDF("word", "cnt")
+      .repartition(8)
+      .cache()
+    words.count()
+    val seqMerges = TextAnalysis.bpeTrainWords(words, 64)._1
+      .orderBy("step").collect().map(_.toString).toSeq
+    val local64 = TextAnalysis.bpeTrainWordsLocal(words, 64)._1
+      .orderBy("step").collect().map(_.toString).toSeq
+    assert(local64 === seqMerges, "production-shape bit-equality at 64 merges")
+    // the quantity under attack: a production-vocabulary merge count must
+    // not be driver-round-bound. 1024 merges (the batched trainer's
+    // measured 153.6 s shape) must finish in single-digit seconds.
+    val t0 = System.nanoTime()
+    val n1024 = TextAnalysis.bpeTrainWordsLocal(words, 1024)._1.count()
+    val ms1024 = (System.nanoTime() - t0) / 1000000L
+    info(s"1024 merges locally in $ms1024 ms (${ms1024.toDouble / 1024} ms/merge)")
+    assert(n1024 === 1024L, "pair supply sustains 1024 merges on the hex-word shape")
+    assert(ms1024 < 60000L, s"local trainer must be seconds, not minutes: $ms1024 ms")
+  }
+
+  test("local trainer maxWords guard rejects an over-budget vocabulary") {
+    val words = Seq(("ab", 1L), ("cd", 2L)).toDF("word", "cnt")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrainWordsLocal(words, 1, maxWords = 1)
+    }
+    assert(e.getMessage.contains("maxWords"))
+  }
+
   test("bpeEncodeStats: trained segmentation applied per doc, exact fertility") {
     // merge 1 learns (a,b): 'ab' x2 beats 'a a' x1. Trained vocab:
     // aa -> [a][a] (2 subwords), ab -> [ab] (1 subword).
