@@ -34,7 +34,12 @@ object Bench {
     // box is a shared-host VM — one-shot timings wobble ±35% under
     // neighbor CPU contention, which is noise about the engine's plans,
     // not signal. The noop sink still forces the complete plan both runs.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration filter, mirroring Verify: SPARK_GRAFT_ONLY=q_a,q_b
+    // times just those queries. The driver sets no filter.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
