@@ -881,4 +881,127 @@ object Dedup {
       salt: String = "blocks"
   ): DataFrame =
     lshEval(lshEvalSample(docs, blockCol, inverseRate, salt), blockCol, threshold)
+
+  // ---- incremental ExactSubstr ingest (persisted gram index) --------------
+
+  /** Gram-hash bucket count for the persisted substring index layout. */
+  val SubstrGramBuckets = 64
+
+  /** Content-fingerprinted directory of the persisted corpus gram index
+    * (see [[ensureSubstrGramIndex]]).
+    */
+  def substrGramIndexDir(sfDir: String, corpusDocs: DataFrame): String =
+    Indexes.fingerprintDirOn(
+      "substr-grams", sfDir, corpusDocs, "doc_id", "text",
+      s"n=4,buckets=$SubstrGramBuckets")
+
+  /** Build ONCE per corpus version the persisted duplicated-substring
+    * index: the DISTINCT 60-bit hashes of every token-4-gram the corpus
+    * contains, written bucketed by `b = gh mod `[[SubstrGramBuckets]] so a
+    * delta probe is a layout-aligned equijoin (and, on a cluster, a
+    * co-located bucketed join) against gram-distinct rows — orders of
+    * magnitude smaller than re-tokenizing the corpus. This is the
+    * ExactSubstr analogue of the image/audio/video modality indexes: the
+    * corpus-linear shingle scan is paid exactly once per corpus version,
+    * never per ingest batch.
+    */
+  def ensureSubstrGramIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      corpusDocs: DataFrame,
+      dir: String
+  ): Unit =
+    Indexes.atomicBuild(dir, "grams/_SUCCESS") { tmp =>
+      corpusDocs
+        .select(explode(wordShinglesAll(Text.tokensAll(col("text")), 4)).as("g"))
+        .select(md5Long(col("g")).as("gh"))
+        .distinct()
+        .withColumn("b", pmod(col("gh"), lit(SubstrGramBuckets.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("b").parquet(s"$tmp/grams")
+    }
+
+  /** INCREMENTAL ExactSubstr dedup (Lee et al. 2022, the ingest form):
+    * rewrite a DELTA batch against the standing corpus without ever
+    * re-tokenizing it. A delta 4-gram occurrence is removed when
+    *
+    *   - its gram exists in the corpus index (the standing corpus is
+    *     canonical BY CONSTRUCTION — it was ingested first, so arrival
+    *     order, not doc_id order, decides canonicality; this is where the
+    *     ingest contract deliberately diverges from the batch
+    *     `d_substr_removal` global-(doc_id,start) rule), or
+    *   - its gram is new to the corpus but duplicated WITHIN the delta,
+    *     and this occurrence is not the delta-internal canonical
+    *     (min (doc_id, start) — the batch rule applied to the batch).
+    *
+    * Removed occurrences mark their 4 token positions (greedy span union,
+    * as in the batch form); delta documents are rebuilt from surviving
+    * positions. Emits (doc_id, n_tokens, n_kept, n_removed, clean_md5)
+    * for the delta only.
+    *
+    * Scale shape: the delta is tokenized once (checkpointed — the probe
+    * and the rebuild share it); only 8-byte gram hashes shuffle; the
+    * corpus contributes a gram-distinct bucketed read, no text scan. The
+    * within-delta canonical is a partial-aggregable min(struct) — no
+    * window anywhere.
+    */
+  def substrDeltaRemoval(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      deltaDocs: DataFrame
+  ): DataFrame = {
+    val toks = deltaDocs
+      .select(col("doc_id"), Text.tokensAll(col("text")).as("tk"))
+      .localCheckpoint(true)
+    val occ = toks
+      .select(col("doc_id"), posexplode(wordShinglesAll(col("tk"), 4)).as(Seq("start", "g")))
+      .select(col("doc_id"), col("start"), md5Long(col("g")).as("gh"))
+      .withColumn("b", pmod(col("gh"), lit(SubstrGramBuckets.toLong)).cast("int"))
+      .localCheckpoint(true) // feeds the probe join AND the canon aggregate
+    val idx = spark.read
+      .parquet(s"$dir/grams")
+      .select(col("b"), col("gh"), lit(1).as("in_corpus"))
+    // delta-internal canonical per gram, computed over ALL delta
+    // occurrences: for corpus-hit grams the canon is irrelevant (every
+    // occurrence is removed by the in_corpus flag), so restricting the
+    // aggregate to corpus-fresh grams would only add a pass
+    val canon = occ
+      .groupBy(col("gh"))
+      .agg(
+        min(struct(col("doc_id"), col("start"))).as("canon"),
+        count(lit(1)).as("n_occ")
+      )
+    val removedPos = occ
+      .join(idx, Seq("b", "gh"), "left")
+      .join(canon, Seq("gh"))
+      .filter(
+        col("in_corpus").isNotNull ||
+          (col("n_occ") >= 2 &&
+            !(col("doc_id") === col("canon.doc_id") && col("start") === col("canon.start")))
+      )
+      .select(col("doc_id"), explode(sequence(col("start"), col("start") + lit(3))).as("pos"))
+      .distinct()
+    val rebuilt = toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+      .join(removedPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")
+          )
+        ).as("clean_text"),
+        count(lit(1)).cast("long").as("n_kept")
+      )
+    toks
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5")
+      )
+  }
 }

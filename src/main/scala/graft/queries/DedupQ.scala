@@ -815,6 +815,75 @@ object DedupQ {
         "shuffle keys; linear occurrence table, no all-pairs stage."
     ),
     Q(
+      "d_substr_delta",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+        val delta = docs.filter(col("doc_id") % 10 === 7)
+        val dir = Dedup.substrGramIndexDir(d, corpus)
+        Dedup.ensureSubstrGramIndex(s, corpus, dir)
+        Dedup.substrDeltaRemoval(s, dir, delta).orderBy("doc_id")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |occ AS (
+           |  SELECT doc_id, u.i - 1 AS start,
+           |    ${h60("array_to_string(tk[u.i:u.i+3], ' ')")} AS gh
+           |  FROM t CROSS JOIN unnest(generate_series(1, greatest(len(tk) - 3, 1))) AS u(i)
+           |),
+           |cg AS (SELECT DISTINCT gh FROM occ WHERE doc_id % 10 != 7),
+           |docc AS (SELECT doc_id, start, gh FROM occ WHERE doc_id % 10 = 7),
+           |hit AS (SELECT doc_id, start FROM docc WHERE gh IN (SELECT gh FROM cg)),
+           |fresh AS (
+           |  SELECT doc_id, start, gh,
+           |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, start) AS rn,
+           |    COUNT(*) OVER (PARTITION BY gh) AS n_occ
+           |  FROM docc WHERE gh NOT IN (SELECT gh FROM cg)
+           |),
+           |rem0 AS (
+           |  SELECT doc_id, start FROM hit
+           |  UNION ALL
+           |  SELECT doc_id, start FROM fresh WHERE n_occ >= 2 AND rn > 1
+           |),
+           |rem AS (
+           |  SELECT DISTINCT doc_id, u.pos
+           |  FROM rem0 CROSS JOIN unnest(generate_series(start, start + 3)) AS u(pos)
+           |),
+           |tok AS (
+           |  SELECT doc_id, u.i - 1 AS pos, tk[u.i] AS tok
+           |  FROM t CROSS JOIN unnest(generate_series(1, len(tk))) AS u(i)
+           |  WHERE doc_id % 10 = 7
+           |),
+           |kept AS (
+           |  SELECT k.doc_id, k.pos, k.tok
+           |  FROM tok k LEFT JOIN rem r ON k.doc_id = r.doc_id AND k.pos = r.pos
+           |  WHERE r.doc_id IS NULL
+           |),
+           |reb AS (
+           |  SELECT doc_id, COUNT(*) AS n_kept,
+           |         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           |  FROM kept GROUP BY doc_id
+           |)
+           |SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens,
+           |  coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+           |  (len(t.tk) - coalesce(reb.n_kept, 0))::BIGINT AS n_removed,
+           |  md5(coalesce(reb.clean_text, '')) AS clean_md5
+           |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+           |WHERE t.doc_id % 10 = 7
+           |ORDER BY t.doc_id""".stripMargin
+      ),
+      doc = "INCREMENTAL ExactSubstr dedup (the ingest form of " +
+        "d_substr_removal): the delta batch is tokenized once and its " +
+        "4-gram occurrences probe the PERSISTED corpus gram index — " +
+        "distinct 60-bit gram hashes, bucketed by gh mod 64 — so the " +
+        "standing corpus is never re-tokenized or re-scanned " +
+        "(plan-pinned). Corpus-known grams lose every delta occurrence " +
+        "(arrival order is canonical at ingest); corpus-fresh grams " +
+        "duplicated within the delta keep their delta-canonical " +
+        "min(doc_id, start) occurrence via a partial-aggregable " +
+        "min(struct) — no window. Rebuilt delta texts bit-checked by md5."
+    ),
+    Q(
       "d_chunk_storage",
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -313,4 +313,92 @@ class DedupSpec extends AnyFunSuite {
       df.find(_.getString(0) == "ALL").map(_.getLong(1)).getOrElse(0L)
     assert(allTruth(once) > 0 && allTruth(once) <= allTruth(full))
   }
+
+  test("substrDeltaRemoval: ingest form equals the batch rewrite when the delta arrives last") {
+    // When every delta doc_id is greater than every corpus doc_id, ingest
+    // order and doc_id order agree, so the incremental form must be
+    // BIT-EQUAL to the batch d_substr_removal restricted to delta docs.
+    // The fixture covers every removal class: corpus-hit grams (doc 11
+    // repeats doc 1's text), within-delta dup grams canonicalized to their
+    // first delta occurrence (docs 12/13 share a fresh run), fresh-unique
+    // grams kept (doc 14), and a short (<4-token) doc (doc 15).
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different corpus content with many unique tokens here"),
+      (3L, "short doc")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (11L, base), // every 4-gram known to the corpus
+      (12L, "fresh delta run alpha beta gamma delta epsilon zeta"),
+      (13L, "prefix words fresh delta run alpha beta gamma delta epsilon zeta"),
+      (14L, "entirely novel material with no duplicate structure anywhere"),
+      (15L, "tiny one")
+    ).toDF("doc_id", "text")
+    val dir = s"target/test_substr_grams/${System.nanoTime()}"
+    Dedup.ensureSubstrGramIndex(spark, corpus, dir)
+    val inc = Dedup
+      .substrDeltaRemoval(spark, dir, delta)
+      .orderBy("doc_id")
+      .collect()
+      .map(_.toString)
+      .toSeq
+
+    // batch reference: replicate the d_substr_removal query body over
+    // corpus ∪ delta, restricted to delta ids
+    import graft.util.Cols.md5Long
+    import graft.operators.Text
+    val all = corpus.unionByName(delta)
+    val toks = all.select(col("doc_id"), Text.tokensAll(col("text")).as("tk"))
+    val occ = toks
+      .select(col("doc_id"), posexplode(Dedup.wordShinglesAll(col("tk"), 4)).as(Seq("start", "g")))
+      .select(col("doc_id"), col("start"), md5Long(col("g")).as("gh"))
+    val dup = occ
+      .groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("start"))).as("canon"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    val removedPos = occ
+      .join(dup, Seq("gh"))
+      .filter(!(col("doc_id") === col("canon.doc_id") && col("start") === col("canon.start")))
+      .select(col("doc_id"), explode(sequence(col("start"), col("start") + lit(3))).as("pos"))
+      .distinct()
+    val rebuilt = toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+      .join(removedPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(
+          " ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))), _.getField("tok"))
+        ).as("clean_text"),
+        count(lit(1)).cast("long").as("n_kept")
+      )
+    val batch = toks
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5")
+      )
+      .filter(col("doc_id") >= 11L)
+      .orderBy("doc_id")
+      .collect()
+      .map(_.toString)
+      .toSeq
+    assert(inc === batch)
+
+    // non-vacuousness of the classes the fixture promises
+    val byId = Dedup
+      .substrDeltaRemoval(spark, dir, delta)
+      .select("doc_id", "n_removed")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(byId(11L) > 0L, "corpus-hit removal must fire")
+    assert(byId(13L) > 0L, "within-delta dup removal must fire")
+    assert(byId(12L) === 0L, "delta-canonical occurrence is kept")
+    assert(byId(14L) === 0L, "fresh-unique content untouched")
+  }
 }

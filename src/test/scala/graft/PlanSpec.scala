@@ -413,6 +413,12 @@ class PlanSpec extends AnyFunSuite {
       !vplan.contains("documents.parquet"),
       "delta probe must not re-scan the corpus (delta signatures are checkpointed):\n" + vplan.take(1500)
     )
+    val splan = physical("d_substr_delta")
+    assert(splan.contains("substr-grams"), "expected the persisted gram-index probe:\n" + splan.take(1500))
+    assert(
+      !splan.contains("documents.parquet"),
+      "substr delta must not re-tokenize the corpus (delta tokens are checkpointed):\n" + splan.take(1500)
+    )
   }
 
   test("vocab coverage: membership join is broadcast — the token stream never shuffles for it") {
