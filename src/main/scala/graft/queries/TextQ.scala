@@ -62,6 +62,57 @@ object TextQ {
         "argmax, first-listed language wins ties)."
     ),
     Q(
+      "t_langid_trained",
+      (s, d) =>
+        TextAnalysis.langIdTrained(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+           |tok AS (SELECT doc_id, lang, unnest(tk) AS term FROM t),
+           |tc AS (SELECT lang, ('0x' || substr(md5(term), 1, 15))::BIGINT AS th, COUNT(*) AS cnt
+           |       FROM tok WHERE doc_id % 10 < 8 GROUP BY lang, 2),
+           |lp0 AS (SELECT lang, th,
+           |          row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, th) AS r_lang
+           |        FROM tc),
+           |lp AS (SELECT lang AS p_lang, th, r_lang FROM lp0 WHERE r_lang <= 40),
+           |dc AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT AS th, COUNT(*) AS cnt
+           |       FROM tok WHERE doc_id % 10 >= 8 GROUP BY doc_id, 2),
+           |dp0 AS (SELECT doc_id, th,
+           |          row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, th) AS r_doc
+           |        FROM dc),
+           |dp AS (SELECT doc_id, th, r_doc FROM dp0 WHERE r_doc <= 20),
+           |dn AS (SELECT doc_id, COUNT(*) AS n_prof FROM dp GROUP BY doc_id),
+           |g AS (SELECT dp.doc_id, lp.p_lang,
+           |        SUM(40 - abs(dp.r_doc - lp.r_lang)) AS gain
+           |      FROM dp JOIN lp ON dp.th = lp.th GROUP BY 1, 2),
+           |langs AS (SELECT DISTINCT lang AS p_lang FROM documents WHERE doc_id % 10 < 8),
+           |dist AS (SELECT dn.doc_id, langs.p_lang,
+           |           (dn.n_prof * 40 - coalesce(g.gain, 0))::BIGINT AS dist
+           |         FROM dn CROSS JOIN langs
+           |         LEFT JOIN g ON g.doc_id = dn.doc_id AND g.p_lang = langs.p_lang),
+           |b AS (SELECT doc_id, p_lang, dist,
+           |        row_number() OVER (PARTITION BY doc_id ORDER BY dist, p_lang) AS rn
+           |      FROM dist)
+           |SELECT t.doc_id, t.lang, b.p_lang AS pred_lang, b.dist AS pred_dist,
+           |  (CASE WHEN b.p_lang = t.lang THEN 1 ELSE 0 END)::BIGINT AS correct
+           |FROM b JOIN t ON b.doc_id = t.doc_id
+           |WHERE b.rn = 1
+           |ORDER BY t.doc_id""".stripMargin
+      ),
+      doc = "TRAINED language ID (Cavnar-Trenkle rank profiles): top-40 " +
+        "token profiles per language learned from the labeled 80% train " +
+        "split, held-out docs classified by integer out-of-place rank " +
+        "distance (absent tokens cost the max penalty). The model is a " +
+        "broadcast 200-row table; doc profiles come from the bounded " +
+        "top-k aggregate and the argmin is a min(struct) — no window on " +
+        "the Spark side. Every distance and verdict bit-replayed. NOTE: " +
+        "the synthetic corpus draws one shared vocabulary regardless of " +
+        "its lang label, so held-out accuracy here sits at the chance " +
+        "floor BY CONSTRUCTION — this query pins the full train/classify " +
+        "mechanics and the null-signal calibration (sum(correct) ~ " +
+        "n/|langs|); LangIdSpec pins near-perfect recovery on a " +
+        "planted-signal fixture."
+    ),
+    Q(
       "t_quality",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -1167,6 +1218,92 @@ object TextQ {
         "of a cluster round trip — the production path for 32k-merge " +
         "vocabularies. Same DuckDB oracle as t_bpe_merges: the merge " +
         "table must stay bit-equal to the distributed trainer."
+    ),
+    Q(
+      "t_bpe_ids",
+      (s, d) => {
+        // The training-data OUTPUT format: every document as its integer
+        // token-id sequence under the trained tokenizer. Id scheme is the
+        // standard one — base alphabet (distinct code points of the word
+        // table, sorted) gets ids 0..A-1, merge step j gets id A-1+j
+        // (duplicate merged strings resolve to their FIRST producing
+        // step). The trained model (segmentations + symbol table) is
+        // vocabulary-sized and broadcast; encoding is a map-side join
+        // over the positioned token stream plus one per-doc assembly
+        // aggregate (collect_list bounded by doc length) — the d_substr
+        // rebuild shape, no window, no corpus-sized driver state.
+        val docs = Tables.documents(s, d)
+        val words = TextAnalysis
+          .wordCounts(docs)
+          .select(col("token").as("word"), col("cnt"))
+        val (merges, seqs) = TextAnalysis.bpeTrainWordsLocal(words, BpeSteps)
+        val alphaAgg = words
+          .select(explode(expr("regexp_extract_all(word, '.', 0)")).as("sym"))
+          .agg(sort_array(collect_set(col("sym"))).as("syms"))
+          .localCheckpoint(true) // 1 row; feeds the id table and the offset
+        val alphaTab = alphaAgg
+          .select(posexplode(col("syms")).as(Seq("id", "sym")))
+          .select(col("sym"), col("id").cast("long").as("id"))
+        val aCount = alphaAgg.select(size(col("syms")).cast("long").as("a"))
+        val mergedTab = merges
+          .groupBy(col("merged").as("sym"))
+          .agg(min(col("step")).as("st"))
+          .crossJoin(broadcast(aCount))
+          .select(col("sym"), (col("a") - 1 + col("st")).as("id"))
+        val symtab = alphaTab.unionByName(mergedTab)
+        val vocab = seqs.select(col("word").as("token"), split(col("seq"), " ").as("subs"))
+        val sw = docs
+          .select(col("doc_id"), posexplode(Text.tokensAll(col("text"))).as(Seq("pos", "token")))
+          .join(broadcast(vocab), Seq("token"))
+          .select(col("doc_id"), col("pos"), posexplode(col("subs")).as(Seq("pos2", "sym")))
+        sw.join(broadcast(symtab), Seq("sym"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).cast("long").as("n_ids"),
+            concat_ws(
+              " ",
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("pos2"), col("id")))),
+                _.getField("id").cast("string")
+              )
+            ).as("ids_txt")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val n = BpeSteps
+        val unions = (1 to n)
+          .map(i => s"SELECT CAST($i AS BIGINT) AS step, x || y AS merged FROM b$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH ${bpeChain(n)},
+           |mt AS ($unions),
+           |alpha AS (SELECT DISTINCT unnest(string_split(seq, ' ')) AS sym FROM s0),
+           |an AS (SELECT COUNT(*)::BIGINT AS a FROM alpha),
+           |aid AS (SELECT sym, (row_number() OVER (ORDER BY sym) - 1)::BIGINT AS id FROM alpha),
+           |mid AS (SELECT merged AS sym, ((SELECT a FROM an) - 1 + MIN(step))::BIGINT AS id
+           |        FROM mt GROUP BY merged),
+           |symtab AS (SELECT * FROM aid UNION ALL SELECT * FROM mid),
+           |dt AS (SELECT doc_id, u.i AS pos, tk[u.i] AS token
+           |       FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+           |       CROSS JOIN unnest(generate_series(1, len(tk))) AS u(i)),
+           |sw AS (SELECT dt.doc_id, dt.pos, u.j AS pos2,
+           |         string_split(s$n.seq, ' ')[u.j] AS sym
+           |       FROM dt JOIN s$n ON dt.token = s$n.word
+           |       CROSS JOIN unnest(generate_series(1, len(string_split(s$n.seq, ' ')))) AS u(j))
+           |SELECT sw.doc_id, COUNT(*)::BIGINT AS n_ids,
+           |  string_agg(symtab.id::VARCHAR, ' ' ORDER BY sw.pos, sw.pos2) AS ids_txt
+           |FROM sw JOIN symtab ON sw.sym = symtab.sym
+           |GROUP BY sw.doc_id ORDER BY sw.doc_id""".stripMargin
+      },
+      doc = "Materialized token-id encoding — the tensor-ready training " +
+        "output: each document as its integer id sequence under the " +
+        "trained BPE tokenizer (alphabet ids 0..A-1 sorted, merge j = " +
+        "A-1+j, duplicate merged strings resolve to their first step). " +
+        "Trained via the driver-local incremental trainer; the " +
+        "segmentation and symbol tables are broadcast, encoding is " +
+        "map-side joins over the positioned token stream plus one " +
+        "bounded per-doc assembly aggregate. Every id of every document " +
+        "bit-replayed in DuckDB through the full merge chain."
     ),
     Q(
       "t_bpe_encode",

@@ -319,6 +319,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "sample must not plan a window sort:\n" + plan.take(1500))
   }
 
+  test("trained lang-ID: broadcast model, min(struct) argmin — no window") {
+    // the bounded top-k profile aggregates run eagerly inside the two
+    // localCheckpoints (model + doc profiles), so the final plan starts
+    // from ExistingRDDs; what must hold in the LIVE plan is the argmin
+    // (partial-aggregable min(struct)) and the absence of any window
+    val plan = physical("t_langid_trained")
+    assert(
+      plan.contains("min(struct(dist"),
+      "argmin must be a partial-aggregable min(struct):\n" + plan.take(1500)
+    )
+    assert(
+      plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "the model-sized frames must broadcast:\n" + plan.take(1500)
+    )
+    assert(!plan.contains("Window"), "classification must not plan a window:\n" + plan.take(1500))
+  }
+
   test("semantic dedup: centroids broadcast; pairs are a cell equi-join, never a cross product") {
     val plan = physical("d_semantic")
     assert(
