@@ -947,7 +947,15 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       deltaDocs: DataFrame
-  ): DataFrame = {
+  ): DataFrame =
+    substrDeltaRemovalOn(spark.read.parquet(s"$dir/grams"), deltaDocs)
+
+  /** [[substrDeltaRemoval]] against an arbitrary (b, gh) gram frame — the
+    * entry the streaming index maintenance path
+    * ([[graft.streaming.SubstrIndexStream]]) uses to probe base ∪
+    * outstanding-delta gram state.
+    */
+  def substrDeltaRemovalOn(grams: DataFrame, deltaDocs: DataFrame): DataFrame = {
     val toks = deltaDocs
       .select(col("doc_id"), Text.tokensAll(col("text")).as("tk"))
       .localCheckpoint(true)
@@ -956,9 +964,7 @@ object Dedup {
       .select(col("doc_id"), col("start"), md5Long(col("g")).as("gh"))
       .withColumn("b", pmod(col("gh"), lit(SubstrGramBuckets.toLong)).cast("int"))
       .localCheckpoint(true) // feeds the probe join AND the canon aggregate
-    val idx = spark.read
-      .parquet(s"$dir/grams")
-      .select(col("b"), col("gh"), lit(1).as("in_corpus"))
+    val idx = grams.select(col("b"), col("gh"), lit(1).as("in_corpus"))
     // delta-internal canonical per gram, computed over ALL delta
     // occurrences: for corpus-hit grams the canon is irrelevant (every
     // occurrence is removed by the in_corpus flag), so restricting the

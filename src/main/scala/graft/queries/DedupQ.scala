@@ -17,6 +17,59 @@ object DedupQ {
   /** DuckDB 60-bit hash of a string expression (mirror of Cols.md5Long). */
   private def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
+  /** Shared DuckDB replay of the incremental ExactSubstr ingest rewrite
+    * (corpus = doc_id % 10 != 7, delta = the rest): used by both
+    * d_substr_delta (batch-built index) and d_substr_index_fold
+    * (stream-grown index) -- the two must be bit-identical.
+    */
+  private val substrDeltaOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |occ AS (
+           |  SELECT doc_id, u.i - 1 AS start,
+           |    ${h60("array_to_string(tk[u.i:u.i+3], ' ')")} AS gh
+           |  FROM t CROSS JOIN unnest(generate_series(1, greatest(len(tk) - 3, 1))) AS u(i)
+           |),
+           |cg AS (SELECT DISTINCT gh FROM occ WHERE doc_id % 10 != 7),
+           |docc AS (SELECT doc_id, start, gh FROM occ WHERE doc_id % 10 = 7),
+           |hit AS (SELECT doc_id, start FROM docc WHERE gh IN (SELECT gh FROM cg)),
+           |fresh AS (
+           |  SELECT doc_id, start, gh,
+           |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, start) AS rn,
+           |    COUNT(*) OVER (PARTITION BY gh) AS n_occ
+           |  FROM docc WHERE gh NOT IN (SELECT gh FROM cg)
+           |),
+           |rem0 AS (
+           |  SELECT doc_id, start FROM hit
+           |  UNION ALL
+           |  SELECT doc_id, start FROM fresh WHERE n_occ >= 2 AND rn > 1
+           |),
+           |rem AS (
+           |  SELECT DISTINCT doc_id, u.pos
+           |  FROM rem0 CROSS JOIN unnest(generate_series(start, start + 3)) AS u(pos)
+           |),
+           |tok AS (
+           |  SELECT doc_id, u.i - 1 AS pos, tk[u.i] AS tok
+           |  FROM t CROSS JOIN unnest(generate_series(1, len(tk))) AS u(i)
+           |  WHERE doc_id % 10 = 7
+           |),
+           |kept AS (
+           |  SELECT k.doc_id, k.pos, k.tok
+           |  FROM tok k LEFT JOIN rem r ON k.doc_id = r.doc_id AND k.pos = r.pos
+           |  WHERE r.doc_id IS NULL
+           |),
+           |reb AS (
+           |  SELECT doc_id, COUNT(*) AS n_kept,
+           |         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           |  FROM kept GROUP BY doc_id
+           |)
+           |SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens,
+           |  coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+           |  (len(t.tk) - coalesce(reb.n_kept, 0))::BIGINT AS n_removed,
+           |  md5(coalesce(reb.clean_text, '')) AS clean_md5
+           |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+           |WHERE t.doc_id % 10 = 7
+           |ORDER BY t.doc_id""".stripMargin
+
   /** Shared oracle CTE: doc_id + distinct word-2-shingles. */
   private val shinglesCte =
     s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
@@ -824,54 +877,7 @@ object DedupQ {
         Dedup.ensureSubstrGramIndex(s, corpus, dir)
         Dedup.substrDeltaRemoval(s, dir, delta).orderBy("doc_id")
       },
-      Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-           |occ AS (
-           |  SELECT doc_id, u.i - 1 AS start,
-           |    ${h60("array_to_string(tk[u.i:u.i+3], ' ')")} AS gh
-           |  FROM t CROSS JOIN unnest(generate_series(1, greatest(len(tk) - 3, 1))) AS u(i)
-           |),
-           |cg AS (SELECT DISTINCT gh FROM occ WHERE doc_id % 10 != 7),
-           |docc AS (SELECT doc_id, start, gh FROM occ WHERE doc_id % 10 = 7),
-           |hit AS (SELECT doc_id, start FROM docc WHERE gh IN (SELECT gh FROM cg)),
-           |fresh AS (
-           |  SELECT doc_id, start, gh,
-           |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, start) AS rn,
-           |    COUNT(*) OVER (PARTITION BY gh) AS n_occ
-           |  FROM docc WHERE gh NOT IN (SELECT gh FROM cg)
-           |),
-           |rem0 AS (
-           |  SELECT doc_id, start FROM hit
-           |  UNION ALL
-           |  SELECT doc_id, start FROM fresh WHERE n_occ >= 2 AND rn > 1
-           |),
-           |rem AS (
-           |  SELECT DISTINCT doc_id, u.pos
-           |  FROM rem0 CROSS JOIN unnest(generate_series(start, start + 3)) AS u(pos)
-           |),
-           |tok AS (
-           |  SELECT doc_id, u.i - 1 AS pos, tk[u.i] AS tok
-           |  FROM t CROSS JOIN unnest(generate_series(1, len(tk))) AS u(i)
-           |  WHERE doc_id % 10 = 7
-           |),
-           |kept AS (
-           |  SELECT k.doc_id, k.pos, k.tok
-           |  FROM tok k LEFT JOIN rem r ON k.doc_id = r.doc_id AND k.pos = r.pos
-           |  WHERE r.doc_id IS NULL
-           |),
-           |reb AS (
-           |  SELECT doc_id, COUNT(*) AS n_kept,
-           |         string_agg(tok, ' ' ORDER BY pos) AS clean_text
-           |  FROM kept GROUP BY doc_id
-           |)
-           |SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens,
-           |  coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
-           |  (len(t.tk) - coalesce(reb.n_kept, 0))::BIGINT AS n_removed,
-           |  md5(coalesce(reb.clean_text, '')) AS clean_md5
-           |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
-           |WHERE t.doc_id % 10 = 7
-           |ORDER BY t.doc_id""".stripMargin
-      ),
+      Some(substrDeltaOracleSql),
       doc = "INCREMENTAL ExactSubstr dedup (the ingest form of " +
         "d_substr_removal): the delta batch is tokenized once and its " +
         "4-gram occurrences probe the PERSISTED corpus gram index — " +
@@ -882,6 +888,43 @@ object DedupQ {
         "duplicated within the delta keep their delta-canonical " +
         "min(doc_id, start) occurrence via a partial-aggregable " +
         "min(struct) — no window. Rebuilt delta texts bit-checked by md5."
+    ),
+    Q(
+      "d_substr_index_fold",
+      (s, d) => {
+        // the production shape: the gram index already exists (built on
+        // 4/5 of the corpus, fingerprint-cached); the last fifth arrives
+        // as a stream batch and folds in (delta upsert + debt compaction
+        // + crash-safe swap) on a scratch COPY; the ingest rewrite then
+        // probes the stream-grown asset. Must hash-equal the wholesale
+        // replay over the full corpus — the grown index is provably
+        // indistinguishable from a fresh build.
+        val docs = Tables.documents(s, d)
+        val corpusAll = docs.filter(col("doc_id") % 10 =!= 7)
+        val corpus0 = corpusAll.filter(col("doc_id") % 5 =!= 1)
+        val growth = corpusAll.filter(col("doc_id") % 5 === 1)
+        val delta = docs.filter(col("doc_id") % 10 === 7)
+        val baseDir = Dedup.substrGramIndexDir(d, corpus0)
+        Dedup.ensureSubstrGramIndex(s, corpus0, baseDir)
+        val dir = QueryScratch.dir("d_substr_index_fold") + "/idx"
+        graft.operators.Indexes.copyDir(baseDir, dir)
+        graft.streaming.SubstrIndexStream
+          .upsertBatch(growth, dir, batchId = 0L, compactAt = 1e-9)
+        Dedup
+          .substrDeltaRemovalOn(
+            graft.streaming.SubstrIndexStream.readGrams(s, dir),
+            delta
+          )
+          .orderBy("doc_id")
+      },
+      Some(substrDeltaOracleSql),
+      doc = "Streaming substring-index fold on the oracle gate: base gram " +
+        "index on 4/5 of the corpus, the last fifth folded in as a " +
+        "stream batch (write-once batch rewrite + gram delta append + " +
+        "debt-policy compaction + crash-safe swap) on a scratch copy, " +
+        "then the ingest rewrite against the stream-grown asset. Same " +
+        "DuckDB replay as d_substr_delta — the grown index must be " +
+        "bit-indistinguishable from a wholesale rebuild."
     ),
     Q(
       "d_chunk_storage",

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Indexes, Text}
+import graft.util.Cols.md5Long
+
+/** Incremental maintenance of the persisted ExactSubstr gram index
+  * ([[Dedup.ensureSubstrGramIndex]]) — the text-substring twin of
+  * [[AudioIndexStream]]/[[MediaIndexStream]]: a continuously-ingesting
+  * corpus keeps span-removal verdicts exact without ever re-tokenizing the
+  * standing corpus or re-publishing the whole asset.
+  *
+  * Discipline: the index's source of truth is the distinct gram-hash set —
+  * a pure function of the ingested documents, so a replayed batch writes
+  * bit-identical rows. An upsert tokenizes ONLY the batch and lands its
+  * distinct (b, gh) rows under `delta/batch_id=N` (idempotent per
+  * partition); the LIVE gram view is base ∪ outstanding deltas with a
+  * full-row `distinct()` (exactly-once, even when a batch is replayed
+  * AFTER compaction already folded its rows — the distinct collapses the
+  * re-landed duplicates). Compaction folds deltas into the bucketed base
+  * and publishes via the crash-safe journaled swap ([[Indexes.commitSwap]]).
+  *
+  * The batch's own REWRITE ([[upsertBatch]]'s `clean/batch_id=N` output)
+  * probes the index state EXCLUDING the batch's own delta partition — the
+  * batch must dedup against what was ingested BEFORE it, plus itself via
+  * the operator's within-delta canonical rule. Because compaction folds
+  * deltas into the base (after which "exclude my partition" can no longer
+  * reconstruct the pre-batch state), the clean output is WRITE-ONCE: an
+  * existing `clean/batch_id=N` partition is the idempotency marker and a
+  * replay skips the recompute — the same exactly-once-by-marker recipe as
+  * the CDC epoch ledger ([[MergeStream]]), with the partition directory as
+  * the ledger entry.
+  */
+object SubstrIndexStream {
+
+  /** LIVE distinct-gram view: base ∪ outstanding deltas, exactly-once. */
+  def readGrams(spark: SparkSession, dir: String): DataFrame =
+    readGramsExcluding(spark, dir, excludeBatch = -1L)
+
+  /** [[readGrams]] minus one delta partition — the pre-batch index state a
+    * batch rewrite must probe (no-op exclusion for `excludeBatch` < 0).
+    */
+  def readGramsExcluding(spark: SparkSession, dir: String, excludeBatch: Long): DataFrame = {
+    Indexes.recoverSwap(dir)
+    val base = spark.read.parquet(s"$dir/grams").select(col("b"), col("gh"))
+    if (!new java.io.File(s"$dir/delta").exists()) base
+    else {
+      val delta = spark.read
+        .parquet(s"$dir/delta")
+        .filter(col("batch_id") =!= excludeBatch)
+        .select(col("b"), col("gh"))
+      base.unionByName(delta).distinct()
+    }
+  }
+
+  /** Fold `delta/` into the bucketed base iff accumulated delta rows exceed
+    * `maxDeltaFraction` of base rows. Returns true iff compaction ran.
+    */
+  def maybeCompact(
+      spark: SparkSession,
+      dir: String,
+      maxDeltaFraction: Double = 0.2
+  ): Boolean = {
+    if (!new java.io.File(s"$dir/delta").exists()) false
+    else {
+      val base = spark.read.parquet(s"$dir/grams").count()
+      val delta = spark.read.parquet(s"$dir/delta").count()
+      val due = delta > 0 && delta >= maxDeltaFraction * base
+      if (due) compactDeltas(spark, dir)
+      due
+    }
+  }
+
+  /** Merge base ∪ delta grams (full-row distinct = exactly-once), rewrite
+    * the bucketed base, publish via the crash-safe journaled swap (which
+    * also retires `delta/`).
+    */
+  def compactDeltas(spark: SparkSession, dir: String): Unit = {
+    if (new java.io.File(s"$dir/delta").exists()) {
+      val stamp = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
+      readGrams(spark, dir)
+        .write
+        .mode("overwrite")
+        .partitionBy("b")
+        .parquet(s"$dir/grams.compact-$stamp")
+      Indexes.commitSwap(dir, stamp, Seq("grams"))
+    }
+  }
+
+  /** One micro-batch of (doc_id, text) rows: rewrite the batch against the
+    * pre-batch index state (write-once under `clean/batch_id=<id>`),
+    * upsert the batch's distinct grams under `delta/batch_id=<id>`
+    * (idempotent), then settle the delta debt (`compactAt` <= 0 disables).
+    * Only the batch is ever tokenized — the corpus-linear shingle cost is
+    * never re-paid.
+    */
+  def upsertBatch(
+      batch: DataFrame,
+      dir: String,
+      batchId: Long,
+      compactAt: Double = 0.2
+  ): Unit = {
+    val spark = batch.sparkSession
+    if (!new java.io.File(s"$dir/clean/batch_id=$batchId").exists()) {
+      Dedup
+        .substrDeltaRemovalOn(
+          readGramsExcluding(spark, dir, excludeBatch = batchId),
+          batch
+        )
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/clean/batch_id=$batchId")
+    }
+    batch
+      .select(explode(Dedup.wordShinglesAll(Text.tokensAll(col("text")), 4)).as("g"))
+      .select(md5Long(col("g")).as("gh"))
+      .distinct()
+      .withColumn("b", pmod(col("gh"), lit(Dedup.SubstrGramBuckets.toLong)).cast("int"))
+      .select(col("b"), col("gh"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/delta/batch_id=$batchId")
+    if (compactAt > 0) { maybeCompact(spark, dir, compactAt); () }
+  }
+
+  /** Structured-streaming sink: [[upsertBatch]] per micro-batch. */
+  def sink(
+      docsStream: DataFrame,
+      dir: String,
+      compactAt: Double = 0.2
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      upsertBatch(batch, dir, batchId, compactAt)
+    }
+}

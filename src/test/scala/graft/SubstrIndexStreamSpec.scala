@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+import graft.streaming.SubstrIndexStream
+
+/** Streaming maintenance of the persisted ExactSubstr gram index: live-view
+  * equality with a wholesale rebuild, replay exactly-once (before AND after
+  * compaction), write-once clean output, and debt-policy compaction through
+  * the shared crash-safe swap.
+  */
+class SubstrIndexStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private val corpus = docsDf(
+    1L -> "alpha beta gamma delta epsilon zeta eta theta",
+    2L -> "completely different corpus content with many unique tokens here",
+    3L -> "third corpus document keeps its own private phrasing throughout"
+  )
+  private val growth = docsDf(
+    4L -> "alpha beta gamma delta brand new growth content arrives",
+    5L -> "growth batch second document fresh repeated span again fresh repeated span again"
+  )
+  private val delta = docsDf(
+    11L -> "alpha beta gamma delta epsilon zeta eta theta", // corpus-known spans
+    12L -> "brand new growth content arrives somewhere else", // growth-known spans
+    13L -> "wholly novel delta material nothing has seen before"
+  )
+
+  private def freshDir(): String = {
+    val d = s"target/test_substr_stream/${System.nanoTime()}"
+    val base = s"$d/base"
+    Dedup.ensureSubstrGramIndex(spark, corpus, base)
+    val idx = s"$d/idx"
+    graft.operators.Indexes.copyDir(base, idx)
+    idx
+  }
+
+  private def gramSet(dir: String): Set[(Int, Long)] =
+    SubstrIndexStream
+      .readGrams(spark, dir)
+      .as[(Int, Long)]
+      .collect()
+      .toSet
+
+  private def rebuiltSet(docs: org.apache.spark.sql.DataFrame): Set[(Int, Long)] = {
+    val d = s"target/test_substr_stream/rebuild-${System.nanoTime()}"
+    Dedup.ensureSubstrGramIndex(spark, docs, d)
+    spark.read.parquet(s"$d/grams").select(col("b"), col("gh")).as[(Int, Long)].collect().toSet
+  }
+
+  test("stream-grown gram view equals the wholesale rebuild; verdicts bit-equal") {
+    val dir = freshDir()
+    SubstrIndexStream.upsertBatch(growth, dir, batchId = 0L, compactAt = 0) // no fold yet
+    assert(gramSet(dir) === rebuiltSet(corpus.unionByName(growth)))
+    val grown = Dedup
+      .substrDeltaRemovalOn(SubstrIndexStream.readGrams(spark, dir), delta)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val fresh = {
+      val d = s"target/test_substr_stream/fresh-${System.nanoTime()}"
+      Dedup.ensureSubstrGramIndex(spark, corpus.unionByName(growth), d)
+      Dedup.substrDeltaRemoval(spark, d, delta)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    }
+    assert(grown === fresh, "stream-grown index must be indistinguishable from a fresh build")
+    // non-vacuous: corpus-known doc fully removed, growth-known doc hit, novel doc untouched
+    val byId = Dedup
+      .substrDeltaRemovalOn(SubstrIndexStream.readGrams(spark, dir), delta)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    assert(byId(11L) > 0L && byId(12L) > 0L && byId(13L) === 0L)
+  }
+
+  test("replay exactly-once: same batch id re-landed changes nothing, before and after compaction") {
+    val dir = freshDir()
+    SubstrIndexStream.upsertBatch(growth, dir, batchId = 0L, compactAt = 0)
+    val view1 = gramSet(dir)
+    val clean1 = spark.read.parquet(s"$dir/clean/batch_id=0")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    SubstrIndexStream.upsertBatch(growth, dir, batchId = 0L, compactAt = 0) // replay
+    assert(gramSet(dir) === view1)
+    assert(
+      spark.read.parquet(s"$dir/clean/batch_id=0")
+        .orderBy("doc_id").collect().map(_.toString).toSeq === clean1,
+      "clean output is write-once"
+    )
+    // fold the delta, then replay the SAME batch once more: its rows
+    // re-land in delta/, and the live view's distinct() collapses them
+    assert(SubstrIndexStream.maybeCompact(spark, dir, maxDeltaFraction = 1e-9))
+    assert(!new java.io.File(s"$dir/delta").exists(), "fold retires the delta dir")
+    val viewAfterFold = gramSet(dir)
+    assert(viewAfterFold === view1, "compaction must not change the live view")
+    SubstrIndexStream.upsertBatch(growth, dir, batchId = 0L, compactAt = 0) // post-fold replay
+    assert(gramSet(dir) === view1, "post-compaction replay is absorbed by the distinct view")
+    assert(
+      spark.read.parquet(s"$dir/clean/batch_id=0")
+        .orderBy("doc_id").collect().map(_.toString).toSeq === clean1,
+      "post-compaction replay must not rewrite the clean output"
+    )
+  }
+
+  test("batch rewrite probes the pre-batch state: within-batch dups canonicalize, base spans remove") {
+    val dir = freshDir()
+    SubstrIndexStream.upsertBatch(growth, dir, batchId = 0L, compactAt = 0)
+    val clean = spark.read.parquet(s"$dir/clean/batch_id=0")
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    // doc 4 starts with corpus doc 1's 4-token prefix -> removed spans;
+    // doc 5 repeats its own fresh span -> within-batch canonical keeps the
+    // first occurrence, removes the repeat
+    assert(clean(4L) > 0L, "corpus-known spans in the batch must be removed")
+    assert(clean(5L) > 0L, "within-batch repeated span must lose its non-canonical occurrence")
+    val expected = Dedup
+      .substrDeltaRemoval(spark, s"${dir.stripSuffix("/idx")}/base", growth)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val got = spark.read.parquet(s"$dir/clean/batch_id=0")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got === expected, "clean output = operator rewrite against the pre-batch index")
+  }
+}
