@@ -1135,9 +1135,19 @@ object SimilarityQ {
         val idxDir = Pq.defaultDir(d, emb)
         Pq.ensureBuilt(emb, idxDir)
         val q = emb.filter(col("vec_id") < 10)
-        // production two-stage search: ADC shortlist of 50 over the stored
-        // codes, exact re-rank of the shortlist only
-        val pq = Pq.searchReranked(s, idxDir, q, emb, dim = 64, k = 5, shortlist = 50)
+        // production two-stage search: ADC shortlist over the stored codes,
+        // exact re-rank of the shortlist only. The shortlist SCALES with
+        // the indexed corpus (10%, floor 50, capped at 2000): a constant
+        // shortlist silently degrades recall as the corpus grows — the
+        // sf0.1 sweep caught exactly that with the old fixed 50 (one
+        // query's 5-NN sat past the ADC cut; 10% restores 10/10 recall_ok
+        // at sf0.1 AND sf1). With the coarse 16-code-per-block codebooks
+        // the shortlist is the recall lever; richer codebooks (ksub=256)
+        // would buy a ~1% shortlist at the same recall. The codes-table
+        // count is a parquet metadata-only read, paid once per query run.
+        val n = s.read.parquet(s"$idxDir/codes").count()
+        val shortlist = math.min(2000L, math.max(50L, n / 10L)).toInt
+        val pq = Pq.searchReranked(s, idxDir, q, emb, dim = 64, k = 5, shortlist = shortlist)
         // ground truth in the SAME metric ADC approximates (exact L2):
         // cosine order differs on unnormalized vectors
         val brute = Pq.bruteTopKL2(q, emb, k = 5)
