@@ -465,4 +465,229 @@ object Audio {
           - col("first_voiced") * FrameLen).as("kept_samples")
       )
   }
+
+  // ---- SPECTRAL path: shift-robust fingerprinting via a real DFT ---------
+  //
+  // The energy fingerprint above is pad-invariant only when padding is
+  // FRAME-ALIGNED: shift a recording by a non-multiple of the frame length
+  // and every frame energy changes, so the md5 diverges — re-uploads with
+  // arbitrary head trims are a recall class it structurally cannot catch.
+  // The spectral path closes it: a 64-sample window of a sinusoid at DFT
+  // bin b contains a pure bin-b sinusoid at EVERY offset (only the phase
+  // moves), so the per-frame argmax bin — and hence the ordered distinct
+  // peak sequence — is exactly invariant under arbitrary sample shifts.
+  //
+  // The tone fixture models re-ingested tonal/speech-formant content: clip
+  // content is two recording-keyed tones (disjoint bin ranges, so no two
+  // of the 40 recordings collide); the quiet padding is doc-keyed and
+  // deliberately NOT frame-aligned (13·(id%7) / 9·(id%5) samples). The
+  // oracle never runs a DFT: it replays the EXPECTED peak sequence
+  // [binA, binB] closed-form from the fixture params, and the Spark side
+  // only matches if its decode + DFT + peak logic actually recovers the
+  // tones — the same division of labor as the codec queries above.
+
+  /** DFT analysis window (samples). Bins 0..32 (real signal, one-sided). */
+  val SpecFrameLen = 64
+
+  /** Quantized peak power at or above this is a candidate tone frame.
+    * Margins: a full-window tone has power (32·amp)² ≥ 2.0e9 (amp ≥ 1400);
+    * an all-quiet frame is bounded by (64·16)² ≈ 1.05e6 — three orders
+    * below. Boundary (straddle) frames may land anywhere between; the
+    * consecutive-pair rule in [[spectralFingerprint]] makes their
+    * inclusion irrelevant, so the threshold needs no fine tuning.
+    */
+  val SpecPowerThreshold = 100000000L // 1e8
+
+  /** Distinct recordings in the tone fixture: rec = doc_id % ToneDupMod. */
+  val ToneDupMod = 40L
+
+  def toneRecOf(id: Long): Long = ((id % ToneDupMod) + ToneDupMod) % ToneDupMod
+
+  /** First/second tone bins — disjoint ranges [3,15] and [17,27], and
+    * injective over rec ∈ [0,40) (13 and 11 are coprime, lcm 143 > 40),
+    * so no two recordings share a peak sequence.
+    */
+  def toneBinA(rec: Long): Int = (3 + rec % 13).toInt
+  def toneBinB(rec: Long): Int = (17 + rec % 11).toInt
+
+  /** Tone amplitudes (PCM16 units). Distinct so a boundary frame cannot
+    * tie; both large enough that a full-window tone clears
+    * [[SpecPowerThreshold]] by > 20×. */
+  val ToneAmpA = 2000
+  val ToneAmpB = 1400
+
+  /** Tone lengths in samples — each ≥ 3 windows, so ≥ 2 FULL frames of
+    * each tone survive ANY sub-window shift (a run of L samples contains
+    * ≥ ⌊L/64⌋−1 ≥ 2 full windows for L ≥ 192). */
+  def toneLenA(rec: Long): Int = (192 + 64 * (rec % 3)).toInt
+  def toneLenB(rec: Long): Int = (192 + 64 * ((rec / 3) % 3)).toInt
+
+  /** Recording-keyed sample rate — shifted copies keep their rate. */
+  def toneRate(rec: Long): Int = (8000 + 4000 * (rec % 3)).toInt
+
+  /** Doc-keyed quiet padding, deliberately NOT frame-aligned: leads of
+    * 0/13/26/39/52/65/78 and tails of 0/9/18/27/36 samples. */
+  def toneLead(id: Long): Int = (13 * (id % 7)).toInt
+  def toneTail(id: Long): Int = (9 * (id % 5)).toInt
+
+  def toneNSamples(id: Long): Int = {
+    val rec = toneRecOf(id)
+    toneLead(id) + toneLenA(rec) + toneLenB(rec) + toneTail(id)
+  }
+
+  /** Sample i of the tone clip: quiet pad (same |s| ≤ 16 pseudo-noise as
+    * the other fixtures), then tone A, then tone B — each tone's phase
+    * anchored at its own start, so the voiced samples of two variants of
+    * one recording are identical up to the shift.
+    */
+  def toneSampleAt(id: Long, i: Int): Int = {
+    val rec = toneRecOf(id)
+    val lead = toneLead(id)
+    val la = toneLenA(rec)
+    if (i < lead || i >= lead + la + toneLenB(rec))
+      ((7L * i + id) % 33 - 16).toInt
+    else if (i < lead + la) {
+      val j = i - lead
+      math.round(ToneAmpA * math.sin(2.0 * math.Pi * toneBinA(rec) * j / SpecFrameLen)).toInt
+    } else {
+      val j = i - lead - la
+      math.round(ToneAmpB * math.sin(2.0 * math.Pi * toneBinB(rec) * j / SpecFrameLen)).toInt
+    }
+  }
+
+  /** documents → (doc_id, payload) over the TONE fixture — same real WAV
+    * wire format as [[withAudioPayload]], content per [[toneSampleAt]].
+    */
+  def withAudioPayloadTones(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(it => it.map { id =>
+        val rec = toneRecOf(id)
+        (id, encodeWavPcm(toneRate(rec), toneNSamples(id), toneSampleAt(id, _)))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** One spectral frame: argmax DFT bin + floor-quantized peak power over
+    * one FULL [[SpecFrameLen]]-sample window (trailing partial windows are
+    * not analyzed — a short window has no honest bin resolution). */
+  case class SpecFrame(
+      doc_id: Long,
+      frame_idx: Long,
+      sample_rate: Long,
+      peak_bin: Long,
+      peak_power_q: Long
+  )
+
+  /** cos/sin tables for the 64-point real DFT, built once per JVM:
+    * specCos(k)(j) = cos(2πkj/64) for bins k ∈ [0,32]. */
+  private lazy val specCos: Array[Array[Double]] = Array.tabulate(SpecFrameLen / 2 + 1,
+    SpecFrameLen)((k, j) => math.cos(2.0 * math.Pi * k * j / SpecFrameLen))
+  private lazy val specSin: Array[Array[Double]] = Array.tabulate(SpecFrameLen / 2 + 1,
+    SpecFrameLen)((k, j) => math.sin(2.0 * math.Pi * k * j / SpecFrameLen))
+
+  /** REAL DFT per frame: decode the WAV, tile into full 64-sample windows,
+    * compute one-sided DFT power at bins 0..32 (table-driven — 33 bins ×
+    * 64 samples per frame, embarrassingly parallel in mapPartitions), emit
+    * the argmax bin (ties to the lower bin) and its floor-quantized power.
+    * Policy-free like [[frameEnergies]]: thresholding and sequence logic
+    * happen downstream in Catalyst.
+    */
+  def spectralPeaks(spark: SparkSession, payloads: DataFrame): Dataset[SpecFrame] = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val cosT = specCos
+        val sinT = specSin
+        it.flatMap { case (id, bytes) =>
+          val (f, samples) = decodePcm16(bytes)
+          val rate = f.getSampleRate.toLong
+          val nf = samples.length / SpecFrameLen
+          (0 until nf).iterator.map { fi =>
+            val lo = fi * SpecFrameLen
+            var bestK = 0
+            var bestP = -1.0
+            var k = 0
+            while (k <= SpecFrameLen / 2) {
+              var re = 0.0
+              var im = 0.0
+              var j = 0
+              while (j < SpecFrameLen) {
+                val x = samples(lo + j).toDouble
+                re += x * cosT(k)(j)
+                im -= x * sinT(k)(j)
+                j += 1
+              }
+              val p = re * re + im * im
+              if (p > bestP) { bestP = p; bestK = k }
+              k += 1
+            }
+            SpecFrame(id, fi.toLong, rate, bestK.toLong, bestP.toLong)
+          }
+        }
+      }
+  }
+
+  /** Shift-invariant spectral fingerprint, computed in CATALYST over the
+    * kernel's frames: keep frames that (a) clear [[SpecPowerThreshold]]
+    * and (b) agree with the NEXT frame's peak bin — the consecutive-pair
+    * rule. Full-window tone frames pass (each tone spans ≥ 2 consecutive
+    * full windows at any shift, and windowed pure sinusoids put their
+    * argmax exactly on the tone bin); boundary frames, whose truncated-
+    * window leakage can pull the argmax to a NEIGHBORING bin, never have
+    * an agreeing successor (the at-most-one straddle sits between two
+    * pure runs), so they are structurally excluded rather than
+    * threshold-tuned away. The ordered DISTINCT peak-bin sequence is then
+    * exactly the recording's tone program at every shift; md5 of it is
+    * the dedup key. One key-partitioned lead() window + one groupBy — no
+    * all-pairs stage, no global window.
+    *
+    * Output: (doc_id, n_full_frames, peaks, hz_milli, fingerprint) where
+    * hz_milli maps each peak bin to its physical frequency in milli-Hz
+    * (bin·rate·1000/64 — exact integer arithmetic at the fixture rates).
+    */
+  def spectralFingerprint(frames: DataFrame): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("frame_idx"))
+    val stable = frames
+      .withColumn("next_bin", lead(col("peak_bin"), 1).over(byDoc))
+      .withColumn(
+        "kept",
+        col("peak_power_q") >= lit(SpecPowerThreshold) &&
+          col("next_bin") === col("peak_bin")
+      )
+    stable
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_full_frames"),
+        first(col("sample_rate")).as("rate"),
+        array_distinct(
+          transform(
+            array_sort(
+              collect_list(
+                when(col("kept"), struct(col("frame_idx"), col("peak_bin"))))),
+            x => x.getField("peak_bin")
+          )
+        ).as("peak_seq")
+      )
+      .select(
+        col("doc_id"),
+        col("n_full_frames"),
+        array_join(col("peak_seq"), ",").as("peaks"),
+        array_join(
+          // bin·rate·1000/64: the numerator is ≤ 4.4e8 (double-exact) and
+          // the divisor a power of two, so the double division is exact
+          // and the long cast lossless at every fixture rate
+          transform(col("peak_seq"),
+            b => (b * col("rate") * 1000L / lit(SpecFrameLen)).cast("long")),
+          ","
+        ).as("hz_milli"),
+        md5(array_join(col("peak_seq"), ",").cast("binary")).as("fingerprint")
+      )
+  }
 }

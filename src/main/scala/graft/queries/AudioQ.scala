@@ -251,6 +251,75 @@ object AudioQ {
         "The base asset is the fingerprint-cached build; each run copies " +
         "it to scratch and folds, so the measured cost is the honest " +
         "incremental path: growth decode + compaction + delta verdict."
+    ),
+    // ---- SPECTRAL analysis: real 64-point DFT per frame over the tone
+    // fixture. The oracle runs NO DFT — it replays the EXPECTED peak
+    // sequence [binA, binB] closed-form from the fixture params; the
+    // Spark side only matches if decode + DFT + argmax + the
+    // consecutive-pair rule actually recover the tones.
+    Q(
+      "m_audio_spectral",
+      (s, d) =>
+        Audio
+          .spectralFingerprint(
+            Audio
+              .spectralPeaks(s, Audio.withAudioPayloadTones(s, Tables.documents(s, d)))
+              .toDF()
+          )
+          .orderBy("doc_id"),
+      Some(
+        s"""$toneParamsSql
+           |SELECT doc_id,
+           |  ((lead + lenA + lenB + tail) // 64)::BIGINT AS n_full_frames,
+           |  binA::VARCHAR || ',' || binB::VARCHAR AS peaks,
+           |  ((binA * rate * 1000) // 64)::VARCHAR || ','
+           |    || ((binB * rate * 1000) // 64)::VARCHAR AS hz_milli,
+           |  md5(binA::VARCHAR || ',' || binB::VARCHAR) AS fingerprint
+           |FROM r ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Spectral peak analysis: per clip its full-frame count, the " +
+        "ordered distinct DFT peak-bin sequence (consecutive-pair stable " +
+        "frames only), the recovered physical frequencies in milli-Hz, " +
+        "and the md5 spectral fingerprint — a REAL 33-bin DFT in " +
+        "mapPartitions, replayed closed-form by the oracle."
+    ),
+    // ---- shift-robust dedup: the recall class the ENERGY fingerprint
+    // structurally cannot catch. The tone fixture's quiet pads are NOT
+    // frame-aligned (13·(id%7) / 9·(id%5) samples), so every variant's
+    // frame-energy sequence differs — but a 64-sample window of a bin-b
+    // sinusoid stays a bin-b sinusoid at any offset, so the spectral
+    // fingerprint collides exactly per recording.
+    Q(
+      "m_audio_shift_dups",
+      (s, d) =>
+        Audio
+          .audioDedup(
+            Audio
+              .spectralFingerprint(
+                Audio
+                  .spectralPeaks(s, Audio.withAudioPayloadTones(s, Tables.documents(s, d)))
+                  .toDF()
+              )
+              .select(col("doc_id"), col("fingerprint"))
+          )
+          .orderBy("doc_id"),
+      Some(
+        s"""$toneParamsSql,
+           |fpd AS (SELECT doc_id,
+           |          md5(binA::VARCHAR || ',' || binB::VARCHAR) AS fingerprint
+           |        FROM r),
+           |cl AS (SELECT fingerprint, min(doc_id) AS rep, count(*) AS n_variants
+           |       FROM fpd GROUP BY fingerprint)
+           |SELECT fpd.doc_id, fpd.fingerprint, cl.rep, cl.n_variants,
+           |  (fpd.doc_id != cl.rep) AS is_dup
+           |FROM fpd JOIN cl USING (fingerprint) ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Shift-robust audio dedup: exact-hash collapse on the SPECTRAL " +
+        "fingerprint — catches byte-different, NON-frame-aligned re-padded " +
+        "copies (arbitrary head trims) that both byte dedup and the " +
+        "frame-energy fingerprint miss. Same map+agg+join dedup shape; " +
+        "the invariance comes from physics (window of a sinusoid is the " +
+        "same sinusoid), not from fixture alignment."
     )
   )
 
@@ -262,6 +331,22 @@ object AudioQ {
     * depends only on the recording id. Sign of a sample is irrelevant
     * under sum-of-squares, hence no alternating-sign CASE here.
     */
+  /** Oracle CTE for the tone fixture: per-doc tone program parameters,
+    * replaying [[Audio.toneRecOf]]/[[Audio.toneBinA]]/[[Audio.toneBinB]]/
+    * [[Audio.toneLenA]]/[[Audio.toneLenB]]/[[Audio.toneRate]]/
+    * [[Audio.toneLead]]/[[Audio.toneTail]] closed-form. No DFT here: the
+    * oracle asserts the EXPECTED spectral result, the engine must earn it.
+    */
+  private def toneParamsSql: String =
+    """WITH p AS (SELECT doc_id, doc_id % 40 AS rec,
+      |    13 * (doc_id % 7) AS lead, 9 * (doc_id % 5) AS tail
+      |  FROM documents),
+      |r AS (SELECT doc_id, rec, lead, tail,
+      |    3 + rec % 13 AS binA, 17 + rec % 11 AS binB,
+      |    192 + 64 * (rec % 3) AS lenA, 192 + 64 * ((rec // 3) % 3) AS lenB,
+      |    8000 + 4000 * (rec % 3) AS rate
+      |  FROM p)""".stripMargin
+
   private def variantFpSql: String =
     """WITH p AS (SELECT doc_id, doc_id % 40 AS rec FROM documents),
       |r AS (SELECT DISTINCT rec, (150 + (rec % 4) * 50) // 50 AS nf,

@@ -735,6 +735,58 @@ object PipelineQ {
         "copy-integrity and version-diff key. Every cell, including both " +
         "hash levels, re-derived from the raw corpus by the oracle."
     ),
+    // ---- epoch-seeded deterministic training order: every trainer needs
+    // the corpus in a "random" order that is (a) reproducible across
+    // re-runs and resumes, (b) different every epoch, and (c) cheap to
+    // re-derive at 100 TB. Shard membership is STATIC (doc_id mod
+    // nShards), so changing the epoch seed moves ZERO bytes between
+    // shards — only the within-shard read order changes; each shard's
+    // order is a local sort by md5(seed ':' doc_id), and the global
+    // position interleaves shard readers round-robin, so no global sort
+    // ever runs. row_number is partitioned by shard; at production scale
+    // nShards is sized to the file/loader-task count (hundreds to
+    // thousands), keeping each local sort one task's worth of ids.
+    Q(
+      "q_train_order",
+      (s, d) => {
+        val nShards = 64
+        val seed = "epoch1"
+        val byShard = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))
+          .orderBy(col("rank_md5"), col("doc_id"))
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+            md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
+              .as("rank_md5")
+          )
+          .withColumn("ord", row_number().over(byShard).cast("long"))
+          .withColumn(
+            "global_ord",
+            (col("ord") - 1) * nShards + col("shard")
+          )
+          .select("doc_id", "shard", "ord", "global_ord")
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, doc_id % 64 AS shard,
+             |    md5('epoch1:' || doc_id::VARCHAR) AS rank_md5
+             |  FROM documents)
+             |SELECT doc_id, shard,
+             |  row_number() OVER (PARTITION BY shard
+             |    ORDER BY rank_md5, doc_id)::BIGINT AS ord,
+             |  ((row_number() OVER (PARTITION BY shard
+             |    ORDER BY rank_md5, doc_id) - 1) * 64 + shard)::BIGINT
+             |    AS global_ord
+             |FROM r ORDER BY doc_id""".stripMargin),
+      doc = "Epoch-seeded deterministic training order: static shard " +
+        "membership (doc_id mod nShards — zero data movement between " +
+        "epochs), within-shard order by md5(seed:doc_id), global position " +
+        "by round-robin shard interleave. Reproducible, resumable, and " +
+        "free of any global sort; a new epoch is a new seed string."
+    ),
     // ---- materialized-view rewrite through the optimizer: the query is
     // written against the BASE table; SummaryRewrite answers it from the
     // published per-source summary (|sources| rows instead of a corpus

@@ -1335,6 +1335,68 @@ object Relational {
       doc = "Time-series gap fill: data-derived month spine × key set, " +
         "left join to the sparse per-month aggregate, zero-filled counts " +
         "and forward-filled totals (last_value IGNORE NULLS window)."
+    ),
+    // ---- SCD2 dimension build: change log → validity intervals.
+    //
+    // The warehouse-modeling shape every dimension pipeline needs: a
+    // per-key attribute observation stream (here: each order observes its
+    // customer's priority tier at o_orderdate) compressed into
+    // slowly-changing-dimension type-2 rows — one row per VALUE CHANGE,
+    // with [valid_from, valid_to) intervals, a version ordinal, and an
+    // is_current flag. Consecutive re-observations of the same value do
+    // NOT open a new version (change compression via lag()).
+    //
+    // Scale: both windows are PARTITIONED BY the dimension key — Spark
+    // plans one hash shuffle on o_custkey and two local sorts, no global
+    // window, AQE-splittable; per-key state is the single lag/lead row.
+    // Deterministic: observations are totally ordered by
+    // (o_orderdate, o_orderkey); timestamps exported as epoch seconds.
+    Q(
+      "q_scd2",
+      (s, d) => {
+        val byKey = Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val changes = Tables
+          .orders(s, d)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            col("o_orderpriority"))
+          .withColumn("prev_prio", lag(col("o_orderpriority"), 1).over(byKey))
+          .filter(col("prev_prio").isNull ||
+            col("prev_prio") =!= col("o_orderpriority"))
+        changes
+          .withColumn("valid_to_ts", lead(col("o_orderdate"), 1).over(byKey))
+          .select(
+            col("o_custkey"),
+            row_number().over(byKey).cast("long").as("version"),
+            col("o_orderpriority").as("priority"),
+            lng(unix_timestamp(col("o_orderdate"))).as("valid_from"),
+            lng(unix_timestamp(col("valid_to_ts"))).as("valid_to"),
+            col("valid_to_ts").isNull.as("is_current")
+          )
+          .orderBy("o_custkey", "version")
+      },
+      Some("""WITH obs AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             |    lag(o_orderpriority) OVER w AS prev_prio
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+             |chg AS (
+             |  SELECT * FROM obs
+             |  WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority)
+             |SELECT o_custkey,
+             |  row_number() OVER w AS version,
+             |  o_orderpriority AS priority,
+             |  epoch(o_orderdate)::BIGINT AS valid_from,
+             |  epoch(lead(o_orderdate) OVER w)::BIGINT AS valid_to,
+             |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+             |FROM chg
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, version""".stripMargin),
+      doc = "SCD2 dimension build from an observation log: change " +
+        "compression via lag(), [valid_from, valid_to) intervals via " +
+        "lead(), version ordinals and is_current — all windows " +
+        "key-partitioned (one shuffle, no global window)."
     )
   )
 }

@@ -370,6 +370,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), "expected partial aggregation:\n" + plan.take(1500))
   }
 
+  test("r11 window queries: every Window node is key-partitioned, never global") {
+    // an unpartitioned window moves the whole input to ONE task — the
+    // single worst plan shape at 100 TB. The SCD2 build, the training-
+    // order shuffle, and the spectral pair rule all use windows; each
+    // must be partitioned by its key (dimension key / shard / doc).
+    for (
+      (name, key) <- Seq(
+        "q_scd2" -> "o_custkey",
+        "q_train_order" -> "shard",
+        "m_audio_spectral" -> "doc_id"
+      )
+    ) {
+      val plan = physical(name)
+      val specs = "windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(specs.nonEmpty, s"$name: expected a Window node:\n" + plan.take(800))
+      specs.foreach { s =>
+        assert(s.contains(key),
+          s"$name: window not partitioned by $key: windowspecdefinition($s)")
+      }
+    }
+  }
+
   test("no corpus-cardinality frame carries a broadcast() hint") {
     // a broadcast hint on a frame that grows with the corpus (one row per
     // video / per distinct fingerprint / per document) is an OOM at crawl
@@ -383,7 +406,10 @@ class PlanSpec extends AnyFunSuite {
         // that must never be hint-broadcast. (m_semantic_dups/m_ann_image
         // are NOT in this sweep: their one hint is the k-row centroid
         // aggregate — k-bounded driver state, correct to broadcast.)
-        "m_dhash_delta", "m_audio_delta", "m_video_delta", "m_video_delta_best"
+        "m_dhash_delta", "m_audio_delta", "m_video_delta", "m_video_delta_best",
+        // r11-added: spectral dedup's cluster table is one row per
+        // distinct spectral fingerprint — corpus cardinality
+        "m_audio_shift_dups"
       )
     ) {
       val analyzed = Registry.runners(name)(spark, sf).queryExecution.analyzed.toString
