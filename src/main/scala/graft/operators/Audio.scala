@@ -374,6 +374,22 @@ object Audio {
       )
   }
 
+  /** The two fingerprint providers the audio index machinery is generic
+    * over: (docs with a doc_id column) → (doc_id, fingerprint). The
+    * ENERGY path is pad-invariant for frame-aligned padding; the
+    * SPECTRAL path is invariant under ARBITRARY sample shifts. Both are
+    * decode-once map-partition kernels + Catalyst aggregation.
+    */
+  def energyFp(spark: SparkSession, docs: DataFrame): DataFrame =
+    audioFingerprint(
+      frameEnergies(spark, withAudioPayloadVariants(spark, docs)).toDF()
+    ).select(col("doc_id"), col("fingerprint"))
+
+  def spectralFp(spark: SparkSession, docs: DataFrame): DataFrame =
+    spectralFingerprint(
+      spectralPeaks(spark, withAudioPayloadTones(spark, docs)).toDF()
+    ).select(col("doc_id"), col("fingerprint"))
+
   /** Persisted audio-fingerprint index location — the stale-proof
     * fingerprint contract keyed on the corpus membership (fixture clip
     * content is a pure function of doc_id; a production build fingerprints
@@ -384,6 +400,11 @@ object Audio {
     // the source-of-truth rows [[graft.streaming.AudioIndexStream]] grows
     // incrementally; retires docs-less layout-1 assets
     Indexes.fingerprintDirOn("audio-fp-reps", sfDir, corpusDocs, "doc_id", "doc_id", "layout=2")
+
+  /** Persisted SPECTRAL-fingerprint index location — same contract, keyed
+    * separately (different fingerprint function ⇒ different asset). */
+  def audioSpectralIndexDir(sfDir: String, corpusDocs: DataFrame): String =
+    Indexes.fingerprintDirOn("audio-spec-reps", sfDir, corpusDocs, "doc_id", "doc_id", "layout=1")
 
   /** The (fingerprint, rep, n_variants) cluster aggregate over per-doc
     * fingerprint rows — the derived table the dedup verdict joins;
@@ -403,12 +424,17 @@ object Audio {
     * path ([[audioDeltaDups]]) reads these tables only.
     */
   def ensureAudioFpIndex(spark: SparkSession, corpusDocs: DataFrame, dir: String): Unit =
+    buildFpIndex(energyFp(spark, corpusDocs), dir)
+
+  /** Spectral twin of [[ensureAudioFpIndex]]: decode + DFT the corpus
+    * once, persist (doc_id, spectral fingerprint) + the cluster
+    * aggregate, publish atomically. */
+  def ensureAudioSpectralIndex(spark: SparkSession, corpusDocs: DataFrame, dir: String): Unit =
+    buildFpIndex(spectralFp(spark, corpusDocs), dir)
+
+  private def buildFpIndex(fingerprints: DataFrame, dir: String): Unit =
     Indexes.atomicBuild(dir, "clusters/_SUCCESS") { tmp =>
-      val fps = audioFingerprint(
-        frameEnergies(spark, withAudioPayloadVariants(spark, corpusDocs)).toDF()
-      )
-        .select(col("doc_id"), col("fingerprint"))
-        .localCheckpoint()
+      val fps = fingerprints.localCheckpoint()
       fps.write.mode("overwrite").parquet(s"$tmp/docs")
       fpClusters(fps).write.mode("overwrite").parquet(s"$tmp/clusters")
     }
@@ -420,10 +446,15 @@ object Audio {
     * re-decode on the steady-state path (the text deltaDups contract, for
     * audio).
     */
-  def audioDeltaDups(spark: SparkSession, dir: String, deltaDocs: DataFrame): DataFrame = {
-    val fps = audioFingerprint(
-      frameEnergies(spark, withAudioPayloadVariants(spark, deltaDocs)).toDF()
-    )
+  def audioDeltaDups(spark: SparkSession, dir: String, deltaDocs: DataFrame): DataFrame =
+    deltaDupsOn(spark, dir, energyFp(spark, deltaDocs))
+
+  /** Spectral twin of [[audioDeltaDups]]: only the delta is decoded and
+    * DFT'd; the verdict joins the persisted spectral cluster table. */
+  def audioSpectralDeltaDups(spark: SparkSession, dir: String, deltaDocs: DataFrame): DataFrame =
+    deltaDupsOn(spark, dir, spectralFp(spark, deltaDocs))
+
+  private def deltaDupsOn(spark: SparkSession, dir: String, fps: DataFrame): DataFrame = {
     val cl = spark.read.parquet(s"$dir/clusters")
     fps
       .select(col("doc_id"), col("fingerprint"))

@@ -320,8 +320,73 @@ object AudioQ {
         "frame-energy fingerprint miss. Same map+agg+join dedup shape; " +
         "the invariance comes from physics (window of a sinusoid is the " +
         "same sinusoid), not from fixture alignment."
+    ),
+    // ---- incremental ingest for the spectral family — same corpus/delta
+    // windows as m_audio_delta, fingerprints from the DFT path.
+    Q(
+      "m_audio_shift_delta",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 40 < 32)
+        val delta = docs.filter(col("doc_id") % 3 === 0)
+        val dir = Audio.audioSpectralIndexDir(d, corpus)
+        Audio.ensureAudioSpectralIndex(s, corpus, dir)
+        Audio.audioSpectralDeltaDups(s, dir, delta).orderBy("doc_id")
+      },
+      Some(toneDeltaOracleSql),
+      doc = "Incremental SPECTRAL audio ingest: only the delta is decoded " +
+        "and DFT'd; its shift-invariant fingerprints left-join the " +
+        "persisted spectral cluster table for the per-clip corpus " +
+        "verdict. Completes the spectral family's production path: " +
+        "build-once index, delta-only steady-state cost."
+    ),
+    Q(
+      "m_audio_shift_fold",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val inCorpus = col("doc_id") % 3 =!= 0 && col("doc_id") % 40 < 32
+        val corpus0 = docs.filter(inCorpus && col("doc_id") % 5 =!= 1)
+        val growth = docs.filter(inCorpus && col("doc_id") % 5 === 1)
+        val delta = docs.filter(col("doc_id") % 3 === 0)
+        val baseDir = Audio.audioSpectralIndexDir(d, corpus0)
+        Audio.ensureAudioSpectralIndex(s, corpus0, baseDir)
+        val dir = QueryScratch.dir("m_audio_shift_fold") + "/idx"
+        graft.operators.Indexes.copyDir(baseDir, dir)
+        graft.streaming.AudioIndexStream
+          .upsertBatch(growth, dir, batchId = 0L, compactAt = 1e-9,
+            fp = Audio.spectralFp)
+        Audio.audioSpectralDeltaDups(s, dir, delta).orderBy("doc_id")
+      },
+      Some(toneDeltaOracleSql),
+      doc = "Streaming spectral-index fold on the oracle gate: base " +
+        "spectral index on 4/5 of the corpus, the last fifth folded in " +
+        "as a stream batch (delta append + debt compaction + crash-safe " +
+        "swap, the fingerprint-agnostic AudioIndexStream machinery with " +
+        "the DFT fingerprint provider), then the incremental ingest " +
+        "verdict against the stream-grown asset — bit-equal to the " +
+        "wholesale replay."
     )
   )
+
+  /** Shared oracle for the spectral delta/fold queries: the corpus
+    * cluster table over rec windows (doc_id%3≠0, rec<32), probed by the
+    * delta (doc_id%3=0) — fingerprints replayed closed-form from the
+    * tone program.
+    */
+  private def toneDeltaOracleSql: String =
+    s"""$toneParamsSql,
+       |fpd AS (SELECT doc_id,
+       |          md5(binA::VARCHAR || ',' || binB::VARCHAR) AS fingerprint
+       |        FROM r),
+       |cl AS (SELECT fingerprint, min(doc_id) AS rep, count(*)::BIGINT AS n_variants
+       |       FROM fpd WHERE doc_id % 3 <> 0 AND doc_id % 40 < 32
+       |       GROUP BY fingerprint)
+       |SELECT fpd.doc_id, fpd.fingerprint,
+       |  cl.rep AS corpus_rep, cl.n_variants AS corpus_n,
+       |  (cl.rep IS NOT NULL) AS is_known
+       |FROM fpd LEFT JOIN cl USING (fingerprint)
+       |WHERE fpd.doc_id % 3 = 0
+       |ORDER BY doc_id""".stripMargin
 
   /** Oracle CTEs for the pad-variant fixture: recording-keyed voiced-frame
     * energies and their md5 fingerprint, replaying

@@ -108,13 +108,16 @@ object AudioIndexStream {
       batch: DataFrame,
       dir: String,
       batchId: Long,
-      compactAt: Double = 0.2
+      compactAt: Double = 0.2,
+      // the fingerprint provider the index is maintained under — must be
+      // the one the asset was BUILT with (energy: Audio.energyFp;
+      // spectral: Audio.spectralFp). Everything else here is
+      // fingerprint-agnostic: (doc_id, fingerprint) rows in, exactly-once
+      // per-doc view + derived clusters out.
+      fp: (SparkSession, DataFrame) => DataFrame = Audio.energyFp
   ): Unit = {
     val spark = batch.sparkSession
-    Audio
-      .audioFingerprint(
-        Audio.frameEnergies(spark, Audio.withAudioPayloadVariants(spark, batch)).toDF()
-      )
+    fp(spark, batch)
       .select(col("doc_id"), col("fingerprint"))
       .write
       .mode("overwrite")
@@ -128,9 +131,10 @@ object AudioIndexStream {
   def fpUpsert(
       clipsStream: DataFrame,
       dir: String,
-      compactAt: Double = 0.2
+      compactAt: Double = 0.2,
+      fp: (SparkSession, DataFrame) => DataFrame = Audio.energyFp
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     clipsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      upsertBatch(batch, dir, batchId, compactAt)
+      upsertBatch(batch, dir, batchId, compactAt, fp)
     }
 }

@@ -90,6 +90,30 @@ class AudioIndexStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/docs").count() === docs.count())
   }
 
+  test("spectral provider: upsert + replay + fold equal a fresh spectral build") {
+    // the index machinery is fingerprint-agnostic; maintained under
+    // Audio.spectralFp it must behave identically — exactly-once under
+    // replay, fold bit-equal to a wholesale spectral rebuild
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 150)
+    val base = docs.filter(col("doc_id") < 100)
+    val growth = docs.filter(col("doc_id") >= 100)
+    def fresh(ds: org.apache.spark.sql.DataFrame) =
+      clusterSet(Audio.fpClusters(Audio.spectralFp(spark, ds)))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_audio_spec_idx").toString + "/idx"
+    Audio.ensureAudioSpectralIndex(spark, base, dir)
+    AudioIndexStream.upsertBatch(growth, dir, batchId = 0L, compactAt = 0.0,
+      fp = Audio.spectralFp)
+    AudioIndexStream.upsertBatch(growth, dir, batchId = 0L, compactAt = 0.0,
+      fp = Audio.spectralFp) // replay
+    assert(clusterSet(AudioIndexStream.readClusters(spark, dir)) === fresh(docs),
+      "live spectral view must equal a fresh spectral build under replay")
+    AudioIndexStream.compactDeltas(spark, dir)
+    assert(clusterSet(spark.read.parquet(s"$dir/clusters")) === fresh(docs),
+      "folded spectral asset must equal a wholesale spectral rebuild")
+  }
+
   test("crash-safe swap: a journaled half-swap is finished by the next reader") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))

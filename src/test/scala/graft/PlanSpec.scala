@@ -462,6 +462,12 @@ class PlanSpec extends AnyFunSuite {
       !splan.contains("documents.parquet"),
       "substr delta must not re-tokenize the corpus (delta tokens are checkpointed):\n" + splan.take(1500)
     )
+    val sp = physical("m_audio_shift_delta")
+    assert(sp.contains("audio-spec-reps"), "expected the persisted spectral cluster read:\n" + sp.take(1500))
+    assert(
+      sp.linesIterator.count(_.contains("documents.parquet")) <= 1,
+      "only the DELTA decode+DFT may scan documents:\n" + sp.take(2000)
+    )
   }
 
   test("vocab coverage: membership join is broadcast — the token stream never shuffles for it") {
