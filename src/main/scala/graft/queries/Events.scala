@@ -635,6 +635,132 @@ object Events {
         "offsets): integer-exact epoch-week bucketing, distinct user-week " +
         "activity + same-key cohort join; output is cohort-sized, not " +
         "event-sized."
+    ),
+    // ---- CEP sequence pattern WITH NEGATION: view → next click within
+    // 24 h, with NO error strictly between — the MATCH_RECOGNIZE shape a
+    // funnel cannot express (funnels have no "absent event" stage). The
+    // negation is turned into an EQUALITY via running error counts: no
+    // error strictly between A and B ⇔ cum_err_before(B) =
+    // cum_err_before(A) for a view A and later click B (the view itself
+    // is not an error, so strictly-preceding counts line up). The "next
+    // click" is a partial-aggregable min(struct) per view — no
+    // row_number over the pair set on the Spark side.
+    //
+    // Scale: one key-partitioned running-count window, two pushed
+    // per-type scans, one per-user time-banded equi-join, min(struct) +
+    // final per-user aggregate — all shuffles on user_id, AQE-splittable;
+    // output is user-sized, never pair-sized.
+    Q(
+      "q_seq_pattern",
+      (s, d) => {
+        val followUs = 24L * 3600 * 1000000L
+        val byUser = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val w = Tables
+          .events(s, d)
+          .withColumn("ts", expr("ts DIV 1000"))
+          .withColumn(
+            "cum_err",
+            coalesce(
+              sum(when(col("event_type") === "error", 1L).otherwise(0L))
+                .over(byUser.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)
+            )
+          )
+        val a = w
+          .filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("id_a"),
+            col("ts").as("t_a"), col("cum_err").as("ce_a"))
+        val b = w
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("id_b"),
+            col("ts").as("t_b"), col("cum_err").as("ce_b"))
+        a.join(b, Seq("user_id"))
+          .filter(col("t_b") > col("t_a") && col("t_b") <= col("t_a") + followUs)
+          .groupBy(col("user_id"), col("id_a"), col("t_a"), col("ce_a"))
+          .agg(min(struct(col("t_b"), col("id_b"), col("ce_b"))).as("nb"))
+          .filter(col("nb.ce_b") === col("ce_a"))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_matches"),
+            sum(col("nb.t_b") - col("t_a")).cast("long").as("sum_lag_us")
+          )
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+          |w AS (SELECT *, COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          |        OVER (PARTITION BY user_id ORDER BY us, event_id
+          |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_err
+          |      FROM e),
+          |a AS (SELECT user_id, event_id AS id_a, us AS t_a, cum_err AS ce_a
+          |      FROM w WHERE event_type = 'view'),
+          |b AS (SELECT user_id, event_id AS id_b, us AS t_b, cum_err AS ce_b
+          |      FROM w WHERE event_type = 'click'),
+          |p AS (SELECT a.user_id, a.id_a, a.t_a, a.ce_a, b.t_b, b.ce_b,
+          |        row_number() OVER (PARTITION BY a.user_id, a.id_a
+          |                           ORDER BY b.t_b, b.id_b) AS rn
+          |      FROM a JOIN b ON a.user_id = b.user_id
+          |        AND b.t_b > a.t_a AND b.t_b <= a.t_a + 86400000000)
+          |SELECT user_id, COUNT(*)::BIGINT AS n_matches,
+          |  SUM(t_b - t_a)::BIGINT AS sum_lag_us
+          |FROM p WHERE rn = 1 AND ce_b = ce_a
+          |GROUP BY user_id ORDER BY user_id""".stripMargin
+      ),
+      doc = "Event-sequence pattern with NEGATION (view, then its next " +
+        "click within 24 h, with no error strictly between): running " +
+        "error counts turn the absent-event predicate into an equality; " +
+        "next-event resolution is a partial-aggregable min(struct). The " +
+        "CEP shape funnels cannot express, with every shuffle on user_id."
+    ),
+    // ---- k-in-a-row burst detection: 3 consecutive error events (no
+    // other event type between — consecutiveness IS the adjacency in the
+    // per-user event order) with the run spanning ≤ 24 h. lag(k−1) over
+    // the key-partitioned order; overlapping runs count per position
+    // (each position that COMPLETES a run of ≥ 3).
+    Q(
+      "q_error_burst",
+      (s, d) => {
+        val gapUs = 24L * 3600 * 1000000L
+        val byUser = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables
+          .events(s, d)
+          .withColumn("ts", expr("ts DIV 1000"))
+          .withColumn("t2", lag(col("ts"), 2).over(byUser))
+          .withColumn("e1", lag(col("event_type"), 1).over(byUser))
+          .withColumn("e2", lag(col("event_type"), 2).over(byUser))
+          .filter(
+            col("event_type") === "error" && col("e1") === "error" &&
+              col("e2") === "error" && col("ts") - col("t2") <= gapUs
+          )
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_bursts"),
+            min(col("t2")).as("first_burst_us")
+          )
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+          |w AS (SELECT *, lag(us, 2) OVER win AS t2,
+          |        lag(event_type, 1) OVER win AS e1,
+          |        lag(event_type, 2) OVER win AS e2
+          |      FROM e
+          |      WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id))
+          |SELECT user_id, COUNT(*)::BIGINT AS n_bursts,
+          |  MIN(t2)::BIGINT AS first_burst_us
+          |FROM w
+          |WHERE event_type = 'error' AND e1 = 'error' AND e2 = 'error'
+          |  AND us - t2 <= 86400000000
+          |GROUP BY user_id ORDER BY user_id""".stripMargin
+      ),
+      doc = "Error-burst detection (3 consecutive errors within 24 h): " +
+        "lag(k-1) over the key-partitioned event order — adjacency in " +
+        "the order encodes 'no other event between'; one window + one " +
+        "partial-aggregable per-user aggregate."
     )
   )
 }

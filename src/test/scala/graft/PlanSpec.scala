@@ -379,7 +379,9 @@ class PlanSpec extends AnyFunSuite {
       (name, key) <- Seq(
         "q_scd2" -> "o_custkey",
         "q_train_order" -> "shard",
-        "m_audio_spectral" -> "doc_id"
+        "m_audio_spectral" -> "doc_id",
+        "q_seq_pattern" -> "user_id",
+        "q_error_burst" -> "user_id"
       )
     ) {
       val plan = physical(name)
