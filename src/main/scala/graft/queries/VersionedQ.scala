@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -224,7 +226,19 @@ object VersionedQ {
         // surviving data dirs, no manifest indirection) and count rows of
         // the forgotten keys — the oracle pins this at zero, so a single
         // surviving byte-row breaks the hash gate
-        val survivors = s.read.parquet(s"$dir/data/*")
+        // explicit listing, not a glob: a `data/*` path makes Spark's
+        // FileStreamSink metadata probe log a benign-but-scary
+        // FileNotFoundException stack on every run (glob paths fail its
+        // existence check); enumerating the surviving dirs reads the same
+        // bytes with a clean log tail
+        val dataDirs = java.nio.file.Files
+          .list(java.nio.file.Paths.get(dir, "data"))
+          .iterator()
+          .asScala
+          .map(_.toString)
+          .toSeq
+          .sorted
+        val survivors = s.read.parquet(dataDirs: _*)
         survivors
           .agg(
             count(lit(1)).as("n_rows_on_disk"),
