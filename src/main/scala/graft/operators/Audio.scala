@@ -455,6 +455,11 @@ object Audio {
     deltaDupsOn(spark, dir, spectralFp(spark, deltaDocs))
 
   private def deltaDupsOn(spark: SparkSession, dir: String, fps: DataFrame): DataFrame = {
+    // finish any interrupted compaction swap before reading (the
+    // commitSwap contract: every reader recovers on open — otherwise a
+    // crash between the docs and clusters flips would be read as a
+    // mixed-generation asset with silently-stale verdicts)
+    Indexes.recoverSwap(dir)
     val cl = spark.read.parquet(s"$dir/clusters")
     fps
       .select(col("doc_id"), col("fingerprint"))

@@ -948,14 +948,30 @@ object Dedup {
       dir: String,
       deltaDocs: DataFrame
   ): DataFrame =
-    substrDeltaRemovalOn(spark.read.parquet(s"$dir/grams"), deltaDocs)
+    {
+      Indexes.recoverSwap(dir) // no-op for batch-built assets; finishes an
+      // interrupted swap when pointed at a stream-maintained copy
+      substrDeltaRemovalOn(spark.read.parquet(s"$dir/grams"), deltaDocs)
+    }
 
   /** [[substrDeltaRemoval]] against an arbitrary (b, gh) gram frame — the
     * entry the streaming index maintenance path
     * ([[graft.streaming.SubstrIndexStream]]) uses to probe base ∪
     * outstanding-delta gram state.
     */
-  def substrDeltaRemovalOn(grams: DataFrame, deltaDocs: DataFrame): DataFrame = {
+  def substrDeltaRemovalOn(grams: DataFrame, deltaDocs: DataFrame): DataFrame =
+    substrDeltaRemovalAndGrams(grams, deltaDocs)._1
+
+  /** [[substrDeltaRemovalOn]] plus the batch's DISTINCT gram set
+    * (b, gh) — derived from the SAME checkpointed occurrence frame the
+    * rewrite consumes, so an ingest path that needs both (the streaming
+    * index upsert writes the rewrite AND the gram delta) tokenizes and
+    * shingles the batch exactly once.
+    */
+  def substrDeltaRemovalAndGrams(
+      grams: DataFrame,
+      deltaDocs: DataFrame
+  ): (DataFrame, DataFrame) = {
     val toks = deltaDocs
       .select(col("doc_id"), Text.tokensAll(col("text")).as("tk"))
       .localCheckpoint(true)
@@ -999,7 +1015,7 @@ object Dedup {
         ).as("clean_text"),
         count(lit(1)).cast("long").as("n_kept")
       )
-    toks
+    val clean = toks
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(
@@ -1009,5 +1025,6 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         md5(coalesce(col("clean_text"), lit(""))).as("clean_md5")
       )
+    (clean, occ.select(col("b"), col("gh")).distinct())
   }
 }

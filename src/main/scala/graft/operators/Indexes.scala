@@ -140,18 +140,43 @@ object Indexes {
 
   private def replaySwap(dir: String, stamp: String, names: Seq[String]): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    // Two recoverers may replay the SAME journal concurrently (any two
+    // readers after a crash): each flip below tolerates losing a move
+    // race — the loser's NoSuchFile/FileAlreadyExists just means the flip
+    // already happened. (Concurrent WRITERS during recovery remain
+    // excluded by the single-owner maintenance discipline the commitSwap
+    // scaladoc states: the delta fold below cannot distinguish a batch
+    // being written right now from one the compaction already folded.)
+    def quietMove(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+      try Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.NoSuchFileException        => ()
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
     names.foreach { name =>
       val live = Paths.get(s"$dir/$name")
       val compact = Paths.get(s"$dir/$name.compact-$stamp")
       val retired = Paths.get(s"$dir/$name.retired-$stamp")
       if (Files.exists(compact)) {
-        if (Files.exists(live)) Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(compact, live, StandardCopyOption.ATOMIC_MOVE)
+        if (Files.exists(live)) quietMove(live, retired)
+        quietMove(compact, live)
       }
       deleteRecursively(retired)
     }
-    deleteRecursively(Paths.get(s"$dir/delta"))
-    Files.deleteIfExists(Paths.get(s"$dir/swap.journal"))
+    val delta = Paths.get(s"$dir/delta")
+    deleteRecursively(delta)
+    // The journal is the replay's completion marker: remove it ONLY once
+    // the folded delta is actually gone. deleteRecursively swallows IO
+    // errors (e.g. a held-open handle), and dropping the journal above a
+    // surviving delta/ would let readers double-count the folded batches
+    // (the postings live view unions base ∪ delta without distinct).
+    if (!Files.exists(delta))
+      Files.deleteIfExists(Paths.get(s"$dir/swap.journal"))
+    else
+      throw new java.io.IOException(
+        s"swap replay for $dir: delta/ survived the fold (held handle?); " +
+          "journal retained so the next recovery retries"
+      )
   }
 
   /** Recursive file copy of a published index asset into a mutable

@@ -556,6 +556,7 @@ object Multimodal {
       deltaDocs: DataFrame,
       maxHamming: Int = 3
   ): DataFrame = {
+    Indexes.recoverSwap(dir) // finish any interrupted compaction swap
     // pin the delta hashes: the band probe and the final join-back both
     // consume them, and each unpinned branch would re-run the delta decode
     val dh = dHash(spark, withImagePayload(spark, deltaDocs)).toDF().localCheckpoint()

@@ -787,6 +787,14 @@ object TextAnalysis {
           if (syms.forall(s => !used(s)) && (accepted.isEmpty || !vocab(x + y))) {
             accepted += cand
             used ++= syms
+            // A COLLIDING first candidate (x+y already a vocab symbol via a
+            // different decomposition) must end the batch at exactly one
+            // merge: its created pairs fold INTO existing pair counts
+            // (new = old + created, old ≤ t, created ≤ c1), which can
+            // exceed a tail candidate's count — the > t tail guard only
+            // bounds created pairs that start from zero. One merge is one
+            // sequential step, so stopping keeps bit-equality
+            if (accepted.length == 1 && vocab(x + y)) stop = true
           } else stop = true
         }
         // t = first excluded candidate's count (conflict, horizon, or none)

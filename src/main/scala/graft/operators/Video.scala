@@ -424,6 +424,7 @@ object Video {
       .distinct()
       .localCheckpoint()
     val dsz = dsig.groupBy(col("doc_id")).agg(count(lit(1)).as("d_n"))
+    Indexes.recoverSwap(dir) // finish any interrupted compaction swap
     val csig = spark.read
       .parquet(s"$dir/sig")
       .select(col("doc_id").as("c_id"), col("dhash"))
@@ -505,6 +506,7 @@ object Video {
       .distinct()
       .localCheckpoint()
     val dsz = dsig.groupBy(col("doc_id")).agg(count(lit(1)).as("d_n"))
+    Indexes.recoverSwap(dir) // finish any interrupted compaction swap
     val rsig = spark.read
       .parquet(s"$dir/rsig")
       .select(col("rid").as("c_id"), col("dhash"))

@@ -102,23 +102,31 @@ object SubstrIndexStream {
       compactAt: Double = 0.2
   ): Unit = {
     val spark = batch.sparkSession
-    if (!new java.io.File(s"$dir/clean/batch_id=$batchId").exists()) {
-      Dedup
-        .substrDeltaRemovalOn(
+    // write-once marker is the _SUCCESS file, not dir existence: Spark
+    // creates the dir at job start, so a crash mid-write leaves the dir
+    // behind with partial data — a replay must recompute (mode overwrite
+    // rewrites the torn dir), exactly the Indexes.atomicBuild discipline
+    val cleanDone = new java.io.File(s"$dir/clean/batch_id=$batchId/_SUCCESS").exists()
+    val batchGrams =
+      if (!cleanDone) {
+        // rewrite + gram delta from ONE checkpointed occurrence frame —
+        // the batch is tokenized and shingled exactly once
+        val (clean, grams) = Dedup.substrDeltaRemovalAndGrams(
           readGramsExcluding(spark, dir, excludeBatch = batchId),
           batch
         )
-        .write
-        .mode("overwrite")
-        .parquet(s"$dir/clean/batch_id=$batchId")
-    }
-    batch
-      .select(explode(Dedup.wordShinglesAll(Text.tokensAll(col("text")), 4)).as("g"))
-      .select(md5Long(col("g")).as("gh"))
-      .distinct()
-      .withColumn("b", pmod(col("gh"), lit(Dedup.SubstrGramBuckets.toLong)).cast("int"))
-      .select(col("b"), col("gh"))
-      .write
+        clean.write.mode("overwrite").parquet(s"$dir/clean/batch_id=$batchId")
+        grams
+      } else
+        // replay after the clean landed (crash between the two writes):
+        // recompute just the gram set
+        batch
+          .select(explode(Dedup.wordShinglesAll(Text.tokensAll(col("text")), 4)).as("g"))
+          .select(md5Long(col("g")).as("gh"))
+          .distinct()
+          .withColumn("b", pmod(col("gh"), lit(Dedup.SubstrGramBuckets.toLong)).cast("int"))
+          .select(col("b"), col("gh"))
+    batchGrams.write
       .mode("overwrite")
       .parquet(s"$dir/delta/batch_id=$batchId")
     if (compactAt > 0) { maybeCompact(spark, dir, compactAt); () }

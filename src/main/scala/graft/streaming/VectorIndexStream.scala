@@ -61,20 +61,31 @@ object VectorIndexStream {
       dir: String,
       batchId: Long,
       dim: Int,
-      compactAt: Double = 0.2
+      compactAt: Double = 0.2,
+      // the metadata columns the index was BUILT with (IvfPq.ensureBuilt's
+      // metaCols — the filtered-ANN pushdown columns). They must ride
+      // every delta row: the reader's strict unionByName rejects a
+      // meta-less delta against a meta-bearing base, so omitting them
+      // against a filtered index would brick every subsequent read.
+      metaCols: Seq[String] = Nil
   ): Unit = {
     val spark = batch.sparkSession
     val cents = IvfIndex.loadCentroids(spark, dir) // O(k·dim) driver state
     val cb = Pq.loadCodebooks(spark, dir) // O(m·ksub·dsub) driver state
-    // nProbe=1 probe projection = nearest-cell assignment (map-only)
-    val celled = IvfIndex
+    // nProbe=1 probe projection = nearest-cell assignment (map-only);
+    // probeFrame projects (id, embedding, cell), so metadata columns are
+    // joined back on vec_id — a batch-sized equi-join, never corpus work
+    val celled0 = IvfIndex
       .probeFrame(batch, cents, nProbe = 1)
       .select(
         col("query_id").as("vec_id"),
         col("q_emb").as("embedding"),
         col("cell")
       )
-    Pq.encode(celled, cb, dim, keep = Seq("vec_id", "cell"))
+    val celled =
+      if (metaCols.isEmpty) celled0
+      else celled0.join(batch.select(("vec_id" +: metaCols).map(col): _*), Seq("vec_id"))
+    Pq.encode(celled, cb, dim, keep = Seq("vec_id", "cell") ++ metaCols)
       .write
       .mode("overwrite")
       .partitionBy("cell")
@@ -83,15 +94,17 @@ object VectorIndexStream {
   }
 
   /** foreachBatch writer over a (vec_id, embedding) stream. Start with
-    * `.trigger(...).option("checkpointLocation", ...)`.
+    * `.trigger(...).option("checkpointLocation", ...)`. Pass the index's
+    * build-time `metaCols` when maintaining a filtered-ANN index.
     */
   def codesUpsert(
       vecsStream: DataFrame,
       dir: String,
       dim: Int = 64,
-      compactAt: Double = 0.2
+      compactAt: Double = 0.2,
+      metaCols: Seq[String] = Nil
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      upsertBatch(batch, dir, batchId, dim, compactAt)
+      upsertBatch(batch, dir, batchId, dim, compactAt, metaCols)
     }
 }

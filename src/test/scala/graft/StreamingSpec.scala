@@ -824,6 +824,47 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batch must not duplicate rows after compaction")
   }
 
+  test("streamed deltas carry metaCols: a filtered IVF-PQ index stays readable and searchable") {
+    // An index built with metaCols has them in every base code row; the
+    // reader's strict unionByName would reject a meta-less delta, bricking
+    // every search and compaction until the delta is hand-deleted. The
+    // upsert must therefore write the build-time meta columns.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vecmeta")
+    val idx = root.toString + "/idx"
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    graft.operators.IvfPq
+      .ensureBuilt(emb, idx, cellCol = Some("label"), metaCols = Seq("label"))
+    val v0 = emb.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head()
+    val lbl0 = emb.filter(col("vec_id") === 0).select("label").as[Long].head()
+    graft.streaming.VectorIndexStream.upsertBatch(
+      Seq((300000L, v0, lbl0)).toDF("vec_id", "embedding", "label"),
+      idx, batchId = 0L, dim = 64, compactAt = 0.0, metaCols = Seq("label")
+    )
+    // the live view unions base ∪ delta — readable, with the meta column
+    val codes = graft.operators.IvfPq.readCodes(spark, idx)
+    assert(codes.columns.contains("label"))
+    assert(codes.filter(col("vec_id") === 300000L).count() === 1L)
+    // filtered search over the stream-grown index still pushes the
+    // predicate and can return the upserted vector
+    val corpusAll = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((300000L, v0)).toDF("vec_id", "embedding"))
+    val got = graft.operators.IvfPq.searchFiltered(
+      spark, idx, emb.filter(col("vec_id") === 0), corpusAll,
+      dim = 64, k = 2, nProbe = 3, shortlist = 100,
+      predicate = col("label") === lbl0
+    ).select("neighbor_id").as[Long].collect().toSet
+    assert(got.contains(300000L), s"upserted exact copy must be a filtered top-2 hit, got $got")
+    // compaction (which reads through the same union) also survives
+    graft.operators.IvfPq.compactDeltas(spark, idx)
+    assert(!new java.io.File(s"$idx/delta").exists())
+    assert(
+      graft.operators.IvfPq.readCodes(spark, idx)
+        .filter(col("vec_id") === 300000L).count() === 1L
+    )
+  }
+
   test("stream-static join enriches a stream against a batch dimension") {
     // The standard enrichment shape: a live stream joined to a slowly-
     // changing dim loaded as a plain batch DataFrame — Structured

@@ -119,4 +119,29 @@ class SubstrIndexStreamSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(got === expected, "clean output = operator rewrite against the pre-batch index")
   }
+
+  test("a torn clean write (dir without _SUCCESS) is recomputed on replay") {
+    // Spark creates the output dir at job start; a crash mid-write leaves
+    // it behind WITHOUT the _SUCCESS commit marker. The write-once check
+    // must key on the marker, not dir existence — otherwise the replay
+    // skips the rewrite forever and the batch's clean output stays torn.
+    val dir = freshDir()
+    val torn = new java.io.File(s"$dir/clean/batch_id=0")
+    assert(torn.mkdirs(), "simulate the torn dir")
+    java.nio.file.Files.write(
+      torn.toPath.resolve("part-corrupt.parquet"),
+      Array[Byte](1, 2, 3)
+    )
+    SubstrIndexStream.upsertBatch(growth, dir, batchId = 0L, compactAt = 0)
+    assert(
+      new java.io.File(s"$dir/clean/batch_id=0/_SUCCESS").exists(),
+      "replay must rewrite the torn batch output"
+    )
+    val expected = Dedup
+      .substrDeltaRemoval(spark, s"${dir.stripSuffix("/idx")}/base", growth)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val got = spark.read.parquet(s"$dir/clean/batch_id=0")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got === expected, "recomputed clean output matches the operator rewrite")
+  }
 }
