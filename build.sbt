@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNPREFIXED: by default sbt wraps
+// forked output as "[info] ..." / "[error] ..." and appends its own
+// "[success] Total time:" line, so the driver's tail parser never sees the
+// bare compact-JSON line Bench prints last (BENCH_r{1..11}.json all have
+// parsed:null for exactly this reason). StdoutOutput hands the child's
+// stdout/stderr straight to the terminal. Project-level so run/runMain/test
+// all inherit it via setting delegation.
+outputStrategy := Some(StdoutOutput)
+// ...and drop sbt's own "[success] Total time:" trailer, so the compact
+// JSON line Bench prints last is the LITERAL last line of the sbt run.
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -36,7 +36,13 @@ object Bench {
     // not signal. The noop sink still forces the complete plan both runs.
     // Local-iteration filter, mirroring Verify: SPARK_GRAFT_ONLY=q_a,q_b
     // times just those queries. The driver sets no filter.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Empty-string tolerance: SPARK_GRAFT_ONLY="" would otherwise yield
+    // Set("") which filters out EVERY query and emits an official-looking
+    // 0-query total. Blank names are dropped; an all-blank var means no
+    // filter.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -21,7 +21,11 @@ object Verify {
     // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b dumps just those
     // queries (tools/selfcheck.py only compares dirs that exist). The
     // driver sets no filter and gets the full dump.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Blank names dropped so SPARK_GRAFT_ONLY="" means "no filter", not
+    // "dump nothing" (mirrors Bench).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

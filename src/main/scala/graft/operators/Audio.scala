@@ -455,12 +455,15 @@ object Audio {
     deltaDupsOn(spark, dir, spectralFp(spark, deltaDocs))
 
   private def deltaDupsOn(spark: SparkSession, dir: String, fps: DataFrame): DataFrame = {
-    // finish any interrupted compaction swap before reading (the
-    // commitSwap contract: every reader recovers on open — otherwise a
-    // crash between the docs and clusters flips would be read as a
-    // mixed-generation asset with silently-stale verdicts)
-    Indexes.recoverSwap(dir)
-    val cl = spark.read.parquet(s"$dir/clusters")
+    // Delta-aware cluster source: a STREAM-MAINTAINED asset may carry
+    // uncompacted delta/ rows, and reading the persisted `clusters/`
+    // aggregate directly would silently ignore streamed docs (is_known =
+    // false for clips matching uncompacted growth). The live view
+    // re-derives clusters from the exactly-once per-doc view only while a
+    // delta is outstanding; with no delta it is the identical persisted
+    // scan. It also runs recoverSwap on open (the commitSwap contract:
+    // every reader finishes an interrupted swap before its first listing).
+    val cl = graft.streaming.AudioIndexStream.readClusters(spark, dir)
     fps
       .select(col("doc_id"), col("fingerprint"))
       .join(cl, Seq("fingerprint"), "left")

@@ -108,6 +108,15 @@ object Indexes {
     * semantics, not a lock-free swap; the crash-safety is what's new.)
     */
   private[graft] def commitSwap(dir: String, stamp: String, names: Seq[String]): Unit = {
+    // Sweep leftovers of CRASHED past compactions first: a death after the
+    // compact dirs were written but before the journal rename orphans
+    // <name>.compact-<oldStamp> / <name>.retired-<oldStamp> /
+    // swap.journal.tmp-<oldStamp> forever (no recovery path references
+    // them — recovery only replays a LANDED journal), and each one is a
+    // full index copy leaking on disk. commitSwap runs under the
+    // single-owner maintenance discipline, so any entry with a stamp that
+    // is neither this compaction's nor a live journal's is dead weight.
+    sweepOrphans(dir, keepStamp = stamp)
     val journal = java.nio.file.Paths.get(s"$dir/swap.journal")
     val tmp = java.nio.file.Paths.get(s"$dir/swap.journal.tmp-$stamp")
     java.nio.file.Files.write(
@@ -132,9 +141,52 @@ object Indexes {
     if (java.nio.file.Files.exists(journal)) {
       import scala.jdk.CollectionConverters._
       // the journal was installed by atomic rename, so its contents are
-      // complete: line 1 = stamp, rest = subdir names
-      val lines = java.nio.file.Files.readAllLines(journal).asScala.toSeq
+      // complete: line 1 = stamp, rest = subdir names. Exists→read is NOT
+      // atomic against a concurrent recoverer (explicitly anticipated by
+      // replaySwap): the winner deletes the journal as its last step, so
+      // the loser's read may find it gone — which means recovery already
+      // completed, not an error.
+      val lines =
+        try java.nio.file.Files.readAllLines(journal).asScala.toSeq
+        catch { case _: java.nio.file.NoSuchFileException => Seq.empty[String] }
       if (lines.nonEmpty) replaySwap(dir, lines.head, lines.tail.filter(_.nonEmpty))
+    }
+  }
+
+  /** Delete residue of crashed past compactions: `<name>.compact-<s>`,
+    * `<name>.retired-<s>`, and `swap.journal.tmp-<s>` entries whose stamp
+    * `s` is neither the in-flight compaction's nor a landed journal's.
+    * Called only from [[commitSwap]] (the single maintenance owner) —
+    * readers must NOT sweep, or a reader's steady-state [[recoverSwap]]
+    * could race the owner mid-write and delete its in-flight compact dirs.
+    */
+  private def sweepOrphans(dir: String, keepStamp: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Paths}
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return
+    val journalStamp =
+      try {
+        val j = d.resolve("swap.journal")
+        if (Files.exists(j)) Files.readAllLines(j).asScala.headOption else None
+      } catch { case _: java.io.IOException => None }
+    val keep: Set[String] = Set(keepStamp) ++ journalStamp
+    val entries =
+      try Files.list(d).iterator().asScala.toSeq
+      catch { case _: java.io.IOException => Seq.empty }
+    entries.foreach { p =>
+      val n = p.getFileName.toString
+      val stampOf: Option[String] =
+        if (n.startsWith("swap.journal.tmp-"))
+          Some(n.stripPrefix("swap.journal.tmp-"))
+        else {
+          val c = n.lastIndexOf(".compact-")
+          val r = n.lastIndexOf(".retired-")
+          if (c >= 0) Some(n.substring(c + ".compact-".length))
+          else if (r >= 0) Some(n.substring(r + ".retired-".length))
+          else None
+        }
+      stampOf.filterNot(keep.contains).foreach(_ => deleteRecursively(p))
     }
   }
 

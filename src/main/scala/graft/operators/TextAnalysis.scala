@@ -884,12 +884,18 @@ object TextAnalysis {
   ): (DataFrame, DataFrame) = {
     val spark = words.sparkSession
     import spark.implicits._
-    val rows = words.select(col("word"), lng(col("cnt"))).as[(String, Long)].collect()
+    // Guard BEFORE collecting: the whole point of maxWords is to keep a
+    // corpus-sized word table off the driver, so the size check must be a
+    // distributed aggregate (one cheap count), not a post-mortem on an
+    // already-materialized array — otherwise the documented failure mode
+    // is a driver OOM instead of this error message.
+    val nWords = words.count()
     require(
-      rows.length <= maxWords,
-      s"bpeTrainWordsLocal: ${rows.length} distinct words exceed maxWords=$maxWords; " +
+      nWords <= maxWords,
+      s"bpeTrainWordsLocal: $nWords distinct words exceed maxWords=$maxWords; " +
         "apply a minCount floor to the word table or use bpeTrainWordsBatched"
     )
+    val rows = words.select(col("word"), lng(col("cnt"))).as[(String, Long)].collect()
     // per-word symbol sequences; code-point split = the distributed
     // trainer's per-character regex split
     val seqs: Array[Array[String]] = rows.map { case (w, _) =>

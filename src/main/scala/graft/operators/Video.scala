@@ -424,12 +424,15 @@ object Video {
       .distinct()
       .localCheckpoint()
     val dsz = dsig.groupBy(col("doc_id")).agg(count(lit(1)).as("d_n"))
-    Indexes.recoverSwap(dir) // finish any interrupted compaction swap
-    val csig = spark.read
-      .parquet(s"$dir/sig")
+    // Delta-aware reads (each runs recoverSwap on open): a stream-grown
+    // asset with outstanding delta/ must contribute its streamed videos to
+    // the verdict, so sig/sizes/dfs come from the exactly-once live views
+    // — identical persisted scans when no delta exists.
+    val csig = graft.streaming.VideoIndexStream
+      .readSig(spark, dir)
       .select(col("doc_id").as("c_id"), col("dhash"))
-    val csz = spark.read
-      .parquet(s"$dir/sizes")
+    val csz = graft.streaming.VideoIndexStream
+      .readSizes(spark, dir)
       .select(col("doc_id").as("c_id"), col("n").as("c_n"))
     // adaptive, like videoDups: the build-time df table makes the hot
     // probe index-only (no corpus work at all); healthy corpora take the
@@ -437,7 +440,7 @@ object Video {
     // capped-candidates + exact-recount path
     val nVideos = csz.count()
     val ceiling = math.max(MinDfCeiling, nVideos * maxDfPermille / 1000)
-    val dfs = spark.read.parquet(s"$dir/dfs")
+    val dfs = graft.streaming.VideoIndexStream.readDfs(spark, dir)
     val nHot = dfs.filter(col("df") > ceiling).count()
     val anyHot = nHot > 0
     if (anyHot)
@@ -506,17 +509,19 @@ object Video {
       .distinct()
       .localCheckpoint()
     val dsz = dsig.groupBy(col("doc_id")).agg(count(lit(1)).as("d_n"))
-    Indexes.recoverSwap(dir) // finish any interrupted compaction swap
-    val rsig = spark.read
-      .parquet(s"$dir/rsig")
+    // Delta-aware rep-level reads (each runs recoverSwap on open) — see
+    // videoDeltaDups: streamed-but-uncompacted videos must join their
+    // signature groups, not be invisible to the verdict.
+    val rsig = graft.streaming.VideoIndexStream
+      .readRepSig(spark, dir)
       .select(col("rid").as("c_id"), col("dhash"))
-    val rsz = spark.read
-      .parquet(s"$dir/rsizes")
+    val rsz = graft.streaming.VideoIndexStream
+      .readRepSizes(spark, dir)
       .select(col("rid").as("c_id"), col("n").as("c_n"))
     // adaptive hot-scene cap over the REP-level dfs (precomputed at build)
     val nReps = rsz.count()
     val ceiling = math.max(MinDfCeiling, nReps * maxDfPermille / 1000)
-    val rdfs = spark.read.parquet(s"$dir/rdfs")
+    val rdfs = graft.streaming.VideoIndexStream.readRepDfs(spark, dir)
     val nHot = rdfs.filter(col("df") > ceiling).count()
     val anyHot = nHot > 0
     if (anyHot)

@@ -676,7 +676,24 @@ object Events {
           .filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("id_b"),
             col("ts").as("t_b"), col("cum_err").as("ce_b"))
-        a.join(b, Seq("user_id"))
+        // Time-banded candidate join (operators/RangeJoin.scala's
+        // bucketization, one-sided): joining on user_id alone and
+        // post-filtering the 24 h window is a within-key cross product —
+        // a hot user with V views and C clicks materializes V·C rows
+        // before the time predicate prunes. Banding time by the window
+        // width makes the band part of the EQUI-key: t_b ∈ (t_a, t_a+w]
+        // implies band(t_b) ∈ {band(t_a), band(t_a)+1}, so each view
+        // emits its band and the next, each click emits its own band, and
+        // candidates are bounded by per-(user, 24 h-band) density instead
+        // of per-user totals. The click's band is single-valued, so every
+        // qualifying pair meets in exactly one band — no post-join dedup.
+        // Integer DIV (not `/`): epoch micros exceed double's mantissa.
+        val aB = a.withColumn(
+          "band",
+          explode(array(expr(s"t_a DIV $followUs"), expr(s"t_a DIV $followUs") + 1))
+        )
+        val bB = b.withColumn("band", expr(s"t_b DIV $followUs"))
+        aB.join(bB, Seq("user_id", "band"))
           .filter(col("t_b") > col("t_a") && col("t_b") <= col("t_a") + followUs)
           .groupBy(col("user_id"), col("id_a"), col("t_a"), col("ce_a"))
           .agg(min(struct(col("t_b"), col("id_b"), col("ce_b"))).as("nb"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, udf}
 
 import graft.operators.TextAnalysis
 
@@ -249,12 +249,28 @@ class BpeSpec extends AnyFunSuite {
     assert(ms1024 < 60000L, s"local trainer must be seconds, not minutes: $ms1024 ms")
   }
 
-  test("local trainer maxWords guard rejects an over-budget vocabulary") {
+  test("local trainer maxWords guard rejects an over-budget vocabulary BEFORE collecting it") {
     val words = Seq(("ab", 1L), ("cd", 2L)).toDF("word", "cnt")
     val e = intercept[IllegalArgumentException] {
       TextAnalysis.bpeTrainWordsLocal(words, 1, maxWords = 1)
     }
     assert(e.getMessage.contains("maxWords"))
+    // The guard exists to keep a corpus-sized word table off the driver,
+    // so it must be a distributed count that runs BEFORE .collect(): a
+    // word column that detonates when evaluated passes the (column-pruned)
+    // count, so seeing the clean require() message proves nothing
+    // materialized the over-budget table.
+    val boom = udf { (i: Long) =>
+      if (i >= 0) throw new RuntimeException("word table materialized on the driver path")
+      else "x"
+    }
+    val trap = spark
+      .range(3)
+      .select(boom(col("id")).as("word"), lit(1L).as("cnt"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrainWordsLocal(trap, 1, maxWords = 1)
+    }
+    assert(e2.getMessage.contains("maxWords"), s"guard must fire pre-collect: $e2")
   }
 
   test("bpeEncodeStats: trained segmentation applied per doc, exact fertility") {

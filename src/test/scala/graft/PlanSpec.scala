@@ -395,6 +395,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_seq_pattern: view-click candidates join on (user_id, time band), not user_id alone") {
+    // joining on user_id alone + post-filtering the 24 h window is a
+    // within-key cross product (V·C candidate rows for a hot user); the
+    // band must be part of the EQUI-key so candidates are bounded by
+    // per-(user, band) density (operators/RangeJoin.scala's bucketization)
+    val plan = physical("q_seq_pattern")
+    val joinLines = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("user_id"))
+      .toSeq
+    assert(joinLines.nonEmpty, "expected a user_id join:\n" + plan.take(2000))
+    assert(
+      joinLines.exists(_.contains("band")),
+      "the time band must be a join key:\n" + joinLines.mkString("\n")
+    )
+  }
+
   test("no corpus-cardinality frame carries a broadcast() hint") {
     // a broadcast hint on a frame that grows with the corpus (one row per
     // video / per distinct fingerprint / per document) is an OOM at crawl
