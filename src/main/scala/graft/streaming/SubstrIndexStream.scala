@@ -15,11 +15,12 @@ import graft.util.Cols.md5Long
   * a pure function of the ingested documents, so a replayed batch writes
   * bit-identical rows. An upsert tokenizes ONLY the batch and lands its
   * distinct (b, gh) rows under `delta/batch_id=N` (idempotent per
-  * partition); the LIVE gram view is base ∪ outstanding deltas with a
-  * full-row `distinct()` (exactly-once, even when a batch is replayed
-  * AFTER compaction already folded its rows — the distinct collapses the
-  * re-landed duplicates). Compaction folds deltas into the bucketed base
-  * and publishes via the crash-safe journaled swap ([[Indexes.commitSwap]]).
+  * partition); the LIVE gram view is base ∪ (delta-novel grams), computed
+  * by a delta-vs-base semi/anti probe so it is exactly-once — even when a
+  * batch is replayed AFTER compaction already folded its rows — WITHOUT
+  * ever re-shuffling the bucketed base (see [[readGramsExcluding]]).
+  * Compaction folds deltas into the bucketed base and publishes via the
+  * crash-safe journaled swap ([[Indexes.commitSwap]]).
   *
   * The batch's own REWRITE ([[upsertBatch]]'s `clean/batch_id=N` output)
   * probes the index state EXCLUDING the batch's own delta partition — the
@@ -46,11 +47,33 @@ object SubstrIndexStream {
     val base = spark.read.parquet(s"$dir/grams").select(col("b"), col("gh"))
     if (!new java.io.File(s"$dir/delta").exists()) base
     else {
+      // Exactly-once WITHOUT re-shuffling the base: the old
+      // `(base ∪ delta).distinct()` reshuffled the full (bucketed) base on
+      // EVERY read to collapse rows a replayed batch re-landed after
+      // compaction already folded them. Those duplicates can only live in
+      // the (small, debt-bounded) delta, so set-exactness needs base work
+      // only as a JOIN PROBE, never as an aggregate:
+      //   dupes = base ⋉ delta   (left-semi: base side streams un-shuffled
+      //                           once the delta side broadcasts — which
+      //                           the planner picks on its own for a
+      //                           debt-bounded delta; no hint, so a
+      //                           genuinely large delta degrades to a
+      //                           shuffle instead of an executor OOM)
+      //   novel = delta ▷ dupes  (anti over two delta-bounded frames)
+      //   view  = base ∪ novel   (disjoint by construction — no distinct,
+      //                           no aggregate, base scan feeds the union
+      //                           directly)
+      // base itself is gram-distinct by construction (ensureSubstrGramIndex
+      // and every compaction write this very view), so the union is an
+      // exact set.
       val delta = spark.read
         .parquet(s"$dir/delta")
         .filter(col("batch_id") =!= excludeBatch)
         .select(col("b"), col("gh"))
-      base.unionByName(delta).distinct()
+        .distinct()
+      val dupes = base.join(delta, Seq("b", "gh"), "left_semi")
+      val novel = delta.join(dupes, Seq("b", "gh"), "left_anti")
+      base.unionByName(novel)
     }
   }
 
@@ -72,9 +95,9 @@ object SubstrIndexStream {
     }
   }
 
-  /** Merge base ∪ delta grams (full-row distinct = exactly-once), rewrite
-    * the bucketed base, publish via the crash-safe journaled swap (which
-    * also retires `delta/`).
+  /** Merge base ∪ delta grams (the live view is already an exact set),
+    * rewrite the bucketed base, publish via the crash-safe journaled swap
+    * (which also retires `delta/`).
     */
   def compactDeltas(spark: SparkSession, dir: String): Unit = {
     if (new java.io.File(s"$dir/delta").exists()) {

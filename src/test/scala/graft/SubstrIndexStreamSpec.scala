@@ -120,6 +120,53 @@ class SubstrIndexStreamSpec extends AnyFunSuite {
     assert(got === expected, "clean output = operator rewrite against the pre-batch index")
   }
 
+  test("live gram view never re-shuffles the bucketed base (delta-probe union, no distinct)") {
+    // the old shape ((base ∪ delta).distinct()) paid a full reshuffle of
+    // the base on EVERY read; the view must get set-exactness from a
+    // delta-bounded semi/anti probe instead, with the base scan feeding
+    // the union directly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case _                        => p.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    // does this subtree stream base rows INTO the exchange? A grams scan
+    // reached only through a BroadcastExchange boundary doesn't count: the
+    // broadcast frame is the delta-bounded dupes probe, not the base —
+    // its rows never get repartitioned by the enclosing shuffle
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    def scansBase(p: SparkPlan): Boolean = p match {
+      case _: BroadcastExchangeLike => false
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",").contains("/grams")
+      case a: AdaptiveSparkPlanExec => scansBase(a.executedPlan)
+      case q: QueryStageExec        => scansBase(q.plan)
+      case r: ReusedExchangeExec    => scansBase(r.child)
+      case _                        => p.children.exists(scansBase)
+    }
+    val dir = freshDir()
+    SubstrIndexStream.upsertBatch(growth, dir, batchId = 0L, compactAt = 0)
+    assert(new java.io.File(s"$dir/delta").exists(), "precondition: outstanding delta")
+    val view = SubstrIndexStream.readGrams(spark, dir)
+    view.collect() // finalize the adaptive plan
+    val shufflesOverBase = flatten(view.queryExecution.executedPlan).collect {
+      case s: ShuffleExchangeLike if scansBase(s) => s
+    }
+    assert(
+      shufflesOverBase.isEmpty,
+      "the base grams scan must never sit under a shuffle:\n" +
+        view.queryExecution.executedPlan.toString.take(3000)
+    )
+  }
+
   test("a torn clean write (dir without _SUCCESS) is recomputed on replay") {
     // Spark creates the output dir at job start; a crash mid-write leaves
     // it behind WITHOUT the _SUCCESS commit marker. The write-once check
