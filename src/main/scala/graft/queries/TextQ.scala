@@ -1368,6 +1368,78 @@ object TextQ {
         "(the overwhelming real-world case) pay one scan, no rebuild. " +
         "Bit-checked against DuckDB's nfc_normalize/strip_accents over " +
         "the corpus UNION a fixture with explicit combining-mark rows."
+    ),
+    // ---- HTML/boilerplate extraction: gate 0 of every web-crawl corpus.
+    // Deterministic dirty pages (chrome + nav + heading + content + promo
+    // + related-links + footer, with entities, comments, inline tags, and
+    // a raw '<' inside the script body) are built from the documents
+    // table, then extracted by the jusText-style integer rules. Per-row
+    // array expressions only — zero shuffles at any corpus size.
+    Q(
+      "t_extract",
+      (s, d) =>
+        graft.operators.Html
+          .extract(graft.operators.Html.dirtyHtml(Tables.documents(s, d)))
+          .orderBy("doc_id"),
+      Some(graft.operators.Html.extractOracleSql()),
+      doc = "HTML boilerplate extraction (jusText/trafilatura heuristics): " +
+        "strip head/script/style/comments, split on block tags, classify " +
+        "each block by integer link-density and stopword-density rules, " +
+        "emit the surviving blocks' decoded text in document order. " +
+        "Nav/related-links (anchor-dominated), headings and footers " +
+        "(stopword-free) drop; prose content and a borderline promo " +
+        "paragraph survive. Entirely per-row Catalyst array expressions — " +
+        "map-only at 100 TB. Oracle replays page construction AND " +
+        "extraction with the same regexes and integer cross-multiplied " +
+        "density rules."
+    ),
+    // ---- extraction observability: the gate-0 funnel per source —
+    // where a crawl loses its bytes BEFORE text-quality work begins.
+    // Composes the extraction with the corpus metadata: one extraction
+    // pass + one small groupBy on source.
+    Q(
+      "t_extract_funnel",
+      (s, d) => {
+        val ex = graft.operators.Html
+          .extract(graft.operators.Html.dirtyHtml(Tables.documents(s, d)))
+        Tables
+          .documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .join(ex, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_pages"),
+            sum(when(col("n_good") > 0, 1L).otherwise(0L)).as("n_kept"),
+            sum(col("n_chars")).cast("long").as("raw_chars"),
+            sum(col("content_chars")).cast("long").as("kept_chars")
+          )
+          .withColumn(
+            "kept_permille",
+            expr("(1000 * kept_chars) DIV greatest(raw_chars, 1)")
+          )
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH ${graft.operators.Html.extractCtes("documents")},
+           |ex AS (
+           |  SELECT doc_id,
+           |    len(goods)::BIGINT AS n_good,
+           |    coalesce(list_sum(list_transform(goods, x -> x['n_chars'])), 0)::BIGINT AS content_chars
+           |  FROM hg
+           |)
+           |SELECT d.source,
+           |  COUNT(*)::BIGINT AS n_pages,
+           |  SUM(CASE WHEN ex.n_good > 0 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           |  SUM(d.n_chars)::BIGINT AS raw_chars,
+           |  SUM(ex.content_chars)::BIGINT AS kept_chars,
+           |  ((1000 * SUM(ex.content_chars)) // greatest(SUM(d.n_chars), 1))::BIGINT AS kept_permille
+           |FROM documents d JOIN ex ON d.doc_id = ex.doc_id
+           |GROUP BY d.source ORDER BY d.source""".stripMargin
+      ),
+      doc = "Extraction funnel per source: pages kept (any content block " +
+        "survived), raw vs extracted chars, integral kept-permille — the " +
+        "gate-0 observability report a crawl pipeline watches. One " +
+        "extraction pass + one source-keyed aggregate."
     )
   )
 
