@@ -19,6 +19,11 @@ object TextQ {
     */
   private val BpeSteps = 8
 
+  /** Unigram-LM training knobs (must precede `all` — see BpeSteps). */
+  private val UnigramVocab = 48
+  private val UnigramPieceLen = 4
+  private val UnigramRounds = 2
+
   val all: Seq[Q] = Seq(
     Q(
       "t_langid",
@@ -1440,8 +1445,122 @@ object TextQ {
         "survived), raw vs extracted chars, integral kept-permille — the " +
         "gate-0 observability report a crawl pipeline watches. One " +
         "extraction pass + one source-keyed aggregate."
+    ),
+    // ---- unigram-LM tokenizer (Kudo 2018), integer-exact hard-EM: seed
+    // substring frequencies, Viterbi-segment every word under (fewest
+    // pieces, max total freq, lex-min segmentation), recount from winners,
+    // prune — the SentencePiece-default algorithm beside BPE. The oracle
+    // replays the ENTIRE training (seed + both EM rounds) with recursive
+    // segmentation enumeration — feasible because the DP objective is
+    // all-integer, so there is no float likelihood to diverge on.
+    Q(
+      "t_unigram_vocab",
+      (s, d) =>
+        graft.operators.Unigram
+          .train(
+            TextAnalysis.wordCounts(Tables.documents(s, d))
+              .select(col("token").as("word"), col("cnt")),
+            UnigramVocab, UnigramPieceLen, UnigramRounds
+          )
+          .orderBy("piece"),
+      Some(
+        s"""WITH RECURSIVE ${unigramChain(UnigramRounds)}
+           |SELECT piece, freq FROM up$UnigramRounds ORDER BY piece""".stripMargin
+      ),
+      doc = "Unigram-LM tokenizer training (Kudo 2018 hard-EM): substring " +
+        s"seed (all chars + top-$UnigramVocab multi-char pieces by " +
+        "frequency), then per round Viterbi-segment every DISTINCT word " +
+        "(integer objective: fewest pieces, max summed piece frequency, " +
+        "lex-min segmentation — a unique argmax, no float likelihoods), " +
+        "recount piece frequencies from the winners, prune to budget. " +
+        "The word table is vocabulary-sized; pruning is a bounded top-k " +
+        "(TakeOrderedAndProject), never a global window. Oracle replays " +
+        "seed + both EM rounds via recursive segmentation enumeration."
+    ),
+    Q(
+      "t_unigram_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pieces = graft.operators.Unigram.train(
+          TextAnalysis.wordCounts(docs).select(col("token").as("word"), col("cnt")),
+          UnigramVocab, UnigramPieceLen, UnigramRounds
+        )
+        graft.operators.Unigram
+          .encodeStats(docs, pieces, UnigramPieceLen)
+          .orderBy("doc_id")
+      },
+      Some {
+        val enc = UnigramRounds + 1
+        s"""WITH RECURSIVE ${unigramChain(UnigramRounds)},
+           |${unigramSegCtes(enc, s"up$UnigramRounds")},
+           |udt AS (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+           |SELECT doc_id, COUNT(*)::BIGINT AS n_words, SUM(w.np)::BIGINT AS n_pieces,
+           |  SUM(w.sf)::BIGINT AS score_sum,
+           |  ((100 * SUM(w.np)) // COUNT(*))::BIGINT AS pieces_per_100w
+           |FROM udt JOIN uwin$enc w ON udt.token = w.word
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      doc = "Corpus encoding with the trained unigram-LM tokenizer: " +
+        "Viterbi segmentation runs ONCE per distinct word against the " +
+        "broadcast trained table; the token stream pays a vocabulary-" +
+        "sized join plus one per-doc aggregate (word count, piece count, " +
+        "summed integer scores, integral fertility) — the same " +
+        "train-once/join-to-apply shape as t_bpe_encode. Oracle " +
+        "re-derives the trained table and every doc's stats bit-exactly."
     )
   )
+
+  // ---- unigram-LM oracle generators -------------------------------------
+
+  /** One recursive Viterbi-enumeration stage over piece table `prev`:
+    * CTEs `useg$r` (all segmentations of every word in `uwc`, built by
+    * extending prefixes with matching pieces) and `uwin$r` (the unique
+    * winner per word under (np asc, sf desc, segstr asc) — the exact
+    * Spark-side DP objective).
+    */
+  private def unigramSegCtes(r: Int, prev: String): String =
+    s"""useg$r AS (
+       |  SELECT word, cnt, 0 AS pos, 0 AS np, 0::BIGINT AS sf, '' AS segstr FROM uwc
+       |  UNION ALL
+       |  SELECT s.word, s.cnt, s.pos + length(p.piece), s.np + 1, s.sf + p.freq,
+       |    CASE WHEN s.segstr = '' THEN p.piece ELSE s.segstr || ' ' || p.piece END
+       |  FROM useg$r s JOIN $prev p ON substr(s.word, s.pos + 1, length(p.piece)) = p.piece
+       |  WHERE s.pos < length(s.word)),
+       |uwin$r AS (
+       |  SELECT word, cnt, np, sf, segstr FROM (
+       |    SELECT word, cnt, np, sf, segstr,
+       |      row_number() OVER (PARTITION BY word ORDER BY np, sf DESC, segstr) AS rn
+       |    FROM useg$r WHERE pos = length(word)) WHERE rn = 1)""".stripMargin
+
+  /** Seed + `rounds` hard-EM rounds, ending in piece table `up$rounds`. */
+  private def unigramChain(rounds: Int): String = {
+    val seed =
+      s"""uwc AS (SELECT token AS word, COUNT(*)::BIGINT AS cnt
+         |        FROM (SELECT unnest($toksSql) AS token FROM documents) GROUP BY token),
+         |usub AS (SELECT piece, SUM(cnt)::BIGINT AS freq FROM (
+         |  SELECT unnest(flatten(list_transform(generate_series(1, length(word)),
+         |    i -> list_transform(generate_series(1, least($UnigramPieceLen, length(word) - i + 1)),
+         |         l -> substr(word, i, l))))) AS piece, cnt FROM uwc) GROUP BY piece),
+         |up0 AS (
+         |  SELECT piece, freq FROM usub WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, freq FROM (SELECT piece, freq FROM usub WHERE length(piece) > 1
+         |                           ORDER BY freq DESC, piece LIMIT $UnigramVocab))""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"up${r - 1}"
+      s"""${unigramSegCtes(r, prev)},
+         |uu$r AS (SELECT piece, SUM(cnt)::BIGINT AS freq
+         |         FROM (SELECT unnest(string_split(segstr, ' ')) AS piece, cnt FROM uwin$r)
+         |         GROUP BY piece),
+         |up$r AS (
+         |  SELECT p.piece, coalesce(u.freq, 0)::BIGINT AS freq
+         |  FROM $prev p LEFT JOIN uu$r u ON p.piece = u.piece WHERE length(p.piece) = 1
+         |  UNION ALL
+         |  SELECT piece, freq FROM (SELECT piece, freq FROM uu$r WHERE length(piece) > 1
+         |                           ORDER BY freq DESC, piece LIMIT $UnigramVocab))""".stripMargin
+    }
+    (seed +: roundCtes).mkString(",\n")
+  }
 
   /** Generated n-step BPE oracle: each step is three CTEs (pair counts,
     * argmax pair, fold-rewritten sequences) chained off the previous
