@@ -110,7 +110,7 @@ object Multimodal {
     * (TYPE_INT_RGB fixtures), explicit-mode compression so the quality is
     * a fixed, deterministic input.
     */
-  private[operators] def encodeJpeg(
+  private[graft] def encodeJpeg(
       img: java.awt.image.BufferedImage,
       quality: Float
   ): Array[Byte] = {
@@ -147,7 +147,7 @@ object Multimodal {
     * whose structure out-scales codec noise, which is what real
     * photographs are.
     */
-  private[operators] def toBlockImage(content: Long): java.awt.image.BufferedImage = {
+  private[graft] def toBlockImage(content: Long): java.awt.image.BufferedImage = {
     val w = (HashCols + 1) * 6 // 66
     val h = HashRows * 6 // 36
     val md = java.security.MessageDigest

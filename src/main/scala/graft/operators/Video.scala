@@ -91,9 +91,7 @@ object Video {
     img
   }
 
-  private def encodeVideo(id: Long): Array[Byte] = {
-    val frames = (0 until nFrames(id)).map(f =>
-      Multimodal.encodePng(sceneImage(sceneOf(id, f))))
+  private[graft] def encodeGvid(frames: Seq[Array[Byte]]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeBytes("GVID")
@@ -103,8 +101,28 @@ object Video {
     bos.toByteArray
   }
 
-  /** Parse the container: per frame its PNG byte slice. */
-  private def framesOf(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+  private def encodeVideo(id: Long): Array[Byte] =
+    encodeGvid((0 until nFrames(id)).map(f =>
+      Multimodal.encodePng(sceneImage(sceneOf(id, f)))))
+
+  /** Parse a video container by MAGIC introspection — the video analogue
+    * of ImageIO's reader introspection: `GVID` streams and RIFF `AVI `
+    * Motion-JPEG files flow through the SAME decode path, so everything
+    * downstream (frame decode, perceptual hashing, scene dedup) is
+    * container-agnostic by construction. Returns each frame's encoded
+    * image byte slice (PNG for GVID, JPEG for MJPEG AVI); the per-frame
+    * codec is then ImageIO's introspection problem.
+    */
+  private[graft] def framesOf(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    val magic = new String(bytes.take(4), "US-ASCII")
+    magic match {
+      case "GVID" => framesOfGvid(bytes)
+      case "RIFF" => framesOfAvi(bytes)
+      case m      => throw new IllegalArgumentException(s"unknown video container: $m")
+    }
+  }
+
+  private def framesOfGvid(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val magic = new Array[Byte](4)
     in.readFully(magic)
@@ -116,6 +134,123 @@ object Video {
       in.readFully(png)
       png
     }
+  }
+
+  // ---- Motion-JPEG AVI: the second REAL video container ------------------
+  //
+  // RIFF('AVI ' LIST('hdrl' avih, LIST('strl' strh('vids'/'MJPG'),
+  // strf(BITMAPINFOHEADER))) LIST('movi' '00dc' chunks) 'idx1') with
+  // little-endian sizes and even-byte chunk padding — the standard
+  // uncompressed-index MJPEG layout (Microsoft AVI RIFF spec). Every
+  // frame chunk is a complete JPEG stream.
+
+  private def le32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+  private def le16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+  }
+  private def fourcc(out: java.io.ByteArrayOutputStream, s: String): Unit =
+    out.write(s.getBytes("US-ASCII"))
+
+  /** Write a minimal-but-valid Motion-JPEG AVI from complete JPEG frame
+    * streams (all frames `w`×`h`, 10 fps).
+    */
+  private[graft] def encodeAviMjpeg(
+      jpegs: Seq[Array[Byte]],
+      w: Int,
+      h: Int
+  ): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      fourcc(out, id); le32(out, body.length); out.write(body)
+      if (body.length % 2 == 1) out.write(0) // RIFF even padding
+      out.toByteArray
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      fourcc(out, "LIST"); le32(out, body.length + 4); fourcc(out, kind)
+      out.write(body)
+      out.toByteArray
+    }
+    val avih = {
+      val b = new java.io.ByteArrayOutputStream()
+      le32(b, 100000) // microseconds per frame (10 fps)
+      le32(b, 0); le32(b, 0); le32(b, 0x10) // maxBytesPerSec, pad, AVIF_HASINDEX
+      le32(b, jpegs.length); le32(b, 0); le32(b, 1) // totalFrames, initial, streams
+      le32(b, jpegs.map(_.length).max); le32(b, w); le32(b, h)
+      le32(b, 0); le32(b, 0); le32(b, 0); le32(b, 0) // reserved
+      chunk("avih", b.toByteArray)
+    }
+    val strh = {
+      val b = new java.io.ByteArrayOutputStream()
+      fourcc(b, "vids"); fourcc(b, "MJPG")
+      le32(b, 0); le16(b, 0); le16(b, 0); le32(b, 0) // flags, prio, lang, initial
+      le32(b, 1); le32(b, 10) // scale, rate -> 10 fps
+      le32(b, 0); le32(b, jpegs.length) // start, length
+      le32(b, jpegs.map(_.length).max); le32(b, -1); le32(b, 0) // bufSize, quality, sampleSize
+      le16(b, 0); le16(b, 0); le16(b, w); le16(b, h) // rcFrame
+      chunk("strh", b.toByteArray)
+    }
+    val strf = {
+      val b = new java.io.ByteArrayOutputStream()
+      le32(b, 40); le32(b, w); le32(b, h) // biSize, biWidth, biHeight
+      le16(b, 1); le16(b, 24) // planes, bitcount
+      fourcc(b, "MJPG") // biCompression
+      le32(b, w * h * 3); le32(b, 0); le32(b, 0); le32(b, 0); le32(b, 0)
+      chunk("strf", b.toByteArray)
+    }
+    val strl = list("strl", strh ++ strf)
+    val hdrl = list("hdrl", avih ++ strl)
+    val frameChunks = jpegs.map(j => chunk("00dc", j))
+    val movi = list("movi", frameChunks.flatten.toArray)
+    val idx1 = {
+      val b = new java.io.ByteArrayOutputStream()
+      var off = 4 // offsets are relative to the start of 'movi' list data
+      jpegs.foreach { j =>
+        fourcc(b, "00dc"); le32(b, 0x10) // AVIIF_KEYFRAME
+        le32(b, off); le32(b, j.length)
+        off += 8 + j.length + (j.length % 2)
+      }
+      chunk("idx1", b.toByteArray)
+    }
+    val body = hdrl ++ movi ++ idx1
+    val out = new java.io.ByteArrayOutputStream()
+    fourcc(out, "RIFF"); le32(out, body.length + 4); fourcc(out, "AVI ")
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Parse an MJPEG AVI: walk the RIFF chunk tree to the `movi` list and
+    * return every video-frame chunk's (`..dc`/`..db`) JPEG payload in
+    * stream order. Tolerates optional lists (`INFO`, `JUNK`) and odd-length
+    * padding; does not require `idx1`.
+    */
+  private def framesOfAvi(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    def u32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def cc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(cc(0) == "RIFF" && cc(8) == "AVI ", "not a RIFF AVI stream")
+    val frames = IndexedSeq.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = cc(off)
+        val sz = u32(off + 4)
+        if (id == "LIST") {
+          val kind = cc(off + 8)
+          if (kind == "movi" || kind == "hdrl" || kind == "strl")
+            walk(off + 12, off + 8 + sz)
+        } else if (id.length == 4 && id.endsWith("dc") || id.endsWith("db")) {
+          frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz)
+        }
+        off += 8 + sz + (sz % 2) // even-byte chunk alignment
+      }
+    }
+    walk(12, 12 + u32(4) - 4)
+    frames.result()
   }
 
   /** documents → (doc_id, payload: binary): the ingest step — a real
@@ -130,6 +265,58 @@ object Video {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map(id => (id, encodeVideo(id)))
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Distinct video contents in the mixed-CONTAINER fixture: content(id) =
+    * id % ContainerContents, so every content is uploaded both as a
+    * GVID-of-PNG stream (even doc ids) and as a Motion-JPEG AVI (odd doc
+    * ids) — the container/codec re-upload class scene dedup must be blind
+    * to.
+    */
+  val ContainerContents = 25L
+
+  /** Frames per content in the mixed-container fixture: 4..6. */
+  def containerFrames(content: Long): Int = (4 + content % 3).toInt
+
+  /** Scene images for the mixed-container fixture are the JPEG-STABLE
+    * block images of the image codec matrix ([[Multimodal.toBlockImage]]:
+    * ±12 gray margins vs ±3 JPEG-0.9 noise, so the per-frame dHash is
+    * bit-identical across PNG and JPEG encodes — the proof the image
+    * family's m_codec_dups already carries). Scene content ids live at
+    * 1000+ so they never collide with the image fixture's 0..24.
+    */
+  private def containerSceneImage(content: Long, f: Int): java.awt.image.BufferedImage =
+    Multimodal.toBlockImage(1000L + content * 8L + f)
+
+  /** documents → (doc_id, payload) over the mixed-container corpus: even
+    * doc ids upload their content as GVID(PNG frames), odd ids as a REAL
+    * Motion-JPEG AVI (RIFF/avih/strl/movi/idx1, JPEG quality 0.9) of the
+    * SAME scene images. The decode side is container-agnostic by magic
+    * introspection ([[framesOf]]) + ImageIO codec introspection — which
+    * is what this fixture proves.
+    */
+  def withVideoPayloadMixedContainer(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val content = ((id % ContainerContents) + ContainerContents) % ContainerContents
+          val imgs = (0 until containerFrames(content)).map(containerSceneImage(content, _))
+          val bytes =
+            if (id % 2 == 0) encodeGvid(imgs.map(Multimodal.encodePng))
+            else
+              encodeAviMjpeg(
+                imgs.map(Multimodal.encodeJpeg(_, 0.9f)),
+                imgs.head.getWidth,
+                imgs.head.getHeight
+              )
+          (id, bytes)
+        }
       }
       .toDF("doc_id", "payload")
   }

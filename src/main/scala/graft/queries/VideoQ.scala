@@ -314,6 +314,62 @@ object VideoQ {
         "its representative. One row per video regardless of the " +
         "corpus's duplication rate; labels provably equal doc-level " +
         "clustering (rep = min doc of its signature group)."
+    ),
+    // ---- CONTAINER-MATRIX dedup: the same recording re-uploaded under
+    // TWO real containers — GVID-of-PNG (even docs) and a real Motion-JPEG
+    // AVI (odd docs; RIFF/avih/strl/movi/idx1, JPEG quality 0.9) — must
+    // land in one scene-signature cluster. The decode path is
+    // container-agnostic by magic introspection (Video.framesOf) + ImageIO
+    // codec introspection; scene images are the JPEG-stable block fixture
+    // (±12 gray margins vs ±3 codec noise), so every frame's dHash is
+    // bit-identical across the two encodes and the verdict is exact —
+    // the video analogue of m_codec_dups.
+    Q(
+      "m_video_codec_dups",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(s, d)
+        val hashes =
+          Video.videoFrameHashes(s, Video.withVideoPayloadMixedContainer(s, docs))
+        val sig = hashes.select(col("doc_id"), col("dhash")).distinct()
+        val fp = sig
+          .groupBy(col("doc_id"))
+          .agg(
+            md5(concat_ws(",", sort_array(collect_list(col("dhash")))))
+              .as("sig_md5")
+          )
+        val clusters = fp
+          .groupBy(col("sig_md5"))
+          .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+        fp.join(clusters, Seq("sig_md5"))
+          .select(
+            col("doc_id"),
+            when(col("doc_id") % 2 === 0, "gvid").otherwise("avi-mjpeg").as("container"),
+            (col("doc_id") % Video.ContainerContents).as("content"),
+            col("rep"),
+            col("n"),
+            (col("rep") === col("doc_id") % Video.ContainerContents)
+              .as("container_invariant")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH dd AS (SELECT doc_id, doc_id % ${Video.ContainerContents} AS content,
+           |  CASE WHEN doc_id % 2 = 0 THEN 'gvid' ELSE 'avi-mjpeg' END AS container
+           |  FROM documents),
+           |g AS (SELECT content, COUNT(*)::BIGINT AS n FROM dd GROUP BY content)
+           |SELECT dd.doc_id, dd.container, dd.content, dd.content AS rep, g.n,
+           |  true AS container_invariant
+           |FROM dd JOIN g USING (content) ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Mixed-container video dedup (GVID-of-PNG corpus + Motion-JPEG " +
+        "AVI re-uploads of the same recordings through the SAME " +
+        "introspecting decode path): per-video scene-signature collapse " +
+        "puts every upload of a recording in one cluster whose rep is the " +
+        "recording's min doc id — the oracle pins cluster membership, " +
+        "size, and the container-invariance verdict for every document. " +
+        "Frame content is the JPEG-stable block fixture, so each frame's " +
+        "dHash is provably identical across PNG and JPEG-0.9 encodes."
     )
   )
 }

@@ -35,6 +35,59 @@ class VideoSpec extends AnyFunSuite {
     }
   }
 
+  test("MJPEG AVI: valid RIFF structure, introspecting parse, JPEG frames, odd-length padding") {
+    import graft.operators.Multimodal
+    val imgs = (0 until 3).map(f => Multimodal.toBlockImage(2000L + f))
+    val jpegs = imgs.map(Multimodal.encodeJpeg(_, 0.9f))
+    val avi = Video.encodeAviMjpeg(jpegs, imgs.head.getWidth, imgs.head.getHeight)
+    assert(new String(avi.take(4), "US-ASCII") === "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") === "AVI ")
+    def u32(off: Int): Int =
+      (avi(off) & 0xff) | ((avi(off + 1) & 0xff) << 8) |
+        ((avi(off + 2) & 0xff) << 16) | ((avi(off + 3) & 0xff) << 24)
+    assert(u32(4) === avi.length - 8, "RIFF size covers the whole body")
+    // idx1 present with one entry per frame
+    val s = new String(avi, "ISO-8859-1")
+    assert(s.contains("idx1") && s.contains("movi") && s.contains("MJPG"))
+    // the introspecting parser returns the frames in order, bit-identical
+    val back = Video.framesOf(avi)
+    assert(back.length === 3)
+    back.zip(jpegs).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // and each frame is a decodable JPEG with the right dimensions
+    back.foreach { j =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j))
+      assert(img.getWidth === imgs.head.getWidth && img.getHeight === imgs.head.getHeight)
+    }
+  }
+
+  test("container invariance: GVID-PNG and AVI-MJPEG uploads of one content hash identically") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+    val hashes = Video
+      .videoFrameHashes(spark, Video.withVideoPayloadMixedContainer(spark, docs))
+      .select(col("doc_id"), col("frame_idx"), col("dhash"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // docs 0 (gvid) and 25 (avi-mjpeg) share content 0; every frame's
+    // dHash must agree bit-exactly
+    val c = Video.containerFrames(0)
+    (0 until c).foreach { f =>
+      assert(
+        hashes((0L, f.toLong)) === hashes((25L, f.toLong)),
+        s"frame $f dHash must be container-invariant"
+      )
+    }
+    // distinct contents do NOT collide (the clusters are real)
+    assert(hashes((0L, 0L)) !== hashes((1L, 0L)))
+  }
+
+  test("unknown container magic fails loudly, not silently empty") {
+    val e = intercept[Exception] {
+      Video.framesOf("XXXX garbage".getBytes("US-ASCII"))
+    }
+    assert(e.getMessage.contains("unknown video container"))
+  }
+
   test("shared scenes hash identically across docs; videoDups finds exactly the within-recording pairs") {
     val docs = Tables.documents(spark, sf).limit(150)
     val payloads = Video.withVideoPayload(spark, docs)
