@@ -95,14 +95,31 @@ object SubstrIndexStream {
     }
   }
 
-  /** Merge base ∪ delta grams (the live view is already an exact set),
-    * rewrite the bucketed base, publish via the crash-safe journaled swap
-    * (which also retires `delta/`).
+  /** Merge base ∪ delta grams, rewrite the bucketed base, publish via the
+    * crash-safe journaled swap (which also retires `delta/`).
+    *
+    * Compaction deliberately does NOT reuse the read path's delta-probe
+    * union: a fold is the one moment a base reshuffle is the RIGHT plan —
+    * the `(base ∪ delta).distinct()` hash-clusters rows by (b, gh) so the
+    * `partitionBy("b")` write lands few, bucket-aligned files (an
+    * un-shuffled union would spray every input partition across all 64
+    * bucket dirs, fragmenting the files every later probe reads), and at
+    * fold time the delta is at its debt-policy MAXIMUM (~20% of base),
+    * where the probe union's semi/anti legs cost more than the single
+    * distinct they would replace. Reads stay base-shuffle-free
+    * ([[readGramsExcluding]]); compaction pays one aligned shuffle per
+    * FOLD, amortized by the same debt policy that bounds fold frequency.
     */
   def compactDeltas(spark: SparkSession, dir: String): Unit = {
     if (new java.io.File(s"$dir/delta").exists()) {
       val stamp = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
-      readGrams(spark, dir)
+      val base = spark.read.parquet(s"$dir/grams").select(col("b"), col("gh"))
+      val delta = spark.read
+        .parquet(s"$dir/delta")
+        .select(col("b"), col("gh"))
+      base
+        .unionByName(delta)
+        .distinct()
         .write
         .mode("overwrite")
         .partitionBy("b")
