@@ -509,6 +509,80 @@ object PipelineQ {
         "(content-hash window + classifier aggregate + final sort) at " +
         "any corpus size."
     ),
+    // ---- the web-crawl composition: HTML/boilerplate extraction as GATE
+    // ZERO of the cleaning pipeline. Raw pages (the dirty-HTML fixture)
+    // are extracted first; documents whose every block classified as
+    // boilerplate drop at gate 0; the survivors' EXTRACTED text — not the
+    // raw markup — feeds the language-ID + quality gates and the split
+    // tag. Extraction is per-row (zero shuffles), so gate 0 adds no
+    // exchange to t_clean_pipeline's plan shape.
+    Q(
+      "t_extract_clean",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val extracted = graft.operators.Html
+          .extract(graft.operators.Html.dirtyHtml(docs))
+          .filter(col("n_good") > 0)
+          .select(col("doc_id"), col("extracted").as("text"))
+        TextAnalysis
+          .annotateDocs(extracted)
+          .filter(col("pred_lang") === "en" && col("quality_score") >= 0.45)
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            col("quality_score"),
+            col("split")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val scoreDefs = TextAnalysis.LangMarkers
+          .map { case (lang, ms) =>
+            s"len(list_filter(tk, w -> w IN (${inList(ms)}))) AS s_$lang"
+          }
+          .mkString(",\n       ")
+        s"""WITH ${graft.operators.Html.extractCtes("documents")},
+           |ed AS (
+           |  SELECT doc_id,
+           |    array_to_string(list_transform(goods, x -> x['text']), chr(10)) AS text
+           |  FROM hg WHERE len(goods) > 0
+           |),
+           |et AS (SELECT doc_id, text, $toksSql AS tk FROM ed),
+           |es AS (SELECT doc_id, text, tk,
+           |       $scoreDefs
+           |FROM et),
+           |elang AS (SELECT doc_id, text, tk,
+           |  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+           |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           |       WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+           |       WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+           |       ELSE 'es' END AS pred_lang
+           |FROM es),
+           |eq AS (SELECT doc_id, pred_lang,
+           |  len(tk)::BIGINT AS n_tokens,
+           |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio,
+           |  len(list_filter(tk, w -> w IN (${inList(Text.StopWords)})))::DOUBLE / len(tk) AS stopword_ratio,
+           |  len(list_distinct(tk))::DOUBLE / len(tk) AS uniq_ratio
+           |FROM elang),
+           |eqs AS (SELECT doc_id, pred_lang, n_tokens,
+           |  (alpha_ratio * 0.3) + (least(stopword_ratio * 4.0, 1.0) * 0.3) + (uniq_ratio * 0.4)
+           |    AS quality_score
+           |FROM eq)
+           |SELECT doc_id, n_tokens, quality_score,
+           |  CASE WHEN ${h60id("doc_id")} % 100 < 80 THEN 'train'
+           |       WHEN ${h60id("doc_id")} % 100 < 90 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM eqs
+           |WHERE pred_lang = 'en' AND quality_score >= 0.45
+           |ORDER BY doc_id""".stripMargin
+      },
+      doc = "Gate-0 composition: HTML/boilerplate extraction feeding the " +
+        "cleaning gates — raw pages are extracted per-row (no added " +
+        "exchange), all-boilerplate pages drop at gate 0, and the " +
+        "language-ID + quality gates evaluate the EXTRACTED text, not " +
+        "the markup. The oracle replays page construction, extraction, " +
+        "and the full gate arithmetic over the extracted text."
+    ),
     // ---- drop-attribution FUNNEL over the cleaning gates: every doc
     // charged to the FIRST gate that rejects it (corpus dedup [exact +
     // near-dup] → lang → quality → classifier), plus the survivor count

@@ -1507,6 +1507,74 @@ object TextQ {
         "summed integer scores, integral fertility) — the same " +
         "train-once/join-to-apply shape as t_bpe_encode. Oracle " +
         "re-derives the trained table and every doc's stats bit-exactly."
+    ),
+    Q(
+      "t_unigram_ids",
+      (s, d) => {
+        // Tensor-ready id encoding under the trained unigram-LM
+        // tokenizer — t_bpe_ids' shape for the second tokenizer family.
+        // Id scheme: trained pieces sorted ascending get ids 0..V-1 (the
+        // deterministic engine-independent assignment). The per-word
+        // winner segmentation and the id table are both vocabulary-sized
+        // and broadcast; encoding is map-side joins over the positioned
+        // token stream plus one per-doc assembly aggregate.
+        val docs = Tables.documents(s, d)
+        val words = TextAnalysis
+          .wordCounts(docs)
+          .select(col("token").as("word"), col("cnt"))
+        val pieces = graft.operators.Unigram
+          .train(words, UnigramVocab, UnigramPieceLen, UnigramRounds)
+        val idTab = pieces
+          .agg(sort_array(collect_list(col("piece"))).as("ps"))
+          .select(posexplode(col("ps")).as(Seq("id", "piece")))
+          .select(col("piece"), col("id").cast("long").as("id"))
+        val seg = graft.operators.Unigram
+          .segmentWords(words, pieces, UnigramPieceLen)
+          .select(col("word").as("token"), split(col("pieces"), " ").as("subs"))
+        val sw = docs
+          .select(col("doc_id"), posexplode(Text.tokensAll(col("text"))).as(Seq("pos", "token")))
+          .join(broadcast(seg), Seq("token"))
+          .select(col("doc_id"), col("pos"), posexplode(col("subs")).as(Seq("pos2", "piece")))
+        sw.join(broadcast(idTab), Seq("piece"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).cast("long").as("n_ids"),
+            concat_ws(
+              " ",
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("pos2"), col("id")))),
+                _.getField("id").cast("string")
+              )
+            ).as("ids_txt")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val enc = UnigramRounds + 1
+        s"""WITH RECURSIVE ${unigramChain(UnigramRounds)},
+           |${unigramSegCtes(enc, s"up$UnigramRounds")},
+           |pid AS (SELECT piece, (row_number() OVER (ORDER BY piece) - 1)::BIGINT AS id
+           |        FROM up$UnigramRounds),
+           |udt AS (SELECT doc_id, u.i AS pos, tk[u.i] AS token
+           |        FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+           |        CROSS JOIN unnest(generate_series(1, len(tk))) AS u(i)),
+           |usw AS (SELECT udt.doc_id, udt.pos, u.j AS pos2,
+           |          string_split(w.segstr, ' ')[u.j] AS piece
+           |        FROM udt JOIN uwin$enc w ON udt.token = w.word
+           |        CROSS JOIN unnest(generate_series(1, len(string_split(w.segstr, ' ')))) AS u(j))
+           |SELECT usw.doc_id, COUNT(*)::BIGINT AS n_ids,
+           |  string_agg(pid.id::VARCHAR, ' ' ORDER BY usw.pos, usw.pos2) AS ids_txt
+           |FROM usw JOIN pid ON usw.piece = pid.piece
+           |GROUP BY usw.doc_id ORDER BY usw.doc_id""".stripMargin
+      },
+      doc = "Materialized token-id encoding under the trained unigram-LM " +
+        "tokenizer — the tensor-ready training output, t_bpe_ids' twin " +
+        "for the second tokenizer family: pieces sorted ascending get " +
+        "ids 0..V-1, each document becomes its integer id sequence in " +
+        "token order. Trained table + id table broadcast; map-side joins " +
+        "over the positioned token stream + one per-doc assembly " +
+        "aggregate. Oracle re-derives training, every winner " +
+        "segmentation, and every doc's full id sequence bit-exactly."
     )
   )
 
