@@ -520,10 +520,18 @@ object PipelineQ {
       "t_extract_clean",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // localCheckpoint = a projection barrier, not just a cache:
+        // CollapseProject would otherwise INLINE the whole extraction
+        // expression tree (a ~10-regex-pass per-row pipeline) into every
+        // downstream gate column — tk, each language score, each quality
+        // ratio — re-running extraction ~8x per row (measured 14 s vs
+        // ~2 s at sf0.1). The checkpointed frame is one narrow
+        // (doc_id, text) table, so the barrier costs one extraction pass.
         val extracted = graft.operators.Html
           .extract(graft.operators.Html.dirtyHtml(docs))
           .filter(col("n_good") > 0)
           .select(col("doc_id"), col("extracted").as("text"))
+          .localCheckpoint()
         TextAnalysis
           .annotateDocs(extracted)
           .filter(col("pred_lang") === "en" && col("quality_score") >= 0.45)
