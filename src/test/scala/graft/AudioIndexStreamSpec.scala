@@ -147,4 +147,41 @@ class AudioIndexStreamSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$dir/swap.journal")))
     assert(!Files.exists(Paths.get(s"$dir/docs.compact-$stamp")))
   }
+
+  test("crash-orphaned compaction residue is swept by the next commitSwap") {
+    import java.nio.file.{Files, Paths}
+    // a death AFTER writing <name>.compact-<stamp> dirs but BEFORE the
+    // journal rename references them leaves residue no recovery path ever
+    // touches (recovery only replays a LANDED journal) — each one a full
+    // index copy leaking on disk. The next compaction's commitSwap must
+    // sweep them; readers must NOT (they could race a live owner
+    // mid-write).
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 40)
+    val base = docs.filter(col("doc_id") < 30)
+    val growth = docs.filter(col("doc_id") >= 30)
+    val dir = java.nio.file.Files.createTempDirectory("graft_audio_orphan").toString + "/idx"
+    Audio.ensureAudioFpIndex(spark, base, dir)
+    // plant residue of a fictitious crashed compaction
+    val stale = "999-deadbeef"
+    Files.createDirectories(Paths.get(s"$dir/docs.compact-$stale"))
+    Files.write(Paths.get(s"$dir/docs.compact-$stale/part-0.parquet"), Array[Byte](1))
+    Files.createDirectories(Paths.get(s"$dir/clusters.retired-$stale"))
+    Files.write(Paths.get(s"$dir/swap.journal.tmp-$stale"), Array[Byte](2))
+    // a reader open must leave the residue alone
+    AudioIndexStream.readClusters(spark, dir).collect()
+    assert(Files.exists(Paths.get(s"$dir/docs.compact-$stale")),
+      "readers must not sweep (they could race a live compaction owner)")
+    // a real fold (upsert with an aggressive debt policy) sweeps it
+    AudioIndexStream.upsertBatch(growth, dir, batchId = 0L, compactAt = 1e-9)
+    assert(!Files.exists(Paths.get(s"$dir/docs.compact-$stale")), "compact residue swept")
+    assert(!Files.exists(Paths.get(s"$dir/clusters.retired-$stale")), "retired residue swept")
+    assert(!Files.exists(Paths.get(s"$dir/swap.journal.tmp-$stale")), "journal tmp swept")
+    // and the fold itself is intact: live view equals a wholesale rebuild
+    assert(
+      clusterSet(AudioIndexStream.readClusters(spark, dir)) ===
+        clusterSet(Audio.fpClusters(Audio.energyFp(spark, docs))),
+      "sweep must not disturb the live compaction's own outcome"
+    )
+  }
 }

@@ -395,6 +395,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t_extract: extraction is map-only — no exchange except the final sort") {
+    // the whole operator is per-row array expressions; the ONLY exchange
+    // a 100 TB extraction pass may carry is the output ordering's range
+    // partitioning — any hash exchange means something snuck in a
+    // shuffle (a groupBy, a join, a window)
+    val plan = physical("t_extract")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "extraction must not hash-shuffle:\n" + plan.take(1500))
+    assert(!plan.contains("Window"), "extraction must not plan a window")
+    assert(!plan.contains("Join"), "extraction must not join")
+  }
+
   test("q_seq_pattern: view-click candidates join on (user_id, time band), not user_id alone") {
     // joining on user_id alone + post-filtering the 24 h window is a
     // within-key cross product (V·C candidate rows for a hot user); the
