@@ -239,17 +239,25 @@ object Video {
       while (off + 8 <= end) {
         val id = cc(off)
         val sz = u32(off + 4)
+        // a corrupt (negative / past-the-end) size must fail loudly, not
+        // loop forever or copy garbage; compare in Long — a hostile size
+        // near Int.MaxValue would overflow the Int sum right past the
+        // bound check
+        require(
+          sz >= 0 && off.toLong + 8L + sz <= end,
+          s"corrupt AVI chunk '$id' at $off (size $sz)"
+        )
         if (id == "LIST") {
           val kind = cc(off + 8)
           if (kind == "movi" || kind == "hdrl" || kind == "strl")
             walk(off + 12, off + 8 + sz)
-        } else if (id.length == 4 && id.endsWith("dc") || id.endsWith("db")) {
+        } else if (id.endsWith("dc") || id.endsWith("db")) {
           frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz)
         }
         off += 8 + sz + (sz % 2) // even-byte chunk alignment
       }
     }
-    walk(12, 12 + u32(4) - 4)
+    walk(12, math.min(bytes.length, 12 + u32(4) - 4))
     frames.result()
   }
 

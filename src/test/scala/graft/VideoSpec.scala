@@ -88,6 +88,22 @@ class VideoSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown video container"))
   }
 
+  test("corrupt AVI chunk sizes fail loudly, never loop or copy garbage") {
+    import graft.operators.Multimodal
+    val avi = Video.encodeAviMjpeg(
+      Seq(Multimodal.encodeJpeg(Multimodal.toBlockImage(3000L), 0.9f)), 66, 36)
+    // find the first frame chunk and corrupt its size field to run past
+    // the end of the file
+    val s = new String(avi, "ISO-8859-1")
+    val off = s.indexOf("00dc", 12)
+    assert(off > 0)
+    val bad = avi.clone()
+    bad(off + 4) = 0xff.toByte; bad(off + 5) = 0xff.toByte
+    bad(off + 6) = 0xff.toByte; bad(off + 7) = 0x7f.toByte
+    val e = intercept[IllegalArgumentException] { Video.framesOf(bad) }
+    assert(e.getMessage.contains("corrupt AVI chunk"), e.getMessage)
+  }
+
   test("shared scenes hash identically across docs; videoDups finds exactly the within-recording pairs") {
     val docs = Tables.documents(spark, sf).limit(150)
     val payloads = Video.withVideoPayload(spark, docs)
