@@ -36,7 +36,12 @@ object TextIndex {
   val DefaultBuckets = 16
 
   def defaultDir(sfDir: String, docs: DataFrame, nBuckets: Int = DefaultBuckets): String =
-    Indexes.fingerprintDirOn("text-index2", sfDir, docs, "doc_id", "text", s"nb=$nBuckets")
+    // v=2: postings rows carry the per-document length norm `dl` (the
+    // Lucene-norms analogue, what BM25's length normalization needs at
+    // SEEK time) and stats/ carries total_len beside n_docs — a layout
+    // change, so the params bump forces a rebuild instead of silently
+    // reading a v1 asset without the column
+    Indexes.fingerprintDirOn("text-index2", sfDir, docs, "doc_id", "text", s"nb=$nBuckets,v=2")
 
   private[graft] def bucketOf(term: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(term), lit(nBuckets.toLong))
@@ -50,9 +55,16 @@ object TextIndex {
     Indexes.atomicBuild(dir, "stats/_SUCCESS") { tmp =>
       val spark = docs.sparkSession
       import spark.implicits._
-      val index = TextAnalysis.invertedIndex(docs)
+      val index = TextAnalysis.invertedIndex(docs).localCheckpoint()
+      // per-document length norm (token count = sum of tfs), denormalized
+      // into every posting row so BM25 is answered seek-only — the
+      // Lucene-norms trade: one long per posting buys zero extra reads
+      // at query time
+      val dl = index
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("long").as("dl"))
       graft.sources.Layout.writePartitionedSorted(
-        index.withColumn("tb", bucketOf(col("term"), nBuckets)),
+        index.join(dl, Seq("doc_id")).withColumn("tb", bucketOf(col("term"), nBuckets)),
         s"$tmp/postings",
         "tb",
         Seq("term", "doc_id")
@@ -76,8 +88,12 @@ object TextIndex {
         .write
         .mode("overwrite")
         .parquet(s"$tmp/top_bigram")
-      Seq(docs.count())
-        .toDF("n_docs")
+      val totalLen = index
+        .agg(coalesce(sum(col("tf")), lit(0L)).cast("long"))
+        .head()
+        .getLong(0)
+      Seq((docs.count(), totalLen))
+        .toDF("n_docs", "total_len")
         .write
         .mode("overwrite")
         .parquet(s"$tmp/stats")
@@ -101,7 +117,7 @@ object TextIndex {
     spark.read
       .parquet(s"$dir/postings")
       .filter(col("tb").isin(ids.distinct: _*) && col("term").isin(terms: _*))
-      .select(col("term"), col("doc_id"), col("tf"), col("positions"))
+      .select(col("term"), col("doc_id"), col("tf"), col("positions"), col("dl"))
   }
 
   /** The persisted top bigram — (w1, w2), one row of driver state. */
@@ -113,6 +129,76 @@ object TextIndex {
   /** The persisted corpus document count — one long of driver state. */
   def nDocs(spark: SparkSession, dir: String): Long =
     spark.read.parquet(s"$dir/stats").head().getLong(0)
+
+  /** The persisted (n_docs, total_len) statistics row — two longs of
+    * driver state, the BM25 denominators.
+    */
+  def corpusTotals(spark: SparkSession, dir: String): (Long, Long) = {
+    val r = spark.read
+      .parquet(s"$dir/stats")
+      .select(col("n_docs"), col("total_len"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** BM25 ranked retrieval (Robertson et al.; the Lucene-default scorer)
+    * answered ENTIRELY from the index, at the standard operating point
+    * k1 = 1.2, b = 0.75 — kept as the exact rationals 6/5 and 3/4 so the
+    * length-normalized tf part is INTEGER arithmetic end to end:
+    *
+    *   tfpart = tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/S))
+    *          = 44·tf·S / (20·tf·S + 6·S + 18·dl·N)
+    *
+    * with N = corpus docs, S = total corpus tokens, dl = the document's
+    * stored length norm (all index reads — zero corpus scans). The only
+    * transcendental is the idf, quantized to integral MILLI units:
+    * idf_milli = floor(1000·ln((2N+2)/(2df+1))) (the Lucene
+    * ln(1 + (N−df+0.5)/(df+0.5)) form) — at milli granularity a 1-ulp
+    * libm difference between engines cannot move the floor unless
+    * 1000·ln(x) sits within ~1e-10 of an integer, which the spec checks
+    * for the gate corpus's actual (N, df) values. Per-term scores are
+    * floored to milli then summed, so the final score is a deterministic
+    * BIGINT on any engine.
+    *
+    * Scale: one partition-pruned postings seek for all terms, a
+    * |terms|-row broadcast df frame, one bounded top-k
+    * (TakeOrderedAndProject) — O(Σ df) seek rows at any corpus size. The
+    * int64 products hold to ~5·10^11 corpus tokens (a few TB of text);
+    * past that, lift the two products to DECIMAL(38,0) — same
+    * expressions, wider lanes.
+    */
+  def searchBm25(
+      spark: SparkSession,
+      dir: String,
+      terms: Seq[String],
+      k: Int,
+      nBuckets: Int = DefaultBuckets
+  ): DataFrame = {
+    val (n, s) = corpusTotals(spark, dir)
+    val p = postingsFor(spark, dir, terms.distinct, nBuckets)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val dfreq = p
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn(
+        "idf_milli",
+        floor(
+          lit(1000.0) * log(lit(2.0 * n + 2.0) / (col("df").cast("double") * 2.0 + 1.0))
+        ).cast("long")
+      )
+    p.join(broadcast(dfreq), Seq("term")) // |terms| rows — query-bounded, not corpus
+      .withColumn(
+        "w",
+        expr(s"(idf_milli * 44 * tf * ${s}L) DIV (20 * tf * ${s}L + 6 * ${s}L + 18 * dl * ${n}L)")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_terms"),
+        sum(col("w")).cast("long").as("score_milli")
+      )
+      .orderBy(col("score_milli").desc, col("doc_id"))
+      .limit(k)
+  }
 
   /** tf·idf ranked retrieval answered ENTIRELY from the index: the query
     * terms' postings (partition-pruned seek), df from those same rows,

@@ -818,6 +818,63 @@ object TextQ {
         "(partition-pruned seek + one stats row) — zero corpus scans; " +
         "top-k is a TakeOrdered over the seek's rows, never a global sort."
     ),
+    // ---- BM25 ranked retrieval (the production-default scorer, Lucene's
+    // operating point k1=1.2 b=0.75): length-normalized tf part as EXACT
+    // integer arithmetic (k1, b kept as the rationals 6/5, 3/4), idf
+    // quantized to integral milli units, per-term scores floored then
+    // summed — a deterministic BIGINT score on any engine. Postings, df,
+    // per-doc length norms, and the (N, S) totals are all INDEX reads.
+    Q(
+      "t_bm25_search",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = graft.operators.TextIndex.defaultDir(d, docs)
+        graft.operators.TextIndex.ensureBuilt(docs, dir)
+        val (w1, w2) = graft.operators.TextIndex.topBigram(s, dir)
+        graft.operators.TextIndex
+          .searchBm25(s, dir, Seq(w1, w2), 10)
+          .orderBy(col("score_milli").desc, col("doc_id"))
+      },
+      Some(
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |tok AS (
+           |  SELECT doc_id, unnest(t) AS term,
+           |         unnest(generate_series(1, len(t))) - 1 AS pos
+           |  FROM tk),
+           |post AS (SELECT term, doc_id, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+           |dln AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY 1),
+           |bg AS (
+           |  SELECT a.term AS w1, b.term AS w2, COUNT(*) AS c
+           |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           |  GROUP BY 1, 2),
+           |top AS (SELECT w1, w2 FROM bg ORDER BY c DESC, w1, w2 LIMIT 1),
+           |q AS (SELECT DISTINCT term FROM
+           |        (SELECT w1 AS term FROM top UNION ALL SELECT w2 FROM top)),
+           |n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+           |tot AS (SELECT COUNT(*)::BIGINT AS s FROM tok),
+           |p AS (SELECT post.term, post.doc_id, post.tf, dln.dl
+           |      FROM post JOIN q USING (term) JOIN dln USING (doc_id)),
+           |dfq AS (SELECT term, COUNT(*)::BIGINT AS df FROM p GROUP BY term),
+           |idf AS (SELECT term, df,
+           |          floor(1000.0 * ln((2.0 * n.n + 2.0) / (2.0 * df + 1.0)))::BIGINT AS idf_milli
+           |        FROM dfq CROSS JOIN n)
+           |SELECT p.doc_id, COUNT(*)::BIGINT AS n_terms,
+           |  SUM((idf.idf_milli * 44 * p.tf * tot.s)
+           |      // (20 * p.tf * tot.s + 6 * tot.s + 18 * p.dl * n.n))::BIGINT AS score_milli
+           |FROM p JOIN idf USING (term) CROSS JOIN n CROSS JOIN tot
+           |GROUP BY p.doc_id ORDER BY score_milli DESC, doc_id LIMIT 10""".stripMargin
+      ),
+      doc = "BM25 ranked retrieval from the persisted inverted index " +
+        "(k1=1.2, b=0.75 as exact rationals): top-10 documents for the " +
+        "top-bigram query terms. The length-normalized tf part is pure " +
+        "integer arithmetic over the stored per-doc length norms " +
+        "(44·tf·S div (20·tf·S + 6·S + 18·dl·N)); the idf is milli-" +
+        "quantized floor(1000·ln((2N+2)/(2df+1))); per-term scores " +
+        "floored then summed — deterministic BIGINT on any engine. " +
+        "Everything is an index read: partition-pruned postings seek " +
+        "carrying (tf, dl), one broadcast |terms|-row df frame, one " +
+        "stats row, bounded top-k."
+    ),
     // ---- the retrieve -> rerank pipeline (RAG stage 2): cheap index
     // retrieval generates a BOUNDED candidate set, an expensive relevance
     // model re-scores only those candidates. The "cross-encoder" here is

@@ -34,13 +34,13 @@ object TextIndexStream {
     Indexes.recoverSwap(dir)
     val base = spark.read
       .parquet(s"$dir/postings")
-      .select(col("term"), col("doc_id"), col("tf"), col("positions"), col("tb"))
+      .select(col("term"), col("doc_id"), col("tf"), col("positions"), col("dl"), col("tb"))
     if (!new java.io.File(s"$dir/delta").exists()) base
     else
       base.unionByName(
         spark.read
           .parquet(s"$dir/delta")
-          .select(col("term"), col("doc_id"), col("tf"), col("positions"), col("tb"))
+          .select(col("term"), col("doc_id"), col("tf"), col("positions"), col("dl"), col("tb"))
       )
   }
 
@@ -106,8 +106,13 @@ object TextIndexStream {
         .write
         .mode("overwrite")
         .parquet(s"$dir/top_bigram.compact-$stamp")
-      Seq(merged.select(col("doc_id")).distinct().count())
-        .toDF("n_docs")
+      // refreshed totals for the stream-grown index: indexed-doc count +
+      // total token mass (sum of tfs — the BM25 avgdl numerator), both
+      // from the SAME merged frame as the postings rewrite
+      val totalLen =
+        merged.agg(coalesce(sum(col("tf")), lit(0L)).cast("long")).head().getLong(0)
+      Seq((merged.select(col("doc_id")).distinct().count(), totalLen))
+        .toDF("n_docs", "total_len")
         .write
         .mode("overwrite")
         .parquet(s"$dir/stats.compact-$stamp")
@@ -126,8 +131,12 @@ object TextIndexStream {
       compactAt: Double = 0.2,
       nBuckets: Int = TextIndex.DefaultBuckets
   ): Unit = {
-    TextAnalysis
-      .invertedIndex(batch)
+    // batch docs are whole, so their length norms are computable from the
+    // batch alone — the delta carries the same (… , dl) schema as the base
+    val idx = TextAnalysis.invertedIndex(batch).localCheckpoint()
+    val dl = idx.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
+    idx
+      .join(dl, Seq("doc_id"))
       .withColumn("tb", TextIndex.bucketOf(col("term"), nBuckets))
       .repartition(col("tb"))
       .sortWithinPartitions(col("tb"), col("term"), col("doc_id"))
