@@ -103,6 +103,16 @@ object TextIndex {
     * hash buckets become a literal `tb IN (...)` predicate (directories
     * outside it are never listed), then the term equality rides the
     * within-bucket sort's row-group statistics.
+    *
+    * DELTA-AWARE: a stream-maintained index
+    * ([[graft.streaming.TextIndexStream]]) accumulates
+    * `delta/batch_id=N/tb=...` trees between compactions; the seek unions
+    * the SAME pruned predicate over them (delta trees are bucketed exactly
+    * like the base, so pruning holds) and `distinct()`s only when a delta
+    * exists — a replayed batch re-lands bit-identical rows, and the
+    * distinct runs over the query-bounded O(Σ df) seek rows, never the
+    * corpus. A crash mid-compaction-swap is finished here first
+    * ([[Indexes.recoverSwap]]) so the base path always exists.
     */
   def postingsFor(
       spark: SparkSession,
@@ -110,14 +120,27 @@ object TextIndex {
       terms: Seq[String],
       nBuckets: Int = DefaultBuckets
   ): DataFrame = {
+    Indexes.recoverSwap(dir)
     // bucket ids must match the build-side xxhash64 exactly — compute them
     // through the engine, one literal row per term (no corpus scan)
     import spark.implicits._
     val ids = terms.toDF("term").select(bucketOf(col("term"), nBuckets)).as[Long].collect().toSeq
-    spark.read
+    val cols =
+      Seq(col("term"), col("doc_id"), col("tf"), col("positions"), col("dl"))
+    val base = spark.read
       .parquet(s"$dir/postings")
       .filter(col("tb").isin(ids.distinct: _*) && col("term").isin(terms: _*))
-      .select(col("term"), col("doc_id"), col("tf"), col("positions"), col("dl"))
+      .select(cols: _*)
+    if (!new java.io.File(s"$dir/delta").exists()) base
+    else
+      base
+        .unionByName(
+          spark.read
+            .parquet(s"$dir/delta")
+            .filter(col("tb").isin(ids.distinct: _*) && col("term").isin(terms: _*))
+            .select(cols: _*)
+        )
+        .distinct()
   }
 
   /** The persisted top bigram — (w1, w2), one row of driver state. */
@@ -126,19 +149,41 @@ object TextIndex {
     (r.getString(0), r.getString(1))
   }
 
-  /** The persisted corpus document count — one long of driver state. */
+  /** The corpus document count — one long of driver state, delta-aware
+    * via [[corpusTotals]].
+    */
   def nDocs(spark: SparkSession, dir: String): Long =
-    spark.read.parquet(s"$dir/stats").head().getLong(0)
+    corpusTotals(spark, dir)._1
 
   /** The persisted (n_docs, total_len) statistics row — two longs of
-    * driver state, the BM25 denominators.
+    * driver state, the BM25 denominators — made DELTA-AWARE: when the
+    * index carries outstanding stream deltas
+    * ([[graft.streaming.TextIndexStream]]), the streamed documents'
+    * contribution is added from the delta's distinct (doc_id, dl) pairs
+    * (dl is denormalized into every posting row, so one distinct over the
+    * debt-bounded delta — <= the compaction fraction of base rows —
+    * yields exact per-doc lengths; replayed batches collapse in the
+    * distinct). Contract, same as the stream upsert's: delta doc_ids are
+    * NEW documents, never re-ingests of base docs — upserts of existing
+    * docs must go through compaction-time rebuild, not delta append.
     */
   def corpusTotals(spark: SparkSession, dir: String): (Long, Long) = {
+    Indexes.recoverSwap(dir)
     val r = spark.read
       .parquet(s"$dir/stats")
       .select(col("n_docs"), col("total_len"))
       .head()
-    (r.getLong(0), r.getLong(1))
+    val (n0, s0) = (r.getLong(0), r.getLong(1))
+    if (!new java.io.File(s"$dir/delta").exists()) (n0, s0)
+    else {
+      val d = spark.read
+        .parquet(s"$dir/delta")
+        .select(col("doc_id"), col("dl"))
+        .distinct()
+        .agg(count(lit(1)).cast("long"), coalesce(sum(col("dl")), lit(0L)).cast("long"))
+        .head()
+      (n0 + d.getLong(0), s0 + d.getLong(1))
+    }
   }
 
   /** BM25 ranked retrieval (Robertson et al.; the Lucene-default scorer)
@@ -163,9 +208,13 @@ object TextIndex {
     * Scale: one partition-pruned postings seek for all terms, a
     * |terms|-row broadcast df frame, one bounded top-k
     * (TakeOrderedAndProject) — O(Σ df) seek rows at any corpus size. The
-    * int64 products hold to ~5·10^11 corpus tokens (a few TB of text);
-    * past that, lift the two products to DECIMAL(38,0) — same
-    * expressions, wider lanes.
+    * score products run in DECIMAL(38,0) lanes: the widest term,
+    * idf_milli(≈10^4) · 44 · tf · S, reaches ~10^20 already at a few TB
+    * of text (S ≈ 5·10^11) — past int64 — and 38 decimal digits hold it
+    * to S ≈ 10^29 corpus tokens, i.e. any physical corpus. The quotient
+    * (bounded by idf_milli · 44/20) and the final sum stay honest longs.
+    * [[graft.InvertedIndexSpec]] pins a stats row AT the old int64 cliff
+    * and checks the decimal lanes against BigInt arithmetic.
     */
   def searchBm25(
       spark: SparkSession,
@@ -175,8 +224,20 @@ object TextIndex {
       nBuckets: Int = DefaultBuckets
   ): DataFrame = {
     val (n, s) = corpusTotals(spark, dir)
-    val p = postingsFor(spark, dir, terms.distinct, nBuckets)
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    bm25Score(
+      postingsFor(spark, dir, terms.distinct, nBuckets)
+        .select(col("term"), col("doc_id"), col("tf"), col("dl")),
+      n,
+      s,
+      k
+    )
+  }
+
+  /** The BM25 scoring kernel over an already-seeked (term, doc_id, tf, dl)
+    * frame — factored out so the overflow boundary is spec-testable with
+    * synthetic near-cliff statistics without building an index.
+    */
+  private[graft] def bm25Score(p: DataFrame, n: Long, s: Long, k: Int): DataFrame = {
     val dfreq = p
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
@@ -189,7 +250,15 @@ object TextIndex {
     p.join(broadcast(dfreq), Seq("term")) // |terms| rows — query-bounded, not corpus
       .withColumn(
         "w",
-        expr(s"(idf_milli * 44 * tf * ${s}L) DIV (20 * tf * ${s}L + 6 * ${s}L + 18 * dl * ${n}L)")
+        // DECIMAL(38,0)-led products: each term's leftmost factor is
+        // decimal so the whole chain promotes before any multiply can wrap
+        // an int64; IntegralDivide over decimals returns the exact floored
+        // quotient as a LONG (the quotient is idf-bounded, never wide)
+        expr(
+          s"(cast(idf_milli as decimal(38,0)) * 44 * tf * ${s}L) DIV " +
+            s"(cast(20 as decimal(38,0)) * tf * ${s}L + cast(6 as decimal(38,0)) * ${s}L + " +
+            s"cast(18 as decimal(38,0)) * dl * ${n}L)"
+        )
       )
       .groupBy(col("doc_id"))
       .agg(

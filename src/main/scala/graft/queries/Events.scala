@@ -687,12 +687,20 @@ object Events {
         // candidates are bounded by per-(user, 24 h-band) density instead
         // of per-user totals. The click's band is single-valued, so every
         // qualifying pair meets in exactly one band — no post-join dedup.
-        // Integer DIV (not `/`): epoch micros exceed double's mantissa.
+        // Integer floor division (not `/`: epoch micros exceed double's
+        // mantissa; not bare DIV: DIV truncates toward zero, so for
+        // pre-epoch negative timestamps band(t) != floor(t/w) and the
+        // {band, band+1} cover argument breaks). `(t - pmod(t, w)) DIV w`
+        // is exact floor for any sign — pmod's nonnegative remainder
+        // makes the numerator the floor multiple.
         val aB = a.withColumn(
           "band",
-          explode(array(expr(s"t_a DIV $followUs"), expr(s"t_a DIV $followUs") + 1))
+          explode(array(
+            expr(s"(t_a - pmod(t_a, $followUs)) DIV $followUs"),
+            expr(s"(t_a - pmod(t_a, $followUs)) DIV $followUs") + 1
+          ))
         )
-        val bB = b.withColumn("band", expr(s"t_b DIV $followUs"))
+        val bB = b.withColumn("band", expr(s"(t_b - pmod(t_b, $followUs)) DIV $followUs"))
         aB.join(bB, Seq("user_id", "band"))
           .filter(col("t_b") > col("t_a") && col("t_b") <= col("t_a") + followUs)
           .groupBy(col("user_id"), col("id_a"), col("t_a"), col("ce_a"))

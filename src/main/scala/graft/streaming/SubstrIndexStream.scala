@@ -85,6 +85,7 @@ object SubstrIndexStream {
       dir: String,
       maxDeltaFraction: Double = 0.2
   ): Boolean = {
+    Indexes.recoverSwap(dir)
     if (!new java.io.File(s"$dir/delta").exists()) false
     else {
       val base = spark.read.parquet(s"$dir/grams").count()
@@ -111,6 +112,13 @@ object SubstrIndexStream {
     * FOLD, amortized by the same debt policy that bounds fold frequency.
     */
   def compactDeltas(spark: SparkSession, dir: String): Unit = {
+    // finish any landed-but-unreplayed journal BEFORE reading grams/
+    // directly: the read path goes through readGrams (which recovers), but
+    // this direct fold doesn't — without this, a crash mid-swap leaves
+    // grams/ renamed away and a direct compact call would fail on the
+    // missing path, then commitSwap would overwrite the landed journal
+    // without replaying it
+    Indexes.recoverSwap(dir)
     if (new java.io.File(s"$dir/delta").exists()) {
       val stamp = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
       val base = spark.read.parquet(s"$dir/grams").select(col("b"), col("gh"))

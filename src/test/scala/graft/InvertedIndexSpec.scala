@@ -78,6 +78,76 @@ class InvertedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("BM25 decimal lanes survive the old int64 cliff (stats at ~5e11 corpus tokens)") {
+    import graft.operators.TextIndex
+    // a stats row AT the previously documented int64 boundary and past it:
+    // idf_milli·44·tf·S reaches ~4.5e19 > Long.MaxValue, so the pre-decimal
+    // expression wrapped silently. Replay the exact integer arithmetic in
+    // BigInt and pin the engine's scores against it.
+    for ((n, s) <- Seq((1000000000L, 500000000000000L), (2000000000L, 5000000000000000L))) {
+      val p = Seq(
+        ("rare", 10L, 100L, 200L),
+        ("rare", 11L, 7L, 350L),
+        ("common", 10L, 3L, 200L)
+      ).toDF("term", "doc_id", "tf", "dl")
+      val dfs = Map("rare" -> 2L, "common" -> 1L)
+      def idfMilli(df: Long): Long =
+        math.floor(1000.0 * math.log((2.0 * n + 2.0) / (2.0 * df + 1.0))).toLong
+      def w(term: String, tf: Long, dl: Long): BigInt =
+        (BigInt(idfMilli(dfs(term))) * 44 * tf * s) /
+          (BigInt(20) * tf * s + BigInt(6) * s + BigInt(18) * dl * n)
+      val want = Seq(
+        (10L, 2L, (w("rare", 100L, 200L) + w("common", 3L, 200L)).toLong),
+        (11L, 1L, w("rare", 7L, 350L).toLong)
+      ).sortBy(r => (-r._3, r._1))
+      val got = TextIndex
+        .bm25Score(p, n, s, 10)
+        .select("doc_id", "n_terms", "score_milli")
+        .as[(Long, Long, Long)]
+        .collect()
+        .toSeq
+      assert(got === want, s"n=$n s=$s")
+      assert(got.forall(_._3 > 0L), "a wrapped lane would go negative")
+    }
+  }
+
+  test("BM25 reads are delta-aware: streamed docs count in postings and totals") {
+    import graft.operators.TextIndex
+    import graft.streaming.TextIndexStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_delta").toString + "/idx"
+    TextIndex.ensureBuilt(docs, dir)
+    val (n0, s0) = TextIndex.corpusTotals(spark, dir)
+    // stream one NEW doc in, below the compaction debt threshold is not
+    // guaranteed — disable compaction so the delta is what the read sees
+    val batch = Seq((4L, "be quick be")).toDF("doc_id", "text")
+    TextIndexStream.upsertBatch(batch, dir, batchId = 0L, compactAt = 0.0)
+    val (n1, s1) = TextIndex.corpusTotals(spark, dir)
+    assert((n1, s1) === (n0 + 1, s0 + 3))
+    // a replayed batch must not double-count (bit-identical delta rows)
+    TextIndexStream.upsertBatch(batch, dir, batchId = 0L, compactAt = 0.0)
+    assert(TextIndex.corpusTotals(spark, dir) === ((n0 + 1, s0 + 3)))
+    val hit = TextIndex
+      .searchBm25(spark, dir, Seq("quick"), 10)
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .toSeq
+    assert(hit === Seq(4L), "the streamed doc must be retrievable pre-compaction")
+    // and the delta-aware scores must equal the post-compaction scores
+    val pre = TextIndex
+      .searchBm25(spark, dir, Seq("be", "to"), 10)
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    TextIndexStream.compactDeltas(spark, dir)
+    val post = TextIndex
+      .searchBm25(spark, dir, Seq("be", "to"), 10)
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(pre === post, "delta-aware read must match the compacted truth")
+  }
+
   test("phrase search finds every adjacency, including repeats") {
     val idx = TextAnalysis.invertedIndex(docs)
     val hits = TextAnalysis

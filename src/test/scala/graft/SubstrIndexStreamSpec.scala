@@ -191,4 +191,58 @@ class SubstrIndexStreamSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(got === expected, "recomputed clean output matches the operator rewrite")
   }
+
+  test("direct compactDeltas after a crash mid-swap recovers the landed journal first") {
+    val dir = freshDir()
+    SubstrIndexStream.upsertBatch(growth, dir, batchId = 0L, compactAt = 0)
+    val truth = rebuiltSet(corpus.unionByName(growth))
+    // Manufacture the mid-replay crash state the advice describes: a
+    // compaction fully wrote grams.compact-<s> and landed the journal,
+    // replay renamed grams/ away, then the process died — grams/ missing,
+    // delta/ still present, journal pointing at <s>.
+    val stamp = "crashsim"
+    spark.read
+      .parquet(s"$dir/grams")
+      .select(col("b"), col("gh"))
+      .unionByName(spark.read.parquet(s"$dir/delta").select(col("b"), col("gh")))
+      .distinct()
+      .write
+      .partitionBy("b")
+      .parquet(s"$dir/grams.compact-$stamp")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/swap.journal"),
+      s"$stamp\ngrams".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    )
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/grams"),
+      java.nio.file.Paths.get(s"$dir/grams.retired-$stamp")
+    )
+    // pre-fix this direct call failed on the missing grams/ path, then
+    // commitSwap overwrote the landed journal without replaying it
+    SubstrIndexStream.compactDeltas(spark, dir)
+    assert(!new java.io.File(s"$dir/swap.journal").exists(), "journal replayed, not clobbered")
+    assert(!new java.io.File(s"$dir/delta").exists(), "folded delta retired")
+    assert(gramSet(dir) === truth, "recovered index equals the wholesale rebuild")
+    // and the policy entry point recovers the same way
+    val dir2 = freshDir()
+    SubstrIndexStream.upsertBatch(growth, dir2, batchId = 0L, compactAt = 0)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir2/swap.journal"),
+      s"$stamp\ngrams".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    )
+    spark.read
+      .parquet(s"$dir2/grams")
+      .select(col("b"), col("gh"))
+      .unionByName(spark.read.parquet(s"$dir2/delta").select(col("b"), col("gh")))
+      .distinct()
+      .write
+      .partitionBy("b")
+      .parquet(s"$dir2/grams.compact-$stamp")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir2/grams"),
+      java.nio.file.Paths.get(s"$dir2/grams.retired-$stamp")
+    )
+    assert(!SubstrIndexStream.maybeCompact(spark, dir2), "recovery folds the delta; no debt left")
+    assert(gramSet(dir2) === truth)
+  }
 }
