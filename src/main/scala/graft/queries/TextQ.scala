@@ -1455,6 +1455,78 @@ object TextQ {
         "extraction with the same regexes and integer cross-multiplied " +
         "density rules."
     ),
+    // ---- WARC container source: gate −1 of the crawl pipeline. The
+    // fixture shards are REAL .warc.gz bytes (gzip member per record,
+    // warcinfo + request + response records) built deterministically from
+    // the documents table; the queries prove the container write+parse
+    // round-trips losslessly by landing on the SAME oracle that replays
+    // page construction directly from the table.
+    Q(
+      "t_warc_extract",
+      (s, d) => {
+        val dir = graft.sources.Warc.ensureFixtureDir(d, Tables.documents(s, d))
+        graft.operators.Html
+          .extract(graft.sources.Warc.fixturePages(s, dir))
+          .orderBy("doc_id")
+      },
+      Some(graft.operators.Html.extractOracleSql()),
+      doc = "End-to-end crawl shape: documents → deterministic WARC shards " +
+        "(ISO 28500, one gzip member per record, built once per corpus " +
+        "fingerprint) → binaryFile shard scan with pushed glob filter → " +
+        "streaming record parse → response filter + HTTP body slice → " +
+        "jusText-style extraction. Oracle replays page construction + " +
+        "extraction straight from the table, so any framing/slicing bug " +
+        "in the container round-trip breaks the hash. One task per shard " +
+        "(the CC ~1 GB shard convention); everything after the parse is " +
+        "Catalyst expressions."
+    ),
+    Q(
+      "t_warc_records",
+      (s, d) => {
+        val dir = graft.sources.Warc.ensureFixtureDir(d, Tables.documents(s, d))
+        graft.sources.Warc
+          .read(s, dir)
+          .groupBy(col("warc_type"))
+          .agg(
+            count(lit(1)).as("n_records"),
+            sum(when(col("malformed").isNotNull, 1L).otherwise(0L)).as("n_malformed"),
+            sum(col("content_length")).cast("long").as("block_bytes")
+          )
+          .orderBy("warc_type")
+      },
+      Some {
+        // replay the fixture's record framing arithmetic directly from
+        // documents: per doc one request (fixed-arithmetic block length)
+        // and one response (HTTP head + page bytes); one warcinfo per
+        // occupied doc_id % 8 shard group
+        val page = graft.operators.Html.dirtyHtmlSqlExpr
+        s"""WITH pg AS (
+           |  SELECT doc_id, octet_length(encode($page)) AS page_bytes FROM documents
+           |), per_doc AS (
+           |  SELECT doc_id,
+           |    length('GET /doc/' || doc_id || ' HTTP/1.1') + 2 + length('Host: example.com') + 4 AS req_len,
+           |    length('HTTP/1.1 200 OK') + 2 + length('Content-Type: text/html; charset=utf-8') + 2
+           |      + length('Content-Length: ' || page_bytes) + 4 + page_bytes AS resp_len
+           |  FROM pg
+           |)
+           |SELECT * FROM (
+           |  SELECT 'request' AS warc_type, COUNT(*)::BIGINT AS n_records,
+           |         0::BIGINT AS n_malformed, SUM(req_len)::BIGINT AS block_bytes
+           |  FROM per_doc
+           |  UNION ALL
+           |  SELECT 'response', COUNT(*)::BIGINT, 0::BIGINT, SUM(resp_len)::BIGINT FROM per_doc
+           |  UNION ALL
+           |  SELECT 'warcinfo', COUNT(DISTINCT doc_id % 8)::BIGINT, 0::BIGINT,
+           |         COUNT(DISTINCT doc_id % 8)::BIGINT * length('software: graft' || chr(13) || chr(10))
+           |  FROM documents
+           |) ORDER BY warc_type""".stripMargin
+      },
+      doc = "WARC shard census: every record type the parser framed " +
+        "(warcinfo / request / response), malformed count (zero on the " +
+        "well-formed fixture), and total block bytes — the oracle " +
+        "recomputes each record's Content-Length arithmetic directly " +
+        "from the table, pinning the parser's framing byte-for-byte."
+    ),
     // ---- extraction observability: the gate-0 funnel per source —
     // where a crawl loses its bytes BEFORE text-quality work begins.
     // Composes the extraction with the corpus metadata: one extraction

@@ -1,0 +1,411 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC (ISO 28500) web-archive container source + sink — gate −1 of a
+  * crawl pipeline: the format a Common-Crawl-shaped corpus actually
+  * arrives in, before [[graft.operators.Html.extract]] ever sees a text
+  * column. Generalizes the reference's suffix-filtered container-directory
+  * scan (/root/reference/src/index.js:145-146) from `.txt` to the
+  * crawl-archive case, the way [[TextSource.readTxtDir]] did for `.txt`.
+  *
+  * Layout/scale posture:
+  *   - A WARC corpus is a directory of `.warc.gz` shards (Common Crawl:
+  *     ~1 GB each), every RECORD its own gzip member so readers can
+  *     resync on member boundaries. The source reads whole shards via
+  *     Spark's `binaryFile` relation — one task per shard, the natural
+  *     unit (a shard must be decompressed sequentially anyway), with the
+  *     suffix filter pushed down as `pathGlobFilter` so non-archive files
+  *     are never opened. `binaryFile` caps a single file at 2 GB — the
+  *     shard convention's size, by design; bigger shards should be re-cut
+  *     upstream, not streamed through a wider row.
+  *   - Record parsing is imperative byte-walking with no relational
+  *     structure to push down — the same legitimate `flatMap`-on-bytes
+  *     slot as the media decoders ([[graft.operators.Multimodal]]);
+  *     everything downstream of the parse (response filter, HTTP slice,
+  *     extraction) is Catalyst expressions.
+  *   - The sink writes one shard per PARTITION, one gzip member per
+  *     record, through the Hadoop FileSystem API (so `dir` may be any
+  *     defaultFS-resolvable path, not only local disk) — partition-
+  *     parallel, no driver funnel. Java's gzip writes a zero MTIME, so
+  *     shard bytes are a pure function of partition content: writes are
+  *     deterministic and idempotent per partition.
+  *
+  * Malformed-input contract (the [[TextSource]] permissive discipline):
+  * a record that cannot be framed — bad/missing `WARC/` version line,
+  * missing/unparseable `Content-Length`, or a block truncated by EOF —
+  * yields a row with `malformed` set (`bad-version` / `bad-length` /
+  * `truncated`) and parsing of that shard STOPS (without a trustworthy
+  * length there is no safe resync inside a member; the next gzip member
+  * starts clean). Well-formed records never carry `malformed`.
+  */
+object Warc {
+
+  val schema: StructType = StructType(
+    Seq(
+      StructField("path", StringType),
+      StructField("rec_offset", LongType), // offset in the DECOMPRESSED stream
+      StructField("warc_type", StringType),
+      StructField("record_id", StringType),
+      StructField("target_uri", StringType),
+      StructField("warc_date", StringType),
+      StructField("content_type", StringType),
+      StructField("content_length", LongType),
+      StructField("block", BinaryType),
+      StructField("malformed", StringType)
+    )
+  )
+
+  // ---------------------------------------------------------------- render
+
+  private val Crlf = "\r\n"
+
+  /** One complete WARC record (headers + block + record separator) as
+    * bytes — the writer half of the format, used by the sink and by the
+    * deterministic fixtures the oracle replays.
+    */
+  def renderRecord(
+      warcType: String,
+      recordId: String,
+      targetUri: Option[String],
+      warcDate: String,
+      contentType: String,
+      block: Array[Byte]
+  ): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0").append(Crlf)
+    sb.append("WARC-Type: ").append(warcType).append(Crlf)
+    sb.append("WARC-Record-ID: ").append(recordId).append(Crlf)
+    sb.append("WARC-Date: ").append(warcDate).append(Crlf)
+    targetUri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append(Crlf))
+    sb.append("Content-Type: ").append(contentType).append(Crlf)
+    sb.append("Content-Length: ").append(block.length).append(Crlf)
+    sb.append(Crlf)
+    val head = sb.toString.getBytes("UTF-8")
+    val out = new ByteArrayOutputStream(head.length + block.length + 4)
+    out.write(head)
+    out.write(block)
+    out.write(s"$Crlf$Crlf".getBytes("UTF-8"))
+    out.toByteArray
+  }
+
+  /** A `response` record wrapping an HTTP/1.1 200 with an HTML body —
+    * the record shape [[responses]] consumes.
+    */
+  def responseRecord(uri: String, recordId: String, warcDate: String, html: String): Array[Byte] = {
+    val body = html.getBytes("UTF-8")
+    val http =
+      (s"HTTP/1.1 200 OK${Crlf}Content-Type: text/html; charset=utf-8$Crlf" +
+        s"Content-Length: ${body.length}$Crlf$Crlf").getBytes("UTF-8")
+    val block = new ByteArrayOutputStream(http.length + body.length)
+    block.write(http)
+    block.write(body)
+    renderRecord(
+      "response",
+      recordId,
+      Some(uri),
+      warcDate,
+      "application/http; msgtype=response",
+      block.toByteArray
+    )
+  }
+
+  // ------------------------------------------------------------------ sink
+
+  /** Write a WARC shard directory: one `part-<partition>.warc.gz` per
+    * non-empty partition of `records`, one gzip member per record. The
+    * input must carry a `record_bytes: binary` column of fully-rendered
+    * records ([[renderRecord]]); the caller owns partitioning/ordering
+    * (e.g. `repartition(n, $"g").sortWithinPartitions(...)` for a
+    * deterministic layout).
+    */
+  def write(records: DataFrame, dir: String): Unit = {
+    val out = dir
+    records
+      .select(col("record_bytes"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val path = new org.apache.hadoop.fs.Path(f"$out/part-$pid%05d.warc.gz")
+          val fs = path.getFileSystem(conf)
+          val os = fs.create(path, true)
+          try it.foreach { r =>
+            // one gzip member per record: each record independently
+            // decompressible, members concatenate into a valid stream
+            // (Java gzip writes zero MTIME — member bytes are deterministic)
+            val buf = new ByteArrayOutputStream()
+            val gz = new GZIPOutputStream(buf)
+            gz.write(r.getAs[Array[Byte]](0))
+            gz.close()
+            buf.writeTo(os)
+          } finally os.close()
+        }
+      }
+  }
+
+  // ---------------------------------------------------------------- source
+
+  /** All records of every `*.warc` / `*.warc.gz` shard under `dir` —
+    * whole-shard tasks via `binaryFile` (suffix filter pushed down as
+    * `pathGlobFilter`), then the per-shard streaming parse.
+    */
+  def read(spark: SparkSession, dir: String, glob: String = "*.warc*"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .flatMap { r =>
+        parseShard(r.getString(0), r.getAs[Array[Byte]](1))
+          .map(w =>
+            Row(
+              w.path,
+              w.recOffset,
+              w.warcType,
+              w.recordId,
+              w.targetUri,
+              w.warcDate,
+              w.contentType,
+              w.contentLength,
+              w.block,
+              w.malformed
+            )
+          )
+      }(enc)
+  }
+
+  /** The `response` records of [[read]], with the HTTP block sliced into
+    * status / headers / body — Catalyst expressions over the parsed rows
+    * (the body split rides the WARC framing's Content-Length, so a body
+    * containing `\r\n\r\n` slices correctly: only the FIRST delimiter in
+    * the block separates HTTP headers from body). `body_text` decodes
+    * UTF-8 (the fixture corpora's charset; production charset sniffing
+    * would branch on `http_content_type` here).
+    */
+  def responses(spark: SparkSession, dir: String, glob: String = "*.warc*"): DataFrame = {
+    val recs = read(spark, dir, glob)
+    // byte-preserving single-byte charset view for the header scan: every
+    // char index in it IS a byte offset into the block
+    val latin = expr("decode(block, 'ISO-8859-1')")
+    recs
+      .filter(col("malformed").isNull && col("warc_type") === "response")
+      .withColumn("http_head_len", instr(latin, "\r\n\r\n"))
+      .withColumn(
+        "http_head",
+        when(col("http_head_len") > 0, substring_index(latin, "\r\n\r\n", 1))
+      )
+      .withColumn(
+        "http_status",
+        regexp_extract(col("http_head"), "^HTTP/[0-9.]+ (\\d{3})", 1).cast("int")
+      )
+      .withColumn(
+        "http_content_type",
+        regexp_extract(col("http_head"), "(?im)^Content-Type:\\s*([^\r\n]*)", 1)
+      )
+      .withColumn(
+        "body_text",
+        when(
+          col("http_head_len") > 0,
+          expr("decode(substring(block, http_head_len + 4), 'UTF-8')")
+        ).otherwise(lit(""))
+      )
+      .select(
+        col("path"),
+        col("rec_offset"),
+        col("record_id"),
+        col("target_uri"),
+        col("warc_date"),
+        col("http_status"),
+        col("http_content_type"),
+        col("body_text")
+      )
+  }
+
+  // ------------------------------------------------------- fixture corpus
+
+  val FixtureDate = "2026-01-01T00:00:00Z"
+
+  /** Deterministic crawl-archive fixture over the documents table, built
+    * once per corpus version (fingerprinted + atomic, the [[TextIndex]]
+    * recipe): `nShards` real `.warc.gz` shards, each holding whole
+    * `doc_id % nShards` groups — per group one `warcinfo` record, then a
+    * `request` + `response` pair per document, the response body being
+    * the [[graft.operators.Html.dirtyHtml]] page. Pure string/byte
+    * concatenation from table columns, so the oracle replays CONSTRUCTION
+    * directly from `documents` — a correct source parse must round-trip
+    * to exactly the directly-constructed pages.
+    */
+  def ensureFixtureDir(sfDir: String, docs: DataFrame, nShards: Int = 8): String = {
+    val dir = graft.operators.Indexes
+      .fingerprintDirOn("warc-fixture", sfDir, docs, "doc_id", "text", s"ns=$nShards,v=1")
+    graft.operators.Indexes.atomicBuild(dir, "_SUCCESS") { tmp =>
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val pages = graft.operators.Html.dirtyHtml(docs).as[(Long, String)]
+      val docRecs = pages.map { case (id, html) =>
+        val uri = s"http://example.com/doc/$id"
+        val req = renderRecord(
+          "request",
+          s"<urn:uuid:req-$id>",
+          Some(uri),
+          FixtureDate,
+          "application/http; msgtype=request",
+          s"GET /doc/$id HTTP/1.1${Crlf}Host: example.com$Crlf$Crlf".getBytes("UTF-8")
+        )
+        val resp = responseRecord(uri, s"<urn:uuid:resp-$id>", FixtureDate, html)
+        val out = new ByteArrayOutputStream(req.length + resp.length)
+        out.write(req)
+        out.write(resp)
+        ((id % nShards).toInt, 1, id, out.toByteArray)
+      }
+      val infoRecs = docs
+        .select((col("doc_id") % nShards).cast("int").as("g"))
+        .distinct()
+        .as[Int]
+        .map { g =>
+          (
+            g,
+            0,
+            -1L,
+            renderRecord(
+              "warcinfo",
+              s"<urn:uuid:info-$g>",
+              None,
+              FixtureDate,
+              "application/warc-fields",
+              s"software: graft$Crlf".getBytes("UTF-8")
+            )
+          )
+        }
+      val records = docRecs
+        .union(infoRecs)
+        .toDF("g", "ord", "doc_id", "record_bytes")
+        .repartition(nShards, col("g"))
+        .sortWithinPartitions(col("g"), col("ord"), col("doc_id"))
+      write(records, tmp)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+      ()
+    }
+    dir
+  }
+
+  /** The fixture's responses parsed back to (doc_id, html) — the input
+    * contract of [[graft.operators.Html.extract]], with doc_id recovered
+    * from the WARC-Target-URI.
+    */
+  def fixturePages(spark: SparkSession, dir: String): DataFrame =
+    responses(spark, dir)
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("body_text").as("html")
+      )
+
+  // ------------------------------------------------------------- the parse
+
+  private[graft] final case class Rec(
+      path: String,
+      recOffset: Long,
+      warcType: String,
+      recordId: String,
+      targetUri: String,
+      warcDate: String,
+      contentType: String,
+      contentLength: Long,
+      block: Array[Byte],
+      malformed: String
+  )
+
+  /** Decompress (if gzipped — Java's GZIPInputStream consumes
+    * concatenated members natively) and frame every record in a shard.
+    */
+  private[graft] def parseShard(path: String, raw: Array[Byte]): Seq[Rec] = {
+    val bytes =
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
+        val in = new GZIPInputStream(new ByteArrayInputStream(raw), 1 << 16)
+        val out = new ByteArrayOutputStream(raw.length * 4)
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } else raw
+    val recs = scala.collection.mutable.ArrayBuffer.empty[Rec]
+    var pos = 0
+    def lineAt(p: Int): (String, Int) = {
+      // a header line, CRLF- (or bare-LF-) terminated
+      var e = p
+      while (e < bytes.length && bytes(e) != '\n') e += 1
+      val cut = if (e > p && bytes(e - 1) == '\r') e - 1 else e
+      (new String(bytes, p, cut - p, "UTF-8"), math.min(e + 1, bytes.length))
+    }
+    var halt = false
+    while (!halt && pos < bytes.length) {
+      // skip inter-record CRLFs
+      while (pos < bytes.length && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
+      if (pos < bytes.length) {
+        val recOff = pos.toLong
+        val (version, afterV) = lineAt(pos)
+        if (!version.startsWith("WARC/")) {
+          recs += Rec(path, recOff, null, null, null, null, null, -1L, null, "bad-version")
+          halt = true // no trustworthy length — cannot resync inside this stream
+        } else {
+          var p = afterV
+          val headers = scala.collection.mutable.Map.empty[String, String]
+          var open = true
+          while (open && p < bytes.length) {
+            val (l, np) = lineAt(p)
+            p = np
+            if (l.isEmpty) open = false
+            else {
+              val i = l.indexOf(':')
+              if (i > 0) headers += (l.take(i).trim.toLowerCase -> l.drop(i + 1).trim)
+            }
+          }
+          val len = headers.get("content-length").flatMap(_.toLongOption)
+          len match {
+            case None =>
+              recs += Rec(
+                path, recOff,
+                headers.getOrElse("warc-type", null),
+                headers.getOrElse("warc-record-id", null),
+                headers.getOrElse("warc-target-uri", null),
+                headers.getOrElse("warc-date", null),
+                headers.getOrElse("content-type", null),
+                -1L, null, "bad-length"
+              )
+              halt = true
+            case Some(n) if p + n > bytes.length =>
+              recs += Rec(
+                path, recOff,
+                headers.getOrElse("warc-type", null),
+                headers.getOrElse("warc-record-id", null),
+                headers.getOrElse("warc-target-uri", null),
+                headers.getOrElse("warc-date", null),
+                headers.getOrElse("content-type", null),
+                n, java.util.Arrays.copyOfRange(bytes, p, bytes.length), "truncated"
+              )
+              halt = true
+            case Some(n) =>
+              recs += Rec(
+                path, recOff,
+                headers.getOrElse("warc-type", null),
+                headers.getOrElse("warc-record-id", null),
+                headers.getOrElse("warc-target-uri", null),
+                headers.getOrElse("warc-date", null),
+                headers.getOrElse("content-type", null),
+                n, java.util.Arrays.copyOfRange(bytes, p, p + n.toInt), null
+              )
+              pos = p + n.toInt
+          }
+        }
+      }
+    }
+    recs.toSeq
+  }
+}

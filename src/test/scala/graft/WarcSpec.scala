@@ -1,0 +1,174 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Warc
+
+/** WARC container source pins: record framing round-trip through the
+  * sink's real gzip-member shards, plain-.warc parsing, concatenated-gzip
+  * members, non-response filtering and HTTP body slicing, and the
+  * malformed-record contract (truncated / bad version / bad length).
+  */
+class WarcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_warc_$tag").toString
+
+  private def gzBytes(recs: Array[Byte]*): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    recs.foreach { r =>
+      val gz = new GZIPOutputStream(out)
+      gz.write(r)
+      gz.close()
+    }
+    out.toByteArray
+  }
+
+  private val respA = Warc.responseRecord(
+    "http://example.com/doc/1",
+    "<urn:uuid:resp-1>",
+    Warc.FixtureDate,
+    "<html><body><p>alpha page</p></body></html>"
+  )
+  private val reqA = Warc.renderRecord(
+    "request",
+    "<urn:uuid:req-1>",
+    Some("http://example.com/doc/1"),
+    Warc.FixtureDate,
+    "application/http; msgtype=request",
+    "GET /doc/1 HTTP/1.1\r\nHost: example.com\r\n\r\n".getBytes("UTF-8")
+  )
+
+  test("sink round-trip: multi-member gzip shards reparse to the written records") {
+    val dir = tmpDir("sink")
+    val records = Seq(
+      (0, 1L, reqA),
+      (0, 2L, respA),
+      (1, 3L, Warc.responseRecord("http://example.com/doc/9", "<urn:uuid:resp-9>", Warc.FixtureDate, "<p>nine</p>"))
+    ).toDF("g", "ord", "record_bytes")
+      .repartitionByRange(2, col("g")) // distinct keys land 1:1 in partitions
+      .sortWithinPartitions("g", "ord")
+    Warc.write(records, dir)
+    val shards = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+    assert(shards.length === 2, "one shard per non-empty partition")
+    val got = Warc.read(spark, dir)
+    assert(got.filter(col("malformed").isNotNull).count() === 0)
+    assert(got.count() === 3)
+    val byId = got
+      .select("record_id", "warc_type", "target_uri", "content_length")
+      .as[(String, String, String, Long)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    assert(byId("<urn:uuid:req-1>")._2 === "request")
+    assert(byId("<urn:uuid:resp-1>")._3 === "http://example.com/doc/1")
+    assert(byId("<urn:uuid:resp-9>")._4 > 0)
+  }
+
+  test("plain uncompressed .warc parses identically") {
+    val dir = tmpDir("plain")
+    val out = new ByteArrayOutputStream()
+    out.write(reqA); out.write(respA)
+    Files.write(Paths.get(s"$dir/f.warc"), out.toByteArray)
+    val got = Warc.read(spark, dir).orderBy("rec_offset")
+    assert(got.count() === 2)
+    assert(got.select("warc_type").as[String].collect().toSeq === Seq("request", "response"))
+  }
+
+  test("concatenated gzip members in one shard each contribute their records") {
+    val dir = tmpDir("members")
+    Files.write(Paths.get(s"$dir/f.warc.gz"), gzBytes(reqA, respA))
+    val got = Warc.read(spark, dir)
+    assert(got.count() === 2)
+    assert(got.filter(col("malformed").isNotNull).count() === 0)
+  }
+
+  test("responses(): non-response records filtered, HTTP status/type/body sliced") {
+    val dir = tmpDir("resp")
+    // body that itself contains the header delimiter — the slice must use
+    // only the FIRST \r\n\r\n in the block
+    val tricky = "<p>first</p>\r\n\r\n<p>after a blank line</p>"
+    val rec = Warc.responseRecord("http://example.com/doc/7", "<urn:uuid:resp-7>", Warc.FixtureDate, tricky)
+    Files.write(Paths.get(s"$dir/f.warc"), gzBytes(reqA, rec)) // gz fine too
+    Files.write(Paths.get(s"$dir/g.warc"), { val o = new ByteArrayOutputStream(); o.write(reqA); o.write(rec); o.toByteArray })
+    val got = Warc.responses(spark, dir, glob = "g.warc")
+    assert(got.count() === 1, "request records must not survive the response filter")
+    val r = got.select("http_status", "http_content_type", "body_text", "target_uri").head()
+    assert(r.getInt(0) === 200)
+    assert(r.getString(1) === "text/html; charset=utf-8")
+    assert(r.getString(2) === tricky)
+    assert(r.getString(3) === "http://example.com/doc/7")
+  }
+
+  test("truncated record: partial block surfaces as malformed, prior records intact") {
+    val dir = tmpDir("trunc")
+    val whole = new ByteArrayOutputStream()
+    whole.write(respA)
+    val cut = java.util.Arrays.copyOfRange(reqA, 0, reqA.length - 20)
+    whole.write(cut) // second record's block is short of its Content-Length
+    Files.write(Paths.get(s"$dir/f.warc"), whole.toByteArray)
+    val got = Warc.read(spark, dir).orderBy("rec_offset").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[String]("malformed") === null)
+    assert(got(1).getAs[String]("malformed") === "truncated")
+    assert(got(1).getAs[String]("warc_type") === "request", "headers still reported")
+    // and the truncated row is excluded from the response surface
+    assert(Warc.responses(spark, dir).count() === 1)
+  }
+
+  test("bad version line and missing Content-Length are flagged, parse halts") {
+    val dir1 = tmpDir("badv")
+    val junk = "NOT-A-WARC/9.9\r\nstuff\r\n\r\n".getBytes("UTF-8")
+    val cat = new ByteArrayOutputStream(); cat.write(respA); cat.write(junk)
+    Files.write(Paths.get(s"$dir1/f.warc"), cat.toByteArray)
+    val g1 = Warc.read(spark, dir1).orderBy("rec_offset").collect()
+    assert(g1.length === 2)
+    assert(g1(1).getAs[String]("malformed") === "bad-version")
+
+    val dir2 = tmpDir("badl")
+    val noLen =
+      ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:x>\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n\r\nbody").getBytes("UTF-8")
+    Files.write(Paths.get(s"$dir2/f.warc"), noLen)
+    val g2 = Warc.read(spark, dir2).collect()
+    assert(g2.length === 1)
+    assert(g2(0).getAs[String]("malformed") === "bad-length")
+    assert(g2(0).getAs[String]("warc_type") === "response")
+  }
+
+  test("fixture shards: deterministic bytes across rebuilds") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"), (9L, "epsilon")).toDF("doc_id", "text")
+    val d1 = tmpDir("fx1") + "/w"
+    val d2 = tmpDir("fx2") + "/w"
+    // build twice through the atomic builder with distinct target dirs by
+    // writing via the internal recipe: reuse ensureFixtureDir's layout by
+    // pointing sfDir at the two temp roots (fingerprint includes sfDir)
+    val f1 = Warc.ensureFixtureDir(d1, docs, nShards = 2)
+    val f2 = Warc.ensureFixtureDir(d2, docs, nShards = 2)
+    def shardBytes(d: String): Map[String, Seq[Byte]] =
+      new java.io.File(d)
+        .listFiles()
+        .filter(_.getName.endsWith(".warc.gz"))
+        .map(f => f.getName -> Files.readAllBytes(f.toPath).toSeq)
+        .toMap
+    val (b1, b2) = (shardBytes(f1), shardBytes(f2))
+    assert(b1.keySet === b2.keySet)
+    assert(b1 === b2, "shard bytes must be a pure function of corpus content")
+    // and the parsed pages round-trip to the construction
+    val pages = Warc.fixturePages(spark, f1).orderBy("doc_id")
+    val want = graft.operators.Html
+      .dirtyHtml(docs)
+      .orderBy("doc_id")
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+    assert(pages.as[(Long, String)].collect().toSeq === want)
+  }
+}
