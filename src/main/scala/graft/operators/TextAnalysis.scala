@@ -633,16 +633,72 @@ object TextAnalysis {
     * — without it the lineage (and analysis cost) grows linearly with
     * the step index, which is what kills long trainings.
     */
-  def bpeTrainWords(words: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
-    val spark = words.sparkSession
-    import spark.implicits._
-    var seqs = words
-      .select(
+  def bpeTrainWords(words: DataFrame, nMerges: Int): (DataFrame, DataFrame) =
+    bpeTrainSeqs(
+      words.select(
         col("word"),
         col("cnt"),
         trim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq")
-      )
-      .localCheckpoint()
+      ),
+      nMerges
+    )
+
+  /** BYTE-LEVEL Sennrich BPE (the GPT-2-family operating mode): symbols
+    * start as the word's UTF-8 BYTES — rendered as hex pairs via
+    * `hex(encode(word))`, an encoding with the same uppercase output in
+    * Spark and DuckDB, so the oracle replays the chain bit-exactly — and
+    * the base alphabet is the 256 byte values. Merges learn multi-byte
+    * symbols exactly as char BPE learns multi-char ones (a UTF-8
+    * multi-byte character is just a frequent byte pair/triple that gets
+    * merged when the data supports it). Because every string decomposes
+    * into bytes, the encode side ([[bpeApplyMerges]] over [[byteSeq]])
+    * has NO OOV by construction: an unseen word — any script — falls
+    * back to raw byte symbols instead of dropping.
+    */
+  def bpeTrainWordsByteLevel(words: DataFrame, nMerges: Int): (DataFrame, DataFrame) =
+    bpeTrainSeqs(
+      words.select(col("word"), col("cnt"), byteSeq(col("word")).as("seq")),
+      nMerges
+    )
+
+  /** A word's initial byte-level symbol sequence: space-joined hex pairs
+    * of its UTF-8 bytes ("the" → "74 68 65").
+    */
+  def byteSeq(word: Column): Column =
+    trim(regexp_replace(hex(encode(word, "UTF-8")), "(..)", "$1 "))
+
+  /** Greedy left-to-right application of ONE learned merge to a
+    * space-joined symbol sequence — the exact fold the trainer applies
+    * (see [[bpeTrain]]'s scaladoc for the last-symbol matching argument).
+    */
+  def mergeFold(seqCol: Column, x: String, y: String): Column =
+    aggregate(
+      split(seqCol, " "),
+      lit(""),
+      (acc, t) =>
+        when(
+          (acc === lit(x) || endswith(acc, lit(" " + x))) && t === lit(y),
+          concat(acc, lit(y))
+        ).otherwise(
+          when(acc === lit(""), t).otherwise(concat(acc, lit(" "), t))
+        )
+    )
+
+  /** Apply a trained merge list (step order) to a symbol-sequence column —
+    * the tokenizer's ENCODE path for arbitrary (including unseen) words.
+    * The merge list is driver-held vocabulary state (one fold expression
+    * per rule, map-only at any corpus size); for production-depth rule
+    * lists encode seen words via the trained-vocab broadcast join
+    * ([[bpeEncodeStats]]) and reserve this fold chain for the unseen
+    * remainder, which is what keeps the expression depth bounded.
+    */
+  def bpeApplyMerges(seq: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(seq) { case (c, (x, y)) => mergeFold(c, x, y) }
+
+  private def bpeTrainSeqs(seqs0: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
+    val spark = seqs0.sparkSession
+    import spark.implicits._
+    var seqs = seqs0.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -670,17 +726,7 @@ object TextAnalysis {
         val Array(x, y) = best(0).getString(0).split(" ", 2)
         val support = best(0).getLong(1)
         merges += ((step.toLong, x, y, x + y, support))
-        val fold = aggregate(
-          split(col("seq"), " "),
-          lit(""),
-          (acc, t) =>
-            when(
-              (acc === lit(x) || endswith(acc, lit(" " + x))) && t === lit(y),
-              concat(acc, lit(y))
-            ).otherwise(
-              when(acc === lit(""), t).otherwise(concat(acc, lit(" "), t))
-            )
-        )
+        val fold = mergeFold(col("seq"), x, y)
         seqs = seqs
           .select(col("word"), col("cnt"), fold.as("seq"))
           .localCheckpoint()

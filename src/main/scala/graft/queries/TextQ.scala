@@ -1382,6 +1382,91 @@ object TextQ {
         "per-document merge replay. Oracle re-derives the full trained " +
         "vocabulary and every doc's stats bit-exactly."
     ),
+    // ---- BYTE-LEVEL BPE (the GPT-2-family operating mode): symbols are
+    // UTF-8 bytes (hex pairs — identical uppercase hex(encode(...)) in
+    // both engines), base alphabet = 256 byte values, so the tokenizer
+    // has no OOV by construction.
+    Q(
+      "t_bpe_bytes",
+      (s, d) => {
+        import s.implicits._
+        val du = Tables
+          .documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .unionByName(Text.UnicodeFixture.toDF("doc_id", "text"))
+        val words = du
+          .select(explode(Text.tokensUnicodeAll(col("text"))).as("word"))
+          .groupBy(col("word"))
+          .agg(lng(count(lit(1))).as("cnt"))
+        TextAnalysis
+          .bpeTrainWordsByteLevel(words, BpeSteps)
+          ._1
+          .orderBy("step")
+      },
+      Some(bpeByteOracle(BpeSteps)),
+      doc = "Byte-level BPE training (Sennrich merges over UTF-8 bytes, " +
+        "GPT-2 style) on the ASCII corpus UNION the multilingual " +
+        "fixture: multi-byte UTF-8 characters are just frequent byte " +
+        "pairs the trainer merges when the data supports it. Merge " +
+        "table bit-checked — the oracle replays the whole chain over " +
+        "the identical hex-pair symbol rendering."
+    ),
+    Q(
+      "t_bpe_bytes_encode",
+      (s, d) => {
+        import s.implicits._
+        val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val du = corpus.unionByName(Text.UnicodeFixture.toDF("doc_id", "text"))
+        val trainWords = corpus
+          .select(explode(Text.tokensUnicodeAll(col("text"))).as("word"))
+          .groupBy(col("word"))
+          .agg(lng(count(lit(1))).as("cnt"))
+        // trained rules = driver-held vocabulary state (BpeSteps rows)
+        val merges = TextAnalysis
+          .bpeTrainWordsByteLevel(trainWords, BpeSteps)
+          ._1
+          .orderBy("step")
+          .select(col("x"), col("y"))
+          .as[(String, String)]
+          .collect()
+          .toSeq
+        val toks = du
+          .select(col("doc_id"), explode(Text.tokensUnicodeAll(col("text"))).as("word"))
+        // encode EVERY distinct word by applying the learned folds to its
+        // byte sequence — unseen (non-Latin) words fall back to byte
+        // symbols instead of dropping: the no-OOV property, live
+        val encoded = toks
+          .select(col("word"))
+          .distinct()
+          .select(
+            col("word"),
+            size(
+              split(
+                TextAnalysis.bpeApplyMerges(TextAnalysis.byteSeq(col("word")), merges),
+                " "
+              )
+            ).cast("long").as("n_sub")
+          )
+        toks
+          .join(broadcast(encoded), Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_words"),
+            lng(sum(col("n_sub"))).as("n_subwords")
+          )
+          .withColumn("subwords_per_100w", expr("(100 * n_subwords) div n_words"))
+          .orderBy("doc_id")
+      },
+      Some(bpeByteEncodeOracle(BpeSteps)),
+      doc = "Byte-fallback encoding: train byte-level BPE on the ASCII " +
+        "corpus only, then encode corpus UNION multilingual fixture by " +
+        "APPLYING the learned merge folds to every word's byte " +
+        "sequence — no vocabulary membership test anywhere, so the " +
+        "fixture's unseen Cyrillic/Greek/accented words encode to raw " +
+        "byte symbols (never OOV). Inner join row count == left rows by " +
+        "construction; the per-doc fertility stats over the union are " +
+        "the gate."
+    ),
     // ---- Unicode text normalization: NFC canonical composition + accent
     // folding as native codegen expressions. Byte-different NFC/NFD
     // encodings of the SAME text defeat exact dedup, split vocabulary
@@ -1770,26 +1855,89 @@ object TextQ {
   /** The shared CTE chain (token counts, initial char seqs, and the n
     * per-step triples) both BPE oracles build on.
     */
-  private def bpeChain(n: Int): String = {
-    val steps = (1 to n).map { i =>
-      val prev = s"s${i - 1}"
-      s"""p$i AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
-         |    k -> l[k] || ' ' || l[k+1])) AS pair, cnt
-         |  FROM (SELECT cnt, string_split(seq, ' ') AS l FROM $prev)),
-         |b$i AS (SELECT string_split(pair, ' ')[1] AS x,
-         |    string_split(pair, ' ')[2] AS y, SUM(cnt)::BIGINT AS c
-         |  FROM p$i GROUP BY pair ORDER BY c DESC, pair LIMIT 1),
-         |s$i AS (SELECT word, cnt, list_reduce(string_split(seq, ' '),
-         |    (acc, t) -> CASE
-         |      WHEN (acc = x OR ends_with(acc, ' ' || x)) AND t = y
-         |      THEN acc || y ELSE acc || ' ' || t END) AS seq
-         |  FROM $prev CROSS JOIN b$i)""".stripMargin
-    }
+  private def bpeSteps(n: Int): String =
+    (1 to n)
+      .map { i =>
+        val prev = s"s${i - 1}"
+        s"""p$i AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+           |    k -> l[k] || ' ' || l[k+1])) AS pair, cnt
+           |  FROM (SELECT cnt, string_split(seq, ' ') AS l FROM $prev)),
+           |b$i AS (SELECT string_split(pair, ' ')[1] AS x,
+           |    string_split(pair, ' ')[2] AS y, SUM(cnt)::BIGINT AS c
+           |  FROM p$i GROUP BY pair ORDER BY c DESC, pair LIMIT 1),
+           |s$i AS (SELECT word, cnt, list_reduce(string_split(seq, ' '),
+           |    (acc, t) -> CASE
+           |      WHEN (acc = x OR ends_with(acc, ' ' || x)) AND t = y
+           |      THEN acc || y ELSE acc || ' ' || t END) AS seq
+           |  FROM $prev CROSS JOIN b$i)""".stripMargin
+      }
+      .mkString(",\n")
+
+  private def bpeChain(n: Int): String =
     s"""tk AS (SELECT unnest($toksSql) AS token FROM documents),
        |wc AS (SELECT token AS word, COUNT(*)::BIGINT AS cnt FROM tk GROUP BY token),
        |s0 AS (SELECT word, cnt,
        |  trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq FROM wc),
-       |${steps.mkString(",\n")}""".stripMargin
+       |${bpeSteps(n)}""".stripMargin
+
+  /** The union-corpus Unicode-token word table + BYTE-LEVEL s0 (hex-pair
+    * symbols) + the n training-step triples — the byte-mode twin of
+    * [[bpeChain]]. `rel` picks the training corpus CTE.
+    */
+  private def bpeByteChain(n: Int, rel: String): String =
+    s"""tk AS (SELECT unnest(list_filter(${Text.tokensUnicodeSqlAll("text")},
+       |  w -> length(w) > 1)) AS token FROM $rel),
+       |wc AS (SELECT token AS word, COUNT(*)::BIGINT AS cnt FROM tk GROUP BY token),
+       |s0 AS (SELECT word, cnt,
+       |  trim(regexp_replace(hex(encode(word)), '(..)', '\\1 ', 'g')) AS seq FROM wc),
+       |${bpeSteps(n)}""".stripMargin
+
+  // def, not val: referenced from `val all` which initializes FIRST — a
+  // later val would still be null at that point (the BpeSteps trap)
+  private def unionDocsCte: String =
+    s"""du AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES ${Text.unicodeFixtureSql}) AS f(doc_id, text))""".stripMargin
+
+  private def bpeByteOracle(n: Int): String = {
+    val unions = (1 to n)
+      .map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, x, y, x || y AS merged, c AS support FROM b$i"
+      )
+      .mkString("\nUNION ALL\n")
+    s"""WITH $unionDocsCte,
+       |${bpeByteChain(n, "du")}
+       |$unions
+       |ORDER BY step""".stripMargin
+  }
+
+  /** Byte-level encode oracle: train on `documents` only, then encode the
+    * union corpus by APPLYING the learned folds to every distinct word's
+    * byte sequence — no vocabulary join, so unseen (non-Latin) words
+    * exercise the byte fallback in the gate itself.
+    */
+  private def bpeByteEncodeOracle(n: Int): String = {
+    val folds = (1 to n)
+      .map { i =>
+        s"""e$i AS (SELECT word, list_reduce(string_split(seq, ' '),
+           |    (acc, t) -> CASE
+           |      WHEN (acc = x OR ends_with(acc, ' ' || x)) AND t = y
+           |      THEN acc || y ELSE acc || ' ' || t END) AS seq
+           |  FROM e${i - 1} CROSS JOIN b$i)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH ${bpeByteChain(n, "documents")},
+       |$unionDocsCte,
+       |ew AS (SELECT doc_id, unnest(list_filter(${Text.tokensUnicodeSqlAll("text")},
+       |  w -> length(w) > 1)) AS token FROM du),
+       |e0 AS (SELECT DISTINCT token AS word,
+       |  trim(regexp_replace(hex(encode(token)), '(..)', '\\1 ', 'g')) AS seq FROM ew),
+       |$folds
+       |SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+       |  SUM(len(string_split(e$n.seq, ' ')))::BIGINT AS n_subwords,
+       |  ((100 * SUM(len(string_split(e$n.seq, ' ')))) // COUNT(*))::BIGINT
+       |    AS subwords_per_100w
+       |FROM ew JOIN e$n ON ew.token = e$n.word
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   private def bpeOracle(n: Int): String = {

@@ -296,4 +296,55 @@ class BpeSpec extends AnyFunSuite {
     assert(r(1) === ((1L, 3L, 1L, 333L)), "1000*1 div 3 = 333, integral")
   }
 
+  test("byte-level trainer: hex-pair symbols, multi-byte UTF-8 merges when supported") {
+    // 'für' repeated: bytes 66 C3 BC 72 — the ü lead/continuation pair
+    // (C3, BC) is as frequent as any pair, merging it reconstitutes the
+    // character at the symbol level
+    val words = Seq(("für", 10L)).toDF("word", "cnt")
+    val (merges, seqs) = TextAnalysis.bpeTrainWordsByteLevel(words, 3)
+    val m = merges.orderBy("step").select("x", "y", "merged", "support")
+      .as[(String, String, String, Long)].collect().toSeq
+    // step 1 argmax: all three adjacent pairs have support 10; tiebreak
+    // pair-asc picks "66 C3" < "BC 72" < "C3 BC"? No: '6' < 'B' < 'C',
+    // so (66, C3) merges first, then (66C3, BC), then (66C3BC, 72)
+    assert(m(0) === (("66", "C3", "66C3", 10L)))
+    assert(m(1) === (("66C3", "BC", "66C3BC", 10L)))
+    assert(m(2) === (("66C3BC", "72", "66C3BC72", 10L)))
+    assert(
+      seqs.select("seq").as[String].head() === "66C3BC72",
+      "fully merged word = one symbol spanning the multi-byte char"
+    )
+  }
+
+  test("byte fallback: ASCII-trained rules encode unseen non-Latin words, zero OOV") {
+    // train on ASCII only — no symbol containing bytes >= 0x80 can be learned
+    val train = Seq(("there", 50L), ("here", 30L), ("the", 20L)).toDF("word", "cnt")
+    val (mergesDf, _) = TextAnalysis.bpeTrainWordsByteLevel(train, 8)
+    val merges = mergesDf.orderBy("step").select("x", "y")
+      .as[(String, String)].collect().toSeq
+    assert(merges.nonEmpty)
+    assert(
+      merges.forall { case (x, y) => (x + y).grouped(2).forall(Integer.parseInt(_, 16) < 0x80) },
+      "ASCII corpus can only produce ASCII-byte symbols"
+    )
+    val probe = Seq("über", "γλώσσα", "русский", "there", "qqq").toDF("word")
+      .withColumn(
+        "seq",
+        TextAnalysis.bpeApplyMerges(TextAnalysis.byteSeq(col("word")), merges)
+      )
+    val got = probe.select("word", "seq").as[(String, String)].collect().toMap
+    // every word encodes (no OOV): symbols are hex, and concatenating
+    // them reconstructs the word's exact UTF-8 bytes
+    got.foreach { case (w, seq) =>
+      val syms = seq.split(" ").toSeq
+      assert(syms.forall(s => s.nonEmpty && s.length % 2 == 0 && s.matches("[0-9A-F]+")), s"$w: $seq")
+      val bytes = syms.mkString.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      assert(new String(bytes, "UTF-8") === w, "byte-level encode is lossless")
+    }
+    // non-ASCII bytes stay raw base symbols (untouched by ASCII rules)
+    assert(got("über").startsWith("C3 BC"), got("über"))
+    // while the seen word compresses under its learned merges
+    assert(got("there").split(" ").length < "there".length)
+  }
+
 }
