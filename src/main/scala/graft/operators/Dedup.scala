@@ -882,6 +882,85 @@ object Dedup {
   ): DataFrame =
     lshEval(lshEvalSample(docs, blockCol, inverseRate, salt), blockCol, threshold)
 
+  /** ExactSubstr dedup WITH REMOVAL (Lee et al. 2022) at a PARAMETERIZED
+    * minimum match length: every duplicated token-`minMatch`-gram
+    * occurrence except its canonical one (global (doc_id, start) minimum
+    * — first occurrence in corpus order) marks its `minMatch` token
+    * positions; documents are rebuilt from the surviving positions.
+    *
+    * Correctness of the sliding-window reduction: a position is inside
+    * some duplicated substring of >= minMatch tokens IFF it is covered by
+    * some duplicated minMatch-window (any window of a longer duplicated
+    * span is itself duplicated) — so window-level dup detection is EXACT
+    * for the published minimum-match-length semantics (Lee et al. use
+    * ~50; the suite's `d_substr_removal` is the minMatch=4 instance of
+    * this same pipeline).
+    *
+    * Scale shape (unchanged from the 4-gram form): only 8-byte window
+    * hashes shuffle; the occurrence table is one row per token position,
+    * dup detection is a gram-keyed partial-aggregable min/count, removal
+    * positions explode ×minMatch then dedup — hash-keyed shuffles only,
+    * no all-pairs stage and no suffix array. Map-side window hashing
+    * costs O(minMatch) per position (the window string feeds one md5 and
+    * never leaves the map side); at a 50-token operating point that
+    * constant is the price of exactness — a rolling polynomial hash
+    * would make it O(1) at the cost of modular-arithmetic replay in the
+    * oracle.
+    */
+  def substrRemovalStats(docs: DataFrame, minMatch: Int): DataFrame = {
+    require(minMatch >= 2, s"minMatch must be >= 2, got $minMatch")
+    val toks = docs
+      .select(col("doc_id"), Text.tokensAll(col("text")).as("tk"))
+      .localCheckpoint(true)
+    val occ = toks
+      .select(
+        col("doc_id"),
+        posexplode(wordShinglesAll(col("tk"), minMatch)).as(Seq("start", "g"))
+      )
+      .select(col("doc_id"), col("start"), md5Long(col("g")).as("gh"))
+    val dup = occ
+      .groupBy(col("gh"))
+      .agg(
+        min(struct(col("doc_id"), col("start"))).as("canon"),
+        count(lit(1)).as("n_occ")
+      )
+      .filter(col("n_occ") >= 2)
+    val removedPos = occ
+      .join(dup, Seq("gh"))
+      .filter(
+        !(col("doc_id") === col("canon.doc_id") && col("start") === col("canon.start"))
+      )
+      .select(
+        col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(minMatch - 1))).as("pos")
+      )
+      .distinct()
+    val rebuilt = toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+      .join(removedPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")
+          )
+        ).as("clean_text"),
+        count(lit(1)).cast("long").as("n_kept")
+      )
+    toks
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5")
+      )
+  }
+
   // ---- incremental ExactSubstr ingest (persisted gram index) --------------
 
   /** Gram-hash bucket count for the persisted substring index layout. */

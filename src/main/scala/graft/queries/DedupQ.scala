@@ -17,6 +17,51 @@ object DedupQ {
   /** DuckDB 60-bit hash of a string expression (mirror of Cols.md5Long). */
   private def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
+  /** The k-parameterized ExactSubstr-removal CTE chain (DuckDB replay of
+    * [[graft.operators.Dedup.substrRemovalStats]]), name-prefixed so two
+    * operating points can share one WITH clause. Ends in `<p>out` with
+    * (min_match, doc_id, n_tokens, n_kept, n_removed, clean_md5).
+    */
+  private def substrRemovalCtes(k: Int, p: String): String =
+    s"""${p}t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |${p}occ AS (
+       |  SELECT doc_id, u.i - 1 AS start,
+       |    ${h60(s"array_to_string(tk[u.i:u.i+${k - 1}], ' ')")} AS gh
+       |  FROM ${p}t CROSS JOIN unnest(generate_series(1, greatest(len(tk) - ${k - 1}, 1))) AS u(i)
+       |),
+       |${p}rk AS (
+       |  SELECT doc_id, start, gh,
+       |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, start) AS rn,
+       |    COUNT(*) OVER (PARTITION BY gh) AS n_occ
+       |  FROM ${p}occ
+       |),
+       |${p}rem AS (
+       |  SELECT DISTINCT doc_id, u.pos
+       |  FROM ${p}rk CROSS JOIN unnest(generate_series(start, start + ${k - 1})) AS u(pos)
+       |  WHERE n_occ >= 2 AND rn > 1
+       |),
+       |${p}tok AS (
+       |  SELECT doc_id, u.i - 1 AS pos, tk[u.i] AS tok
+       |  FROM ${p}t CROSS JOIN unnest(generate_series(1, len(tk))) AS u(i)
+       |),
+       |${p}kept AS (
+       |  SELECT a.doc_id, a.pos, a.tok
+       |  FROM ${p}tok a LEFT JOIN ${p}rem r ON a.doc_id = r.doc_id AND a.pos = r.pos
+       |  WHERE r.doc_id IS NULL
+       |),
+       |${p}reb AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |  FROM ${p}kept GROUP BY doc_id
+       |),
+       |${p}out AS (
+       |  SELECT $k::BIGINT AS min_match, t.doc_id, len(t.tk)::BIGINT AS n_tokens,
+       |    coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+       |    (len(t.tk) - coalesce(reb.n_kept, 0))::BIGINT AS n_removed,
+       |    md5(coalesce(reb.clean_text, '')) AS clean_md5
+       |  FROM ${p}t t LEFT JOIN ${p}reb reb ON t.doc_id = reb.doc_id
+       |)""".stripMargin
+
   /** Shared DuckDB replay of the incremental ExactSubstr ingest rewrite
     * (corpus = doc_id % 10 != 7, delta = the rest): used by both
     * d_substr_delta (batch-built index) and d_substr_index_fold
@@ -765,61 +810,11 @@ object DedupQ {
         // occurrence of one gram may still lose tokens to ANOTHER gram's
         // removal — the standard deterministic resolution.
         //
-        // Scale shape: only 8-byte gram hashes shuffle; the occurrence
-        // table is one row per token (linear), the dup table is gram-
-        // keyed, removal positions explode ×4 then dedup — hash-keyed
-        // shuffles only, no all-pairs stage. The token projection feeds
-        // three consumers, so it is localCheckpointed once.
-        import graft.util.Cols.md5Long
-        val toks = Tables
-          .documents(s, d)
-          .select(col("doc_id"), Text.tokensAll(col("text")).as("tk"))
-          .localCheckpoint(true)
-        val occ = toks
-          .select(
-            col("doc_id"),
-            posexplode(Dedup.wordShinglesAll(col("tk"), 4)).as(Seq("start", "g"))
-          )
-          .select(col("doc_id"), col("start"), md5Long(col("g")).as("gh"))
-        val dup = occ
-          .groupBy(col("gh"))
-          .agg(
-            min(struct(col("doc_id"), col("start"))).as("canon"),
-            count(lit(1)).as("n_occ")
-          )
-          .filter(col("n_occ") >= 2)
-        val removedPos = occ
-          .join(dup, Seq("gh"))
-          .filter(
-            !(col("doc_id") === col("canon.doc_id") && col("start") === col("canon.start"))
-          )
-          .select(col("doc_id"), explode(sequence(col("start"), col("start") + lit(3))).as("pos"))
-          .distinct()
-        val rebuilt = toks
-          .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
-          .join(removedPos, Seq("doc_id", "pos"), "left_anti")
-          .groupBy(col("doc_id"))
-          .agg(
-            concat_ws(
-              " ",
-              transform(
-                array_sort(collect_list(struct(col("pos"), col("tok")))),
-                x => x.getField("tok")
-              )
-            ).as("clean_text"),
-            count(lit(1)).cast("long").as("n_kept")
-          )
-        toks
-          .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
-          .join(rebuilt, Seq("doc_id"), "left")
-          .select(
-            col("doc_id"),
-            col("n_tokens"),
-            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-            (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-            md5(coalesce(col("clean_text"), lit(""))).as("clean_md5")
-          )
-          .orderBy("doc_id")
+        // The minMatch=4 instance of Dedup.substrRemovalStats — scale
+        // shape documented there (hash-keyed shuffles only, no all-pairs
+        // stage); d_substr_minlen runs the published longer operating
+        // points through the same pipeline.
+        Dedup.substrRemovalStats(Tables.documents(s, d), 4).orderBy("doc_id")
       },
       Some(
         s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
@@ -866,6 +861,49 @@ object DedupQ {
         "each document's text rebuilt from the survivors — md5 of the " +
         "rebuilt text bit-checked. Gram hashes (8 bytes) are the only " +
         "shuffle keys; linear occurrence table, no all-pairs stage."
+    ),
+    Q(
+      "d_substr_minlen",
+      (s, d) => {
+        // The PARAMETERIZED minimum-match-length ExactSubstr (Lee et al.
+        // 2022 publish ~50 tokens): the same window pipeline at two
+        // longer operating points. A position is removed iff covered by
+        // a duplicated minMatch-window occurrence that is not canonical
+        // — exact for the >=minMatch duplicated-substring semantics
+        // (any window of a longer duplicated span is itself duplicated).
+        val docs = Tables.documents(s, d)
+        Seq(8, 20)
+          .map(k =>
+            Dedup
+              .substrRemovalStats(docs, k)
+              .select(
+                lit(k.toLong).as("min_match"),
+                col("doc_id"),
+                col("n_tokens"),
+                col("n_kept"),
+                col("n_removed"),
+                col("clean_md5")
+              )
+          )
+          .reduce(_ unionByName _)
+          .orderBy("min_match", "doc_id")
+      },
+      Some {
+        val chains = Seq(8, 20).map(k => substrRemovalCtes(k, s"m$k")).mkString(",\n")
+        val unions = Seq(8, 20)
+          .map(k => s"SELECT * FROM m${k}out")
+          .mkString("\nUNION ALL\n")
+        s"""WITH $chains
+           |$unions
+           |ORDER BY min_match, doc_id""".stripMargin
+      },
+      doc = "ExactSubstr removal at parameterized minimum match lengths " +
+        "(8 and 20 tokens — the published ~50-token operating point is " +
+        "the same pipeline with a different literal): duplicated " +
+        "minMatch-token windows keep their corpus-first occurrence, all " +
+        "other covered positions are removed, rebuilt text md5-checked " +
+        "per length. Window hashing is map-side O(minMatch) per " +
+        "position; shuffles stay 8-byte hash-keyed at any length."
     ),
     Q(
       "d_substr_delta",

@@ -401,4 +401,37 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(12L) === 0L, "delta-canonical occurrence is kept")
     assert(byId(14L) === 0L, "fresh-unique content untouched")
   }
+
+  test("substrRemovalStats: minMatch length gates which duplicated spans count") {
+    import graft.operators.Dedup
+    // a 10-token span shared verbatim by docs 1 and 2; doc 3 is noise
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$span unique tail of document one entirely"),
+      (2L, s"other head words then $span closing here"),
+      (3L, "completely unrelated filler content nothing shared anywhere")
+    ).toDF("doc_id", "text")
+    def stats(k: Int): Map[Long, (Long, Long)] =
+      Dedup
+        .substrRemovalStats(docs, k)
+        .select("doc_id", "n_removed", "n_kept")
+        .as[(Long, Long, Long)]
+        .collect()
+        .map(r => r._1 -> ((r._2, r._3)))
+        .toMap
+    val at8 = stats(8)
+    // the 10-token duplicated span has 3 duplicated 8-windows in each doc;
+    // doc 1 holds the canonical (global min (doc_id, start)) occurrence,
+    // so only doc 2's copy loses its 10 covered positions
+    assert(at8(1L)._1 === 0L, "canonical occurrence keeps its tokens")
+    assert(at8(2L)._1 === 10L, s"all 10 span positions removed in doc 2: $at8")
+    assert(at8(3L)._1 === 0L)
+    // at minMatch=20 the duplicated span is shorter than the minimum
+    // match — nothing in the corpus qualifies, nothing is removed
+    val at20 = stats(20)
+    assert(at20.values.forall(_._1 == 0L), s"no >=20-token duplicate exists: $at20")
+    // and the 4-gram instance equals the suite query's operating point
+    val at4 = stats(4)
+    assert(at4(2L)._1 === 10L, "shorter windows cover the same span")
+  }
 }
