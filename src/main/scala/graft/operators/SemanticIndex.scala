@@ -233,8 +233,180 @@ object SemanticIndex {
     readCelled(corpus.sparkSession, dir)
   }
 
-  private def readCelled(spark: SparkSession, dir: String): DataFrame =
+  private def readCelled(spark: SparkSession, dir: String): DataFrame = {
+    Indexes.recoverSwap(dir)
     spark.read
       .parquet(s"$dir/celled")
       .select(col("cell"), col("vec_id"), col("embedding"))
+  }
+
+  // ---- streaming maintenance (the VectorIndexStream discipline) ----------
+
+  /** LIVE celled view: base ∪ outstanding stream deltas, exactly-once via
+    * the delta-probe union (the [[graft.streaming.SubstrIndexStream]]
+    * recipe: a replayed batch's rows are bit-identical and can only live
+    * in the debt-bounded delta, so set-exactness needs the corpus-sized
+    * base only as a JOIN PROBE — never re-shuffled into an aggregate).
+    */
+  def readCellsLive(spark: SparkSession, dir: String): DataFrame = {
+    val base = readCelled(spark, dir)
+    if (!new java.io.File(s"$dir/delta").exists()) base
+    else {
+      val delta = spark.read
+        .parquet(s"$dir/delta")
+        .select(col("cell"), col("vec_id"), col("embedding"))
+        .dropDuplicates("vec_id")
+      val dupes = base.join(delta.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      val novel = delta.join(dupes, Seq("vec_id"), "left_anti")
+      base.unionByName(novel)
+    }
+  }
+
+  /** One micro-batch of NEW (vec_id, embedding) rows appended into the
+    * persisted quantizer asset under `dir/delta/batch_id=<id>`: each
+    * vector is assigned its argmax-cosine cell against the FROZEN seeds
+    * and sub-salted by the FROZEN corpus split table — batch-sized work
+    * against O(k·dim) driver state, zero corpus scans, idempotent per
+    * batch (a replay overwrites its own directory with bit-identical
+    * rows; assignment is deterministic closed-form). Cell GEOMETRY only
+    * moves at compaction: [[compactDeltas]] REBUILDS the quantizer from
+    * the union corpus (re-derived k, seeds, counts, re-split) — the
+    * add-vs-train split of [[graft.streaming.VectorIndexStream]], with
+    * "train" here being the deterministic seeded derivation, so the
+    * folded asset is BIT-EQUAL to a wholesale [[ensureBuilt]] on the
+    * grown corpus (`d_semantic_fold`'s gate).
+    */
+  def upsertBatch(
+      batch: DataFrame,
+      dir: String,
+      batchId: Long,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256,
+      compactAt: Double = 0.2
+  ): Unit = {
+    val spark = batch.sparkSession
+    Indexes.recoverSwap(dir)
+    val cents = loadSeeds(spark, dir)
+    val counts = spark.read.parquet(s"$dir/counts")
+    val coarse = Similarity.assignCells(
+      batch.select(col("vec_id"), col("embedding")),
+      cents,
+      litK
+    )
+    Similarity
+      .resplitCells(coarse, counts, cents.length.toLong, maxCellSize)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/delta/batch_id=$batchId")
+    if (compactAt > 0.0) {
+      maybeCompact(spark, dir, targetCellSize, maxCellSize, litK, compactAt)
+      ()
+    }
+  }
+
+  /** Fold the delta iff accumulated delta rows exceed `maxDeltaFraction`
+    * of base rows — the shared debt policy. Returns true iff it ran.
+    */
+  def maybeCompact(
+      spark: SparkSession,
+      dir: String,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256,
+      maxDeltaFraction: Double = 0.2
+  ): Boolean = {
+    Indexes.recoverSwap(dir)
+    if (!new java.io.File(s"$dir/delta").exists()) false
+    else {
+      val base = spark.read.parquet(s"$dir/celled").count()
+      val delta = spark.read.parquet(s"$dir/delta").count()
+      val due = delta > 0 && delta >= maxDeltaFraction * base
+      if (due) compactDeltas(spark, dir, targetCellSize, maxCellSize, litK)
+      due
+    }
+  }
+
+  /** Rebuild the quantizer from the UNION corpus (base celled rows ∪
+    * delta rows — both carry the embedding, so the corpus is recoverable
+    * from the asset itself) and publish seeds/counts/celled via the
+    * crash-safe journaled swap. This is the "train" half of the
+    * add-vs-train split: k, seeds and the split table are re-derived at
+    * the grown N with the exact [[ensureBuilt]] closed form, so the
+    * post-fold asset is bit-equal to a wholesale build — and the oracle
+    * can replay a stream-grown index as if it were built fresh.
+    * Quantizer params are passed by the maintenance owner (they are part
+    * of the dir fingerprint, not readable from the asset).
+    */
+  def compactDeltas(
+      spark: SparkSession,
+      dir: String,
+      targetCellSize: Int,
+      maxCellSize: Int,
+      litK: Int = 256
+  ): Unit = {
+    import spark.implicits._
+    Indexes.recoverSwap(dir)
+    if (new java.io.File(s"$dir/delta").exists()) {
+      val stamp = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
+      val union = spark.read
+        .parquet(s"$dir/celled")
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(
+          spark.read.parquet(s"$dir/delta").select(col("vec_id"), col("embedding"))
+        )
+        .dropDuplicates("vec_id") // replayed batches are bit-identical
+        .localCheckpoint()
+      val k = Similarity.scaledK(union.count(), targetCellSize)
+      val cents = Similarity.seedCentroids(union, k)
+      val coarse = Similarity.assignCells(union, cents, litK).localCheckpoint()
+      val counts = Similarity.cellCounts(coarse)
+      cents.toSeq
+        .map { case (c, v) => (c, v.toSeq) }
+        .toDF("cell", "centroid")
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/seeds.compact-$stamp")
+      counts.write.mode("overwrite").parquet(s"$dir/counts.compact-$stamp")
+      Similarity
+        .resplitCells(coarse, counts, k, maxCellSize)
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/celled.compact-$stamp")
+      Indexes.commitSwap(dir, stamp, Seq("celled", "seeds", "counts"))
+    }
+  }
+
+  /** The ingest-verdict read against an EXPLICIT asset directory (the
+    * stream-maintenance twin of [[deltaDups]], which addresses the
+    * fingerprinted build): seeds/counts from the asset, candidates from
+    * the LIVE celled view — streamed-but-uncompacted vectors participate.
+    */
+  def deltaDupsAt(
+      spark: SparkSession,
+      dir: String,
+      delta: DataFrame,
+      threshold: Double,
+      maxCellSize: Int,
+      litK: Int = 256
+  ): DataFrame = {
+    val cents = loadSeeds(spark, dir)
+    val counts = spark.read.parquet(s"$dir/counts")
+    Similarity.deltaDupsAgainst(
+      delta,
+      cents,
+      counts,
+      maxCellSize,
+      readCellsLive(spark, dir),
+      threshold,
+      litK
+    )
+  }
+
+  private def loadSeeds(spark: SparkSession, dir: String): Array[(Long, Array[Double])] =
+    spark.read
+      .parquet(s"$dir/seeds")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
 }

@@ -99,6 +99,73 @@ object SimilarityQ {
        |FROM dd LEFT JOIN drp ON dd.vec_id = drp.vec_id
        |ORDER BY dd.vec_id""".stripMargin
 
+  /** The d_semantic_delta replay (wholesale quantizer derivation on the
+    * bkt>=10 corpus + delta verdicts for the bkt<10 slice) — shared
+    * verbatim by d_semantic_fold, whose stream-grown asset must be
+    * bit-equal to this fresh derivation.
+    */
+  private def semanticDeltaSql: String = {
+        val h = "('0x' || substr(md5(vec_id::VARCHAR || '#delta'), 1, 15))::BIGINT % 100"
+        val sub = "('0x' || substr(md5(c.vec_id::VARCHAR || '#sub'), 1, 15))::BIGINT"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, $h AS bkt FROM embeddings),
+           |d0 AS (SELECT vec_id, emb FROM e WHERE bkt < 10),
+           |c0 AS (SELECT vec_id, emb FROM e WHERE bkt >= 10),
+           |kk AS (SELECT ((COUNT(*) + 49) // 50) AS k FROM c0),
+           |sdo AS (
+           |  SELECT emb, row_number() OVER (
+           |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '#seed'), 1, 15))::BIGINT, vec_id
+           |    ) - 1 AS cell
+           |  FROM c0
+           |),
+           |seeds AS (SELECT cell, emb AS ce FROM sdo, kk WHERE cell < k),
+           |casg AS (
+           |  SELECT vec_id, emb, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |  FROM (SELECT c0.vec_id, c0.emb, s.cell, ${cosSql("c0.emb", "s.ce")} AS sim
+           |        FROM c0 CROSS JOIN seeds s)
+           |),
+           |ccoarse AS (SELECT vec_id, emb, cell FROM casg WHERE rn = 1),
+           |dasg AS (
+           |  SELECT vec_id, emb, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+           |  FROM (SELECT d0.vec_id, d0.emb, s.cell, ${cosSql("d0.emb", "s.ce")} AS sim
+           |        FROM d0 CROSS JOIN seeds s)
+           |),
+           |dcoarse AS (SELECT vec_id, emb, cell FROM dasg WHERE rn = 1),
+           |spl AS (SELECT cell, ((COUNT(*) + 99) // 100) AS nsplit FROM ccoarse GROUP BY cell),
+           |cc AS (
+           |  SELECT c.vec_id, c.emb,
+           |    (($sub % coalesce(s.nsplit, 1)) * k + c.cell) AS cell
+           |  FROM ccoarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
+           |),
+           |down AS (
+           |  SELECT c.vec_id, c.emb,
+           |    (($sub % coalesce(s.nsplit, 1)) * k + c.cell) AS cell
+           |  FROM dcoarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
+           |),
+           |dpr AS (
+           |  SELECT c.vec_id, c.emb, (u.sub * k + c.cell) AS cell
+           |  FROM dcoarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
+           |  CROSS JOIN unnest(generate_series(0, coalesce(s.nsplit, 1) - 1)) AS u(sub)
+           |),
+           |sc AS (
+           |  SELECT dpr.vec_id AS vec_id, cc.vec_id AS b_id,
+           |         ${cosSql("dpr.emb", "cc.emb")} AS cos
+           |  FROM dpr JOIN cc ON dpr.cell = cc.cell
+           |  WHERE ${cosSql("dpr.emb", "cc.emb")} >= 0.30
+           |),
+           |r AS (
+           |  SELECT vec_id, b_id, cos,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, b_id DESC) AS rn,
+           |    COUNT(*) OVER (PARTITION BY vec_id) AS n_dups
+           |  FROM sc
+           |)
+           |SELECT down.vec_id AS vec_id, down.cell, coalesce(r.n_dups, 0)::BIGINT AS n_dups,
+           |       r.b_id AS best_match, r.cos AS best_cos, (r.b_id IS NULL) AS is_unique
+           |FROM down LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON down.vec_id = r.vec_id
+           |ORDER BY down.vec_id""".stripMargin
+  }
+
   /** DuckDB cosine helper exposed for cross-modal consumers. */
   private[queries] def cosSqlFor(a: String, b: String): String = cosSql(a, b)
 
@@ -727,67 +794,7 @@ object SimilarityQ {
           )
           .orderBy("vec_id")
       },
-      Some {
-        val h = "('0x' || substr(md5(vec_id::VARCHAR || '#delta'), 1, 15))::BIGINT % 100"
-        val sub = "('0x' || substr(md5(c.vec_id::VARCHAR || '#sub'), 1, 15))::BIGINT"
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, $h AS bkt FROM embeddings),
-           |d0 AS (SELECT vec_id, emb FROM e WHERE bkt < 10),
-           |c0 AS (SELECT vec_id, emb FROM e WHERE bkt >= 10),
-           |kk AS (SELECT ((COUNT(*) + 49) // 50) AS k FROM c0),
-           |sdo AS (
-           |  SELECT emb, row_number() OVER (
-           |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '#seed'), 1, 15))::BIGINT, vec_id
-           |    ) - 1 AS cell
-           |  FROM c0
-           |),
-           |seeds AS (SELECT cell, emb AS ce FROM sdo, kk WHERE cell < k),
-           |casg AS (
-           |  SELECT vec_id, emb, cell,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
-           |  FROM (SELECT c0.vec_id, c0.emb, s.cell, ${cosSql("c0.emb", "s.ce")} AS sim
-           |        FROM c0 CROSS JOIN seeds s)
-           |),
-           |ccoarse AS (SELECT vec_id, emb, cell FROM casg WHERE rn = 1),
-           |dasg AS (
-           |  SELECT vec_id, emb, cell,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
-           |  FROM (SELECT d0.vec_id, d0.emb, s.cell, ${cosSql("d0.emb", "s.ce")} AS sim
-           |        FROM d0 CROSS JOIN seeds s)
-           |),
-           |dcoarse AS (SELECT vec_id, emb, cell FROM dasg WHERE rn = 1),
-           |spl AS (SELECT cell, ((COUNT(*) + 99) // 100) AS nsplit FROM ccoarse GROUP BY cell),
-           |cc AS (
-           |  SELECT c.vec_id, c.emb,
-           |    (($sub % coalesce(s.nsplit, 1)) * k + c.cell) AS cell
-           |  FROM ccoarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
-           |),
-           |down AS (
-           |  SELECT c.vec_id, c.emb,
-           |    (($sub % coalesce(s.nsplit, 1)) * k + c.cell) AS cell
-           |  FROM dcoarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
-           |),
-           |dpr AS (
-           |  SELECT c.vec_id, c.emb, (u.sub * k + c.cell) AS cell
-           |  FROM dcoarse c LEFT JOIN spl s ON c.cell = s.cell CROSS JOIN kk
-           |  CROSS JOIN unnest(generate_series(0, coalesce(s.nsplit, 1) - 1)) AS u(sub)
-           |),
-           |sc AS (
-           |  SELECT dpr.vec_id AS vec_id, cc.vec_id AS b_id,
-           |         ${cosSql("dpr.emb", "cc.emb")} AS cos
-           |  FROM dpr JOIN cc ON dpr.cell = cc.cell
-           |  WHERE ${cosSql("dpr.emb", "cc.emb")} >= 0.30
-           |),
-           |r AS (
-           |  SELECT vec_id, b_id, cos,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, b_id DESC) AS rn,
-           |    COUNT(*) OVER (PARTITION BY vec_id) AS n_dups
-           |  FROM sc
-           |)
-           |SELECT down.vec_id AS vec_id, down.cell, coalesce(r.n_dups, 0)::BIGINT AS n_dups,
-           |       r.b_id AS best_match, r.cos AS best_cos, (r.b_id IS NULL) AS is_unique
-           |FROM down LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON down.vec_id = r.vec_id
-           |ORDER BY down.vec_id""".stripMargin
-      },
+      Some(semanticDeltaSql),
       doc = "Incremental semantic dedup over corpus-derived data-scaled " +
         "cells: delta vectors (deterministic 10% md5 slice) are assigned " +
         "into the corpus's seed-quantizer cells (k = ceil(N/50), salted " +
@@ -797,6 +804,50 @@ object SimilarityQ {
         "within-corpus salt split trades away; per-vector dup count and " +
         "argmax best match via one partial-aggregable max(struct), no " +
         "window. Bit-checked end to end."
+    ),
+    // ---- streaming maintenance of the quantizer ASSET itself: base
+    // asset on most of the corpus, the rest folded in as a stream batch
+    // (frozen-cell delta assignment + rebuild-from-union compaction on
+    // the journaled swap), then the SAME ingest verdict as
+    // d_semantic_delta against the stream-grown asset — under the SAME
+    // oracle, because the fold's re-derivation makes the grown index
+    // bit-equal to a wholesale build on the grown corpus.
+    Q(
+      "d_semantic_fold",
+      (s, d) => {
+        import graft.util.Cols.md5Long
+        val emb = Tables.embeddings(s, d)
+        val bkt =
+          pmod(md5Long(concat(col("vec_id").cast("string"), lit("#delta"))), lit(100))
+        val withB = emb.withColumn("bkt", bkt)
+        val probe = withB.filter(col("bkt") < 10)
+        val corpus = withB.filter(col("bkt") >= 10)
+        // deterministic growth slice of the corpus plays the stream
+        val corpus0 = corpus.filter(col("vec_id") % 7 =!= 3)
+        val growth = corpus.filter(col("vec_id") % 7 === 3)
+        val baseDir = graft.operators.SemanticIndex
+          .defaultDir(d, corpus0, targetCellSize = 50, maxCellSize = 100)
+        graft.operators.SemanticIndex
+          .ensureBuilt(corpus0, baseDir, targetCellSize = 50, maxCellSize = 100)
+        val dir = QueryScratch.dir("d_semantic_fold") + "/idx"
+        graft.operators.Indexes.copyDir(baseDir, dir)
+        graft.operators.SemanticIndex.upsertBatch(
+          growth, dir, batchId = 0L,
+          targetCellSize = 50, maxCellSize = 100, compactAt = 1e-9)
+        graft.operators.SemanticIndex
+          .deltaDupsAt(s, dir, probe, threshold = 0.30, maxCellSize = 100)
+          .orderBy("vec_id")
+      },
+      Some(semanticDeltaSql),
+      doc = "Streaming fold of the semantic-quantizer asset on the oracle " +
+        "gate: the growth slice streams in (frozen-seed cell assignment, " +
+        "batch-sized), the debt policy forces the rebuild-from-union " +
+        "compaction through the crash-safe journaled swap, and the " +
+        "ingest verdict over the grown asset is bit-equal to " +
+        "d_semantic_delta's wholesale-derivation replay — the grown " +
+        "index is provably indistinguishable from a fresh build. Each " +
+        "run copies the fingerprint-cached base to scratch and folds, so " +
+        "the measured cost is the honest incremental path."
     ),
     // ---- embedding-level eval DECONTAMINATION: train vectors flagged for
     // being semantically near a test vector (cosine >= thr) — the paraphrase

@@ -65,4 +65,26 @@ object SemanticStream {
     vecsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       flagBatch(batch, sfDir, corpus, out, batchId, threshold, targetCellSize, maxCellSize)
     }
+
+  /** foreachBatch writer GROWING the persisted quantizer asset itself —
+    * the maintenance sink beside [[dedupIngest]]'s read-only flagging:
+    * each batch of accepted (vec_id, embedding) rows is assigned into
+    * the frozen cells ([[SemanticIndex.upsertBatch]]), and the debt
+    * policy triggers the rebuild-from-union compaction on the journaled
+    * swap. With this, every persisted index family (text postings,
+    * image/audio/video, PQ codes, substring grams, semantic cells) has
+    * a continuous-ingest path. Start with `.trigger(...)
+    * .option("checkpointLocation", ...)`.
+    */
+  def cellsUpsert(
+      vecsStream: DataFrame,
+      dir: String,
+      targetCellSize: Int = 50,
+      maxCellSize: Int = 100,
+      litK: Int = 256,
+      compactAt: Double = 0.2
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      SemanticIndex.upsertBatch(batch, dir, batchId, targetCellSize, maxCellSize, litK, compactAt)
+    }
 }

@@ -79,4 +79,66 @@ class SemanticIndexSpec extends AnyFunSuite {
     assert(rows(spark.read.parquet(s"$out/batch_id=0")) === rows(expect))
     assert(spark.read.parquet(out).count() === delta.count())
   }
+
+  private def cellRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("vec_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+
+  test("asset fold: frozen-cell delta assignment, then compaction bit-equals a wholesale build") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus0 = emb.filter(col("vec_id") % 7 =!= 3)
+    val growth = emb.filter(col("vec_id") % 7 === 3)
+    val baseDir = SemanticIndex.defaultDir(sf, corpus0, 50, 100)
+    SemanticIndex.ensureBuilt(corpus0, baseDir, 50, 100)
+    val dir = s"target/test_sem_fold/${System.nanoTime()}/idx"
+    graft.operators.Indexes.copyDir(baseDir, dir)
+    val baseCells = cellRows(spark.read.parquet(s"$dir/celled"))
+
+    // PRE-compaction: delta lands under frozen seeds, base untouched,
+    // live view = base ∪ frozen-assigned growth
+    SemanticIndex.upsertBatch(growth, dir, batchId = 0L, 50, 100, compactAt = 0.0)
+    val live = cellRows(SemanticIndex.readCellsLive(spark, dir))
+    assert(cellRows(spark.read.parquet(s"$dir/celled")) === baseCells, "base frozen during ingest")
+    assert(live.map(_._1) === cellRows(spark.read.parquet(s"$dir/celled")).map(_._1) ++
+      growth.select(col("vec_id")).as[Long].collect().toSet)
+    // REPLAY exactly-once: same batch id re-landed changes nothing
+    SemanticIndex.upsertBatch(growth, dir, batchId = 0L, 50, 100, compactAt = 0.0)
+    assert(cellRows(SemanticIndex.readCellsLive(spark, dir)) === live)
+
+    // COMPACTION: rebuild-from-union must be BIT-EQUAL to the wholesale
+    // build on the grown corpus (celled + seeds + counts)
+    SemanticIndex.compactDeltas(spark, dir, 50, 100)
+    assert(!new java.io.File(s"$dir/delta").exists(), "folded delta retired")
+    val wholeDir = SemanticIndex.defaultDir(sf, emb, 50, 100)
+    SemanticIndex.ensureBuilt(emb, wholeDir, 50, 100)
+    assert(
+      cellRows(spark.read.parquet(s"$dir/celled")) ===
+        cellRows(spark.read.parquet(s"$wholeDir/celled")),
+      "folded celled table == wholesale build"
+    )
+    def seedRows(d: String) = spark.read
+      .parquet(s"$d/seeds")
+      .select(col("cell"), col("centroid"))
+      .as[(Long, Seq[Double])]
+      .collect()
+      .toSet
+    assert(seedRows(dir) === seedRows(wholeDir), "re-derived seeds == wholesale seeds")
+    def countRows(d: String) = spark.read
+      .parquet(s"$d/counts")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(countRows(dir) === countRows(wholeDir), "re-derived counts == wholesale counts")
+    // and a replay AFTER compaction re-lands in delta/, then the next
+    // fold's dedup restores exactly-once
+    SemanticIndex.upsertBatch(growth, dir, batchId = 0L, 50, 100, compactAt = 0.0)
+    SemanticIndex.compactDeltas(spark, dir, 50, 100)
+    assert(
+      cellRows(spark.read.parquet(s"$dir/celled")) ===
+        cellRows(spark.read.parquet(s"$wholeDir/celled")),
+      "post-compaction replay folds away"
+    )
+  }
 }
