@@ -74,69 +74,45 @@ object Unigram {
     chars.unionByName(multi)
   }
 
-  /** Integer-exact Viterbi over one word: returns (n_pieces, score,
-    * space-joined pieces) under (fewest pieces, max summed piece freq,
-    * lex-min segmentation). Right-to-left DP; the lex tie-break is valid
-    * because comparing space-joined segmentations of a common suffix
-    * position decomposes piece-by-piece (pieces contain no spaces, and
-    * ' ' sorts below every alphanumeric byte).
+  /** Integer-exact Viterbi over one word — delegates to the shared DP
+    * ([[graft.functions.UnigramViterbi.segment]]), which also backs the
+    * native [[graft.functions.UnigramSegment]] expression.
     */
   private[graft] def viterbi(
       vocab: collection.Map[String, Long],
       maxPieceLen: Int,
       word: String
-  ): (Int, Long, String) = {
-    val L = word.length
-    val np = Array.fill(L + 1)(Int.MaxValue)
-    val sf = new Array[Long](L + 1)
-    val ss = new Array[String](L + 1)
-    np(L) = 0; sf(L) = 0L; ss(L) = ""
-    var i = L - 1
-    while (i >= 0) {
-      var l = 1
-      val lmax = math.min(maxPieceLen, L - i)
-      while (l <= lmax) {
-        if (np(i + l) != Int.MaxValue) {
-          val p = word.substring(i, i + l)
-          vocab.get(p) match {
-            case Some(f) =>
-              val cn = 1 + np(i + l)
-              val cf = f + sf(i + l)
-              val cs = if (ss(i + l).isEmpty) p else p + " " + ss(i + l)
-              val better =
-                cn < np(i) ||
-                  (cn == np(i) && (cf > sf(i) ||
-                    (cf == sf(i) && (ss(i) == null || cs.compareTo(ss(i)) < 0))))
-              if (better) { np(i) = cn; sf(i) = cf; ss(i) = cs }
-            case None => ()
-          }
-        }
-        l += 1
-      }
-      i -= 1
-    }
-    if (np(0) == Int.MaxValue) (0, 0L, "") else (np(0), sf(0), ss(0))
-  }
+  ): (Int, Long, String) =
+    graft.functions.UnigramViterbi.segment(vocab, maxPieceLen, word)
 
   /** Per-word Viterbi segmentation frame: (word, cnt, n_pieces, score,
     * pieces). The piece table is collected (vocabulary-bounded by the
-    * training `limit`) and broadcast; the DP runs once per DISTINCT word.
+    * training `limit`) and rides the NATIVE [[graft.functions.UnigramSegment]]
+    * expression as a reference object — the DP runs once per DISTINCT
+    * word INSIDE whole-stage codegen (the engine's last scalar UDF
+    * retired; [[graft.CodegenFallbackSpec]] pins zero fallback and
+    * bit-identity with the udf formulation it replaced).
     */
   def segmentWords(words: DataFrame, pieces: DataFrame, maxPieceLen: Int): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
-    val vm: Map[String, Long] =
-      pieces.select(col("piece"), col("freq")).as[(String, Long)].collect().toMap
-    val bc = spark.sparkContext.broadcast(vm)
-    val segUdf = udf { (w: String) => viterbi(bc.value, maxPieceLen, w) }
+    val table: Array[(String, Long)] =
+      pieces.select(col("piece"), col("freq")).as[(String, Long)].collect()
+    val seg = graft.util.Cols.nativeCol(
+      graft.functions.UnigramSegment(
+        graft.util.Cols.nativeExpr(col("word")),
+        table,
+        maxPieceLen
+      )
+    )
     words
-      .withColumn("seg", segUdf(col("word")))
+      .withColumn("seg", seg)
       .select(
         col("word"),
         col("cnt"),
-        col("seg._1").cast("long").as("n_pieces"),
-        col("seg._2").as("score"),
-        col("seg._3").as("pieces")
+        col("seg.n_pieces").cast("long").as("n_pieces"),
+        col("seg.score").as("score"),
+        col("seg.pieces").as("pieces")
       )
   }
 

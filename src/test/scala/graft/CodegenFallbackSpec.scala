@@ -66,6 +66,48 @@ class CodegenFallbackSpec extends AnyFunSuite {
     assert(errs.isEmpty, s"codegen fell back to interpreted:\n${errs.take(2).mkString("\n")}")
   }
 
+  test("unigram segmentation compiles clean and matches the udf formulation it replaced") {
+    import graft.operators.{TextAnalysis, Unigram}
+    val words = TextAnalysis
+      .wordCounts(Tables.documents(spark, sf))
+      .select(col("token").as("word"), col("cnt"))
+    val pieces = Unigram.train(words, vocabSize = 48, maxPieceLen = 4, rounds = 2)
+    val errs = capturedCodegenErrors {
+      // the t_unigram_encode hot shape: native DP over the distinct-word
+      // frame, then the stats aggregate
+      assert(Unigram.segmentWords(words, pieces, maxPieceLen = 4).count() > 0)
+    }
+    assert(errs.isEmpty, s"unigram segment fell back:\n${errs.take(2).mkString("\n")}")
+    // bit-identity with the retired udf path
+    val vm = pieces
+      .select(col("piece"), col("freq"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    val bc = spark.sparkContext.broadcast(vm)
+    val segUdf = udf { (w: String) => graft.functions.UnigramViterbi.segment(bc.value, 4, w) }
+    val viaUdf = words
+      .withColumn("seg", segUdf(col("word")))
+      .select(
+        col("word"),
+        col("seg._1").cast("long").as("n_pieces"),
+        col("seg._2").as("score"),
+        col("seg._3").as("pieces")
+      )
+      .as[(String, Long, Long, String)]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    val viaNative = Unigram
+      .segmentWords(words, pieces, 4)
+      .select("word", "n_pieces", "score", "pieces")
+      .as[(String, Long, Long, String)]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    assert(viaNative === viaUdf)
+  }
+
   test("ArgmaxCosineCell matches the composed array_max(struct(cosine, cell)) form") {
     val emb = Tables.embeddings(spark, sf)
     val cents = Similarity.seedCentroids(emb, k = 12)
