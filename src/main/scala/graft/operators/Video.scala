@@ -434,6 +434,105 @@ object Video {
     // re-runs the frame DECODE pass behind it (the cdcChunks lesson). Two
     // long columns per row — tiny next to the decode it guards.
     val sig = hashes.select(col("doc_id"), col("dhash")).distinct().localCheckpoint()
+    videoDupsOn(sig, permille, maxDfPermille)
+  }
+
+  /** [[videoDups]] with a PER-VIDEO PAIR BUDGET — the diagnostic form
+    * that stays safely runnable at 100× duplication, where the full pair
+    * list grows ~c² per recording. Each video keeps its `maxPairsPerVideo`
+    * best partners under (overlap desc, matches desc, partner-id asc) via
+    * the bounded [[graft.functions.TopKByScore]] aggregate (partial
+    * buffers hold ≤ k entries — no window, no per-group unbounded
+    * collect; PlanSpec pins the no-Window shape), so OUTPUT is
+    * O(videos · k) regardless of duplication rate. Pair DISCOVERY still
+    * streams the qualifying pairs through the aggregate once — that
+    * stream is the information-theoretic floor for an exact per-video
+    * top-k; what the budget removes is the c²-row materialization that
+    * made the uncapped diagnostic the one query family not to run blind
+    * at 100×. Truncation is LOGGED, never silent (the hot-scene-cap
+    * discipline): one stderr line with how many videos lost rows and the
+    * total dropped. Default pipelines keep routing through the
+    * linear-output forms ([[videoClusters]] / [[videoDeltaVerdicts]]);
+    * rows here are per (video, partner) — both directions of each pair,
+    * so a video's row budget is self-contained.
+    */
+  def videoDupsCapped(
+      hashes: DataFrame,
+      permille: Long = 500L,
+      maxDfPermille: Long = 100L,
+      maxPairsPerVideo: Int = 64
+  ): DataFrame = {
+    val sig = hashes.select(col("doc_id"), col("dhash")).distinct().localCheckpoint()
+    val pairs = videoDupsOn(sig, permille, maxDfPermille)
+    // both directions: each video budgets ITS OWN partner list
+    val sym = pairs
+      .select(
+        col("a_id").as("doc_id"), col("b_id").as("partner_id"),
+        col("matches"), col("a_n").as("n"), col("b_n").as("partner_n"),
+        col("overlap_permille")
+      )
+      .unionByName(
+        pairs.select(
+          col("b_id").as("doc_id"), col("a_id").as("partner_id"),
+          col("matches"), col("b_n").as("n"), col("a_n").as("partner_n"),
+          col("overlap_permille")
+        )
+      )
+    // rank key packs (overlap, matches) into one double — exact while
+    // matches < 2^21 scene rows per pair (a 10-hour video at 1 scene/s is
+    // ~36k) — so the bounded aggregate needs no struct ordering
+    val kept = sym
+      .groupBy(col("doc_id"))
+      .agg(
+        graft.functions.TopKByScore
+          .topK(
+            (col("overlap_permille") * lit(2097152L) + col("matches")).cast("double"),
+            col("partner_id"),
+            maxPairsPerVideo
+          )
+          .as("tk"),
+        count(lit(1)).as("n_pairs")
+      )
+      .localCheckpoint() // consumed twice: truncation audit + output
+    val trunc = kept
+      .agg(
+        sum(when(col("n_pairs") > maxPairsPerVideo, 1L).otherwise(0L)),
+        coalesce(
+          sum(greatest(col("n_pairs") - maxPairsPerVideo, lit(0L))), lit(0L))
+      )
+      .head()
+    if (trunc.getLong(0) > 0)
+      System.err.println(
+        s"[graft] videoDupsCapped: ${trunc.getLong(0)} video(s) exceeded the " +
+          s"$maxPairsPerVideo-pair budget; ${trunc.getLong(1)} pair row(s) dropped " +
+          "(kept = best by overlap, then matches, then partner id)"
+      )
+    val sizes = sig.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    kept
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("r", "e")))
+      .select(
+        col("doc_id"),
+        (col("r") + 1).cast("long").as("rank"),
+        col("e.id").as("partner_id"),
+        expr("CAST(e.score AS LONG) % 2097152").as("matches"),
+        expr("CAST(e.score AS LONG) DIV 2097152").as("overlap_permille")
+      )
+      .join(sizes, Seq("doc_id"))
+      .join(
+        sizes.select(col("doc_id").as("partner_id"), col("n").as("partner_n")),
+        Seq("partner_id")
+      )
+      .select(
+        col("doc_id"), col("rank"), col("partner_id"), col("matches"),
+        col("n"), col("partner_n"), col("overlap_permille")
+      )
+  }
+
+  private def videoDupsOn(
+      sig: DataFrame,
+      permille: Long,
+      maxDfPermille: Long
+  ): DataFrame = {
     val sizes = sig.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // ADAPTIVE plan choice (the litK-switch discipline: detection may
     // change the plan, never the result): one cheap driver probe over the

@@ -117,6 +117,50 @@ object VideoQ {
         "coefficient >= 500. Catches re-cuts and trimmed-intro variants " +
         "that share no byte, frame index, or frame count."
     ),
+    // ---- the BUDGETED pair diagnostic: m_video_dups' pair list is
+    // output-bound (~c² per recording); this form bounds OUTPUT to k
+    // partners per video via the bounded top-k aggregate, with truncation
+    // logged — the shape to run at 100× duplication when per-video pair
+    // evidence (not just cluster membership) is the question. k=3 on the
+    // fixture so the budget genuinely engages (recordings have 9 copies).
+    Q(
+      "m_video_dups_capped",
+      (s, d) =>
+        Video
+          .videoDupsCapped(
+            Video.videoFrameHashes(s, Video.withVideoPayload(s, Tables.documents(s, d))),
+            maxPairsPerVideo = 3
+          )
+          .orderBy("doc_id", "rank"),
+      Some(
+        s"""$framesSql,
+           |hx AS (SELECT DISTINCT doc_id, $sceneDhash AS dhash FROM fr),
+           |sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM hx GROUP BY doc_id),
+           |pm AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS matches
+           |       FROM hx a JOIN hx b ON a.dhash = b.dhash AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2),
+           |pf AS (SELECT a_id, b_id, matches, sa.n AS a_n, sb.n AS b_n,
+           |         (matches * 1000 // least(sa.n, sb.n))::BIGINT AS op
+           |       FROM pm JOIN sz sa ON pm.a_id = sa.doc_id
+           |                JOIN sz sb ON pm.b_id = sb.doc_id
+           |       WHERE matches * 1000 // least(sa.n, sb.n) >= 500),
+           |sym AS (SELECT a_id AS doc_id, b_id AS partner_id, matches,
+           |               a_n AS n, b_n AS partner_n, op FROM pf
+           |        UNION ALL
+           |        SELECT b_id, a_id, matches, b_n, a_n, op FROM pf),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |        ORDER BY op DESC, matches DESC, partner_id) AS rank FROM sym)
+           |SELECT doc_id, rank::BIGINT AS rank, partner_id, matches, n, partner_n,
+           |       op AS overlap_permille
+           |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+      ),
+      doc = "Per-video budgeted pair diagnostic: both directions of every " +
+        "qualifying overlap pair, each video keeping its 3 best partners " +
+        "(overlap desc, matches desc, partner asc) through the bounded " +
+        "top-k AGGREGATE — output O(videos·k) at any duplication rate, " +
+        "no window, truncation logged never silent. The oracle replays " +
+        "pair discovery AND the per-video ranking."
+    ),
     // ---- INCREMENTAL video ingest: the delta is decoded; the standing
     // corpus is consulted only through the persisted scene index. Split by
     // doc_id % 7 (7 does not divide the 50-recording cycle, so delta and

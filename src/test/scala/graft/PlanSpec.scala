@@ -120,6 +120,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "top-k must not be a window:\n" + plan.take(1200))
   }
 
+  test("budgeted video pair diagnostic: per-video cap is the bounded aggregate, not a window") {
+    val plan = physical("m_video_dups_capped")
+    assert(!plan.contains("Window"), "pair budget must not plan a window:\n" + plan.take(1500))
+    // the bounded top-k aggregate itself sits behind the audit
+    // localCheckpoint (Scan ExistingRDD in this plan); what must be
+    // visible here is its exploded consumption — rank recovery from the
+    // aggregate's array, never a ranking window
+    assert(plan.contains("posexplode"), "expected the aggregate's rank explode:\n" + plan.take(1500))
+  }
+
   test("hash split: map-only labeling — the only exchange is the final aggregate's") {
     val plan = physical("q_hash_split")
     // split assignment itself must add no shuffle: the only hash exchange
