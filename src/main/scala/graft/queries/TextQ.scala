@@ -1467,6 +1467,110 @@ object TextQ {
         "construction; the per-doc fertility stats over the union are " +
         "the gate."
     ),
+    Q(
+      "t_bpe_bytes_ids",
+      (s, d) => {
+        import s.implicits._
+        // tensor-ready ids under the byte-level tokenizer: the id space
+        // is FIXED by construction — base ids 0..255 ARE the byte values
+        // (no corpus-derived alphabet table), merge step j gets 255+j.
+        // Train on the ASCII corpus, encode the union: unseen non-Latin
+        // words produce raw byte ids — a total id encoding, never OOV.
+        val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val du = corpus.unionByName(Text.UnicodeFixture.toDF("doc_id", "text"))
+        val trainWords = corpus
+          .select(explode(Text.tokensUnicodeAll(col("text"))).as("word"))
+          .groupBy(col("word"))
+          .agg(lng(count(lit(1))).as("cnt"))
+        val mergesDf = TextAnalysis.bpeTrainWordsByteLevel(trainWords, BpeSteps)._1
+        val merges = mergesDf
+          .orderBy("step")
+          .select(col("x"), col("y"))
+          .as[(String, String)]
+          .collect()
+          .toSeq
+        val mergedTab = mergesDf
+          .groupBy(col("merged").as("sym"))
+          .agg((lit(255L) + min(col("step"))).as("mid"))
+        val toks = du
+          .select(col("doc_id"), posexplode(Text.tokensUnicodeAll(col("text"))).as(Seq("pos", "word")))
+        val encoded = toks
+          .select(col("word"))
+          .distinct()
+          .select(
+            col("word"),
+            split(
+              TextAnalysis.bpeApplyMerges(TextAnalysis.byteSeq(col("word")), merges),
+              " "
+            ).as("subs")
+          )
+        toks
+          .join(broadcast(encoded), Seq("word"))
+          .select(col("doc_id"), col("pos"), posexplode(col("subs")).as(Seq("pos2", "sym")))
+          .join(broadcast(mergedTab), Seq("sym"), "left")
+          .select(
+            col("doc_id"),
+            col("pos"),
+            col("pos2"),
+            coalesce(col("mid"), conv(col("sym"), 16, 10).cast("long")).as("id")
+          )
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).cast("long").as("n_ids"),
+            concat_ws(
+              " ",
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("pos2"), col("id")))),
+                _.getField("id").cast("string")
+              )
+            ).as("ids_txt")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val n = BpeSteps
+        val folds = (1 to n)
+          .map { i =>
+            s"""e$i AS (SELECT word, list_reduce(string_split(seq, ' '),
+               |    (acc, t) -> CASE
+               |      WHEN (acc = x OR ends_with(acc, ' ' || x)) AND t = y
+               |      THEN acc || y ELSE acc || ' ' || t END) AS seq
+               |  FROM e${i - 1} CROSS JOIN b$i)""".stripMargin
+          }
+          .mkString(",\n")
+        val mt = (1 to n)
+          .map(i => s"SELECT CAST($i AS BIGINT) AS step, x || y AS merged FROM b$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH ${bpeByteChain(n, "documents")},
+           |$unionDocsCte,
+           |mt0 AS ($mt),
+           |mtab AS (SELECT merged AS sym, (255 + MIN(step))::BIGINT AS mid
+           |         FROM mt0 GROUP BY merged),
+           |ew AS (SELECT doc_id, u.i AS pos, tk2[u.i] AS token
+           |       FROM (SELECT doc_id, list_filter(${Text.tokensUnicodeSqlAll("text")},
+           |               w -> length(w) > 1) AS tk2 FROM du)
+           |       CROSS JOIN unnest(generate_series(1, len(tk2))) AS u(i)),
+           |e0 AS (SELECT DISTINCT token AS word,
+           |  trim(regexp_replace(hex(encode(token)), '(..)', '\\1 ', 'g')) AS seq FROM ew),
+           |$folds,
+           |sw AS (SELECT ew.doc_id, ew.pos, u.j AS pos2,
+           |         string_split(e$n.seq, ' ')[u.j] AS sym
+           |       FROM ew JOIN e$n ON ew.token = e$n.word
+           |       CROSS JOIN unnest(generate_series(1, len(string_split(e$n.seq, ' ')))) AS u(j))
+           |SELECT sw.doc_id, COUNT(*)::BIGINT AS n_ids,
+           |  string_agg(coalesce(mtab.mid, ('0x' || sw.sym)::BIGINT)::VARCHAR, ' '
+           |             ORDER BY sw.pos, sw.pos2) AS ids_txt
+           |FROM sw LEFT JOIN mtab ON sw.sym = mtab.sym
+           |GROUP BY sw.doc_id ORDER BY sw.doc_id""".stripMargin
+      },
+      doc = "Tensor-ready ids under the byte-level tokenizer: base ids " +
+        "0..255 ARE the byte values (a fixed universal alphabet — no " +
+        "corpus-derived symbol table), merge step j maps to 255+j. " +
+        "Trained on the ASCII corpus, encoded over the union by merge " +
+        "application, so unseen non-Latin words yield raw byte ids — a " +
+        "TOTAL id encoding with no unk token anywhere. Every id of " +
+        "every document bit-replayed through the byte chain."
+    ),
     // ---- Unicode text normalization: NFC canonical composition + accent
     // folding as native codegen expressions. Byte-different NFC/NFD
     // encodings of the SAME text defeat exact dedup, split vocabulary
