@@ -444,17 +444,33 @@ object Video {
     * the bounded [[graft.functions.TopKByScore]] aggregate (partial
     * buffers hold ≤ k entries — no window, no per-group unbounded
     * collect; PlanSpec pins the no-Window shape), so OUTPUT is
-    * O(videos · k) regardless of duplication rate. Pair DISCOVERY still
-    * streams the qualifying pairs through the aggregate once — that
-    * stream is the information-theoretic floor for an exact per-video
-    * top-k; what the budget removes is the c²-row materialization that
-    * made the uncapped diagnostic the one query family not to run blind
-    * at 100×. Truncation is LOGGED, never silent (the hot-scene-cap
-    * discipline): one stderr line with how many videos lost rows and the
-    * total dropped. Default pipelines keep routing through the
-    * linear-output forms ([[videoClusters]] / [[videoDeltaVerdicts]]);
-    * rows here are per (video, partner) — both directions of each pair,
-    * so a video's row budget is self-contained.
+    * O(videos · k) regardless of duplication rate.
+    *
+    * DISCOVERY is duplication-collapsed too (what makes the budget a
+    * compute bound, not just an output bound — the uncapped form measured
+    * ~22× at 10× data on the high-duplication fixture because the pair
+    * STREAM grows ~c² even when the kept rows don't): videos with
+    * IDENTICAL signature sets share one partner profile by definition
+    * (identical sets ⇒ identical overlap against everything — the
+    * [[repSig]] argument), so qualifying pairs are discovered between
+    * signature-group REPRESENTATIVES only, at distinct-content cost, and
+    * per-member rows are reconstituted by BOUNDED expansion: a member's
+    * partners inside any one equal-score tier (its signature twins, or
+    * the members of one partner group) order by partner id, so only the
+    * k+1 smallest member ids of each group can ever appear in anyone's
+    * top-k — each group contributes a bounded id list, never its full
+    * membership. The hot-hash candidate cap keeps the FULL-corpus df
+    * semantics of [[videoDups]] (ceiling and frequencies from the member
+    * table, not the rep table), so the emitted pair set is bit-identical
+    * to capping the uncapped diagnostic's output.
+    *
+    * Truncation is LOGGED, never silent (the hot-scene-cap discipline):
+    * one stderr line with how many videos lost rows and the total
+    * dropped — computed at GROUP level from rep-pair degrees, no
+    * expansion. Default pipelines keep routing through the linear-output
+    * forms ([[videoClusters]] / [[videoDeltaVerdicts]]); rows here are
+    * per (video, partner) — both directions of each pair, so a video's
+    * row budget is self-contained.
     */
   def videoDupsCapped(
       hashes: DataFrame,
@@ -462,43 +478,95 @@ object Video {
       maxDfPermille: Long = 100L,
       maxPairsPerVideo: Int = 64
   ): DataFrame = {
+    val k = maxPairsPerVideo
     val sig = hashes.select(col("doc_id"), col("dhash")).distinct().localCheckpoint()
-    val pairs = videoDupsOn(sig, permille, maxDfPermille)
-    // both directions: each video budgets ITS OWN partner list
-    val sym = pairs
-      .select(
-        col("a_id").as("doc_id"), col("b_id").as("partner_id"),
-        col("matches"), col("a_n").as("n"), col("b_n").as("partner_n"),
-        col("overlap_permille")
-      )
-      .unionByName(
-        pairs.select(
-          col("b_id").as("doc_id"), col("a_id").as("partner_id"),
-          col("matches"), col("b_n").as("n"), col("a_n").as("partner_n"),
-          col("overlap_permille")
-        )
-      )
-    // rank key packs (overlap, matches) into one double — exact while
-    // matches < 2^21 scene rows per pair (a 10-hour video at 1 scene/s is
-    // ~36k) — so the bounded aggregate needs no struct ordering
-    val kept = sym
+    // hot set computed over the FULL member table — bit-compat with the
+    // uncapped diagnostic's candidate discipline
+    val hot = hotProbe(sig, maxDfPermille)
+    // identical-signature collapse (md5 set fingerprint, the repSig
+    // discipline): groups (sigfp -> rep = min member id, size g), member
+    // routing, and the rep-only signature table. All hash-row-sized;
+    // pinned because every branch below consumes them.
+    val fpDf = sig
       .groupBy(col("doc_id"))
       .agg(
-        graft.functions.TopKByScore
-          .topK(
-            (col("overlap_permille") * lit(2097152L) + col("matches")).cast("double"),
-            col("partner_id"),
-            maxPairsPerVideo
-          )
-          .as("tk"),
-        count(lit(1)).as("n_pairs")
+        md5(concat_ws(",", sort_array(collect_list(col("dhash"))).cast("array<string>")))
+          .as("sigfp")
       )
-      .localCheckpoint() // consumed twice: truncation audit + output
-    val trunc = kept
+    val grps = fpDf
+      .groupBy(col("sigfp"))
+      .agg(min(col("doc_id")).as("rid"), count(lit(1)).as("g"))
+    val members = fpDf
+      .join(grps, Seq("sigfp"))
+      .select(col("doc_id"), col("rid"))
+      .localCheckpoint()
+    val rsig = sig
+      .join(grps.select(col("rid").as("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val rsizes = rsig
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumnRenamed("doc_id", "rid")
+    // rep-level qualifying pairs under the member-table hot state; one
+    // row per unordered rep pair, then both directions (each video
+    // budgets ITS OWN partner list)
+    val rpairs = pairMatches(rsig, hot)
+      .join(rsizes.select(col("rid").as("a_id"), col("n").as("a_n")), Seq("a_id"))
+      .join(rsizes.select(col("rid").as("b_id"), col("n").as("b_n")), Seq("b_id"))
+      .withColumn("overlap_permille", expr("(matches * 1000) DIV least(a_n, b_n)"))
+      .filter(col("overlap_permille") >= lit(permille))
+    val rsym = rpairs
+      .select(col("a_id").as("rid"), col("b_id").as("prid"), col("matches"), col("overlap_permille"))
+      .unionByName(
+        rpairs.select(col("b_id").as("rid"), col("a_id").as("prid"), col("matches"), col("overlap_permille"))
+      )
+    // twin (within-group) pairs: matches = n, overlap = 1000 exactly.
+    // Under the hot cap a group qualifies only if its signature retains
+    // >= 1 non-hot hash — the same recall bound member-level discovery
+    // has for the pair (a twin pair's intersection IS the signature).
+    val selfOk =
+      if (!hot.anyHot) grps.select(col("rid"))
+      else
+        rsig
+          .join(hot.dfs.filter(col("df") <= hot.ceiling), Seq("dhash"), "left_semi")
+          .select(col("doc_id").as("rid"))
+          .distinct()
+    val twinGrps =
+      (if (permille <= 1000L) grps.select(col("rid"), col("g")).filter(col("g") > 1)
+       else grps.select(col("rid"), col("g")).limit(0))
+        .join(selfOk, Seq("rid"), "left_semi")
+        .join(rsizes, Seq("rid"))
+    // only the k+1 smallest member ids of a group can appear in any
+    // member's top-k (within an equal-score tier, partners order by id);
+    // exact while doc_id < 2^53 (double-precision id negation)
+    val mtop = members
+      .groupBy(col("rid"))
       .agg(
-        sum(when(col("n_pairs") > maxPairsPerVideo, 1L).otherwise(0L)),
-        coalesce(
-          sum(greatest(col("n_pairs") - maxPairsPerVideo, lit(0L))), lit(0L))
+        graft.functions.TopKByScore
+          .topK(negate(col("doc_id").cast("double")), col("doc_id"), k + 1)
+          .as("mt")
+      )
+    // ---- truncation audit, at GROUP level (no expansion): a member's
+    // true partner count = (g-1 if twins qualify) + sum of partner-group
+    // sizes — identical for every member of the group
+    val cdeg = rsym
+      .join(grps.select(col("rid").as("prid"), col("g").as("pg")), Seq("prid"))
+      .groupBy(col("rid"))
+      .agg(sum(col("pg")).as("cdeg"))
+    val npairs = grps
+      .select(col("rid"), col("g"))
+      .join(cdeg, Seq("rid"), "left")
+      .join(twinGrps.select(col("rid"), lit(1L).as("sok")), Seq("rid"), "left")
+      .select(
+        col("rid"),
+        col("g"),
+        (coalesce(col("cdeg"), lit(0L)) +
+          when(col("sok").isNotNull, col("g") - 1L).otherwise(0L)).as("np")
+      )
+    val trunc = npairs
+      .agg(
+        coalesce(sum(when(col("np") > k, col("g")).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("np") > k, (col("np") - k) * col("g")).otherwise(0L)), lit(0L))
       )
       .head()
     if (trunc.getLong(0) > 0)
@@ -507,7 +575,35 @@ object Video {
           s"$maxPairsPerVideo-pair budget; ${trunc.getLong(1)} pair row(s) dropped " +
           "(kept = best by overlap, then matches, then partner id)"
       )
-    val sizes = sig.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // ---- bounded expansion: per member, one candidate row per (tier,
+    // bounded partner id). Rank key packs (overlap, matches) into one
+    // double — exact while matches < 2^21 scene rows per pair (a 10-hour
+    // video at 1 scene/s is ~36k) — so the bounded aggregate needs no
+    // struct ordering.
+    val twinCands = members
+      .join(twinGrps.select(col("rid"), col("n")), Seq("rid"))
+      .join(mtop, Seq("rid"))
+      .select(col("doc_id"), col("n"), explode(col("mt")).as("e"))
+      .filter(col("e.id") =!= col("doc_id"))
+      .select(
+        col("doc_id"),
+        (lit(1000L * 2097152L) + col("n")).cast("double").as("score"),
+        col("e.id").as("partner_id")
+      )
+    val crossCands = members
+      .join(rsym, Seq("rid"))
+      .join(mtop.select(col("rid").as("prid"), col("mt").as("pmt")), Seq("prid"))
+      .select(
+        col("doc_id"),
+        (col("overlap_permille") * lit(2097152L) + col("matches")).cast("double").as("score"),
+        explode(col("pmt")).as("pe")
+      )
+      .select(col("doc_id"), col("score"), col("pe.id").as("partner_id"))
+    val kept = twinCands
+      .unionByName(crossCands)
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.TopKByScore.topK(col("score"), col("partner_id"), k).as("tk"))
+    val sizes = members.join(rsizes, Seq("rid")).select(col("doc_id"), col("n"))
     kept
       .select(col("doc_id"), posexplode(col("tk")).as(Seq("r", "e")))
       .select(
@@ -528,57 +624,73 @@ object Video {
       )
   }
 
+  /** Hot-scene-hash probe (shared by the pair diagnostics): per-hash
+    * document frequencies, the fractional df ceiling, and whether any hash
+    * is hot. ADAPTIVE plan choice (the litK-switch discipline: detection
+    * may change the plan, never the result): one cheap driver probe over
+    * the pinned signature table decides whether any scene hash is hot. The
+    * common healthy-corpus case takes the direct single-join count; only a
+    * corpus that actually contains a near-universal frame pays the
+    * capped-candidates + exact-recount machinery. When the cap engages,
+    * one stderr line says which mass it excluded — a pair can only be
+    * missed if its ENTIRE intersection is hot, and this line is how an
+    * operator notices the regime at all (VideoSpec pins the intended
+    * divergence on a hot-only fixture).
+    */
+  private case class HotState(dfs: DataFrame, ceiling: Long, anyHot: Boolean)
+
+  private def hotProbe(sig: DataFrame, maxDfPermille: Long): HotState = {
+    val nVideos =
+      sig.select(countDistinct(col("doc_id"))).head().getLong(0)
+    val ceiling = math.max(MinDfCeiling, nVideos * maxDfPermille / 1000)
+    val dfs = sig.groupBy(col("dhash")).agg(count(lit(1)).as("df"))
+    val nHot = dfs.filter(col("df") > ceiling).count()
+    if (nHot > 0)
+      System.err.println(
+        s"[graft] videoDups: $nHot scene hash(es) with df > $ceiling excluded " +
+          s"from candidate generation (pairs sharing ONLY those hashes are not emitted)"
+      )
+    HotState(dfs, ceiling, nHot > 0)
+  }
+
+  /** Qualifying-pair match counts `(a_id, b_id, matches)` with `a < b`
+    * over a `(doc_id, dhash)` signature table, under the shared hot-hash
+    * candidate discipline: hot hashes are excluded from CANDIDATE
+    * GENERATION only; discovered pairs are recounted against the full
+    * signatures, so every emitted count is exact.
+    */
+  private def pairMatches(sig: DataFrame, hot: HotState): DataFrame =
+    if (!hot.anyHot)
+      // every hash is a candidate key: the equijoin count IS |A∩B|
+      sig
+        .join(sig.select(col("doc_id").as("b_id"), col("dhash")), Seq("dhash"))
+        .filter(col("doc_id") < col("b_id"))
+        .groupBy(col("doc_id").as("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("matches"))
+    else {
+      val rare = sig
+        .join(hot.dfs.filter(col("df") <= hot.ceiling), Seq("dhash"), "left_semi")
+      val cand = rare
+        .join(rare.select(col("doc_id").as("b_id"), col("dhash")), Seq("dhash"))
+        .filter(col("doc_id") < col("b_id"))
+        .select(col("doc_id").as("a_id"), col("b_id"))
+        .distinct()
+      // exact |A∩B| recount over full signatures (hot hashes included);
+      // the expansion is bounded by frames-per-video, not corpus size
+      cand
+        .join(sig.select(col("doc_id").as("a_id"), col("dhash")), Seq("a_id"))
+        .join(sig.select(col("doc_id").as("b_id"), col("dhash")), Seq("b_id", "dhash"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("matches"))
+    }
+
   private def videoDupsOn(
       sig: DataFrame,
       permille: Long,
       maxDfPermille: Long
   ): DataFrame = {
     val sizes = sig.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // ADAPTIVE plan choice (the litK-switch discipline: detection may
-    // change the plan, never the result): one cheap driver probe over the
-    // pinned signature table decides whether any scene hash is hot. The
-    // common healthy-corpus case takes the direct single-join count; only
-    // a corpus that actually contains a near-universal frame pays the
-    // capped-candidates + exact-recount machinery.
-    val nVideos =
-      sig.select(countDistinct(col("doc_id"))).head().getLong(0)
-    val ceiling = math.max(MinDfCeiling, nVideos * maxDfPermille / 1000)
-    val dfs = sig.groupBy(col("dhash")).agg(count(lit(1)).as("df"))
-    val nHot = dfs.filter(col("df") > ceiling).count()
-    val anyHot = nHot > 0
-    // observable recall bound: when the cap engages, say which mass it
-    // excluded — a pair can only be missed if its ENTIRE intersection is
-    // hot, and this line is how an operator notices the regime at all
-    // (VideoSpec pins the intended divergence on a hot-only fixture)
-    if (anyHot)
-      System.err.println(
-        s"[graft] videoDups: $nHot scene hash(es) with df > $ceiling excluded " +
-          s"from candidate generation (pairs sharing ONLY those hashes are not emitted)"
-      )
-    val pairs =
-      if (!anyHot)
-        // every hash is a candidate key: the equijoin count IS |A∩B|
-        sig
-          .join(sig.select(col("doc_id").as("b_id"), col("dhash")), Seq("dhash"))
-          .filter(col("doc_id") < col("b_id"))
-          .groupBy(col("doc_id").as("a_id"), col("b_id"))
-          .agg(count(lit(1)).as("matches"))
-      else {
-        val rare = sig
-          .join(dfs.filter(col("df") <= ceiling), Seq("dhash"), "left_semi")
-        val cand = rare
-          .join(rare.select(col("doc_id").as("b_id"), col("dhash")), Seq("dhash"))
-          .filter(col("doc_id") < col("b_id"))
-          .select(col("doc_id").as("a_id"), col("b_id"))
-          .distinct()
-        // exact |A∩B| recount over full signatures (hot hashes included);
-        // the expansion is bounded by frames-per-video, not corpus size
-        cand
-          .join(sig.select(col("doc_id").as("a_id"), col("dhash")), Seq("a_id"))
-          .join(sig.select(col("doc_id").as("b_id"), col("dhash")), Seq("b_id", "dhash"))
-          .groupBy(col("a_id"), col("b_id"))
-          .agg(count(lit(1)).as("matches"))
-      }
+    val pairs = pairMatches(sig, hotProbe(sig, maxDfPermille))
     pairs
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n")), Seq("b_id"))
