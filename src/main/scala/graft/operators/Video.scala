@@ -415,10 +415,11 @@ object Video {
     * sizes, permille overlap.
     *
     * SCALE DEFAULT: this pair form is OUTPUT-BOUND — on a corpus with c
-    * copies per recording the true pair set (and therefore the runtime,
-    * which is sublinear per output row but linear in rows emitted) grows
-    * ~c² per recording (measured 27.9× at 10× data on a high-duplication
-    * fixture). Route pipelines through the LINEAR-output complements —
+    * copies per recording the true pair set grows ~c² per recording, and
+    * the emitted rows are the runtime floor no implementation can beat.
+    * Discovery itself is duplication-collapsed (rep-level intersection
+    * streaming + pure output expansion — see the body), so the floor is
+    * what you pay. Route pipelines through the LINEAR-output complements —
     * [[videoClusters]] (one (doc, component) row per video) for corpus
     * dedup and [[videoDeltaVerdicts]] (one best-match row per delta
     * video) for ingest — and keep this form as a diagnostic for bounded
@@ -434,7 +435,53 @@ object Video {
     // re-runs the frame DECODE pass behind it (the cdcChunks lesson). Two
     // long columns per row — tiny next to the decode it guards.
     val sig = hashes.select(col("doc_id"), col("dhash")).distinct().localCheckpoint()
-    videoDupsOn(sig, permille, maxDfPermille)
+    // DISCOVERY is duplication-collapsed (the repSig argument: videos with
+    // identical signature sets have identical overlap against everything),
+    // so the intersection stream runs at distinct-content cost; the c²
+    // member pairs are then reconstituted by pure OUTPUT expansion — two
+    // joins that produce exactly the emitted rows, no per-shared-hash
+    // streaming. Output itself stays ~c² per recording by contract: this
+    // form's runtime floor IS its row count (see SCALE DEFAULT above).
+    val hot = hotProbe(sig, maxDfPermille)
+    val rep = repCollapse(sig)
+    val rp = repPairs(rep, hot, permille)
+    // cross-group expansion: every (member of a-group, member of b-group);
+    // a_/b_ reorder by id, sizes follow the id order (members inherit
+    // their rep's signature size verbatim)
+    val cross = rp
+      .withColumnRenamed("a_id", "a_rid")
+      .withColumnRenamed("b_id", "b_rid")
+      .join(rep.members.select(col("rid").as("a_rid"), col("doc_id").as("a_doc")), Seq("a_rid"))
+      .join(rep.members.select(col("rid").as("b_rid"), col("doc_id").as("b_doc")), Seq("b_rid"))
+      .select(
+        least(col("a_doc"), col("b_doc")).as("a_id"),
+        greatest(col("a_doc"), col("b_doc")).as("b_id"),
+        col("matches"),
+        when(col("a_doc") < col("b_doc"), col("a_n")).otherwise(col("b_n")).as("a_n"),
+        when(col("a_doc") < col("b_doc"), col("b_n")).otherwise(col("a_n")).as("b_n"),
+        col("overlap_permille")
+      )
+    // within-group (twin) pairs: matches = n, overlap = 1000 exactly; the
+    // hot-cap recall rule is the group-level one (a twin pair's
+    // intersection IS the signature, so it must retain a non-hot hash)
+    val twinG =
+      (if (permille <= 1000L) rep.grps.filter(col("g") > 1)
+       else rep.grps.limit(0))
+        .join(selfOkReps(rep, hot), Seq("rid"), "left_semi")
+        .join(rep.rsizes, Seq("rid"))
+    val twins = twinG
+      .join(rep.members.select(col("rid"), col("doc_id").as("a_id")), Seq("rid"))
+      .join(rep.members.select(col("rid"), col("doc_id").as("b_id")), Seq("rid"))
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        col("n").as("matches"),
+        col("n").as("a_n"),
+        col("n").as("b_n"),
+        lit(1000L).as("overlap_permille")
+      )
+    cross.unionByName(twins)
   }
 
   /** [[videoDups]] with a PER-VIDEO PAIR BUDGET — the diagnostic form
@@ -483,38 +530,14 @@ object Video {
     // hot set computed over the FULL member table — bit-compat with the
     // uncapped diagnostic's candidate discipline
     val hot = hotProbe(sig, maxDfPermille)
-    // identical-signature collapse (md5 set fingerprint, the repSig
-    // discipline): groups (sigfp -> rep = min member id, size g), member
-    // routing, and the rep-only signature table. All hash-row-sized;
-    // pinned because every branch below consumes them.
-    val fpDf = sig
-      .groupBy(col("doc_id"))
-      .agg(
-        md5(concat_ws(",", sort_array(collect_list(col("dhash"))).cast("array<string>")))
-          .as("sigfp")
-      )
-    val grps = fpDf
-      .groupBy(col("sigfp"))
-      .agg(min(col("doc_id")).as("rid"), count(lit(1)).as("g"))
-    val members = fpDf
-      .join(grps, Seq("sigfp"))
-      .select(col("doc_id"), col("rid"))
-      .localCheckpoint()
-    val rsig = sig
-      .join(grps.select(col("rid").as("doc_id")), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
-    val rsizes = rsig
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"))
-      .withColumnRenamed("doc_id", "rid")
+    val rep = repCollapse(sig)
+    val grps = rep.grps
+    val members = rep.members
+    val rsizes = rep.rsizes
     // rep-level qualifying pairs under the member-table hot state; one
     // row per unordered rep pair, then both directions (each video
     // budgets ITS OWN partner list)
-    val rpairs = pairMatches(rsig, hot)
-      .join(rsizes.select(col("rid").as("a_id"), col("n").as("a_n")), Seq("a_id"))
-      .join(rsizes.select(col("rid").as("b_id"), col("n").as("b_n")), Seq("b_id"))
-      .withColumn("overlap_permille", expr("(matches * 1000) DIV least(a_n, b_n)"))
-      .filter(col("overlap_permille") >= lit(permille))
+    val rpairs = repPairs(rep, hot, permille)
     val rsym = rpairs
       .select(col("a_id").as("rid"), col("b_id").as("prid"), col("matches"), col("overlap_permille"))
       .unionByName(
@@ -524,17 +547,10 @@ object Video {
     // Under the hot cap a group qualifies only if its signature retains
     // >= 1 non-hot hash — the same recall bound member-level discovery
     // has for the pair (a twin pair's intersection IS the signature).
-    val selfOk =
-      if (!hot.anyHot) grps.select(col("rid"))
-      else
-        rsig
-          .join(hot.dfs.filter(col("df") <= hot.ceiling), Seq("dhash"), "left_semi")
-          .select(col("doc_id").as("rid"))
-          .distinct()
     val twinGrps =
-      (if (permille <= 1000L) grps.select(col("rid"), col("g")).filter(col("g") > 1)
-       else grps.select(col("rid"), col("g")).limit(0))
-        .join(selfOk, Seq("rid"), "left_semi")
+      (if (permille <= 1000L) grps.filter(col("g") > 1)
+       else grps.limit(0))
+        .join(selfOkReps(rep, hot), Seq("rid"), "left_semi")
         .join(rsizes, Seq("rid"))
     // only the k+1 smallest member ids of a group can appear in any
     // member's top-k (within an equal-score tier, partners order by id);
@@ -684,26 +700,61 @@ object Video {
         .agg(count(lit(1)).as("matches"))
     }
 
-  private def videoDupsOn(
-      sig: DataFrame,
-      permille: Long,
-      maxDfPermille: Long
-  ): DataFrame = {
-    val sizes = sig.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = pairMatches(sig, hotProbe(sig, maxDfPermille))
-    pairs
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n")), Seq("b_id"))
-      .select(
-        col("a_id"),
-        col("b_id"),
-        col("matches"),
-        col("a_n"),
-        col("b_n"),
-        expr("(matches * 1000) DIV least(a_n, b_n)").as("overlap_permille")
+  /** Identical-signature collapse (md5 set fingerprint, the [[repSig]]
+    * discipline): groups (rep = min member id, size g), member→rep
+    * routing, the rep-only signature table, and rep signature sizes. All
+    * hash-row-sized; members and rsig are pinned because every discovery
+    * branch consumes them.
+    */
+  private[graft] case class RepState(
+      grps: DataFrame, // (rid, g)
+      members: DataFrame, // (doc_id, rid)
+      rsig: DataFrame, // (doc_id = rid, dhash)
+      rsizes: DataFrame // (rid, n)
+  )
+
+  private def repCollapse(sig: DataFrame): RepState = {
+    // one fp aggregation, pinned; groups and the rep signature table
+    // derive from the pinned routing (a rep is a member routed to itself)
+    val members = memberMap(sig).localCheckpoint()
+    val grps = members.groupBy(col("rid")).agg(count(lit(1)).as("g"))
+    val rsig = sig
+      .join(
+        members.filter(col("doc_id") === col("rid")).select(col("doc_id")),
+        Seq("doc_id"),
+        "left_semi"
       )
-      .filter(col("overlap_permille") >= lit(permille))
+      .localCheckpoint()
+    val rsizes = rsig
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumnRenamed("doc_id", "rid")
+    RepState(grps, members, rsig, rsizes)
   }
+
+  /** Rep-level qualifying pairs `(a_id, b_id, matches, a_n, b_n,
+    * overlap_permille)` with `a_id < b_id` over rep ids, under the
+    * member-table hot state (bit-compat with member-level discovery: a
+    * cross-group member pair shares a non-hot hash iff its rep pair
+    * does — the signature sets are the same sets).
+    */
+  private def repPairs(rep: RepState, hot: HotState, permille: Long): DataFrame =
+    pairMatches(rep.rsig, hot)
+      .join(rep.rsizes.select(col("rid").as("a_id"), col("n").as("a_n")), Seq("a_id"))
+      .join(rep.rsizes.select(col("rid").as("b_id"), col("n").as("b_n")), Seq("b_id"))
+      .withColumn("overlap_permille", expr("(matches * 1000) DIV least(a_n, b_n)"))
+      .filter(col("overlap_permille") >= lit(permille))
+
+  /** Reps whose signature retains at least one non-hot hash — the groups
+    * whose WITHIN-group (twin) pairs survive the hot-cap recall rule.
+    */
+  private def selfOkReps(rep: RepState, hot: HotState): DataFrame =
+    if (!hot.anyHot) rep.grps.select(col("rid"))
+    else
+      rep.rsig
+        .join(hot.dfs.filter(col("df") <= hot.ceiling), Seq("dhash"), "left_semi")
+        .select(col("doc_id").as("rid"))
+        .distinct()
 
   /** Persisted video scene-index location — the stale-proof fingerprint
     * contract keyed on the corpus membership (fixture scene content is a
@@ -711,10 +762,11 @@ object Video {
     * bytes).
     */
   def sceneIndexDir(sfDir: String, corpusDocs: DataFrame): String =
-    // layout=2: distinct-signature rep tables (rsig/rsizes/rdfs) added for
-    // the scale-flat verdict probe — retires docs-less layout-1 assets
+    // layout=3: member→rep routing table (members/) added so the pair
+    // probe can expand rep-level discoveries to every corpus copy without
+    // re-deriving the signature collapse — retires layout-2 assets
     Indexes.fingerprintDirOn(
-      "video-scene-reps", sfDir, corpusDocs, "doc_id", "doc_id", "layout=2")
+      "video-scene-reps", sfDir, corpusDocs, "doc_id", "doc_id", "layout=3")
 
   /** Build the persisted video-dedup index ONCE per corpus version: decode
     * every corpus video, keep the distinct (video, scene-hash) signature
@@ -749,6 +801,24 @@ object Video {
     * regardless of corpus duplication. Pure hash-row aggregation — no
     * decode.
     */
+  /** Member→rep routing `(doc_id, rid)`: every video mapped to the MIN
+    * doc of its identical-signature group — one row per video, the table
+    * that lets a rep-level pair discovery expand back to every copy.
+    */
+  private[graft] def memberMap(sig: DataFrame): DataFrame = {
+    val fp = sig
+      .groupBy(col("doc_id"))
+      .agg(
+        md5(concat_ws(",", sort_array(collect_list(col("dhash"))).cast("array<string>")))
+          .as("sigfp")
+      )
+    fp.join(
+        fp.groupBy(col("sigfp")).agg(min(col("doc_id")).as("rid")),
+        Seq("sigfp")
+      )
+      .select(col("doc_id"), col("rid"))
+  }
+
   private[graft] def repSig(sig: DataFrame): DataFrame = {
     val fp = sig
       .groupBy(col("doc_id"))
@@ -783,7 +853,17 @@ object Video {
         .partitionBy("hb")
         .parquet(s"$tmp/sig")
       sigDfs(sig).write.mode("overwrite").parquet(s"$tmp/dfs")
-      val rsig = repSig(sig).localCheckpoint()
+      // one fp aggregation feeds both members/ and the rep collapse (a
+      // rep is exactly a member routed to itself)
+      val mem = memberMap(sig).localCheckpoint()
+      val rsig = sig
+        .join(
+          mem.filter(col("doc_id") === col("rid")).select(col("doc_id")),
+          Seq("doc_id"),
+          "left_semi"
+        )
+        .select(col("doc_id").as("rid"), col("dhash"))
+        .localCheckpoint()
       rsig.write.mode("overwrite").parquet(s"$tmp/rsig")
       rsig
         .groupBy(col("dhash"))
@@ -797,6 +877,7 @@ object Video {
         .write
         .mode("overwrite")
         .parquet(s"$tmp/rsizes")
+      mem.write.mode("overwrite").parquet(s"$tmp/members")
       sigSizes(sig).write.mode("overwrite").parquet(s"$tmp/sizes")
     }
 
@@ -813,7 +894,11 @@ object Video {
     *
     * SCALE DEFAULT: like [[videoDups]], this pair form is OUTPUT-BOUND —
     * a delta video matching a heavily-duplicated recording emits one row
-    * per corpus COPY. Route ingest pipelines through
+    * per corpus COPY, and those rows are the runtime floor. Discovery is
+    * duplication-collapsed (the delta probes the persisted DISTINCT-
+    * SIGNATURE rep table, then the stored member→rep routing expands each
+    * discovered rep to its copies — pure output materialization), so the
+    * floor is what you pay. Route ingest pipelines through
     * [[videoDeltaVerdicts]] (one argmax row per delta video, probing the
     * distinct-signature rep table — flat under corpus duplication); keep
     * this form for diagnostics that need every matched copy listed.
@@ -832,19 +917,25 @@ object Video {
     val dsz = dsig.groupBy(col("doc_id")).agg(count(lit(1)).as("d_n"))
     // Delta-aware reads (each runs recoverSwap on open): a stream-grown
     // asset with outstanding delta/ must contribute its streamed videos to
-    // the verdict, so sig/sizes/dfs come from the exactly-once live views
-    // — identical persisted scans when no delta exists.
-    val csig = graft.streaming.VideoIndexStream
-      .readSig(spark, dir)
-      .select(col("doc_id").as("c_id"), col("dhash"))
-    val csz = graft.streaming.VideoIndexStream
-      .readSizes(spark, dir)
-      .select(col("doc_id").as("c_id"), col("n").as("c_n"))
+    // the verdict, so reps/members/dfs come from the exactly-once live
+    // views — identical persisted scans when no delta exists. Discovery
+    // runs against the DISTINCT-SIGNATURE rep table (corpus duplication
+    // never enters the intersection stream); the stored member→rep
+    // routing then expands each discovered rep to its copies.
+    val crsig = graft.streaming.VideoIndexStream
+      .readRepSig(spark, dir)
+      .select(col("rid").as("c_rid"), col("dhash"))
+    val crsz = graft.streaming.VideoIndexStream
+      .readRepSizes(spark, dir)
+      .select(col("rid").as("c_rid"), col("n").as("c_n"))
+    val cmembers = graft.streaming.VideoIndexStream.readMembers(spark, dir)
     // adaptive, like videoDups: the build-time df table makes the hot
     // probe index-only (no corpus work at all); healthy corpora take the
     // direct equijoin count, only an actually-hot corpus pays the
-    // capped-candidates + exact-recount path
-    val nVideos = csz.count()
+    // capped-candidates + exact-recount path. Hot semantics stay
+    // MEMBER-level (df counts copies — bit-compat with probing the full
+    // corpus table).
+    val nVideos = cmembers.count()
     val ceiling = math.max(MinDfCeiling, nVideos * maxDfPermille / 1000)
     val dfs = graft.streaming.VideoIndexStream.readDfs(spark, dir)
     val nHot = dfs.filter(col("df") > ceiling).count()
@@ -858,34 +949,39 @@ object Video {
     val pairs =
       if (!anyHot)
         dsig
-          .join(csig, Seq("dhash"))
-          .groupBy(col("doc_id"), col("c_id"))
+          .join(crsig, Seq("dhash"))
+          .groupBy(col("doc_id"), col("c_rid"))
           .agg(count(lit(1)).as("matches"))
       else {
         val rare = dfs.filter(col("df") <= ceiling).select(col("dhash"))
         val cand = dsig
           .join(rare, Seq("dhash"), "left_semi")
-          .join(csig, Seq("dhash"))
-          .select(col("doc_id"), col("c_id"))
+          .join(crsig, Seq("dhash"))
+          .select(col("doc_id"), col("c_rid"))
           .distinct()
         cand
           .join(dsig, Seq("doc_id"))
-          .join(csig, Seq("c_id", "dhash"))
-          .groupBy(col("doc_id"), col("c_id"))
+          .join(crsig, Seq("c_rid", "dhash"))
+          .groupBy(col("doc_id"), col("c_rid"))
           .agg(count(lit(1)).as("matches"))
       }
     pairs
       .join(dsz, Seq("doc_id"))
-      .join(csz, Seq("c_id"))
+      .join(crsz, Seq("c_rid"))
+      .withColumn("overlap_permille", expr("(matches * 1000) DIV least(d_n, c_n)"))
+      .filter(col("overlap_permille") >= lit(permille))
+      // output expansion: one row per corpus COPY of each discovered rep
+      // (members inherit their rep's signature verbatim, so matches/c_n/
+      // overlap hold for every copy)
+      .join(cmembers.select(col("rid").as("c_rid"), col("doc_id").as("c_id")), Seq("c_rid"))
       .select(
         col("doc_id"),
         col("c_id"),
         col("matches"),
         col("d_n"),
         col("c_n"),
-        expr("(matches * 1000) DIV least(d_n, c_n)").as("overlap_permille")
+        col("overlap_permille")
       )
-      .filter(col("overlap_permille") >= lit(permille))
   }
 
   /** LINEAR ingest verdict — the [[videoClusters]] analogue of

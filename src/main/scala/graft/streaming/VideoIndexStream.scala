@@ -16,15 +16,15 @@ import graft.operators.{Indexes, Video}
   * payload, so replayed batches are bit-identical). An upsert decodes
   * ONLY the batch and writes its sig rows under `delta/batch_id=N`,
   * hash-bucket-partitioned exactly like the base (a bucketed probe prunes
-  * delta trees as it prunes the base) — idempotent per batch. The five
-  * derived tables (`dfs/ sizes/ rsig/ rdfs/ rsizes/`) stay the build-time
+  * delta trees as it prunes the base) — idempotent per batch. The six
+  * derived tables (`dfs/ sizes/ rsig/ rdfs/ rsizes/ members/`) stay the build-time
   * aggregates; LIVE views re-derive each from the exactly-once sig view
   * while deltas are outstanding — pure hash-row aggregation (two-column
   * rows), never a frame DECODE — so dedup/ingest verdicts over the
   * stream-grown index are exact at any moment.
   *
   * Compaction ([[maybeCompact]]) folds `delta/` into `sig/` when delta
-  * rows exceed `maxDeltaFraction` of base rows, re-derives all five
+  * rows exceed `maxDeltaFraction` of base rows, re-derives all six
   * aggregates from the merged table, and publishes atomically via the
   * crash-safe journaled swap ([[Indexes.commitSwap]]); a batch replayed
   * AFTER compaction folded it re-lands in `delta/` with bit-identical
@@ -91,6 +91,17 @@ object VideoIndexStream {
     else readRepSig(spark, dir).groupBy(col("rid")).agg(count(lit(1)).as("n"))
   }
 
+  /** LIVE member→rep routing (one row per video). While deltas are
+    * outstanding the collapse is re-derived from the exactly-once sig
+    * view, so streamed videos route into their groups (and a streamed
+    * twin of a corpus video joins that video's group, never forks one).
+    */
+  def readMembers(spark: SparkSession, dir: String): DataFrame = {
+    Indexes.recoverSwap(dir)
+    if (!hasDelta(dir)) spark.read.parquet(s"$dir/members").select(col("doc_id"), col("rid"))
+    else Video.memberMap(readSig(spark, dir))
+  }
+
   /** Fold `delta/` into the base iff accumulated delta rows exceed
     * `maxDeltaFraction` of base rows. Returns true iff compaction ran.
     */
@@ -110,7 +121,7 @@ object VideoIndexStream {
   }
 
   /** Merge base ∪ delta sig rows (full-row distinct = exactly-once),
-    * re-derive all five aggregates, publish the six tables via the
+    * re-derive all six aggregates, publish the seven tables via the
     * crash-safe journaled swap — sig and its aggregates always come from
     * the same generation.
     */
@@ -126,7 +137,17 @@ object VideoIndexStream {
         .parquet(s"$dir/sig.compact-$stamp")
       Video.sigDfs(sig).write.mode("overwrite").parquet(s"$dir/dfs.compact-$stamp")
       Video.sigSizes(sig).write.mode("overwrite").parquet(s"$dir/sizes.compact-$stamp")
-      val rsig = Video.repSig(sig).localCheckpoint()
+      // one fp aggregation feeds both members and the rep collapse (a rep
+      // is exactly a member routed to itself)
+      val mem = Video.memberMap(sig).localCheckpoint()
+      val rsig = sig
+        .join(
+          mem.filter(col("doc_id") === col("rid")).select(col("doc_id")),
+          Seq("doc_id"),
+          "left_semi"
+        )
+        .select(col("doc_id").as("rid"), col("dhash"))
+        .localCheckpoint()
       rsig.write.mode("overwrite").parquet(s"$dir/rsig.compact-$stamp")
       rsig
         .groupBy(col("dhash"))
@@ -140,10 +161,11 @@ object VideoIndexStream {
         .write
         .mode("overwrite")
         .parquet(s"$dir/rsizes.compact-$stamp")
+      mem.write.mode("overwrite").parquet(s"$dir/members.compact-$stamp")
       Indexes.commitSwap(
         dir,
         stamp,
-        Seq("sig", "dfs", "sizes", "rsig", "rdfs", "rsizes")
+        Seq("sig", "dfs", "sizes", "rsig", "rdfs", "rsizes", "members")
       )
     }
   }
