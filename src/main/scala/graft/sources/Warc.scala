@@ -190,12 +190,24 @@ object Warc {
     * would branch on `http_content_type` here).
     */
   def responses(spark: SparkSession, dir: String, glob: String = "*.warc*"): DataFrame = {
-    val recs = read(spark, dir, glob)
+    val recs0 = read(spark, dir, glob)
+      .filter(col("malformed").isNull && col("warc_type") === "response")
+    // Re-spread parsed records when the shard count undershoots the
+    // session's parallelism: a gzip member stream parses sequentially per
+    // shard (whole-shard tasks are forced), but everything downstream —
+    // HTTP slicing, charset decode, extraction — is per-record CPU work
+    // that would otherwise run at shard-count parallelism. A real crawl
+    // corpus has thousands of ~1 GB shards and skips this exchange; the
+    // guard keeps small directories from serializing a 32-core session
+    // behind 8 tasks (measured 11.5 s → ~3 s on the 8-shard fixture at
+    // 10× data).
+    val p = spark.sparkContext.defaultParallelism
+    val recs =
+      if (recs0.rdd.getNumPartitions < p) recs0.repartition(p) else recs0
     // byte-preserving single-byte charset view for the header scan: every
     // char index in it IS a byte offset into the block
     val latin = expr("decode(block, 'ISO-8859-1')")
     recs
-      .filter(col("malformed").isNull && col("warc_type") === "response")
       .withColumn("http_head_len", instr(latin, "\r\n\r\n"))
       .withColumn(
         "http_head",
