@@ -13,7 +13,8 @@ object Registry {
       queries.AudioQ.all ++
       queries.VideoQ.all ++
       queries.PipelineQ.all ++
-      queries.VersionedQ.all
+      queries.VersionedQ.all ++
+      queries.UrlQ.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL operations for crawl pipelines: syntax-based normalization
+  * (RFC 3986 §6.2.2 case + default-port rules, plus the tracking-param
+  * strip and query-param canonical sort every production crawl dedup
+  * applies), registered-domain (eTLD+1) extraction, and a deterministic
+  * dirty-URL fixture over the documents table.
+  *
+  * Everything is pure `functions._` Column composition — regexp splits,
+  * higher-order array filter/sort — no UDFs, so the whole family stays
+  * inside whole-stage codegen and each rule has a DuckDB mirror the
+  * oracle replays verbatim.
+  *
+  * Generalizes the reference's source-stage normalization (lowercase +
+  * filter before keying, `/root/reference/src/index.js:155-160`) from
+  * word tokens to crawl URLs.
+  */
+object Urls {
+
+  /** Query parameters a crawl dedup strips before keying: click/campaign
+    * trackers that vary per visit without changing the fetched content.
+    */
+  val TrackingParamRe = "^(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|ref)="
+
+  /** Two-level public suffixes the engine ships built in (a documented
+    * SUBSET of the public-suffix list — production deployments load the
+    * full list into this set; the ALGORITHM is suffix-set-size-agnostic).
+    */
+  val TwoLevelSuffixes: Seq[String] =
+    Seq("co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "co.jp", "co.nz")
+
+  /** Syntax-based URL normalization:
+    *
+    *   1. scheme and host lowercased (RFC 3986 §6.2.2.1);
+    *   2. default port stripped — `:443` under https, `:80` under http —
+    *      non-default ports kept (RFC 3986 §6.2.3);
+    *   3. empty path → `/` (§6.2.3);
+    *   4. fragment dropped (never sent to the server);
+    *   5. tracking params ([[TrackingParamRe]]) dropped, remaining params
+    *      sorted bytewise — one canonical member per param ordering.
+    *
+    * Path segments and percent-encoding are preserved verbatim (dot-
+    * segment removal and percent-case folding change semantics on
+    * non-compliant servers; pipelines wanting them compose another pass).
+    */
+  def normalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val afterScheme = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = regexp_extract(afterScheme, "^([^/?#]*)", 1)
+    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = when(port === "", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .otherwise(concat(lit(":"), port))
+    // fragment off FIRST: RFC 3986 ends the query at '#', so a '?' inside
+    // the fragment must not resurrect one (UrlSpec pins this)
+    val prefrag = regexp_replace(regexp_replace(afterScheme, "^[^/?#]*", ""), "#.*", "")
+    val path0 = regexp_extract(prefrag, "^([^?]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(prefrag, "\\?(.*)", 1)
+    val kept = array_sort(
+      filter(
+        split(query, "&"),
+        p => p =!= "" && !p.rlike(TrackingParamRe)
+      )
+    )
+    val qNorm =
+      when(size(kept) > 0, concat(lit("?"), concat_ws("&", kept))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, keepPort, path, qNorm)
+  }
+
+  /** DuckDB mirror of [[normalizeUrl]] over a string expression. */
+  def normalizeUrlSql(e: String): String = {
+    val scheme = s"lower(regexp_extract($e, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val after = s"regexp_replace($e, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    val hostport = s"regexp_extract($after, '^([^/?#]*)', 1)"
+    val host = s"lower(regexp_extract($hostport, '^([^:]*)', 1))"
+    val port = s"regexp_extract($hostport, ':([0-9]+)$$', 1)"
+    val keepPort =
+      s"""CASE WHEN $port = '' THEN ''
+         |     WHEN $scheme = 'https' AND $port = '443' THEN ''
+         |     WHEN $scheme = 'http' AND $port = '80' THEN ''
+         |     ELSE ':' || $port END""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
+    val prefrag =
+      s"regexp_replace(regexp_replace($after, '^[^/?#]*', ''), '#.*', '')"
+    val path0 = s"regexp_extract($prefrag, '^([^?]*)', 1)"
+    val path = s"CASE WHEN $path0 = '' THEN '/' ELSE $path0 END"
+    val query = s"regexp_extract($prefrag, '\\?(.*)', 1)"
+    val kept =
+      s"""list_sort(list_filter(string_split($query, '&'),
+         |  p -> p <> '' AND NOT regexp_matches(p, '$TrackingParamRe')))""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
+    val qNorm =
+      s"CASE WHEN len($kept) > 0 THEN '?' || array_to_string($kept, '&') ELSE '' END"
+    s"($scheme || '://' || $host || $keepPort || $path || $qNorm)"
+  }
+
+  /** Host of an (already normalized) URL. */
+  def hostOf(u: Column): Column =
+    regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
+
+  def hostOfSql(e: String): String =
+    s"regexp_extract($e, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)"
+
+  /** Registered domain (eTLD+1): the last label plus the public suffix —
+    * two labels normally, three when the host ends in a
+    * [[TwoLevelSuffixes]] entry. Bare or single-label hosts pass
+    * through. `www.a.b.co.uk` → `b.co.uk`, `sub.ex.com` → `ex.com`.
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    val last3 = concat_ws(".", slice(labels, -3, 3))
+    when(n >= lit(3) && last2.isin(TwoLevelSuffixes: _*), last3)
+      .when(n >= lit(2), last2)
+      .otherwise(host)
+  }
+
+  /** DuckDB mirror of [[registeredDomain]]. */
+  def registeredDomainSql(e: String): String = {
+    val suf = TwoLevelSuffixes.map(s => s"'$s'").mkString(", ")
+    val parts = s"string_split($e, '.')"
+    val n = s"len($parts)"
+    val last2 = s"array_to_string(list_slice($parts, greatest($n - 1, 1), $n), '.')"
+    val last3 = s"array_to_string(list_slice($parts, greatest($n - 2, 1), $n), '.')"
+    s"""CASE WHEN $n >= 3 AND $last2 IN ($suf) THEN $last3
+       |     WHEN $n >= 2 THEN $last2
+       |     ELSE $e END""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
+  }
+
+  // ------------------------------------------------------- fixture corpus
+
+  /** Deterministic dirty URL per document (the [[Html.dirtyHtml]]
+    * recipe): mixed-case scheme/host, www variants, default and
+    * non-default ports, five public suffixes (one two-level), tracking
+    * and unsorted query params, fragments — every normalization rule
+    * exercised, and distinct docs collide onto shared canonical URLs (the
+    * dedup fixture). Pure column arithmetic over (doc_id, source), so
+    * the oracle replays construction directly from the table.
+    */
+  def dirtyUrl(docId: Column, source: Column): Column = {
+    val m = (k: Int) => pmod(docId, lit(k.toLong))
+    val scheme = when(m(3) === 0, "HTTPS").when(m(3) === 1, "http").otherwise("Https")
+    val www = when(m(4) === 0, "WWW.").when(m(4) === 2, "www.").otherwise("")
+    val hostbase = when(m(2) === 0, upper(source)).otherwise(source)
+    val suffix = when(m(5) === 0, ".com")
+      .when(m(5) === 1, ".org")
+      .when(m(5) === 2, ".net")
+      .when(m(5) === 3, ".co.uk")
+      .otherwise(".io")
+    val port = when(m(6) === 0, ":443")
+      .when(m(6) === 1, ":80")
+      .when(m(6) === 2, ":8080")
+      .otherwise("")
+    val path = concat(lit("/p/"), m(7).cast("string"))
+    val qk = m(7).cast("string")
+    val query = when(m(4) === 0, concat(lit("?utm_source=feed&id="), qk))
+      .when(m(4) === 1, concat(lit("?id="), qk, lit("&utm_campaign=x&ref=tw")))
+      .when(m(4) === 2, lit("?b=2&a=1&gclid=abc123"))
+      .otherwise(lit(""))
+    val fragment = when(m(2) === 1, concat(lit("#s"), m(3).cast("string"))).otherwise(lit(""))
+    concat(scheme, lit("://"), www, hostbase, suffix, port, path, query, fragment)
+  }
+
+  /** DuckDB mirror of [[dirtyUrl]] over `doc_id` / `source` columns. */
+  def dirtyUrlSql(id: String = "doc_id", source: String = "source"): String = {
+    val m = (k: Int) => s"($id % $k)"
+    s"""(CASE ${m(3)} WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http' ELSE 'Https' END
+       | || '://'
+       | || CASE ${m(4)} WHEN 0 THEN 'WWW.' WHEN 2 THEN 'www.' ELSE '' END
+       | || CASE WHEN ${m(2)} = 0 THEN upper($source) ELSE $source END
+       | || CASE ${m(5)} WHEN 0 THEN '.com' WHEN 1 THEN '.org' WHEN 2 THEN '.net'
+       |         WHEN 3 THEN '.co.uk' ELSE '.io' END
+       | || CASE ${m(6)} WHEN 0 THEN ':443' WHEN 1 THEN ':80' WHEN 2 THEN ':8080' ELSE '' END
+       | || '/p/' || CAST(${m(7)} AS VARCHAR)
+       | || CASE ${m(4)}
+       |      WHEN 0 THEN '?utm_source=feed&id=' || CAST(${m(7)} AS VARCHAR)
+       |      WHEN 1 THEN '?id=' || CAST(${m(7)} AS VARCHAR) || '&utm_campaign=x&ref=tw'
+       |      WHEN 2 THEN '?b=2&a=1&gclid=abc123'
+       |      ELSE '' END
+       | || CASE WHEN ${m(2)} = 1 THEN '#s' || CAST(${m(3)} AS VARCHAR) ELSE '' END)""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
+  }
+}

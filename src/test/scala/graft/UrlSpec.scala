@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Urls
+
+/** Hand-computed pins for the URL normalization family — each rule
+  * asserted on a URL exercising exactly that rule, plus the hostile
+  * shapes (no port, non-default port under the "wrong" scheme, empty
+  * path, single-label host, body `?` inside the fragment).
+  */
+class UrlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("u").select(Urls.normalizeUrl(col("u"))).as[String].collect().toSeq
+
+  private def dom(hosts: String*): Seq[String] =
+    hosts.toDF("h").select(Urls.registeredDomain(col("h"))).as[String].collect().toSeq
+
+  test("scheme and host lowercase; path case preserved") {
+    assert(norm("HTTPS://WWW.Example.COM/A/B") === Seq("https://www.example.com/A/B"))
+  }
+
+  test("default ports strip only under their own scheme") {
+    assert(
+      norm(
+        "https://ex.com:443/a", // default -> stripped
+        "http://ex.com:80/a", // default -> stripped
+        "https://ex.com:80/a", // NOT default under https -> kept
+        "http://ex.com:443/a", // NOT default under http -> kept
+        "https://ex.com:8080/a" // never default -> kept
+      ) === Seq(
+        "https://ex.com/a",
+        "http://ex.com/a",
+        "https://ex.com:80/a",
+        "http://ex.com:443/a",
+        "https://ex.com:8080/a"
+      )
+    )
+  }
+
+  test("empty path becomes /; fragment dropped") {
+    assert(
+      norm("https://ex.com", "https://ex.com#frag", "https://ex.com/a#x?notaquery") ===
+        Seq("https://ex.com/", "https://ex.com/", "https://ex.com/a")
+    )
+  }
+
+  test("tracking params dropped, remaining params sorted, empty query removed") {
+    assert(
+      norm(
+        "https://ex.com/a?utm_source=x&b=2&a=1&gclid=g",
+        "https://ex.com/a?utm_campaign=only",
+        "https://ex.com/a?z=9&y=8#frag"
+      ) === Seq(
+        "https://ex.com/a?a=1&b=2",
+        "https://ex.com/a",
+        "https://ex.com/a?y=8&z=9"
+      )
+    )
+  }
+
+  test("registered domain: eTLD+1, two-level suffixes, pass-throughs") {
+    assert(
+      dom("www.a.b.co.uk", "sub.ex.com", "ex.com", "co.uk", "localhost") ===
+        Seq("b.co.uk", "ex.com", "ex.com", "co.uk", "localhost")
+    )
+  }
+
+  test("normalization is idempotent on the fixture corpus") {
+    val urls = Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(Urls.dirtyUrl(col("doc_id"), col("source")).as("u"))
+      .select(Urls.normalizeUrl(col("u")).as("n1"))
+      .select(col("n1"), Urls.normalizeUrl(col("n1")).as("n2"))
+    assert(urls.filter(col("n1") =!= col("n2")).count() === 0L)
+  }
+
+  test("fixture collides distinct docs onto shared canonical URLs (dedup non-vacuous)") {
+    val groups = Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(Urls.normalizeUrl(Urls.dirtyUrl(col("doc_id"), col("source"))).as("u"))
+      .groupBy("u")
+      .count()
+    assert(groups.filter(col("count") > 1).count() > 0)
+  }
+}
