@@ -520,36 +520,80 @@ object PipelineQ {
       "t_extract_clean",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // localCheckpoint = a projection barrier, not just a cache:
-        // CollapseProject would otherwise INLINE the whole extraction
-        // expression tree (a ~10-regex-pass per-row pipeline) into every
-        // downstream gate column — tk, each language score, each quality
-        // ratio — re-running extraction ~8x per row (measured 14 s vs
-        // ~2 s at sf0.1). The checkpointed frame is one narrow
-        // (doc_id, text) table, so the barrier costs one extraction pass.
-        val extracted = graft.operators.Html
-          .extract(graft.operators.Html.dirtyHtml(docs))
-          .filter(col("n_good") > 0)
-          .select(col("doc_id"), col("extracted").as("text"))
-          .localCheckpoint()
-        TextAnalysis
-          .annotateDocs(extracted)
-          .filter(col("pred_lang") === "en" && col("quality_score") >= 0.45)
-          .select(
-            col("doc_id"),
-            col("n_tokens"),
-            col("quality_score"),
-            col("split")
-          )
-          .orderBy("doc_id")
+        extractCleanPlan(graft.operators.Html.dirtyHtml(docs))
       },
-      Some {
-        val scoreDefs = TextAnalysis.LangMarkers
-          .map { case (lang, ms) =>
-            s"len(list_filter(tk, w -> w IN (${inList(ms)}))) AS s_$lang"
-          }
-          .mkString(",\n       ")
-        s"""WITH ${graft.operators.Html.extractCtes("documents")},
+      Some(extractCleanOracleSql),
+      doc = "Gate-0 composition: HTML/boilerplate extraction feeding the " +
+        "cleaning gates — raw pages are extracted per-row (no added " +
+        "exchange), all-boilerplate pages drop at gate 0, and the " +
+        "language-ID + quality gates evaluate the EXTRACTED text, not " +
+        "the markup. The oracle replays page construction, extraction, " +
+        "and the full gate arithmetic over the extracted text."
+    ),
+    // ---- the FULL crawl composition, gate −1 onward: WARC container →
+    // record parse → HTTP body slice → extraction → language/quality
+    // gates → split tags, ONE plan. Identical downstream to
+    // t_extract_clean (and the same oracle: t_warc_extract proves the
+    // container round-trips pages bit-exactly, so the gate arithmetic
+    // replays from direct construction) — what this query adds is the
+    // end-to-end plan a crawl operator actually submits: shard scan with
+    // pushed glob filter at the bottom, training-split tags at the top.
+    Q(
+      "pipe_crawl_e2e",
+      (s, d) => {
+        val dir = graft.sources.Warc.ensureFixtureDir(d, Tables.documents(s, d))
+        extractCleanPlan(graft.sources.Warc.fixturePages(s, dir))
+      },
+      Some(extractCleanOracleSql),
+      doc = "The whole crawl pipeline as one submitted plan: WARC shards " +
+        "(gzip member per record, whole-shard tasks, glob pushdown) → " +
+        "record parse → response filter + HTTP body slice → boilerplate " +
+        "extraction (gate 0 drop) → language-ID + quality gates over " +
+        "extracted text → train/val/test tags. The oracle replays every " +
+        "stage from direct page construction — any container, slicing, " +
+        "extraction, or gate bug breaks the hash."
+    )
+  ) ++ funnelAndExport
+
+  /** Shared downstream of the crawl compositions: extraction as gate 0,
+    * then the cleaning gates over EXTRACTED text.
+    *
+    * localCheckpoint = a projection barrier, not just a cache:
+    * CollapseProject would otherwise INLINE the whole extraction
+    * expression tree (a ~10-regex-pass per-row pipeline) into every
+    * downstream gate column — tk, each language score, each quality
+    * ratio — re-running extraction ~8x per row (measured 14 s vs ~2 s at
+    * sf0.1). The checkpointed frame is one narrow (doc_id, text) table,
+    * so the barrier costs one extraction pass.
+    */
+  private def extractCleanPlan(pages: org.apache.spark.sql.DataFrame) = {
+    val extracted = graft.operators.Html
+      .extract(pages)
+      .filter(col("n_good") > 0)
+      .select(col("doc_id"), col("extracted").as("text"))
+      .localCheckpoint()
+    TextAnalysis
+      .annotateDocs(extracted)
+      .filter(col("pred_lang") === "en" && col("quality_score") >= 0.45)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("quality_score"),
+        col("split")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for both crawl compositions: page construction + extraction +
+    * gate arithmetic, straight from the documents table.
+    */
+  private lazy val extractCleanOracleSql: String = {
+    val scoreDefs = TextAnalysis.LangMarkers
+      .map { case (lang, ms) =>
+        s"len(list_filter(tk, w -> w IN (${inList(ms)}))) AS s_$lang"
+      }
+      .mkString(",\n       ")
+    s"""WITH ${graft.operators.Html.extractCtes("documents")},
            |ed AS (
            |  SELECT doc_id,
            |    array_to_string(list_transform(goods, x -> x['text']), chr(10)) AS text
@@ -583,14 +627,10 @@ object PipelineQ {
            |FROM eqs
            |WHERE pred_lang = 'en' AND quality_score >= 0.45
            |ORDER BY doc_id""".stripMargin
-      },
-      doc = "Gate-0 composition: HTML/boilerplate extraction feeding the " +
-        "cleaning gates — raw pages are extracted per-row (no added " +
-        "exchange), all-boilerplate pages drop at gate 0, and the " +
-        "language-ID + quality gates evaluate the EXTRACTED text, not " +
-        "the markup. The oracle replays page construction, extraction, " +
-        "and the full gate arithmetic over the extracted text."
-    ),
+  }
+
+  /** Second half of the registered surface (funnel, packing, export). */
+  private lazy val funnelAndExport: Seq[Q] = Seq(
     // ---- drop-attribution FUNNEL over the cleaning gates: every doc
     // charged to the FIRST gate that rejects it (corpus dedup [exact +
     // near-dup] → lang → quality → classifier), plus the survivor count
