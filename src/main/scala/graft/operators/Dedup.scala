@@ -1106,4 +1106,92 @@ object Dedup {
       )
     (clean, occ.select(col("b"), col("gh")).distinct())
   }
+
+  /** Corpus-level LINE deduplication (the CCNet paragraph-hash pass):
+    * drop every line whose DOCUMENT frequency clears the fractional
+    * ceiling `max(minDocs, ndocs·maxSharePermille/1000)` — residual
+    * boilerplate (cookie banners, promo blocks, nav fragments) that
+    * per-document extraction can't see because each copy looks fine in
+    * isolation. Distinct from ExactSubstr span removal: keys are whole
+    * lines (cheap, alignment-free) and the signal is CROSS-document
+    * frequency, not any-duplication.
+    *
+    * Shape: one hash-keyed shuffle on the line for the df table (distinct
+    * (doc, line) first, so an in-document repeat counts once), a
+    * broadcast-size hot set only when the corpus actually has hot lines,
+    * and one groupBy(doc) to reassemble kept lines in original order —
+    * corpus-linear at any duplication rate. The fractional ceiling is the
+    * hot-scene-cap discipline: absolute thresholds go stale at 100×.
+    *
+    * Output per input doc: (doc_id, n_lines, n_dropped, text_clean) with
+    * text_clean the surviving lines joined by newline in input order.
+    */
+  def lineDedup(
+      pages: DataFrame, // (doc_id, text)
+      maxSharePermille: Long = 10L,
+      minDocs: Long = 2L
+  ): DataFrame = {
+    // pin: the doc-count probe, the df pass, and the flag join all
+    // consume this frame — unpinned, an expensive upstream (extraction)
+    // would re-run three times (the videoDups sig discipline)
+    val src = pages.select(col("doc_id"), col("text")).localCheckpoint()
+    val lines = src.select(
+      col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("idx", "line"))
+    )
+    val nDocs = src.select(countDistinct(col("doc_id"))).head().getLong(0)
+    val ceiling = math.max(minDocs, nDocs * maxSharePermille / 1000)
+    val hot = lines
+      .select(col("doc_id"), col("line"))
+      .distinct()
+      .groupBy(col("line"))
+      .agg(count(lit(1)).as("ddf"))
+      .filter(col("ddf") > lit(ceiling))
+      .select(col("line"))
+    val flagged = lines
+      .join(hot.withColumn("is_hot", lit(1L)), Seq("line"), "left")
+    flagged
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("is_hot").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(
+          "\n",
+          transform(
+            array_sort(
+              collect_list(
+                when(col("is_hot").isNull, struct(col("idx"), col("line")))
+              )
+            ),
+            x => x.getField("line")
+          )
+        ).as("text_clean")
+      )
+  }
+
+  /** DuckDB mirror of [[lineDedup]] over a `(doc_id, text)` relation
+    * named `rel` — emits CTEs `ldln/ldhot` and a final per-doc SELECT the
+    * caller wraps.
+    */
+  def lineDedupSql(rel: String, maxSharePermille: Long = 10L, minDocs: Long = 2L): String =
+    s"""ldln AS (
+       |  SELECT doc_id, u.i AS idx, string_split(text, chr(10))[u.i] AS line
+       |  FROM $rel CROSS JOIN unnest(generate_series(1,
+       |    len(string_split(text, chr(10))))) AS u(i)
+       |), ldceil AS (
+       |  SELECT greatest($minDocs, COUNT(DISTINCT doc_id) * $maxSharePermille // 1000) AS c
+       |  FROM $rel
+       |), ldhot AS (
+       |  SELECT line FROM (
+       |    SELECT line, COUNT(DISTINCT doc_id) AS ddf FROM ldln GROUP BY line
+       |  ) WHERE ddf > (SELECT c FROM ldceil)
+       |), ldout AS (
+       |  SELECT doc_id, COUNT(*)::BIGINT AS n_lines,
+       |    SUM(CASE WHEN line IN (SELECT line FROM ldhot) THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_dropped,
+       |    coalesce(string_agg(CASE WHEN line NOT IN (SELECT line FROM ldhot)
+       |                             THEN line END, chr(10) ORDER BY idx), '')
+       |      AS text_clean
+       |  FROM ldln GROUP BY doc_id
+       |)""".stripMargin
 }

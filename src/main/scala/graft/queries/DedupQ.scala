@@ -964,6 +964,40 @@ object DedupQ {
         "DuckDB replay as d_substr_delta — the grown index must be " +
         "bit-indistinguishable from a wholesale rebuild."
     ),
+    // ---- CCNet-style LINE dedup over EXTRACTED pages: the cross-document
+    // frequency pass that removes residual boilerplate (promo blocks, nav
+    // fragments) per-document extraction can't see — each copy looks fine
+    // in isolation; only the corpus view reveals it. Fixture-non-vacuous:
+    // the dirty-page corpus has two hot extracted lines (the borderline
+    // promo in docs ≡ 0 mod 3 and a shared heading shape) above the 1%
+    // fractional ceiling, while every content line is doc-unique.
+    Q(
+      "d_line_dedup",
+      (s, d) => {
+        val pages = graft.operators.Html
+          .extract(graft.operators.Html.dirtyHtml(Tables.documents(s, d)))
+          .filter(col("n_good") > 0)
+          .select(col("doc_id"), col("extracted").as("text"))
+        Dedup.lineDedup(pages).orderBy("doc_id")
+      },
+      Some(
+        s"""WITH ${graft.operators.Html.extractCtes("documents")},
+           |ed AS (
+           |  SELECT doc_id,
+           |    array_to_string(list_transform(goods, x -> x['text']), chr(10)) AS text
+           |  FROM hg WHERE len(goods) > 0
+           |),
+           |${Dedup.lineDedupSql("ed")}
+           |SELECT doc_id, n_lines, n_dropped, text_clean
+           |FROM ldout ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Corpus-level line dedup (the CCNet paragraph-hash pass): " +
+        "lines whose document frequency clears the fractional ceiling " +
+        "max(2, ndocs/100) are dropped from every document; survivors " +
+        "rejoin in original order. One hash-keyed shuffle for the line " +
+        "df table plus one reassembly groupBy — corpus-linear at any " +
+        "duplication rate, the ceiling scale-stable by construction."
+    ),
     Q(
       "d_chunk_storage",
       (s, d) => {

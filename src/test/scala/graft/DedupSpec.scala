@@ -434,4 +434,38 @@ class DedupSpec extends AnyFunSuite {
     val at4 = stats(4)
     assert(at4(2L)._1 === 10L, "shorter windows cover the same span")
   }
+
+  test("lineDedup: cross-document hot lines drop, order preserved, in-doc repeats count once") {
+    import graft.operators.Dedup
+    // "promo" sits in every doc (df 4 > ceiling 2); "x"/"y"/... are
+    // doc-unique; doc 4 repeats promo twice IN-DOCUMENT — counted once
+    // for df, but both instances drop
+    val pages = Seq(
+      (1L, "a\npromo\nb"),
+      (2L, "promo\nc"),
+      (3L, "d\npromo"),
+      (4L, "promo\ne\npromo")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .lineDedup(pages, maxSharePermille = 10L, minDocs = 2L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)]
+      .collect()
+      .toList
+    assert(
+      out === List(
+        (1L, 3L, 1L, "a\nb"),
+        (2L, 2L, 1L, "c"),
+        (3L, 2L, 1L, "d"),
+        (4L, 3L, 2L, "e")
+      )
+    )
+    // below the ceiling nothing drops: raise minDocs above the df
+    val loose = Dedup
+      .lineDedup(pages, maxSharePermille = 10L, minDocs = 4L)
+      .agg(org.apache.spark.sql.functions.sum("n_dropped"))
+      .head()
+      .getLong(0)
+    assert(loose === 0L)
+  }
 }
