@@ -1670,6 +1670,34 @@ object TextQ {
         "Catalyst expressions."
     ),
     Q(
+      "t_wet_roundtrip",
+      (s, d) => {
+        val dir = graft.sources.Warc.ensureWetDir(d, Tables.documents(s, d))
+        graft.sources.Warc
+          .conversions(s, dir)
+          .select(
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+            col("text")
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH ${graft.operators.Html.extractCtes("documents")},
+           |ed AS (
+           |  SELECT doc_id,
+           |    array_to_string(list_transform(goods, x -> x['text']), chr(10)) AS text
+           |  FROM hg WHERE len(goods) > 0
+           |)
+           |SELECT doc_id, text FROM ed ORDER BY doc_id""".stripMargin
+      ),
+      doc = "WET sidecar round-trip: extracted pages published as " +
+        "Common-Crawl-convention conversion records (text/plain block, " +
+        "WARC-Refers-To link, one gzip member each, shard-per-partition " +
+        "writer), then read back through the container parse. The " +
+        "oracle replays extraction directly from the table, so any " +
+        "render/framing/decode bug in the WET path breaks the hash."
+    ),
+    Q(
       "t_warc_records",
       (s, d) => {
         val dir = graft.sources.Warc.ensureFixtureDir(d, Tables.documents(s, d))

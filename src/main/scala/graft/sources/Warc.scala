@@ -75,7 +75,8 @@ object Warc {
       targetUri: Option[String],
       warcDate: String,
       contentType: String,
-      block: Array[Byte]
+      block: Array[Byte],
+      extra: Seq[(String, String)] = Nil
   ): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0").append(Crlf)
@@ -83,6 +84,7 @@ object Warc {
     sb.append("WARC-Record-ID: ").append(recordId).append(Crlf)
     sb.append("WARC-Date: ").append(warcDate).append(Crlf)
     targetUri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append(Crlf))
+    extra.foreach { case (k, v) => sb.append(k).append(": ").append(v).append(Crlf) }
     sb.append("Content-Type: ").append(contentType).append(Crlf)
     sb.append("Content-Length: ").append(block.length).append(Crlf)
     sb.append(Crlf)
@@ -189,21 +191,27 @@ object Warc {
     * UTF-8 (the fixture corpora's charset; production charset sniffing
     * would branch on `http_content_type` here).
     */
-  def responses(spark: SparkSession, dir: String, glob: String = "*.warc*"): DataFrame = {
-    val recs0 = read(spark, dir, glob)
-      .filter(col("malformed").isNull && col("warc_type") === "response")
-    // Re-spread parsed records when the shard count undershoots the
-    // session's parallelism: a gzip member stream parses sequentially per
-    // shard (whole-shard tasks are forced), but everything downstream —
-    // HTTP slicing, charset decode, extraction — is per-record CPU work
-    // that would otherwise run at shard-count parallelism. A real crawl
-    // corpus has thousands of ~1 GB shards and skips this exchange; the
-    // guard keeps small directories from serializing a 32-core session
-    // behind 8 tasks (measured 11.5 s → ~3 s on the 8-shard fixture at
-    // 10× data).
+  /** Re-spread parsed records when the shard count undershoots the
+    * session's parallelism: a gzip member stream parses sequentially per
+    * shard (whole-shard tasks are forced), but everything downstream —
+    * HTTP slicing, charset decode, extraction — is per-record CPU work
+    * that would otherwise run at shard-count parallelism. A real crawl
+    * corpus has thousands of ~1 GB shards and skips this exchange; the
+    * guard keeps small directories from serializing a 32-core session
+    * behind 8 tasks (measured 11.5 s → ~3 s on the 8-shard fixture at
+    * 10× data).
+    */
+  private def respread(spark: SparkSession, recs0: DataFrame): DataFrame = {
     val p = spark.sparkContext.defaultParallelism
-    val recs =
-      if (recs0.rdd.getNumPartitions < p) recs0.repartition(p) else recs0
+    if (recs0.rdd.getNumPartitions < p) recs0.repartition(p) else recs0
+  }
+
+  def responses(spark: SparkSession, dir: String, glob: String = "*.warc*"): DataFrame = {
+    val recs = respread(
+      spark,
+      read(spark, dir, glob)
+        .filter(col("malformed").isNull && col("warc_type") === "response")
+    )
     // byte-preserving single-byte charset view for the header scan: every
     // char index in it IS a byte offset into the block
     val latin = expr("decode(block, 'ISO-8859-1')")
@@ -318,6 +326,95 @@ object Warc {
         regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
         col("body_text").as("html")
       )
+
+  // ----------------------------------------------------------------- WET
+
+  /** One WET `conversion` record (the Common-Crawl extracted-text sidecar
+    * convention): `Content-Type: text/plain`, `WARC-Refers-To` naming the
+    * response record the text was extracted from, block = UTF-8 text.
+    */
+  def conversionRecord(
+      uri: String,
+      recordId: String,
+      refersTo: String,
+      warcDate: String,
+      text: String
+  ): Array[Byte] =
+    renderRecord(
+      "conversion",
+      recordId,
+      Some(uri),
+      warcDate,
+      "text/plain",
+      text.getBytes("UTF-8"),
+      extra = Seq("WARC-Refers-To" -> refersTo)
+    )
+
+  /** Write extracted pages as a WET shard directory (`.warc.gz`, one
+    * conversion record per page, whole `doc_id % nShards` groups per
+    * shard) — the publishable extracted-text sidecar of a processed
+    * crawl. Same sink as [[write]]: partition-parallel, one gzip member
+    * per record, deterministic bytes.
+    */
+  def writeWet(pages: DataFrame, dir: String, nShards: Int = 8): Unit = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val records = pages
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (
+          (id % nShards).toInt,
+          id,
+          conversionRecord(
+            s"http://example.com/doc/$id",
+            s"<urn:uuid:conv-$id>",
+            s"<urn:uuid:resp-$id>",
+            FixtureDate,
+            text
+          )
+        )
+      }
+      .toDF("g", "doc_id", "record_bytes")
+      .repartition(nShards, col("g"))
+      .sortWithinPartitions(col("g"), col("doc_id"))
+    write(records, dir)
+  }
+
+  /** The `conversion` records of a WET directory, text decoded — the
+    * read half of the sidecar round-trip.
+    */
+  def conversions(spark: SparkSession, dir: String, glob: String = "*.warc*"): DataFrame =
+    respread(
+      spark,
+      read(spark, dir, glob)
+        .filter(col("malformed").isNull && col("warc_type") === "conversion")
+    )
+      .select(
+        col("path"),
+        col("record_id"),
+        col("target_uri"),
+        expr("decode(block, 'UTF-8')").as("text")
+      )
+
+  /** Deterministic WET fixture: the dirty-page corpus extracted
+    * ([[graft.operators.Html.extract]], all-boilerplate pages dropped),
+    * published as WET shards once per corpus fingerprint.
+    */
+  def ensureWetDir(sfDir: String, docs: DataFrame, nShards: Int = 8): String = {
+    val dir = graft.operators.Indexes
+      .fingerprintDirOn("wet-fixture", sfDir, docs, "doc_id", "text", s"ns=$nShards,v=1")
+    graft.operators.Indexes.atomicBuild(dir, "_SUCCESS") { tmp =>
+      val pages = graft.operators.Html
+        .extract(graft.operators.Html.dirtyHtml(docs))
+        .filter(col("n_good") > 0)
+        .select(col("doc_id"), col("extracted").as("text"))
+      writeWet(pages, tmp, nShards)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+      ()
+    }
+    dir
+  }
 
   // ------------------------------------------------------------- the parse
 
