@@ -1148,8 +1148,15 @@ object Dedup {
       .agg(count(lit(1)).as("ddf"))
       .filter(col("ddf") > lit(ceiling))
       .select(col("line"))
-    val flagged = lines
-      .join(hot.withColumn("is_hot", lit(1L)), Seq("line"), "left")
+      .localCheckpoint() // consumed by the probe and (maybe) the join
+    // adaptive (the litK-switch discipline): the common no-hot-lines
+    // corpus skips the flag join entirely — no second pass over the line
+    // table; when hot lines exist, AQE broadcasts the (small, pinned)
+    // hot set at runtime rather than shuffling the corpus on the line key
+    val flagged =
+      if (hot.count() == 0L)
+        lines.withColumn("is_hot", lit(null).cast("long"))
+      else lines.join(hot.withColumn("is_hot", lit(1L)), Seq("line"), "left")
     flagged
       .groupBy(col("doc_id"))
       .agg(

@@ -49,9 +49,25 @@ object Urls {
   def normalizeUrl(u: Column): Column = {
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val afterScheme = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostport = regexp_extract(afterScheme, "^([^/?#]*)", 1)
-    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val authority = regexp_extract(afterScheme, "^([^/?#]*)", 1)
+    // authority = [userinfo@]host[:port], host possibly an [IPv6] literal.
+    // userinfo is preserved verbatim (case-significant credentials);
+    // '@' cannot appear unencoded inside userinfo, so one prefix strip is
+    // exact. Bracketed hosts keep their brackets; the port then sits
+    // after ']:' (UrlSpec pins both shapes).
+    val userinfo = regexp_extract(authority, "^([^@]*)@", 1)
+    val userPrefix = when(userinfo === "", lit("")).otherwise(concat(userinfo, lit("@")))
+    val hostport = regexp_replace(authority, "^[^@]*@", "")
+    val host = lower(
+      when(
+        hostport.startsWith("["),
+        regexp_extract(hostport, "^(\\[[^\\]]*\\])", 1)
+      ).otherwise(regexp_extract(hostport, "^([^:]*)", 1))
+    )
+    val port = when(
+      hostport.startsWith("["),
+      regexp_extract(hostport, "\\]:([0-9]+)$", 1)
+    ).otherwise(regexp_extract(hostport, "^[^:]*:([0-9]+)$", 1))
     val keepPort = when(port === "", lit(""))
       .when(scheme === "https" && port === "443", lit(""))
       .when(scheme === "http" && port === "80", lit(""))
@@ -70,16 +86,27 @@ object Urls {
     )
     val qNorm =
       when(size(kept) > 0, concat(lit("?"), concat_ws("&", kept))).otherwise(lit(""))
-    concat(scheme, lit("://"), host, keepPort, path, qNorm)
+    concat(scheme, lit("://"), userPrefix, host, keepPort, path, qNorm)
   }
 
   /** DuckDB mirror of [[normalizeUrl]] over a string expression. */
   def normalizeUrlSql(e: String): String = {
     val scheme = s"lower(regexp_extract($e, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     val after = s"regexp_replace($e, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
-    val hostport = s"regexp_extract($after, '^([^/?#]*)', 1)"
-    val host = s"lower(regexp_extract($hostport, '^([^:]*)', 1))"
-    val port = s"regexp_extract($hostport, ':([0-9]+)$$', 1)"
+    val authority = s"regexp_extract($after, '^([^/?#]*)', 1)"
+    val userinfo = s"regexp_extract($authority, '^([^@]*)@', 1)"
+    val userPrefix = s"CASE WHEN $userinfo = '' THEN '' ELSE $userinfo || '@' END"
+    val hostport = s"regexp_replace($authority, '^[^@]*@', '')"
+    val host =
+      s"""lower(CASE WHEN starts_with($hostport, '[')
+         |  THEN regexp_extract($hostport, '^(\\[[^\\]]*\\])', 1)
+         |  ELSE regexp_extract($hostport, '^([^:]*)', 1) END)""".stripMargin
+        .replaceAll("\\s*\\n\\s*", " ")
+    val port =
+      s"""CASE WHEN starts_with($hostport, '[')
+         |  THEN regexp_extract($hostport, '\\]:([0-9]+)$$', 1)
+         |  ELSE regexp_extract($hostport, '^[^:]*:([0-9]+)$$', 1) END""".stripMargin
+        .replaceAll("\\s*\\n\\s*", " ")
     val keepPort =
       s"""CASE WHEN $port = '' THEN ''
          |     WHEN $scheme = 'https' AND $port = '443' THEN ''
@@ -95,15 +122,17 @@ object Urls {
          |  p -> p <> '' AND NOT regexp_matches(p, '$TrackingParamRe')))""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
     val qNorm =
       s"CASE WHEN len($kept) > 0 THEN '?' || array_to_string($kept, '&') ELSE '' END"
-    s"($scheme || '://' || $host || $keepPort || $path || $qNorm)"
+    s"($scheme || '://' || $userPrefix || $host || $keepPort || $path || $qNorm)"
   }
 
-  /** Host of an (already normalized) URL. */
+  /** Host of an (already normalized) URL — userinfo skipped, bracketed
+    * IPv6 literals kept whole.
+    */
   def hostOf(u: Column): Column =
-    regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
+    regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?(\\[[^\\]]*\\]|[^/:?#]*)", 1)
 
   def hostOfSql(e: String): String =
-    s"regexp_extract($e, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)"
+    s"regexp_extract($e, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?(\\[[^\\]]*\\]|[^/:?#]*)', 1)"
 
   /** Registered domain (eTLD+1): the last label plus the public suffix —
     * two labels normally, three when the host ends in a

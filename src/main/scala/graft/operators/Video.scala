@@ -464,12 +464,7 @@ object Video {
     // within-group (twin) pairs: matches = n, overlap = 1000 exactly; the
     // hot-cap recall rule is the group-level one (a twin pair's
     // intersection IS the signature, so it must retain a non-hot hash)
-    val twinG =
-      (if (permille <= 1000L) rep.grps.filter(col("g") > 1)
-       else rep.grps.limit(0))
-        .join(selfOkReps(rep, hot), Seq("rid"), "left_semi")
-        .join(rep.rsizes, Seq("rid"))
-    val twins = twinG
+    val twins = twinGroups(rep, hot, permille)
       .join(rep.members.select(col("rid"), col("doc_id").as("a_id")), Seq("rid"))
       .join(rep.members.select(col("rid"), col("doc_id").as("b_id")), Seq("rid"))
       .filter(col("a_id") < col("b_id"))
@@ -547,11 +542,7 @@ object Video {
     // Under the hot cap a group qualifies only if its signature retains
     // >= 1 non-hot hash — the same recall bound member-level discovery
     // has for the pair (a twin pair's intersection IS the signature).
-    val twinGrps =
-      (if (permille <= 1000L) grps.filter(col("g") > 1)
-       else grps.limit(0))
-        .join(selfOkReps(rep, hot), Seq("rid"), "left_semi")
-        .join(rsizes, Seq("rid"))
+    val twinGrps = twinGroups(rep, hot, permille)
     // only the k+1 smallest member ids of a group can appear in any
     // member's top-k (within an equal-score tier, partners order by id);
     // exact while doc_id < 2^53 (double-precision id negation)
@@ -718,12 +709,8 @@ object Video {
     // derive from the pinned routing (a rep is a member routed to itself)
     val members = memberMap(sig).localCheckpoint()
     val grps = members.groupBy(col("rid")).agg(count(lit(1)).as("g"))
-    val rsig = sig
-      .join(
-        members.filter(col("doc_id") === col("rid")).select(col("doc_id")),
-        Seq("doc_id"),
-        "left_semi"
-      )
+    val rsig = rsigOf(sig, members)
+      .withColumnRenamed("rid", "doc_id") // pairMatches keys on doc_id
       .localCheckpoint()
     val rsizes = rsig
       .groupBy(col("doc_id"))
@@ -731,6 +718,18 @@ object Video {
       .withColumnRenamed("doc_id", "rid")
     RepState(grps, members, rsig, rsizes)
   }
+
+  /** Groups whose WITHIN-group (twin) pairs qualify — g > 1, the twin
+    * overlap of exactly 1000 clears the threshold, and (under the hot
+    * cap) the signature retains a non-hot hash — with their sizes. The
+    * rule is shared by the capped and uncapped diagnostics so they can
+    * never desynchronize.
+    */
+  private def twinGroups(rep: RepState, hot: HotState, permille: Long): DataFrame =
+    (if (permille <= 1000L) rep.grps.filter(col("g") > 1)
+     else rep.grps.limit(0))
+      .join(selfOkReps(rep, hot), Seq("rid"), "left_semi")
+      .join(rep.rsizes, Seq("rid"))
 
   /** Rep-level qualifying pairs `(a_id, b_id, matches, a_n, b_n,
     * overlap_permille)` with `a_id < b_id` over rep ids, under the
@@ -819,21 +818,21 @@ object Video {
       .select(col("doc_id"), col("rid"))
   }
 
-  private[graft] def repSig(sig: DataFrame): DataFrame = {
-    val fp = sig
-      .groupBy(col("doc_id"))
-      .agg(
-        md5(concat_ws(",", sort_array(collect_list(col("dhash"))).cast("array<string>")))
-          .as("sigfp")
-      )
-    val rids = fp
-      .groupBy(col("sigfp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+  /** Rep-only `(rid, dhash)` signature rows given a member→rep routing —
+    * the sig semi-join every collapse consumer shares (a rep is exactly a
+    * member routed to itself).
+    */
+  private[graft] def rsigOf(sig: DataFrame, members: DataFrame): DataFrame =
     sig
-      .join(rids, Seq("doc_id"), "left_semi")
+      .join(
+        members.filter(col("doc_id") === col("rid")).select(col("doc_id")),
+        Seq("doc_id"),
+        "left_semi"
+      )
       .select(col("doc_id").as("rid"), col("dhash"))
-  }
+
+  private[graft] def repSig(sig: DataFrame): DataFrame =
+    rsigOf(sig, memberMap(sig))
 
   /** Distinct (doc, scene-hash) signature rows for a set of video docs —
     * the decode pass (corpus-linear; what the persisted index amortizes).
@@ -853,17 +852,9 @@ object Video {
         .partitionBy("hb")
         .parquet(s"$tmp/sig")
       sigDfs(sig).write.mode("overwrite").parquet(s"$tmp/dfs")
-      // one fp aggregation feeds both members/ and the rep collapse (a
-      // rep is exactly a member routed to itself)
+      // one fp aggregation feeds both members/ and the rep collapse
       val mem = memberMap(sig).localCheckpoint()
-      val rsig = sig
-        .join(
-          mem.filter(col("doc_id") === col("rid")).select(col("doc_id")),
-          Seq("doc_id"),
-          "left_semi"
-        )
-        .select(col("doc_id").as("rid"), col("dhash"))
-        .localCheckpoint()
+      val rsig = rsigOf(sig, mem).localCheckpoint()
       rsig.write.mode("overwrite").parquet(s"$tmp/rsig")
       rsig
         .groupBy(col("dhash"))
@@ -922,13 +913,10 @@ object Video {
     // runs against the DISTINCT-SIGNATURE rep table (corpus duplication
     // never enters the intersection stream); the stored member→rep
     // routing then expands each discovered rep to its copies.
-    val crsig = graft.streaming.VideoIndexStream
-      .readRepSig(spark, dir)
-      .select(col("rid").as("c_rid"), col("dhash"))
-    val crsz = graft.streaming.VideoIndexStream
-      .readRepSizes(spark, dir)
-      .select(col("rid").as("c_rid"), col("n").as("c_n"))
-    val cmembers = graft.streaming.VideoIndexStream.readMembers(spark, dir)
+    val views = graft.streaming.VideoIndexStream.repViews(spark, dir)
+    val crsig = views.rsig.select(col("rid").as("c_rid"), col("dhash"))
+    val crsz = views.rsizes.select(col("rid").as("c_rid"), col("n").as("c_n"))
+    val cmembers = views.members
     // adaptive, like videoDups: the build-time df table makes the hot
     // probe index-only (no corpus work at all); healthy corpora take the
     // direct equijoin count, only an actually-hot corpus pays the
@@ -937,7 +925,7 @@ object Video {
     // corpus table).
     val nVideos = cmembers.count()
     val ceiling = math.max(MinDfCeiling, nVideos * maxDfPermille / 1000)
-    val dfs = graft.streaming.VideoIndexStream.readDfs(spark, dir)
+    val dfs = views.dfs
     val nHot = dfs.filter(col("df") > ceiling).count()
     val anyHot = nHot > 0
     if (anyHot)

@@ -102,6 +102,43 @@ object VideoIndexStream {
     else Video.memberMap(readSig(spark, dir))
   }
 
+  /** Every collapse-side read view of the index, derived ONCE per call:
+    * with no outstanding delta these are plain persisted scans; with
+    * deltas, the exactly-once sig view is PINNED and members/rep-sig/
+    * rep-sizes/dfs all derive from that one frame plus one pinned
+    * fingerprint aggregation — a consumer taking the views individually
+    * ([[readMembers]], [[readRepSig]], …) would re-run the base ∪ delta
+    * union and the md5 collapse once per view.
+    */
+  case class RepViews(
+      members: DataFrame, // (doc_id, rid)
+      rsig: DataFrame, // (rid, dhash)
+      rsizes: DataFrame, // (rid, n)
+      dfs: DataFrame // (dhash, df) — member-level
+  )
+
+  def repViews(spark: SparkSession, dir: String): RepViews = {
+    Indexes.recoverSwap(dir)
+    if (!hasDelta(dir))
+      RepViews(
+        spark.read.parquet(s"$dir/members").select(col("doc_id"), col("rid")),
+        spark.read.parquet(s"$dir/rsig").select(col("rid"), col("dhash")),
+        spark.read.parquet(s"$dir/rsizes").select(col("rid"), col("n")),
+        spark.read.parquet(s"$dir/dfs").select(col("dhash"), col("df"))
+      )
+    else {
+      val sig = readSig(spark, dir).localCheckpoint()
+      val mem = Video.memberMap(sig).localCheckpoint()
+      val rsig = Video.rsigOf(sig, mem)
+      RepViews(
+        mem,
+        rsig,
+        rsig.groupBy(col("rid")).agg(count(lit(1)).as("n")),
+        Video.sigDfs(sig)
+      )
+    }
+  }
+
   /** Fold `delta/` into the base iff accumulated delta rows exceed
     * `maxDeltaFraction` of base rows. Returns true iff compaction ran.
     */
@@ -137,17 +174,9 @@ object VideoIndexStream {
         .parquet(s"$dir/sig.compact-$stamp")
       Video.sigDfs(sig).write.mode("overwrite").parquet(s"$dir/dfs.compact-$stamp")
       Video.sigSizes(sig).write.mode("overwrite").parquet(s"$dir/sizes.compact-$stamp")
-      // one fp aggregation feeds both members and the rep collapse (a rep
-      // is exactly a member routed to itself)
+      // one fp aggregation feeds both members and the rep collapse
       val mem = Video.memberMap(sig).localCheckpoint()
-      val rsig = sig
-        .join(
-          mem.filter(col("doc_id") === col("rid")).select(col("doc_id")),
-          Seq("doc_id"),
-          "left_semi"
-        )
-        .select(col("doc_id").as("rid"), col("dhash"))
-        .localCheckpoint()
+      val rsig = Video.rsigOf(sig, mem).localCheckpoint()
       rsig.write.mode("overwrite").parquet(s"$dir/rsig.compact-$stamp")
       rsig
         .groupBy(col("dhash"))

@@ -62,6 +62,34 @@ class UrlSpec extends AnyFunSuite {
     )
   }
 
+  test("userinfo preserved verbatim; host behind it still lowercased and matchable") {
+    assert(
+      norm(
+        "HTTPS://user:PW@EX.com:443/a",
+        "http://alice@Ex.Com/b?utm_source=x"
+      ) === Seq(
+        "https://user:PW@ex.com/a",
+        "http://alice@ex.com/b"
+      )
+    )
+    // domain extraction sees the real host, not the credentials
+    val hosts = Seq("https://user:pw@sub.ex.com/a").toDF("u")
+      .select(Urls.registeredDomain(Urls.hostOf(col("u")))).as[String].collect()
+    assert(hosts === Array("ex.com"))
+  }
+
+  test("bracketed IPv6 literals: host kept whole, port rules still apply") {
+    assert(
+      norm(
+        "https://[2001:DB8::1]:443/a",
+        "http://[::1]:8080/x"
+      ) === Seq(
+        "https://[2001:db8::1]/a",
+        "http://[::1]:8080/x"
+      )
+    )
+  }
+
   test("registered domain: eTLD+1, two-level suffixes, pass-throughs") {
     assert(
       dom("www.a.b.co.uk", "sub.ex.com", "ex.com", "co.uk", "localhost") ===
