@@ -611,12 +611,25 @@ object Dedup {
       numBits: Int = BloomBits,
       numHashes: Int = BloomHashes
   ): DataFrame = {
-    import graft.functions.BloomFilterAgg
     def hashed(df: DataFrame) =
       df.select(col("doc_id"), md5(normText(col("text"))).as("h"))
-    val corpusH = hashed(corpus)
+    bloomDeltaDupsKeyed(hashed(corpus), hashed(delta), numBits, numHashes)
+  }
+
+  /** [[bloomDeltaDups]] over PRE-KEYED `(doc_id, h)` frames — the key can
+    * be any canonical identity (normalized-text md5, canonical-URL md5
+    * for a crawl frontier, payload hash, …); the Bloom build/probe/verify
+    * machinery is key-agnostic.
+    */
+  def bloomDeltaDupsKeyed(
+      corpusH: DataFrame,
+      deltaH: DataFrame,
+      numBits: Int = BloomBits,
+      numHashes: Int = BloomHashes
+  ): DataFrame = {
+    import graft.functions.BloomFilterAgg
     val filt = corpusH.agg(BloomFilterAgg.bloom(col("h"), numBits, numHashes).as("bf"))
-    val probed = hashed(delta)
+    val probed = deltaH
       .crossJoin(broadcast(filt))
       .withColumn(
         "candidate",

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.operators.Urls
+import graft.operators.{Dedup, Urls}
 
 /** URL-pipeline queries: normalization, canonical-URL dedup, registered-
   * domain stats, and blocklist filtering over the deterministic dirty-URL
@@ -94,6 +94,66 @@ object UrlQ {
         "handled — www/subdomains fold in) doc counts, char mass, and " +
         "language spread: the corpus-composition report a crawl curator " +
         "reads before setting domain quotas."
+    ),
+    // ---- the crawl-frontier gate: "have we already fetched this URL?"
+    // answered by a broadcast Bloom over the standing corpus's CANONICAL
+    // urls — corpus-linear build, map-only probe per frontier URL, exact
+    // verify join only for Bloom candidates. Frontier = the odd-doc urls
+    // (all new: the www-parity of the fixture makes odd/even canonical
+    // urls disjoint) plus a deterministic ~10% re-crawl of corpus urls
+    // under fresh ids, so true-dup / false-positive / true-negative are
+    // all non-vacuous and every set bit is replayed by the oracle.
+    Q(
+      "u_frontier_bloom",
+      (s, d) => {
+        import graft.util.Cols.md5Long
+        val keyed = withUrls(s, d).select(col("doc_id"), md5(col("url_norm")).as("h"))
+        val corpusH = keyed.filter(col("doc_id") % 2 === 0)
+        val recrawled = corpusH
+          .filter(
+            pmod(md5Long(concat(col("doc_id").cast("string"), lit("#re"))), lit(100)) < 10
+          )
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val frontier = keyed.filter(col("doc_id") % 2 === 1).unionByName(recrawled)
+        Dedup.bloomDeltaDupsKeyed(corpusH, frontier).orderBy("doc_id")
+      },
+      Some {
+        val (bits, k) = (Dedup.BloomBits, Dedup.BloomHashes)
+        def pos(j: Int, e: String) =
+          s"('0x' || substr(md5($e || '#bf$j'), 1, 15))::BIGINT % $bits"
+        val bitsCte = (0 until k)
+          .map(j => s"SELECT DISTINCT ${pos(j, "h")} AS b FROM corpus")
+          .mkString("\n  UNION\n  ")
+        val memberExpr = (0 until k)
+          .map(j => s"((${pos(j, "d.h")}) IN (SELECT b FROM bits))")
+          .mkString("\n    AND ")
+        s"""$urlCte,
+           |keyed AS (SELECT doc_id, md5(url_norm) AS h FROM n),
+           |corpus AS (SELECT doc_id, h FROM keyed WHERE doc_id % 2 = 0),
+           |frontier AS (
+           |  SELECT doc_id, h FROM keyed WHERE doc_id % 2 = 1
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, h FROM keyed
+           |  WHERE doc_id % 2 = 0
+           |    AND ('0x' || substr(md5(doc_id::VARCHAR || '#re'), 1, 15))::BIGINT % 100 < 10),
+           |bits AS (
+           |  $bitsCte),
+           |cand AS (
+           |  SELECT d.doc_id, d.h,
+           |    $memberExpr AS candidate
+           |  FROM frontier d),
+           |canon AS (SELECT h, MIN(doc_id) AS canonical_id FROM corpus GROUP BY h)
+           |SELECT c.doc_id, c.candidate, (canon.canonical_id IS NOT NULL) AS dup,
+           |  canon.canonical_id
+           |FROM cand c LEFT JOIN canon ON c.h = canon.h
+           |ORDER BY c.doc_id""".stripMargin
+      },
+      doc = "Crawl-frontier URL dedup: broadcast Bloom over the corpus's " +
+        "canonical URLs answers 'already fetched?' map-only per frontier " +
+        "URL; only Bloom candidates pay the exact-verify join. Keyed on " +
+        "the NORMALIZED url, so case/port/tracking-param variants of a " +
+        "fetched page are caught before a second fetch. Every set bit, " +
+        "verdict, and canonical id bit-checked by the oracle replay."
     ),
     Q(
       "u_blocklist",
