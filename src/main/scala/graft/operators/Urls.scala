@@ -134,6 +134,93 @@ object Urls {
   def hostOfSql(e: String): String =
     s"regexp_extract($e, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?(\\[[^\\]]*\\]|[^/:?#]*)', 1)"
 
+  /** RFC 3986 §5.2.4 remove_dot_segments over an absolute path, as a
+    * string FOLD: non-dot segments append `/seg`, `..` pops the last
+    * appended segment, `.` is a no-op; a trailing `/`, `/.`, or `/..`
+    * re-appends the directory slash; an emptied path is `/`. Exactly the
+    * RFC algorithm (the §5.4 vectors pin it in UrlSpec), expressed with
+    * the `aggregate` higher-order function so it stays a single codegen
+    * projection — no UDF, no iteration bound.
+    */
+  def removeDotSegments(p: Column): Column = {
+    val segs = filter(split(p, "/"), s => s =!= "")
+    val folded = aggregate(
+      segs,
+      lit(""),
+      (acc, s) =>
+        when(s === ".", acc)
+          .when(s === "..", regexp_replace(acc, "/[^/]*$", ""))
+          .otherwise(concat(acc, lit("/"), s))
+    )
+    val trail =
+      when(p.rlike("/(\\.{1,2})?$") && folded =!= "", lit("/")).otherwise(lit(""))
+    when(folded === "", lit("/")).otherwise(concat(folded, trail))
+  }
+
+  /** DuckDB mirror of [[removeDotSegments]] (list_reduce with a
+    * prepended-empty-string accumulator — DuckDB's fold takes its init
+    * from the first element).
+    */
+  def removeDotSegmentsSql(p: String): String = {
+    val segs = s"list_filter(string_split($p, '/'), s -> s <> '')"
+    val folded =
+      s"""list_reduce(list_prepend('', $segs),
+         |  (acc, s) -> CASE WHEN s = '.' THEN acc
+         |                   WHEN s = '..' THEN regexp_replace(acc, '/[^/]*$$', '')
+         |                   ELSE acc || '/' || s END)""".stripMargin
+        .replaceAll("\\s*\\n\\s*", " ")
+    val trail =
+      s"CASE WHEN regexp_matches($p, '/(\\.{1,2})?$$') AND $folded <> '' THEN '/' ELSE '' END"
+    s"CASE WHEN $folded = '' THEN '/' ELSE $folded || $trail END"
+  }
+
+  /** RFC 3986 §5.2.2 reference resolution — the outlink operator: an
+    * extracted `href` resolved against the page it was found on. Covers
+    * every case a crawler meets: absolute refs pass through, `//`
+    * network-path refs take the base scheme, `?`/`#`/empty refs edit the
+    * base, rooted and relative paths merge with the base directory and
+    * run [[removeDotSegments]]. The §5.4 normal AND abnormal examples
+    * are UrlSpec-pinned.
+    */
+  def resolveUrl(base: Column, ref: Column): Column = {
+    val baseScheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val basePath =
+      regexp_extract(regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""), "^([^?#]*)", 1)
+    val baseNoFrag = regexp_replace(base, "#.*", "")
+    val refPath = regexp_extract(ref, "^([^?#]*)", 1)
+    val refTail = regexp_replace(ref, "^[^?#]*", "") // ?query#frag remainder
+    val baseDir = regexp_replace(basePath, "[^/]*$", "")
+    when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), ref)
+      .when(ref.startsWith("//"), concat(baseScheme, lit(":"), ref))
+      .when(ref === "", baseNoFrag)
+      .when(ref.startsWith("#"), concat(baseNoFrag, ref))
+      .when(ref.startsWith("?"), concat(origin, basePath, ref))
+      .when(ref.startsWith("/"), concat(origin, removeDotSegments(refPath), refTail))
+      .otherwise(concat(origin, removeDotSegments(concat(baseDir, refPath)), refTail))
+  }
+
+  /** DuckDB mirror of [[resolveUrl]]. */
+  def resolveUrlSql(base: String, ref: String): String = {
+    val baseScheme = s"regexp_extract($base, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)"
+    val origin = s"regexp_extract($base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
+    val basePath =
+      s"regexp_extract(regexp_replace($base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '^([^?#]*)', 1)"
+    val baseNoFrag = s"regexp_replace($base, '#.*', '')"
+    val refPath = s"regexp_extract($ref, '^([^?#]*)', 1)"
+    val refTail = s"regexp_replace($ref, '^[^?#]*', '')"
+    val baseDir = s"regexp_replace($basePath, '[^/]*$$', '')"
+    s"""CASE
+       | WHEN regexp_matches($ref, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN $ref
+       | WHEN starts_with($ref, '//') THEN $baseScheme || ':' || $ref
+       | WHEN $ref = '' THEN $baseNoFrag
+       | WHEN starts_with($ref, '#') THEN $baseNoFrag || $ref
+       | WHEN starts_with($ref, '?') THEN $origin || $basePath || $ref
+       | WHEN starts_with($ref, '/') THEN $origin || ${removeDotSegmentsSql(refPath)} || $refTail
+       | ELSE $origin || ${removeDotSegmentsSql(s"($baseDir || $refPath)")} || $refTail
+       |END""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
+  }
+
   /** Registered domain (eTLD+1): the last label plus the public suffix —
     * two labels normally, three when the host ends in a
     * [[TwoLevelSuffixes]] entry. Bare or single-label hosts pass

@@ -95,6 +95,58 @@ object UrlQ {
         "language spread: the corpus-composition report a crawl curator " +
         "reads before setting domain quotas."
     ),
+    // ---- WAT-style outlink extraction: hrefs lifted from the raw page,
+    // RFC 3986-resolved against the page's own fetch URL, canonicalized.
+    // The per-doc base URL varies (scheme, www, suffix, port), so the
+    // same literal hrefs resolve to different absolute links per doc —
+    // resolution is what's under test, and the oracle replays page
+    // construction, href extraction, resolution, and normalization.
+    Q(
+      "u_outlinks",
+      (s, d) => {
+        val pages = graft.operators.Html.dirtyHtml(Tables.documents(s, d))
+        pages
+          .join(withUrls(s, d).select(col("doc_id"), col("url_norm")), Seq("doc_id"))
+          .select(
+            col("doc_id"),
+            explode(
+              regexp_extract_all(col("html"), lit("href=\"([^\"]*)\""), lit(1))
+            ).as("href"),
+            col("url_norm")
+          )
+          .select(
+            col("doc_id"),
+            Urls.normalizeUrl(Urls.resolveUrl(col("url_norm"), col("href"))).as("link")
+          )
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_links"),
+            concat_ws(" ", array_sort(collect_set(col("link")))).as("links")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val resolved = Urls.normalizeUrlSql(Urls.resolveUrlSql("n.url_norm", "h.href"))
+        s"""$urlCte,
+           |pg AS (SELECT doc_id, ${graft.operators.Html.dirtyHtmlSqlExpr} AS html
+           |       FROM documents),
+           |hrefs AS (SELECT doc_id,
+           |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+           |  FROM pg),
+           |resolved AS (SELECT h.doc_id, $resolved AS link
+           |  FROM hrefs h JOIN n ON h.doc_id = n.doc_id)
+           |SELECT doc_id, COUNT(*)::BIGINT AS n_links,
+           |  array_to_string(list_sort(list(DISTINCT link)), ' ') AS links
+           |FROM resolved GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      doc = "WAT-style outlink extraction: hrefs from the raw page, " +
+        "RFC 3986 reference resolution (absolute / network-path / " +
+        "query / fragment / rooted / relative with dot-segment removal " +
+        "— the RFC's own §5.4 vectors are spec-pinned) against the " +
+        "page's fetch URL, then canonical normalization. Map-only until " +
+        "the per-doc aggregate; the link graph every crawler derives " +
+        "before frontier scheduling."
+    ),
     // ---- the crawl-frontier gate: "have we already fetched this URL?"
     // answered by a broadcast Bloom over the standing corpus's CANONICAL
     // urls — corpus-linear build, map-only probe per frontier URL, exact

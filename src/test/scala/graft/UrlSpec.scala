@@ -90,6 +90,71 @@ class UrlSpec extends AnyFunSuite {
     )
   }
 
+  test("resolveUrl: the RFC 3986 §5.4.1 normal examples") {
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y",
+      "#s" -> "http://a/b/c/d;p?q#s",
+      "g#s" -> "http://a/b/c/g#s",
+      "g?y#s" -> "http://a/b/c/g?y#s",
+      ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x",
+      "g;x?y#s" -> "http://a/b/c/g;x?y#s",
+      "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/",
+      "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g",
+      "../.." -> "http://a/",
+      "../../" -> "http://a/",
+      "../../g" -> "http://a/g"
+    )
+    val got = cases
+      .map(_._1)
+      .toDF("ref")
+      .select(Urls.resolveUrl(lit(base), col("ref")).as("r"))
+      .as[String]
+      .collect()
+      .toSeq
+    assert(got === cases.map(_._2), cases.map(_._1).zip(got).toString)
+  }
+
+  test("resolveUrl: the RFC 3986 §5.4.2 abnormal examples") {
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      "../../../g" -> "http://a/g",
+      "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g",
+      "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..",
+      "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g",
+      "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "http:g" -> "http:g" // strict parser: ref with a scheme passes through
+    )
+    val got = cases
+      .map(_._1)
+      .toDF("ref")
+      .select(Urls.resolveUrl(lit(base), col("ref")).as("r"))
+      .as[String]
+      .collect()
+      .toSeq
+    assert(got === cases.map(_._2), cases.map(_._1).zip(got).toString)
+  }
+
   test("registered domain: eTLD+1, two-level suffixes, pass-throughs") {
     assert(
       dom("www.a.b.co.uk", "sub.ex.com", "ex.com", "co.uk", "localhost") ===
