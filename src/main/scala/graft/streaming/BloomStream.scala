@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.BloomFilterAgg
@@ -33,21 +33,34 @@ object BloomStream {
   /** Normalized content key — the same construction as [[Dedup.exactDups]],
     * so batch and streaming dedup agree on what "the same document" means.
     */
-  private def keyed(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), md5(Dedup.normText(col("text"))).as("h"))
+  def contentKey: Column = md5(Dedup.normText(col("text")))
+
+  /** Canonical-URL key: the streaming form of the `u_frontier_bloom`
+    * gate — "have we already fetched this URL?" answered incrementally,
+    * one O(bits) partial per micro-batch of fetches. Keyed on the
+    * NORMALIZED url so case/port/tracking-param variants of a fetched
+    * page are blocked before a second fetch.
+    */
+  def urlKey: Column = md5(graft.operators.Urls.normalizeUrl(col("url")))
 
   /** foreachBatch writer: per-batch Bloom partial + prior-filter ingest
     * gate. Start with `.trigger(...).option("checkpointLocation", ...)`.
+    *
+    * `key` picks what "already seen" means — [[contentKey]] (default,
+    * normalized document text) for ingest dedup, [[urlKey]] for a crawl
+    * frontier, any md5-shaped Column for payload hashes etc. The Bloom
+    * build / prior-gate / merge mechanics are key-agnostic.
     */
   def bloomIngest(
       docsStream: DataFrame,
       dir: String,
       numBits: Int = Dedup.BloomBits,
-      numHashes: Int = Dedup.BloomHashes
+      numHashes: Int = Dedup.BloomHashes,
+      key: Column = contentKey
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val keys = keyed(batch)
+      val keys = batch.select(col("doc_id"), key.as("h"))
       // gate against everything ingested BEFORE this batch (exclusive:
       // replaying batch N must see the same prior filter, so partials
       // from batches >= N are ignored — replay-deterministic)

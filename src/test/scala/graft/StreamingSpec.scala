@@ -239,6 +239,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(priorFor1.toSeq === only0, "prior filter for batch 1 must exclude batch >= 1")
   }
 
+  test("streaming URL frontier: normalized-url Bloom blocks dirty re-fetch variants") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_urlfrontier").toString
+    // batch 1 = the fetched corpus, already in canonical form
+    val corpus = (0L until 40L).map(i => (i, s"http://example$i.com/path?a=1&b=2"))
+    // batch 2 = genuinely new urls + DIRTY variants of fetched ones:
+    // upper-cased scheme/host, explicit default port, tracking param,
+    // re-ordered params, fragment — all normalize onto the batch-1 form
+    val fresh = (100L until 140L).map(i => (i, s"http://fresh$i.org/p"))
+    val refetch = (0L until 10L).map { i =>
+      (1000L + i, s"HTTP://EXAMPLE$i.COM:80/path?b=2&utm_source=x&a=1#frag")
+    }
+
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.BloomStream
+      .bloomIngest(
+        stream.toDF().toDF("doc_id", "url"),
+        dir,
+        key = graft.streaming.BloomStream.urlKey
+      )
+      .start()
+    try {
+      stream.addData(corpus: _*); q.processAllAvailable()
+      stream.addData((fresh ++ refetch): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(
+      spark.read.parquet(s"$dir/accepted/batch_id=0").count() === corpus.size.toLong,
+      "first batch has no prior filter"
+    )
+    val accepted1 = spark.read.parquet(s"$dir/accepted/batch_id=1")
+      .select("doc_id").as[Long].collect().toSet
+    // no false negatives: every dirty variant of a fetched url is blocked
+    assert(
+      refetch.forall(r => !accepted1.contains(r._1)),
+      "a dirty variant of an already-fetched url sailed through the frontier gate"
+    )
+    // the Bloom's price is FP-only loss on genuinely new urls — small here
+    assert(
+      accepted1.size >= (fresh.size * 9) / 10,
+      s"only ${accepted1.size}/${fresh.size} new urls accepted — FP rate out of contract"
+    )
+    // the gate really is keyed on the NORMALIZED url: the dirty form and
+    // its canonical form hash identically
+    val pair = Seq(
+      corpus.head._2 -> refetch.head._2
+    ).toDF("clean", "dirty")
+      .select(
+        md5(graft.operators.Urls.normalizeUrl(col("clean"))).as("hc"),
+        md5(graft.operators.Urls.normalizeUrl(col("dirty"))).as("hd")
+      )
+      .head()
+    assert(pair.getString(0) === pair.getString(1))
+  }
+
   test("transformWithState rollup matches mapGroupsWithState semantics (accumulate + TTL evict)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
