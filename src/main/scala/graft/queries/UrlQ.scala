@@ -234,6 +234,90 @@ object UrlQ {
         "anti-join — the list side is operator-curated and tiny, the " +
         "corpus side never shuffles for the filter. Output: surviving " +
         "per-domain doc counts."
+    ),
+    // ---- host-level PageRank over a citation graph. The page fixture's
+    // hrefs are all same-host (relative), so the cross-host edges come
+    // from a deterministic citation rule: doc i cites docs (i²+1) mod 500
+    // and (i²+7) mod 500, plus (i²+13) mod 500 when 3|i and (i²+i) mod 500
+    // when 7|i. QUADRATIC on purpose — a linear rule is a permutation of
+    // the 20 domain classes (regular graph, uniform ranks, vacuous);
+    // squares mod 20 are non-uniform, so domain in-degrees spread 2..10
+    // and the fixture yields 13 distinct rank values with teleport-only
+    // hosts, mid-tail, and a clear head. The oracle replays edge
+    // construction AND all three unrolled rank rounds in the same
+    // integer fixed-point.
+    Q(
+      "u_pagerank",
+      (s, d) => {
+        val dm = withUrls(s, d).select(
+          col("doc_id"),
+          Urls.registeredDomain(Urls.hostOf(col("url_norm"))).as("dom")
+        )
+        val i = col("doc_id")
+        val cites = dm.select(
+          col("dom").as("src"),
+          explode(
+            filter(
+              array(
+                (i * i + 1) % 500,
+                (i * i + 7) % 500,
+                when(i % 3 === 0, (i * i + 13) % 500),
+                when(i % 7 === 0, (i * i + i) % 500)
+              ),
+              c => c.isNotNull
+            )
+          ).as("cited_id")
+        )
+        val cited = dm.select(col("doc_id").as("cited_id"), col("dom").as("dst"))
+        val edges = cites.join(cited, "cited_id").select(col("src"), col("dst"))
+        graft.operators.LinkGraph
+          .pageRank(edges, iters = 3)
+          .select(col("h").as("domain"), col("rank"))
+          .orderBy(desc("rank"), col("domain"))
+      },
+      Some {
+        val teleport = (graft.operators.LinkGraph.DampDen - graft.operators.LinkGraph.DampNum) *
+          graft.operators.LinkGraph.RankScale / graft.operators.LinkGraph.DampDen
+        def round(k: Int) =
+          s"""c$k AS (
+             |  SELECT e.dst, SUM(r.rank // dg.outdeg) AS m
+             |  FROM edges e JOIN deg dg ON e.src = dg.src JOIN r${k - 1} r ON r.h = e.src
+             |  GROUP BY e.dst),
+             |r$k AS (
+             |  SELECT nd.h,
+             |    CAST($teleport + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS rank
+             |  FROM nodes nd LEFT JOIN c$k c ON c.dst = nd.h)""".stripMargin
+        s"""$urlCte,
+           |dm AS (SELECT doc_id, $domainSql AS dom FROM n),
+           |cites AS (
+           |  SELECT doc_id, (doc_id*doc_id + 1) % 500 AS cited_id FROM dm
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id*doc_id + 7) % 500 FROM dm
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id*doc_id + 13) % 500 FROM dm WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id*doc_id + doc_id) % 500 FROM dm WHERE doc_id % 7 = 0),
+           |pairs AS (
+           |  SELECT a.dom AS src, b.dom AS dst
+           |  FROM cites c JOIN dm a ON a.doc_id = c.doc_id
+           |               JOIN dm b ON b.doc_id = c.cited_id),
+           |edges AS (SELECT DISTINCT src, dst FROM pairs WHERE src <> dst),
+           |nodes AS (SELECT src AS h FROM edges UNION SELECT dst FROM edges),
+           |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+           |r0 AS (SELECT h, CAST(${graft.operators.LinkGraph.RankScale} AS BIGINT) AS rank
+           |       FROM nodes),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT h AS domain, rank FROM r3 ORDER BY rank DESC, domain""".stripMargin
+      },
+      doc = "Host-level PageRank (3 damped rounds, integer fixed-point " +
+        "so ranks are bit-deterministic and partition-order-free) over " +
+        "the registered-domain citation graph — the centrality ranking " +
+        "Common Crawl publishes beside each crawl and crawl schedulers " +
+        "feed back into frontier priority. Each round is one keyed join " +
+        "+ one hash aggregation; no all-pairs stage, hub in-mass bounded " +
+        "by total mass in the int64 lane."
     )
   )
 }

@@ -89,6 +89,17 @@ class PlanSpec extends AnyFunSuite {
     )
   }
 
+  test("pagerank: every round is keyed joins + hash aggregation, never a nested loop") {
+    val plan = physical("u_pagerank")
+    // three unrolled rounds: contribution fan-out joins on src, in-mass
+    // aggregation hash-keyed on dst — no all-pairs operator anywhere
+    assert(
+      !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "rank rounds must stay equi-join + hashagg:\n" + plan.take(1500)
+    )
+    assert(plan.contains("HashAggregate"), "in-mass sum must be a hash aggregate")
+  }
+
   test("n-gram jaccard: candidate generation is an equi-join, never a nested loop") {
     val plan = physical("d_ngram_jaccard")
     // prefix filtering makes the exact similarity join's candidate stage a

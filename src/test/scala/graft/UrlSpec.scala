@@ -179,4 +179,38 @@ class UrlSpec extends AnyFunSuite {
       .count()
     assert(groups.filter(col("count") > 1).count() > 0)
   }
+
+  test("pageRank: exact fixed-point values on a handcrafted graph, one round") {
+    // A→B, A→C, B→C, C→A; outdeg A=2, B=1, C=1. After one round from
+    // r0 = 1e9 each: in-mass A = 1e9 (from C), B = 5e8 (A's half),
+    // C = 1.5e9 (A's half + B), so
+    //   A = 15e7 + 85e7            = 1000000000
+    //   B = 15e7 + (85*5e8)//100   =  575000000
+    //   C = 15e7 + (85*15e8)//100  = 1425000000
+    // Duplicate edges and self-loops must not change this.
+    val edges = Seq(
+      ("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"),
+      ("A", "B"), // duplicate: dropped
+      ("B", "B") // self-loop: dropped
+    ).toDF("src", "dst")
+    val r = graft.operators.LinkGraph
+      .pageRank(edges, iters = 1)
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(r === Map("A" -> 1000000000L, "B" -> 575000000L, "C" -> 1425000000L))
+  }
+
+  test("pageRank: teleport-only floor for hosts with no in-links; total mass bounded") {
+    // D only cites (no in-links): rank must settle at the teleport floor.
+    val edges = Seq(("D", "A"), ("A", "B"), ("B", "A")).toDF("src", "dst")
+    val r = graft.operators.LinkGraph
+      .pageRank(edges, iters = 3)
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(r("D") === 150000000L)
+    // floor division only ever loses mass: total ≤ N * RankScale
+    assert(r.values.sum <= 3L * graft.operators.LinkGraph.RankScale)
+  }
 }
