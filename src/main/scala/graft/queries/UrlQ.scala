@@ -318,6 +318,76 @@ object UrlQ {
         "feed back into frontier priority. Each round is one keyed join " +
         "+ one hash aggregation; no all-pairs stage, hub in-mass bounded " +
         "by total mass in the int64 lane."
+    ),
+    // ---- the crawl-politeness gate: per-domain robots.txt built from
+    // the domain string itself, PARSED (line explode → group scoping
+    // window), then every corpus URL judged by RFC 9309 longest-match /
+    // Allow-tie-break. The oracle replays construction, parse, scoping,
+    // and verdicts.
+    Q(
+      "u_robots",
+      (s, d) => {
+        import graft.operators.Robots
+        val dm = withUrls(s, d).select(
+          col("doc_id"),
+          col("url_norm"),
+          Urls.registeredDomain(Urls.hostOf(col("url_norm"))).as("domain")
+        )
+        val robots = dm
+          .select(col("domain"))
+          .distinct()
+          .withColumn("txt", Robots.robotsTxt(col("domain")))
+        Robots.gate(dm, Robots.parseRules(robots), Robots.Agent).orderBy("doc_id")
+      },
+      Some {
+        import graft.operators.Robots
+        s"""$urlCte,
+           |dm AS (SELECT doc_id, url_norm, $domainSql AS domain FROM n),
+           |rob AS (SELECT domain, ${Robots.robotsTxtSql("domain")} AS txt
+           |        FROM (SELECT DISTINCT domain FROM dm)),
+           |lns AS (SELECT domain,
+           |    unnest(generate_series(1, len(string_split(txt, chr(10))))) AS pos,
+           |    string_split(txt, chr(10))[
+           |      unnest(generate_series(1, len(string_split(txt, chr(10)))))] AS line
+           |  FROM rob),
+           |scoped0 AS (SELECT domain,
+           |    last_value(CASE WHEN regexp_extract(line, '^[Uu]ser-agent:\\s*(\\S+)', 1) <> ''
+           |      THEN regexp_extract(line, '^[Uu]ser-agent:\\s*(\\S+)', 1) END IGNORE NULLS)
+           |      OVER (PARTITION BY domain ORDER BY pos
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent,
+           |    regexp_extract(line, '^(Allow|Disallow):\\s*(\\S*)', 1) AS dir,
+           |    regexp_extract(line, '^(Allow|Disallow):\\s*(\\S*)', 2) AS pattern
+           |  FROM lns),
+           |rules AS (SELECT domain, agent, dir = 'Allow' AS allow, pattern
+           |  FROM scoped0 WHERE dir <> '' AND pattern <> '' AND agent IS NOT NULL),
+           |spec AS (SELECT DISTINCT domain FROM rules WHERE agent = '${Robots.Agent}'),
+           |scoped AS (SELECT r.domain, r.allow, r.pattern
+           |  FROM rules r LEFT JOIN spec s ON r.domain = s.domain
+           |  WHERE CASE WHEN s.domain IS NOT NULL
+           |        THEN r.agent = '${Robots.Agent}' ELSE r.agent = '*' END),
+           |tg AS (SELECT doc_id, domain,
+           |    regexp_replace(url_norm, '^[a-z][a-z0-9+.-]*://[^/]*', '') AS target
+           |  FROM dm),
+           |m AS (SELECT t.doc_id, t.domain,
+           |    max(CASE WHEN (CASE WHEN r.pattern LIKE '%$$'
+           |          THEN t.target = rtrim(r.pattern, '$$')
+           |          ELSE starts_with(t.target, r.pattern) END)
+           |        THEN struct_pack(l := len(r.pattern), a := r.allow, p := r.pattern)
+           |        END) AS win
+           |  FROM tg t LEFT JOIN scoped r ON t.domain = r.domain
+           |  GROUP BY t.doc_id, t.domain)
+           |SELECT doc_id, domain, COALESCE(win.a, true) AS allowed, win.p AS rule
+           |FROM m ORDER BY doc_id""".stripMargin
+      },
+      doc = "robots.txt crawl-politeness gate (RFC 9309 subset: prefix " +
+        "patterns + $ anchor): per-domain robots files parse into " +
+        "user-agent-scoped rules (group-scoping window over lines), " +
+        "then every URL is judged by its domain's most specific group — " +
+        "longest matching rule wins, Allow breaks length ties, no match " +
+        "means allowed. Rules are a per-host dimension table, so the " +
+        "gate is a broadcast join + max(struct) that combines map-side " +
+        "— one verdict row per URL crosses the exchange, and the " +
+        "frontier is never windowed."
     )
   )
 }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Robots
+
+class RobotsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def verdicts(
+      robots: Seq[(String, String)],
+      urls: Seq[(Long, String, String)],
+      agent: String = Robots.Agent
+  ): Map[Long, (Boolean, Option[String])] = {
+    val rules = Robots.parseRules(robots.toDF("domain", "txt"))
+    Robots
+      .gate(urls.toDF("doc_id", "domain", "url_norm"), rules, agent)
+      .as[(Long, String, Boolean, Option[String])]
+      .collect()
+      .map(r => r._1 -> (r._3, r._4))
+      .toMap
+  }
+
+  test("parse: rules scope to the nearest preceding group; pre-group and comment lines drop") {
+    val txt =
+      """# a comment
+        |Disallow: /orphan
+        |User-agent: *
+        |Disallow: /a
+        |Allow: /a/b
+        |User-agent: graftbot
+        |Disallow: /c
+        |Disallow:
+        |""".stripMargin
+    val rules = Robots
+      .parseRules(Seq(("d.com", txt)).toDF("domain", "txt"))
+      .as[(String, String, Boolean, String)]
+      .collect()
+      .toSet
+    assert(
+      rules === Set(
+        ("d.com", "*", false, "/a"),
+        ("d.com", "*", true, "/a/b"),
+        ("d.com", "graftbot", false, "/c")
+      ),
+      "orphan rule, comment, and empty-pattern Disallow must all drop"
+    )
+  }
+
+  test("gate: longest match wins and Allow breaks length ties (RFC 9309 §2.2.2)") {
+    val txt = "User-agent: *\nDisallow: /p\nAllow: /p/ok\nDisallow: /q/x\nAllow: /q/y"
+    val r = verdicts(
+      Seq(("d.com", txt)),
+      Seq(
+        (1L, "d.com", "http://d.com/p/no"), // only /p matches -> blocked
+        (2L, "d.com", "http://d.com/p/ok/deeper"), // /p and /p/ok match; longer Allow wins
+        (3L, "d.com", "http://d.com/elsewhere") // nothing matches -> allowed
+      )
+    )
+    assert(r(1L) === ((false, Some("/p"))))
+    assert(r(2L) === ((true, Some("/p/ok"))))
+    assert(r(3L) === ((true, None)))
+  }
+
+  test("gate: agent-specific group excludes * rules; absent group falls back to *") {
+    val withBot = "User-agent: *\nDisallow: /\nUser-agent: graftbot\nDisallow: /only"
+    val starOnly = "User-agent: *\nDisallow: /star"
+    val r = verdicts(
+      Seq(("bot.com", withBot), ("star.com", starOnly)),
+      Seq(
+        (1L, "bot.com", "http://bot.com/anything"), // * blocks all, but graftbot group governs
+        (2L, "bot.com", "http://bot.com/only/x"), // graftbot's own rule
+        (3L, "star.com", "http://star.com/star/y"), // no graftbot group -> * applies
+        (4L, "star.com", "http://star.com/fine")
+      )
+    )
+    assert(r(1L) === ((true, None)), "* rules must not leak into the specific group")
+    assert(r(2L) === ((false, Some("/only"))))
+    assert(r(3L) === ((false, Some("/star"))))
+    assert(r(4L) === ((true, None)))
+  }
+
+  test("gate: $ anchors to the exact target — prefixes of it stay allowed") {
+    val txt = "User-agent: *\nDisallow: /exact$"
+    val r = verdicts(
+      Seq(("d.com", txt)),
+      Seq(
+        (1L, "d.com", "http://d.com/exact"),
+        (2L, "d.com", "http://d.com/exact/sub"),
+        (3L, "d.com", "http://d.com/exact?q=1")
+      )
+    )
+    assert(r(1L) === ((false, Some("/exact$"))))
+    assert(r(2L) === ((true, None)))
+    assert(r(3L) === ((true, None)))
+  }
+
+  test("gate: patterns match path+query (a query-form Allow overrides its path Disallow)") {
+    val txt = "User-agent: *\nDisallow: /p/3\nAllow: /p/3?id=3"
+    val r = verdicts(
+      Seq(("d.com", txt)),
+      Seq(
+        (1L, "d.com", "http://d.com/p/3"),
+        (2L, "d.com", "http://d.com/p/3?id=3")
+      )
+    )
+    assert(r(1L) === ((false, Some("/p/3"))))
+    assert(r(2L) === ((true, Some("/p/3?id=3"))))
+  }
+
+  test("gate plan: rules broadcast; verdict max(struct) partially aggregates map-side") {
+    val rules = Robots.parseRules(
+      Seq(("d.com", "User-agent: *\nDisallow: /a")).toDF("domain", "txt")
+    )
+    val urls = Seq((1L, "d.com", "http://d.com/a")).toDF("doc_id", "domain", "url_norm")
+    val gated = Robots.gate(urls, rules)
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "rules side must broadcast")
+    // struct max has no hash-agg form (SortAggregate), but it MUST still
+    // combine map-side: one row per (doc, domain) crosses the exchange,
+    // not one per matched rule
+    assert(plan.contains("partial_max"), "verdict must partially aggregate before the exchange")
+    // rule PARSING windows over robots lines — fine, KB-bounded files on
+    // the broadcast side. The frontier side must not: no Window may
+    // partition on the URL-side keys
+    assert(!plan.contains("windowspecdefinition(doc_id"), "frontier side must not window")
+  }
+}
