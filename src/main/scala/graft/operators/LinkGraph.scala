@@ -65,17 +65,25 @@ object LinkGraph {
     * rounds.
     */
   def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    // Materialize the edge list ONCE: it feeds outdegrees, the node set,
+    // and every round's contribution join — left lazy, each of those
+    // references re-runs the whole upstream derivation (scan + normalize
+    // + explode + joins), turning 3 rounds into ~16 corpus passes.
+    // localCheckpoint also truncates lineage so round t's plan doesn't
+    // nest round t-1's; at production scale swap for a reliable
+    // checkpoint dir (same call shape, fault-tolerant storage).
     val e = edges
       .select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
+      .localCheckpoint()
     val nodes = e
       .select(col("src").as("h"))
       .union(e.select(col("dst").as("h")))
       .distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     var r = nodes.withColumn("rank", lit(RankScale))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contrib = e
         .join(deg, "src")
         .join(r.withColumnRenamed("h", "src"), "src")
@@ -88,6 +96,10 @@ object LinkGraph {
           (lit((DampDen - DampNum) * RankScale / DampDen) +
             expr(s"($DampNum * coalesce(m, CAST(0 AS BIGINT))) DIV $DampDen")).as("rank")
         )
+      // truncate lineage between rounds; the LAST round stays lazy so the
+      // caller composes (and plan-audits) a real join+agg plan, not an
+      // opaque materialized-RDD scan
+      if (it < iters) r = r.localCheckpoint()
     }
     r
   }
