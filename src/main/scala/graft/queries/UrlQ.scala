@@ -388,6 +388,73 @@ object UrlQ {
         "gate is a broadcast join + max(struct) that combines map-side " +
         "— one verdict row per URL crosses the exchange, and the " +
         "frontier is never windowed."
+    ),
+    // ---- politeness scheduling: the step after dedup/robots in every
+    // crawl loop. Frontier = the pages' outlinks (plus a deterministic
+    // ~10% re-submission of already-fetched urls, so the already-fetched
+    // anti-join is non-vacuous); surviving urls get per-domain fetch
+    // cycles — at most `budget` fetches per domain per cycle.
+    Q(
+      "u_frontier_schedule",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pages = graft.operators.Html.dirtyHtml(Tables.documents(s, d))
+        val links = pages
+          .join(withUrls(s, d).select(col("doc_id"), col("url_norm")), Seq("doc_id"))
+          .select(
+            explode(
+              regexp_extract_all(col("html"), lit("href=\"([^\"]*)\""), lit(1))
+            ).as("href"),
+            col("url_norm")
+          )
+          .select(Urls.normalizeUrl(Urls.resolveUrl(col("url_norm"), col("href"))).as("link"))
+        val resubmitted = withUrls(s, d)
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("url_norm").as("link"))
+        val corpus = withUrls(s, d).select(col("url_norm").as("link")).distinct()
+        val fresh = links
+          .unionByName(resubmitted)
+          .distinct()
+          .join(corpus, Seq("link"), "left_anti")
+        val w = Window.partitionBy(col("domain")).orderBy(col("link"))
+        fresh
+          .withColumn("domain", Urls.registeredDomain(Urls.hostOf(col("link"))))
+          .withColumn("slot", row_number().over(w).cast("long"))
+          .withColumn("cycle", expr("(slot - 1) DIV 3"))
+          .select(col("domain"), col("link"), col("cycle"), col("slot"))
+          .orderBy("domain", "slot")
+      },
+      Some {
+        val resolved = Urls.normalizeUrlSql(Urls.resolveUrlSql("n.url_norm", "h.href"))
+        val linkDomain = Urls.registeredDomainSql(Urls.hostOfSql("link"))
+        s"""$urlCte,
+           |pg AS (SELECT doc_id, ${graft.operators.Html.dirtyHtmlSqlExpr} AS html
+           |       FROM documents),
+           |hrefs AS (SELECT doc_id,
+           |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+           |  FROM pg),
+           |cand AS (
+           |  SELECT $resolved AS link
+           |  FROM hrefs h JOIN n ON h.doc_id = n.doc_id
+           |  UNION
+           |  SELECT url_norm FROM n WHERE doc_id % 10 = 0),
+           |fresh AS (
+           |  SELECT link FROM cand
+           |  WHERE link NOT IN (SELECT DISTINCT url_norm FROM n)),
+           |sched AS (
+           |  SELECT $linkDomain AS domain, link,
+           |    row_number() OVER (PARTITION BY $linkDomain ORDER BY link) AS slot
+           |  FROM fresh)
+           |SELECT domain, link, (slot - 1) // 3 AS cycle, slot
+           |FROM sched ORDER BY domain, slot""".stripMargin
+      },
+      doc = "Crawl-politeness scheduling: the frontier (outlinks plus " +
+        "resubmitted urls) drops already-fetched canonicals via an " +
+        "anti-join on the canonical URL, then each domain's pending " +
+        "fetches are assigned cycles of at most 3 — one KEY-partitioned " +
+        "window per domain (never a global sort), the per-host rate " +
+        "cap every polite crawler enforces. Oracle replays page " +
+        "construction, href resolution, the gate, and every slot/cycle."
     )
   )
 }

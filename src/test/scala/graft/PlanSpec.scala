@@ -100,6 +100,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), "in-mass sum must be a hash aggregate")
   }
 
+  test("frontier schedule: slot window partitions by domain, never a global sort") {
+    val plan = physical("u_frontier_schedule")
+    assert(
+      plan.contains("windowspecdefinition(domain"),
+      "politeness slots must be a per-domain window:\n" + plan.take(1500)
+    )
+    assert(
+      !plan.contains("windowspecdefinition()") && !plan.contains("CartesianProduct"),
+      "no unpartitioned window / all-pairs operator:\n" + plan.take(1500)
+    )
+  }
+
   test("n-gram jaccard: candidate generation is an equi-join, never a nested loop") {
     val plan = physical("d_ngram_jaccard")
     // prefix filtering makes the exact similarity join's candidate stage a
