@@ -134,6 +134,33 @@ object Urls {
   def hostOfSql(e: String): String =
     s"regexp_extract($e, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?(\\[[^\\]]*\\]|[^/:?#]*)', 1)"
 
+  /** SURT (Sort-friendly URI Reordering Transform) key over a URL — the
+    * sort key of every Common-Crawl CDX index: host labels reversed and
+    * comma-joined (leading `www.` dropped), `)` separator, then the
+    * path+query verbatim. `com,example)/doc/7?id=3` sorts all of a
+    * domain's (and its subdomains') captures contiguously, which is what
+    * makes a sharded CDX binary-searchable by domain prefix. Normalizes
+    * first so dirty variants key identically. Subset like the rest of
+    * this family: dotted hosts (IPv6 literals and ports pass through
+    * un-reversed in the host slot).
+    */
+  def surt(u: Column): Column = {
+    val n = normalizeUrl(u)
+    val host = regexp_replace(hostOf(n), "^www\\.", "")
+    val rev = array_join(reverse(split(host, "\\.")), ",")
+    val pathq = regexp_replace(n, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    concat(rev, lit(")"), pathq)
+  }
+
+  /** DuckDB mirror of [[surt]]. */
+  def surtSql(e: String): String = {
+    val n = normalizeUrlSql(e)
+    val host = s"regexp_replace(${hostOfSql(n)}, '^www\\.', '')"
+    val rev = s"array_to_string(list_reverse(string_split($host, '.')), ',')"
+    val pathq = s"regexp_replace($n, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')"
+    s"($rev || ')' || $pathq)"
+  }
+
   /** RFC 3986 §5.2.4 remove_dot_segments over an absolute path, as a
     * string FOLD: non-dot segments append `/seg`, `..` pops the last
     * appended segment, `.` is a no-op; a trailing `/`, `/.`, or `/..`

@@ -1744,6 +1744,84 @@ object TextQ {
         "recomputes each record's Content-Length arithmetic directly " +
         "from the table, pinning the parser's framing byte-for-byte."
     ),
+    // ---- CDX capture index + random access: how a reader finds ONE
+    // page in a 100 TB archive. The index rows carry each gzip member's
+    // COMPRESSED byte extent (deflate-dependent, so not oracle-
+    // replayable — the seek query below proves them functionally); the
+    // oracle-checked columns are the capture metadata incl. the SURT
+    // sort key every Common-Crawl CDX shard orders by.
+    Q(
+      "t_warc_cdx",
+      (s, d) => {
+        val dir = graft.sources.Warc.ensureFixtureDir(d, Tables.documents(s, d))
+        graft.sources.Warc
+          .memberIndex(s, dir)
+          .filter(col("malformed").isNull && col("warc_type") === "response")
+          .select(
+            graft.operators.Urls.surt(col("target_uri")).as("surt"),
+            col("target_uri").as("url"),
+            col("warc_date"),
+            col("content_length")
+          )
+          .orderBy("surt")
+      },
+      Some {
+        val page = graft.operators.Html.dirtyHtmlSqlExpr
+        s"""WITH pg AS (
+           |  SELECT doc_id, octet_length(encode($page)) AS page_bytes FROM documents
+           |), c AS (
+           |  SELECT doc_id, 'http://example.com/doc/' || doc_id AS url,
+           |    length('HTTP/1.1 200 OK') + 2 + length('Content-Type: text/html; charset=utf-8') + 2
+           |      + length('Content-Length: ' || page_bytes) + 4 + page_bytes AS content_length
+           |  FROM pg
+           |)
+           |SELECT ${graft.operators.Urls.surtSql("url")} AS surt, url,
+           |       '${graft.sources.Warc.FixtureDate}' AS warc_date,
+           |       content_length::BIGINT AS content_length
+           |FROM c ORDER BY surt""".stripMargin
+      },
+      doc = "CDX capture index over the WARC shards: one sequential pass " +
+        "per shard walks the gzip members (RFC 1952 framing, exact " +
+        "compressed extents via raw-deflate inflate) and emits per " +
+        "capture the SURT sort key (host labels reversed — a domain's " +
+        "captures sort contiguously, making a sharded index " +
+        "binary-searchable by domain prefix), URL, date, and record " +
+        "length. Oracle replays the metadata columns byte-for-byte from " +
+        "the table; the compressed offsets are proven by t_warc_cdx_seek."
+    ),
+    Q(
+      "t_warc_cdx_seek",
+      (s, d) => {
+        val dir = graft.sources.Warc.ensureFixtureDir(d, Tables.documents(s, d))
+        val wanted = graft.sources.Warc
+          .memberIndex(s, dir)
+          .filter(col("malformed").isNull && col("warc_type") === "response")
+          .withColumn(
+            "doc_id",
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long")
+          )
+          .filter(col("doc_id") % 37 === 0)
+        graft.sources.Warc
+          .httpSlice(graft.sources.Warc.fetch(s, wanted))
+          .select(
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+            col("body_text").as("html")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val page = graft.operators.Html.dirtyHtmlSqlExpr
+        s"""SELECT doc_id, $page AS html FROM documents
+           |WHERE doc_id % 37 = 0 ORDER BY doc_id""".stripMargin
+      },
+      doc = "Random access into the archive: the CDX index rows' " +
+        "compressed member extents drive ranged point reads (seek + " +
+        "readFully + one-member gunzip + frame + HTTP slice) for a " +
+        "deterministic subset of captures — k pages cost k few-KB " +
+        "ranged reads, never a shard scan. The oracle rebuilds those " +
+        "exact pages from the table, so a single wrong offset, length, " +
+        "or slice byte breaks the hash."
+    ),
     // ---- extraction observability: the gate-0 funnel per source —
     // where a crawl loses its bytes BEFORE text-quality work begins.
     // Composes the extraction with the corpus metadata: one extraction

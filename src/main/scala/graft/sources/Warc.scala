@@ -206,12 +206,20 @@ object Warc {
     if (recs0.rdd.getNumPartitions < p) recs0.repartition(p) else recs0
   }
 
-  def responses(spark: SparkSession, dir: String, glob: String = "*.warc*"): DataFrame = {
-    val recs = respread(
-      spark,
-      read(spark, dir, glob)
-        .filter(col("malformed").isNull && col("warc_type") === "response")
+  def responses(spark: SparkSession, dir: String, glob: String = "*.warc*"): DataFrame =
+    httpSlice(
+      respread(
+        spark,
+        read(spark, dir, glob)
+          .filter(col("malformed").isNull && col("warc_type") === "response")
+      )
     )
+
+  /** The HTTP status/header/body slice over any [[schema]]-shaped record
+    * rows (whole-directory scans AND [[fetch]]ed point reads share it) —
+    * pure Catalyst expressions, see [[responses]] for the contract.
+    */
+  def httpSlice(recs: DataFrame): DataFrame = {
     // byte-preserving single-byte charset view for the header scan: every
     // char index in it IS a byte offset into the block
     val latin = expr("decode(block, 'ISO-8859-1')")
@@ -248,6 +256,143 @@ object Warc {
       )
   }
 
+  // ------------------------------------------------------------ CDX index
+
+  /** Schema of [[memberIndex]]: one row per gzip MEMBER with its
+    * compressed byte extent — the capture-index columns a CDX file
+    * carries so a reader can fetch one record from a multi-TB archive
+    * with a single ranged read + one-member gunzip.
+    */
+  val memberSchema: StructType = StructType(
+    Seq(
+      StructField("path", StringType),
+      StructField("member_offset", LongType), // COMPRESSED offset in the shard
+      StructField("member_len", LongType), // COMPRESSED member length
+      StructField("warc_type", StringType),
+      StructField("target_uri", StringType),
+      StructField("warc_date", StringType),
+      StructField("content_length", LongType),
+      StructField("malformed", StringType)
+    )
+  )
+
+  /** Split a (possibly multi-member) gzip buffer into members:
+    * `(compressedOffset, compressedLength, decompressedBytes)`. Walks
+    * each member's header (FLG extras skipped per RFC 1952), inflates
+    * raw deflate to find the exact compressed extent
+    * (`Inflater.getBytesRead` + the 8-byte CRC32/ISIZE trailer), and
+    * stops at the first unframeable member (the [[parseShard]] halt
+    * discipline — past corruption there is no safe resync).
+    */
+  private[graft] def gzipMembers(raw: Array[Byte]): Seq[(Long, Long, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
+    var pos = 0
+    var halt = false
+    while (!halt && pos + 10 <= raw.length) {
+      val start = pos
+      if ((raw(pos) & 0xff) != 0x1f || (raw(pos + 1) & 0xff) != 0x8b) halt = true
+      else {
+        val flg = raw(pos + 3) & 0xff
+        var p = pos + 10
+        try {
+          if ((flg & 4) != 0) { // FEXTRA
+            val xlen = (raw(p) & 0xff) | ((raw(p + 1) & 0xff) << 8)
+            p += 2 + xlen
+          }
+          if ((flg & 8) != 0) { while (raw(p) != 0) p += 1; p += 1 } // FNAME
+          if ((flg & 16) != 0) { while (raw(p) != 0) p += 1; p += 1 } // FCOMMENT
+          if ((flg & 2) != 0) p += 2 // FHCRC
+          val inf = new java.util.zip.Inflater(true)
+          inf.setInput(raw, p, raw.length - p)
+          val bos = new ByteArrayOutputStream(1 << 16)
+          val buf = new Array[Byte](1 << 16)
+          var truncated = false
+          while (!inf.finished() && !truncated) {
+            val n = inf.inflate(buf)
+            if (n > 0) bos.write(buf, 0, n)
+            else if (inf.needsInput()) truncated = true // ran off the buffer mid-member
+          }
+          val compEnd = p + inf.getBytesRead.toInt + 8 // CRC32 + ISIZE trailer
+          inf.end()
+          if (truncated || compEnd > raw.length) halt = true
+          else {
+            out += ((start.toLong, (compEnd - start).toLong, bos.toByteArray))
+            pos = compEnd
+          }
+        } catch {
+          case _: ArrayIndexOutOfBoundsException | _: java.util.zip.DataFormatException =>
+            halt = true
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** The capture index of a shard directory: one row per gzip member
+    * with its COMPRESSED byte extent plus the member's (first) record
+    * headers — what a Common-Crawl CDX file stores per capture. Built by
+    * one sequential pass over each shard (whole-shard tasks, like
+    * [[read]]); consumed by [[fetch]] as ranged point reads. One record
+    * per member is the archive convention this engine's sink writes; a
+    * multi-record member indexes as its first record.
+    */
+  def memberIndex(spark: SparkSession, dir: String, glob: String = "*.warc.gz"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(memberSchema)
+    spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .flatMap { r =>
+        val path = r.getString(0)
+        gzipMembers(r.getAs[Array[Byte]](1)).flatMap { case (off, clen, bytes) =>
+          parseShard(path, bytes).headOption.map { w =>
+            Row(path, off, clen, w.warcType, w.targetUri, w.warcDate, w.contentLength, w.malformed)
+          }
+        }
+      }(enc)
+  }
+
+  /** Ranged point reads: for each index row `(path, member_offset,
+    * member_len)`, seek to the member, read exactly its compressed
+    * bytes, gunzip, and frame the record — [[schema]]-shaped rows
+    * (`rec_offset` is member-relative, i.e. 0). This is the random-
+    * access half of the CDX contract: fetching k captures from a 100 TB
+    * archive costs k ranged reads of a few KB each, never a shard scan.
+    * Point lookups are expected to be FEW (a retrieval, a spot audit);
+    * each row opens its shard via the Hadoop FS API, so a bulk re-read
+    * should go through [[read]] instead.
+    */
+  def fetch(spark: SparkSession, index: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    index
+      .select(col("path"), col("member_offset"), col("member_len"))
+      .flatMap { r =>
+        val pathStr = r.getString(0)
+        val buf = new Array[Byte](r.getLong(2).toInt)
+        val p = new org.apache.hadoop.fs.Path(pathStr)
+        val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+        try {
+          in.seek(r.getLong(1))
+          in.readFully(buf)
+        } finally in.close()
+        parseShard(pathStr, buf).map(w =>
+          Row(
+            w.path,
+            w.recOffset,
+            w.warcType,
+            w.recordId,
+            w.targetUri,
+            w.warcDate,
+            w.contentType,
+            w.contentLength,
+            w.block,
+            w.malformed
+          )
+        )
+      }(enc)
+  }
+
   // ------------------------------------------------------- fixture corpus
 
   val FixtureDate = "2026-01-01T00:00:00Z"
@@ -264,12 +409,16 @@ object Warc {
     */
   def ensureFixtureDir(sfDir: String, docs: DataFrame, nShards: Int = 8): String = {
     val dir = graft.operators.Indexes
-      .fingerprintDirOn("warc-fixture", sfDir, docs, "doc_id", "text", s"ns=$nShards,v=1")
+      .fingerprintDirOn("warc-fixture", sfDir, docs, "doc_id", "text", s"ns=$nShards,v=2")
     graft.operators.Indexes.atomicBuild(dir, "_SUCCESS") { tmp =>
       val spark = docs.sparkSession
       import spark.implicits._
       val pages = graft.operators.Html.dirtyHtml(docs).as[(Long, String)]
-      val docRecs = pages.map { case (id, html) =>
+      // one gzip member PER RECORD (request and response as separate
+      // rows — the sink contract and the archive convention, and what
+      // lets memberIndex/fetch treat member == capture): `sub` keeps the
+      // request before its response within a doc
+      val docRecs = pages.flatMap { case (id, html) =>
         val uri = s"http://example.com/doc/$id"
         val req = renderRecord(
           "request",
@@ -280,10 +429,10 @@ object Warc {
           s"GET /doc/$id HTTP/1.1${Crlf}Host: example.com$Crlf$Crlf".getBytes("UTF-8")
         )
         val resp = responseRecord(uri, s"<urn:uuid:resp-$id>", FixtureDate, html)
-        val out = new ByteArrayOutputStream(req.length + resp.length)
-        out.write(req)
-        out.write(resp)
-        ((id % nShards).toInt, 1, id, out.toByteArray)
+        Seq(
+          ((id % nShards).toInt, 1, id, 0, req),
+          ((id % nShards).toInt, 1, id, 1, resp)
+        )
       }
       val infoRecs = docs
         .select((col("doc_id") % nShards).cast("int").as("g"))
@@ -294,6 +443,7 @@ object Warc {
             g,
             0,
             -1L,
+            0,
             renderRecord(
               "warcinfo",
               s"<urn:uuid:info-$g>",
@@ -306,9 +456,9 @@ object Warc {
         }
       val records = docRecs
         .union(infoRecs)
-        .toDF("g", "ord", "doc_id", "record_bytes")
+        .toDF("g", "ord", "doc_id", "sub", "record_bytes")
         .repartition(nShards, col("g"))
-        .sortWithinPartitions(col("g"), col("ord"), col("doc_id"))
+        .sortWithinPartitions(col("g"), col("ord"), col("doc_id"), col("sub"))
       write(records, tmp)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
       ()

@@ -171,4 +171,57 @@ class WarcSpec extends AnyFunSuite {
       .toSeq
     assert(pages.as[(Long, String)].collect().toSeq === want)
   }
+
+  test("gzipMembers: exact compressed extents — every slice gunzips independently") {
+    val recs = Seq(respA, reqA, respA)
+    val raw = gzBytes(recs: _*)
+    val members = Warc.gzipMembers(raw)
+    assert(members.size === 3)
+    assert(members.head._1 === 0L)
+    // extents tile the buffer exactly: each starts where the previous ended
+    members.sliding(2).foreach { case Seq((o1, l1, _), (o2, _, _)) =>
+      assert(o1 + l1 === o2, "members must be contiguous")
+    }
+    val (lo, ll, _) = members.last
+    assert(lo + ll === raw.length.toLong, "last member must end at EOF")
+    // each compressed slice decompresses on its own to the record bytes
+    members.zip(recs).foreach { case ((off, len, bytes), rec) =>
+      val slice = java.util.Arrays.copyOfRange(raw, off.toInt, (off + len).toInt)
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(slice))
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      assert(out.toByteArray.toSeq === bytes.toSeq)
+      assert(bytes.toSeq === rec.toSeq)
+    }
+  }
+
+  test("gzipMembers: a truncated tail yields the complete members and stops") {
+    val raw = gzBytes(respA, reqA)
+    val members = Warc.gzipMembers(java.util.Arrays.copyOfRange(raw, 0, raw.length - 5))
+    assert(members.size === 1, "the half member must not be emitted")
+    assert(members.head._1 === 0L)
+  }
+
+  test("fetch: a ranged read of one member equals that record from the full scan") {
+    val dir = tmpDir("fetch")
+    Files.write(Paths.get(s"$dir/s.warc.gz"), gzBytes(reqA, respA))
+    val idx = Warc.memberIndex(spark, dir)
+    assert(idx.count() === 2L)
+    // point-read ONLY the response member (the second one)
+    val respIdx = idx.filter(col("warc_type") === "response")
+    assert(respIdx.head().getLong(1) > 0L, "second member must not start at 0")
+    val fetched = Warc.fetch(spark, respIdx).collect()
+    assert(fetched.length === 1)
+    val full = Warc
+      .read(spark, dir)
+      .filter(col("warc_type") === "response")
+      .head()
+    assert(fetched.head.getAs[String]("target_uri") === full.getAs[String]("target_uri"))
+    assert(
+      fetched.head.getAs[Array[Byte]]("block").toSeq === full.getAs[Array[Byte]]("block").toSeq,
+      "seek-read block must be byte-identical to the scan's"
+    )
+  }
 }
