@@ -1753,12 +1753,12 @@ object TextQ {
     Q(
       "t_warc_cdx",
       (s, d) => {
-        val dir = graft.sources.Warc.ensureFixtureDir(d, Tables.documents(s, d))
-        graft.sources.Warc
-          .memberIndex(s, dir)
+        val (_, idx) = graft.sources.Warc.ensureCdxDir(d, Tables.documents(s, d))
+        s.read
+          .parquet(idx)
           .filter(col("malformed").isNull && col("warc_type") === "response")
           .select(
-            graft.operators.Urls.surt(col("target_uri")).as("surt"),
+            col("surt"),
             col("target_uri").as("url"),
             col("warc_date"),
             col("content_length")
@@ -1780,21 +1780,22 @@ object TextQ {
            |       content_length::BIGINT AS content_length
            |FROM c ORDER BY surt""".stripMargin
       },
-      doc = "CDX capture index over the WARC shards: one sequential pass " +
-        "per shard walks the gzip members (RFC 1952 framing, exact " +
-        "compressed extents via raw-deflate inflate) and emits per " +
-        "capture the SURT sort key (host labels reversed — a domain's " +
-        "captures sort contiguously, making a sharded index " +
-        "binary-searchable by domain prefix), URL, date, and record " +
-        "length. Oracle replays the metadata columns byte-for-byte from " +
-        "the table; the compressed offsets are proven by t_warc_cdx_seek."
+      doc = "CDX capture index over the WARC shards, PERSISTED once per " +
+        "corpus fingerprint (the Common-Crawl convention — cdx files " +
+        "ship beside the crawl): the build walks each shard's gzip " +
+        "members once (RFC 1952 framing, exact compressed extents via " +
+        "raw-deflate inflate); queries then read the small capture-" +
+        "metadata parquet — SURT sort key (host labels reversed so a " +
+        "domain's captures sort contiguously), URL, date, record " +
+        "length. Oracle replays the metadata byte-for-byte from the " +
+        "table; the compressed offsets are proven by t_warc_cdx_seek."
     ),
     Q(
       "t_warc_cdx_seek",
       (s, d) => {
-        val dir = graft.sources.Warc.ensureFixtureDir(d, Tables.documents(s, d))
-        val wanted = graft.sources.Warc
-          .memberIndex(s, dir)
+        val (_, idx) = graft.sources.Warc.ensureCdxDir(d, Tables.documents(s, d))
+        val wanted = s.read
+          .parquet(idx)
           .filter(col("malformed").isNull && col("warc_type") === "response")
           .withColumn(
             "doc_id",
@@ -1814,13 +1815,13 @@ object TextQ {
         s"""SELECT doc_id, $page AS html FROM documents
            |WHERE doc_id % 37 = 0 ORDER BY doc_id""".stripMargin
       },
-      doc = "Random access into the archive: the CDX index rows' " +
+      doc = "Random access into the archive: the PERSISTED CDX rows' " +
         "compressed member extents drive ranged point reads (seek + " +
         "readFully + one-member gunzip + frame + HTTP slice) for a " +
-        "deterministic subset of captures — k pages cost k few-KB " +
-        "ranged reads, never a shard scan. The oracle rebuilds those " +
-        "exact pages from the table, so a single wrong offset, length, " +
-        "or slice byte breaks the hash."
+        "deterministic subset of captures — k pages cost one small " +
+        "index-parquet read plus k few-KB ranged reads, never a shard " +
+        "walk. The oracle rebuilds those exact pages from the table, so " +
+        "a single wrong offset, length, or slice byte breaks the hash."
     ),
     // ---- extraction observability: the gate-0 funnel per source —
     // where a crawl loses its bytes BEFORE text-quality work begins.

