@@ -24,6 +24,27 @@ object TextQ {
   private val UnigramPieceLen = 4
   private val UnigramRounds = 2
 
+  /** CDX capture-metadata replay, shared by `t_warc_cdx` (the persisted
+    * asset) and `t_warc_cdx_fold` (the stream-grown copy — the fold is
+    * only correct if indistinguishable from the wholesale build, which
+    * is exactly what sharing the oracle checks). Must precede `all`.
+    */
+  private val warcCdxOracleSql: String = {
+    val page = graft.operators.Html.dirtyHtmlSqlExpr
+    s"""WITH pg AS (
+       |  SELECT doc_id, octet_length(encode($page)) AS page_bytes FROM documents
+       |), c AS (
+       |  SELECT doc_id, 'http://example.com/doc/' || doc_id AS url,
+       |    length('HTTP/1.1 200 OK') + 2 + length('Content-Type: text/html; charset=utf-8') + 2
+       |      + length('Content-Length: ' || page_bytes) + 4 + page_bytes AS content_length
+       |  FROM pg
+       |)
+       |SELECT ${graft.operators.Urls.surtSql("url")} AS surt, url,
+       |       '${graft.sources.Warc.FixtureDate}' AS warc_date,
+       |       content_length::BIGINT AS content_length
+       |FROM c ORDER BY surt""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "t_langid",
@@ -1765,21 +1786,7 @@ object TextQ {
           )
           .orderBy("surt")
       },
-      Some {
-        val page = graft.operators.Html.dirtyHtmlSqlExpr
-        s"""WITH pg AS (
-           |  SELECT doc_id, octet_length(encode($page)) AS page_bytes FROM documents
-           |), c AS (
-           |  SELECT doc_id, 'http://example.com/doc/' || doc_id AS url,
-           |    length('HTTP/1.1 200 OK') + 2 + length('Content-Type: text/html; charset=utf-8') + 2
-           |      + length('Content-Length: ' || page_bytes) + 4 + page_bytes AS content_length
-           |  FROM pg
-           |)
-           |SELECT ${graft.operators.Urls.surtSql("url")} AS surt, url,
-           |       '${graft.sources.Warc.FixtureDate}' AS warc_date,
-           |       content_length::BIGINT AS content_length
-           |FROM c ORDER BY surt""".stripMargin
-      },
+      Some(warcCdxOracleSql),
       doc = "CDX capture index over the WARC shards, PERSISTED once per " +
         "corpus fingerprint (the Common-Crawl convention — cdx files " +
         "ship beside the crawl): the build walks each shard's gzip " +
@@ -1822,6 +1829,48 @@ object TextQ {
         "index-parquet read plus k few-KB ranged reads, never a shard " +
         "walk. The oracle rebuilds those exact pages from the table, so " +
         "a single wrong offset, length, or slice byte breaks the hash."
+    ),
+    // ---- STREAMING CDX maintenance on the oracle gate: the asset minus
+    // one shard's rows is the base, that shard arrives as a stream batch
+    // (CdxStream upsert + forced debt compaction through the journaled
+    // swap), and the capture listing runs against the stream-grown copy
+    // under t_warc_cdx's unchanged wholesale oracle — the fold is only
+    // correct if indistinguishable from a fresh build.
+    Q(
+      "t_warc_cdx_fold",
+      (s, d) => {
+        val (warcDir, idx) = graft.sources.Warc.ensureCdxDir(d, Tables.documents(s, d))
+        val dir = QueryScratch.dir("t_warc_cdx_fold") + "/cdx"
+        // base = the published asset minus the folded shard's rows (the
+        // scratch-copy discipline: the measured cost is the honest
+        // incremental path — one shard's member walk + compaction)
+        s.read
+          .parquet(idx)
+          .filter(!col("path").endsWith("part-00007.warc.gz"))
+          .write
+          .mode("overwrite")
+          .parquet(s"$dir/idx")
+        graft.streaming.CdxStream
+          .upsertBatch(s, warcDir, "part-00007.warc.gz", dir, batchId = 0L, compactAt = 1e-9)
+        graft.streaming.CdxStream
+          .readCaptures(s, dir)
+          .filter(col("malformed").isNull && col("warc_type") === "response")
+          .select(
+            col("surt"),
+            col("target_uri").as("url"),
+            col("warc_date"),
+            col("content_length")
+          )
+          .orderBy("surt")
+      },
+      Some(warcCdxOracleSql),
+      doc = "Streaming CDX fold on the oracle gate: base asset minus one " +
+        "shard, that shard's members indexed as a stream batch (delta " +
+        "append + forced debt compaction + crash-safe journaled swap), " +
+        "then the capture listing from the stream-grown index — " +
+        "bit-equal to t_warc_cdx's wholesale replay. A batch's cost is " +
+        "one member walk over ONLY the new shards; the standing index " +
+        "is never re-derived."
     ),
     // ---- extraction observability: the gate-0 funnel per source —
     // where a crawl loses its bytes BEFORE text-quality work begins.

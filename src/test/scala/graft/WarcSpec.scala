@@ -204,6 +204,63 @@ class WarcSpec extends AnyFunSuite {
     assert(members.head._1 === 0L)
   }
 
+  test("CdxStream: stream-grown index bit-equals a wholesale walk; replay stays exactly-once") {
+    val warcDir = tmpDir("cdxs_warc")
+    Files.write(Paths.get(s"$warcDir/part-00000.warc.gz"), gzBytes(reqA, respA))
+    val rec2 = Warc.responseRecord(
+      "http://example.org/doc/2", "<urn:uuid:resp-2>", Warc.FixtureDate, "<p>two</p>")
+    Files.write(Paths.get(s"$warcDir/part-00001.warc.gz"), gzBytes(rec2))
+
+    val dir = tmpDir("cdxs_idx") + "/cdx"
+    graft.sources.Warc
+      .memberIndex(spark, warcDir, "part-00000.warc.gz")
+      .withColumn("surt", graft.operators.Urls.surt(col("target_uri")))
+      .write.mode("overwrite").parquet(s"$dir/idx")
+    graft.streaming.CdxStream
+      .upsertBatch(spark, warcDir, "part-00001.warc.gz", dir, batchId = 0L, compactAt = 1e-9)
+    assert(!new java.io.File(s"$dir/delta").exists(), "forced compaction must fold the delta")
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("path", "member_offset", "member_len", "warc_type", "target_uri", "surt")
+      .collect().map(_.toSeq).toSet
+    val whole = graft.sources.Warc
+      .memberIndex(spark, warcDir)
+      .withColumn("surt", graft.operators.Urls.surt(col("target_uri")))
+    assert(
+      rows(graft.streaming.CdxStream.readCaptures(spark, dir)) === rows(whole),
+      "stream-grown index must be indistinguishable from a wholesale walk"
+    )
+
+    // a batch replayed AFTER compaction folded it re-lands bit-identical
+    // rows; the next fold's distinct restores exactly-once
+    val before = graft.streaming.CdxStream.readCaptures(spark, dir).count()
+    graft.streaming.CdxStream
+      .upsertBatch(spark, warcDir, "part-00001.warc.gz", dir, batchId = 0L, compactAt = 0)
+    graft.streaming.CdxStream.compactDeltas(spark, dir)
+    assert(graft.streaming.CdxStream.readCaptures(spark, dir).count() === before)
+  }
+
+  test("CdxStream: a landed swap journal recovers before any direct idx read") {
+    val warcDir = tmpDir("cdxr_warc")
+    Files.write(Paths.get(s"$warcDir/part-00000.warc.gz"), gzBytes(respA))
+    val dir = tmpDir("cdxr_idx") + "/cdx"
+    val idx = graft.sources.Warc
+      .memberIndex(spark, warcDir)
+      .withColumn("surt", graft.operators.Urls.surt(col("target_uri")))
+    idx.write.mode("overwrite").parquet(s"$dir/idx")
+    val n = spark.read.parquet(s"$dir/idx").count()
+    // simulate a crash mid-swap: compact tree written, journal landed,
+    // live idx/ already retired, replay not finished
+    val stamp = "test-crash"
+    Files.move(Paths.get(s"$dir/idx"), Paths.get(s"$dir/idx.retired-$stamp"))
+    idx.write.mode("overwrite").parquet(s"$dir/idx.compact-$stamp")
+    Files.write(Paths.get(s"$dir/swap.journal"), s"$stamp\nidx".getBytes("UTF-8"))
+    // a reader must finish the flip and see the compacted rows
+    assert(graft.streaming.CdxStream.readCaptures(spark, dir).count() === n)
+    assert(new java.io.File(s"$dir/idx").exists())
+    assert(!new java.io.File(s"$dir/swap.journal").exists(), "journal must clear after replay")
+  }
+
   test("fetch: a ranged read of one member equals that record from the full scan") {
     val dir = tmpDir("fetch")
     Files.write(Paths.get(s"$dir/s.warc.gz"), gzBytes(reqA, respA))
