@@ -50,7 +50,10 @@ object Robots {
     *
     * Domains WITHOUT a graftbot group exercise the fall-back-to-`*`
     * scoping; domains with one exercise group specificity (their `*`
-    * rules must NOT apply to graftbot).
+    * rules must NOT apply to graftbot). `Crawl-delay` lines land in the
+    * `*` group when seed≡1 (mod 3) and in the graftbot group when
+    * 10|seed — so specific-group delays, fall-back-to-`*` delays, and
+    * default-delay domains are all non-vacuous.
     */
   def robotsTxt(domain: Column): Column = {
     val k = regexp_extract(domain, "^src([0-9]+)", 1).cast("long")
@@ -67,7 +70,11 @@ object Robots {
       lit("User-agent: *\nDisallow: /p/"),
       d2,
       when(pmod(seed, lit(4L)) === 1, concat(lit("\nDisallow: /p/"), d3, lit("$")))
-        .otherwise(lit(""))
+        .otherwise(lit("")),
+      when(
+        pmod(seed, lit(3L)) === 1,
+        concat(lit("\nCrawl-delay: "), (pmod(seed, lit(5L)) + 1).cast("string"))
+      ).otherwise(lit(""))
     )
     val bot = when(
       pmod(seed, lit(2L)) === 0,
@@ -75,7 +82,11 @@ object Robots {
         lit(s"\nUser-agent: $Agent\nDisallow: /p/"),
         d1,
         when(pmod(seed, lit(3L)) === 0, concat(lit("\nAllow: /p/"), d1, lit("?id="), d1))
-          .otherwise(lit(""))
+          .otherwise(lit("")),
+        when(
+          pmod(seed, lit(5L)) === 0,
+          concat(lit("\nCrawl-delay: "), (pmod(seed, lit(3L)) + 2).cast("string"))
+        ).otherwise(lit(""))
       )
     ).otherwise(lit(""))
     concat(lit("# robots fixture\n"), star, bot)
@@ -98,10 +109,14 @@ object Robots {
        | || 'User-agent: *' || chr(10) || 'Disallow: /p/' || $d2
        | || CASE WHEN $seed % 4 = 1
        |      THEN chr(10) || 'Disallow: /p/' || $d3 || '$$' ELSE '' END
+       | || CASE WHEN $seed % 3 = 1
+       |      THEN chr(10) || 'Crawl-delay: ' || CAST($seed % 5 + 1 AS VARCHAR) ELSE '' END
        | || CASE WHEN $seed % 2 = 0
        |      THEN chr(10) || 'User-agent: $Agent' || chr(10) || 'Disallow: /p/' || $d1
        |        || CASE WHEN $seed % 3 = 0
        |             THEN chr(10) || 'Allow: /p/' || $d1 || '?id=' || $d1 ELSE '' END
+       |        || CASE WHEN $seed % 5 = 0
+       |             THEN chr(10) || 'Crawl-delay: ' || CAST($seed % 3 + 2 AS VARCHAR) ELSE '' END
        |      ELSE '' END)""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
   }
 
@@ -112,27 +127,79 @@ object Robots {
     * rules before any group header drop (RFC: rules outside a group
     * have no meaning).
     */
-  def parseRules(robots: DataFrame): DataFrame = {
+  /** Lines of every robots file with their governing group: each line
+    * carries the nearest preceding `User-agent:` as `agent` (null before
+    * any group header) — the scoping pass [[parseRules]] and
+    * [[parseDelays]] share.
+    */
+  private def scopedLines(robots: DataFrame): DataFrame = {
     val lines = robots.select(
       col("domain"),
       posexplode(split(col("txt"), "\n")).as(Seq("pos", "line"))
     )
     val ua = regexp_extract(col("line"), "^[Uu]ser-agent:\\s*(\\S+)", 1)
-    val dir = regexp_extract(col("line"), "^(Allow|Disallow):\\s*(\\S*)", 1)
-    val pat = regexp_extract(col("line"), "^(Allow|Disallow):\\s*(\\S*)", 2)
     val w = Window
       .partitionBy(col("domain"))
       .orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lines
-      .select(
-        col("domain"),
-        last(when(ua =!= "", ua), ignoreNulls = true).over(w).as("agent"),
-        dir.as("dir"),
-        pat.as("pattern")
-      )
+    lines.select(
+      col("domain"),
+      last(when(ua =!= "", ua), ignoreNulls = true).over(w).as("agent"),
+      col("line")
+    )
+  }
+
+  def parseRules(robots: DataFrame): DataFrame = {
+    val dir = regexp_extract(col("line"), "^(Allow|Disallow):\\s*(\\S*)", 1)
+    val pat = regexp_extract(col("line"), "^(Allow|Disallow):\\s*(\\S*)", 2)
+    scopedLines(robots)
+      .select(col("domain"), col("agent"), dir.as("dir"), pat.as("pattern"))
       .where(col("dir") =!= "" && col("pattern") =!= "" && col("agent").isNotNull)
       .select(col("domain"), col("agent"), (col("dir") === "Allow").as("allow"), col("pattern"))
+  }
+
+  /** `Crawl-delay` directives (the de-facto REP extension every major
+    * crawler except Google honors), group-scoped like [[parseRules]]:
+    * `(domain, agent, delay_s)`.
+    */
+  def parseDelays(robots: DataFrame): DataFrame = {
+    val delay = regexp_extract(col("line"), "^[Cc]rawl-delay:\\s*([0-9]+)", 1)
+    scopedLines(robots)
+      .select(col("domain"), col("agent"), delay.as("delay"))
+      .where(col("delay") =!= "" && col("agent").isNotNull)
+      .select(col("domain"), col("agent"), col("delay").cast("long").as("delay_s"))
+  }
+
+  /** Per-domain effective crawl delay for `agent`, with the gate's group
+    * semantics: a UA is governed by exactly ONE group — its own if the
+    * domain declares one (even a delay-less one: the `*` delay must not
+    * leak into it), else `*`; a governing group without a delay means
+    * `defaultS`. Group presence comes from the `User-agent:` headers
+    * themselves, so an empty specific group still shields its agent.
+    * Output: `(domain, delay_s)` for every domain in `robots`.
+    */
+  def effectiveDelay(robots: DataFrame, agent: String = Agent, defaultS: Long = 1L): DataFrame = {
+    val groups = scopedLines(robots)
+      .where(col("agent").isNotNull)
+      .select(col("domain"), col("agent"))
+      .distinct()
+    val hasSpec = groups
+      .where(col("agent") === agent)
+      .select(col("domain"))
+      .distinct()
+      .withColumn("has_spec", lit(true))
+    val scoped = parseDelays(robots)
+      .join(hasSpec, Seq("domain"), "left")
+      .where(
+        when(coalesce(col("has_spec"), lit(false)), col("agent") === agent)
+          .otherwise(col("agent") === "*")
+      )
+      .select(col("domain"), col("delay_s"))
+    robots
+      .select(col("domain"))
+      .distinct()
+      .join(scoped, Seq("domain"), "left")
+      .select(col("domain"), coalesce(col("delay_s"), lit(defaultS)).as("delay_s"))
   }
 
   /** Per-URL crawl verdict for `agent` over `urls`

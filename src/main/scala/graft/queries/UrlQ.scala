@@ -389,6 +389,58 @@ object UrlQ {
         "— one verdict row per URL crosses the exchange, and the " +
         "frontier is never windowed."
     ),
+    // ---- Crawl-delay resolution: the de-facto REP extension feeding
+    // the per-domain fetch rate. Group semantics match u_robots: a UA is
+    // governed by exactly one group, so a `*` delay must not leak into a
+    // domain that declares a graftbot group (even a delay-less one).
+    Q(
+      "u_crawl_delay",
+      (s, d) => {
+        import graft.operators.Robots
+        val robots = withUrls(s, d)
+          .select(Urls.registeredDomain(Urls.hostOf(col("url_norm"))).as("domain"))
+          .distinct()
+          .withColumn("txt", Robots.robotsTxt(col("domain")))
+        Robots.effectiveDelay(robots, Robots.Agent, defaultS = 1L).orderBy("domain")
+      },
+      Some {
+        import graft.operators.Robots
+        s"""$urlCte,
+           |doms AS (SELECT DISTINCT $domainSql AS domain FROM n),
+           |rob AS (SELECT domain, ${Robots.robotsTxtSql("domain")} AS txt FROM doms),
+           |lns AS (SELECT domain,
+           |    unnest(generate_series(1, len(string_split(txt, chr(10))))) AS pos,
+           |    string_split(txt, chr(10))[
+           |      unnest(generate_series(1, len(string_split(txt, chr(10)))))] AS line
+           |  FROM rob),
+           |scoped0 AS (SELECT domain, line,
+           |    last_value(CASE WHEN regexp_extract(line, '^[Uu]ser-agent:\\s*(\\S+)', 1) <> ''
+           |      THEN regexp_extract(line, '^[Uu]ser-agent:\\s*(\\S+)', 1) END IGNORE NULLS)
+           |      OVER (PARTITION BY domain ORDER BY pos
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent
+           |  FROM lns),
+           |dels AS (SELECT domain, agent,
+           |    CAST(regexp_extract(line, '^[Cc]rawl-delay:\\s*([0-9]+)', 1) AS BIGINT) AS delay_s
+           |  FROM scoped0
+           |  WHERE regexp_extract(line, '^[Cc]rawl-delay:\\s*([0-9]+)', 1) <> ''
+           |    AND agent IS NOT NULL),
+           |spec AS (SELECT DISTINCT domain FROM scoped0 WHERE agent = '${Robots.Agent}'),
+           |sdel AS (SELECT d.domain, d.delay_s
+           |  FROM dels d LEFT JOIN spec s ON d.domain = s.domain
+           |  WHERE CASE WHEN s.domain IS NOT NULL
+           |        THEN d.agent = '${Robots.Agent}' ELSE d.agent = '*' END)
+           |SELECT doms.domain, COALESCE(sdel.delay_s, 1) AS delay_s
+           |FROM doms LEFT JOIN sdel ON doms.domain = sdel.domain
+           |ORDER BY doms.domain""".stripMargin
+      },
+      doc = "Per-domain Crawl-delay resolution (the de-facto REP " +
+        "extension): delay directives parse group-scoped like the rules, " +
+        "the agent's own group governs exclusively when declared (a * " +
+        "delay never leaks into it), absent delays default. Feeds the " +
+        "politeness scheduler's per-domain rate; same broadcast-side " +
+        "parse, map-only per domain. Oracle replays construction, " +
+        "scoping, and every resolved delay."
+    ),
     // ---- politeness scheduling: the step after dedup/robots in every
     // crawl loop. Frontier = the pages' outlinks (plus a deterministic
     // ~10% re-submission of already-fetched urls, so the already-fetched

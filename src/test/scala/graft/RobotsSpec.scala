@@ -110,6 +110,26 @@ class RobotsSpec extends AnyFunSuite {
     assert(r(2L) === ((true, Some("/p/3?id=3"))))
   }
 
+  test("effectiveDelay: group isolation, fall-back, and default (REP Crawl-delay)") {
+    val robots = Seq(
+      // * delay must NOT leak into a domain that declares a graftbot
+      // group — even a delay-less one governs exclusively
+      ("shield.com", "User-agent: *\nCrawl-delay: 9\nUser-agent: graftbot\nDisallow: /x"),
+      ("own.com", "User-agent: graftbot\nCrawl-delay: 3\nUser-agent: *\nCrawl-delay: 8"),
+      ("star.com", "User-agent: *\nCrawl-delay: 5"),
+      ("bare.com", "User-agent: *\nDisallow: /q")
+    ).toDF("domain", "txt")
+    val got = Robots
+      .effectiveDelay(robots, "graftbot", defaultS = 1L)
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(got("shield.com") === 1L, "* delay leaked into the specific group")
+    assert(got("own.com") === 3L)
+    assert(got("star.com") === 5L, "no specific group -> * delay applies")
+    assert(got("bare.com") === 1L, "no delay anywhere -> default")
+  }
+
   test("gate plan: rules broadcast; verdict max(struct) partially aggregates map-side") {
     val rules = Robots.parseRules(
       Seq(("d.com", "User-agent: *\nDisallow: /a")).toDF("domain", "txt")
