@@ -1718,6 +1718,49 @@ object TextQ {
         "oracle replays extraction directly from the table, so any " +
         "render/framing/decode bug in the WET path breaks the hash."
     ),
+    // ---- WAT sidecar: the third Common-Crawl artifact (WARC raw, WET
+    // text, WAT link metadata). Each page's hrefs resolve against its
+    // archive fetch URI into the sorted canonical link set, assembled as
+    // a JSON envelope in a metadata record, published and read back —
+    // byte-exact under the oracle's full replay of construction,
+    // extraction, resolution, normalization, sort, and JSON assembly.
+    Q(
+      "t_wat_roundtrip",
+      (s, d) => {
+        val dir = graft.sources.Warc.ensureWatDir(d, Tables.documents(s, d))
+        graft.sources.Warc
+          .watRecords(s, dir)
+          .select(
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+            col("wat")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.operators.Urls
+        val page = graft.operators.Html.dirtyHtmlSqlExpr
+        val resolved =
+          Urls.normalizeUrlSql(Urls.resolveUrlSql("'http://example.com/doc/' || h.doc_id", "h.href"))
+        s"""WITH pg AS (SELECT doc_id, $page AS html FROM documents),
+           |h AS (SELECT doc_id,
+           |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+           |  FROM pg),
+           |r AS (SELECT h.doc_id, $resolved AS link FROM h),
+           |a AS (SELECT doc_id, list_sort(list(DISTINCT link)) AS ls FROM r GROUP BY doc_id)
+           |SELECT doc_id,
+           |  '{"url":"http://example.com/doc/' || doc_id || '","links":['
+           |    || array_to_string(list_transform(ls, x -> '"' || x || '"'), ',') || ']}' AS wat
+           |FROM a ORDER BY doc_id""".stripMargin
+      },
+      doc = "WAT sidecar round-trip (the link-metadata artifact beside " +
+        "WARC and WET): hrefs resolved RFC 3986 against each page's " +
+        "archive fetch URI, canonicalized, sorted-distinct, assembled " +
+        "into the JSON envelope of a metadata record with WARC-Refers-To " +
+        "naming its response, published shard-per-partition and read " +
+        "back through the container parse. The oracle replays the whole " +
+        "chain, so one wrong byte in resolution, ordering, JSON " +
+        "assembly, framing, or decode breaks the hash."
+    ),
     Q(
       "t_warc_records",
       (s, d) => {

@@ -597,6 +597,118 @@ object Warc {
     dir
   }
 
+  // ----------------------------------------------------------------- WAT
+
+  /** One WAT `metadata` record (the Common-Crawl link-metadata sidecar
+    * convention): `Content-Type: application/json`, `WARC-Refers-To`
+    * naming the response it describes, block = the JSON envelope. The
+    * envelope here is the documented SUBSET
+    * `{"url":"…","links":["…",…]}` — the full WAT format nests HTTP
+    * headers and more; canonical URLs contain no JSON-significant
+    * characters, so assembly is plain concatenation (a production writer
+    * over arbitrary metadata would JSON-escape).
+    */
+  def metadataRecord(
+      uri: String,
+      recordId: String,
+      refersTo: String,
+      warcDate: String,
+      json: String
+  ): Array[Byte] =
+    renderRecord(
+      "metadata",
+      recordId,
+      Some(uri),
+      warcDate,
+      "application/json",
+      json.getBytes("UTF-8"),
+      extra = Seq("WARC-Refers-To" -> refersTo)
+    )
+
+  /** Write per-page WAT envelopes (`doc_id`, `wat` JSON string) as a
+    * sidecar shard directory — same partition-parallel sink as [[write]].
+    */
+  def writeWat(envelopes: DataFrame, dir: String, nShards: Int = 8): Unit = {
+    val spark = envelopes.sparkSession
+    import spark.implicits._
+    val records = envelopes
+      .select(col("doc_id"), col("wat"))
+      .as[(Long, String)]
+      .map { case (id, json) =>
+        (
+          (id % nShards).toInt,
+          id,
+          metadataRecord(
+            s"http://example.com/doc/$id",
+            s"<urn:uuid:wat-$id>",
+            s"<urn:uuid:resp-$id>",
+            FixtureDate,
+            json
+          )
+        )
+      }
+      .toDF("g", "doc_id", "record_bytes")
+      .repartition(nShards, col("g"))
+      .sortWithinPartitions(col("g"), col("doc_id"))
+    write(records, dir)
+  }
+
+  /** The `metadata` records of a WAT directory, JSON decoded — the read
+    * half of the sidecar round-trip.
+    */
+  def watRecords(spark: SparkSession, dir: String, glob: String = "*.warc*"): DataFrame =
+    respread(
+      spark,
+      read(spark, dir, glob)
+        .filter(col("malformed").isNull && col("warc_type") === "metadata")
+    )
+      .select(
+        col("path"),
+        col("record_id"),
+        col("target_uri"),
+        expr("decode(block, 'UTF-8')").as("wat")
+      )
+
+  /** Deterministic WAT fixture: each dirty page's hrefs resolved (RFC
+    * 3986) against its archive fetch URI and canonicalized, the sorted
+    * distinct link set assembled into the JSON envelope, published as
+    * WAT shards once per corpus fingerprint — the link-graph sidecar a
+    * crawl publishes beside WARC and WET.
+    */
+  def ensureWatDir(sfDir: String, docs: DataFrame, nShards: Int = 8): String = {
+    val dir = graft.operators.Indexes
+      .fingerprintDirOn("wat-fixture", sfDir, docs, "doc_id", "text", s"ns=$nShards,v=1")
+    graft.operators.Indexes.atomicBuild(dir, "_SUCCESS") { tmp =>
+      import graft.operators.Urls
+      val uri = concat(lit("http://example.com/doc/"), col("doc_id"))
+      val links = graft.operators.Html
+        .dirtyHtml(docs)
+        .select(
+          col("doc_id"),
+          explode(
+            regexp_extract_all(col("html"), lit("href=\"([^\"]*)\""), lit(1))
+          ).as("href")
+        )
+        .select(col("doc_id"), Urls.normalizeUrl(Urls.resolveUrl(uri, col("href"))).as("link"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_set(col("link"))).as("ls"))
+      val envelopes = links.select(
+        col("doc_id"),
+        concat(
+          lit("{\"url\":\"http://example.com/doc/"),
+          col("doc_id"),
+          lit("\",\"links\":["),
+          concat_ws(",", transform(col("ls"), l => concat(lit("\""), l, lit("\"")))),
+          lit("]}")
+        ).as("wat")
+      )
+      writeWat(envelopes, tmp, nShards)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+      ()
+    }
+    dir
+  }
+
   // ------------------------------------------------------------- the parse
 
   private[graft] final case class Rec(
