@@ -204,17 +204,21 @@ object Robots {
 
   /** Per-URL crawl verdict for `agent` over `urls`
     * `(doc_id, domain, url_norm)`: the judged group is `agent`'s own if
-    * the domain declares one, else `*`; within it the longest matching
-    * rule decides, Allow winning length ties (RFC 9309 §2.2.2) — both
-    * encoded in one partial-aggregable `max(struct(len, allow,
-    * pattern))`. Patterns match the URL's path+query; a trailing `$`
-    * anchors to the exact target. No matching rule ⇒ allowed.
+    * the domain DECLARES one — presence comes from the `User-agent:`
+    * headers, so an empty specific group still governs (RFC 9309: a
+    * group exists by its header; `*` rules must not leak into it) —
+    * else `*`; within it the longest matching rule decides, Allow
+    * winning length ties (§2.2.2), both encoded in one
+    * map-side-combining `max(struct(len, allow, pattern))`. Patterns
+    * match the URL's path+query; a trailing `$` anchors to the exact
+    * target. No matching rule ⇒ allowed.
     *
     * Output: `(doc_id, domain, allowed, rule)` with `rule` the winning
     * pattern (null when nothing matched).
     */
-  def gate(urls: DataFrame, rules: DataFrame, agent: String = Agent): DataFrame = {
-    val hasSpec = rules
+  def gate(urls: DataFrame, robots: DataFrame, agent: String = Agent): DataFrame = {
+    val rules = parseRules(robots)
+    val hasSpec = scopedLines(robots)
       .where(col("agent") === agent)
       .select(col("domain"))
       .distinct()

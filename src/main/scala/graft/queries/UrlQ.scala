@@ -30,6 +30,45 @@ object UrlQ {
     */
   val Blocklist: Seq[String] = Seq("src1.org", "src4.io", "src7.net")
 
+  /** Shared oracle CTE chain replaying robots.txt handling over a
+    * domains relation `domsRel(domain)`: construction (`rob`), line
+    * explode (`lns`), group scoping (`scoped0`), rules + delays, agent
+    * specificity (`spec`), and the agent-scoped views `scoped` (rules)
+    * and `sdel` (delays). Queries reference the CTEs they need — DuckDB
+    * never executes unreferenced ones.
+    */
+  private def robotsCtesSql(domsRel: String): String = {
+    import graft.operators.Robots
+    s"""rob AS (SELECT domain, ${Robots.robotsTxtSql("domain")} AS txt FROM $domsRel),
+       |lns AS (SELECT domain,
+       |    unnest(generate_series(1, len(string_split(txt, chr(10))))) AS pos,
+       |    string_split(txt, chr(10))[
+       |      unnest(generate_series(1, len(string_split(txt, chr(10)))))] AS line
+       |  FROM rob),
+       |scoped0 AS (SELECT domain, line,
+       |    last_value(CASE WHEN regexp_extract(line, '^[Uu]ser-agent:\\s*(\\S+)', 1) <> ''
+       |      THEN regexp_extract(line, '^[Uu]ser-agent:\\s*(\\S+)', 1) END IGNORE NULLS)
+       |      OVER (PARTITION BY domain ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent,
+       |    regexp_extract(line, '^(Allow|Disallow):\\s*(\\S*)', 1) AS dir,
+       |    regexp_extract(line, '^(Allow|Disallow):\\s*(\\S*)', 2) AS pattern,
+       |    regexp_extract(line, '^[Cc]rawl-delay:\\s*([0-9]+)', 1) AS delay
+       |  FROM lns),
+       |rules AS (SELECT domain, agent, dir = 'Allow' AS allow, pattern
+       |  FROM scoped0 WHERE dir <> '' AND pattern <> '' AND agent IS NOT NULL),
+       |spec AS (SELECT DISTINCT domain FROM scoped0 WHERE agent = '${Robots.Agent}'),
+       |scoped AS (SELECT r.domain, r.allow, r.pattern
+       |  FROM rules r LEFT JOIN spec s ON r.domain = s.domain
+       |  WHERE CASE WHEN s.domain IS NOT NULL
+       |        THEN r.agent = '${Robots.Agent}' ELSE r.agent = '*' END),
+       |dels AS (SELECT domain, agent, CAST(delay AS BIGINT) AS delay_s
+       |  FROM scoped0 WHERE delay <> '' AND agent IS NOT NULL),
+       |sdel AS (SELECT d.domain, d.delay_s
+       |  FROM dels d LEFT JOIN spec s ON d.domain = s.domain
+       |  WHERE CASE WHEN s.domain IS NOT NULL
+       |        THEN d.agent = '${Robots.Agent}' ELSE d.agent = '*' END)""".stripMargin
+  }
+
   private def withUrls(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables
       .documents(s, d)
@@ -337,34 +376,13 @@ object UrlQ {
           .select(col("domain"))
           .distinct()
           .withColumn("txt", Robots.robotsTxt(col("domain")))
-        Robots.gate(dm, Robots.parseRules(robots), Robots.Agent).orderBy("doc_id")
+        Robots.gate(dm, robots, Robots.Agent).orderBy("doc_id")
       },
       Some {
-        import graft.operators.Robots
         s"""$urlCte,
            |dm AS (SELECT doc_id, url_norm, $domainSql AS domain FROM n),
-           |rob AS (SELECT domain, ${Robots.robotsTxtSql("domain")} AS txt
-           |        FROM (SELECT DISTINCT domain FROM dm)),
-           |lns AS (SELECT domain,
-           |    unnest(generate_series(1, len(string_split(txt, chr(10))))) AS pos,
-           |    string_split(txt, chr(10))[
-           |      unnest(generate_series(1, len(string_split(txt, chr(10)))))] AS line
-           |  FROM rob),
-           |scoped0 AS (SELECT domain,
-           |    last_value(CASE WHEN regexp_extract(line, '^[Uu]ser-agent:\\s*(\\S+)', 1) <> ''
-           |      THEN regexp_extract(line, '^[Uu]ser-agent:\\s*(\\S+)', 1) END IGNORE NULLS)
-           |      OVER (PARTITION BY domain ORDER BY pos
-           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent,
-           |    regexp_extract(line, '^(Allow|Disallow):\\s*(\\S*)', 1) AS dir,
-           |    regexp_extract(line, '^(Allow|Disallow):\\s*(\\S*)', 2) AS pattern
-           |  FROM lns),
-           |rules AS (SELECT domain, agent, dir = 'Allow' AS allow, pattern
-           |  FROM scoped0 WHERE dir <> '' AND pattern <> '' AND agent IS NOT NULL),
-           |spec AS (SELECT DISTINCT domain FROM rules WHERE agent = '${Robots.Agent}'),
-           |scoped AS (SELECT r.domain, r.allow, r.pattern
-           |  FROM rules r LEFT JOIN spec s ON r.domain = s.domain
-           |  WHERE CASE WHEN s.domain IS NOT NULL
-           |        THEN r.agent = '${Robots.Agent}' ELSE r.agent = '*' END),
+           |doms0 AS (SELECT DISTINCT domain FROM dm),
+           |${robotsCtesSql("doms0")},
            |tg AS (SELECT doc_id, domain,
            |    regexp_replace(url_norm, '^[a-z][a-z0-9+.-]*://[^/]*', '') AS target
            |  FROM dm),
@@ -404,34 +422,12 @@ object UrlQ {
         Robots.effectiveDelay(robots, Robots.Agent, defaultS = 1L).orderBy("domain")
       },
       Some {
-        import graft.operators.Robots
         s"""$urlCte,
-           |doms AS (SELECT DISTINCT $domainSql AS domain FROM n),
-           |rob AS (SELECT domain, ${Robots.robotsTxtSql("domain")} AS txt FROM doms),
-           |lns AS (SELECT domain,
-           |    unnest(generate_series(1, len(string_split(txt, chr(10))))) AS pos,
-           |    string_split(txt, chr(10))[
-           |      unnest(generate_series(1, len(string_split(txt, chr(10)))))] AS line
-           |  FROM rob),
-           |scoped0 AS (SELECT domain, line,
-           |    last_value(CASE WHEN regexp_extract(line, '^[Uu]ser-agent:\\s*(\\S+)', 1) <> ''
-           |      THEN regexp_extract(line, '^[Uu]ser-agent:\\s*(\\S+)', 1) END IGNORE NULLS)
-           |      OVER (PARTITION BY domain ORDER BY pos
-           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent
-           |  FROM lns),
-           |dels AS (SELECT domain, agent,
-           |    CAST(regexp_extract(line, '^[Cc]rawl-delay:\\s*([0-9]+)', 1) AS BIGINT) AS delay_s
-           |  FROM scoped0
-           |  WHERE regexp_extract(line, '^[Cc]rawl-delay:\\s*([0-9]+)', 1) <> ''
-           |    AND agent IS NOT NULL),
-           |spec AS (SELECT DISTINCT domain FROM scoped0 WHERE agent = '${Robots.Agent}'),
-           |sdel AS (SELECT d.domain, d.delay_s
-           |  FROM dels d LEFT JOIN spec s ON d.domain = s.domain
-           |  WHERE CASE WHEN s.domain IS NOT NULL
-           |        THEN d.agent = '${Robots.Agent}' ELSE d.agent = '*' END)
-           |SELECT doms.domain, COALESCE(sdel.delay_s, 1) AS delay_s
-           |FROM doms LEFT JOIN sdel ON doms.domain = sdel.domain
-           |ORDER BY doms.domain""".stripMargin
+           |doms0 AS (SELECT DISTINCT $domainSql AS domain FROM n),
+           |${robotsCtesSql("doms0")}
+           |SELECT doms0.domain, COALESCE(sdel.delay_s, 1) AS delay_s
+           |FROM doms0 LEFT JOIN sdel ON doms0.domain = sdel.domain
+           |ORDER BY doms0.domain""".stripMargin
       },
       doc = "Per-domain Crawl-delay resolution (the de-facto REP " +
         "extension): delay directives parse group-scoped like the rules, " +
@@ -507,6 +503,124 @@ object UrlQ {
         "window per domain (never a global sort), the per-host rate " +
         "cap every polite crawler enforces. Oracle replays page " +
         "construction, href resolution, the gate, and every slot/cycle."
+    ),
+    // ---- the full frontier pipeline as ONE submitted plan: discovery
+    // (outlinks + pagination variants) → already-fetched anti-join →
+    // robots gate → Crawl-delay resolution → per-domain schedule with
+    // start offsets. Pagination variants carry /p/ paths, so the robots
+    // leg is non-vacuous here (prefix rules block some, the $ anchor
+    // correctly does NOT match the ?page=2 forms).
+    Q(
+      "pipe_frontier_e2e",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.Robots
+        val base = withUrls(s, d).select(col("doc_id"), col("url_norm"))
+        val outl = graft.operators.Html
+          .dirtyHtml(Tables.documents(s, d))
+          .join(base, Seq("doc_id"))
+          .select(
+            explode(
+              regexp_extract_all(col("html"), lit("href=\"([^\"]*)\""), lit(1))
+            ).as("href"),
+            col("url_norm")
+          )
+          .select(Urls.normalizeUrl(Urls.resolveUrl(col("url_norm"), col("href"))).as("link"))
+        val pag = base.select(
+          Urls
+            .normalizeUrl(
+              concat(
+                col("url_norm"),
+                when(col("url_norm").contains("?"), lit("&page=2")).otherwise(lit("?page=2"))
+              )
+            )
+            .as("link")
+        )
+        val corpus = base.select(col("url_norm").as("link")).distinct()
+        // localCheckpoint = projection barrier (the extractCleanPlan
+        // lesson): CollapseProject would inline the resolve+normalize
+        // regex tree into every downstream reference — the gate's
+        // domain/target keys, the verdict groupBy, the schedule window —
+        // re-running discovery per reference (measured 107.8 s vs ~4 s
+        // at sf0.1). The barrier is one narrow link table.
+        val fresh = outl
+          .unionByName(pag)
+          .distinct()
+          .join(corpus, Seq("link"), "left_anti")
+          .withColumn("domain", Urls.registeredDomain(Urls.hostOf(col("link"))))
+          .localCheckpoint()
+        // robots derive from the CORPUS domain dimension (frontier hosts
+        // are corpus hosts by resolution), so the broadcast side never
+        // re-derives the frontier
+        val robots = withUrls(s, d)
+          .select(Urls.registeredDomain(Urls.hostOf(col("url_norm"))).as("domain"))
+          .distinct()
+          .withColumn("txt", Robots.robotsTxt(col("domain")))
+        val allowed = Robots
+          .gate(
+            fresh.select(col("link").as("doc_id"), col("domain"), col("link").as("url_norm")),
+            robots
+          )
+          .filter(col("allowed"))
+          .select(col("doc_id").as("link"), col("domain"))
+        val w = Window.partitionBy(col("domain")).orderBy(col("link"))
+        allowed
+          .join(broadcast(Robots.effectiveDelay(robots)), Seq("domain"))
+          .withColumn("slot", row_number().over(w).cast("long"))
+          .withColumn("start_s", (col("slot") - 1) * col("delay_s"))
+          .select(col("domain"), col("link"), col("slot"), col("delay_s"), col("start_s"))
+          .orderBy("domain", "slot")
+      },
+      Some {
+        val resolved = Urls.normalizeUrlSql(Urls.resolveUrlSql("n.url_norm", "h.href"))
+        val pagNorm = Urls.normalizeUrlSql(
+          "(url_norm || CASE WHEN position('?' IN url_norm) > 0 THEN '&page=2' ELSE '?page=2' END)"
+        )
+        val linkDomain = Urls.registeredDomainSql(Urls.hostOfSql("link"))
+        s"""$urlCte,
+           |pg AS (SELECT doc_id, ${graft.operators.Html.dirtyHtmlSqlExpr} AS html
+           |       FROM documents),
+           |hrefs AS (SELECT doc_id,
+           |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+           |  FROM pg),
+           |cand AS (
+           |  SELECT DISTINCT link FROM (
+           |    SELECT $resolved AS link FROM hrefs h JOIN n ON h.doc_id = n.doc_id
+           |    UNION ALL
+           |    SELECT $pagNorm FROM n)),
+           |fresh AS (
+           |  SELECT link, $linkDomain AS domain,
+           |    regexp_replace(link, '^[a-z][a-z0-9+.-]*://[^/]*', '') AS target
+           |  FROM cand
+           |  WHERE link NOT IN (SELECT DISTINCT url_norm FROM n)),
+           |doms0 AS (SELECT DISTINCT $domainSql AS domain FROM n),
+           |${robotsCtesSql("doms0")},
+           |m AS (SELECT f.link, f.domain,
+           |    max(CASE WHEN (CASE WHEN r.pattern LIKE '%$$'
+           |          THEN f.target = rtrim(r.pattern, '$$')
+           |          ELSE starts_with(f.target, r.pattern) END)
+           |        THEN struct_pack(l := len(r.pattern), a := r.allow, p := r.pattern)
+           |        END) AS win
+           |  FROM fresh f LEFT JOIN scoped r ON f.domain = r.domain
+           |  GROUP BY f.link, f.domain),
+           |alw AS (SELECT link, domain FROM m WHERE COALESCE(win.a, true)),
+           |del AS (SELECT doms0.domain, COALESCE(sdel.delay_s, 1) AS delay_s
+           |  FROM doms0 LEFT JOIN sdel ON doms0.domain = sdel.domain),
+           |sch AS (SELECT a.domain, a.link, d.delay_s,
+           |    row_number() OVER (PARTITION BY a.domain ORDER BY a.link) AS slot
+           |  FROM alw a JOIN del d ON a.domain = d.domain)
+           |SELECT domain, link, slot, delay_s, (slot - 1) * delay_s AS start_s
+           |FROM sch ORDER BY domain, slot""".stripMargin
+      },
+      doc = "The full crawl-frontier pipeline in ONE submitted plan: " +
+        "outlink + pagination discovery, already-fetched anti-join on " +
+        "canonical URLs, robots gate (broadcast rules, map-side-combined " +
+        "verdicts), Crawl-delay resolution, and the per-domain politeness " +
+        "schedule with start offsets (slot-1)*delay — key-partitioned " +
+        "window, never a global sort. Catalyst fuses the stages; the " +
+        "oracle replays every leg end to end, so a wrong byte anywhere " +
+        "in discovery, dedup, verdicts, delays, or ordering breaks the " +
+        "hash."
     )
   )
 }

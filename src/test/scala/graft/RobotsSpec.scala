@@ -14,9 +14,8 @@ class RobotsSpec extends AnyFunSuite {
       urls: Seq[(Long, String, String)],
       agent: String = Robots.Agent
   ): Map[Long, (Boolean, Option[String])] = {
-    val rules = Robots.parseRules(robots.toDF("domain", "txt"))
     Robots
-      .gate(urls.toDF("doc_id", "domain", "url_norm"), rules, agent)
+      .gate(urls.toDF("doc_id", "domain", "url_norm"), robots.toDF("domain", "txt"), agent)
       .as[(Long, String, Boolean, Option[String])]
       .collect()
       .map(r => r._1 -> (r._3, r._4))
@@ -80,6 +79,13 @@ class RobotsSpec extends AnyFunSuite {
     assert(r(2L) === ((false, Some("/only"))))
     assert(r(3L) === ((false, Some("/star"))))
     assert(r(4L) === ((true, None)))
+    // RFC 9309: a group exists by its HEADER — an empty specific group
+    // still governs, so the * Disallow-all must not apply
+    val empty = verdicts(
+      Seq(("e.com", "User-agent: *\nDisallow: /\nUser-agent: graftbot")),
+      Seq((9L, "e.com", "http://e.com/anything"))
+    )
+    assert(empty(9L) === ((true, None)), "an empty specific group must still shield its agent")
   }
 
   test("gate: $ anchors to the exact target — prefixes of it stay allowed") {
@@ -131,11 +137,9 @@ class RobotsSpec extends AnyFunSuite {
   }
 
   test("gate plan: rules broadcast; verdict max(struct) partially aggregates map-side") {
-    val rules = Robots.parseRules(
-      Seq(("d.com", "User-agent: *\nDisallow: /a")).toDF("domain", "txt")
-    )
+    val robots = Seq(("d.com", "User-agent: *\nDisallow: /a")).toDF("domain", "txt")
     val urls = Seq((1L, "d.com", "http://d.com/a")).toDF("doc_id", "domain", "url_norm")
-    val gated = Robots.gate(urls, rules)
+    val gated = Robots.gate(urls, robots)
     val plan = gated.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "rules side must broadcast")
     // struct max has no hash-agg form (SortAggregate), but it MUST still
