@@ -100,6 +100,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), "in-mass sum must be a hash aggregate")
   }
 
+  test("frontier e2e: no all-pairs operator; schedule window partitions by domain") {
+    val plan = physical("pipe_frontier_e2e")
+    assert(
+      !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "discovery/gate/schedule must stay keyed joins:\n" + plan.take(1500)
+    )
+    assert(
+      plan.contains("windowspecdefinition(domain"),
+      "politeness slots must window per domain:\n" + plan.take(1500)
+    )
+  }
+
   test("frontier schedule: slot window partitions by domain, never a global sort") {
     val plan = physical("u_frontier_schedule")
     assert(
