@@ -504,6 +504,75 @@ object UrlQ {
         "cap every polite crawler enforces. Oracle replays page " +
         "construction, href resolution, the gate, and every slot/cycle."
     ),
+    // ---- redirect-chain resolution over the archive: 3xx Location
+    // chains followed to terminal URLs with bounded hops, cycle refusal,
+    // and dangling detection — exercised through the container + HTTP
+    // slice + relative-Location resolution, replayed by the oracle from
+    // the fixture's doc_id arithmetic and the same unrolled walk.
+    Q(
+      "u_redirects",
+      (s, d) => {
+        val dir = graft.sources.Warc.ensureRedirectDir(d, Tables.documents(s, d))
+        graft.operators.Redirects
+          .resolve(graft.sources.Warc.responses(s, dir), maxHops = 3)
+          .select(
+            regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+            col("final_url"),
+            col("hops"),
+            col("status")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        def step(k: Int) = {
+          val adv =
+            "(e.loc IS NOT NULL AND NOT s.cycle AND NOT list_contains(s.visited, e.loc))"
+          s"""s$k AS (SELECT s.origin,
+             |    CASE WHEN $adv THEN e.loc ELSE s.cur END AS cur,
+             |    CASE WHEN $adv THEN s.hops + 1 ELSE s.hops END AS hops,
+             |    (s.cycle OR (e.loc IS NOT NULL AND list_contains(s.visited, e.loc))) AS cycle,
+             |    CASE WHEN $adv THEN list_append(s.visited, e.loc) ELSE s.visited END AS visited
+             |  FROM s${k - 1} s LEFT JOIN e ON e.cur = s.cur)""".stripMargin
+        }
+        s"""WITH ids AS (SELECT doc_id, 'http://example.com/doc/' || doc_id AS url
+           |             FROM documents),
+           |red AS (SELECT doc_id, url,
+           |    CASE WHEN doc_id % 16 = 7  THEN 'http://example.com/doc/' || (doc_id + 8)
+           |         WHEN doc_id % 16 = 15 THEN 'http://example.com/doc/' || (doc_id - 8)
+           |         WHEN doc_id % 16 = 11 THEN 'http://example.com/ext/' || doc_id
+           |         WHEN doc_id % 8 = 3   THEN 'http://example.com/doc/' || (doc_id - 2)
+           |         WHEN doc_id % 4 = 1   THEN 'http://example.com/doc/' || (doc_id - 1)
+           |         ELSE NULL END AS loc
+           |  FROM ids),
+           |e AS (SELECT url AS cur, loc FROM red WHERE loc IS NOT NULL),
+           |s0 AS (SELECT url AS origin, url AS cur, 0 AS hops, false AS cycle,
+           |       [url] AS visited FROM red),
+           |${step(1)},
+           |${step(2)},
+           |${step(3)},
+           |fin AS (SELECT s.origin, s.cur, s.hops,
+           |    CASE WHEN s.cycle THEN 'cycle'
+           |         WHEN e2.loc IS NOT NULL THEN 'truncated'
+           |         WHEN f.cur IS NOT NULL THEN 'ok'
+           |         ELSE 'dangling' END AS status
+           |  FROM s3 s LEFT JOIN e e2 ON e2.cur = s.cur
+           |            LEFT JOIN (SELECT url AS cur FROM red) f ON f.cur = s.cur)
+           |SELECT i.doc_id,
+           |  CASE WHEN fin.status IN ('cycle', 'truncated') THEN NULL
+           |       ELSE fin.cur END AS final_url,
+           |  fin.hops::BIGINT AS hops, fin.status
+           |FROM fin JOIN ids i ON i.url = fin.origin ORDER BY i.doc_id""".stripMargin
+      },
+      doc = "Redirect-chain resolution: 3xx responses' Location headers " +
+        "(relative forms RFC 3986-resolved against the fetch URI) walk " +
+        "to terminal URLs in bounded hops — ok (fetched terminal), " +
+        "dangling (target never fetched), cycle (next target already " +
+        "visited; the walk stops), truncated (still redirecting at the " +
+        "cap). Each hop is one keyed join of the narrow chain state " +
+        "against the edge list; the archive parse materializes once. " +
+        "The oracle replays the fixture arithmetic AND the same " +
+        "unrolled walk."
+    ),
     // ---- the full frontier pipeline as ONE submitted plan: discovery
     // (outlinks + pagination variants) → already-fetched anti-join →
     // robots gate → Crawl-delay resolution → per-domain schedule with

@@ -238,6 +238,10 @@ object Warc {
         regexp_extract(col("http_head"), "(?im)^Content-Type:\\s*([^\r\n]*)", 1)
       )
       .withColumn(
+        "http_location",
+        regexp_extract(col("http_head"), "(?im)^Location:\\s*([^\r\n]*)", 1)
+      )
+      .withColumn(
         "body_text",
         when(
           col("http_head_len") > 0,
@@ -252,6 +256,7 @@ object Warc {
         col("warc_date"),
         col("http_status"),
         col("http_content_type"),
+        col("http_location"),
         col("body_text")
       )
   }
@@ -591,6 +596,74 @@ object Warc {
         .filter(col("n_good") > 0)
         .select(col("doc_id"), col("extracted").as("text"))
       writeWet(pages, tmp, nShards)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+      ()
+    }
+    dir
+  }
+
+  // ------------------------------------------------------------ redirects
+
+  /** A `response` record carrying an HTTP/1.1 301 with a `Location`
+    * header and an empty body — the redirect shape [[graft.operators.Redirects]]
+    * resolves. `location` may be relative (RFC 7231 permits it; the
+    * parser resolves it against the request URI).
+    */
+  def redirectRecord(uri: String, recordId: String, warcDate: String, location: String): Array[Byte] = {
+    val http =
+      (s"HTTP/1.1 301 Moved Permanently${Crlf}Location: $location$Crlf" +
+        s"Content-Length: 0$Crlf$Crlf").getBytes("UTF-8")
+    renderRecord(
+      "response",
+      recordId,
+      Some(uri),
+      warcDate,
+      "application/http; msgtype=response",
+      http
+    )
+  }
+
+  /** Deterministic redirect-archive fixture: every doc is a response at
+    * `http://example.com/doc/<id>`; a doc_id-arithmetic rule makes some
+    * of them 301s (priority order — earlier wins):
+    *
+    *   - id≡7 (mod 16)  → `/doc/(id+8)` — one half of an a↔b CYCLE;
+    *   - id≡15 (mod 16) → `/doc/(id-8)` — the other half;
+    *   - id≡11 (mod 16) → `http://example.com/ext/<id>` — DANGLING
+    *     (a target outside the fetched corpus);
+    *   - id≡3 (mod 8)   → `/doc/(id-2)` — a 2-hop chain head (the
+    *     target is itself a 1-hop redirect);
+    *   - id≡1 (mod 4)   → `/doc/(id-1)` as a RELATIVE Location (RFC
+    *     7231) — 1-hop to a terminal 200;
+    *   - else a 200 with a tiny body.
+    *
+    * Cycle halves and chain heads use absolute Locations, the 1-hop rule
+    * a relative one, so both resolution paths are exercised.
+    */
+  def ensureRedirectDir(sfDir: String, docs: DataFrame, nShards: Int = 8): String = {
+    val dir = graft.operators.Indexes
+      .fingerprintDirOn("redir-fixture", sfDir, docs, "doc_id", "text", s"ns=$nShards,v=1")
+    graft.operators.Indexes.atomicBuild(dir, "_SUCCESS") { tmp =>
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val records = docs
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val uri = s"http://example.com/doc/$id"
+          val rec =
+            if (id % 16 == 7) redirectRecord(uri, s"<urn:uuid:red-$id>", FixtureDate, s"http://example.com/doc/${id + 8}")
+            else if (id % 16 == 15) redirectRecord(uri, s"<urn:uuid:red-$id>", FixtureDate, s"http://example.com/doc/${id - 8}")
+            else if (id % 16 == 11) redirectRecord(uri, s"<urn:uuid:red-$id>", FixtureDate, s"http://example.com/ext/$id")
+            else if (id % 8 == 3) redirectRecord(uri, s"<urn:uuid:red-$id>", FixtureDate, s"http://example.com/doc/${id - 2}")
+            else if (id % 4 == 1) redirectRecord(uri, s"<urn:uuid:red-$id>", FixtureDate, s"/doc/${id - 1}")
+            else responseRecord(uri, s"<urn:uuid:resp-$id>", FixtureDate, s"<p>ok $id</p>")
+          ((id % nShards).toInt, id, rec)
+        }
+        .toDF("g", "doc_id", "record_bytes")
+        .repartition(nShards, col("g"))
+        .sortWithinPartitions(col("g"), col("doc_id"))
+      write(records, tmp)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
       ()
     }

@@ -136,6 +136,31 @@ class RobotsSpec extends AnyFunSuite {
     assert(got("bare.com") === 1L, "no delay anywhere -> default")
   }
 
+  test("redirect resolution: self-loop, long-chain truncation, relative Location") {
+    // hand-built httpSlice-shaped rows: url, status, location
+    def rows(t: (String, Int, String)*) =
+      t.toSeq.toDF("target_uri", "http_status", "http_location")
+    val archive = rows(
+      ("http://a.com/self", 301, "http://a.com/self"), // self-loop: cycle at hop 0
+      ("http://a.com/c1", 301, "/c2"), // relative Location
+      ("http://a.com/c2", 301, "/c3"),
+      ("http://a.com/c3", 301, "/c4"),
+      ("http://a.com/c4", 301, "/end"), // 4 hops > maxHops=3 -> truncated
+      ("http://a.com/end", 200, ""),
+      ("http://a.com/one", 301, "/end") // 1 relative hop to a 200
+    )
+    val r = graft.operators.Redirects
+      .resolve(archive, maxHops = 3)
+      .as[(String, Option[String], Long, String)]
+      .collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4)))
+      .toMap
+    assert(r("http://a.com/self") === ((None, 0L, "cycle")))
+    assert(r("http://a.com/c1") === ((None, 3L, "truncated")))
+    assert(r("http://a.com/one") === ((Some("http://a.com/end"), 1L, "ok")))
+    assert(r("http://a.com/end") === ((Some("http://a.com/end"), 0L, "ok")))
+  }
+
   test("gate plan: rules broadcast; verdict max(struct) partially aggregates map-side") {
     val robots = Seq(("d.com", "User-agent: *\nDisallow: /a")).toDF("domain", "txt")
     val urls = Seq((1L, "d.com", "http://d.com/a")).toDF("doc_id", "domain", "url_norm")
