@@ -120,6 +120,65 @@ object Robots {
        |      ELSE '' END)""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
   }
 
+  /** Deterministic per-domain sitemap.xml fixture (the [[robotsTxt]]
+    * seeding recipe): two-to-three `<url><loc>` entries per domain —
+    * one `/p/` path that may collide with an already-fetched canonical
+    * (non-vacuous dedup) and `/s/` paths the corpus never fetched
+    * (genuinely new discoveries).
+    */
+  def sitemapXml(domain: Column): Column = {
+    val k = regexp_extract(domain, "^src([0-9]+)", 1).cast("long")
+    val s = when(domain.endsWith(".co.uk"), 3L)
+      .when(domain.endsWith(".com"), 0L)
+      .when(domain.endsWith(".org"), 1L)
+      .when(domain.endsWith(".net"), 2L)
+      .otherwise(4L)
+    val seed = k * 5 + s
+    val entry = (path: Column) =>
+      concat(lit("<url><loc>https://"), domain, path, lit("</loc></url>"))
+    concat(
+      lit("<?xml version=\"1.0\"?><urlset>"),
+      entry(concat(lit("/p/"), pmod(seed, lit(7L)).cast("string"))),
+      entry(concat(lit("/s/"), pmod(seed, lit(5L)).cast("string"))),
+      when(
+        pmod(seed, lit(2L)) === 0,
+        entry(concat(lit("/s/"), pmod(seed + 3, lit(5L)).cast("string")))
+      ).otherwise(lit("")),
+      lit("</urlset>")
+    )
+  }
+
+  /** DuckDB mirror of [[sitemapXml]]. */
+  def sitemapXmlSql(domain: String): String = {
+    val k = s"CAST(regexp_extract($domain, '^src([0-9]+)', 1) AS BIGINT)"
+    val sfx =
+      s"""CASE WHEN ends_with($domain, '.co.uk') THEN 3
+         |     WHEN ends_with($domain, '.com') THEN 0
+         |     WHEN ends_with($domain, '.org') THEN 1
+         |     WHEN ends_with($domain, '.net') THEN 2
+         |     ELSE 4 END""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
+    val seed = s"($k * 5 + $sfx)"
+    def entry(path: String) = s"'<url><loc>https://' || $domain || $path || '</loc></url>'"
+    s"""('<?xml version="1.0"?><urlset>'
+       | || ${entry(s"'/p/' || CAST($seed % 7 AS VARCHAR)")}
+       | || ${entry(s"'/s/' || CAST($seed % 5 AS VARCHAR)")}
+       | || CASE WHEN $seed % 2 = 0
+       |      THEN ${entry(s"'/s/' || CAST(($seed + 3) % 5 AS VARCHAR)")} ELSE '' END
+       | || '</urlset>')""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
+  }
+
+  /** `<loc>` entries of a `(domain, xml)` sitemap table, canonicalized:
+    * `(domain, link)`. Regex-on-column parsing (the href recipe) — the
+    * fixture subset has no CDATA/entities; map-only at any scale.
+    */
+  def sitemapLinks(sitemaps: DataFrame): DataFrame =
+    sitemaps
+      .select(
+        col("domain"),
+        explode(regexp_extract_all(col("xml"), lit("<loc>([^<]*)</loc>"), lit(1))).as("raw")
+      )
+      .select(col("domain"), Urls.normalizeUrl(col("raw")).as("link"))
+
   /** Parse `(domain, txt)` robots files into scoped rules
     * `(domain, agent, allow, pattern)`. A rule line belongs to the
     * nearest preceding `User-agent:` line (single-agent groups — the

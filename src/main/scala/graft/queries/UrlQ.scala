@@ -504,6 +504,60 @@ object UrlQ {
         "cap every polite crawler enforces. Oracle replays page " +
         "construction, href resolution, the gate, and every slot/cycle."
     ),
+    // ---- sitemap discovery: the third frontier channel beside page
+    // outlinks and pagination. Per-domain sitemap.xml entries parse,
+    // canonicalize, and split into already-fetched vs newly-discovered
+    // against the corpus canonicals.
+    Q(
+      "u_sitemap",
+      (s, d) => {
+        import graft.operators.Robots
+        val corpus = withUrls(s, d).select(col("url_norm").as("link")).distinct()
+        val sitemaps = withUrls(s, d)
+          .select(Urls.registeredDomain(Urls.hostOf(col("url_norm"))).as("domain"))
+          .distinct()
+          .withColumn("xml", Robots.sitemapXml(col("domain")))
+        val locs = Robots.sitemapLinks(sitemaps).distinct()
+        val tagged = locs
+          .join(corpus.withColumn("known", lit(true)), Seq("link"), "left")
+          .withColumn("known", coalesce(col("known"), lit(false)))
+        tagged
+          .groupBy(col("domain"))
+          .agg(
+            sum(when(col("known"), 1L).otherwise(0L)).as("n_known"),
+            sum(when(!col("known"), 1L).otherwise(0L)).as("n_new"),
+            concat_ws(" ", array_sort(collect_list(when(!col("known"), col("link")))))
+              .as("new_urls")
+          )
+          .orderBy("domain")
+      },
+      Some {
+        import graft.operators.Robots
+        s"""$urlCte,
+           |doms AS (SELECT DISTINCT $domainSql AS domain FROM n),
+           |sm AS (SELECT domain, ${Robots.sitemapXmlSql("domain")} AS xml FROM doms),
+           |locs0 AS (SELECT domain,
+           |    unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS raw
+           |  FROM sm),
+           |locs AS (SELECT DISTINCT domain, ${Urls.normalizeUrlSql("raw")} AS link
+           |  FROM locs0),
+           |tagged AS (SELECT l.domain, l.link,
+           |    (l.link IN (SELECT DISTINCT url_norm FROM n)) AS known
+           |  FROM locs l)
+           |SELECT domain,
+           |  SUM(CASE WHEN known THEN 1 ELSE 0 END)::BIGINT AS n_known,
+           |  SUM(CASE WHEN NOT known THEN 1 ELSE 0 END)::BIGINT AS n_new,
+           |  array_to_string(list_sort(list(CASE WHEN NOT known THEN link END)
+           |    FILTER (WHERE NOT known)), ' ') AS new_urls
+           |FROM tagged GROUP BY domain ORDER BY domain""".stripMargin
+      },
+      doc = "Sitemap discovery: per-domain sitemap.xml <loc> entries " +
+        "parsed (regex on column — map-only), canonicalized, and split " +
+        "against the corpus's canonical URLs into already-fetched vs " +
+        "newly-discovered — the frontier channel beside outlinks and " +
+        "pagination. Oracle replays construction, parse, normalization, " +
+        "and the split per domain."
+    ),
     // ---- redirect-chain resolution over the archive: 3xx Location
     // chains followed to terminal URLs with bounded hops, cycle refusal,
     // and dangling detection — exercised through the container + HTTP
