@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   */
 object Redirects {
 
-  /** Resolve every fetched URL's redirect chain. Output per input URL:
+  /** Resolve every fetched URL's redirect chain. Output: one row per
+    * DISTINCT fetched URL (the latest capture of a multiply-captured URI
+    * governs its chain):
     *
     *   - `url` — the fetch URI (chain origin);
     *   - `final_url` — the terminal URL (null for `cycle`/`truncated`);
@@ -36,15 +38,28 @@ object Redirects {
     *     `maxHops`).
     */
   def resolve(responses: DataFrame, maxHops: Int = 3): DataFrame = {
+    // A real archive routinely holds SEVERAL captures of the same URI;
+    // un-deduplicated they would fan out every hop join and the terminal
+    // fetched/still_loc joins (duplicated rows per origin, cross-
+    // multiplied chains). Keep ONE capture per URL — the latest by
+    // WARC-Date when the input carries it (the httpSlice contract),
+    // max(struct) tie-breaking deterministically on (status, loc); the
+    // aggregate combines map-side, one row per URL crosses the exchange.
+    val capDate =
+      if (responses.columns.contains("warc_date")) col("warc_date") else lit("")
     val basis = responses
       .select(
         col("target_uri").as("url"),
+        capDate.as("cap_date"),
         col("http_status").as("status"),
         when(
           col("http_status").between(300, 399) && col("http_location") =!= "",
           Urls.normalizeUrl(Urls.resolveUrl(col("target_uri"), col("http_location")))
         ).as("loc")
       )
+      .groupBy(col("url"))
+      .agg(max(struct(col("cap_date"), col("status"), col("loc"))).as("w"))
+      .select(col("url"), col("w.status").as("status"), col("w.loc").as("loc"))
       .localCheckpoint()
     val e = basis.where(col("loc").isNotNull).select(col("url").as("cur"), col("loc"))
 

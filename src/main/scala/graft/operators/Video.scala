@@ -586,7 +586,12 @@ object Video {
     // bounded partner id). Rank key packs (overlap, matches) into one
     // double — exact while matches < 2^21 scene rows per pair (a 10-hour
     // video at 1 scene/s is ~36k) — so the bounded aggregate needs no
-    // struct ordering.
+    // struct ordering. The matches lane is CLAMPED at 2^21−1 (`least`),
+    // so a pathological pair past the bound saturates the decoded
+    // `matches` at 2_097_151 and keeps its tie-break deterministic,
+    // instead of silently corrupting both decoded columns by overflowing
+    // into the overlap lane.
+    val matchesCap = 2097151L // 2^21 - 1: the packed lane's saturation point
     val twinCands = members
       .join(twinGrps.select(col("rid"), col("n")), Seq("rid"))
       .join(mtop, Seq("rid"))
@@ -594,7 +599,7 @@ object Video {
       .filter(col("e.id") =!= col("doc_id"))
       .select(
         col("doc_id"),
-        (lit(1000L * 2097152L) + col("n")).cast("double").as("score"),
+        (lit(1000L * 2097152L) + least(col("n"), lit(matchesCap))).cast("double").as("score"),
         col("e.id").as("partner_id")
       )
     val crossCands = members
@@ -602,7 +607,9 @@ object Video {
       .join(mtop.select(col("rid").as("prid"), col("mt").as("pmt")), Seq("prid"))
       .select(
         col("doc_id"),
-        (col("overlap_permille") * lit(2097152L) + col("matches")).cast("double").as("score"),
+        (col("overlap_permille") * lit(2097152L) + least(col("matches"), lit(matchesCap)))
+          .cast("double")
+          .as("score"),
         explode(col("pmt")).as("pe")
       )
       .select(col("doc_id"), col("score"), col("pe.id").as("partner_id"))

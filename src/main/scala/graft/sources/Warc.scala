@@ -17,13 +17,17 @@ import org.apache.spark.sql.types._
   * Layout/scale posture:
   *   - A WARC corpus is a directory of `.warc.gz` shards (Common Crawl:
   *     ~1 GB each), every RECORD its own gzip member so readers can
-  *     resync on member boundaries. The source reads whole shards via
-  *     Spark's `binaryFile` relation — one task per shard, the natural
-  *     unit (a shard must be decompressed sequentially anyway), with the
-  *     suffix filter pushed down as `pathGlobFilter` so non-archive files
-  *     are never opened. `binaryFile` caps a single file at 2 GB — the
-  *     shard convention's size, by design; bigger shards should be re-cut
-  *     upstream, not streamed through a wider row.
+  *     resync on member boundaries. The source walks each shard as a
+  *     STREAM — one task per shard (the natural unit: a shard must be
+  *     decompressed sequentially anyway), the suffix filter applied at
+  *     the driver's directory listing so non-archive files are never
+  *     opened, and per-task residency is RECORD-sized: the framer holds
+  *     one record's block plus a fixed 64 KiB buffer, never the shard
+  *     (decompressed whole-shard residency — 3-5× a 1 GB shard — OOMs a
+  *     standard 8 GB executor before the parse starts). There is no
+  *     per-shard size cap; the only bound is per RECORD (a block must
+  *     fit a binary column, < 2 GB), which is the row-width bound any
+  *     columnar engine has.
   *   - Record parsing is imperative byte-walking with no relational
   *     structure to push down — the same legitimate `flatMap`-on-bytes
   *     slot as the media decoders ([[graft.operators.Multimodal]]);
@@ -132,54 +136,136 @@ object Warc {
       .select(col("record_bytes"))
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
           val conf = new org.apache.hadoop.conf.Configuration()
-          val path = new org.apache.hadoop.fs.Path(f"$out/part-$pid%05d.warc.gz")
-          val fs = path.getFileSystem(conf)
-          val os = fs.create(path, true)
-          try it.foreach { r =>
-            // one gzip member per record: each record independently
-            // decompressible, members concatenate into a valid stream
-            // (Java gzip writes zero MTIME — member bytes are deterministic)
-            val buf = new ByteArrayOutputStream()
-            val gz = new GZIPOutputStream(buf)
-            gz.write(r.getAs[Array[Byte]](0))
-            gz.close()
-            buf.writeTo(os)
-          } finally os.close()
+          // task-commit protocol (the Spark file-sink discipline): stream
+          // into a dot-prefixed attempt-unique temp path (globs and the
+          // source's suffix filter skip it), rename into place only on
+          // task success — a speculative or retried attempt can never
+          // interleave bytes into the final shard, and a failed attempt
+          // leaves only an ignorable temp to best-effort delete
+          val finalPath = new org.apache.hadoop.fs.Path(f"$out/part-$pid%05d.warc.gz")
+          val tmpPath = new org.apache.hadoop.fs.Path(
+            f"$out/.part-$pid%05d.attempt-${tc.taskAttemptId()}.inprogress"
+          )
+          val fs = finalPath.getFileSystem(conf)
+          try {
+            val os = fs.create(tmpPath, true)
+            try it.foreach { r =>
+              // one gzip member per record: each record independently
+              // decompressible, members concatenate into a valid stream
+              // (Java gzip writes zero MTIME — member bytes are deterministic)
+              val buf = new ByteArrayOutputStream()
+              val gz = new GZIPOutputStream(buf)
+              gz.write(r.getAs[Array[Byte]](0))
+              gz.close()
+              buf.writeTo(os)
+            } finally os.close()
+            // bytes are a pure function of partition content, so a twin
+            // attempt that won the rename already produced the same shard
+            if (fs.exists(finalPath)) fs.delete(finalPath, false)
+            fs.rename(tmpPath, finalPath)
+            ()
+          } catch {
+            case e: Throwable =>
+              try fs.delete(tmpPath, false)
+              catch { case _: Throwable => () }
+              throw e
+          }
         }
       }
   }
 
   // ---------------------------------------------------------------- source
 
-  /** All records of every `*.warc` / `*.warc.gz` shard under `dir` —
-    * whole-shard tasks via `binaryFile` (suffix filter pushed down as
-    * `pathGlobFilter`), then the per-shard streaming parse.
+  /** Shard files under `dir` matching `glob`, listed once at the driver
+    * (a directory listing is driver-scale: one row per shard). Hidden
+    * files (`.`/`_` prefixes — including this sink's in-progress task
+    * attempts) are skipped, matching Spark's file-source convention.
+    */
+  private def listShardPaths(spark: SparkSession, dir: String, glob: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(p))
+      .map(_.toSeq)
+      .getOrElse(Seq.empty)
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }
+      .map(_.getPath.toString)
+      .sorted
+  }
+
+  /** Open a shard for streaming, gunzipping transparently when the magic
+    * bytes say so (Java's GZIPInputStream consumes concatenated members
+    * natively, member by member — nothing is materialized).
+    */
+  private def openShard(
+      conf: org.apache.hadoop.conf.Configuration,
+      pathStr: String
+  ): java.io.InputStream = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val raw = new java.io.BufferedInputStream(p.getFileSystem(conf).open(p), 1 << 16)
+    raw.mark(2)
+    val b0 = raw.read()
+    val b1 = raw.read()
+    raw.reset()
+    if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(raw, 1 << 16) else raw
+  }
+
+  /** Wrap a per-shard iterator so the underlying stream closes exactly
+    * once — on exhaustion for the normal path, via the task-completion
+    * listener when a downstream limit/failure abandons the iterator.
+    */
+  private def closeOnExhaust[A](it: Iterator[A], close: () => Unit): Iterator[A] =
+    new Iterator[A] {
+      private var closed = false
+      private def closeOnce(): Unit = if (!closed) { closed = true; close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) closeOnce()
+        h
+      }
+      def next(): A = it.next()
+    }
+
+  private def recRow(w: Rec): Row =
+    Row(
+      w.path,
+      w.recOffset,
+      w.warcType,
+      w.recordId,
+      w.targetUri,
+      w.warcDate,
+      w.contentType,
+      w.contentLength,
+      w.block,
+      w.malformed
+    )
+
+  /** All records of every `*.warc` / `*.warc.gz` shard under `dir` — one
+    * streaming task per shard, RECORD-sized residency: the shard is never
+    * held in memory (neither compressed nor decompressed); the framer
+    * walks the open stream and materializes exactly one record's block at
+    * a time (WarcSpec pins the incremental consumption with a counting
+    * stream). There is no per-shard size cap.
     */
   def read(spark: SparkSession, dir: String, glob: String = "*.warc*"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    spark.read
-      .format("binaryFile")
-      .option("pathGlobFilter", glob)
-      .load(dir)
-      .select(col("path"), col("content"))
-      .flatMap { r =>
-        parseShard(r.getString(0), r.getAs[Array[Byte]](1))
-          .map(w =>
-            Row(
-              w.path,
-              w.recOffset,
-              w.warcType,
-              w.recordId,
-              w.targetUri,
-              w.warcDate,
-              w.contentType,
-              w.contentLength,
-              w.block,
-              w.malformed
-            )
-          )
+    val paths = listShardPaths(spark, dir, glob)
+    spark
+      .createDataset(paths)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(math.max(paths.size, 1))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { pathStr =>
+          val in = openShard(conf, pathStr)
+          closeOnExhaust(new RecordStream(pathStr, in).map(recRow), () => in.close())
+        }
       }(enc)
   }
 
@@ -281,79 +367,182 @@ object Warc {
     )
   )
 
-  /** Split a (possibly multi-member) gzip buffer into members:
-    * `(compressedOffset, compressedLength, decompressedBytes)`. Walks
-    * each member's header (FLG extras skipped per RFC 1952), inflates
-    * raw deflate to find the exact compressed extent
-    * (`Inflater.getBytesRead` + the 8-byte CRC32/ISIZE trailer), and
-    * stops at the first unframeable member (the [[parseShard]] halt
-    * discipline — past corruption there is no safe resync).
+  /** One gzip member as the streaming walk yields it: its COMPRESSED
+    * byte extent plus the decompressed bytes. `malformed` is null for a
+    * whole member; the walk's final element is a `bad-member` SENTINEL
+    * (null bytes, zero length) when it halts on unframeable trailing
+    * bytes — a shard corrupted mid-stream is DETECTABLE by index
+    * consumers, never a silent coverage truncation.
     */
-  private[graft] def gzipMembers(raw: Array[Byte]): Seq[(Long, Long, Array[Byte])] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
-    var pos = 0
-    var halt = false
-    while (!halt && pos + 10 <= raw.length) {
-      val start = pos
-      if ((raw(pos) & 0xff) != 0x1f || (raw(pos + 1) & 0xff) != 0x8b) halt = true
-      else {
-        val flg = raw(pos + 3) & 0xff
-        var p = pos + 10
-        try {
-          if ((flg & 4) != 0) { // FEXTRA
-            val xlen = (raw(p) & 0xff) | ((raw(p + 1) & 0xff) << 8)
-            p += 2 + xlen
-          }
-          if ((flg & 8) != 0) { while (raw(p) != 0) p += 1; p += 1 } // FNAME
-          if ((flg & 16) != 0) { while (raw(p) != 0) p += 1; p += 1 } // FCOMMENT
-          if ((flg & 2) != 0) p += 2 // FHCRC
-          val inf = new java.util.zip.Inflater(true)
-          inf.setInput(raw, p, raw.length - p)
-          val bos = new ByteArrayOutputStream(1 << 16)
-          val buf = new Array[Byte](1 << 16)
-          var truncated = false
-          while (!inf.finished() && !truncated) {
-            val n = inf.inflate(buf)
-            if (n > 0) bos.write(buf, 0, n)
-            else if (inf.needsInput()) truncated = true // ran off the buffer mid-member
-          }
-          val compEnd = p + inf.getBytesRead.toInt + 8 // CRC32 + ISIZE trailer
-          inf.end()
-          if (truncated || compEnd > raw.length) halt = true
-          else {
-            out += ((start.toLong, (compEnd - start).toLong, bos.toByteArray))
-            pos = compEnd
-          }
-        } catch {
-          case _: ArrayIndexOutOfBoundsException | _: java.util.zip.DataFormatException =>
-            halt = true
+  private[graft] final case class Member(
+      offset: Long,
+      clen: Long,
+      bytes: Array[Byte],
+      malformed: String
+  )
+
+  /** Streaming walk over a (possibly multi-member) gzip STREAM: yields
+    * each member's exact compressed extent (RFC 1952 header fields
+    * skipped, raw-deflate inflate to the member boundary, 8-byte
+    * CRC32/ISIZE trailer) holding only the fixed 64 KiB fill buffer plus
+    * ONE member's decompressed bytes — per-task residency is
+    * member-sized, so a 1 GB (or 100 GB) shard walks in constant memory.
+    * Halts at the first unframeable member with a sentinel [[Member]]
+    * (past corruption there is no safe resync).
+    */
+  private[graft] final class GzipMemberIterator(in: java.io.InputStream)
+      extends Iterator[Member] {
+    private val buf = new Array[Byte](1 << 16)
+    private var lo = 0 // next unconsumed index
+    private var hi = 0 // end of the filled region
+    private var absPos = 0L // absolute stream offset of buf(lo)
+    private var pending: Member = null
+    private var done = false
+
+    /** Compact + refill; false when the stream is exhausted AND empty. */
+    private def refill(): Boolean = {
+      if (lo > 0) { System.arraycopy(buf, lo, buf, 0, hi - lo); hi -= lo; lo = 0 }
+      var n = 0
+      while (hi < buf.length && n >= 0) {
+        n = in.read(buf, hi, buf.length - hi)
+        if (n > 0) hi += n
+      }
+      hi > lo
+    }
+
+    /** Consume one byte; -1 on end of stream. */
+    private def byteAt(): Int =
+      if (lo == hi && !refill()) -1
+      else { val b = buf(lo) & 0xff; lo += 1; absPos += 1; b }
+
+    private def skipNulTerminated(): Boolean = {
+      var b = byteAt()
+      while (b > 0) b = byteAt()
+      b == 0
+    }
+
+    private def advance(): Unit = {
+      if (done) return
+      val start = absPos
+      val b0 = byteAt()
+      if (b0 < 0) { done = true; return } // clean end on a member boundary
+      val b1 = byteAt()
+      def halt(): Unit = { pending = Member(start, 0L, null, "bad-member"); done = true }
+      if (b0 != 0x1f || b1 != 0x8b) { halt(); return }
+      try {
+        byteAt() // CM
+        val flg = byteAt()
+        var ok = flg >= 0
+        var i = 0
+        while (ok && i < 6) { ok = byteAt() >= 0; i += 1 } // MTIME + XFL + OS
+        if (ok && (flg & 4) != 0) { // FEXTRA
+          val x0 = byteAt(); val x1 = byteAt()
+          ok = x0 >= 0 && x1 >= 0
+          var left = x0 | (x1 << 8)
+          while (ok && left > 0) { ok = byteAt() >= 0; left -= 1 }
         }
+        if (ok && (flg & 8) != 0) ok = skipNulTerminated() // FNAME
+        if (ok && (flg & 16) != 0) ok = skipNulTerminated() // FCOMMENT
+        if (ok && (flg & 2) != 0) ok = byteAt() >= 0 && byteAt() >= 0 // FHCRC
+        if (!ok) { halt(); return }
+        // raw-deflate inflate straight off the fill buffer; lo advances
+        // eagerly as chunks are fed and rolls back by getRemaining once
+        // the member's deflate stream ends
+        val inf = new java.util.zip.Inflater(true)
+        val bos = new ByteArrayOutputStream(1 << 16)
+        val out = new Array[Byte](1 << 16)
+        var truncated = false
+        try {
+          while (!inf.finished() && !truncated) {
+            if (inf.needsInput()) {
+              if (lo == hi && !refill()) truncated = true
+              else {
+                val fed = hi - lo
+                inf.setInput(buf, lo, fed)
+                lo = hi
+                absPos += fed
+              }
+            }
+            if (!truncated) {
+              val n = inf.inflate(out)
+              if (n > 0) bos.write(out, 0, n)
+            }
+          }
+          if (!truncated) {
+            val rem = inf.getRemaining
+            lo -= rem
+            absPos -= rem
+          }
+        } finally inf.end()
+        if (truncated) { halt(); return }
+        // CRC32 + ISIZE trailer
+        var t = 0
+        var tok = true
+        while (tok && t < 8) { tok = byteAt() >= 0; t += 1 }
+        if (!tok) { halt(); return }
+        pending = Member(start, absPos - start, bos.toByteArray, null)
+      } catch {
+        case _: java.util.zip.DataFormatException => halt()
       }
     }
-    out.toSeq
+
+    def hasNext: Boolean = {
+      if (pending == null && !done) advance()
+      pending != null
+    }
+    def next(): Member = {
+      if (!hasNext) throw new NoSuchElementException
+      val m = pending
+      pending = null
+      m
+    }
   }
+
+  /** Byte-array convenience over [[GzipMemberIterator]] (specs + the
+    * ranged-fetch path): complete members only — the halt sentinel, if
+    * any, is dropped, matching the original strict walk.
+    */
+  private[graft] def gzipMembers(raw: Array[Byte]): Seq[(Long, Long, Array[Byte])] =
+    new GzipMemberIterator(new ByteArrayInputStream(raw))
+      .filter(_.malformed == null)
+      .map(m => (m.offset, m.clen, m.bytes))
+      .toSeq
 
   /** The capture index of a shard directory: one row per gzip member
     * with its COMPRESSED byte extent plus the member's (first) record
     * headers — what a Common-Crawl CDX file stores per capture. Built by
-    * one sequential pass over each shard (whole-shard tasks, like
-    * [[read]]); consumed by [[fetch]] as ranged point reads. One record
-    * per member is the archive convention this engine's sink writes; a
-    * multi-record member indexes as its first record.
+    * one sequential STREAMING pass per shard ([[GzipMemberIterator]]:
+    * member-sized residency, no shard materialization, no size cap);
+    * consumed by [[fetch]] as ranged point reads. One record per member
+    * is the archive convention this engine's sink writes; a multi-record
+    * member indexes as its first record. A walk that halts mid-shard
+    * (corrupt member) emits a `bad-member` sentinel row at the halt
+    * offset, so a CDX consumer can DETECT truncated coverage instead of
+    * silently losing every subsequent capture.
     */
   def memberIndex(spark: SparkSession, dir: String, glob: String = "*.warc.gz"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(memberSchema)
-    spark.read
-      .format("binaryFile")
-      .option("pathGlobFilter", glob)
-      .load(dir)
-      .select(col("path"), col("content"))
-      .flatMap { r =>
-        val path = r.getString(0)
-        gzipMembers(r.getAs[Array[Byte]](1)).flatMap { case (off, clen, bytes) =>
-          parseShard(path, bytes).headOption.map { w =>
-            Row(path, off, clen, w.warcType, w.targetUri, w.warcDate, w.contentLength, w.malformed)
+    val paths = listShardPaths(spark, dir, glob)
+    spark
+      .createDataset(paths)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(math.max(paths.size, 1))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { pathStr =>
+          val p = new org.apache.hadoop.fs.Path(pathStr)
+          val in = p.getFileSystem(conf).open(p)
+          val rows = new GzipMemberIterator(in).flatMap { m =>
+            if (m.malformed != null)
+              Some(Row(pathStr, m.offset, 0L, null, null, null, null, m.malformed))
+            else
+              parseShard(pathStr, m.bytes).headOption.map { w =>
+                Row(
+                  pathStr, m.offset, m.clen,
+                  w.warcType, w.targetUri, w.warcDate, w.contentLength, w.malformed
+                )
+              }
           }
+          closeOnExhaust(rows, () => in.close())
         }
       }(enc)
   }
@@ -797,8 +986,135 @@ object Warc {
       malformed: String
   )
 
+  /** Streaming record framer over a DECOMPRESSED shard stream — the
+    * incremental form of [[parseShard]] with identical framing and
+    * malformed semantics (`bad-version` / `bad-length` / `truncated`,
+    * halt-on-first), but RECORD-sized residency: only the in-flight
+    * record's block is ever materialized. A gzip member corrupted
+    * mid-stream surfaces here as end-of-stream (the inflater's
+    * ZipException/EOFException), so the in-flight record reports
+    * `truncated` — same resync discipline, no task failure.
+    *
+    * Records > 2 GiB report `bad-length`: a block must fit one binary
+    * column value — the per-RECORD row-width bound that replaced the old
+    * per-SHARD `binaryFile` cap.
+    */
+  private[graft] final class RecordStream(path: String, in0: java.io.InputStream)
+      extends Iterator[Rec] {
+    private val in = new java.io.BufferedInputStream(in0, 1 << 16)
+    private var pos = 0L // offset in the decompressed stream
+    private var eof = false
+    private var halted = false
+    private var pushed = -1
+    private var pending: Rec = null
+
+    private def readByte(): Int = {
+      if (pushed >= 0) { val b = pushed; pushed = -1; pos += 1; return b }
+      if (eof) return -1
+      val b =
+        try in.read()
+        catch {
+          case _: java.util.zip.ZipException => -1
+          case _: java.io.EOFException => -1
+        }
+      if (b < 0) eof = true else pos += 1
+      b
+    }
+
+    private def push(b: Int): Unit = { pushed = b; pos -= 1 }
+
+    /** One header line, CRLF- (or bare-LF-) terminated; "" at EOF. */
+    private def readLine(): String = {
+      val bos = new ByteArrayOutputStream(64)
+      var b = readByte()
+      while (b >= 0 && b != '\n') { bos.write(b); b = readByte() }
+      val arr = bos.toByteArray
+      val n = if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1 else arr.length
+      new String(arr, 0, n, "UTF-8")
+    }
+
+    /** Read exactly `want` block bytes; (partial bytes, false) at EOF. */
+    private def readBlock(want: Int): (Array[Byte], Boolean) = {
+      val arr = new Array[Byte](want)
+      var off = 0
+      if (pushed >= 0 && want > 0) { arr(0) = pushed.toByte; pushed = -1; pos += 1; off = 1 }
+      var n = 0
+      while (off < want && n >= 0) {
+        n =
+          try in.read(arr, off, want - off)
+          catch {
+            case _: java.util.zip.ZipException => -1
+            case _: java.io.EOFException => -1
+          }
+        if (n > 0) { off += n; pos += n }
+      }
+      if (off == want) (arr, true)
+      else { eof = true; (java.util.Arrays.copyOf(arr, off), false) }
+    }
+
+    private def advance(): Unit = {
+      if (halted) return
+      var b = readByte()
+      while (b == '\r' || b == '\n') b = readByte()
+      if (b < 0) return // clean end on a record boundary
+      push(b)
+      val recOff = pos
+      val version = readLine()
+      def header(m: scala.collection.Map[String, String], k: String): String =
+        m.getOrElse(k, null)
+      if (!version.startsWith("WARC/")) {
+        pending = Rec(path, recOff, null, null, null, null, null, -1L, null, "bad-version")
+        halted = true // no trustworthy length — cannot resync inside this stream
+        return
+      }
+      val headers = scala.collection.mutable.Map.empty[String, String]
+      var open = true
+      while (open && !(eof && pushed < 0)) {
+        val l = readLine()
+        if (l.isEmpty) open = false
+        else {
+          val i = l.indexOf(':')
+          if (i > 0) headers += (l.take(i).trim.toLowerCase -> l.drop(i + 1).trim)
+        }
+      }
+      val wType = header(headers, "warc-type")
+      val wId = header(headers, "warc-record-id")
+      val wUri = header(headers, "warc-target-uri")
+      val wDate = header(headers, "warc-date")
+      val cType = header(headers, "content-type")
+      headers.get("content-length").flatMap(_.toLongOption) match {
+        case None =>
+          pending = Rec(path, recOff, wType, wId, wUri, wDate, cType, -1L, null, "bad-length")
+          halted = true
+        case Some(n) if n < 0L || n > (Int.MaxValue.toLong - 16) =>
+          pending = Rec(path, recOff, wType, wId, wUri, wDate, cType, n, null, "bad-length")
+          halted = true
+        case Some(n) =>
+          val (blk, complete) = readBlock(n.toInt)
+          if (!complete) {
+            pending = Rec(path, recOff, wType, wId, wUri, wDate, cType, n, blk, "truncated")
+            halted = true
+          } else pending = Rec(path, recOff, wType, wId, wUri, wDate, cType, n, blk, null)
+      }
+    }
+
+    def hasNext: Boolean = {
+      if (pending == null) advance()
+      pending != null
+    }
+    def next(): Rec = {
+      if (!hasNext) throw new NoSuchElementException
+      val r = pending
+      pending = null
+      r
+    }
+  }
+
   /** Decompress (if gzipped — Java's GZIPInputStream consumes
-    * concatenated members natively) and frame every record in a shard.
+    * concatenated members natively) and frame every record in a shard —
+    * the BUFFER-shaped twin of [[RecordStream]], kept for the paths that
+    * already hold record-sized byte slices ([[fetch]]'s ranged reads,
+    * per-member framing in [[memberIndex]]).
     */
   private[graft] def parseShard(path: String, raw: Array[Byte]): Seq[Rec] = {
     val bytes =

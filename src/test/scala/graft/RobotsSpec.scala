@@ -161,6 +161,27 @@ class RobotsSpec extends AnyFunSuite {
     assert(r("http://a.com/end") === ((Some("http://a.com/end"), 0L, "ok")))
   }
 
+  test("redirect resolution: multiple captures of one URI — latest governs, no fan-out") {
+    // a real archive holds several captures of the same URI; the hop
+    // joins must not cross-multiply chains, and the LATEST capture's
+    // verdict wins
+    val archive = Seq(
+      ("http://a.com/x", 301, "/old", "2026-01-01T00:00:00Z"),
+      ("http://a.com/x", 200, "", "2026-02-01T00:00:00Z"), // later: now a 200
+      ("http://a.com/y", 301, "/x", "2026-01-01T00:00:00Z"),
+      ("http://a.com/y", 301, "/x", "2026-02-01T00:00:00Z") // duplicate edge
+    ).toDF("target_uri", "http_status", "http_location", "warc_date")
+    val out = graft.operators.Redirects.resolve(archive, maxHops = 3)
+    assert(out.count() === 2, "one row per distinct origin, not per capture")
+    val r = out
+      .as[(String, Option[String], Long, String)]
+      .collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4)))
+      .toMap
+    assert(r("http://a.com/x") === ((Some("http://a.com/x"), 0L, "ok")), "latest capture wins")
+    assert(r("http://a.com/y") === ((Some("http://a.com/x"), 1L, "ok")))
+  }
+
   test("gate plan: rules broadcast; verdict max(struct) partially aggregates map-side") {
     val robots = Seq(("d.com", "User-agent: *\nDisallow: /a")).toDF("domain", "txt")
     val urls = Seq((1L, "d.com", "http://d.com/a")).toDF("doc_id", "domain", "url_norm")

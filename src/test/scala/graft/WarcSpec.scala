@@ -281,4 +281,96 @@ class WarcSpec extends AnyFunSuite {
       "seek-read block must be byte-identical to the scan's"
     )
   }
+
+  /** Counts bytes the consumer actually pulled off the underlying
+    * stream — the residency witness for the streaming-parse pins.
+    */
+  private final class CountingStream(in: java.io.InputStream)
+      extends java.io.FilterInputStream(in) {
+    var count = 0L
+    override def read(): Int = { val b = super.read(); if (b >= 0) count += 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = super.read(b, off, len); if (n > 0) count += n; n
+    }
+  }
+
+  private def bigResponse(id: Int, nBytes: Int): Array[Byte] =
+    Warc.responseRecord(
+      s"http://example.com/big/$id",
+      s"<urn:uuid:big-$id>",
+      Warc.FixtureDate,
+      "y" * nBytes
+    )
+
+  test("RecordStream: record-sized residency — framing never reads past the in-flight record") {
+    val recs = (1 to 3).map(bigResponse(_, 300000))
+    val all = recs.reduce(_ ++ _)
+    val cs = new CountingStream(new java.io.ByteArrayInputStream(all))
+    val it = new Warc.RecordStream("mem", cs)
+    val first = it.next()
+    assert(first.recordId === "<urn:uuid:big-1>")
+    // one record's bytes plus the fixed 64 KiB fill buffer — never the shard
+    assert(
+      cs.count <= recs.head.length.toLong + (1 << 17),
+      s"after one record the stream had surrendered ${cs.count} bytes (record = ${recs.head.length})"
+    )
+    assert(cs.count < all.length.toLong, "the whole shard must NOT have been read")
+    assert(it.size === 2, "remaining records still frame")
+  }
+
+  test("GzipMemberIterator: member-sized residency over an open stream") {
+    val rnd = new java.util.Random(42)
+    val blocks = (1 to 3).map { _ =>
+      val b = new Array[Byte](300000); rnd.nextBytes(b); b
+    }
+    val members = blocks.map { b =>
+      val out = new ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(out)
+      gz.write(b); gz.close()
+      out.toByteArray
+    }
+    val all = members.reduce(_ ++ _)
+    val cs = new CountingStream(new java.io.ByteArrayInputStream(all))
+    val it = new Warc.GzipMemberIterator(cs)
+    val first = it.next()
+    assert(first.malformed === null)
+    assert(first.bytes.toSeq === blocks.head.toSeq)
+    assert(first.clen === members.head.length.toLong)
+    assert(
+      cs.count <= members.head.length.toLong + (1 << 17),
+      s"after one member the stream had surrendered ${cs.count} bytes (member = ${members.head.length})"
+    )
+    assert(cs.count < all.length.toLong, "the whole shard must NOT have been read")
+    val rest = it.toSeq
+    assert(rest.size === 2 && rest.forall(_.malformed == null))
+  }
+
+  test("memberIndex: a walk halted mid-shard emits a bad-member sentinel row") {
+    val dir = tmpDir("sentinel")
+    val raw = gzBytes(respA, reqA)
+    // cut into the SECOND member: first frames whole, the walk then halts
+    Files.write(
+      Paths.get(s"$dir/cut.warc.gz"),
+      java.util.Arrays.copyOfRange(raw, 0, raw.length - 5)
+    )
+    val idx = Warc.memberIndex(spark, dir).orderBy("member_offset").collect()
+    assert(idx.length === 2, "one whole capture + one sentinel")
+    assert(idx(0).getAs[String]("warc_type") === "response")
+    assert(idx(0).getAs[String]("malformed") == null)
+    assert(idx(1).getAs[String]("malformed") === "bad-member")
+    assert(idx(1).getAs[Long]("member_offset") > 0L, "sentinel sits at the halt offset")
+  }
+
+  test("sink: task-committed shards — no in-progress temps survive a write") {
+    val dir = tmpDir("commit")
+    val records = Seq((0, 1L, reqA), (0, 2L, respA))
+      .toDF("g", "ord", "record_bytes")
+      .repartition(1)
+      .sortWithinPartitions("g", "ord")
+    Warc.write(records, dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.forall(n => !n.contains("inprogress")), s"left temps: ${names.mkString(",")}")
+    assert(names.count(_.endsWith(".warc.gz")) === 1)
+    assert(Warc.read(spark, dir).count() === 2, "hidden/temp names are never parsed")
+  }
 }
