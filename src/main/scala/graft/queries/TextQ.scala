@@ -1682,13 +1682,77 @@ object TextQ {
       Some(graft.operators.Html.extractOracleSql()),
       doc = "End-to-end crawl shape: documents → deterministic WARC shards " +
         "(ISO 28500, one gzip member per record, built once per corpus " +
-        "fingerprint) → binaryFile shard scan with pushed glob filter → " +
+        "fingerprint) → streaming shard walk (record-sized residency) → " +
         "streaming record parse → response filter + HTTP body slice → " +
         "jusText-style extraction. Oracle replays page construction + " +
         "extraction straight from the table, so any framing/slicing bug " +
         "in the container round-trip breaks the hash. One task per shard " +
         "(the CC ~1 GB shard convention); everything after the parse is " +
         "Catalyst expressions."
+    ),
+    // ---- real HTTP payload decoding: live servers gzip/deflate their
+    // bodies, chunk their transfer, and declare latin-1 charsets in the
+    // header or only in <meta>. The mixed-encoding archive carries every
+    // lane; the oracle replays the DECODED text per mode straight from
+    // the table, so skipping any of de-chunk / decompress / charset
+    // resolution breaks the hash.
+    Q(
+      "t_http_decode",
+      (s, d) => {
+        val dir = graft.sources.Warc.ensureHttpMixDir(d, Tables.documents(s, d))
+        graft.sources.Warc
+          .responses(s, dir)
+          .select(
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+            col("body_text").as("body"),
+            col("http_charset").as("charset"),
+            col("http_content_encoding").as("content_encoding"),
+            col("http_chunked").as("chunked")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val page = graft.operators.Html.dirtyHtmlSqlExpr
+        def latin(meta: String) =
+          s"'<html><head>$meta<title>d' || doc_id || '</title></head><body>" +
+            s"<p>café £' || doc_id || ' · Müller ®</p></body></html>'"
+        s"""WITH pg AS (SELECT doc_id, $page AS html FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN doc_id % 6 = 4 THEN ${latin("")}
+           |       WHEN doc_id % 6 = 5 THEN ${latin("<meta charset=\"iso-8859-1\">")}
+           |       ELSE html END AS body,
+           |  CASE WHEN doc_id % 6 IN (4, 5) THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
+           |  CASE WHEN doc_id % 6 IN (1, 3) THEN 'gzip'
+           |       WHEN doc_id % 6 = 2 THEN 'deflate' ELSE '' END AS content_encoding,
+           |  (doc_id % 6 = 3) AS chunked
+           |FROM pg ORDER BY doc_id""".stripMargin
+      },
+      doc = "Real HTTP payload decoding over a mixed-encoding archive " +
+        "(identity / gzip / zlib-deflate / chunked-wrapping-gzip / " +
+        "header-declared latin-1 / meta-only latin-1): receiver order " +
+        "per RFC 9112 — de-chunk the transfer coding, undo the content " +
+        "coding, then resolve the charset (Content-Type param, <meta> " +
+        "prescan, UTF-8 default) — as ONE native codegen kernel per " +
+        "record. Oracle replays the decoded text, charset, and coding " +
+        "labels per doc_id-mode from the table."
+    ),
+    Q(
+      "t_http_extract",
+      (s, d) => {
+        val dir = graft.sources.Warc.ensureHttpMixDir(d, Tables.documents(s, d))
+        graft.operators.Html
+          .extract(graft.sources.Warc.fixturePages(s, dir).filter(col("doc_id") % 6 < 4))
+          .orderBy("doc_id")
+      },
+      Some(
+        graft.operators.Html
+          .extractOracleSql("(SELECT * FROM documents WHERE doc_id % 6 < 4)")
+      ),
+      doc = "The decoded payloads FEED extraction: jusText-style block " +
+        "extraction over the mixed archive's gzip/deflate/chunked lanes " +
+        "(the dirty-page modes) — bit-equal to extracting the directly " +
+        "constructed pages, proving decompression and de-chunking hand " +
+        "extraction the exact bytes the server authored."
     ),
     Q(
       "t_wet_roundtrip",

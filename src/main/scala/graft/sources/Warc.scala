@@ -269,14 +269,6 @@ object Warc {
       }(enc)
   }
 
-  /** The `response` records of [[read]], with the HTTP block sliced into
-    * status / headers / body — Catalyst expressions over the parsed rows
-    * (the body split rides the WARC framing's Content-Length, so a body
-    * containing `\r\n\r\n` slices correctly: only the FIRST delimiter in
-    * the block separates HTTP headers from body). `body_text` decodes
-    * UTF-8 (the fixture corpora's charset; production charset sniffing
-    * would branch on `http_content_type` here).
-    */
   /** Re-spread parsed records when the shard count undershoots the
     * session's parallelism: a gzip member stream parses sequentially per
     * shard (whole-shard tasks are forced), but everything downstream —
@@ -303,7 +295,14 @@ object Warc {
 
   /** The HTTP status/header/body slice over any [[schema]]-shaped record
     * rows (whole-directory scans AND [[fetch]]ed point reads share it) —
-    * pure Catalyst expressions, see [[responses]] for the contract.
+    * header fields by Catalyst regex over a byte-preserving latin-1 view,
+    * the BODY through the real payload decoder
+    * ([[graft.functions.HttpCodec]]): `Transfer-Encoding: chunked`
+    * de-chunking, `Content-Encoding: gzip`/`deflate` decompression, and
+    * charset resolution (Content-Type param → `<meta charset>` prescan →
+    * UTF-8 default) — one native kernel call per record inside
+    * whole-stage codegen. `http_charset` / `http_content_encoding` /
+    * `http_chunked` expose what the decoder resolved.
     */
   def httpSlice(recs: DataFrame): DataFrame = {
     // byte-preserving single-byte charset view for the header scan: every
@@ -327,13 +326,7 @@ object Warc {
         "http_location",
         regexp_extract(col("http_head"), "(?im)^Location:\\s*([^\r\n]*)", 1)
       )
-      .withColumn(
-        "body_text",
-        when(
-          col("http_head_len") > 0,
-          expr("decode(substring(block, http_head_len + 4), 'UTF-8')")
-        ).otherwise(lit(""))
-      )
+      .withColumn("_hb", graft.functions.HttpBody.httpBody(col("block")))
       .select(
         col("path"),
         col("rec_offset"),
@@ -343,7 +336,10 @@ object Warc {
         col("http_status"),
         col("http_content_type"),
         col("http_location"),
-        col("body_text")
+        col("_hb.text").as("body_text"),
+        col("_hb.charset").as("http_charset"),
+        col("_hb.content_encoding").as("http_content_encoding"),
+        col("_hb.chunked").as("http_chunked")
       )
   }
 
@@ -684,6 +680,155 @@ object Warc {
         .toDF("g", "ord", "doc_id", "sub", "record_bytes")
         .repartition(nShards, col("g"))
         .sortWithinPartitions(col("g"), col("ord"), col("doc_id"), col("sub"))
+      write(records, tmp)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+      ()
+    }
+    dir
+  }
+
+  // -------------------------------------------- mixed-encoding fixture
+
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length)
+    val gz = new GZIPOutputStream(out)
+    gz.write(b)
+    gz.close()
+    out.toByteArray
+  }
+
+  private def deflateBytes(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b)
+    d.finish()
+    val out = new ByteArrayOutputStream(b.length)
+    val buf = new Array[Byte](1 << 14)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    d.end()
+    out.toByteArray
+  }
+
+  /** RFC 9112 chunked framing: fixed-size chunks + the 0-size terminator. */
+  private def chunkBytes(b: Array[Byte], chunk: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length + 64)
+    var i = 0
+    while (i < b.length) {
+      val n = math.min(chunk, b.length - i)
+      out.write(s"${n.toHexString}$Crlf".getBytes("US-ASCII"))
+      out.write(b, i, n)
+      out.write(Crlf.getBytes("US-ASCII"))
+      i += n
+    }
+    out.write(s"0$Crlf$Crlf".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  /** The latin-1 marker page of the mixed-encoding fixture: every char
+    * is ISO-8859-1-encodable and at least four are non-ASCII, so a
+    * UTF-8-unconditional decode CANNOT round-trip it — the page that
+    * makes the charset lanes non-vacuous.
+    */
+  private[graft] def latinPage(id: Long, withMeta: Boolean): String = {
+    val meta = if (withMeta) "<meta charset=\"iso-8859-1\">" else ""
+    s"<html><head>$meta<title>d$id</title></head><body>" +
+      s"<p>café £$id · Müller ®</p></body></html>"
+  }
+
+  /** A `response` record whose HTTP payload is REALLY encoded the way
+    * live servers encode (mode = doc_id % 6):
+    *
+    *   - 0: identity, `charset=utf-8` in the header;
+    *   - 1: `Content-Encoding: gzip`;
+    *   - 2: `Content-Encoding: deflate` (zlib-wrapped, RFC 9110);
+    *   - 3: `Transfer-Encoding: chunked` WRAPPING gzip (sender applies
+    *        the transfer coding last, so the receiver de-chunks first);
+    *   - 4: ISO-8859-1 body, `charset=iso-8859-1` as a Content-Type
+    *        parameter;
+    *   - 5: ISO-8859-1 body, charset declared ONLY by `<meta charset>`
+    *        (the WHATWG prescan lane — the header says bare text/html).
+    */
+  private[graft] def mixResponseRecord(
+      uri: String,
+      recordId: String,
+      warcDate: String,
+      html: String,
+      mode: Int
+  ): Array[Byte] = {
+    val ct = mode match {
+      case 4 => "text/html; charset=iso-8859-1"
+      case 5 => "text/html"
+      case _ => "text/html; charset=utf-8"
+    }
+    val raw = html.getBytes(if (mode >= 4) "ISO-8859-1" else "UTF-8")
+    val encoded = mode match {
+      case 1 | 3 => gzipBytes(raw)
+      case 2     => deflateBytes(raw)
+      case _     => raw
+    }
+    val payload = if (mode == 3) chunkBytes(encoded, 1000) else encoded
+    val sb = new StringBuilder
+    sb.append("HTTP/1.1 200 OK").append(Crlf)
+    sb.append("Content-Type: ").append(ct).append(Crlf)
+    if (mode == 1 || mode == 3) sb.append("Content-Encoding: gzip").append(Crlf)
+    if (mode == 2) sb.append("Content-Encoding: deflate").append(Crlf)
+    if (mode == 3) sb.append("Transfer-Encoding: chunked").append(Crlf)
+    // chunked messages carry no Content-Length (RFC 9112 §6.2)
+    if (mode != 3) sb.append("Content-Length: ").append(encoded.length).append(Crlf)
+    sb.append(Crlf)
+    val head = sb.toString.getBytes("UTF-8")
+    val block = new ByteArrayOutputStream(head.length + payload.length)
+    block.write(head)
+    block.write(payload)
+    renderRecord(
+      "response",
+      recordId,
+      Some(uri),
+      warcDate,
+      "application/http; msgtype=response",
+      block.toByteArray
+    )
+  }
+
+  /** Deterministic MIXED-ENCODING crawl archive over the documents table
+    * (the [[ensureFixtureDir]] recipe, one response per document): modes
+    * 0-3 carry the [[graft.operators.Html.dirtyHtml]] page through
+    * identity/gzip/deflate/chunked+gzip payloads; modes 4-5 carry the
+    * non-ASCII [[latinPage]] as ISO-8859-1 bytes with the charset
+    * declared in the header (4) or only in `<meta>` (5). The oracle
+    * replays the DECODED text per mode straight from the table — a
+    * decoder that skips any of de-chunking, decompression, or charset
+    * resolution cannot round-trip.
+    */
+  def ensureHttpMixDir(sfDir: String, docs: DataFrame, nShards: Int = 8): String = {
+    val dir = graft.operators.Indexes
+      .fingerprintDirOn("httpmix-fixture", sfDir, docs, "doc_id", "text", s"ns=$nShards,v=1")
+    graft.operators.Indexes.atomicBuild(dir, "_SUCCESS") { tmp =>
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val records = graft.operators.Html
+        .dirtyHtml(docs)
+        .as[(Long, String)]
+        .map { case (id, dirty) =>
+          val mode = (id % 6).toInt
+          val html = if (mode >= 4) latinPage(id, withMeta = mode == 5) else dirty
+          (
+            (id % nShards).toInt,
+            id,
+            mixResponseRecord(
+              s"http://example.com/doc/$id",
+              s"<urn:uuid:mix-$id>",
+              FixtureDate,
+              html,
+              mode
+            )
+          )
+        }
+        .toDF("g", "doc_id", "record_bytes")
+        .repartition(nShards, col("g"))
+        .sortWithinPartitions(col("g"), col("doc_id"))
       write(records, tmp)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
       ()

@@ -361,6 +361,67 @@ class WarcSpec extends AnyFunSuite {
     assert(idx(1).getAs[Long]("member_offset") > 0L, "sentinel sits at the halt offset")
   }
 
+  test("httpSlice: per-encoding decode — gzip, deflate, chunked+gzip, header latin-1, meta latin-1") {
+    val dir = tmpDir("httpmix")
+    val pages = (0 to 5).map { m =>
+      val html =
+        if (m >= 4) Warc.latinPage(m.toLong, withMeta = m == 5)
+        else s"<html><body><p>plain page $m</p></body></html>"
+      (m, html)
+    }
+    val recs = pages.map { case (m, html) =>
+      Warc.mixResponseRecord(s"http://example.com/doc/$m", s"<urn:uuid:m-$m>", Warc.FixtureDate, html, m)
+    }
+    Files.write(Paths.get(s"$dir/mix.warc.gz"), gzBytes(recs: _*))
+    val got = Warc
+      .responses(spark, dir)
+      .select("target_uri", "body_text", "http_charset", "http_content_encoding", "http_chunked")
+      .as[(String, String, String, String, Boolean)]
+      .collect()
+      .map(r => r._1.split("/").last.toInt -> ((r._2, r._3, r._4, r._5)))
+      .toMap
+    pages.foreach { case (m, html) =>
+      val (body, cs, enc, chunked) = got(m)
+      assert(body === html, s"mode $m body must round-trip")
+      assert(cs === (if (m >= 4) "iso-8859-1" else "utf-8"), s"mode $m charset")
+      assert(
+        enc === (m match { case 1 | 3 => "gzip"; case 2 => "deflate"; case _ => "" }),
+        s"mode $m content-encoding"
+      )
+      assert(chunked === (m == 3), s"mode $m chunked flag")
+    }
+  }
+
+  test("HttpCodec edges: malformed codings fall back, unknown charsets default to utf-8") {
+    import graft.functions.HttpCodec
+    // bad chunk framing -> bytes pass through unchanged
+    val junk = "not-a-hex-size\r\ndata".getBytes("UTF-8")
+    assert(HttpCodec.dechunk(junk).toSeq === junk.toSeq)
+    // truncated chunk -> unchanged
+    val cut = "ff\r\nshort".getBytes("UTF-8")
+    assert(HttpCodec.dechunk(cut).toSeq === cut.toSeq)
+    // corrupt gzip -> unchanged
+    val notGz = Array[Byte](1, 2, 3, 4)
+    assert(HttpCodec.tryGunzip(notGz).toSeq === notGz.toSeq)
+    assert(HttpCodec.tryInflate(notGz).toSeq === notGz.toSeq)
+    // raw (non-zlib) deflate still inflates — the sloppy-server lane
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput("raw deflate payload".getBytes("UTF-8")); d.finish()
+    val buf = new Array[Byte](256)
+    val n = d.deflate(buf); d.end()
+    assert(
+      new String(HttpCodec.tryInflate(java.util.Arrays.copyOf(buf, n)), "UTF-8")
+        === "raw deflate payload"
+    )
+    // unknown charset label -> utf-8 default
+    assert(HttpCodec.charsetLabel("text/html; charset=klingon-8", Array.emptyByteArray) === "utf-8")
+    // header param wins over meta
+    val metaBody = "<html><head><meta charset=\"iso-8859-1\"></head></html>".getBytes("UTF-8")
+    assert(HttpCodec.charsetLabel("text/html; charset=utf-8", metaBody) === "utf-8")
+    assert(HttpCodec.charsetLabel("text/html", metaBody) === "iso-8859-1")
+    assert(HttpCodec.charsetLabel(null, metaBody) === "iso-8859-1")
+  }
+
   test("sink: task-committed shards — no in-progress temps survive a write") {
     val dir = tmpDir("commit")
     val records = Seq((0, 1L, reqA), (0, 2L, respA))
