@@ -153,6 +153,24 @@ object HttpCodec {
     "utf-8"
   }
 
+  /** Deterministic gzip of a string's UTF-8 bytes (Java gzip writes a
+    * zero MTIME, so output is a pure function of input) — the fixture
+    * writer half of [[tryGunzip]].
+    */
+  def gzipUtf8(s: UTF8String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(256)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(s.toString.getBytes(StandardCharsets.UTF_8))
+    gz.close()
+    out.toByteArray
+  }
+
+  /** Transparent gunzip: bytes pass through unless they carry the gzip
+    * magic (then [[tryGunzip]] semantics — corrupt members fall back).
+    */
+  def gunzipIfGzip(b: Array[Byte]): Array[Byte] =
+    if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) tryGunzip(b) else b
+
   /** Full decode: (text, charset, content_encoding, chunked). Blocks with
     * no HTTP head delimiter decode to ("", null, null, false) — the
     * non-HTTP record shapes (warcinfo etc.) that share the slice path.
@@ -230,4 +248,62 @@ object HttpBody {
 
   def httpBody(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.util.Cols.nativeCol(HttpBody(graft.util.Cols.nativeExpr(c)))
+}
+
+/** `gzip_utf8(s)` — deterministic gzip of a string's UTF-8 bytes; the
+  * declarative fixture writer for gzipped sidecar documents (sitemap
+  * children etc.), dual of [[MaybeGunzip]].
+  */
+case class GzipUtf8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"gzip_utf8 requires a string argument, got ${child.dataType.catalogString}"
+      )
+  override def nullSafeEval(input: Any): Any =
+    HttpCodec.gzipUtf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"${ev.value} = graft.functions.HttpCodec.gzipUtf8($c);"
+    )
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GzipUtf8 {
+  def gzipUtf8(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.util.Cols.nativeCol(GzipUtf8(graft.util.Cols.nativeExpr(c)))
+}
+
+/** `maybe_gunzip(b)` — transparent gunzip: bytes pass through unless
+  * gzip-magic-prefixed (corrupt members fall back to the input, the
+  * permissive contract). The read half of gzipped sidecar documents.
+  */
+case class MaybeGunzip(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"maybe_gunzip requires a binary argument, got ${child.dataType.catalogString}"
+      )
+  override def nullSafeEval(input: Any): Any =
+    HttpCodec.gunzipIfGzip(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"${ev.value} = graft.functions.HttpCodec.gunzipIfGzip((byte[]) $c);"
+    )
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MaybeGunzip {
+  def maybeGunzip(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.util.Cols.nativeCol(MaybeGunzip(graft.util.Cols.nativeExpr(c)))
 }

@@ -39,30 +39,40 @@ object UrlQ {
     */
   private def robotsCtesSql(domsRel: String): String = {
     import graft.operators.Robots
+    // group scoping mirrors Robots.scopedLines: a group STARTS at a
+    // User-agent line whose previous line is not one; stacked headers
+    // share the gid, and every header of the run co-owns the rule block
     s"""rob AS (SELECT domain, ${Robots.robotsTxtSql("domain")} AS txt FROM $domsRel),
        |lns AS (SELECT domain,
        |    unnest(generate_series(1, len(string_split(txt, chr(10))))) AS pos,
        |    string_split(txt, chr(10))[
        |      unnest(generate_series(1, len(string_split(txt, chr(10)))))] AS line
        |  FROM rob),
-       |scoped0 AS (SELECT domain, line,
-       |    last_value(CASE WHEN regexp_extract(line, '^[Uu]ser-agent:\\s*(\\S+)', 1) <> ''
-       |      THEN regexp_extract(line, '^[Uu]ser-agent:\\s*(\\S+)', 1) END IGNORE NULLS)
-       |      OVER (PARTITION BY domain ORDER BY pos
-       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent,
+       |l2 AS (SELECT domain, pos, line,
+       |    regexp_extract(line, '^[Uu]ser-agent:\\s*(\\S+)', 1) AS ua,
        |    regexp_extract(line, '^(Allow|Disallow):\\s*(\\S*)', 1) AS dir,
        |    regexp_extract(line, '^(Allow|Disallow):\\s*(\\S*)', 2) AS pattern,
        |    regexp_extract(line, '^[Cc]rawl-delay:\\s*([0-9]+)', 1) AS delay
        |  FROM lns),
-       |rules AS (SELECT domain, agent, dir = 'Allow' AS allow, pattern
-       |  FROM scoped0 WHERE dir <> '' AND pattern <> '' AND agent IS NOT NULL),
-       |spec AS (SELECT DISTINCT domain FROM scoped0 WHERE agent = '${Robots.Agent}'),
+       |g0 AS (SELECT *, CASE WHEN ua <> '' AND NOT coalesce(
+       |      lag(ua <> '') OVER (PARTITION BY domain ORDER BY pos), false)
+       |      THEN 1 ELSE 0 END AS gstart
+       |  FROM l2),
+       |g AS (SELECT *, sum(gstart) OVER (PARTITION BY domain ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+       |  FROM g0),
+       |mem AS (SELECT DISTINCT domain, gid, ua AS agent FROM g WHERE ua <> ''),
+       |rules AS (SELECT g.domain, m.agent, g.dir = 'Allow' AS allow, g.pattern
+       |  FROM g JOIN mem m ON g.domain = m.domain AND g.gid = m.gid
+       |  WHERE g.dir <> '' AND g.pattern <> ''),
+       |spec AS (SELECT DISTINCT domain FROM mem WHERE agent = '${Robots.Agent}'),
        |scoped AS (SELECT r.domain, r.allow, r.pattern
        |  FROM rules r LEFT JOIN spec s ON r.domain = s.domain
        |  WHERE CASE WHEN s.domain IS NOT NULL
        |        THEN r.agent = '${Robots.Agent}' ELSE r.agent = '*' END),
-       |dels AS (SELECT domain, agent, CAST(delay AS BIGINT) AS delay_s
-       |  FROM scoped0 WHERE delay <> '' AND agent IS NOT NULL),
+       |dels AS (SELECT g.domain, m.agent, CAST(g.delay AS BIGINT) AS delay_s
+       |  FROM g JOIN mem m ON g.domain = m.domain AND g.gid = m.gid
+       |  WHERE g.delay <> ''),
        |sdel AS (SELECT d.domain, d.delay_s
        |  FROM dels d LEFT JOIN spec s ON d.domain = s.domain
        |  WHERE CASE WHEN s.domain IS NOT NULL
@@ -387,9 +397,7 @@ object UrlQ {
            |    regexp_replace(url_norm, '^[a-z][a-z0-9+.-]*://[^/]*', '') AS target
            |  FROM dm),
            |m AS (SELECT t.doc_id, t.domain,
-           |    max(CASE WHEN (CASE WHEN r.pattern LIKE '%$$'
-           |          THEN t.target = rtrim(r.pattern, '$$')
-           |          ELSE starts_with(t.target, r.pattern) END)
+           |    max(CASE WHEN ${graft.operators.Robots.ruleMatchSql("t.target", "r.pattern")}
            |        THEN struct_pack(l := len(r.pattern), a := r.allow, p := r.pattern)
            |        END) AS win
            |  FROM tg t LEFT JOIN scoped r ON t.domain = r.domain
@@ -397,15 +405,17 @@ object UrlQ {
            |SELECT doc_id, domain, COALESCE(win.a, true) AS allowed, win.p AS rule
            |FROM m ORDER BY doc_id""".stripMargin
       },
-      doc = "robots.txt crawl-politeness gate (RFC 9309 subset: prefix " +
-        "patterns + $ anchor): per-domain robots files parse into " +
-        "user-agent-scoped rules (group-scoping window over lines), " +
-        "then every URL is judged by its domain's most specific group — " +
-        "longest matching rule wins, Allow breaks length ties, no match " +
-        "means allowed. Rules are a per-host dimension table, so the " +
-        "gate is a broadcast join + max(struct) that combines map-side " +
-        "— one verdict row per URL crosses the exchange, and the " +
-        "frontier is never windowed."
+      doc = "robots.txt crawl-politeness gate (RFC 9309 §2.2.3 pattern " +
+        "language in full: prefix rules, mid-pattern * wildcards as " +
+        "escaped anchored regexes — non-wildcard rules keep the prefix " +
+        "fast path — and the $ end anchor): per-domain robots files " +
+        "parse into group-scoped rules where stacked User-agent headers " +
+        "co-own their block and same-agent groups merge, then every URL " +
+        "is judged by its domain's most specific group — longest PATTERN " +
+        "wins, Allow breaks length ties, no match means allowed. Rules " +
+        "are a per-host dimension table, so the gate is a broadcast join " +
+        "+ max(struct) that combines map-side — one verdict row per URL " +
+        "crosses the exchange, and the frontier is never windowed."
     ),
     // ---- Crawl-delay resolution: the de-facto REP extension feeding
     // the per-domain fetch rate. Group semantics match u_robots: a UA is
@@ -557,6 +567,85 @@ object UrlQ {
         "newly-discovered — the frontier channel beside outlinks and " +
         "pagination. Oracle replays construction, parse, normalization, " +
         "and the split per domain."
+    ),
+    // ---- sitemap INDEX recursion: large sites ship a <sitemapindex>
+    // root naming gzipped child urlsets (the sitemaps.org convention).
+    // Indexed domains' links must arrive through root parse → child
+    // resolution → transparent gunzip → urlset parse; flat domains keep
+    // the direct lane. The /sx/ namespace exists ONLY in index children,
+    // so a recursion that never runs cannot fake the hash.
+    Q(
+      "u_sitemap_index",
+      (s, d) => {
+        import graft.operators.Robots
+        val corpus = withUrls(s, d).select(col("url_norm").as("link")).distinct()
+        // barrier the tiny domain list: its derivation tree (normalize +
+        // host + eTLD+1 regexes) would otherwise inline into all four
+        // fixture-union branches and every seed expression
+        val domains = withUrls(s, d)
+          .select(Urls.registeredDomain(Urls.hostOf(col("url_norm"))).as("domain"))
+          .distinct()
+          .localCheckpoint()
+        val roots = domains.select(
+          col("domain"),
+          concat(lit("https://"), col("domain"), lit("/sitemap.xml")).as("url")
+        )
+        val locs = Robots.sitemapLinksDeep(Robots.sitemapDocs(domains), roots).distinct()
+        val tagged = locs
+          .join(corpus.withColumn("known", lit(true)), Seq("link"), "left")
+          .withColumn("known", coalesce(col("known"), lit(false)))
+        tagged
+          .groupBy(col("domain"))
+          .agg(
+            sum(when(col("known"), 1L).otherwise(0L)).as("n_known"),
+            sum(when(!col("known"), 1L).otherwise(0L)).as("n_new"),
+            concat_ws(" ", array_sort(collect_list(when(!col("known"), col("link")))))
+              .as("new_urls")
+          )
+          .orderBy("domain")
+      },
+      Some {
+        import graft.operators.Robots
+        val isIdx = Robots.sitemapIsIndexedSql("domain")
+        // doms MATERIALIZED: inlined, DuckDB re-expands the whole
+        // urlCte→domain derivation into each union branch's giant seed
+        // expressions and planning memory explodes (measured OOM at 20
+        // domains); materialization plans the derivation once
+        s"""$urlCte,
+           |doms AS MATERIALIZED (SELECT DISTINCT $domainSql AS domain FROM n),
+           |smx AS (
+           |  SELECT domain, ${Robots.sitemapXmlSql("domain")} AS xml
+           |  FROM doms WHERE NOT $isIdx
+           |  UNION ALL
+           |  SELECT domain, ${Robots.sitemapChildSql("domain", "a")} FROM doms WHERE $isIdx
+           |  UNION ALL
+           |  SELECT domain, ${Robots.sitemapChildSql("domain", "b")} FROM doms WHERE $isIdx),
+           |locs0 AS (SELECT domain,
+           |    unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS raw
+           |  FROM smx),
+           |locs AS (SELECT DISTINCT domain, ${Urls.normalizeUrlSql("raw")} AS link
+           |  FROM locs0),
+           |tagged AS (SELECT l.domain, l.link,
+           |    (l.link IN (SELECT DISTINCT url_norm FROM n)) AS known
+           |  FROM locs l)
+           |SELECT domain,
+           |  SUM(CASE WHEN known THEN 1 ELSE 0 END)::BIGINT AS n_known,
+           |  SUM(CASE WHEN NOT known THEN 1 ELSE 0 END)::BIGINT AS n_new,
+           |  array_to_string(list_sort(list(CASE WHEN NOT known THEN link END)
+           |    FILTER (WHERE NOT known)), ' ') AS new_urls
+           |FROM tagged GROUP BY domain ORDER BY domain""".stripMargin
+      },
+      doc = "Sitemap INDEX recursion (sitemaps.org): indexed domains " +
+        "publish a <sitemapindex> root naming two GZIPPED child urlsets; " +
+        "links arrive through root parse → child resolution against the " +
+        "fetched-document table → transparent gunzip (native kernel) → " +
+        "urlset parse, flat domains through the direct lane — then the " +
+        "known/new split against corpus canonicals. One join level IS " +
+        "the complete protocol (index files may not list index files); " +
+        "sitemap documents are a host-dimension table, so everything is " +
+        "host-keyed joins + map-only regex. Oracle replays both lanes' " +
+        "construction and the split; the /sx/ namespace exists only in " +
+        "gzipped children, pinning that the recursion really ran."
     ),
     // ---- redirect-chain resolution over the archive: 3xx Location
     // chains followed to terminal URLs with bounded hops, cycle refusal,
@@ -719,9 +808,7 @@ object UrlQ {
            |doms0 AS (SELECT DISTINCT $domainSql AS domain FROM n),
            |${robotsCtesSql("doms0")},
            |m AS (SELECT f.link, f.domain,
-           |    max(CASE WHEN (CASE WHEN r.pattern LIKE '%$$'
-           |          THEN f.target = rtrim(r.pattern, '$$')
-           |          ELSE starts_with(f.target, r.pattern) END)
+           |    max(CASE WHEN ${graft.operators.Robots.ruleMatchSql("f.target", "r.pattern")}
            |        THEN struct_pack(l := len(r.pattern), a := r.allow, p := r.pattern)
            |        END) AS win
            |  FROM fresh f LEFT JOIN scoped r ON f.domain = r.domain

@@ -22,6 +22,17 @@ object Cols {
   def nativeExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     ExpressionUtils.expression(c)
 
+  /** RLIKE with a NON-LITERAL pattern column (the functions API only
+    * takes literal regexes). Catalyst's RLike compiles per evaluation
+    * when the pattern is non-foldable — keep such matches off hot paths
+    * unless guarded (see [[graft.operators.Robots.ruleMatch]]'s
+    * wildcard-only branch).
+    */
+  def rlikeCol(src: Column, pattern: Column): Column =
+    nativeCol(
+      org.apache.spark.sql.catalyst.expressions.RLike(nativeExpr(src), nativeExpr(pattern))
+    )
+
   def lng(c: Column): Column = c.cast(LongType)
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   def dec4(c: Column): Column = c.cast(DecimalType(18, 4))

@@ -116,6 +116,93 @@ class RobotsSpec extends AnyFunSuite {
     assert(r(2L) === ((true, Some("/p/3?id=3"))))
   }
 
+  test("gate: RFC 9309 §2.2.3 mid-pattern * wildcards — /*.php$ and /private*/ verdicts") {
+    val txt = "User-agent: *\nDisallow: /*.php$\nDisallow: /private*/"
+    val r = verdicts(
+      Seq(("d.com", txt)),
+      Seq(
+        (1L, "d.com", "http://d.com/index.php"), // *.php$ bites
+        (2L, "d.com", "http://d.com/a/b/page.php"), // mid-path too
+        (3L, "d.com", "http://d.com/index.php?x=1"), // $ anchors: query escapes
+        (4L, "d.com", "http://d.com/index.phpx"), // $ anchors: suffix escapes
+        (5L, "d.com", "http://d.com/private-zone/doc"), // /private*/ bites
+        (6L, "d.com", "http://d.com/private"), // no trailing slash -> free
+        (7L, "d.com", "http://d.com/privateX/"), // wildcard spans, trailing / matches
+        (8L, "d.com", "http://d.com/public/x.html") // untouched
+      )
+    )
+    assert(r(1L) === ((false, Some("/*.php$"))))
+    assert(r(2L) === ((false, Some("/*.php$"))))
+    assert(r(3L) === ((true, None)))
+    assert(r(4L) === ((true, None)))
+    assert(r(5L) === ((false, Some("/private*/"))))
+    assert(r(6L) === ((true, None)))
+    assert(r(7L) === ((false, Some("/private*/"))))
+    assert(r(8L) === ((true, None)))
+  }
+
+  test("gate: wildcard-length precedence — the longest PATTERN wins, octets counted raw") {
+    // /p/*?id=1 (9 octets incl * and =1) vs Allow /p/7 (4): wildcard wins
+    val txt = "User-agent: *\nAllow: /p/7\nDisallow: /p/*?id=1"
+    val r = verdicts(
+      Seq(("d.com", txt)),
+      Seq(
+        (1L, "d.com", "http://d.com/p/7?id=1"), // both match; longer wildcard blocks
+        (2L, "d.com", "http://d.com/p/7") // only the Allow matches
+      )
+    )
+    assert(r(1L) === ((false, Some("/p/*?id=1"))))
+    assert(r(2L) === ((true, Some("/p/7"))))
+  }
+
+  test("parse: stacked User-agent headers co-own the block; same-agent groups merge") {
+    val txt =
+      """User-agent: alpha
+        |User-agent: graftbot
+        |Disallow: /shared
+        |User-agent: graftbot
+        |Disallow: /merged
+        |""".stripMargin
+    val rules = Robots
+      .parseRules(Seq(("d.com", txt)).toDF("domain", "txt"))
+      .as[(String, String, Boolean, String)]
+      .collect()
+      .toSet
+    assert(
+      rules === Set(
+        ("d.com", "alpha", false, "/shared"),
+        ("d.com", "graftbot", false, "/shared"),
+        ("d.com", "graftbot", false, "/merged")
+      ),
+      "both stacked agents own the block; graftbot's two groups merge"
+    )
+  }
+
+  test("gate: a stacked header DECLARES the specific group — * rules stop leaking") {
+    // graftbot appears only as the second stacked header; its group must
+    // still shield it from the * block
+    val txt = "User-agent: *\nDisallow: /\nUser-agent: other\nUser-agent: graftbot\nDisallow: /only"
+    val r = verdicts(
+      Seq(("d.com", txt)),
+      Seq(
+        (1L, "d.com", "http://d.com/anywhere"), // * Disallow / must NOT apply
+        (2L, "d.com", "http://d.com/only/x") // the stacked group's own rule does
+      )
+    )
+    assert(r(1L) === ((true, None)))
+    assert(r(2L) === ((false, Some("/only"))))
+  }
+
+  test("effectiveDelay: a delay in a stacked group governs every listed agent") {
+    val txt = "User-agent: *\nCrawl-delay: 9\nUser-agent: x\nUser-agent: graftbot\nCrawl-delay: 4"
+    val d = Robots
+      .effectiveDelay(Seq(("d.com", txt)).toDF("domain", "txt"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(d("d.com") === 4L, "the stacked group's delay, not *'s")
+  }
+
   test("effectiveDelay: group isolation, fall-back, and default (REP Crawl-delay)") {
     val robots = Seq(
       // * delay must NOT leak into a domain that declares a graftbot
