@@ -103,4 +103,87 @@ object LinkGraph {
     }
     r
   }
+
+  /** [[pageRank]] with an EPSILON STOP and optional dangling-mass
+    * redistribution — the published formulation's two knobs the
+    * fixed-round form leaves out.
+    *
+    *   - Convergence: after each round the max absolute rank movement
+    *     (integer [[RankScale]] units) is checked on the driver; the
+    *     walk stops at the first round where it drops below
+    *     `epsilonUnits`, else at `maxIters`. Integer arithmetic makes
+    *     the round count itself bit-deterministic — the same corpus
+    *     always converges at the same round on any cluster, so the
+    *     oracle can replay the unrolled recurrence and re-derive BOTH
+    *     the ranks and the stopping round.
+    *   - Dangling mass: hosts without outlinks forward nothing; by
+    *     default their mass leaks (the [[pageRank]] contract). With
+    *     `redistributeDangling` each node instead receives
+    *     `danglingMass DIV n` extra in-mass per round (the uniform
+    *     redistribution of the published formulation; the sub-`n`
+    *     remainder still leaks — exact-integer price, documented).
+    *     Redistribution CHANGES the ranking on leaky graphs, pinned in
+    *     UrlSpec.
+    *
+    * Returns (`h`, `rank`, `rounds`) with `rounds` the executed count.
+    * Per-round cost adds one tiny driver action (the max-delta check —
+    * |hosts|-row aggregate) and, when redistributing, one anti-join sum
+    * over the rank table; everything stays keyed shuffles, no all-pairs.
+    */
+  def pageRankConverged(
+      edges: DataFrame,
+      maxIters: Int = 6,
+      epsilonUnits: Long = RankScale / 10,
+      redistributeDangling: Boolean = false
+  ): DataFrame = {
+    val e = edges
+      .select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e
+      .select(col("src").as("h"))
+      .union(e.select(col("dst").as("h")))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nNodes = math.max(1L, nodes.count())
+    var r = nodes.withColumn("rank", lit(RankScale)).localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (rounds < maxIters && !converged) {
+      val dangleShare =
+        if (redistributeDangling) {
+          val dm = r
+            .join(deg.withColumnRenamed("src", "h"), Seq("h"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0L)))
+            .head()
+            .getLong(0)
+          dm / nNodes
+        } else 0L
+      val contrib = e
+        .join(deg, "src")
+        .join(r.withColumnRenamed("h", "src"), "src")
+        .select(col("dst"), expr("rank DIV outdeg").as("c"))
+      val inMass = contrib.groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      val rNew = nodes
+        .join(inMass.withColumnRenamed("dst", "h"), Seq("h"), "left")
+        .select(
+          col("h"),
+          (lit((DampDen - DampNum) * RankScale / DampDen) +
+            expr(s"($DampNum * (coalesce(m, CAST(0 AS BIGINT)) + ${dangleShare}L)) DIV $DampDen"))
+            .as("rank")
+        )
+        .localCheckpoint()
+      val delta = rNew
+        .join(r.select(col("h"), col("rank").as("prev")), "h")
+        .agg(coalesce(max(abs(col("rank") - col("prev"))), lit(0L)))
+        .head()
+        .getLong(0)
+      r = rNew
+      rounds += 1
+      converged = delta < epsilonUnits
+    }
+    r.withColumn("rounds", lit(rounds.toLong))
+  }
 }

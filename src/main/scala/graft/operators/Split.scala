@@ -161,6 +161,68 @@ object Split {
       .drop("_shard", "_offset")
   }
 
+  /** Two-level `row_number() OVER (PARTITION BY part ORDER BY ord)` —
+    * bit-identical ranks without ever sorting one partition PER KEY.
+    * The [[packSequences]] sharded-prefix-sum recipe generalized to
+    * string order keys, where id-range sharding is unavailable: a RANGE
+    * exchange on `(part, ord)` bounds every sort partition by corpus
+    * size / shards regardless of key skew (a mega-domain spans MANY
+    * range partitions), then
+    *
+    *   1. per-(range-partition, key) counts — a tiny frame: contiguous
+    *      ranges mean ≤ keys + shards − 1 rows;
+    *   2. a window over THAT frame turns counts into per-partition
+    *      starting offsets (range partition ids are ordered by key
+    *      range, so cumulating by pid IS cumulating by order);
+    *   3. offsets broadcast back; local `row_number` within
+    *      (pid, key) + offset = the global per-key rank.
+    *
+    * The range-partitioned frame is localCheckpointed: both passes must
+    * observe the SAME materialized partition ids (and the barrier also
+    * stops the order-key expression tree re-deriving upstream work —
+    * the CollapseProject lesson). Ranks equal the single-window form
+    * whenever `ord` is unique per key (ties otherwise tie-break
+    * arbitrarily, exactly like `row_number` itself).
+    */
+  def shardedRowNumber(
+      df: DataFrame,
+      partCol: String,
+      orderCol: String,
+      shards: Int,
+      out: String = "rn"
+  ): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val pinned = df
+      .repartitionByRange(shards, col(partCol), col(orderCol))
+      .localCheckpoint()
+      .withColumn("_pid", spark_partition_id().cast("long"))
+    val offsets = pinned
+      .groupBy(col("_pid"), col(partCol))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn(
+        "_off",
+        coalesce(
+          sum(col("_c")).over(
+            W.partitionBy(col(partCol))
+              .orderBy(col("_pid"))
+              .rowsBetween(W.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select(col("_pid"), col(partCol), col("_off"))
+    pinned
+      .join(broadcast(offsets), Seq("_pid", partCol))
+      .withColumn(
+        out,
+        col("_off") + row_number()
+          .over(W.partitionBy(col("_pid"), col(partCol)).orderBy(col(orderCol)))
+          .cast("long")
+      )
+      .drop("_pid", "_off")
+  }
+
   /** Weighted dataset mixing: keep each row with its source's sampling
     * percent, decided by an md5 bucket of the id salted with "#mix" (so the
     * mix decision is independent of the train/val/test bucket of the same

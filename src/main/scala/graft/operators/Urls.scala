@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL operations for crawl pipelines: syntax-based normalization
@@ -218,8 +218,23 @@ object Urls {
     val refPath = regexp_extract(ref, "^([^?#]*)", 1)
     val refTail = regexp_replace(ref, "^[^?#]*", "") // ?query#frag remainder
     val baseDir = regexp_replace(basePath, "[^/]*$", "")
-    when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), ref)
-      .when(ref.startsWith("//"), concat(baseScheme, lit(":"), ref))
+    // §5.2.2 applies remove_dot_segments even when the reference has a
+    // scheme or is network-path: http://h/a/../b must canonicalize to
+    // http://h/b or canonical-URL dedup treats them as distinct. Opaque
+    // scheme'd refs (mailto:, javascript: — no authority) pass verbatim;
+    // an EMPTY path stays empty (remove_dot_segments of '' is '').
+    val refAfterAuth = regexp_replace(ref, "^([A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]*", "")
+    val refAbsOrigin = regexp_extract(ref, "^(([A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]*)", 1)
+    val refAbsPath = regexp_extract(refAfterAuth, "^([^?#]*)", 1)
+    val refAbsTail = regexp_replace(refAfterAuth, "^[^?#]*", "")
+    val absPathNorm =
+      when(refAbsPath === "", lit("")).otherwise(removeDotSegments(refAbsPath))
+    when(
+      ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+      concat(refAbsOrigin, absPathNorm, refAbsTail)
+    )
+      .when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), ref)
+      .when(ref.startsWith("//"), concat(baseScheme, lit(":"), refAbsOrigin, absPathNorm, refAbsTail))
       .when(ref === "", baseNoFrag)
       .when(ref.startsWith("#"), concat(baseNoFrag, ref))
       .when(ref.startsWith("?"), concat(origin, basePath, ref))
@@ -237,9 +252,20 @@ object Urls {
     val refPath = s"regexp_extract($ref, '^([^?#]*)', 1)"
     val refTail = s"regexp_replace($ref, '^[^?#]*', '')"
     val baseDir = s"regexp_replace($basePath, '[^/]*$$', '')"
+    val refAfterAuth =
+      s"regexp_replace($ref, '^([A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]*', '')"
+    val refAbsOrigin =
+      s"regexp_extract($ref, '^(([A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]*)', 1)"
+    val refAbsPath = s"regexp_extract($refAfterAuth, '^([^?#]*)', 1)"
+    val refAbsTail = s"regexp_replace($refAfterAuth, '^[^?#]*', '')"
+    val absPathNorm =
+      s"(CASE WHEN $refAbsPath = '' THEN '' ELSE ${removeDotSegmentsSql(refAbsPath)} END)"
     s"""CASE
+       | WHEN regexp_matches($ref, '^[A-Za-z][A-Za-z0-9+.-]*://')
+       |   THEN $refAbsOrigin || $absPathNorm || $refAbsTail
        | WHEN regexp_matches($ref, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN $ref
-       | WHEN starts_with($ref, '//') THEN $baseScheme || ':' || $ref
+       | WHEN starts_with($ref, '//')
+       |   THEN $baseScheme || ':' || $refAbsOrigin || $absPathNorm || $refAbsTail
        | WHEN $ref = '' THEN $baseNoFrag
        | WHEN starts_with($ref, '#') THEN $baseNoFrag || $ref
        | WHEN starts_with($ref, '?') THEN $origin || $basePath || $ref
@@ -273,6 +299,64 @@ object Urls {
     s"""CASE WHEN $n >= 3 AND $last2 IN ($suf) THEN $last3
        |     WHEN $n >= 2 THEN $last2
        |     ELSE $e END""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
+  }
+
+  /** Registered domain (eTLD+1) against a LOADED public-suffix list —
+    * the full publicsuffix.org algorithm over a rules table, covering
+    * what [[registeredDomain]]'s built-in two-level subset cannot:
+    * wildcard rules (`*.ck` — the `*` consumes exactly one host label)
+    * and exception rules (`!www.ck` — an exception beats every other
+    * match and its suffix drops the leading label). No matching rule
+    * falls back to the implicit `*` rule (the bare TLD); a host that IS
+    * a public suffix has no registered domain (null).
+    *
+    * Input: `hosts (host)`, `psl (rule)` — one PSL rule per row, comment
+    * and blank lines pre-stripped. Output: `(host, rd)`.
+    *
+    * Shape at scale: each host explodes into its ≤ |labels| candidate
+    * suffixes, equi-joined against the BROADCAST rules table (the real
+    * PSL is ~10k rows), prevailing rule picked by one map-side-combining
+    * `max(struct(exception, ps_labels))` — hosts are a dimension table,
+    * so the whole derivation is corpus-size-invariant.
+    */
+  def registeredDomainFrom(hosts: DataFrame, psl: DataFrame): DataFrame = {
+    val r = psl.select(
+      when(col("rule").startsWith("!"), lit("exc"))
+        .when(col("rule").startsWith("*."), lit("wild"))
+        .otherwise(lit("plain"))
+        .as("kind"),
+      when(col("rule").startsWith("!"), expr("substring(rule, 2)"))
+        .when(col("rule").startsWith("*."), expr("substring(rule, 3)"))
+        .otherwise(col("rule"))
+        .as("key")
+    )
+    val hl = hosts
+      .select(col("host"), split(col("host"), "\\.").as("labs"))
+      .withColumn("n", size(col("labs")))
+    val cand = hl
+      .select(col("host"), col("n"), col("labs"), explode(sequence(lit(1), col("n"))).as("j"))
+      .withColumn("suffix", concat_ws(".", slice(col("labs"), col("n") - col("j") + 1, col("j"))))
+    val matched = cand
+      .join(broadcast(r), col("suffix") === col("key"))
+      // a wildcard rule needs one host label for the * to consume
+      .where(col("kind") =!= "wild" || col("n") >= col("j") + 1)
+      .select(
+        col("host"),
+        (col("kind") === "exc").as("e"),
+        when(col("kind") === "wild", col("j") + 1)
+          .when(col("kind") === "exc", col("j") - 1)
+          .otherwise(col("j"))
+          .as("ps")
+      )
+    val prevail = matched.groupBy(col("host")).agg(max(struct(col("e"), col("ps"))).as("w"))
+    hl.join(prevail, Seq("host"), "left")
+      .withColumn("ps", coalesce(col("w.ps"), lit(1)))
+      .select(
+        col("host"),
+        when(col("n") <= col("ps"), lit(null).cast("string"))
+          .otherwise(concat_ws(".", slice(col("labs"), col("n") - col("ps"), col("ps") + 1)))
+          .as("rd")
+      )
   }
 
   // ------------------------------------------------------- fixture corpus

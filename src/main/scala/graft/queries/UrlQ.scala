@@ -30,6 +30,15 @@ object UrlQ {
     */
   val Blocklist: Seq[String] = Seq("src1.org", "src4.io", "src7.net")
 
+  /** PSL fixture — a publicsuffix.org excerpt covering every corpus
+    * suffix plus the wildcard (`*.ck`) and exception (`!www.ck`) rule
+    * forms (the Cook Islands entries are the canonical PSL examples).
+    */
+  val PslRules: Seq[String] = Seq(
+    "com", "org", "net", "io", "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "co.jp", "co.nz", "*.ck", "!www.ck"
+  )
+
   /** Shared oracle CTE chain replaying robots.txt handling over a
     * domains relation `domsRel(domain)`: construction (`rob`), line
     * explode (`lns`), group scoping (`scoped0`), rules + delays, agent
@@ -368,6 +377,96 @@ object UrlQ {
         "+ one hash aggregation; no all-pairs stage, hub in-mass bounded " +
         "by total mass in the int64 lane."
     ),
+    // ---- PageRank with an epsilon stop: integer arithmetic makes the
+    // CONVERGENCE ROUND itself bit-deterministic, so the oracle unrolls
+    // the recurrence to the pinned bound and re-derives both the ranks
+    // and the stopping round from the same per-round max-delta rule.
+    Q(
+      "u_pagerank_conv",
+      (s, d) => {
+        val dm = withUrls(s, d).select(
+          col("doc_id"),
+          Urls.registeredDomain(Urls.hostOf(col("url_norm"))).as("dom")
+        )
+        val i = col("doc_id")
+        val cites = dm.select(
+          col("dom").as("src"),
+          explode(
+            filter(
+              array(
+                (i * i + 1) % 500,
+                (i * i + 7) % 500,
+                when(i % 3 === 0, (i * i + 13) % 500),
+                when(i % 7 === 0, (i * i + i) % 500)
+              ),
+              c => c.isNotNull
+            )
+          ).as("cited_id")
+        )
+        val cited = dm.select(col("doc_id").as("cited_id"), col("dom").as("dst"))
+        val edges = cites.join(cited, "cited_id").select(col("src"), col("dst"))
+        graft.operators.LinkGraph
+          .pageRankConverged(edges, maxIters = 6, epsilonUnits = graft.operators.LinkGraph.RankScale / 10)
+          .select(col("h").as("domain"), col("rank"), col("rounds"))
+          .orderBy(desc("rank"), col("domain"))
+      },
+      Some {
+        import graft.operators.LinkGraph
+        val teleport = (LinkGraph.DampDen - LinkGraph.DampNum) *
+          LinkGraph.RankScale / LinkGraph.DampDen
+        val eps = LinkGraph.RankScale / 10
+        def round(k: Int) =
+          s"""c$k AS (
+             |  SELECT e.dst, SUM(r.rank // dg.outdeg) AS m
+             |  FROM edges e JOIN deg dg ON e.src = dg.src JOIN r${k - 1} r ON r.h = e.src
+             |  GROUP BY e.dst),
+             |r$k AS (
+             |  SELECT nd.h,
+             |    CAST($teleport + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS rank
+             |  FROM nodes nd LEFT JOIN c$k c ON c.dst = nd.h)""".stripMargin
+        def delta(k: Int) =
+          s"SELECT $k AS k, (SELECT max(abs(a.rank - b.rank)) FROM r$k a JOIN r${k - 1} b ON a.h = b.h) AS d"
+        s"""$urlCte,
+           |dm AS (SELECT doc_id, $domainSql AS dom FROM n),
+           |cites AS (
+           |  SELECT doc_id, (doc_id*doc_id + 1) % 500 AS cited_id FROM dm
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id*doc_id + 7) % 500 FROM dm
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id*doc_id + 13) % 500 FROM dm WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id*doc_id + doc_id) % 500 FROM dm WHERE doc_id % 7 = 0),
+           |pairs AS (
+           |  SELECT a.dom AS src, b.dom AS dst
+           |  FROM cites c JOIN dm a ON a.doc_id = c.doc_id
+           |               JOIN dm b ON b.doc_id = c.cited_id),
+           |edges AS (SELECT DISTINCT src, dst FROM pairs WHERE src <> dst),
+           |nodes AS (SELECT src AS h FROM edges UNION SELECT dst FROM edges),
+           |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+           |r0 AS (SELECT h, CAST(${LinkGraph.RankScale} AS BIGINT) AS rank
+           |       FROM nodes),
+           |${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}, ${round(5)}, ${round(6)},
+           |deltas AS (${delta(1)} UNION ALL ${delta(2)} UNION ALL ${delta(3)}
+           |  UNION ALL ${delta(4)} UNION ALL ${delta(5)} UNION ALL ${delta(6)}),
+           |kc AS (SELECT COALESCE(MIN(k), 6) AS k FROM deltas WHERE d < $eps),
+           |allr AS (
+           |  SELECT 1 AS k, h, rank FROM r1 UNION ALL SELECT 2, h, rank FROM r2
+           |  UNION ALL SELECT 3, h, rank FROM r3 UNION ALL SELECT 4, h, rank FROM r4
+           |  UNION ALL SELECT 5, h, rank FROM r5 UNION ALL SELECT 6, h, rank FROM r6)
+           |SELECT a.h AS domain, a.rank, (SELECT k FROM kc)::BIGINT AS rounds
+           |FROM allr a WHERE a.k = (SELECT k FROM kc)
+           |ORDER BY a.rank DESC, a.h""".stripMargin
+      },
+      doc = "PageRank with an EPSILON STOP (first round whose max " +
+        "absolute rank movement drops below RankScale/10) plus the " +
+        "executed round count in the output — integer fixed-point makes " +
+        "the convergence round itself bit-deterministic, so the oracle " +
+        "unrolls the recurrence to the pinned 6-round bound and " +
+        "re-derives ranks AND stopping round from the same delta rule. " +
+        "Per-round cost adds one |hosts|-row driver check; the optional " +
+        "uniform dangling-mass redistribution (UrlSpec-pinned) shares " +
+        "the walk."
+    ),
     // ---- the crawl-politeness gate: per-domain robots.txt built from
     // the domain string itself, PARSED (line explode → group scoping
     // window), then every corpus URL judged by RFC 9309 longest-match /
@@ -474,10 +573,14 @@ object UrlQ {
           .unionByName(resubmitted)
           .distinct()
           .join(corpus, Seq("link"), "left_anti")
-        val w = Window.partitionBy(col("domain")).orderBy(col("link"))
-        fresh
           .withColumn("domain", Urls.registeredDomain(Urls.hostOf(col("link"))))
-          .withColumn("slot", row_number().over(w).cast("long"))
+        // slot = rank within domain, via the TWO-LEVEL sharded rank: a
+        // single per-domain window sorts one partition per domain — at
+        // 100× a mega-domain (the wordpress.com case) piles its whole
+        // frontier into ONE sort task. The range-sharded form bounds
+        // every sort partition by corpus/shards, bit-identical slots.
+        graft.operators.Split
+          .shardedRowNumber(fresh, "domain", "link", s.sparkContext.defaultParallelism, "slot")
           .withColumn("cycle", expr("(slot - 1) DIV 3"))
           .select(col("domain"), col("link"), col("cycle"), col("slot"))
           .orderBy("domain", "slot")
@@ -647,6 +750,76 @@ object UrlQ {
         "construction and the split; the /sx/ namespace exists only in " +
         "gzipped children, pinning that the recursion really ran."
     ),
+    // ---- full public-suffix-list eTLD+1: the loader the built-in
+    // two-level subset was missing. Hosts = corpus hosts plus a
+    // deterministic .ck lane (wildcard + exception rules non-vacuous).
+    Q(
+      "u_psl",
+      (s, d) => {
+        import s.implicits._
+        val corpusHosts = withUrls(s, d).select(Urls.hostOf(col("url_norm")).as("host"))
+        val ckHosts = withUrls(s, d).select(
+          when(col("doc_id") % 3 === 0, concat(regexp_extract(col("url_norm"), "src([0-9]+)", 1), lit("x.ck")))
+            .when(col("doc_id") % 3 === 1, lit("www.ck"))
+            .otherwise(
+              concat(lit("deep.s"), regexp_extract(col("url_norm"), "src([0-9]+)", 1), lit(".ck"))
+            )
+            .as("host")
+        )
+        val hosts = corpusHosts.unionByName(ckHosts).distinct()
+        val psl = PslRules.toDF("rule")
+        Urls.registeredDomainFrom(hosts, psl).orderBy("host")
+      },
+      Some {
+        val rulesValues = PslRules.map(r => s"('$r')").mkString(", ")
+        s"""$urlCte,
+           |hosts AS (
+           |  SELECT DISTINCT host FROM (
+           |    SELECT ${Urls.hostOfSql("url_norm")} AS host FROM n
+           |    UNION ALL
+           |    SELECT CASE
+           |      WHEN doc_id % 3 = 0 THEN regexp_extract(url_norm, 'src([0-9]+)', 1) || 'x.ck'
+           |      WHEN doc_id % 3 = 1 THEN 'www.ck'
+           |      ELSE 'deep.s' || regexp_extract(url_norm, 'src([0-9]+)', 1) || '.ck' END
+           |    FROM n)),
+           |hl AS (SELECT host, string_split(host, '.') AS labs,
+           |    len(string_split(host, '.')) AS n FROM hosts),
+           |cand0 AS (SELECT host, n, labs, unnest(generate_series(1, n)) AS j FROM hl),
+           |cand AS (SELECT host, n, labs, j,
+           |    array_to_string(list_slice(labs, n - j + 1, n), '.') AS suffix
+           |  FROM cand0),
+           |rules(rule) AS (VALUES $rulesValues),
+           |rp AS (SELECT rule,
+           |    CASE WHEN starts_with(rule, '!') THEN 'exc'
+           |         WHEN starts_with(rule, '*.') THEN 'wild' ELSE 'plain' END AS kind,
+           |    CASE WHEN starts_with(rule, '!') THEN substr(rule, 2)
+           |         WHEN starts_with(rule, '*.') THEN substr(rule, 3) ELSE rule END AS key
+           |  FROM rules),
+           |m AS (SELECT c.host,
+           |    max(struct_pack(e := r.kind = 'exc',
+           |      ps := CASE r.kind WHEN 'wild' THEN c.j + 1
+           |            WHEN 'exc' THEN c.j - 1 ELSE c.j END)) AS w
+           |  FROM cand c JOIN rp r ON c.suffix = r.key
+           |  WHERE r.kind <> 'wild' OR c.n >= c.j + 1
+           |  GROUP BY c.host)
+           |SELECT h.host,
+           |  CASE WHEN h.n <= COALESCE(m.w.ps, 1) THEN NULL
+           |       ELSE array_to_string(list_slice(h.labs,
+           |         h.n - COALESCE(m.w.ps, 1), h.n), '.') END AS rd
+           |FROM hl h LEFT JOIN m ON h.host = m.host
+           |ORDER BY h.host""".stripMargin
+      },
+      doc = "Registered domain (eTLD+1) against a LOADED public-suffix " +
+        "list — the full publicsuffix.org algorithm: candidate suffixes " +
+        "per host equi-join the broadcast rules table, wildcard rules " +
+        "(*.ck) consume one extra label, exception rules (!www.ck) beat " +
+        "every match and drop their leading label, no match falls back " +
+        "to the implicit bare-TLD rule, and a host that IS a public " +
+        "suffix has no registered domain. Prevailing rule = one " +
+        "map-side-combining max(struct(exception, labels)). Hosts are a " +
+        "dimension table — corpus-size-invariant. Oracle replays rules, " +
+        "candidates, precedence, and every eTLD+1."
+    ),
     // ---- redirect-chain resolution over the archive: 3xx Location
     // chains followed to terminal URLs with bounded hops, cycle refusal,
     // and dangling detection — exercised through the container + HTTP
@@ -775,10 +948,11 @@ object UrlQ {
           )
           .filter(col("allowed"))
           .select(col("doc_id").as("link"), col("domain"))
-        val w = Window.partitionBy(col("domain")).orderBy(col("link"))
-        allowed
-          .join(broadcast(Robots.effectiveDelay(robots)), Seq("domain"))
-          .withColumn("slot", row_number().over(w).cast("long"))
+        // two-level sharded rank (see u_frontier_schedule): no sort
+        // partition is ever sized by one domain's frontier
+        val sched = allowed.join(broadcast(Robots.effectiveDelay(robots)), Seq("domain"))
+        graft.operators.Split
+          .shardedRowNumber(sched, "domain", "link", s.sparkContext.defaultParallelism, "slot")
           .withColumn("start_s", (col("slot") - 1) * col("delay_s"))
           .select(col("domain"), col("link"), col("slot"), col("delay_s"), col("start_s"))
           .orderBy("domain", "slot")

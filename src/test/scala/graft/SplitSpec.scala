@@ -199,4 +199,41 @@ class SplitSpec extends AnyFunSuite {
       Split.targetMix(docs, "doc_id", "lang", Seq(("en", 500000L)))
     }
   }
+
+  test("shardedRowNumber: bit-identical to the per-key window under heavy skew; range-sharded plan") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // one mega key holding ~90% of rows + a tail of small keys — the
+    // shape that makes a single partitionBy(key) window a one-task sort
+    val rows = (1 to 5000).map { i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "mega", f"v$i%05d")
+    }
+    val df = rows.toDF("part", "ord")
+    val expected = df
+      .withColumn("rn", row_number().over(Window.partitionBy("part").orderBy("ord")).cast("long"))
+      .as[(String, String, Long)]
+      .collect()
+      .toSet
+    val sharded = Split.shardedRowNumber(df, "part", "ord", shards = 8, out = "rn")
+    val got = sharded.as[(String, String, Long)].collect().toSet
+    assert(got === expected, "sharded ranks must equal the single-window form")
+    // plan pin: the only window partitions on (_pid, key) — never the
+    // bare key, so no sort task is ever sized by one key's rows. (The
+    // range exchange itself is inside the localCheckpoint barrier and
+    // shows as Scan ExistingRDD here; the mega key spanning shards is
+    // what the bit-identity above proves.)
+    val plan = sharded.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(_pid"), "rank window must be pid-sharded")
+    // the tiny offsets window partitions by key ORDERED BY _pid (counts
+    // frame, keys+shards rows) — fine; what must not exist is a
+    // row-level window partitioned by the bare key ordered by ord
+    assert(
+      !"windowspecdefinition\\(part#\\d+, ord#".r.findFirstIn(plan).isDefined,
+      "no row-level window may partition on the bare key"
+    )
+    // the mega key really spans several range shards: its per-shard
+    // offsets are non-trivial (> 1 distinct offset)
+    val megaOffsets = got.filter(_._1 == "mega").map(r => (r._3 - 1) / 1000).toSet
+    assert(megaOffsets.size > 1, "mega key must span multiple shards")
+  }
 }

@@ -155,6 +155,63 @@ class UrlSpec extends AnyFunSuite {
     assert(got === cases.map(_._2), cases.map(_._1).zip(got).toString)
   }
 
+  test("resolveUrl: absolute and network-path refs get remove_dot_segments too (§5.2.2)") {
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      // absolute refs: dot segments in their OWN path must canonicalize
+      "http://h/a/../b" -> "http://h/b",
+      "http://h/a/./b/../c?x=1#f" -> "http://h/a/c?x=1#f",
+      "https://h:8443/x/.." -> "https://h:8443/",
+      "http://h" -> "http://h", // empty path stays empty
+      "http://h?q" -> "http://h?q",
+      // network-path refs take the base scheme AND canonicalize
+      "//h/a/../b" -> "http://a/b".replace("//a/", "//h/"), // http://h/b
+      "//g" -> "http://g",
+      // opaque scheme'd refs (no authority) pass verbatim
+      "mailto:x..y@example.com" -> "mailto:x..y@example.com",
+      "javascript:void(0)" -> "javascript:void(0)"
+    )
+    val got = cases
+      .map(_._1)
+      .toDF("ref")
+      .select(Urls.resolveUrl(lit(base), col("ref")).as("r"))
+      .as[String]
+      .collect()
+      .toSeq
+    assert(got === cases.map(_._2), cases.map(_._1).zip(got).toString)
+  }
+
+  test("registeredDomainFrom: full PSL semantics — wildcard, exception, implicit *, suffix hosts") {
+    val psl = Seq("com", "uk", "co.uk", "*.ck", "!www.ck").toDF("rule")
+    val hosts = Seq(
+      "example.com", "www.example.com", // plain rule
+      "b.co.uk", "www.a.b.co.uk", // longest rule wins over 'uk'
+      "www.ck", // exception: ps = ck, rd = www.ck
+      "x.www.ck", // exception still prevails: rd = www.ck
+      "foo.ck", // *.ck: host IS a public suffix -> null
+      "sub.foo.ck", // *.ck: rd = sub.foo.ck
+      "host.xyz", // no rule: implicit * -> rd = host.xyz
+      "xyz", // bare unlisted TLD: IS a suffix -> null
+      "com" // listed TLD: null
+    ).toDF("host")
+    val rd = Urls
+      .registeredDomainFrom(hosts, psl)
+      .as[(String, Option[String])]
+      .collect()
+      .toMap
+    assert(rd("example.com") === Some("example.com"))
+    assert(rd("www.example.com") === Some("example.com"))
+    assert(rd("b.co.uk") === Some("b.co.uk"))
+    assert(rd("www.a.b.co.uk") === Some("b.co.uk"))
+    assert(rd("www.ck") === Some("www.ck"))
+    assert(rd("x.www.ck") === Some("www.ck"))
+    assert(rd("foo.ck") === None)
+    assert(rd("sub.foo.ck") === Some("sub.foo.ck"))
+    assert(rd("host.xyz") === Some("host.xyz"))
+    assert(rd("xyz") === None)
+    assert(rd("com") === None)
+  }
+
   test("registered domain: eTLD+1, two-level suffixes, pass-throughs") {
     assert(
       dom("www.a.b.co.uk", "sub.ex.com", "ex.com", "co.uk", "localhost") ===
@@ -212,5 +269,39 @@ class UrlSpec extends AnyFunSuite {
     assert(r("D") === 150000000L)
     // floor division only ever loses mass: total ≤ N * RankScale
     assert(r.values.sum <= 3L * graft.operators.LinkGraph.RankScale)
+  }
+
+  test("pageRankConverged: a symmetric cycle is a fixed point — stops after one round") {
+    // a<->b, both outdeg 1: every round reproduces RankScale exactly, so
+    // the max delta is 0 after round 1 and the walk stops there
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = graft.operators.LinkGraph
+      .pageRankConverged(edges, maxIters = 6, epsilonUnits = 1L)
+      .as[(String, Long, Long)]
+      .collect()
+    assert(r.forall(_._3 === 1L), "fixed point must be detected at round 1")
+    assert(r.map(_._2).toSet === Set(graft.operators.LinkGraph.RankScale))
+  }
+
+  test("pageRankConverged: dangling mass leaks by default, redistributes on request") {
+    import graft.operators.LinkGraph
+    // c is DANGLING (no outlinks): in leak mode its absorbed mass
+    // vanishes; redistribution feeds dangling/n back to every node
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("src", "dst")
+    def ranks(redistribute: Boolean) = LinkGraph
+      .pageRankConverged(edges, maxIters = 4, epsilonUnits = 1L, redistributeDangling = redistribute)
+      .as[(String, Long, Long)]
+      .collect()
+      .map(x => x._1 -> x._2)
+      .toMap
+    val leak = ranks(false)
+    val redi = ranks(true)
+    // redistribution only ADDS in-mass: no rank may drop, some must rise
+    assert(leak.keySet === redi.keySet)
+    assert(leak.keys.forall(k => redi(k) >= leak(k)))
+    assert(leak.keys.exists(k => redi(k) > leak(k)), "redistribution must change the ranking")
+    // and the redistributed total retains strictly more of the 3*Scale mass
+    assert(redi.values.sum > leak.values.sum)
+    assert(redi.values.sum <= 3L * LinkGraph.RankScale)
   }
 }
