@@ -13,6 +13,7 @@ object Registry {
       queries.AudioQ.all ++
       queries.VideoQ.all ++
       queries.PipelineQ.all ++
+      queries.CurationQ.all ++
       queries.VersionedQ.all ++
       queries.UrlQ.all
 

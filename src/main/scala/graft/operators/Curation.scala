@@ -1,0 +1,370 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.util.Cols.lng
+
+/** Document-curation filters: the published rule families every web-scale
+  * training corpus runs between extraction and tokenization.
+  *
+  *   - Gopher quality rules (Rae et al. 2021, §A1.1): document-level
+  *     bounds on word count, mean word length, symbol-to-word ratio,
+  *     bullet/ellipsis line shares, alphabetic-word share, canonical
+  *     stop-word presence, and duplicate-line fractions.
+  *   - C4 cleaning (Raffel et al. 2020, §2.2): line-level retention
+  *     (terminal punctuation, minimum words, no code/policy markers)
+  *     plus document gates (≥3 kept lines, no `{`, no lorem ipsum).
+  *   - CCNet perplexity buckets (Wenzek et al. 2020, §4.3): per-language
+  *     head/middle/tail terciles by language-model score.
+  *
+  * The `documents` fixture is a flat word stream, so line-shaped inputs
+  * are DERIVED: [[pageLines]] builds a deterministic multi-line "page"
+  * per document (8-token lines with bullet/ellipsis/period decoration,
+  * plus boilerplate-policy, code, promo-repeat, and lorem lanes keyed on
+  * `(doc_id, line_index)` residues). Both engines rebuild the identical
+  * page — the [[pageLinesCtes]] DuckDB mirror is the same discipline as
+  * [[Html.dirtyHtml]]'s, so the oracle checks construction AND filtering.
+  *
+  * Scale shape: every rule here is a per-row Catalyst array expression —
+  * map-only, zero shuffles, whole-stage-codegen — except the perplexity
+  * terciles, whose per-language global rank rides the skew-proof
+  * two-level [[Split.shardedRowNumber]] (a mega-language never lands in
+  * one sort partition).
+  */
+object Curation {
+
+  /** Tokens per synthesized line. */
+  val LineWidth = 8
+
+  /** The boilerplate-policy lane: C4's policy-phrase filter target. */
+  val BoilerLine = "please enable javascript and accept our cookie policy."
+
+  /** The per-doc promo lane (repeats within a doc — the Gopher
+    * duplicate-line fractions' non-vacuous input).
+    */
+  val PromoLine = "visit our store for more great deals today."
+
+  /** The lorem lane (C4 drops any page containing "lorem ipsum"). */
+  val LoremLine = "lorem ipsum dolor sit amet."
+
+  /** Gopher's required stop-word octet (§A1.1: keep docs containing at
+    * least two).
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Exact floor division for nonnegative longs, as a long column.
+    * `(a - pmod(a, b))` is an exact multiple of `b`, so the double
+    * division is exact for every magnitude this file produces
+    * (quotients < 2^53) — bit-equal to DuckDB's integer `//`.
+    */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast(LongType)
+
+  // ---- deterministic page synthesis ----------------------------------
+
+  /** The synthesized page of `docId`/`text` as an ARRAY of lines.
+    *
+    * Line `i` (0-based) over the space-split tokens `tk`:
+    *   - boiler lane when `(doc_id·7 + i) % 13 = 5`;
+    *   - code lane when `(doc_id + i) % 23 = 4`;
+    *   - promo lane when `(doc_id·3 + i) % 5 = 2` (fires about every
+    *     5 lines, so multi-line docs repeat it — real duplicate lines);
+    *   - otherwise tokens `[8i+1, 8i+8]` joined by spaces, with a
+    *     `"- "` bullet prefix when `(doc_id + 3i) % 7 = 0` and an
+    *     `"..."`/`"."` suffix on the `% 5 = 3` / `% 3 = 0` residues.
+    * Docs with `doc_id % 17 = 9` append the lorem line.
+    */
+  def pageLinesCol(docId: Column, text: Column): Column = {
+    val tk = filter(split(text, " "), w => length(w) > 0)
+    val n = lng(size(tk))
+    val nl = greatest(idiv(n + (LineWidth - 1), lit(LineWidth.toLong)), lit(1L))
+    val base = transform(
+      sequence(lit(0L), nl - 1),
+      i => lineExpr(docId, i, tk)
+    )
+    concat(
+      base,
+      when(docId % 17 === 9, array(lit(LoremLine)))
+        .otherwise(array().cast("array<string>"))
+    )
+  }
+
+  private def lineExpr(docId: Column, i: Column, tk: Column): Column = {
+    val body = array_join(slice(tk, (i * LineWidth + 1).cast("int"), lit(LineWidth)), " ")
+    val bullet = when((docId + i * 3) % 7 === 0, lit("- ")).otherwise(lit(""))
+    val suffix = when((docId + i) % 5 === 3, lit("..."))
+      .when((docId + i) % 3 === 0, lit("."))
+      .otherwise(lit(""))
+    when((docId * 7 + i) % 13 === 5, lit(BoilerLine))
+      .when(
+        (docId + i) % 23 === 4,
+        concat(
+          lit("function f"),
+          i.cast("string"),
+          lit("() { return "),
+          i.cast("string"),
+          lit("; }")
+        )
+      )
+      .when((docId * 3 + i) % 5 === 2, lit(PromoLine))
+      .otherwise(concat(bullet, body, suffix))
+  }
+
+  /** (doc_id, lines, page) — page is lines joined by `\n`. */
+  def pages(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), pageLinesCol(col("doc_id"), col("text")).as("lines"))
+      .withColumn("page", array_join(col("lines"), "\n"))
+
+  /** DuckDB CTE chain replaying [[pages]] over relation `rel` — ends in
+    * CTE `pl` with columns (doc_id, lines). Shared verbatim by every
+    * curation oracle so a synthesis drift breaks all three hashes.
+    * Continuation `||`s sit at END of line: this text is interpolated
+    * into the callers' `stripMargin` templates, which would eat the
+    * first `|` of a line-leading `||` (the dirtyHtmlSqlExpr lesson).
+    */
+  def pageLinesCtes(rel: String): String =
+    s"""p0 AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS tk FROM $rel),
+       |p1 AS (SELECT doc_id, tk, greatest((len(tk) + ${LineWidth - 1}) // $LineWidth, 1) AS nl FROM p0),
+       |pl AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, nl - 1), i ->
+       |      CASE WHEN (doc_id * 7 + i) % 13 = 5 THEN '$BoilerLine'
+       |           WHEN (doc_id + i) % 23 = 4 THEN 'function f' || i::VARCHAR || '() { return ' || i::VARCHAR || '; }'
+       |           WHEN (doc_id * 3 + i) % 5 = 2 THEN '$PromoLine'
+       |           ELSE (CASE WHEN (doc_id + i * 3) % 7 = 0 THEN '- ' ELSE '' END) ||
+       |             array_to_string(tk[(i * $LineWidth + 1):(i * $LineWidth + $LineWidth)], ' ') ||
+       |             (CASE WHEN (doc_id + i) % 5 = 3 THEN '...'
+       |                   WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END)
+       |      END) ||
+       |    (CASE WHEN doc_id % 17 = 9 THEN ['$LoremLine'] ELSE []::VARCHAR[] END) AS lines
+       |  FROM p1)""".stripMargin
+
+  // ---- Gopher quality rules -------------------------------------------
+
+  /** The full Gopher rule table per document: the measured quantities
+    * (integer counts and permilles — cross-engine exact), one boolean per
+    * rule at the paper's published thresholds, and the conjunction
+    * `keep`. Words are the page split on spaces/newlines, so decoration
+    * punctuation stays attached — exactly what the paper's
+    * whitespace-word rules see. Duplicate-line fractions come from
+    * `lines` vs `list_distinct(lines)` set arithmetic (no explode: the
+    * whole table is one map-only projection).
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val stops = array(GopherStops.map(lit): _*)
+    pages(docs)
+      .withColumn("words", filter(split(col("page"), "[ \n]+"), w => length(w) > 0))
+      .select(
+        col("doc_id"),
+        lng(size(col("lines"))).as("n_lines"),
+        lng(size(col("words"))).as("n_words"),
+        aggregate(col("words"), lit(0L), (acc, w) => acc + length(w).cast(LongType))
+          .as("sum_word_len"),
+        (length(col("page")) - length(replace(col("page"), lit("#"), lit(""))))
+          .cast(LongType)
+          .as("hash_syms"),
+        idiv(
+          lng(length(col("page")) - length(replace(col("page"), lit("..."), lit("")))),
+          lit(3L)
+        ).as("ellipsis_syms"),
+        lng(size(filter(col("lines"), l => startswith(l, lit("- "))))).as("bullet_lines"),
+        lng(size(filter(col("lines"), l => endswith(l, lit("..."))))).as("ell_lines"),
+        lng(size(filter(col("words"), w => w.rlike("[a-z]")))).as("alpha_words"),
+        lng(size(array_intersect(array_distinct(col("words")), stops))).as("stop_hits"),
+        lng(size(array_distinct(col("lines")))).as("n_distinct_lines"),
+        aggregate(col("lines"), lit(0L), (acc, l) => acc + length(l).cast(LongType))
+          .as("line_chars"),
+        aggregate(
+          array_distinct(col("lines")),
+          lit(0L),
+          (acc, l) => acc + length(l).cast(LongType)
+        ).as("distinct_chars")
+      )
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        col("n_words"),
+        idiv(col("sum_word_len") * 1000, col("n_words")).as("mean_word_len_e3"),
+        idiv((col("hash_syms") + col("ellipsis_syms")) * 1000, col("n_words"))
+          .as("symbol_permille"),
+        col("bullet_lines"),
+        col("ell_lines"),
+        col("alpha_words"),
+        col("stop_hits"),
+        idiv((col("n_lines") - col("n_distinct_lines")) * 1000, col("n_lines"))
+          .as("dup_line_permille"),
+        idiv(
+          (col("line_chars") - col("distinct_chars")) * 1000,
+          greatest(col("line_chars"), lit(1L))
+        ).as("dup_char_permille")
+      )
+      .withColumn("r_words", col("n_words").between(50, 100000))
+      .withColumn("r_mean_len", col("mean_word_len_e3").between(3000, 10000))
+      .withColumn("r_symbol", col("symbol_permille") <= 100)
+      .withColumn("r_bullet", col("bullet_lines") * 10 <= col("n_lines"))
+      .withColumn("r_ellipsis", col("ell_lines") * 10 <= col("n_lines") * 3)
+      .withColumn("r_alpha", col("alpha_words") * 5 >= col("n_words") * 4)
+      .withColumn("r_stop", col("stop_hits") >= 2)
+      .withColumn("r_dup_line", col("dup_line_permille") <= 300)
+      .withColumn("r_dup_char", col("dup_char_permille") <= 200)
+      .withColumn(
+        "keep",
+        col("r_words") && col("r_mean_len") && col("r_symbol") && col("r_bullet") &&
+          col("r_ellipsis") && col("r_alpha") && col("r_stop") &&
+          col("r_dup_line") && col("r_dup_char")
+      )
+  }
+
+  /** DuckDB CTE chain `pl → pg → pw → m` (page, words, gopher metrics) —
+    * the [[gopherRules]] measurement replay, shared by the standalone
+    * oracle and the composed-pipeline oracle.
+    */
+  def gopherMetricCtes(rel: String): String =
+    s"""${pageLinesCtes(rel)},
+       |pg AS (SELECT doc_id, lines, array_to_string(lines, chr(10)) AS page FROM pl),
+       |pw AS (SELECT doc_id, lines, page,
+       |  list_filter(string_split_regex(page, '[ ' || chr(10) || ']+'), w -> length(w) > 0) AS words FROM pg),
+       |m AS (SELECT doc_id,
+       |  len(lines)::BIGINT AS n_lines,
+       |  len(words)::BIGINT AS n_words,
+       |  (1000 * list_sum(list_transform(words, w -> length(w)))::BIGINT) // len(words) AS mean_word_len_e3,
+       |  (1000 * ((length(page) - length(replace(page, '#', '')))
+       |     + (length(page) - length(replace(page, '...', ''))) // 3)) // len(words) AS symbol_permille,
+       |  len(list_filter(lines, l -> starts_with(l, '- ')))::BIGINT AS bullet_lines,
+       |  len(list_filter(lines, l -> ends_with(l, '...')))::BIGINT AS ell_lines,
+       |  len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::BIGINT AS alpha_words,
+       |  len(list_intersect(list_distinct(words), [${GopherStops.map(w => s"'$w'").mkString(", ")}]))::BIGINT AS stop_hits,
+       |  (1000 * (len(lines) - len(list_distinct(lines)))) // len(lines) AS dup_line_permille,
+       |  (1000 * (list_sum(list_transform(lines, l -> length(l)))::BIGINT
+       |     - list_sum(list_transform(list_distinct(lines), l -> length(l)))::BIGINT))
+       |   // greatest(list_sum(list_transform(lines, l -> length(l)))::BIGINT, 1) AS dup_char_permille
+       | FROM pw)""".stripMargin
+
+  /** The Gopher keep conjunction over CTE `m`'s columns (SQL text). */
+  val gopherKeepSql: String =
+    "((n_words BETWEEN 50 AND 100000) AND (mean_word_len_e3 BETWEEN 3000 AND 10000) " +
+      "AND symbol_permille <= 100 AND bullet_lines * 10 <= n_lines " +
+      "AND ell_lines * 10 <= n_lines * 3 AND alpha_words * 5 >= n_words * 4 " +
+      "AND stop_hits >= 2 AND dup_line_permille <= 300 AND dup_char_permille <= 200)"
+
+  /** DuckDB oracle replaying page synthesis + [[gopherRules]]. */
+  def gopherOracleSql(rel: String = "documents"): String =
+    s"""WITH ${gopherMetricCtes(rel)}
+       |SELECT doc_id, n_lines, n_words, mean_word_len_e3, symbol_permille, bullet_lines,
+       |  ell_lines, alpha_words, stop_hits, dup_line_permille, dup_char_permille,
+       |  (n_words BETWEEN 50 AND 100000) AS r_words,
+       |  (mean_word_len_e3 BETWEEN 3000 AND 10000) AS r_mean_len,
+       |  (symbol_permille <= 100) AS r_symbol,
+       |  (bullet_lines * 10 <= n_lines) AS r_bullet,
+       |  (ell_lines * 10 <= n_lines * 3) AS r_ellipsis,
+       |  (alpha_words * 5 >= n_words * 4) AS r_alpha,
+       |  (stop_hits >= 2) AS r_stop,
+       |  (dup_line_permille <= 300) AS r_dup_line,
+       |  (dup_char_permille <= 200) AS r_dup_char,
+       |  $gopherKeepSql AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---- C4 line-level cleaning -----------------------------------------
+
+  /** C4's policy-phrase line filter list (a tiny stand-in for the
+    * published blocklist; the filter SHAPE — any-substring-of-line — is
+    * the real one).
+    */
+  val PolicyPhrases: Seq[String] = Seq("javascript", "cookie", "click here")
+
+  /** C4 cleaning: keep a line iff it ends with terminal punctuation, has
+    * ≥ 5 words, and carries no `{` or policy phrase; keep the DOC iff
+    * ≥ 3 lines survive and the page has no brace and no "lorem ipsum".
+    * Emits the cleaned text (kept lines re-joined) either way, so the
+    * filter is auditable. One map-only projection.
+    */
+  def c4Clean(docs: DataFrame): DataFrame = {
+    def keptLine(l: Column): Column = {
+      val terminal = endswith(l, lit(".")) || endswith(l, lit("!")) || endswith(l, lit("?"))
+      val words = size(filter(split(l, " "), w => length(w) > 0)) >= 5
+      val noCode = !contains(l, lit("{"))
+      val noPolicy = PolicyPhrases
+        .map(p => !contains(l, lit(p)))
+        .reduce(_ && _)
+      terminal && words && noCode && noPolicy
+    }
+    pages(docs)
+      .withColumn("kept", filter(col("lines"), keptLine _))
+      .select(
+        col("doc_id"),
+        lng(size(col("lines"))).as("n_lines"),
+        lng(size(col("kept"))).as("kept_lines"),
+        contains(col("page"), lit("{")).as("has_brace"),
+        contains(col("page"), lit("lorem ipsum")).as("has_lorem"),
+        (size(col("kept")) >= 3 &&
+          !contains(col("page"), lit("{")) &&
+          !contains(col("page"), lit("lorem ipsum"))).as("keep"),
+        array_join(col("kept"), "\n").as("cleaned")
+      )
+  }
+
+  /** The C4 kept-lines CTE (`k`, over CTE `pg`) — shared by the
+    * standalone oracle and the composed-pipeline oracle.
+    */
+  def c4KeptCte: String = {
+    val noPolicy =
+      PolicyPhrases.map(p => s"NOT contains(l, '$p')").mkString(" AND ")
+    s"""k AS (SELECT doc_id, lines, page,
+       |  list_filter(lines, l ->
+       |    (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?'))
+       |    AND len(list_filter(string_split(l, ' '), w -> length(w) > 0)) >= 5
+       |    AND NOT contains(l, '{') AND $noPolicy) AS kept FROM pg)""".stripMargin
+  }
+
+  /** The C4 keep conjunction over CTE `k`'s columns (SQL text). */
+  val c4KeepSql: String =
+    "(len(kept) >= 3 AND NOT contains(page, '{') AND NOT contains(page, 'lorem ipsum'))"
+
+  /** DuckDB oracle replaying page synthesis + [[c4Clean]]. */
+  def c4OracleSql(rel: String = "documents"): String =
+    s"""WITH ${pageLinesCtes(rel)},
+       |pg AS (SELECT doc_id, lines, array_to_string(lines, chr(10)) AS page FROM pl),
+       |$c4KeptCte
+       |SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS kept_lines,
+       |  contains(page, '{') AS has_brace,
+       |  contains(page, 'lorem ipsum') AS has_lorem,
+       |  $c4KeepSql AS keep,
+       |  coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+       |FROM k ORDER BY doc_id""".stripMargin
+
+  // ---- CCNet perplexity buckets ---------------------------------------
+
+  /** Per-language head/middle/tail terciles by the integer-exact KN
+    * bigram score ([[TextAnalysis.knScores]] — lower = more fluent under
+    * the corpus LM, CCNet's "head"). The per-language global rank is the
+    * two-level [[Split.shardedRowNumber]] (range-sharded — a mega-language
+    * never serializes into one sort partition); the per-language totals
+    * are a languages-sized broadcast. Bucket index is the exact
+    * `(3·(rank−1)) // count`.
+    */
+  def pplBuckets(docs: DataFrame, shards: Int = 32): DataFrame = {
+    val scored = TextAnalysis
+      .knScores(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      // unique order key: score major, doc_id minor (doc_id < 10^6 at
+      // every shipped SF; the product stays far under 2^63)
+      .withColumn("ord", col("kn_score_e9") * 1000000L + col("doc_id"))
+    val ranked = Split.shardedRowNumber(scored, "lang", "ord", shards, out = "rn")
+    val counts = ranked.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    ranked
+      .join(broadcast(counts), Seq("lang"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("kn_score_e9"),
+        col("rn"),
+        when(idiv((col("rn") - 1) * 3, col("cnt")) === 0, lit("head"))
+          .when(idiv((col("rn") - 1) * 3, col("cnt")) === 1, lit("middle"))
+          .otherwise(lit("tail"))
+          .as("bucket")
+      )
+  }
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.{Curation, Text}
+
+/** Curation-filter query surface: the published quality-rule families
+  * (Gopher document rules, C4 line cleaning, CCNet perplexity buckets)
+  * over the deterministic line-structured pages [[Curation.pages]]
+  * derives from `documents`. Every oracle replays page SYNTHESIS and
+  * the rules, so a drift in either breaks the hash.
+  */
+object CurationQ {
+
+  /** DuckDB: the length>1-filtered token list for column `text` (the
+    * [[Text.tokensAll]] mirror — shared with t_kn_lm's derivation).
+    */
+  private val toksSql =
+    s"list_filter(${Text.tokensSqlAll("text")}, w -> length(w) > 1)"
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "t_gopher_rules",
+      (s, d) => Curation.gopherRules(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(Curation.gopherOracleSql()),
+      doc = "The full Gopher quality-rule table (Rae et al. 2021 §A1.1) " +
+        "per document: word-count bounds, mean word length, symbol-to-" +
+        "word ratio, bullet/ellipsis line shares, alphabetic-word share, " +
+        "canonical stop-word presence, duplicate-line count and char " +
+        "fractions — each as integer counts/permilles plus a boolean at " +
+        "the published threshold, and the conjunctive keep verdict. " +
+        "Runs over deterministically synthesized multi-line pages " +
+        "(bullet/ellipsis/code/boilerplate/promo-repeat/lorem lanes), so " +
+        "every rule is non-vacuous. Duplicate-line fractions use " +
+        "lines-vs-distinct-lines set arithmetic — the whole table is ONE " +
+        "map-only codegen projection, no shuffle at any corpus size. " +
+        "Oracle replays synthesis AND rules."
+    ),
+    Q(
+      "t_c4_clean",
+      (s, d) => Curation.c4Clean(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(Curation.c4OracleSql()),
+      doc = "C4 cleaning (Raffel et al. 2020 §2.2): line-level retention " +
+        "(terminal punctuation, ≥5 words, no brace, no policy phrase — " +
+        "the javascript/cookie boilerplate lane drops HERE) plus the " +
+        "document gates (≥3 surviving lines, no '{' anywhere, no lorem " +
+        "ipsum), emitting the cleaned re-joined text and the gate " +
+        "booleans. Map-only array expressions; the cleaned text column " +
+        "makes the filter auditable row-by-row. Oracle replays page " +
+        "synthesis, the line filter, and the gates."
+    ),
+    Q(
+      "t_ppl_buckets",
+      (s, d) => Curation.pplBuckets(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |bg AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, len(tk) - 1),
+           |      i -> tk[i] || ' ' || tk[i+1])) AS bg
+           |  FROM t
+           |),
+           |sp AS (SELECT doc_id, bg,
+           |         split_part(bg, ' ', 1) AS w1,
+           |         split_part(bg, ' ', 2) AS w2
+           |       FROM bg),
+           |cxy AS (SELECT bg, COUNT(*) AS c_xy FROM sp GROUP BY bg),
+           |cx AS (SELECT w1, COUNT(*) AS c_x, COUNT(DISTINCT w2) AS n1f
+           |       FROM sp GROUP BY w1),
+           |bw AS (SELECT w2, COUNT(DISTINCT w1) AS n1b FROM sp GROUP BY w2),
+           |nt AS (SELECT COUNT(DISTINCT bg) AS n_types FROM sp),
+           |kn AS (
+           |  SELECT doc_id, COUNT(*) AS n_bigrams,
+           |    (SUM(((4 * c_xy::HUGEINT - 3) * 250000000) // c_x
+           |       + (750000000::HUGEINT * n1f * n1b) // (c_x::HUGEINT * n_types))
+           |     // COUNT(*))::BIGINT AS kn_score_e9
+           |  FROM sp
+           |  JOIN cxy USING (bg) JOIN cx USING (w1) JOIN bw USING (w2)
+           |  CROSS JOIN nt
+           |  GROUP BY doc_id),
+           |r AS (
+           |  SELECT doc_id, d.lang, kn_score_e9,
+           |    row_number() OVER (PARTITION BY d.lang ORDER BY kn_score_e9, doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY d.lang) AS cnt
+           |  FROM kn JOIN documents d USING (doc_id))
+           |SELECT doc_id, lang, kn_score_e9, rn::BIGINT AS rn,
+           |  CASE (3 * (rn - 1)) // cnt WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM r ORDER BY doc_id""".stripMargin
+      ),
+      doc = "CCNet perplexity buckets (Wenzek et al. 2020 §4.3): rank " +
+        "every document within its language by the integer-exact KN " +
+        "bigram LM score (t_kn_lm's kernel — low score = fluent = " +
+        "'head') and split each language into head/middle/tail terciles " +
+        "by exact integer arithmetic. The per-language global rank is " +
+        "the two-level sharded row_number (range exchange bounds every " +
+        "sort partition — a mega-language at 100 TB spans many " +
+        "partitions instead of serializing into one), totals join back " +
+        "as a languages-sized broadcast. Oracle recomputes the LM, the " +
+        "rank, and the tercile assignment."
+    )
+  )
+}

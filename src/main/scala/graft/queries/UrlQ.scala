@@ -889,6 +889,57 @@ object UrlQ {
         "The oracle replays the fixture arithmetic AND the same " +
         "unrolled walk."
     ),
+    Q(
+      "u_revisit",
+      (s, d) => {
+        val dir = graft.sources.Warc.ensureRevisitDir(d, Tables.documents(s, d))
+        graft.sources.Warc
+          .revisitCaptures(graft.sources.Warc.responses(s, dir))
+          .orderBy("url", "warc_date")
+      },
+      Some {
+        val page = graft.operators.Html.dirtyHtmlSqlExpr
+        val d0 = graft.sources.Warc.FixtureDate
+        val d1 = graft.sources.Warc.RevisitDate
+        val d2 = graft.sources.Warc.MirrorDate
+        // pg is MATERIALIZED: four union branches share the full page
+        // derivation; DuckDB would otherwise re-inline the scalar tree
+        // per branch (the CTE-inlining OOM lesson, DESIGN.md §8)
+        s"""WITH pg AS MATERIALIZED (SELECT doc_id, $page AS html FROM documents),
+           |caps AS (
+           |  SELECT 'http://example.com/doc/' || doc_id AS url, '$d0' AS warc_date,
+           |         md5(html) AS digest FROM pg
+           |  UNION ALL
+           |  SELECT 'http://example.com/doc/' || doc_id, '$d1', md5(html)
+           |  FROM pg WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT 'http://example.com/doc/' || doc_id, '$d1', md5(html || '<!-- updated -->')
+           |  FROM pg WHERE doc_id % 3 = 1
+           |  UNION ALL
+           |  SELECT 'http://mirror.example.com/doc/' || doc_id, '$d2', md5(html)
+           |  FROM pg WHERE doc_id % 5 = 0
+           |),
+           |f AS (SELECT digest, min(warc_date) AS first_date,
+           |             min_by(url, warc_date) AS first_url
+           |      FROM caps GROUP BY digest)
+           |SELECT c.url, c.warc_date, c.digest,
+           |  (c.warc_date > f.first_date) AS is_revisit,
+           |  CASE WHEN c.warc_date > f.first_date THEN f.first_url END AS ref_url,
+           |  CASE WHEN c.warc_date > f.first_date THEN f.first_date END AS ref_date
+           |FROM caps c JOIN f USING (digest)
+           |ORDER BY url, warc_date""".stripMargin
+      },
+      doc = "Payload-digest revisit resolution over a multi-capture " +
+        "archive (the Common-Crawl dedup convention — ISO 28500 revisit " +
+        "records reference a prior capture by WARC-Payload-Digest): " +
+        "identical re-captures and cross-host mirror captures resolve to " +
+        "the EARLIEST capture of their digest globally; a re-capture " +
+        "whose content changed hashes fresh and stays an original. " +
+        "Arg-min per digest is a map-side-combinable hash aggregate and " +
+        "the annotate join is digest-keyed — duplicate clusters meet, " +
+        "never all-pairs. Oracle replays capture construction, digesting " +
+        "(md5 over identical UTF-8 payload bytes), and the dedup rule."
+    ),
     // ---- the full frontier pipeline as ONE submitted plan: discovery
     // (outlinks + pagination variants) → already-fetched anti-join →
     // robots gate → Crawl-delay resolution → per-domain schedule with

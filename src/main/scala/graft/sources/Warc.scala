@@ -1004,6 +1004,96 @@ object Warc {
     dir
   }
 
+  // ----------------------------------------------------- payload revisit
+
+  /** Re-capture dates for [[ensureRevisitDir]]'s lanes (strictly after
+    * [[FixtureDate]], so "earliest capture" is date-decided).
+    */
+  val RevisitDate = "2026-02-01T00:00:00Z"
+  val MirrorDate = "2026-03-01T00:00:00Z"
+
+  /** Multi-capture archive for payload-digest deduplication: every doc is
+    * captured once at [[FixtureDate]]; docs with `doc_id % 3 = 0` are
+    * RE-captured at [[RevisitDate]] with an identical payload (the
+    * unchanged-page revisit case), docs with `doc_id % 3 = 1` re-capture
+    * with a CHANGED payload (a genuinely new snapshot — must NOT dedup),
+    * and docs with `doc_id % 5 = 0` are also captured under a mirror host
+    * at [[MirrorDate]] with the identical payload (digest dedup is
+    * GLOBAL, not per-URI — the mirror must resolve to the original host's
+    * capture).
+    */
+  def ensureRevisitDir(sfDir: String, docs: DataFrame, nShards: Int = 8): String = {
+    val dir = graft.operators.Indexes
+      .fingerprintDirOn("revisit-fixture", sfDir, docs, "doc_id", "text", s"ns=$nShards,v=1")
+    graft.operators.Indexes.atomicBuild(dir, "_SUCCESS") { tmp =>
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val pages = graft.operators.Html.dirtyHtml(docs).as[(Long, String)]
+      val records = pages
+        .flatMap { case (id, html) =>
+          val uri = s"http://example.com/doc/$id"
+          val first =
+            Seq(((id % nShards).toInt, id, 0, responseRecord(uri, s"<urn:uuid:resp-$id>", FixtureDate, html)))
+          val recap =
+            if (id % 3 == 0)
+              Seq(((id % nShards).toInt, id, 1, responseRecord(uri, s"<urn:uuid:resp2-$id>", RevisitDate, html)))
+            else if (id % 3 == 1)
+              Seq(((id % nShards).toInt, id, 1, responseRecord(uri, s"<urn:uuid:resp2-$id>", RevisitDate, html + "<!-- updated -->")))
+            else Nil
+          val mirror =
+            if (id % 5 == 0)
+              Seq(((id % nShards).toInt, id, 2, responseRecord(s"http://mirror.example.com/doc/$id", s"<urn:uuid:mirror-$id>", MirrorDate, html)))
+            else Nil
+          first ++ recap ++ mirror
+        }
+        .toDF("g", "doc_id", "sub", "record_bytes")
+        .repartition(nShards, col("g"))
+        .sortWithinPartitions(col("g"), col("doc_id"), col("sub"))
+      write(records, tmp)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+      ()
+    }
+    dir
+  }
+
+  /** Payload-digest revisit resolution — the Common-Crawl dedup shape
+    * (ISO 28500 `revisit` records reference a prior capture by
+    * `WARC-Payload-Digest`): digest every capture's decoded payload,
+    * pick the earliest capture per digest GLOBALLY (an identical page
+    * under a mirror host still dedups), and mark every later same-digest
+    * capture as a revisit of that original. A re-capture whose content
+    * actually changed hashes to a fresh digest and stays an original.
+    *
+    * Scale shape: the arg-min per digest is a partial-aggregable
+    * hash-aggregate (a viral payload captured millions of times combines
+    * map-side), and the annotate-back join is digest-keyed — candidates
+    * meet only within their duplicate cluster, never all-pairs.
+    */
+  def revisitCaptures(resp: DataFrame): DataFrame = {
+    val caps = resp.select(
+      col("target_uri").as("url"),
+      col("warc_date"),
+      md5(col("body_text")).as("digest")
+    )
+    val firsts = caps
+      .groupBy(col("digest"))
+      .agg(
+        min(col("warc_date")).as("first_date"),
+        min_by(col("url"), col("warc_date")).as("first_url")
+      )
+    val later = col("warc_date") > col("first_date")
+    caps
+      .join(firsts, Seq("digest"))
+      .select(
+        col("url"),
+        col("warc_date"),
+        col("digest"),
+        later.as("is_revisit"),
+        when(later, col("first_url")).as("ref_url"),
+        when(later, col("first_date")).as("ref_date")
+      )
+  }
+
   // ----------------------------------------------------------------- WAT
 
   /** One WAT `metadata` record (the Common-Crawl link-metadata sidecar

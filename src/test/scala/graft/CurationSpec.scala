@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curation
+
+/** Hand-computed pins for the curation-filter family: page-synthesis
+  * lanes land where their residues say, each Gopher/C4 rule fails on a
+  * document engineered to break exactly that rule, the map-only
+  * operators really are shuffle-free, and the two-level perplexity
+  * rank equals the single-window formulation.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** n repeated neutral tokens — enough lines to reach lane residues. */
+  private def toks(n: Int): String = Seq.fill(n)("alpha").mkString(" ")
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def linesOf(docId: Long, text: String): Seq[String] =
+    Curation
+      .pages(docs(docId -> text))
+      .select(col("lines"))
+      .as[Seq[String]]
+      .head()
+
+  test("synthesis lanes land on their residues") {
+    // doc 10, line 0: (10*7 + 0) % 13 = 5 -> boiler
+    assert(linesOf(10, toks(8)).head === Curation.BoilerLine)
+    // doc 4, line 0: (4 + 0) % 23 = 4 -> code (with brace)
+    val code = linesOf(4, toks(8)).head
+    assert(code === "function f0() { return 0; }")
+    // doc 24, lines 0/5/10: (24*3 + i) % 5 = 2 at i ≡ 0 (mod 5) -> promo repeats
+    val l24 = linesOf(24, toks(88))
+    assert(l24(0) === Curation.PromoLine && l24(5) === Curation.PromoLine &&
+      l24(10) === Curation.PromoLine)
+    // doc 9 (9 % 17 = 9) appends the lorem line
+    assert(linesOf(9, toks(8)).last === Curation.LoremLine)
+    // decoration: doc 1, line 1 -> (1+3)%7 != 0 no bullet; (1+1)%5 != 3,
+    // (1+1)%3 != 0 -> bare; line 2 -> (1+2)%3 = 0 -> '.'
+    val l1 = linesOf(1, toks(24))
+    assert(!l1(1).startsWith("- ") && !l1(1).endsWith(".") && l1(2).endsWith("."))
+  }
+
+  private def gopher(rows: (Long, String)*): Map[String, Seq[org.apache.spark.sql.Row]] =
+    Map("r" -> Curation.gopherRules(docs(rows: _*)).collect().toSeq)
+
+  test("gopher: word-count rule fails short docs, passes long ones") {
+    val r = Curation
+      .gopherRules(docs(1L -> toks(24), 2L -> toks(120)))
+      .select(col("doc_id"), col("r_words"))
+      .as[(Long, Boolean)]
+      .collect()
+      .toMap
+    assert(!r(1L) && r(2L))
+  }
+
+  test("gopher: bullet rule fails a doc whose lines are mostly bullets") {
+    // doc 35: (35 + 3i) % 7 = 0 at i ≡ 0 (mod 7)... craft instead with a
+    // doc whose n_lines is small and a bullet hits: doc 7, i=0:
+    // (7 + 0) % 7 = 0 -> bullet on line 0 of a 1..9-line doc fails ≤10%.
+    val r = Curation
+      .gopherRules(docs(7L -> toks(16)))
+      .select(col("bullet_lines"), col("n_lines"), col("r_bullet"))
+      .head()
+    assert(r.getLong(0) >= 1 && r.getLong(0) * 10 > r.getLong(1) && !r.getBoolean(2))
+  }
+
+  test("gopher: duplicate-line fractions catch the repeated promo lane") {
+    // doc 24 with 88 tokens repeats the promo line at i = 0, 5, 10
+    val r = Curation
+      .gopherRules(docs(24L -> toks(88)))
+      .select(col("dup_line_permille"), col("dup_char_permille"))
+      .head()
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+  }
+
+  test("gopher: stop rule needs two of the canonical octet") {
+    // 'the' + 'and' present (52 filler words keep r_words in range)
+    val hit = Curation
+      .gopherRules(docs(1L -> (toks(50) + " the and")))
+      .select(col("stop_hits"), col("r_stop"))
+      .head()
+    assert(hit.getLong(0) >= 2 && hit.getBoolean(1))
+    val miss = Curation
+      .gopherRules(docs(1L -> (toks(50) + " the zz")))
+      .select(col("stop_hits"), col("r_stop"))
+      .head()
+    assert(miss.getLong(0) === 1 && !miss.getBoolean(1))
+  }
+
+  test("c4: policy line drops, code line gates the doc, lorem gates the doc") {
+    // doc 10 line 0 is the boiler (javascript+cookie, terminal '.') ->
+    // dropped by the POLICY predicate even though punctuation passes
+    val r10 = Curation
+      .c4Clean(docs(10L -> toks(8)))
+      .select(col("kept_lines"), col("has_brace"))
+      .head()
+    assert(r10.getLong(0) === 0 && !r10.getBoolean(1))
+    // doc 4 line 0 is code -> brace gate kills the doc
+    val r4 = Curation
+      .c4Clean(docs(4L -> toks(48)))
+      .select(col("has_brace"), col("keep"))
+      .head()
+    assert(r4.getBoolean(0) && !r4.getBoolean(1))
+    // doc 9 carries the lorem line -> lorem gate kills the doc
+    val r9 = Curation
+      .c4Clean(docs(9L -> toks(48)))
+      .select(col("has_lorem"), col("keep"))
+      .head()
+    assert(r9.getBoolean(0) && !r9.getBoolean(1))
+  }
+
+  test("c4: line filter keeps exactly terminal-punct ≥5-word clean lines") {
+    // doc 24, 88 tokens: promo lines (8 words, '.') survive; undecorated
+    // lines fail the punctuation rule; the kept set re-joins in order.
+    val r = Curation
+      .c4Clean(docs(24L -> toks(88)))
+      .select(col("cleaned"))
+      .as[String]
+      .head()
+    val kept = r.split("\n").filter(_.nonEmpty)
+    assert(kept.nonEmpty)
+    assert(kept.forall(l => l.endsWith(".") || l.endsWith("!") || l.endsWith("?")))
+    assert(kept.forall(l => l.split(" ").count(_.nonEmpty) >= 5))
+  }
+
+  test("gopher and c4 are map-only: no exchange in either plan") {
+    val d = docs(1L -> toks(40), 2L -> toks(60))
+    for (df <- Seq(Curation.gopherRules(d), Curation.c4Clean(d))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(500))
+    }
+  }
+
+  test("ppl buckets: two-level rank equals the single-window tercile") {
+    // small multilingual corpus with repeated bigrams so KN scores vary
+    val rows = (0L until 40L).map { i =>
+      val lang = if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"
+      val body = Seq.fill((i % 5).toInt + 2)(s"tok${i % 7} tok${(i + 1) % 7}").mkString(" ")
+      (i, lang, body)
+    }
+    val d = rows.toDF("doc_id", "lang", "text")
+    val got = Curation
+      .pplBuckets(d, shards = 4)
+      .select(col("doc_id"), col("lang"), col("rn"), col("bucket"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // reference: plain single window over the same scores
+    val scored = graft.operators.TextAnalysis
+      .knScores(d)
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("kn_score_e9"), col("doc_id"))
+    val ref = scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn(
+        "bucket",
+        when((col("rn") - 1) * 3 < col("cnt"), "head")
+          .when((col("rn") - 1) * 3 < col("cnt") * 2, "middle")
+          .otherwise("tail")
+      )
+      .select(col("doc_id"), col("lang"), col("rn"), col("bucket"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === ref)
+  }
+}

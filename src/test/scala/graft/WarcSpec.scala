@@ -434,4 +434,34 @@ class WarcSpec extends AnyFunSuite {
     assert(names.count(_.endsWith(".warc.gz")) === 1)
     assert(Warc.read(spark, dir).count() === 2, "hidden/temp names are never parsed")
   }
+
+  test("revisit: digest dedup is global, earliest-capture wins, changed content stays original") {
+    val dir = tmpDir("revisit")
+    val html = "<p>same payload</p>"
+    val recs = Seq(
+      Warc.responseRecord("http://a.com/x", "<urn:uuid:1>", "2026-01-01T00:00:00Z", html),
+      // identical payload re-captured LATER on the same uri -> revisit
+      Warc.responseRecord("http://a.com/x", "<urn:uuid:2>", "2026-02-01T00:00:00Z", html),
+      // identical payload under a DIFFERENT host -> still a revisit (global digest)
+      Warc.responseRecord("http://b.com/y", "<urn:uuid:3>", "2026-03-01T00:00:00Z", html),
+      // changed payload on the same uri -> fresh digest, original
+      Warc.responseRecord("http://a.com/x", "<urn:uuid:4>", "2026-04-01T00:00:00Z", html + "!")
+    )
+    val df = Seq((0, 1L, recs(0)), (0, 2L, recs(1)), (0, 3L, recs(2)), (0, 4L, recs(3)))
+      .toDF("g", "ord", "record_bytes")
+      .repartition(1)
+      .sortWithinPartitions("g", "ord")
+    Warc.write(df, dir)
+    val out = Warc
+      .revisitCaptures(Warc.responses(spark, dir))
+      .orderBy("warc_date")
+      .select("url", "is_revisit", "ref_url", "ref_date")
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2), r.getString(3)))
+      .toSeq
+    assert(out(0) === (("http://a.com/x", false, null, null)))
+    assert(out(1) === (("http://a.com/x", true, "http://a.com/x", "2026-01-01T00:00:00Z")))
+    assert(out(2) === (("http://b.com/y", true, "http://a.com/x", "2026-01-01T00:00:00Z")))
+    assert(out(3) === (("http://a.com/x", false, null, null)))
+  }
 }
