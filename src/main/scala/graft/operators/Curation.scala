@@ -153,12 +153,21 @@ object Curation {
     * `lines` vs `list_distinct(lines)` set arithmetic (no explode: the
     * whole table is one map-only projection).
     */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  def gopherRules(docs: DataFrame): DataFrame =
+    gopherTable(docs).drop("lines", "page")
+
+  /** [[gopherRules]] with the page columns retained — the internal frame
+    * [[gates]] builds on, so the combined gate is the SAME expressions by
+    * construction (CurationSpec pins the equivalence anyway).
+    */
+  private def gopherTable(docs: DataFrame): DataFrame = {
     val stops = array(GopherStops.map(lit): _*)
     pages(docs)
       .withColumn("words", filter(split(col("page"), "[ \n]+"), w => length(w) > 0))
       .select(
         col("doc_id"),
+        col("lines"),
+        col("page"),
         lng(size(col("lines"))).as("n_lines"),
         lng(size(col("words"))).as("n_words"),
         aggregate(col("words"), lit(0L), (acc, w) => acc + length(w).cast(LongType))
@@ -185,6 +194,8 @@ object Curation {
       )
       .select(
         col("doc_id"),
+        col("lines"),
+        col("page"),
         col("n_lines"),
         col("n_words"),
         idiv(col("sum_word_len") * 1000, col("n_words")).as("mean_word_len_e3"),
@@ -281,16 +292,26 @@ object Curation {
     * Emits the cleaned text (kept lines re-joined) either way, so the
     * filter is auditable. One map-only projection.
     */
+  /** The C4 line-retention predicate (shared by [[c4Clean]] and
+    * [[gates]]).
+    */
+  private def keptLine(l: Column): Column = {
+    val terminal = endswith(l, lit(".")) || endswith(l, lit("!")) || endswith(l, lit("?"))
+    val words = size(filter(split(l, " "), w => length(w) > 0)) >= 5
+    val noCode = !contains(l, lit("{"))
+    val noPolicy = PolicyPhrases
+      .map(p => !contains(l, lit(p)))
+      .reduce(_ && _)
+    terminal && words && noCode && noPolicy
+  }
+
+  /** The C4 document gate over (lines, page) columns. */
+  private def c4KeepCol(lines: Column, page: Column): Column =
+    size(filter(lines, keptLine _)) >= 3 &&
+      !contains(page, lit("{")) &&
+      !contains(page, lit("lorem ipsum"))
+
   def c4Clean(docs: DataFrame): DataFrame = {
-    def keptLine(l: Column): Column = {
-      val terminal = endswith(l, lit(".")) || endswith(l, lit("!")) || endswith(l, lit("?"))
-      val words = size(filter(split(l, " "), w => length(w) > 0)) >= 5
-      val noCode = !contains(l, lit("{"))
-      val noPolicy = PolicyPhrases
-        .map(p => !contains(l, lit(p)))
-        .reduce(_ && _)
-      terminal && words && noCode && noPolicy
-    }
     pages(docs)
       .withColumn("kept", filter(col("lines"), keptLine _))
       .select(
@@ -334,6 +355,23 @@ object Curation {
        |  $c4KeepSql AS keep,
        |  coalesce(array_to_string(kept, chr(10)), '') AS cleaned
        |FROM k ORDER BY doc_id""".stripMargin
+
+  // ---- combined gate ----------------------------------------------------
+
+  /** Both curation verdicts in ONE map-only projection:
+    * `(doc_id, gopher_keep, c4_keep)`. Page synthesis, metrics, and rule
+    * expressions are the SAME frame [[gopherRules]] reads (and the same
+    * [[keptLine]] predicate [[c4Clean]] applies), so the combined gate
+    * cannot drift from the per-family tables — and a pipeline that wants
+    * both verdicts pays zero joins and zero shuffles for them.
+    */
+  def gates(docs: DataFrame): DataFrame =
+    gopherTable(docs)
+      .select(
+        col("doc_id"),
+        col("keep").as("gopher_keep"),
+        c4KeepCol(col("lines"), col("page")).as("c4_keep")
+      )
 
   // ---- CCNet perplexity buckets ---------------------------------------
 

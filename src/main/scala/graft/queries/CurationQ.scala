@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.operators.{Curation, Text}
 
@@ -97,6 +98,82 @@ object CurationQ {
         "partitions instead of serializing into one), totals join back " +
         "as a languages-sized broadcast. Oracle recomputes the LM, the " +
         "rank, and the tercile assignment."
+    ),
+    // ---- the curation funnel as ONE submitted plan: quality gates
+    // (Gopher ∧ C4, one map-only projection — zero joins between the two
+    // rule families) → perplexity terciles → per-(lang, bucket) corpus
+    // accounting. The shape every training-data run reports before
+    // tokenization: how much survives filtering, and where it sits on
+    // the fluency spectrum.
+    Q(
+      "pipe_curate_e2e",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation
+          .pplBuckets(docs)
+          .join(Curation.gates(docs), Seq("doc_id"))
+          .filter(col("gopher_keep") && col("c4_keep"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("kn_score_e9")).as("sum_score_e9")
+          )
+          .orderBy("lang", "bucket")
+      },
+      Some(
+        s"""WITH ${Curation.gopherMetricCtes("documents")},
+           |${Curation.c4KeptCte},
+           |sel AS (
+           |  SELECT m.doc_id FROM m JOIN k USING (doc_id)
+           |  WHERE ${Curation.gopherKeepSql} AND ${Curation.c4KeepSql}
+           |),
+           |t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |bg AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, len(tk) - 1),
+           |      i -> tk[i] || ' ' || tk[i+1])) AS bg
+           |  FROM t
+           |),
+           |sp AS (SELECT doc_id, bg,
+           |         split_part(bg, ' ', 1) AS w1,
+           |         split_part(bg, ' ', 2) AS w2
+           |       FROM bg),
+           |cxy AS (SELECT bg, COUNT(*) AS c_xy FROM sp GROUP BY bg),
+           |cx AS (SELECT w1, COUNT(*) AS c_x, COUNT(DISTINCT w2) AS n1f
+           |       FROM sp GROUP BY w1),
+           |bw AS (SELECT w2, COUNT(DISTINCT w1) AS n1b FROM sp GROUP BY w2),
+           |nt AS (SELECT COUNT(DISTINCT bg) AS n_types FROM sp),
+           |kn AS (
+           |  SELECT doc_id, COUNT(*) AS n_bigrams,
+           |    (SUM(((4 * c_xy::HUGEINT - 3) * 250000000) // c_x
+           |       + (750000000::HUGEINT * n1f * n1b) // (c_x::HUGEINT * n_types))
+           |     // COUNT(*))::BIGINT AS kn_score_e9
+           |  FROM sp
+           |  JOIN cxy USING (bg) JOIN cx USING (w1) JOIN bw USING (w2)
+           |  CROSS JOIN nt
+           |  GROUP BY doc_id),
+           |r AS (
+           |  SELECT doc_id, d.lang, kn_score_e9,
+           |    row_number() OVER (PARTITION BY d.lang ORDER BY kn_score_e9, doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY d.lang) AS cnt
+           |  FROM kn JOIN documents d USING (doc_id))
+           |SELECT r.lang,
+           |  CASE (3 * (rn - 1)) // cnt WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+           |       ELSE 'tail' END AS bucket,
+           |  COUNT(*) AS n_docs, SUM(kn_score_e9)::BIGINT AS sum_score_e9
+           |FROM r JOIN sel USING (doc_id)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      ),
+      doc = "The curation funnel end-to-end in one plan: Gopher document " +
+        "rules AND C4 line cleaning as a single map-only gate projection " +
+        "(both verdicts from one shared page frame — no join between the " +
+        "rule families), intersected with the CCNet per-language " +
+        "perplexity terciles, then per-(language, bucket) survivor counts " +
+        "and exact integer score mass. IMPORTANT bucket subtlety: " +
+        "terciles are assigned over the WHOLE corpus (the CCNet order — " +
+        "bucket first, filter later), so the gate changes which docs " +
+        "survive, not where the tercile boundaries sit. Oracle composes " +
+        "the three families' replay CTEs and re-derives the funnel."
     )
   )
 }

@@ -138,6 +138,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("gates: the one-pass projection equals the per-family rule tables") {
+    val d = docs((0L until 60L).map(i => i -> toks(8 + (i * 7 % 90).toInt)): _*)
+    val combined = Curation
+      .gates(d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2))))
+      .toMap
+    val gop = Curation
+      .gopherRules(d)
+      .select(col("doc_id"), col("keep"))
+      .as[(Long, Boolean)]
+      .collect()
+      .toMap
+    val c4 = Curation
+      .c4Clean(d)
+      .select(col("doc_id"), col("keep"))
+      .as[(Long, Boolean)]
+      .collect()
+      .toMap
+    assert(combined.map { case (id, (g, _)) => id -> g } === gop)
+    assert(combined.map { case (id, (_, c)) => id -> c } === c4)
+    // and it stays map-only
+    val plan = Curation.gates(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+
   test("ppl buckets: two-level rank equals the single-window tercile") {
     // small multilingual corpus with repeated bigrams so KN scores vary
     val rows = (0L until 40L).map { i =>
