@@ -356,6 +356,214 @@ object Curation {
        |  coalesce(array_to_string(kept, chr(10)), '') AS cleaned
        |FROM k ORDER BY doc_id""".stripMargin
 
+  // ---- Gopher repetition rules ------------------------------------------
+
+  /** Gopher's repetition-rule thresholds (Rae et al. 2021 §A1.1): max
+    * permille of characters in the top n-gram (n=2..4) and of characters
+    * covered by duplicated n-grams (n=5..10).
+    */
+  val TopGramMaxPermille: Map[Int, Int] = Map(2 -> 200, 3 -> 180, 4 -> 160)
+  val DupGramMaxPermille: Map[Int, Int] =
+    Map(5 -> 150, 6 -> 140, 7 -> 130, 8 -> 120, 9 -> 110, 10 -> 100)
+
+  /** The OTHER half of Gopher §A1.1 — the repetition rules
+    * ([[gopherRules]] carries the quality rules):
+    *
+    *   - `topN_permille` (n=2..4): characters of the most frequent
+    *     n-gram times its count, over total token characters (the
+    *     paper's "fraction of characters contained within the most
+    *     frequently-occurring n-gram"; overlapping occurrences are NOT
+    *     de-overlapped, so the measure can exceed 1000 — faithful to
+    *     the published formulation). Tie-break: highest count, then
+    *     lexicographically greatest gram (encoded as a sortable
+    *     `lpad(count)#gram` key so both engines pick the same gram).
+    *   - `dupN_permille` (n=2..10, RULES on 5..10 per the paper):
+    *     characters of token POSITIONS covered by at least one
+    *     occurrence of a duplicated n-gram, over total characters —
+    *     true position coverage, not a per-occurrence sum, so it never
+    *     double-counts overlaps. 2..4 are emitted as measurements
+    *     (they exercise the coverage kernel on real data; the random
+    *     fixture rarely repeats 5-grams).
+    *
+    * Characters are counted WITHOUT joining spaces on both the
+    * numerator and denominator, so the two sides of every fraction are
+    * the same currency.
+    *
+    * Scale shape: one corpus pass explodes (doc, n, gram) for the nine
+    * n values (9× token count, linear), one partial-aggregable count
+    * shuffle, then per-(doc, n) top keys and duplicate-gram SETS come
+    * back as two per-doc-row joins; coverage is recomputed per row from
+    * the token array against the broadcast-small duplicate set of that
+    * document — O(tokens · n) map work, never quadratic in grams.
+    */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val ns = 2 to 10
+    val base = docs
+      .select(col("doc_id"), Text.tokensAll(col("text")).as("tk"))
+      .withColumn(
+        "total_chars",
+        aggregate(col("tk"), lit(0L), (a, w) => a + length(w).cast(LongType))
+      )
+    val gr = base
+      .select(col("doc_id"), col("tk"), explode(array(ns.map(lit): _*)).as("n"))
+      .filter(size(col("tk")) >= col("n"))
+      .select(
+        col("doc_id"),
+        col("n"),
+        explode(
+          transform(
+            sequence(lit(0), size(col("tk")) - col("n")),
+            i => array_join(slice(col("tk"), i + 1, col("n")), " ")
+          )
+        ).as("gram")
+      )
+    val ct = gr.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+    val tp = ct
+      .filter(col("n") <= 4)
+      .withColumn(
+        "topkey",
+        concat(lpad(col("cnt").cast("string"), 12, "0"), lit("#"), col("gram"))
+      )
+      .groupBy("doc_id", "n")
+      .agg(max(col("topkey")).as("topkey"))
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("n") === 2, col("topkey"))).as("t2"),
+        max(when(col("n") === 3, col("topkey"))).as("t3"),
+        max(when(col("n") === 4, col("topkey"))).as("t4")
+      )
+    val dp = ct
+      .filter(col("cnt") > 1)
+      .groupBy("doc_id", "n")
+      .agg(collect_list(col("gram")).as("dups"))
+    val st = base
+      .join(dp, Seq("doc_id"))
+      .withColumn(
+        "starts",
+        transform(
+          sequence(lit(0), size(col("tk")) - col("n")),
+          i => array_contains(col("dups"), array_join(slice(col("tk"), i + 1, col("n")), " "))
+        )
+      )
+      .withColumn(
+        "cov_chars",
+        aggregate(
+          sequence(lit(0), size(col("tk")) - 1),
+          lit(0L),
+          (acc, t) => {
+            val lo = greatest(t - col("n") + 2, lit(1))
+            val hi = least(t + 1, size(col("tk")) - col("n") + 1)
+            acc + when(
+              exists(slice(col("starts"), lo, hi - lo + 1), b => b),
+              length(element_at(col("tk"), t + 1)).cast(LongType)
+            ).otherwise(0L)
+          }
+        )
+      )
+    val cvAggs = ns.map(n => max(when(col("n") === n, col("cov_chars"))).as(s"c$n"))
+    val cvv = st.groupBy("doc_id").agg(cvAggs.head, cvAggs.tail: _*)
+    val tot = greatest(col("total_chars"), lit(1L))
+    def topPermille(key: Column, n: Int): Column =
+      when(key.isNull, 0L).otherwise(
+        idiv(
+          substring(key, 1, 12).cast(LongType) * (length(key) - 13 - (n - 1)) * 1000,
+          tot
+        )
+      )
+    def dupPermille(n: Int): Column =
+      idiv(coalesce(col(s"c$n"), lit(0L)) * 1000, tot)
+    val out = base
+      .join(tp, Seq("doc_id"), "left")
+      .join(cvv, Seq("doc_id"), "left")
+      .select(
+        Seq(col("doc_id"), col("total_chars")) ++
+          Seq(2 -> "t2", 3 -> "t3", 4 -> "t4").map { case (n, c) =>
+            topPermille(col(c), n).as(s"top${n}_permille")
+          } ++
+          ns.map(n => dupPermille(n).as(s"dup${n}_permille")): _*
+      )
+    val withRules = TopGramMaxPermille.toSeq.sortBy(_._1).foldLeft(out) {
+      case (df, (n, mx)) => df.withColumn(s"r_top$n", col(s"top${n}_permille") <= mx)
+    }
+    val withAll = DupGramMaxPermille.toSeq.sortBy(_._1).foldLeft(withRules) {
+      case (df, (n, mx)) => df.withColumn(s"r_dup$n", col(s"dup${n}_permille") <= mx)
+    }
+    val ruleCols =
+      TopGramMaxPermille.keys.toSeq.sorted.map(n => col(s"r_top$n")) ++
+        DupGramMaxPermille.keys.toSeq.sorted.map(n => col(s"r_dup$n"))
+    withAll.withColumn("keep", ruleCols.reduce(_ && _))
+  }
+
+  /** DuckDB oracle replaying [[gopherRepetition]]. */
+  def gopherRepOracleSql(rel: String = "documents"): String = {
+    val toks =
+      s"list_filter(${Text.tokensSqlAll("text")}, w -> length(w) > 1)"
+    val topCols = Seq(2, 3, 4)
+      .map(n =>
+        s"coalesce((1000 * substr(t$n, 1, 12)::BIGINT * (length(t$n) - 13 - ${n - 1})) // greatest(total_chars, 1), 0) AS top${n}_permille"
+      )
+      .mkString(",\n  ")
+    val dupCols = (2 to 10)
+      .map(n => s"(1000 * coalesce(c$n, 0)) // greatest(total_chars, 1) AS dup${n}_permille")
+      .mkString(",\n  ")
+    val topRules = TopGramMaxPermille.toSeq.sorted
+      .map { case (n, mx) => s"(top${n}_permille <= $mx) AS r_top$n" }
+      .mkString(", ")
+    val dupRules = DupGramMaxPermille.toSeq.sorted
+      .map { case (n, mx) => s"(dup${n}_permille <= $mx) AS r_dup$n" }
+      .mkString(", ")
+    val keepExpr = (TopGramMaxPermille.toSeq.sorted.map { case (n, mx) =>
+      s"top${n}_permille <= $mx"
+    } ++ DupGramMaxPermille.toSeq.sorted.map { case (n, mx) =>
+      s"dup${n}_permille <= $mx"
+    }).mkString(" AND ")
+    s"""WITH tox AS (
+       |  SELECT doc_id, $toks AS tk,
+       |    coalesce(list_sum(list_transform($toks, w -> length(w)))::BIGINT, 0) AS total_chars
+       |  FROM $rel),
+       |gr AS (
+       |  SELECT doc_id, n, unnest(list_transform(generate_series(0, len(tk) - n),
+       |      i -> array_to_string(tk[(i+1):(i+n)], ' '))) AS gram
+       |  FROM tox CROSS JOIN (SELECT unnest(generate_series(2, 10)) AS n)
+       |  WHERE len(tk) >= n),
+       |ct AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM gr GROUP BY ALL),
+       |tpv AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN n = 2 THEN topkey END) AS t2,
+       |    max(CASE WHEN n = 3 THEN topkey END) AS t3,
+       |    max(CASE WHEN n = 4 THEN topkey END) AS t4
+       |  FROM (SELECT doc_id, n, max(lpad(cnt::VARCHAR, 12, '0') || '#' || gram) AS topkey
+       |        FROM ct WHERE n <= 4 GROUP BY doc_id, n)
+       |  GROUP BY doc_id),
+       |dp AS (
+       |  SELECT doc_id, n, list(gram) AS dups
+       |  FROM ct WHERE cnt > 1 GROUP BY doc_id, n),
+       |stt AS (
+       |  SELECT t.doc_id, d.n, t.tk,
+       |    list_transform(generate_series(0, len(t.tk) - d.n),
+       |      i -> list_contains(d.dups, array_to_string(t.tk[(i+1):(i+d.n)], ' '))) AS starts
+       |  FROM tox t JOIN dp d USING (doc_id)),
+       |cvv AS (
+       |  SELECT doc_id, ${(2 to 10).map(n => s"max(CASE WHEN n = $n THEN cov_chars END) AS c$n").mkString(", ")}
+       |  FROM (SELECT doc_id, n,
+       |    list_sum(list_transform(generate_series(0, len(tk) - 1), t ->
+       |      CASE WHEN len(list_filter(starts[greatest(t - n + 2, 1):least(t + 1, len(tk) - n + 1)], b -> b)) > 0
+       |           THEN length(tk[t + 1]) ELSE 0 END))::BIGINT AS cov_chars
+       |    FROM stt)
+       |  GROUP BY doc_id),
+       |perm AS (
+       |  SELECT x.doc_id, x.total_chars,
+       |  $topCols,
+       |  $dupCols
+       |  FROM tox x LEFT JOIN tpv USING (doc_id) LEFT JOIN cvv USING (doc_id))
+       |SELECT doc_id, total_chars,
+       |  ${Seq(2, 3, 4).map(n => s"top${n}_permille").mkString(", ")},
+       |  ${(2 to 10).map(n => s"dup${n}_permille").mkString(", ")},
+       |  $topRules, $dupRules,
+       |  ($keepExpr) AS keep
+       |FROM perm ORDER BY doc_id""".stripMargin
+  }
+
   // ---- combined gate ----------------------------------------------------
 
   /** Both curation verdicts in ONE map-only projection:

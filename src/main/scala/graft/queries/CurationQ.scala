@@ -50,6 +50,22 @@ object CurationQ {
         "synthesis, the line filter, and the gates."
     ),
     Q(
+      "t_gopher_rep",
+      (s, d) => Curation.gopherRepetition(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(Curation.gopherRepOracleSql()),
+      doc = "Gopher repetition rules (Rae et al. 2021 §A1.1, the other " +
+        "half of t_gopher_rules): per document, the character fraction " +
+        "of the most frequent n-gram (n=2..4, sortable-key tie-break) " +
+        "and the fraction of token characters POSITION-COVERED by " +
+        "duplicated n-grams (n=2..10; published thresholds gate 5..10, " +
+        "2..4 are emitted as measurements) — true coverage, overlaps " +
+        "never double-counted. One 9×-token linear explode + one " +
+        "partial-aggregable count shuffle; coverage is recomputed " +
+        "map-side per document against its own duplicate-gram set, " +
+        "never quadratic in grams. Oracle replays the exact integer " +
+        "permille arithmetic."
+    ),
+    Q(
       "t_ppl_buckets",
       (s, d) => Curation.pplBuckets(Tables.documents(s, d)).orderBy("doc_id"),
       Some(

@@ -138,6 +138,43 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition: hand-computed coverage and top-gram fractions") {
+    // "ab cd ab cd ab": every 2-gram and 3-gram position is covered by a
+    // duplicate; no 4-gram repeats. Top 2-gram = "cd ab" (count 2, lex
+    // tie-break over "ab cd"), chars 2·4 of 10 total -> 800 permille.
+    val rep = Curation
+      .gopherRepetition(docs(1L -> "ab cd ab cd ab"))
+      .select("top2_permille", "dup2_permille", "dup3_permille", "dup4_permille", "r_top2", "keep")
+      .head()
+    assert(rep.getLong(0) === 800L)
+    assert(rep.getLong(1) === 1000L)
+    assert(rep.getLong(2) === 1000L)
+    assert(rep.getLong(3) === 0L)
+    assert(!rep.getBoolean(4) && !rep.getBoolean(5))
+    // partial coverage: "aa bb aa bb cc" — only "aa bb" repeats (pos 0,2),
+    // covering tokens 0..3 of 5 -> 8 of 10 chars -> 800 permille
+    val part = Curation
+      .gopherRepetition(docs(1L -> "aa bb aa bb cc"))
+      .select("dup2_permille")
+      .head()
+    assert(part.getLong(0) === 800L)
+    // a long repetitive doc fails the 5..10-gram duplicate rules too
+    val spam = ("ping pong ding dong ring " * 8).trim
+    val r = Curation
+      .gopherRepetition(docs(1L -> spam))
+      .select("dup5_permille", "r_dup5", "r_dup10", "keep")
+      .head()
+    assert(r.getLong(0) === 1000L && !r.getBoolean(1) && !r.getBoolean(2) && !r.getBoolean(3))
+    // a benign non-repetitive doc passes every repetition rule
+    // letter-only distinct words: the tokenizer strips digits, so "tok0
+    // tok1 ..." would collapse to sixty copies of "tok"
+    val words = (0 until 60)
+      .map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}x")
+      .mkString(" ")
+    val ok = Curation.gopherRepetition(docs(1L -> words)).select("keep").head()
+    assert(ok.getBoolean(0))
+  }
+
   test("gates: the one-pass projection equals the per-family rule tables") {
     val d = docs((0L until 60L).map(i => i -> toks(8 + (i * 7 % 90).toInt)): _*)
     val combined = Curation
