@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 import graft.util.Cols._
 
 /** Deterministic dataset splitting for training pipelines.
@@ -289,6 +290,54 @@ object Split {
         col("n_domain"),
         col("target_ppm"),
         expr("feasible_total * target_ppm div n_domain").as("rate_ppm")
+      )
+    val bkt = pmod(md5Long(concat(col(idCol).cast("string"), lit(salt))), lit(1000000L))
+    df.join(broadcast(rates), Seq(domainCol))
+      .withColumn("mix_bucket", bkt)
+      .withColumn("accepted", col("mix_bucket") < col("rate_ppm"))
+  }
+
+  /** Exact integer square root (nonnegative long), cross-engine: a
+    * double `sqrt` seed corrected by ±1 — IEEE sqrt is within 1 ulp, and
+    * the corrections run in DECIMAL so the squares of ~3e9 seeds cannot
+    * wrap. Both engines evaluate the identical formula.
+    */
+  private def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast(LongType)
+    val d = DecimalType(38, 0)
+    when(((s0 + 1).cast(d) * (s0 + 1).cast(d)) <= x.cast(d), s0 + 1)
+      .when((s0.cast(d) * s0.cast(d)) > x.cast(d), s0 - 1)
+      .otherwise(s0)
+  }
+
+  /** Temperature-based language/domain sampling at α = 1/2 (the
+    * XLM-R / mT5 multilingual recipe) as a deterministic downsampling
+    * filter: sampling shares ∝ n_d^α means keep rate ∝ n_d^(α−1) =
+    * 1/√n_d, normalized so the SMALLEST domain is kept whole —
+    * rate_d = √(n_min / n_d), computed integer-exactly as
+    * isqrt(n_min·10^12 div n_d) ppm (valid while the smallest domain
+    * holds ≤ 9.2e6 docs — past that, scale the fixed-point down one
+    * decade). Membership is the salted-md5 bucket, so the SAME docs
+    * survive on any cluster, any partitioning, any rerun.
+    *
+    * Shape at scale: one count aggregate (|domains| rows), a 1-row
+    * min crossed back in broadcast, then a map-only bucket compare —
+    * the corpus is touched once.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      salt: String = "#tsamp"
+  ): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_domain"))
+    val mn = counts.agg(min(col("n_domain")).as("n_min"))
+    val rates = counts
+      .crossJoin(broadcast(mn))
+      .select(
+        col(domainCol),
+        col("n_domain"),
+        isqrt(expr("n_min * 1000000000000 div n_domain")).as("rate_ppm")
       )
     val bkt = pmod(md5Long(concat(col(idCol).cast("string"), lit(salt))), lit(1000000L))
     df.join(broadcast(rates), Seq(domainCol))

@@ -240,6 +240,48 @@ object PipelineQ {
         "bucket — |domains| aggregate rows + one map-only pass over the " +
         "corpus, rates and every accept verdict bit-checked."
     ),
+    Q(
+      "q_temp_sample",
+      (s, d) =>
+        Split
+          .temperatureSample(Tables.documents(s, d), "doc_id", "lang")
+          .select(
+            col("doc_id"),
+            col("lang"),
+            col("n_domain"),
+            col("rate_ppm"),
+            col("mix_bucket"),
+            col("accepted")
+          )
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n_domain FROM documents GROUP BY lang),
+           |mn AS (SELECT MIN(n_domain) AS n_min FROM c),
+           |r0 AS (SELECT lang, n_domain, (n_min * 1000000000000) // n_domain AS x
+           |       FROM c CROSS JOIN mn),
+           |r1 AS (SELECT lang, n_domain, x, floor(sqrt(x::DOUBLE))::BIGINT AS s0 FROM r0),
+           |r AS (SELECT lang, n_domain,
+           |        CASE WHEN (s0 + 1)::HUGEINT * (s0 + 1) <= x THEN s0 + 1
+           |             WHEN s0::HUGEINT * s0 > x THEN s0 - 1
+           |             ELSE s0 END AS rate_ppm
+           |      FROM r1)
+           |SELECT d.doc_id, d.lang, r.n_domain, r.rate_ppm,
+           |  ('0x' || substr(md5(d.doc_id::VARCHAR || '#tsamp'), 1, 15))::BIGINT % 1000000
+           |    AS mix_bucket,
+           |  (('0x' || substr(md5(d.doc_id::VARCHAR || '#tsamp'), 1, 15))::BIGINT % 1000000
+           |    < r.rate_ppm) AS accepted
+           |FROM documents d JOIN r USING (lang)
+           |ORDER BY d.doc_id""".stripMargin
+      ),
+      doc = "Temperature sampling at α = 1/2 (the XLM-R / mT5 " +
+        "multilingual balancing recipe) as a deterministic filter: keep " +
+        "rate per language = √(n_min/n_lang) ppm — sampling shares ∝ " +
+        "n^α with the smallest language kept whole — computed " +
+        "integer-exactly (double-sqrt seed, ±1 DECIMAL-safe correction) " +
+        "so both engines derive the identical rates; membership by " +
+        "salted md5 bucket. One |languages| aggregate + one map-only " +
+        "corpus pass; every rate and accept verdict bit-checked."
+    ),
     // ---- curriculum phasing: docs bucketed into 4 phases by EXACT
     // quartiles of their statistical-LM quality score — train easy/clean
     // first, hard last. The quantiles come from the O(nBuckets)-state

@@ -12,6 +12,7 @@ import graft.operators.Split
   */
 class SplitSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+  import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
 
@@ -235,5 +236,30 @@ class SplitSpec extends AnyFunSuite {
     // offsets are non-trivial (> 1 distinct offset)
     val megaOffsets = got.filter(_._1 == "mega").map(r => (r._3 - 1) / 1000).toSet
     assert(megaOffsets.size > 1, "mega key must span multiple shards")
+  }
+
+  test("temperature sampling: rate = sqrt(n_min/n_domain) ppm, smallest domain kept whole") {
+    // 100 'small' docs, 400 'big' docs: rate(small) = 1e6,
+    // rate(big) = isqrt(100e12/400) = isqrt(2.5e11) = 500000 exactly
+    val d = ((0 until 100).map(i => (i.toLong, "small")) ++
+      (100 until 500).map(i => (i.toLong, "big"))).toDF("doc_id", "lang")
+    val out = Split.temperatureSample(d, "doc_id", "lang")
+    val rates = out
+      .select(col("lang"), col("rate_ppm"))
+      .distinct()
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(rates("small") === 1000000L)
+    assert(rates("big") === 500000L)
+    // every small doc survives; accept verdicts follow the bucket exactly
+    val rows = out
+      .select(col("lang"), col("mix_bucket"), col("rate_ppm"), col("accepted"))
+      .as[(String, Long, Long, Boolean)]
+      .collect()
+    assert(rows.filter(_._1 == "small").forall(_._4))
+    assert(rows.forall(r => r._4 === (r._2 < r._3)))
+    // both rates above land EXACTLY on perfect squares (1e12 and 2.5e11),
+    // so any off-by-one in the isqrt correction shows as 999999/500001
   }
 }
