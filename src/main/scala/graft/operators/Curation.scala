@@ -389,12 +389,15 @@ object Curation {
     * numerator and denominator, so the two sides of every fraction are
     * the same currency.
     *
-    * Scale shape: one corpus pass explodes (doc, n, gram) for the nine
-    * n values (9× token count, linear), one partial-aggregable count
-    * shuffle, then per-(doc, n) top keys and duplicate-gram SETS come
-    * back as two per-doc-row joins; coverage is recomputed per row from
-    * the token array against the broadcast-small duplicate set of that
-    * document — O(tokens · n) map work, never quadratic in grams.
+    * Scale shape: one corpus pass explodes (doc, n, pos, gram) for the
+    * nine n values (9× token count, linear), one partial-aggregable
+    * count shuffle, then occurrences rejoin their counts ON THE SAME KEY
+    * (colocated codegen hash join — no per-position membership scans) to
+    * yield duplicate START positions; coverage is a single O(#starts)
+    * sorted-interval merge per (doc, n) that charges each covered token
+    * once. The DuckDB oracle computes the same function by brute
+    * per-position quantification — two formulations, one answer, which
+    * is exactly what the hash compare checks.
     */
   def gopherRepetition(docs: DataFrame): DataFrame = {
     val ns = 2 to 10
@@ -410,13 +413,14 @@ object Curation {
       .select(
         col("doc_id"),
         col("n"),
-        explode(
+        posexplode(
           transform(
             sequence(lit(0), size(col("tk")) - col("n")),
             i => array_join(slice(col("tk"), i + 1, col("n")), " ")
           )
-        ).as("gram")
+        )
       )
+      .withColumnRenamed("col", "gram")
     val ct = gr.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
     val tp = ct
       .filter(col("n") <= 4)
@@ -432,32 +436,57 @@ object Curation {
         max(when(col("n") === 3, col("topkey"))).as("t3"),
         max(when(col("n") === 4, col("topkey"))).as("t4")
       )
-    val dp = ct
-      .filter(col("cnt") > 1)
+    // duplicate START positions per (doc, n): annotate each gram
+    // occurrence with its count (one colocated join back onto the count
+    // shuffle's key — codegen hash join, no per-position membership
+    // scans) and keep the positions of grams occurring more than once
+    val starts = gr
+      .join(ct.filter(col("cnt") > 1).select("doc_id", "n", "gram"), Seq("doc_id", "n", "gram"))
       .groupBy("doc_id", "n")
-      .agg(collect_list(col("gram")).as("dups"))
-    val st = base
-      .join(dp, Seq("doc_id"))
-      .withColumn(
-        "starts",
-        transform(
-          sequence(lit(0), size(col("tk")) - col("n")),
-          i => array_contains(col("dups"), array_join(slice(col("tk"), i + 1, col("n")), " "))
-        )
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    // coverage by interval merge: each start covers [pos, pos+n-1];
+    // starts are sorted, so one O(#starts) fold merges overlaps and
+    // charges each closed interval's token characters exactly once
+    def intervalChars(lo: Column, hi: Column): Column =
+      aggregate(
+        slice(col("tk"), lo.cast("int") + 1, (hi - lo).cast("int") + 1),
+        lit(0L),
+        (a, w) => a + length(w).cast(LongType)
       )
+    val st = base
+      .join(starts, Seq("doc_id"))
       .withColumn(
         "cov_chars",
         aggregate(
-          sequence(lit(0), size(col("tk")) - 1),
-          lit(0L),
-          (acc, t) => {
-            val lo = greatest(t - col("n") + 2, lit(1))
-            val hi = least(t + 1, size(col("tk")) - col("n") + 1)
-            acc + when(
-              exists(slice(col("starts"), lo, hi - lo + 1), b => b),
-              length(element_at(col("tk"), t + 1)).cast(LongType)
+          col("starts"),
+          struct(lit(0L).as("chars"), lit(-1L).as("lo"), lit(-2L).as("hi")),
+          (acc, s0) => {
+            val s = s0.cast(LongType)
+            val end = s + col("n") - 1
+            when(
+              acc.getField("lo") < 0,
+              struct(acc.getField("chars").as("chars"), s.as("lo"), end.as("hi"))
+            ).when(
+              s > acc.getField("hi"),
+              struct(
+                (acc.getField("chars") +
+                  intervalChars(acc.getField("lo"), acc.getField("hi"))).as("chars"),
+                s.as("lo"),
+                end.as("hi")
+              )
+            ).otherwise(
+              struct(
+                acc.getField("chars").as("chars"),
+                acc.getField("lo").as("lo"),
+                greatest(acc.getField("hi"), end).as("hi")
+              )
+            )
+          },
+          acc =>
+            acc.getField("chars") + when(
+              acc.getField("lo") >= 0,
+              intervalChars(acc.getField("lo"), acc.getField("hi"))
             ).otherwise(0L)
-          }
         )
       )
     val cvAggs = ns.map(n => max(when(col("n") === n, col("cov_chars"))).as(s"c$n"))

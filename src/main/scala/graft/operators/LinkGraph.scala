@@ -186,4 +186,60 @@ object LinkGraph {
     }
     r.withColumn("rounds", lit(rounds.toLong))
   }
+
+  /** Crawl-budget apportionment by rank share — largest-remainder
+    * (Hamilton) method, the exact-integer way to split `budget` fetch
+    * slots proportionally so they SUM TO THE BUDGET EXACTLY:
+    * `base_h = budget·rank_h div Σrank`, and the `budget − Σbase`
+    * leftover slots go one each to the largest remainders
+    * (`budget·rank_h mod Σrank`), ties broken by higher rank then host
+    * name — fully deterministic, both engines replay every slot.
+    *
+    * The `budget·rank` products run in DECIMAL(38,0): with ranks in
+    * [[RankScale]] units a web-scale host table overflows int64 there.
+    * The remainder ranking is a GLOBAL order over the host dimension —
+    * ranked with the two-level [[Split.shardedRowNumber]] (constant
+    * partition key: the range exchange still bounds every sort
+    * partition), not a single-partition window. Input `ranks` must have
+    * columns (`h`, `rank`); returns (domain, rank, base, rem, rn, alloc).
+    */
+  def crawlBudget(ranks: DataFrame, budget: Long, shards: Int = 32): DataFrame = {
+    require(budget >= 0, "budget must be nonnegative")
+    val tot = ranks.agg(sum(col("rank")).as("t"))
+    val q = ranks
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "base",
+        expr(s"CAST((CAST($budget AS DECIMAL(38,0)) * rank) DIV t AS BIGINT)")
+      )
+      .withColumn(
+        "rem",
+        expr(s"CAST((CAST($budget AS DECIMAL(38,0)) * rank) % t AS BIGINT)")
+      )
+      // sortable ASC key encoding (rem DESC, rank DESC, h ASC): both
+      // complements are in [0, t], t < 10^19 -> 20-digit zero-pad
+      .withColumn(
+        "ord",
+        concat(
+          lpad((col("t") - 1 - col("rem")).cast("string"), 20, "0"),
+          lit("#"),
+          lpad((col("t") - col("rank")).cast("string"), 20, "0"),
+          lit("#"),
+          col("h")
+        )
+      )
+      .withColumn("_k", lit(1))
+    val ranked = Split.shardedRowNumber(q, "_k", "ord", shards, out = "rn")
+    val lv = ranked.agg((lit(budget) - sum(col("base"))).as("leftover"))
+    ranked
+      .crossJoin(broadcast(lv))
+      .select(
+        col("h").as("domain"),
+        col("rank"),
+        col("base"),
+        col("rem"),
+        col("rn"),
+        (col("base") + when(col("rn") <= col("leftover"), 1L).otherwise(0L)).as("alloc")
+      )
+  }
 }

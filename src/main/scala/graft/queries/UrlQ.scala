@@ -99,6 +99,46 @@ object UrlQ {
       )
       .withColumn("url_norm", Urls.normalizeUrl(col("url")))
 
+  /** Shared oracle CTE chain replaying the citation-graph fixture and the
+    * 3-round integer PageRank (ends in CTE `r3(h, rank)`) — used by
+    * `u_pagerank` and the budget apportionment on top of it.
+    */
+  private val pagerankCtes: String = {
+    val teleport = (graft.operators.LinkGraph.DampDen - graft.operators.LinkGraph.DampNum) *
+      graft.operators.LinkGraph.RankScale / graft.operators.LinkGraph.DampDen
+    def round(k: Int) =
+      s"""c$k AS (
+         |  SELECT e.dst, SUM(r.rank // dg.outdeg) AS m
+         |  FROM edges e JOIN deg dg ON e.src = dg.src JOIN r${k - 1} r ON r.h = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT nd.h,
+         |    CAST($teleport + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes nd LEFT JOIN c$k c ON c.dst = nd.h)""".stripMargin
+    s"""$urlCte,
+       |dm AS (SELECT doc_id, $domainSql AS dom FROM n),
+       |cites AS (
+       |  SELECT doc_id, (doc_id*doc_id + 1) % 500 AS cited_id FROM dm
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*doc_id + 7) % 500 FROM dm
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*doc_id + 13) % 500 FROM dm WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*doc_id + doc_id) % 500 FROM dm WHERE doc_id % 7 = 0),
+       |pairs AS (
+       |  SELECT a.dom AS src, b.dom AS dst
+       |  FROM cites c JOIN dm a ON a.doc_id = c.doc_id
+       |               JOIN dm b ON b.doc_id = c.cited_id),
+       |edges AS (SELECT DISTINCT src, dst FROM pairs WHERE src <> dst),
+       |nodes AS (SELECT src AS h FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS (SELECT h, CAST(${graft.operators.LinkGraph.RankScale} AS BIGINT) AS rank
+       |       FROM nodes),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "u_normalize",
@@ -333,42 +373,10 @@ object UrlQ {
           .select(col("h").as("domain"), col("rank"))
           .orderBy(desc("rank"), col("domain"))
       },
-      Some {
-        val teleport = (graft.operators.LinkGraph.DampDen - graft.operators.LinkGraph.DampNum) *
-          graft.operators.LinkGraph.RankScale / graft.operators.LinkGraph.DampDen
-        def round(k: Int) =
-          s"""c$k AS (
-             |  SELECT e.dst, SUM(r.rank // dg.outdeg) AS m
-             |  FROM edges e JOIN deg dg ON e.src = dg.src JOIN r${k - 1} r ON r.h = e.src
-             |  GROUP BY e.dst),
-             |r$k AS (
-             |  SELECT nd.h,
-             |    CAST($teleport + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS rank
-             |  FROM nodes nd LEFT JOIN c$k c ON c.dst = nd.h)""".stripMargin
-        s"""$urlCte,
-           |dm AS (SELECT doc_id, $domainSql AS dom FROM n),
-           |cites AS (
-           |  SELECT doc_id, (doc_id*doc_id + 1) % 500 AS cited_id FROM dm
-           |  UNION ALL
-           |  SELECT doc_id, (doc_id*doc_id + 7) % 500 FROM dm
-           |  UNION ALL
-           |  SELECT doc_id, (doc_id*doc_id + 13) % 500 FROM dm WHERE doc_id % 3 = 0
-           |  UNION ALL
-           |  SELECT doc_id, (doc_id*doc_id + doc_id) % 500 FROM dm WHERE doc_id % 7 = 0),
-           |pairs AS (
-           |  SELECT a.dom AS src, b.dom AS dst
-           |  FROM cites c JOIN dm a ON a.doc_id = c.doc_id
-           |               JOIN dm b ON b.doc_id = c.cited_id),
-           |edges AS (SELECT DISTINCT src, dst FROM pairs WHERE src <> dst),
-           |nodes AS (SELECT src AS h FROM edges UNION SELECT dst FROM edges),
-           |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-           |r0 AS (SELECT h, CAST(${graft.operators.LinkGraph.RankScale} AS BIGINT) AS rank
-           |       FROM nodes),
-           |${round(1)},
-           |${round(2)},
-           |${round(3)}
+      Some(
+        s"""$pagerankCtes
            |SELECT h AS domain, rank FROM r3 ORDER BY rank DESC, domain""".stripMargin
-      },
+      ),
       doc = "Host-level PageRank (3 damped rounds, integer fixed-point " +
         "so ranks are bit-deterministic and partition-order-free) over " +
         "the registered-domain citation graph — the centrality ranking " +
@@ -376,6 +384,59 @@ object UrlQ {
         "feed back into frontier priority. Each round is one keyed join " +
         "+ one hash aggregation; no all-pairs stage, hub in-mass bounded " +
         "by total mass in the int64 lane."
+    ),
+    Q(
+      "u_crawl_budget",
+      (s, d) => {
+        val dm = withUrls(s, d).select(
+          col("doc_id"),
+          Urls.registeredDomain(Urls.hostOf(col("url_norm"))).as("dom")
+        )
+        val i = col("doc_id")
+        val cites = dm.select(
+          col("dom").as("src"),
+          explode(
+            filter(
+              array(
+                (i * i + 1) % 500,
+                (i * i + 7) % 500,
+                when(i % 3 === 0, (i * i + 13) % 500),
+                when(i % 7 === 0, (i * i + i) % 500)
+              ),
+              c => c.isNotNull
+            )
+          ).as("cited_id")
+        )
+        val cited = dm.select(col("doc_id").as("cited_id"), col("dom").as("dst"))
+        val edges = cites.join(cited, "cited_id").select(col("src"), col("dst"))
+        graft.operators.LinkGraph
+          .crawlBudget(graft.operators.LinkGraph.pageRank(edges, iters = 3), budget = 100000L)
+          .orderBy("domain")
+      },
+      Some(
+        s"""$pagerankCtes,
+           |tt AS (SELECT SUM(rank)::BIGINT AS t FROM r3),
+           |q AS (SELECT h, rank,
+           |        (100000::HUGEINT * rank // t)::BIGINT AS base,
+           |        ((100000::HUGEINT * rank) % t)::BIGINT AS rem
+           |      FROM r3 CROSS JOIN tt),
+           |lv AS (SELECT (100000 - SUM(base))::BIGINT AS leftover FROM q),
+           |rk AS (SELECT h, rank, base, rem,
+           |        row_number() OVER (ORDER BY rem DESC, rank DESC, h) AS rn FROM q)
+           |SELECT h AS domain, rank, base, rem, rn::BIGINT AS rn,
+           |  (base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+           |FROM rk CROSS JOIN lv ORDER BY domain""".stripMargin
+      ),
+      doc = "Crawl-budget apportionment by PageRank share — the " +
+        "largest-remainder (Hamilton) method, so 100000 fetch slots " +
+        "split proportionally to host centrality and SUM TO THE BUDGET " +
+        "EXACTLY: integer base quotas (DECIMAL lane — budget×rank " +
+        "overflows int64 on web-scale host tables), then one extra slot " +
+        "each to the largest remainders, ties by rank then host. The " +
+        "remainder ranking runs on the two-level sharded row_number " +
+        "(constant key; the range exchange still bounds every sort " +
+        "partition) — no single-partition window even on the host " +
+        "dimension. Oracle replays the graph, the ranks, and every slot."
     ),
     // ---- PageRank with an epsilon stop: integer arithmetic makes the
     // CONVERGENCE ROUND itself bit-deterministic, so the oracle unrolls

@@ -304,4 +304,30 @@ class UrlSpec extends AnyFunSuite {
     assert(redi.values.sum > leak.values.sum)
     assert(redi.values.sum <= 3L * LinkGraph.RankScale)
   }
+
+  test("crawl budget: largest-remainder apportionment sums exactly and breaks ties by name") {
+    import spark.implicits._
+    import graft.operators.LinkGraph
+    // ranks 3/3/4, budget 11: bases 3/3/4 (sum 10), remainders 3/3/4 ->
+    // the single leftover slot goes to the largest remainder (c)
+    val r1 = Seq(("a", 3L), ("b", 3L), ("c", 4L)).toDF("h", "rank")
+    val a1 = LinkGraph
+      .crawlBudget(r1, budget = 11L, shards = 2)
+      .select(col("domain"), col("alloc"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(a1 === Map("a" -> 3L, "b" -> 3L, "c" -> 5L))
+    // all-equal ranks, budget 2 of 3 hosts: remainder ties broken by
+    // host name ascending -> a and b get the slots
+    val r2 = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("h", "rank")
+    val a2 = LinkGraph
+      .crawlBudget(r2, budget = 2L, shards = 2)
+      .select(col("domain"), col("alloc"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(a2 === Map("a" -> 1L, "b" -> 1L, "c" -> 0L))
+    assert(a1.values.sum === 11L && a2.values.sum === 2L)
+  }
 }
