@@ -399,8 +399,13 @@ object Curation {
     * per-position quantification — two formulations, one answer, which
     * is exactly what the hash compare checks.
     */
-  def gopherRepetition(docs: DataFrame): DataFrame = {
-    val ns = 2 to 10
+  /** @param ns which n-gram orders to measure (default: the paper's full
+    *   2..10). The rule-gated subset alone is `5 to 10` at ~2/3 the
+    *   explode cost; rule columns are emitted only for orders in `ns`,
+    *   and `keep` conjoins the emitted rules.
+    */
+  def gopherRepetition(docs: DataFrame, ns: Range = 2 to 10): DataFrame = {
+    require(ns.nonEmpty && ns.head >= 2, "n-gram orders must start at 2 or higher")
     val base = docs
       .select(col("doc_id"), Text.tokensAll(col("text")).as("tk"))
       .withColumn(
@@ -422,20 +427,22 @@ object Curation {
       )
       .withColumnRenamed("col", "gram")
     val ct = gr.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
-    val tp = ct
-      .filter(col("n") <= 4)
-      .withColumn(
-        "topkey",
-        concat(lpad(col("cnt").cast("string"), 12, "0"), lit("#"), col("gram"))
+    val topNs = ns.filter(_ <= 4)
+    val tp = if (topNs.isEmpty) None
+    else {
+      val aggs = topNs.map(n => max(when(col("n") === n, col("topkey"))).as(s"t$n"))
+      Some(
+        ct.filter(col("n").isin(topNs.map(Integer.valueOf): _*))
+          .withColumn(
+            "topkey",
+            concat(lpad(col("cnt").cast("string"), 12, "0"), lit("#"), col("gram"))
+          )
+          .groupBy("doc_id", "n")
+          .agg(max(col("topkey")).as("topkey"))
+          .groupBy("doc_id")
+          .agg(aggs.head, aggs.tail: _*)
       )
-      .groupBy("doc_id", "n")
-      .agg(max(col("topkey")).as("topkey"))
-      .groupBy("doc_id")
-      .agg(
-        max(when(col("n") === 2, col("topkey"))).as("t2"),
-        max(when(col("n") === 3, col("topkey"))).as("t3"),
-        max(when(col("n") === 4, col("topkey"))).as("t4")
-      )
+    }
     // duplicate START positions per (doc, n): annotate each gram
     // occurrence with its count (one colocated join back onto the count
     // shuffle's key — codegen hash join, no per-position membership
@@ -501,25 +508,24 @@ object Curation {
       )
     def dupPermille(n: Int): Column =
       idiv(coalesce(col(s"c$n"), lit(0L)) * 1000, tot)
-    val out = base
-      .join(tp, Seq("doc_id"), "left")
-      .join(cvv, Seq("doc_id"), "left")
-      .select(
-        Seq(col("doc_id"), col("total_chars")) ++
-          Seq(2 -> "t2", 3 -> "t3", 4 -> "t4").map { case (n, c) =>
-            topPermille(col(c), n).as(s"top${n}_permille")
-          } ++
-          ns.map(n => dupPermille(n).as(s"dup${n}_permille")): _*
-      )
-    val withRules = TopGramMaxPermille.toSeq.sortBy(_._1).foldLeft(out) {
+    val joined0 = base.join(cvv, Seq("doc_id"), "left")
+    val joined = tp.fold(joined0)(t => joined0.join(t, Seq("doc_id"), "left"))
+    val out = joined.select(
+      Seq(col("doc_id"), col("total_chars")) ++
+        topNs.map(n => topPermille(col(s"t$n"), n).as(s"top${n}_permille")) ++
+        ns.map(n => dupPermille(n).as(s"dup${n}_permille")): _*
+    )
+    val topRules = TopGramMaxPermille.toSeq.sortBy(_._1).filter(p => ns.contains(p._1))
+    val dupRules = DupGramMaxPermille.toSeq.sortBy(_._1).filter(p => ns.contains(p._1))
+    val withRules = topRules.foldLeft(out) {
       case (df, (n, mx)) => df.withColumn(s"r_top$n", col(s"top${n}_permille") <= mx)
     }
-    val withAll = DupGramMaxPermille.toSeq.sortBy(_._1).foldLeft(withRules) {
+    val withAll = dupRules.foldLeft(withRules) {
       case (df, (n, mx)) => df.withColumn(s"r_dup$n", col(s"dup${n}_permille") <= mx)
     }
     val ruleCols =
-      TopGramMaxPermille.keys.toSeq.sorted.map(n => col(s"r_top$n")) ++
-        DupGramMaxPermille.keys.toSeq.sorted.map(n => col(s"r_dup$n"))
+      topRules.map { case (n, _) => col(s"r_top$n") } ++
+        dupRules.map { case (n, _) => col(s"r_dup$n") }
     withAll.withColumn("keep", ruleCols.reduce(_ && _))
   }
 

@@ -175,6 +175,26 @@ class CurationSpec extends AnyFunSuite {
     assert(ok.getBoolean(0))
   }
 
+  test("repetition: the 5..10 rule-gated subset matches the full run's columns") {
+    val d = docs(1L -> ("ping pong ding dong ring " * 8).trim, 2L -> toks(60))
+    val sub = Curation.gopherRepetition(d, ns = 5 to 10)
+    assert(sub.columns.toSeq === Seq("doc_id", "total_chars") ++
+      (5 to 10).map(n => s"dup${n}_permille") ++
+      (5 to 10).map(n => s"r_dup$n") :+ "keep")
+    val full = Curation
+      .gopherRepetition(d)
+      .select(col("doc_id"), col("dup5_permille"), col("r_dup5"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    val got = sub
+      .select(col("doc_id"), col("dup5_permille"), col("r_dup5"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got === full)
+  }
+
   test("gates: the one-pass projection equals the per-family rule tables") {
     val d = docs((0L until 60L).map(i => i -> toks(8 + (i * 7 % 90).toInt)): _*)
     val combined = Curation
