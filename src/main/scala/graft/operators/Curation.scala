@@ -198,9 +198,17 @@ object Curation {
         col("page"),
         col("n_lines"),
         col("n_words"),
-        idiv(col("sum_word_len") * 1000, col("n_words")).as("mean_word_len_e3"),
-        idiv((col("hash_syms") + col("ellipsis_syms")) * 1000, col("n_words"))
-          .as("symbol_permille"),
+        // greatest(n_words, 1): an empty/whitespace-only document
+        // synthesizes a page with zero words — Spark's non-ANSI division
+        // would yield NULL while DuckDB `// 0` raises, so both fractions
+        // guard the denominator (the dup_char_permille pattern); such a
+        // doc then fails r_words, never on a NULL metric
+        idiv(col("sum_word_len") * 1000, greatest(col("n_words"), lit(1L)))
+          .as("mean_word_len_e3"),
+        idiv(
+          (col("hash_syms") + col("ellipsis_syms")) * 1000,
+          greatest(col("n_words"), lit(1L))
+        ).as("symbol_permille"),
         col("bullet_lines"),
         col("ell_lines"),
         col("alpha_words"),
@@ -241,9 +249,9 @@ object Curation {
        |m AS (SELECT doc_id,
        |  len(lines)::BIGINT AS n_lines,
        |  len(words)::BIGINT AS n_words,
-       |  (1000 * list_sum(list_transform(words, w -> length(w)))::BIGINT) // len(words) AS mean_word_len_e3,
+       |  (1000 * coalesce(list_sum(list_transform(words, w -> length(w)))::BIGINT, 0)) // greatest(len(words), 1) AS mean_word_len_e3,
        |  (1000 * ((length(page) - length(replace(page, '#', '')))
-       |     + (length(page) - length(replace(page, '...', ''))) // 3)) // len(words) AS symbol_permille,
+       |     + (length(page) - length(replace(page, '...', ''))) // 3)) // greatest(len(words), 1) AS symbol_permille,
        |  len(list_filter(lines, l -> starts_with(l, '- ')))::BIGINT AS bullet_lines,
        |  len(list_filter(lines, l -> ends_with(l, '...')))::BIGINT AS ell_lines,
        |  len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::BIGINT AS alpha_words,
@@ -390,9 +398,12 @@ object Curation {
     * the same currency.
     *
     * Scale shape: one corpus pass explodes (doc, n, pos, gram) for the
-    * nine n values (9× token count, linear), one partial-aggregable
-    * count shuffle, then occurrences rejoin their counts ON THE SAME KEY
-    * (colocated codegen hash join — no per-position membership scans) to
+    * nine n values (9× token count, linear); gram identity is its
+    * xxhash64, so the count exchange and the duplicate-starts join move
+    * 8-BYTE keys, not gram strings (text survives only on n≤4 rows for
+    * the top-gram tie-break). One partial-aggregable count shuffle, then
+    * occurrences rejoin their counts ON THE SAME KEY (colocated codegen
+    * hash join — no per-position membership scans) to
     * yield duplicate START positions; coverage is a single O(#starts)
     * sorted-interval merge per (doc, n) that charges each covered token
     * once. The DuckDB oracle computes the same function by brute
@@ -412,7 +423,19 @@ object Curation {
         "total_chars",
         aggregate(col("tk"), lit(0L), (a, w) => a + length(w).cast(LongType))
       )
-    val gr = base
+    val topNs = ns.filter(_ <= 4)
+    // gram identity travels as xxhash64 — 8 bytes through the count
+    // exchange and the duplicate-starts join instead of up-to-10-token
+    // STRINGS (the ExactSubstr discipline, Dedup.substrRemovalStats): at
+    // 100x data the gram text was the dominant shuffle by bytes. The
+    // text itself is kept ONLY on n<=4 rows (2..4-token grams, needed
+    // for the top-gram tie-break; constant within an (doc, n, gh) group,
+    // so max() just picks it up through the partial aggregate). A
+    // same-doc same-n 64-bit collision would fuse two distinct grams —
+    // probability ~g^2/2^65 per document (g = grams per doc), vanishing
+    // at any real document size and accepted corpus-wide exactly as in
+    // the substring index.
+    val gr0 = base
       .select(col("doc_id"), col("tk"), explode(array(ns.map(lit): _*)).as("n"))
       .filter(size(col("tk")) >= col("n"))
       .select(
@@ -426,8 +449,14 @@ object Curation {
         )
       )
       .withColumnRenamed("col", "gram")
-    val ct = gr.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
-    val topNs = ns.filter(_ <= 4)
+      .withColumn("gh", xxhash64(col("gram")))
+    val gr =
+      (if (topNs.nonEmpty)
+         gr0.withColumn("gram4", when(col("n") <= 4, col("gram")))
+       else gr0).drop("gram")
+    val ctAggs = Seq(count(lit(1)).as("cnt")) ++
+      (if (topNs.nonEmpty) Seq(max(col("gram4")).as("gram4")) else Nil)
+    val ct = gr.groupBy("doc_id", "n", "gh").agg(ctAggs.head, ctAggs.tail: _*)
     val tp = if (topNs.isEmpty) None
     else {
       val aggs = topNs.map(n => max(when(col("n") === n, col("topkey"))).as(s"t$n"))
@@ -435,7 +464,7 @@ object Curation {
         ct.filter(col("n").isin(topNs.map(Integer.valueOf): _*))
           .withColumn(
             "topkey",
-            concat(lpad(col("cnt").cast("string"), 12, "0"), lit("#"), col("gram"))
+            concat(lpad(col("cnt").cast("string"), 12, "0"), lit("#"), col("gram4"))
           )
           .groupBy("doc_id", "n")
           .agg(max(col("topkey")).as("topkey"))
@@ -446,9 +475,11 @@ object Curation {
     // duplicate START positions per (doc, n): annotate each gram
     // occurrence with its count (one colocated join back onto the count
     // shuffle's key — codegen hash join, no per-position membership
-    // scans) and keep the positions of grams occurring more than once
+    // scans) and keep the positions of grams occurring more than once;
+    // both sides of the join carry the 8-byte hash, never the gram text
     val starts = gr
-      .join(ct.filter(col("cnt") > 1).select("doc_id", "n", "gram"), Seq("doc_id", "n", "gram"))
+      .select("doc_id", "n", "gh", "pos")
+      .join(ct.filter(col("cnt") > 1).select("doc_id", "n", "gh"), Seq("doc_id", "n", "gh"))
       .groupBy("doc_id", "n")
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
     // coverage by interval merge: each start covers [pos, pos+n-1];
@@ -630,10 +661,15 @@ object Curation {
     val scored = TextAnalysis
       .knScores(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      // unique order key: score major, doc_id minor (doc_id < 10^6 at
-      // every shipped SF; the product stays far under 2^63)
-      .withColumn("ord", col("kn_score_e9") * 1000000L + col("doc_id"))
-    val ranked = Split.shardedRowNumber(scored, "lang", "ord", shards, out = "rn")
+    // composite order key: score major, doc_id minor — no packed scalar,
+    // so no silent misordering at any doc_id magnitude
+    val ranked = Split.shardedRowNumber(
+      scored,
+      "lang",
+      Seq(col("kn_score_e9"), col("doc_id")),
+      shards,
+      out = "rn"
+    )
     val counts = ranked.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
     ranked
       .join(broadcast(counts), Seq("lang"))

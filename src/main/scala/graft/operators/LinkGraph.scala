@@ -216,20 +216,16 @@ object LinkGraph {
         "rem",
         expr(s"CAST((CAST($budget AS DECIMAL(38,0)) * rank) % t AS BIGINT)")
       )
-      // sortable ASC key encoding (rem DESC, rank DESC, h ASC): both
-      // complements are in [0, t], t < 10^19 -> 20-digit zero-pad
-      .withColumn(
-        "ord",
-        concat(
-          lpad((col("t") - 1 - col("rem")).cast("string"), 20, "0"),
-          lit("#"),
-          lpad((col("t") - col("rank")).cast("string"), 20, "0"),
-          lit("#"),
-          col("h")
-        )
-      )
       .withColumn("_k", lit(1))
-    val ranked = Split.shardedRowNumber(q, "_k", "ord", shards, out = "rn")
+    // composite sort order (rem DESC, rank DESC, h ASC) straight through
+    // the two-level rank — no packed key, no 40-byte string shuffle
+    val ranked = Split.shardedRowNumber(
+      q,
+      "_k",
+      Seq(col("rem").desc, col("rank").desc, col("h")),
+      shards,
+      out = "rn"
+    )
     val lv = ranked.agg((lit(budget) - sum(col("base"))).as("leftover"))
     ranked
       .crossJoin(broadcast(lv))

@@ -191,11 +191,33 @@ object Split {
       orderCol: String,
       shards: Int,
       out: String = "rn"
+  ): DataFrame =
+    shardedRowNumber(df, partCol, Seq(col(orderCol)), shards, out)
+
+  /** [[shardedRowNumber]] with a COMPOSITE order: `orderCols` may be any
+    * column expressions, including `.desc` sort orders — the natural form
+    * for "score major, id minor" ranks, which would otherwise force the
+    * caller to pack both fields into one sortable scalar (the
+    * `score*10^6 + id` packing this replaces silently misorders once the
+    * minor field outgrows its multiplier, and zero-padded string keys pay
+    * 20-byte-per-field shuffles). The range exchange and the local
+    * `row_number` see the SAME sort expressions, so the two-level rank
+    * equals the single-window `row_number() OVER (PARTITION BY part ORDER
+    * BY orderCols)` whenever the composite key is unique per key (ties
+    * tie-break arbitrarily, exactly like `row_number` itself).
+    */
+  def shardedRowNumber(
+      df: DataFrame,
+      partCol: String,
+      orderCols: Seq[Column],
+      shards: Int,
+      out: String
   ): DataFrame = {
     require(shards > 0, "shards must be positive")
+    require(orderCols.nonEmpty, "at least one order column")
     val W = org.apache.spark.sql.expressions.Window
     val pinned = df
-      .repartitionByRange(shards, col(partCol), col(orderCol))
+      .repartitionByRange(shards, (col(partCol) +: orderCols): _*)
       .localCheckpoint()
       .withColumn("_pid", spark_partition_id().cast("long"))
     val offsets = pinned
@@ -218,7 +240,7 @@ object Split {
       .withColumn(
         out,
         col("_off") + row_number()
-          .over(W.partitionBy(col("_pid"), col(partCol)).orderBy(col(orderCol)))
+          .over(W.partitionBy(col("_pid"), col(partCol)).orderBy(orderCols: _*))
           .cast("long")
       )
       .drop("_pid", "_off")

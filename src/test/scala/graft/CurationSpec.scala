@@ -42,9 +42,13 @@ class CurationSpec extends AnyFunSuite {
     // doc 9 (9 % 17 = 9) appends the lorem line
     assert(linesOf(9, toks(8)).last === Curation.LoremLine)
     // decoration: doc 1, line 1 -> (1+3)%7 != 0 no bullet; (1+1)%5 != 3,
-    // (1+1)%3 != 0 -> bare; line 2 -> (1+2)%3 = 0 -> '.'
-    val l1 = linesOf(1, toks(24))
-    assert(!l1(1).startsWith("- ") && !l1(1).endsWith(".") && l1(2).endsWith("."))
+    // (1+1)%3 != 0 -> bare. Line 2: (1+2)%5 = 3 fires FIRST -> '...' (the
+    // ellipsis lane shadows the '.' residue (1+2)%3 = 0). The bare-period
+    // lane needs %5 != 3 AND %3 = 0: line 5 -> (1+5)%5 = 1, (1+5)%3 = 0.
+    val l1 = linesOf(1, toks(48))
+    assert(!l1(1).startsWith("- ") && !l1(1).endsWith(".") && !l1(1).endsWith("..."))
+    assert(l1(2).endsWith("..."))
+    assert(l1(5).endsWith(".") && !l1(5).endsWith("..."))
   }
 
   private def gopher(rows: (Long, String)*): Map[String, Seq[org.apache.spark.sql.Row]] =

@@ -238,6 +238,48 @@ class SplitSpec extends AnyFunSuite {
     assert(megaOffsets.size > 1, "mega key must span multiple shards")
   }
 
+  test("shardedRowNumber: composite order keys match the single window past 10^6 ids") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // score-major, id-minor ranks where ids exceed 10^6 — the regime the
+    // retired `score*10^6 + id` packed key silently misordered (an id of
+    // 3_000_000 adds 3 score units to the packed key); the composite form
+    // must still equal the single-window rank bit-for-bit
+    val rows = (0 until 4000).map { i =>
+      val lang = if (i % 5 == 0) "de" else "en"
+      (1000000L + i.toLong * 7L, lang, (i % 13).toLong)
+    }
+    val df = rows.toDF("doc_id", "lang", "score")
+    val w = Window.partitionBy("lang").orderBy(col("score"), col("doc_id"))
+    val expected = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .as[(Long, String, Long, Long)]
+      .collect()
+      .toSet
+    val got = Split
+      .shardedRowNumber(df, "lang", Seq(col("score"), col("doc_id")), shards = 8, out = "rn")
+      .select("doc_id", "lang", "score", "rn")
+      .as[(Long, String, Long, Long)]
+      .collect()
+      .toSet
+    assert(got === expected)
+    // descending sort orders ride the same path (the crawlBudget shape:
+    // rem DESC, id ASC)
+    val wd = Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
+    val expDesc = df
+      .withColumn("rn", row_number().over(wd).cast("long"))
+      .as[(Long, String, Long, Long)]
+      .collect()
+      .toSet
+    val gotDesc = Split
+      .shardedRowNumber(df, "lang", Seq(col("score").desc, col("doc_id")), shards = 8, out = "rn")
+      .select("doc_id", "lang", "score", "rn")
+      .as[(Long, String, Long, Long)]
+      .collect()
+      .toSet
+    assert(gotDesc === expDesc)
+  }
+
   test("temperature sampling: rate = sqrt(n_min/n_domain) ppm, smallest domain kept whole") {
     // 100 'small' docs, 400 'big' docs: rate(small) = 1e6,
     // rate(big) = isqrt(100e12/400) = isqrt(2.5e11) = 500000 exactly
