@@ -969,24 +969,35 @@ object UrlQ {
         s"""WITH pg AS MATERIALIZED (SELECT doc_id, $page AS html FROM documents),
            |caps AS (
            |  SELECT 'http://example.com/doc/' || doc_id AS url, '$d0' AS warc_date,
+           |         '<urn:uuid:resp-' || doc_id || '>' AS record_id,
            |         md5(html) AS digest FROM pg
            |  UNION ALL
-           |  SELECT 'http://example.com/doc/' || doc_id, '$d1', md5(html)
+           |  SELECT 'http://example.com/doc/' || doc_id, '$d1',
+           |         '<urn:uuid:resp2-' || doc_id || '>', md5(html)
            |  FROM pg WHERE doc_id % 3 = 0
            |  UNION ALL
-           |  SELECT 'http://example.com/doc/' || doc_id, '$d1', md5(html || '<!-- updated -->')
+           |  SELECT 'http://example.com/doc/' || doc_id, '$d1',
+           |         '<urn:uuid:resp2-' || doc_id || '>', md5(html || '<!-- updated -->')
            |  FROM pg WHERE doc_id % 3 = 1
            |  UNION ALL
-           |  SELECT 'http://mirror.example.com/doc/' || doc_id, '$d2', md5(html)
+           |  SELECT 'http://mirror.example.com/doc/' || doc_id, '$d2',
+           |         '<urn:uuid:mirror-' || doc_id || '>', md5(html)
            |  FROM pg WHERE doc_id % 5 = 0
            |),
-           |f AS (SELECT digest, min(warc_date) AS first_date,
-           |             min_by(url, warc_date) AS first_url
+           |f AS (SELECT digest,
+           |        (min(struct_pack(d := warc_date, u := url, i := record_id))).d AS first_date,
+           |        (min(struct_pack(d := warc_date, u := url, i := record_id))).u AS first_url,
+           |        (min(struct_pack(d := warc_date, u := url, i := record_id))).i AS first_id
            |      FROM caps GROUP BY digest)
            |SELECT c.url, c.warc_date, c.digest,
-           |  (c.warc_date > f.first_date) AS is_revisit,
-           |  CASE WHEN c.warc_date > f.first_date THEN f.first_url END AS ref_url,
-           |  CASE WHEN c.warc_date > f.first_date THEN f.first_date END AS ref_date
+           |  NOT (c.warc_date = f.first_date AND c.url = f.first_url
+           |       AND c.record_id = f.first_id) AS is_revisit,
+           |  CASE WHEN NOT (c.warc_date = f.first_date AND c.url = f.first_url
+           |                 AND c.record_id = f.first_id)
+           |       THEN f.first_url END AS ref_url,
+           |  CASE WHEN NOT (c.warc_date = f.first_date AND c.url = f.first_url
+           |                 AND c.record_id = f.first_id)
+           |       THEN f.first_date END AS ref_date
            |FROM caps c JOIN f USING (digest)
            |ORDER BY url, warc_date""".stripMargin
       },
@@ -994,9 +1005,11 @@ object UrlQ {
         "archive (the Common-Crawl dedup convention — ISO 28500 revisit " +
         "records reference a prior capture by WARC-Payload-Digest): " +
         "identical re-captures and cross-host mirror captures resolve to " +
-        "the EARLIEST capture of their digest globally; a re-capture " +
-        "whose content changed hashes fresh and stays an original. " +
-        "Arg-min per digest is a map-side-combinable hash aggregate and " +
+        "the EARLIEST capture of their digest globally (ties broken by " +
+        "url then record id — a deterministic struct-min, never an " +
+        "arbitrary arg-min); a re-capture whose content changed hashes " +
+        "fresh and stays an original. " +
+        "Struct-min per digest is a map-side-combinable hash aggregate and " +
         "the annotate join is digest-keyed — duplicate clusters meet, " +
         "never all-pairs. Oracle replays capture construction, digesting " +
         "(md5 over identical UTF-8 payload bytes), and the dedup rule."

@@ -1069,28 +1069,53 @@ object Warc {
     * map-side), and the annotate-back join is digest-keyed — candidates
     * meet only within their duplicate cluster, never all-pairs.
     */
-  def revisitCaptures(resp: DataFrame): DataFrame = {
+  def revisitCaptures(resp: DataFrame): DataFrame =
+    revisitResolved(resp).drop("record_id", "ref_id")
+
+  /** [[revisitCaptures]] plus the capture/original RECORD IDS — what the
+    * deduped-archive writer needs for `WARC-Refers-To`. The per-digest
+    * original is `min(struct(warc_date, url, record_id))`: the composite
+    * struct-min makes the earliest-capture choice fully deterministic
+    * even when two captures of one digest share a date (min_by alone
+    * tie-breaks arbitrarily in both engines — the bit-determinism
+    * discipline forbids that).
+    */
+  private[graft] def revisitResolved(resp: DataFrame): DataFrame = {
     val caps = resp.select(
       col("target_uri").as("url"),
       col("warc_date"),
+      col("record_id"),
       md5(col("body_text")).as("digest")
     )
     val firsts = caps
       .groupBy(col("digest"))
       .agg(
-        min(col("warc_date")).as("first_date"),
-        min_by(col("url"), col("warc_date")).as("first_url")
+        min(struct(col("warc_date"), col("url"), col("record_id"))).as("fst")
       )
-    val later = col("warc_date") > col("first_date")
+      .select(
+        col("digest"),
+        col("fst.warc_date").as("first_date"),
+        col("fst.url").as("first_url"),
+        col("fst.record_id").as("first_id")
+      )
+    // strictly-later OR same-date-but-not-the-chosen-original: exactly
+    // the complement of the struct-min row, so every digest has ONE
+    // original no matter how dates collide
+    val isOriginal =
+      col("warc_date") === col("first_date") &&
+        col("url") === col("first_url") &&
+        col("record_id") === col("first_id")
     caps
       .join(firsts, Seq("digest"))
       .select(
         col("url"),
         col("warc_date"),
+        col("record_id"),
         col("digest"),
-        later.as("is_revisit"),
-        when(later, col("first_url")).as("ref_url"),
-        when(later, col("first_date")).as("ref_date")
+        (!isOriginal).as("is_revisit"),
+        when(!isOriginal, col("first_url")).as("ref_url"),
+        when(!isOriginal, col("first_date")).as("ref_date"),
+        when(!isOriginal, col("first_id")).as("ref_id")
       )
   }
 
