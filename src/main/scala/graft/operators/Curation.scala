@@ -630,6 +630,58 @@ object Curation {
        |FROM perm ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB CTE chain replaying the n=`lo`..`hi` duplicated-gram HALF of
+    * [[gopherRepetition]] over the synthesized PAGE text (expects CTE
+    * `pg` with (doc_id, page) in scope — the [[gopherMetricCtes]] frame):
+    * ends in CTE `repk` with (doc_id, rep_keep). The funnel gates on the
+    * page because that is the document the quality rules measure — raw
+    * fixture text never repeats a 5-gram, but synthesized pages repeat
+    * their promo/boiler lanes exactly like real boilerplate does. Same
+    * brute per-position coverage formulation as [[gopherRepOracleSql]].
+    */
+  def repKeepCtes(lo: Int = 5, hi: Int = 10): String = {
+    require(lo >= 2 && hi >= lo && hi <= 10, "rule-gated orders are 5..10")
+    val toks = s"list_filter(${Text.tokensSqlAll("page")}, w -> length(w) > 1)"
+    val covAggs = (lo to hi)
+      .map(n => s"max(CASE WHEN n = $n THEN cov_chars END) AS c$n")
+      .mkString(", ")
+    val keep = (lo to hi)
+      .map { n =>
+        val mx = DupGramMaxPermille.getOrElse(n, TopGramMaxPermille(n))
+        s"(1000 * coalesce(c$n, 0)) // greatest(total_chars, 1) <= $mx"
+      }
+      .mkString(" AND ")
+    s"""rtox AS (
+       |  SELECT doc_id, $toks AS tk,
+       |    coalesce(list_sum(list_transform($toks, w -> length(w)))::BIGINT, 0) AS total_chars
+       |  FROM pg),
+       |rgr AS (
+       |  SELECT doc_id, n, unnest(list_transform(generate_series(0, len(tk) - n),
+       |      i -> array_to_string(tk[(i+1):(i+n)], ' '))) AS gram
+       |  FROM rtox CROSS JOIN (SELECT unnest(generate_series($lo, $hi)) AS n)
+       |  WHERE len(tk) >= n),
+       |rct AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM rgr GROUP BY ALL),
+       |rdp AS (
+       |  SELECT doc_id, n, list(gram) AS dups
+       |  FROM rct WHERE cnt > 1 GROUP BY doc_id, n),
+       |rstt AS (
+       |  SELECT t.doc_id, d.n, t.tk,
+       |    list_transform(generate_series(0, len(t.tk) - d.n),
+       |      i -> list_contains(d.dups, array_to_string(t.tk[(i+1):(i+d.n)], ' '))) AS starts
+       |  FROM rtox t JOIN rdp d USING (doc_id)),
+       |rcvv AS (
+       |  SELECT doc_id, $covAggs
+       |  FROM (SELECT doc_id, n,
+       |    list_sum(list_transform(generate_series(0, len(tk) - 1), t ->
+       |      CASE WHEN len(list_filter(starts[greatest(t - n + 2, 1):least(t + 1, len(tk) - n + 1)], b -> b)) > 0
+       |           THEN length(tk[t + 1]) ELSE 0 END))::BIGINT AS cov_chars
+       |    FROM rstt)
+       |  GROUP BY doc_id),
+       |repk AS (
+       |  SELECT x.doc_id, ($keep) AS rep_keep
+       |  FROM rtox x LEFT JOIN rcvv USING (doc_id))""".stripMargin
+  }
+
   // ---- combined gate ----------------------------------------------------
 
   /** Both curation verdicts in ONE map-only projection:

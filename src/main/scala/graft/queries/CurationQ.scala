@@ -117,18 +117,33 @@ object CurationQ {
     ),
     // ---- the curation funnel as ONE submitted plan: quality gates
     // (Gopher ∧ C4, one map-only projection — zero joins between the two
-    // rule families) → perplexity terciles → per-(lang, bucket) corpus
-    // accounting. The shape every training-data run reports before
-    // tokenization: how much survives filtering, and where it sits on
-    // the fluency spectrum.
+    // rule families) ∧ the Gopher REPETITION rules (n=5..10 duplicated-
+    // gram coverage over the same synthesized page — Rae et al. §A1.1
+    // gates on BOTH halves) → perplexity terciles → per-(lang, bucket)
+    // corpus accounting. The shape every training-data run reports
+    // before tokenization: how much survives filtering, and where it
+    // sits on the fluency spectrum.
     Q(
       "pipe_curate_e2e",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // repetition runs on the PAGE (the document the quality rules
+        // measure): the promo/boiler lanes repeat across lines exactly
+        // like real boilerplate, so the gate is non-vacuous — raw
+        // fixture text never repeats a 5-gram. Rule-gated subset only
+        // (n=5..10): no top-gram branch, so the whole leg shuffles
+        // 8-byte hashed keys.
+        val rep = Curation
+          .gopherRepetition(
+            Curation.pages(docs).select(col("doc_id"), col("page").as("text")),
+            ns = 5 to 10
+          )
+          .select(col("doc_id"), col("keep").as("rep_keep"))
         Curation
           .pplBuckets(docs)
           .join(Curation.gates(docs), Seq("doc_id"))
-          .filter(col("gopher_keep") && col("c4_keep"))
+          .join(rep, Seq("doc_id"))
+          .filter(col("gopher_keep") && col("c4_keep") && col("rep_keep"))
           .groupBy(col("lang"), col("bucket"))
           .agg(
             count(lit(1)).as("n_docs"),
@@ -139,9 +154,10 @@ object CurationQ {
       Some(
         s"""WITH ${Curation.gopherMetricCtes("documents")},
            |${Curation.c4KeptCte},
+           |${Curation.repKeepCtes()},
            |sel AS (
-           |  SELECT m.doc_id FROM m JOIN k USING (doc_id)
-           |  WHERE ${Curation.gopherKeepSql} AND ${Curation.c4KeepSql}
+           |  SELECT m.doc_id FROM m JOIN k USING (doc_id) JOIN repk USING (doc_id)
+           |  WHERE ${Curation.gopherKeepSql} AND ${Curation.c4KeepSql} AND rep_keep
            |),
            |t AS (SELECT doc_id, $toksSql AS tk FROM documents),
            |bg AS (
@@ -183,7 +199,10 @@ object CurationQ {
       doc = "The curation funnel end-to-end in one plan: Gopher document " +
         "rules AND C4 line cleaning as a single map-only gate projection " +
         "(both verdicts from one shared page frame — no join between the " +
-        "rule families), intersected with the CCNet per-language " +
+        "rule families), AND the Gopher repetition rules (duplicated " +
+        "n-gram coverage, n=5..10, over the same page — §A1.1 gates on " +
+        "both halves; the leg shuffles 8-byte hashed gram keys only), " +
+        "intersected with the CCNet per-language " +
         "perplexity terciles, then per-(language, bucket) survivor counts " +
         "and exact integer score mass. IMPORTANT bucket subtlety: " +
         "terciles are assigned over the WHOLE corpus (the CCNet order — " +

@@ -225,6 +225,56 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(500))
   }
 
+  test("funnel gate: gopher ∧ c4 ∧ repetition equals the per-family verdicts; repetition non-vacuous") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.01")
+    val gop = Curation
+      .gopherRules(d)
+      .select(col("doc_id"), col("keep"))
+      .as[(Long, Boolean)]
+      .collect()
+      .toMap
+    val c4 = Curation
+      .c4Clean(d)
+      .select(col("doc_id"), col("keep"))
+      .as[(Long, Boolean)]
+      .collect()
+      .toMap
+    val rep = Curation
+      .gopherRepetition(
+        Curation.pages(d).select(col("doc_id"), col("page").as("text")),
+        ns = 5 to 10
+      )
+      .select(col("doc_id"), col("keep"))
+      .as[(Long, Boolean)]
+      .collect()
+      .toMap
+    // the funnel's composed gate (gates ∧ rep, the pipe_curate_e2e shape)
+    // must equal the conjunction of the three independent family tables
+    val funnel = Curation
+      .gates(d)
+      .join(
+        Curation
+          .gopherRepetition(
+            Curation.pages(d).select(col("doc_id"), col("page").as("text")),
+            ns = 5 to 10
+          )
+          .select(col("doc_id"), col("keep").as("rep_keep")),
+        Seq("doc_id")
+      )
+      .filter(col("gopher_keep") && col("c4_keep") && col("rep_keep"))
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .toSet
+    val expected = gop.keySet.filter(id => gop(id) && c4(id) && rep(id))
+    assert(funnel === expected)
+    // the repetition half must CUT the quality survivors (Rae et al.
+    // §A1.1 gates on both halves — a vacuous conjunct would mean the
+    // funnel only claims to run the repetition rules)
+    val qualitySurvivors = gop.keySet.filter(id => gop(id) && c4(id))
+    assert(funnel.size < qualitySurvivors.size, "repetition gate must be non-vacuous")
+  }
+
   test("ppl buckets: two-level rank equals the single-window tercile") {
     // small multilingual corpus with repeated bigrams so KN scores vary
     val rows = (0L until 40L).map { i =>
