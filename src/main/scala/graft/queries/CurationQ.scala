@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.operators.{Curation, Text}
+import graft.operators.{Curation, Split, Text}
 
 /** Curation-filter query surface: the published quality-rule families
   * (Gopher document rules, C4 line cleaning, CCNet perplexity buckets)
@@ -17,6 +17,59 @@ object CurationQ {
     */
   private val toksSql =
     s"list_filter(${Text.tokensSqlAll("text")}, w -> length(w) > 1)"
+
+  /** DuckDB CTE chain `t → bg → sp → cxy/cx/bw/nt → kn → r`: the CCNet
+    * KN-bigram score + per-language rank/count replay, shared by
+    * `t_ppl_buckets`, `pipe_curate_e2e`, and `t_drop_curation` so a
+    * scoring drift breaks all three hashes.
+    */
+  private val pplCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(tk) - 1),
+       |      i -> tk[i] || ' ' || tk[i+1])) AS bg
+       |  FROM t
+       |),
+       |sp AS (SELECT doc_id, bg,
+       |         split_part(bg, ' ', 1) AS w1,
+       |         split_part(bg, ' ', 2) AS w2
+       |       FROM bg),
+       |cxy AS (SELECT bg, COUNT(*) AS c_xy FROM sp GROUP BY bg),
+       |cx AS (SELECT w1, COUNT(*) AS c_x, COUNT(DISTINCT w2) AS n1f
+       |       FROM sp GROUP BY w1),
+       |bw AS (SELECT w2, COUNT(DISTINCT w1) AS n1b FROM sp GROUP BY w2),
+       |nt AS (SELECT COUNT(DISTINCT bg) AS n_types FROM sp),
+       |kn AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    (SUM(((4 * c_xy::HUGEINT - 3) * 250000000) // c_x
+       |       + (750000000::HUGEINT * n1f * n1b) // (c_x::HUGEINT * n_types))
+       |     // COUNT(*))::BIGINT AS kn_score_e9
+       |  FROM sp
+       |  JOIN cxy USING (bg) JOIN cx USING (w1) JOIN bw USING (w2)
+       |  CROSS JOIN nt
+       |  GROUP BY doc_id),
+       |r AS (
+       |  SELECT doc_id, d.lang, kn_score_e9,
+       |    row_number() OVER (PARTITION BY d.lang ORDER BY kn_score_e9, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY d.lang) AS cnt
+       |  FROM kn JOIN documents d USING (doc_id))""".stripMargin
+
+  /** DuckDB CTEs replaying [[Split.temperatureSample]]'s α=1/2 rates
+    * over `documents.lang` — ends in `tr` (lang, rate_ppm). The exact
+    * integer-sqrt correction mirrors `q_temp_sample`'s oracle.
+    */
+  private val tempRateCtes: String =
+    s"""tc0 AS (SELECT lang, COUNT(*)::BIGINT AS n_domain FROM documents GROUP BY lang),
+       |tmn AS (SELECT MIN(n_domain) AS n_min FROM tc0),
+       |tr0 AS (SELECT lang, n_domain, (n_min * 1000000000000) // n_domain AS x
+       |        FROM tc0 CROSS JOIN tmn),
+       |tr1 AS (SELECT lang, n_domain, x, floor(sqrt(x::DOUBLE))::BIGINT AS s0 FROM tr0),
+       |tr AS (SELECT lang, n_domain,
+       |         CASE WHEN (s0 + 1)::HUGEINT * (s0 + 1) <= x THEN s0 + 1
+       |              WHEN s0::HUGEINT * s0 > x THEN s0 - 1
+       |              ELSE s0 END AS rate_ppm
+       |       FROM tr1)""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q(
@@ -69,36 +122,7 @@ object CurationQ {
       "t_ppl_buckets",
       (s, d) => Curation.pplBuckets(Tables.documents(s, d)).orderBy("doc_id"),
       Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-           |bg AS (
-           |  SELECT doc_id,
-           |    unnest(list_transform(generate_series(1, len(tk) - 1),
-           |      i -> tk[i] || ' ' || tk[i+1])) AS bg
-           |  FROM t
-           |),
-           |sp AS (SELECT doc_id, bg,
-           |         split_part(bg, ' ', 1) AS w1,
-           |         split_part(bg, ' ', 2) AS w2
-           |       FROM bg),
-           |cxy AS (SELECT bg, COUNT(*) AS c_xy FROM sp GROUP BY bg),
-           |cx AS (SELECT w1, COUNT(*) AS c_x, COUNT(DISTINCT w2) AS n1f
-           |       FROM sp GROUP BY w1),
-           |bw AS (SELECT w2, COUNT(DISTINCT w1) AS n1b FROM sp GROUP BY w2),
-           |nt AS (SELECT COUNT(DISTINCT bg) AS n_types FROM sp),
-           |kn AS (
-           |  SELECT doc_id, COUNT(*) AS n_bigrams,
-           |    (SUM(((4 * c_xy::HUGEINT - 3) * 250000000) // c_x
-           |       + (750000000::HUGEINT * n1f * n1b) // (c_x::HUGEINT * n_types))
-           |     // COUNT(*))::BIGINT AS kn_score_e9
-           |  FROM sp
-           |  JOIN cxy USING (bg) JOIN cx USING (w1) JOIN bw USING (w2)
-           |  CROSS JOIN nt
-           |  GROUP BY doc_id),
-           |r AS (
-           |  SELECT doc_id, d.lang, kn_score_e9,
-           |    row_number() OVER (PARTITION BY d.lang ORDER BY kn_score_e9, doc_id) AS rn,
-           |    count(*) OVER (PARTITION BY d.lang) AS cnt
-           |  FROM kn JOIN documents d USING (doc_id))
+        s"""WITH $pplCtes
            |SELECT doc_id, lang, kn_score_e9, rn::BIGINT AS rn,
            |  CASE (3 * (rn - 1)) // cnt WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
            |       ELSE 'tail' END AS bucket
@@ -159,36 +183,7 @@ object CurationQ {
            |  SELECT m.doc_id FROM m JOIN k USING (doc_id) JOIN repk USING (doc_id)
            |  WHERE ${Curation.gopherKeepSql} AND ${Curation.c4KeepSql} AND rep_keep
            |),
-           |t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-           |bg AS (
-           |  SELECT doc_id,
-           |    unnest(list_transform(generate_series(1, len(tk) - 1),
-           |      i -> tk[i] || ' ' || tk[i+1])) AS bg
-           |  FROM t
-           |),
-           |sp AS (SELECT doc_id, bg,
-           |         split_part(bg, ' ', 1) AS w1,
-           |         split_part(bg, ' ', 2) AS w2
-           |       FROM bg),
-           |cxy AS (SELECT bg, COUNT(*) AS c_xy FROM sp GROUP BY bg),
-           |cx AS (SELECT w1, COUNT(*) AS c_x, COUNT(DISTINCT w2) AS n1f
-           |       FROM sp GROUP BY w1),
-           |bw AS (SELECT w2, COUNT(DISTINCT w1) AS n1b FROM sp GROUP BY w2),
-           |nt AS (SELECT COUNT(DISTINCT bg) AS n_types FROM sp),
-           |kn AS (
-           |  SELECT doc_id, COUNT(*) AS n_bigrams,
-           |    (SUM(((4 * c_xy::HUGEINT - 3) * 250000000) // c_x
-           |       + (750000000::HUGEINT * n1f * n1b) // (c_x::HUGEINT * n_types))
-           |     // COUNT(*))::BIGINT AS kn_score_e9
-           |  FROM sp
-           |  JOIN cxy USING (bg) JOIN cx USING (w1) JOIN bw USING (w2)
-           |  CROSS JOIN nt
-           |  GROUP BY doc_id),
-           |r AS (
-           |  SELECT doc_id, d.lang, kn_score_e9,
-           |    row_number() OVER (PARTITION BY d.lang ORDER BY kn_score_e9, doc_id) AS rn,
-           |    count(*) OVER (PARTITION BY d.lang) AS cnt
-           |  FROM kn JOIN documents d USING (doc_id))
+           |$pplCtes
            |SELECT r.lang,
            |  CASE (3 * (rn - 1)) // cnt WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
            |       ELSE 'tail' END AS bucket,
@@ -209,6 +204,109 @@ object CurationQ {
         "bucket first, filter later), so the gate changes which docs " +
         "survive, not where the tercile boundaries sit. Oracle composes " +
         "the three families' replay CTEs and re-derives the funnel."
+    ),
+    // ---- FineWeb-style drop attribution over the CURATION gates, in
+    // published order: Gopher quality → Gopher repetition → C4 → CCNet
+    // perplexity tail → temperature sample. Every doc charged to the
+    // FIRST gate that rejects it, plus the survivor count after each
+    // gate — the funnel report a dataset release ships beside the
+    // corpus. Complements t_drop_reasons (the dedup/langid/classifier
+    // funnel) with the rule-based cleaning half.
+    Q(
+      "t_drop_curation",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val docs = Tables.documents(s, d)
+        val rep = Curation
+          .gopherRepetition(
+            Curation.pages(docs).select(col("doc_id"), col("page").as("text")),
+            ns = 5 to 10
+          )
+          .select(col("doc_id"), col("keep").as("rep_keep"))
+        val ppl = Curation.pplBuckets(docs).select(col("doc_id"), col("bucket"))
+        val temp = Split
+          .temperatureSample(docs, "doc_id", "lang")
+          .select(col("doc_id"), col("accepted"))
+        val staged = Curation
+          .gates(docs)
+          .join(rep, Seq("doc_id"))
+          .join(ppl, Seq("doc_id"))
+          .join(temp, Seq("doc_id"))
+          .select(
+            when(!col("gopher_keep"), "1_gopher")
+              .when(!col("rep_keep"), "2_repetition")
+              .when(!col("c4_keep"), "3_c4")
+              .when(col("bucket") === "tail", "4_ppl_tail")
+              .when(!col("accepted"), "5_temp")
+              .otherwise("6_kept")
+              .as("stage")
+          )
+        val agg = staged.groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+        val total = docs.agg(count(lit(1)).as("total"))
+        // complete 6-row funnel frame (a gate that drops nothing still
+        // reports a zero row); cumulative drops via a tiny post-aggregate
+        // self-join over <= 6 rows — nothing data-sized here
+        val stages =
+          Seq("1_gopher", "2_repetition", "3_c4", "4_ppl_tail", "5_temp", "6_kept")
+            .toDF("stage")
+        val withN = stages
+          .join(agg, Seq("stage"), "left")
+          .select(col("stage"), coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        withN
+          .as("a")
+          .join(
+            withN.as("b"),
+            col("b.stage") <= col("a.stage") && col("b.stage") =!= "6_kept",
+            "left"
+          )
+          .groupBy(col("a.stage").as("stage"), col("a.n_docs").as("n_docs"))
+          .agg(coalesce(sum(col("b.n_docs")), lit(0L)).as("cum_dropped"))
+          .crossJoin(broadcast(total))
+          .select(
+            col("stage"),
+            col("n_docs"),
+            (col("total") - col("cum_dropped")).as("remaining_after")
+          )
+          .orderBy("stage")
+      },
+      Some(
+        s"""WITH ${Curation.gopherMetricCtes("documents")},
+           |${Curation.c4KeptCte},
+           |${Curation.repKeepCtes()},
+           |$pplCtes,
+           |$tempRateCtes,
+           |v AS (
+           |  SELECT d.doc_id,
+           |    CASE WHEN NOT ${Curation.gopherKeepSql} THEN '1_gopher'
+           |         WHEN NOT rep_keep THEN '2_repetition'
+           |         WHEN NOT ${Curation.c4KeepSql} THEN '3_c4'
+           |         WHEN (3 * (rn - 1)) // cnt = 2 THEN '4_ppl_tail'
+           |         WHEN NOT (('0x' || substr(md5(d.doc_id::VARCHAR || '#tsamp'), 1, 15))::BIGINT % 1000000
+           |                   < tr.rate_ppm) THEN '5_temp'
+           |         ELSE '6_kept' END AS stage
+           |  FROM documents d
+           |  JOIN m USING (doc_id) JOIN k USING (doc_id) JOIN repk USING (doc_id)
+           |  JOIN r USING (doc_id) JOIN tr ON d.lang = tr.lang),
+           |st(stage) AS (VALUES ('1_gopher'), ('2_repetition'), ('3_c4'),
+           |                     ('4_ppl_tail'), ('5_temp'), ('6_kept')),
+           |agg AS (SELECT stage, COUNT(*)::BIGINT AS n_docs FROM v GROUP BY stage),
+           |tot AS (SELECT COUNT(*)::BIGINT AS total FROM documents)
+           |SELECT st.stage, coalesce(agg.n_docs, 0)::BIGINT AS n_docs,
+           |  (tot.total - coalesce((SELECT SUM(a2.n_docs) FROM agg a2
+           |     WHERE a2.stage <= st.stage AND a2.stage <> '6_kept'), 0))::BIGINT
+           |    AS remaining_after
+           |FROM st LEFT JOIN agg USING (stage) CROSS JOIN tot
+           |ORDER BY st.stage""".stripMargin
+      ),
+      doc = "Curation drop attribution (the FineWeb-style funnel report): " +
+        "each doc charged to its FIRST failing gate in published order — " +
+        "Gopher quality -> Gopher repetition (page-text n=5..10 coverage) " +
+        "-> C4 cleaning -> CCNet perplexity tail tercile -> temperature " +
+        "sample — with the survivor count after each gate. One pass over " +
+        "the gate annotations (the same operators pipe_curate_e2e " +
+        "composes) + a <=6-row report join; every count bit-checked via " +
+        "the shared family replay CTEs."
     )
   )
 }
