@@ -1937,6 +1937,85 @@ object TextQ {
         "walk. The oracle rebuilds those exact pages from the table, so " +
         "a single wrong offset, length, or slice byte breaks the hash."
     ),
+    // ---- deduplicated-archive ROUND TRIP: the multi-capture archive is
+    // republished with later same-digest captures as payload-free ISO
+    // 28500 revisit records, then read back with digest-resolution
+    // through the CDX — the reader must reconstruct the FULL capture
+    // table bit-for-bit, and the stored-bytes column proves revisits
+    // store zero payload (the byte savings Common Crawl's dedup buys).
+    Q(
+      "t_warc_revisit_roundtrip",
+      (s, d) => {
+        val dir = graft.sources.Warc.ensureDedupedDir(d, Tables.documents(s, d))
+        graft.sources.Warc
+          .resolveRevisits(s, dir)
+          .select(
+            col("url"),
+            col("warc_date"),
+            col("stored_digest"),
+            col("stored_block_len"),
+            col("via_revisit"),
+            md5(col("body_text")).as("digest"),
+            octet_length(col("body_text")).cast("long").as("payload_len")
+          )
+          .orderBy("url", "warc_date")
+      },
+      Some {
+        val page = graft.operators.Html.dirtyHtmlSqlExpr
+        val d0 = graft.sources.Warc.FixtureDate
+        val d1 = graft.sources.Warc.RevisitDate
+        val d2 = graft.sources.Warc.MirrorDate
+        val orig = "(c.warc_date = f.fd AND c.url = f.fu AND c.record_id = f.fi)"
+        val httpHead = "'HTTP/1.1 200 OK' || chr(13) || chr(10) || " +
+          "'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) || " +
+          "'Content-Length: ' || strlen(c.body)::VARCHAR || " +
+          "chr(13) || chr(10) || chr(13) || chr(10)"
+        s"""WITH pg AS MATERIALIZED (SELECT doc_id, $page AS html FROM documents),
+           |caps AS (
+           |  SELECT 'http://example.com/doc/' || doc_id AS url, '$d0' AS warc_date,
+           |         '<urn:uuid:resp-' || doc_id || '>' AS record_id, html AS body FROM pg
+           |  UNION ALL
+           |  SELECT 'http://example.com/doc/' || doc_id, '$d1',
+           |         '<urn:uuid:resp2-' || doc_id || '>', html
+           |  FROM pg WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT 'http://example.com/doc/' || doc_id, '$d1',
+           |         '<urn:uuid:resp2-' || doc_id || '>', html || '<!-- updated -->'
+           |  FROM pg WHERE doc_id % 3 = 1
+           |  UNION ALL
+           |  SELECT 'http://mirror.example.com/doc/' || doc_id, '$d2',
+           |         '<urn:uuid:mirror-' || doc_id || '>', html
+           |  FROM pg WHERE doc_id % 5 = 0
+           |),
+           |cd AS (SELECT url, warc_date, record_id, body, md5(body) AS digest FROM caps),
+           |f AS (SELECT digest,
+           |        (min(struct_pack(d := warc_date, u := url, i := record_id))).d AS fd,
+           |        (min(struct_pack(d := warc_date, u := url, i := record_id))).u AS fu,
+           |        (min(struct_pack(d := warc_date, u := url, i := record_id))).i AS fi
+           |      FROM cd GROUP BY digest)
+           |SELECT c.url, c.warc_date,
+           |  'md5:' || c.digest AS stored_digest,
+           |  CASE WHEN $orig
+           |       THEN strlen($httpHead)::BIGINT + strlen(c.body)::BIGINT
+           |       ELSE 0::BIGINT END AS stored_block_len,
+           |  NOT $orig AS via_revisit,
+           |  c.digest AS digest,
+           |  strlen(c.body)::BIGINT AS payload_len
+           |FROM cd c JOIN f USING (digest)
+           |ORDER BY url, warc_date""".stripMargin
+      },
+      doc = "Deduplicated-archive round trip: the multi-capture fixture " +
+        "republished with later same-digest captures as payload-free " +
+        "revisit records (ISO 28500 §6.7.2 — WARC-Profile identical-" +
+        "payload-digest, WARC-Refers-To the original's record id, " +
+        "WARC-Payload-Digest, Content-Length 0) and originals carrying " +
+        "their payload digest header; the reader walks the CDX once, " +
+        "joins revisits to originals ON DIGEST, and fetches only " +
+        "original members by ranged point reads. Output = the complete " +
+        "capture table with resolved payload digests/lengths and the " +
+        "stored-bytes column (zero for every revisit — the byte " +
+        "savings), bit-equal to the undeduplicated corpus replay."
+    ),
     // ---- STREAMING CDX maintenance on the oracle gate: the asset minus
     // one shard's rows is the base, that shard arrives as a stream batch
     // (CdxStream upsert + forced debt compaction through the journaled

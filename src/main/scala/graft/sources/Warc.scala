@@ -1119,6 +1119,207 @@ object Warc {
       )
   }
 
+  /** One `revisit` record (ISO 28500 §6.7.2, identical-payload-digest
+    * profile) as bytes: `WARC-Profile`, `WARC-Refers-To` naming the
+    * original capture's record id, `WARC-Payload-Digest`, and an EMPTY
+    * block — the capture's identity (its own record id, URI, date) is
+    * preserved while the payload bytes live only in the original. This
+    * is exactly the record shape Common Crawl publishes for
+    * deduplicated captures.
+    */
+  val RevisitProfile = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+  def revisitRecord(
+      uri: String,
+      recordId: String,
+      warcDate: String,
+      refersTo: String,
+      payloadDigest: String
+  ): Array[Byte] =
+    renderRecord(
+      "revisit",
+      recordId,
+      Some(uri),
+      warcDate,
+      "application/http; msgtype=response",
+      Array.emptyByteArray,
+      extra = Seq(
+        "WARC-Profile" -> RevisitProfile,
+        "WARC-Refers-To" -> refersTo,
+        "WARC-Payload-Digest" -> payloadDigest
+      )
+    )
+
+  /** The DEDUPLICATED twin of [[ensureRevisitDir]]'s multi-capture
+    * archive, built once per corpus fingerprint: every capture keeps its
+    * record identity, but later same-digest captures are written as
+    * payload-free `revisit` records ([[revisitRecord]]) referencing the
+    * per-digest original; originals are re-rendered with a
+    * `WARC-Payload-Digest` header (the production response-record shape)
+    * so the read side resolves revisits by digest from headers alone —
+    * no payload decode during index build. Shard layout is deterministic
+    * (doc-keyed groups, date-ordered within doc), so shard bytes are a
+    * pure function of the corpus.
+    */
+  def ensureDedupedDir(sfDir: String, docs: DataFrame, nShards: Int = 8): String = {
+    val revDir = ensureRevisitDir(sfDir, docs)
+    val dir = graft.operators.Indexes
+      .fingerprintDirOn("revisit-deduped", sfDir, docs, "doc_id", "text", s"ns=$nShards,v=1")
+    graft.operators.Indexes.atomicBuild(dir, "_SUCCESS") { tmp =>
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val verdicts = revisitResolved(responses(spark, revDir))
+        .select(col("record_id"), col("digest"), col("is_revisit"), col("ref_id"))
+      val recs = read(spark, revDir)
+        .filter(col("malformed").isNull && col("warc_type") === "response")
+        .select(
+          col("record_id"),
+          col("target_uri"),
+          col("warc_date"),
+          col("content_type"),
+          col("block")
+        )
+      val records = recs
+        .join(verdicts, Seq("record_id"))
+        .select(
+          pmod(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast(LongType), lit(nShards.toLong))
+            .cast("int")
+            .as("g"),
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast(LongType).as("doc_id"),
+          col("record_id"),
+          col("target_uri"),
+          col("warc_date"),
+          col("content_type"),
+          col("block"),
+          col("digest"),
+          col("is_revisit"),
+          col("ref_id")
+        )
+        .as[(Int, Long, String, String, String, String, Array[Byte], String, Boolean, String)]
+        .map { case (g, docId, rid, uri, date, ctype, block, digest, isRev, refId) =>
+          val bytes =
+            if (isRev) revisitRecord(uri, rid, date, refId, s"md5:$digest")
+            else
+              renderRecord(
+                "response",
+                rid,
+                Some(uri),
+                date,
+                ctype,
+                block,
+                extra = Seq("WARC-Payload-Digest" -> s"md5:$digest")
+              )
+          (g, docId, date, rid, bytes)
+        }
+        .toDF("g", "doc_id", "warc_date", "record_id", "record_bytes")
+        .repartition(nShards, col("g"))
+        .sortWithinPartitions(col("g"), col("doc_id"), col("warc_date"), col("record_id"))
+      write(records, tmp)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+      ()
+    }
+    dir
+  }
+
+  /** Schema of [[revisitIndex]]: [[memberSchema]] plus the capture's
+    * record id and the revisit-resolution headers — the CDX columns a
+    * deduplicated archive's consumers need (Common Crawl's CDX carries
+    * the digest per capture for exactly this reason).
+    */
+  val revisitIndexSchema: StructType = StructType(
+    Seq(
+      StructField("path", StringType),
+      StructField("member_offset", LongType),
+      StructField("member_len", LongType),
+      StructField("warc_type", StringType),
+      StructField("record_id", StringType),
+      StructField("target_uri", StringType),
+      StructField("warc_date", StringType),
+      StructField("content_length", LongType),
+      StructField("payload_digest", StringType),
+      StructField("refers_to", StringType),
+      StructField("malformed", StringType)
+    )
+  )
+
+  /** [[memberIndex]] extended with record ids and the revisit headers —
+    * same one-streaming-pass-per-shard walk, member-sized residency; the
+    * digest comes from record HEADERS, never from decoding payloads, so
+    * the index build reads each shard once and materializes nothing.
+    */
+  def revisitIndex(spark: SparkSession, dir: String, glob: String = "*.warc.gz"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(revisitIndexSchema)
+    val paths = listShardPaths(spark, dir, glob)
+    spark
+      .createDataset(paths)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(math.max(paths.size, 1))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { pathStr =>
+          val p = new org.apache.hadoop.fs.Path(pathStr)
+          val in = p.getFileSystem(conf).open(p)
+          val rows = new GzipMemberIterator(in).flatMap { m =>
+            if (m.malformed != null)
+              Some(Row(pathStr, m.offset, 0L, null, null, null, null, null, null, null, m.malformed))
+            else
+              parseShard(pathStr, m.bytes).headOption.map { w =>
+                Row(
+                  pathStr, m.offset, m.clen,
+                  w.warcType, w.recordId, w.targetUri, w.warcDate, w.contentLength,
+                  w.payloadDigest, w.refersTo, w.malformed
+                )
+              }
+          }
+          closeOnExhaust(rows, () => in.close())
+        }
+      }(enc)
+  }
+
+  /** Resolve a DEDUPLICATED archive back to its full capture table: one
+    * row per capture (original or revisit) with the capture's own
+    * identity and the RESOLVED payload. Originals fetch their own
+    * member; a revisit joins the CDX on `payload_digest` to find its
+    * original's member and reads THAT — the Common-Crawl consumer flow.
+    *
+    * Scale shape: the index walk is one streaming pass per shard;
+    * payload bytes move only through [[fetch]]'s ranged point reads of
+    * original members (each a few-KB seek, never a shard scan), and the
+    * digest join is CDX-row-sized — revisit clusters meet their original
+    * digest-keyed, never all-pairs. Columns: url, warc_date,
+    * stored_digest, stored_block_len, via_revisit, body_text.
+    */
+  def resolveRevisits(spark: SparkSession, dir: String): DataFrame = {
+    val idx = revisitIndex(spark, dir).filter(col("malformed").isNull)
+    val orig = idx.filter(col("warc_type") === "response")
+    val revs = idx.filter(col("warc_type") === "revisit")
+    // each original member fetched once; bodies keyed by record id
+    val fetched = httpSlice(fetch(spark, orig.select("path", "member_offset", "member_len")))
+      .select(col("record_id").as("orig_id"), col("body_text"))
+    val origRows = orig.select(
+      col("target_uri").as("url"),
+      col("warc_date"),
+      col("payload_digest").as("stored_digest"),
+      col("content_length").as("stored_block_len"),
+      lit(false).as("via_revisit"),
+      col("record_id").as("orig_id")
+    )
+    val revRows = revs
+      .select(
+        col("target_uri").as("url"),
+        col("warc_date"),
+        col("payload_digest").as("stored_digest"),
+        col("content_length").as("stored_block_len"),
+        lit(true).as("via_revisit"),
+        col("payload_digest").as("_pd")
+      )
+      .join(
+        orig.select(col("payload_digest").as("_pd"), col("record_id").as("orig_id")),
+        Seq("_pd")
+      )
+      .drop("_pd")
+    origRows.unionByName(revRows).join(fetched, Seq("orig_id")).drop("orig_id")
+  }
+
   // ----------------------------------------------------------------- WAT
 
   /** One WAT `metadata` record (the Common-Crawl link-metadata sidecar
@@ -1243,7 +1444,12 @@ object Warc {
       contentType: String,
       contentLength: Long,
       block: Array[Byte],
-      malformed: String
+      malformed: String,
+      // optional revisit-resolution headers (ISO 28500 §6.7.2); null when
+      // absent — [[read]]'s 10-column schema never surfaces them, only
+      // [[revisitIndex]] does
+      refersTo: String = null,
+      payloadDigest: String = null
   )
 
   /** Streaming record framer over a DECOMPRESSED shard stream — the
@@ -1342,19 +1548,21 @@ object Warc {
       val wUri = header(headers, "warc-target-uri")
       val wDate = header(headers, "warc-date")
       val cType = header(headers, "content-type")
+      val wRef = header(headers, "warc-refers-to")
+      val wDig = header(headers, "warc-payload-digest")
       headers.get("content-length").flatMap(_.toLongOption) match {
         case None =>
-          pending = Rec(path, recOff, wType, wId, wUri, wDate, cType, -1L, null, "bad-length")
+          pending = Rec(path, recOff, wType, wId, wUri, wDate, cType, -1L, null, "bad-length", wRef, wDig)
           halted = true
         case Some(n) if n < 0L || n > (Int.MaxValue.toLong - 16) =>
-          pending = Rec(path, recOff, wType, wId, wUri, wDate, cType, n, null, "bad-length")
+          pending = Rec(path, recOff, wType, wId, wUri, wDate, cType, n, null, "bad-length", wRef, wDig)
           halted = true
         case Some(n) =>
           val (blk, complete) = readBlock(n.toInt)
           if (!complete) {
-            pending = Rec(path, recOff, wType, wId, wUri, wDate, cType, n, blk, "truncated")
+            pending = Rec(path, recOff, wType, wId, wUri, wDate, cType, n, blk, "truncated", wRef, wDig)
             halted = true
-          } else pending = Rec(path, recOff, wType, wId, wUri, wDate, cType, n, blk, null)
+          } else pending = Rec(path, recOff, wType, wId, wUri, wDate, cType, n, blk, null, wRef, wDig)
       }
     }
 
@@ -1439,7 +1647,9 @@ object Warc {
                 headers.getOrElse("warc-target-uri", null),
                 headers.getOrElse("warc-date", null),
                 headers.getOrElse("content-type", null),
-                n, java.util.Arrays.copyOfRange(bytes, p, bytes.length), "truncated"
+                n, java.util.Arrays.copyOfRange(bytes, p, bytes.length), "truncated",
+                headers.getOrElse("warc-refers-to", null),
+                headers.getOrElse("warc-payload-digest", null)
               )
               halt = true
             case Some(n) =>
@@ -1450,7 +1660,9 @@ object Warc {
                 headers.getOrElse("warc-target-uri", null),
                 headers.getOrElse("warc-date", null),
                 headers.getOrElse("content-type", null),
-                n, java.util.Arrays.copyOfRange(bytes, p, p + n.toInt), null
+                n, java.util.Arrays.copyOfRange(bytes, p, p + n.toInt), null,
+                headers.getOrElse("warc-refers-to", null),
+                headers.getOrElse("warc-payload-digest", null)
               )
               pos = p + n.toInt
           }

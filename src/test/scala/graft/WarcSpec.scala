@@ -464,4 +464,57 @@ class WarcSpec extends AnyFunSuite {
     assert(out(2) === (("http://b.com/y", true, "http://a.com/x", "2026-01-01T00:00:00Z")))
     assert(out(3) === (("http://a.com/x", false, null, null)))
   }
+
+  test("revisit record shape: ISO 28500 headers, empty block, parser surfaces them") {
+    val rec = Warc.revisitRecord(
+      "http://a.com/x",
+      "<urn:uuid:rev-1>",
+      "2026-02-01T00:00:00Z",
+      "<urn:uuid:orig-1>",
+      "md5:0123456789abcdef0123456789abcdef"
+    )
+    val txt = new String(rec, "UTF-8")
+    assert(txt.startsWith("WARC/1.0\r\nWARC-Type: revisit\r\n"))
+    assert(txt.contains(s"WARC-Profile: ${Warc.RevisitProfile}\r\n"))
+    assert(txt.contains("WARC-Refers-To: <urn:uuid:orig-1>\r\n"))
+    assert(txt.contains("WARC-Payload-Digest: md5:0123456789abcdef0123456789abcdef\r\n"))
+    assert(txt.contains("Content-Length: 0\r\n"))
+    val parsed = Warc.parseShard("p", rec)
+    assert(parsed.size === 1)
+    val w = parsed.head
+    assert(w.warcType === "revisit" && w.malformed == null)
+    assert(w.contentLength === 0L && w.block.length === 0)
+    assert(w.refersTo === "<urn:uuid:orig-1>")
+    assert(w.payloadDigest === "md5:0123456789abcdef0123456789abcdef")
+  }
+
+  test("deduped archive: revisits store zero payload bytes; resolution restores every capture") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val dir = Warc.ensureDedupedDir(sf, docs)
+    val idx = Warc
+      .revisitIndex(spark, dir)
+      .filter(col("malformed").isNull)
+      .select("warc_type", "content_length", "payload_digest", "refers_to")
+      .collect()
+    val (revs, origs) = idx.partition(_.getString(0) == "revisit")
+    assert(revs.nonEmpty, "fixture must produce revisit records")
+    assert(revs.forall(_.getLong(1) == 0L), "revisit blocks must be empty")
+    assert(revs.forall(r => r.getString(2) != null && r.getString(3) != null))
+    assert(origs.forall(r => r.getLong(1) > 0L && r.getString(2) != null))
+    // resolution restores the full capture set of the UNDEDUPED archive
+    val full = Warc
+      .revisitCaptures(Warc.responses(spark, Warc.ensureRevisitDir(sf, docs)))
+      .select("url", "warc_date", "digest")
+      .as[(String, String, String)]
+      .collect()
+      .toSet
+    val resolved = Warc
+      .resolveRevisits(spark, dir)
+      .select(col("url"), col("warc_date"), md5(col("body_text")))
+      .as[(String, String, String)]
+      .collect()
+      .toSet
+    assert(resolved === full)
+  }
 }
