@@ -1014,6 +1014,169 @@ object UrlQ {
         "never all-pairs. Oracle replays capture construction, digesting " +
         "(md5 over identical UTF-8 payload bytes), and the dedup rule."
     ),
+    // ---- change-rate RECRAWL scheduling: the freshness half of crawl
+    // scheduling. Per-URL change rate from the multi-capture digest
+    // history (changed-digest transitions over the capture span),
+    // composed with the PageRank crawl budget: each domain's alloc is
+    // spent on its fastest-changing URLs first.
+    Q(
+      "u_recrawl",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val revDir = graft.sources.Warc.ensureRevisitDir(d, docs)
+        val caps = graft.sources.Warc
+          .responses(s, revDir)
+          .select(
+            col("target_uri").as("url"),
+            col("warc_date"),
+            col("record_id"),
+            md5(col("body_text")).as("digest")
+          )
+        // per-URL capture history: partitions are bounded by the archive's
+        // snapshot count (a dimension, not the corpus), so the lag window
+        // never sorts more than a handful of rows per key
+        val w = Window.partitionBy(col("url")).orderBy(col("warc_date"), col("record_id"))
+        val hist = caps
+          .withColumn("prev", lag(col("digest"), 1).over(w))
+          .groupBy(col("url"))
+          .agg(
+            count(lit(1)).as("n_caps"),
+            sum(when(col("prev").isNotNull && col("prev") =!= col("digest"), 1L).otherwise(0L))
+              .as("changes"),
+            datediff(
+              to_date(substring(max(col("warc_date")), 1, 10)),
+              to_date(substring(min(col("warc_date")), 1, 10))
+            ).cast("long").as("span_days")
+          )
+          .withColumn("rate_ppm", expr("changes * 1000000L div greatest(span_days, 1L)"))
+          .withColumn(
+            "doc_id",
+            regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+          )
+        // domain of each capture by the doc id it encodes, through the
+        // same URL fixture u_pagerank ranks; budget apportioned by rank
+        // share (the u_crawl_budget composition, 300 fetch slots)
+        val dm = withUrls(s, d).select(
+          col("doc_id"),
+          Urls.registeredDomain(Urls.hostOf(col("url_norm"))).as("domain")
+        )
+        val i = col("doc_id")
+        val cites = dm
+          .withColumnRenamed("domain", "dom")
+          .select(
+            col("dom").as("src"),
+            explode(
+              filter(
+                array(
+                  (i * i + 1) % 500,
+                  (i * i + 7) % 500,
+                  when(i % 3 === 0, (i * i + 13) % 500),
+                  when(i % 7 === 0, (i * i + i) % 500)
+                ),
+                c => c.isNotNull
+              )
+            ).as("cited_id")
+          )
+        val cited = dm.select(col("doc_id").as("cited_id"), col("domain").as("dst"))
+        val edges = cites.join(cited, "cited_id").select(col("src"), col("dst"))
+        val alloc = graft.operators.LinkGraph
+          .crawlBudget(graft.operators.LinkGraph.pageRank(edges, iters = 3), budget = 300L)
+          .select(col("domain"), col("alloc"))
+        // each domain spends its alloc on its fastest-changing URLs first
+        // (rate desc, url asc — the composite two-level rank; no sort
+        // partition is ever sized by one domain's URL set)
+        val ranked = graft.operators.Split.shardedRowNumber(
+          hist.join(dm, Seq("doc_id")).join(broadcast(alloc), Seq("domain")),
+          "domain",
+          Seq(col("rate_ppm").desc, col("url")),
+          s.sparkContext.defaultParallelism,
+          "fetch_rank"
+        )
+        ranked
+          .select(
+            col("domain"),
+            col("url"),
+            col("n_caps"),
+            col("changes"),
+            col("span_days"),
+            col("rate_ppm"),
+            col("alloc"),
+            col("fetch_rank"),
+            (col("fetch_rank") <= col("alloc")).as("scheduled")
+          )
+          .orderBy("domain", "fetch_rank")
+      },
+      Some {
+        val page = graft.operators.Html.dirtyHtmlSqlExpr
+        val d0 = graft.sources.Warc.FixtureDate
+        val d1 = graft.sources.Warc.RevisitDate
+        val d2 = graft.sources.Warc.MirrorDate
+        s"""$pagerankCtes,
+           |tt AS (SELECT SUM(rank)::BIGINT AS t FROM r3),
+           |q AS (SELECT h, rank,
+           |        (300::HUGEINT * rank // t)::BIGINT AS base,
+           |        ((300::HUGEINT * rank) % t)::BIGINT AS rem
+           |      FROM r3 CROSS JOIN tt),
+           |lv AS (SELECT (300 - SUM(base))::BIGINT AS leftover FROM q),
+           |rk AS (SELECT h, rank, base, rem,
+           |        row_number() OVER (ORDER BY rem DESC, rank DESC, h) AS rn FROM q),
+           |alc AS (SELECT h AS domain,
+           |        (base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+           |        FROM rk CROSS JOIN lv),
+           |pgh AS MATERIALIZED (SELECT doc_id, $page AS html FROM documents),
+           |caps AS (
+           |  SELECT 'http://example.com/doc/' || doc_id AS url, '$d0' AS warc_date,
+           |         '<urn:uuid:resp-' || doc_id || '>' AS record_id, md5(html) AS digest
+           |  FROM pgh
+           |  UNION ALL
+           |  SELECT 'http://example.com/doc/' || doc_id, '$d1',
+           |         '<urn:uuid:resp2-' || doc_id || '>', md5(html)
+           |  FROM pgh WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT 'http://example.com/doc/' || doc_id, '$d1',
+           |         '<urn:uuid:resp2-' || doc_id || '>', md5(html || '<!-- updated -->')
+           |  FROM pgh WHERE doc_id % 3 = 1
+           |  UNION ALL
+           |  SELECT 'http://mirror.example.com/doc/' || doc_id, '$d2',
+           |         '<urn:uuid:mirror-' || doc_id || '>', md5(html)
+           |  FROM pgh WHERE doc_id % 5 = 0
+           |),
+           |hist0 AS (SELECT url, digest, warc_date,
+           |            lag(digest) OVER (PARTITION BY url ORDER BY warc_date, record_id) AS prev
+           |          FROM caps),
+           |hist AS (SELECT url, COUNT(*)::BIGINT AS n_caps,
+           |           SUM(CASE WHEN prev IS NOT NULL AND prev <> digest THEN 1 ELSE 0 END)::BIGINT AS changes,
+           |           date_diff('day', min(substr(warc_date, 1, 10)::DATE),
+           |                     max(substr(warc_date, 1, 10)::DATE))::BIGINT AS span_days
+           |         FROM hist0 GROUP BY url),
+           |hr AS (SELECT url, n_caps, changes, span_days,
+           |         (changes * 1000000) // greatest(span_days, 1) AS rate_ppm,
+           |         regexp_extract(url, '/doc/(\\d+)$$', 1)::BIGINT AS doc_id
+           |       FROM hist),
+           |kd AS (SELECT hr.*, dm.dom AS domain FROM hr JOIN dm USING (doc_id)),
+           |sch AS (SELECT k.domain, k.url, k.n_caps, k.changes, k.span_days, k.rate_ppm,
+           |          a.alloc,
+           |          row_number() OVER (PARTITION BY k.domain
+           |                             ORDER BY k.rate_ppm DESC, k.url) AS fetch_rank
+           |        FROM kd k JOIN alc a USING (domain))
+           |SELECT domain, url, n_caps, changes, span_days, rate_ppm, alloc,
+           |  fetch_rank::BIGINT AS fetch_rank, (fetch_rank <= alloc) AS scheduled
+           |FROM sch ORDER BY domain, fetch_rank""".stripMargin
+      },
+      doc = "Change-rate recrawl scheduling — the freshness half of crawl " +
+        "scheduling: per-URL change rate from the multi-capture digest " +
+        "history (changed-digest transitions per capture-span day, exact " +
+        "integer ppm; identical re-captures rate 0, changed re-captures " +
+        "rate >0, single captures 0), composed with the PageRank " +
+        "largest-remainder crawl budget — each domain's slot allocation " +
+        "is spent on its fastest-changing URLs first (rate desc, url " +
+        "asc through the composite two-level rank). The per-URL lag " +
+        "window is snapshot-bounded, the budget frame is domain-sized, " +
+        "and the schedule never globally sorts. Oracle replays capture " +
+        "construction, digest history, ranks, apportionment, and every " +
+        "slot verdict."
+    ),
     // ---- the full frontier pipeline as ONE submitted plan: discovery
     // (outlinks + pagination variants) → already-fetched anti-join →
     // robots gate → Crawl-delay resolution → per-domain schedule with

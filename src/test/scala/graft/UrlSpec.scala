@@ -330,4 +330,38 @@ class UrlSpec extends AnyFunSuite {
     assert(a2 === Map("a" -> 1L, "b" -> 1L, "c" -> 0L))
     assert(a1.values.sum === 11L && a2.values.sum === 2L)
   }
+
+  test("recrawl: changed-digest lane outranks identical/single-capture lanes; alloc-prefix scheduled") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry
+      .runners("u_recrawl")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (
+        r.getAs[String]("domain"), r.getAs[String]("url"), r.getAs[Long]("n_caps"),
+        r.getAs[Long]("changes"), r.getAs[Long]("rate_ppm"),
+        r.getAs[Long]("alloc"), r.getAs[Long]("fetch_rank"), r.getAs[Boolean]("scheduled")
+      ))
+    def docId(u: String) = u.split("/doc/").last.toLong
+    val example = rows.filter(_._2.startsWith("http://example.com/"))
+    // changed re-captures (doc % 3 = 1): exactly one digest transition
+    // over the 31-day span; identical re-captures (doc % 3 = 0) and
+    // single captures: zero
+    example.foreach { r =>
+      val id = docId(r._2)
+      if (id % 3 == 1) assert(r._4 == 1L && r._5 == 1000000L / 31, r.toString)
+      else assert(r._4 == 0L && r._5 == 0L, r.toString)
+    }
+    // mirror captures are single-capture URLs: rate 0
+    rows.filter(_._2.startsWith("http://mirror.")).foreach(r => assert(r._4 == 0L && r._5 == 0L))
+    // scheduling: within each domain, scheduled == (fetch_rank <= alloc),
+    // and every scheduled URL's rate >= every unscheduled URL's rate
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      rs.foreach(r => assert(r._8 == (r._7 <= r._6)))
+      val (in, out) = rs.partition(_._8)
+      if (in.nonEmpty && out.nonEmpty)
+        assert(in.map(_._5).min >= out.map(_._5).max)
+    }
+    // both lanes really present
+    assert(example.exists(_._4 == 1L) && example.exists(_._4 == 0L))
+  }
 }
