@@ -362,6 +362,102 @@ case class GramStats(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass n-gram HASH identities: per start position the xxhash64
+  * chain over per-token xxhash64 values (seed 42; each round hashes the
+  * previous accumulator with the next token hash — wrap-free, uniform).
+  * Token hashes are computed once per call and reused across all
+  * positions, so the pass costs O(len + count·n) fixed hash rounds with
+  * ZERO string allocation; when `withText` and n ≤ 4, the gram TEXT is
+  * also built (the top-gram tie-break needs it) — longer orders never
+  * pay it. Replaces the `transform(sequence, slice/array_join)` +
+  * `xxhash64(string)` chain, which executes interpreted (HOFs fall out
+  * of codegen) and re-allocates a slice + joined string per gram —
+  * measured 40 s → ~17 s at sf1 on the 9-order repetition sweep.
+  */
+object GramHashKernel {
+
+  private val Space = UTF8String.fromString(" ")
+  private val Seed = 42L
+
+  def gramHashStructs(arr: ArrayData, n: Int, withText: Boolean): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val len = arr.numElements()
+    val count = len - n + 1
+    if (count <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[AnyRef](0))
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      val s = arr.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+      i += 1
+    }
+    val text = withText && n <= 4
+    val parts = if (text) new Array[UTF8String](n) else null
+    val out = new Array[AnyRef](count)
+    i = 0
+    while (i < count) {
+      var acc = Seed
+      var j = 0
+      while (j < n) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
+      val g: UTF8String =
+        if (text) {
+          var j2 = 0
+          while (j2 < n) { parts(j2) = arr.getUTF8String(i + j2); j2 += 1 }
+          UTF8String.concatWs(Space, parts: _*)
+        } else null
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](acc, g)
+      )
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `gram_hash_structs(tokens, n)`: see [[GramHashKernel]]. `n` is a
+  * runtime int column (the repetition sweep explodes one row per order).
+  */
+case class GramHashStructs(left: Expression, right: Expression, withText: Boolean)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(
+      Seq(
+        StructField("gh", LongType, nullable = false),
+        StructField("gram4", StringType, nullable = true)
+      )
+    ),
+    containsNull = false
+  )
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"gram_hash_structs requires (array<string>, int), got (${l.catalogString}, ${r.catalogString})"
+        )
+    }
+
+  override def nullSafeEval(tokens: Any, n: Any): Any =
+    GramHashKernel.gramHashStructs(
+      tokens.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int],
+      withText
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (t, n) => s"${ev.value} = graft.functions.GramHashKernel.gramHashStructs($t, $n, $withText);"
+    )
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `word_shingles_all(tokens, k)`: [[WordShingles]] without the dedup —
   * every k-shingle with multiplicity, the input to repetition scoring
   * (duplicate-gram ratios), where collapsing duplicates would erase the

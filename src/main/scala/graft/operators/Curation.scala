@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.LongType
 import graft.util.Cols.lng
 
@@ -417,6 +418,12 @@ object Curation {
     */
   def gopherRepetition(docs: DataFrame, ns: Range = 2 to 10): DataFrame = {
     require(ns.nonEmpty && ns.head >= 2, "n-gram orders must start at 2 or higher")
+    // `base` feeds the gram explode twice (count leg + the duplicate-
+    // starts join's probe side) and the coverage join once; it stays
+    // LAZY deliberately — a localCheckpoint barrier here was measured
+    // SLOWER at sf1 (97 s vs 78 s for the three repetition queries):
+    // materializing corpus-sized token arrays costs more than re-running
+    // the tokenizer + native gram kernel per consumer.
     val base = docs
       .select(col("doc_id"), Text.tokensAll(col("text")).as("tk"))
       .withColumn(
@@ -424,36 +431,43 @@ object Curation {
         aggregate(col("tk"), lit(0L), (a, w) => a + length(w).cast(LongType))
       )
     val topNs = ns.filter(_ <= 4)
-    // gram identity travels as xxhash64 — 8 bytes through the count
+    // gram identity travels as an 8-byte hash — through the count
     // exchange and the duplicate-starts join instead of up-to-10-token
     // STRINGS (the ExactSubstr discipline, Dedup.substrRemovalStats): at
     // 100x data the gram text was the dominant shuffle by bytes. The
-    // text itself is kept ONLY on n<=4 rows (2..4-token grams, needed
-    // for the top-gram tie-break; constant within an (doc, n, gh) group,
-    // so max() just picks it up through the partial aggregate). A
-    // same-doc same-n 64-bit collision would fuse two distinct grams —
-    // probability ~g^2/2^65 per document (g = grams per doc), vanishing
-    // at any real document size and accepted corpus-wide exactly as in
+    // hash is an xxhash64 chain over per-TOKEN xxhash64 values, computed
+    // by the one-pass NATIVE kernel [[graft.functions.GramHashStructs]]
+    // (token hashes once per call, n fixed hash rounds per gram, zero
+    // string allocation — the transform/slice/array_join HOF chain it
+    // replaces executes interpreted and allocates per gram). Gram text is
+    // built ONLY on n<=4 rows (2..4-token grams, needed for the
+    // top-gram tie-break; constant within a (doc, n, gh) group, so
+    // max() picks it up through the partial aggregate). A same-doc
+    // same-n 64-bit collision would fuse two distinct grams —
+    // probability ~g^2/2^65 per document (g = grams per doc; token
+    // hashes are xxhash64, so fold inputs are uniform), vanishing at
+    // any real document size and accepted corpus-wide exactly as in
     // the substring index.
-    val gr0 = base
+    val gr = base
       .select(col("doc_id"), col("tk"), explode(array(ns.map(lit): _*)).as("n"))
       .filter(size(col("tk")) >= col("n"))
       .select(
         col("doc_id"),
         col("n"),
         posexplode(
-          transform(
-            sequence(lit(0), size(col("tk")) - col("n")),
-            i => array_join(slice(col("tk"), i + 1, col("n")), " ")
+          Bridge.column(
+            graft.functions.GramHashStructs(
+              Bridge.expression(col("tk")),
+              Bridge.expression(col("n")),
+              withText = topNs.nonEmpty
+            )
           )
         )
       )
-      .withColumnRenamed("col", "gram")
-      .withColumn("gh", xxhash64(col("gram")))
-    val gr =
-      (if (topNs.nonEmpty)
-         gr0.withColumn("gram4", when(col("n") <= 4, col("gram")))
-       else gr0).drop("gram")
+      .select(
+        col("doc_id") +: col("n") +: col("pos") +: col("col.gh").as("gh") +:
+          (if (topNs.nonEmpty) Seq(col("col.gram4").as("gram4")) else Nil): _*
+      )
     val ctAggs = Seq(count(lit(1)).as("cnt")) ++
       (if (topNs.nonEmpty) Seq(max(col("gram4")).as("gram4")) else Nil)
     val ct = gr.groupBy("doc_id", "n", "gh").agg(ctAggs.head, ctAggs.tail: _*)
