@@ -415,6 +415,103 @@ object GramHashKernel {
   }
 }
 
+/** Characters of token POSITIONS covered by at least one occurrence of a
+  * duplicated n-gram — the Gopher repetition coverage — in ONE pass over
+  * the document: recompute each gram's [[GramHashKernel]] chain identity,
+  * binary-search it in the SORTED duplicate-hash set, and merge covered
+  * intervals inline (positions arrive in increasing order, so the merge
+  * is a running [lo, hi] window; each covered token's CHAR length is
+  * charged exactly once). Replaces the explode→join→collect_list(pos)→
+  * interpreted-interval-fold chain: the per-position rows never exist,
+  * so nothing position-sized is ever shuffled — the duplicate-hash SET
+  * (tiny per (doc, n)) is the only thing that moves.
+  */
+object GramCoverageKernel {
+
+  private val Seed = 42L
+
+  def coverageChars(arr: ArrayData, n: Int, ghs: ArrayData): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val len = arr.numElements()
+    val count = len - n + 1
+    if (count <= 0 || ghs.numElements() == 0) return 0L
+    val th = new Array[Long](len)
+    val chars = new Array[Int](len)
+    var i = 0
+    while (i < len) {
+      val s = arr.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+      chars(i) = s.numChars()
+      i += 1
+    }
+    val dup = ghs.toLongArray() // caller sorts ascending
+    var total = 0L
+    var curLo = -1
+    var curHi = -2
+    i = 0
+    while (i < count) {
+      var acc = Seed
+      var j = 0
+      while (j < n) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
+      if (java.util.Arrays.binarySearch(dup, acc) >= 0) {
+        val hi = i + n - 1
+        if (curLo < 0) { curLo = i; curHi = hi }
+        else if (i > curHi) {
+          var p = curLo
+          while (p <= curHi) { total += chars(p); p += 1 }
+          curLo = i; curHi = hi
+        } else if (hi > curHi) curHi = hi
+      }
+      i += 1
+    }
+    if (curLo >= 0) {
+      var p = curLo
+      while (p <= curHi) { total += chars(p); p += 1 }
+    }
+    total
+  }
+}
+
+/** `gram_coverage_chars(tokens, n, sorted_dup_hashes)`: see
+  * [[GramCoverageKernel]].
+  */
+case class GramCoverageChars(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"gram_coverage_chars requires (array<string>, int, array<bigint>), got " +
+            s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString})"
+        )
+    }
+
+  override def nullSafeEval(tokens: Any, n: Any, ghs: Any): Any =
+    GramCoverageKernel.coverageChars(
+      tokens.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int],
+      ghs.asInstanceOf[ArrayData]
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (t, n, g) => s"${ev.value} = graft.functions.GramCoverageKernel.coverageChars($t, $n, $g);"
+    )
+
+  override protected def withNewChildrenInternal(
+      f: Expression,
+      s: Expression,
+      t: Expression
+  ): Expression = copy(first = f, second = s, third = t)
+}
+
 /** `gram_hash_structs(tokens, n)`: see [[GramHashKernel]]. `n` is a
   * runtime int column (the repetition sweep explodes one row per order).
   */

@@ -486,59 +486,30 @@ object Curation {
           .agg(aggs.head, aggs.tail: _*)
       )
     }
-    // duplicate START positions per (doc, n): annotate each gram
-    // occurrence with its count (one colocated join back onto the count
-    // shuffle's key — codegen hash join, no per-position membership
-    // scans) and keep the positions of grams occurring more than once;
-    // both sides of the join carry the 8-byte hash, never the gram text
-    val starts = gr
-      .select("doc_id", "n", "gh", "pos")
-      .join(ct.filter(col("cnt") > 1).select("doc_id", "n", "gh"), Seq("doc_id", "n", "gh"))
+    // duplicate-gram HASH SETS per (doc, n): only grams with cnt > 1
+    // survive the count aggregate — a tiny, boilerplate-sized set per
+    // document — sorted for binary search. Coverage is then ONE native
+    // pass per (doc, n-with-dups) over the document itself
+    // ([[graft.functions.GramCoverageChars]] recomputes the chain
+    // identities and merges covered intervals inline, charging each
+    // covered token's chars exactly once): the per-position rows of the
+    // former explode→join→collect_list(pos)→interval-fold chain never
+    // exist, so nothing position-sized is ever shuffled — the dup-hash
+    // sets are the only thing that moves.
+    val dupSets = ct
+      .filter(col("cnt") > 1)
       .groupBy("doc_id", "n")
-      .agg(sort_array(collect_list(col("pos"))).as("starts"))
-    // coverage by interval merge: each start covers [pos, pos+n-1];
-    // starts are sorted, so one O(#starts) fold merges overlaps and
-    // charges each closed interval's token characters exactly once
-    def intervalChars(lo: Column, hi: Column): Column =
-      aggregate(
-        slice(col("tk"), lo.cast("int") + 1, (hi - lo).cast("int") + 1),
-        lit(0L),
-        (a, w) => a + length(w).cast(LongType)
-      )
+      .agg(sort_array(collect_set(col("gh"))).as("ghs"))
     val st = base
-      .join(starts, Seq("doc_id"))
+      .join(dupSets, Seq("doc_id"))
       .withColumn(
         "cov_chars",
-        aggregate(
-          col("starts"),
-          struct(lit(0L).as("chars"), lit(-1L).as("lo"), lit(-2L).as("hi")),
-          (acc, s0) => {
-            val s = s0.cast(LongType)
-            val end = s + col("n") - 1
-            when(
-              acc.getField("lo") < 0,
-              struct(acc.getField("chars").as("chars"), s.as("lo"), end.as("hi"))
-            ).when(
-              s > acc.getField("hi"),
-              struct(
-                (acc.getField("chars") +
-                  intervalChars(acc.getField("lo"), acc.getField("hi"))).as("chars"),
-                s.as("lo"),
-                end.as("hi")
-              )
-            ).otherwise(
-              struct(
-                acc.getField("chars").as("chars"),
-                acc.getField("lo").as("lo"),
-                greatest(acc.getField("hi"), end).as("hi")
-              )
-            )
-          },
-          acc =>
-            acc.getField("chars") + when(
-              acc.getField("lo") >= 0,
-              intervalChars(acc.getField("lo"), acc.getField("hi"))
-            ).otherwise(0L)
+        Bridge.column(
+          graft.functions.GramCoverageChars(
+            Bridge.expression(col("tk")),
+            Bridge.expression(col("n")),
+            Bridge.expression(col("ghs"))
+          )
         )
       )
     val cvAggs = ns.map(n => max(when(col("n") === n, col("cov_chars"))).as(s"c$n"))
