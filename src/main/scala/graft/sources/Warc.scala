@@ -1275,49 +1275,92 @@ object Warc {
       }(enc)
   }
 
+  /** [[read]] with the revisit-resolution headers surfaced — the walk a
+    * deduplicated archive's consumers run. Same streaming framer,
+    * record-sized residency; `read()`'s public 10-column schema stays
+    * untouched.
+    */
+  private def readWithRevisitHeaders(spark: SparkSession, dir: String): DataFrame = {
+    val ext = StructType(
+      schema.fields ++ Seq(
+        StructField("payload_digest", StringType),
+        StructField("refers_to", StringType)
+      )
+    )
+    val enc = org.apache.spark.sql.Encoders.row(ext)
+    val paths = listShardPaths(spark, dir, "*.warc*")
+    spark
+      .createDataset(paths)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(math.max(paths.size, 1))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { pathStr =>
+          val in = openShard(conf, pathStr)
+          closeOnExhaust(
+            new RecordStream(pathStr, in).map { w =>
+              Row(
+                w.path, w.recOffset, w.warcType, w.recordId, w.targetUri, w.warcDate,
+                w.contentType, w.contentLength, w.block, w.malformed,
+                w.payloadDigest, w.refersTo
+              )
+            },
+            () => in.close()
+          )
+        }
+      }(enc)
+  }
+
   /** Resolve a DEDUPLICATED archive back to its full capture table: one
     * row per capture (original or revisit) with the capture's own
-    * identity and the RESOLVED payload. Originals fetch their own
-    * member; a revisit joins the CDX on `payload_digest` to find its
-    * original's member and reads THAT — the Common-Crawl consumer flow.
+    * identity and the RESOLVED payload — a revisit meets its original ON
+    * DIGEST, the Common-Crawl consumer flow.
     *
-    * Scale shape: the index walk is one streaming pass per shard;
-    * payload bytes move only through [[fetch]]'s ranged point reads of
-    * original members (each a few-KB seek, never a shard scan), and the
-    * digest join is CDX-row-sized — revisit clusters meet their original
-    * digest-keyed, never all-pairs. Columns: url, warc_date,
-    * stored_digest, stored_block_len, via_revisit, body_text.
+    * Scale shape: a FULL-archive resolution is one streaming walk per
+    * shard (record-sized residency), originals' payloads decoded in
+    * place, and ONE digest-keyed join routing each revisit to its
+    * original's decoded body — revisit clusters meet digest-keyed, never
+    * all-pairs, and no payload byte is read twice. (Resolving a SMALL
+    * capture subset is the other access pattern: [[revisitIndex]] rows
+    * join on digest and the original members come back through
+    * [[fetch]]'s ranged point reads — k captures cost k few-KB seeks,
+    * never a shard walk. This function deliberately does NOT use point
+    * reads: fetching every original individually re-opens shards per
+    * member, measured 14.0 s point-read vs 4.2 s walk at sf1.) Columns:
+    * url, warc_date, stored_digest, stored_block_len, via_revisit,
+    * body_text.
     */
   def resolveRevisits(spark: SparkSession, dir: String): DataFrame = {
-    val idx = revisitIndex(spark, dir).filter(col("malformed").isNull)
-    val orig = idx.filter(col("warc_type") === "response")
-    val revs = idx.filter(col("warc_type") === "revisit")
-    // each original member fetched once; bodies keyed by record id
-    val fetched = httpSlice(fetch(spark, orig.select("path", "member_offset", "member_len")))
-      .select(col("record_id").as("orig_id"), col("body_text"))
-    val origRows = orig.select(
-      col("target_uri").as("url"),
-      col("warc_date"),
-      col("payload_digest").as("stored_digest"),
-      col("content_length").as("stored_block_len"),
-      lit(false).as("via_revisit"),
-      col("record_id").as("orig_id")
+    val recs = respread(
+      spark,
+      readWithRevisitHeaders(spark, dir).filter(col("malformed").isNull)
     )
-    val revRows = revs
+    val orig = recs
+      .filter(col("warc_type") === "response")
+      .withColumn("_hb", graft.functions.HttpBody.httpBody(col("block")))
       .select(
         col("target_uri").as("url"),
         col("warc_date"),
         col("payload_digest").as("stored_digest"),
         col("content_length").as("stored_block_len"),
-        lit(true).as("via_revisit"),
-        col("payload_digest").as("_pd")
+        col("_hb.text").as("body_text")
       )
+    val revs = recs
+      .filter(col("warc_type") === "revisit")
+      .select(
+        col("target_uri").as("url"),
+        col("warc_date"),
+        col("payload_digest").as("stored_digest"),
+        col("content_length").as("stored_block_len")
+      )
+    val origRows = orig.withColumn("via_revisit", lit(false))
+    val revRows = revs
       .join(
-        orig.select(col("payload_digest").as("_pd"), col("record_id").as("orig_id")),
-        Seq("_pd")
+        orig.select(col("stored_digest"), col("body_text")).withColumnRenamed("stored_digest", "_pd"),
+        col("stored_digest") === col("_pd")
       )
       .drop("_pd")
-    origRows.unionByName(revRows).join(fetched, Seq("orig_id")).drop("orig_id")
+      .withColumn("via_revisit", lit(true))
+    origRows.unionByName(revRows)
   }
 
   // ----------------------------------------------------------------- WAT
