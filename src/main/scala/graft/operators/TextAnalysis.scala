@@ -1182,4 +1182,76 @@ object TextAnalysis {
         expr("sc div n_bigrams").as("kn_score_e9")
       )
   }
+
+  /** [[knScores]] in its PRODUCTION shape: the LM statistics come from a
+    * REFERENCE split (`trainPred` over the same frame) and every document
+    * is scored against that fixed model — CCNet trains its 5-gram LM on
+    * Wikipedia and scores Common Crawl with it; self-scoring (what
+    * [[knScores]] does, and what its oracle replays) lets boilerplate
+    * inflate its own fluency. Out-of-model handling, exact integers:
+    *
+    *   - unseen CONTEXT w1 (no train statistics): the bigram contributes
+    *     0 — the model assigns it no probability mass;
+    *   - seen context, unseen bigram: the discounted term truncates at 0
+    *     (c(w1w2)=0 < D) and only the continuation back-off contributes;
+    *   - unseen continuation w2: N1+(·w2) = 0, so the back-off term is 0.
+    *
+    * Scale shape identical to [[knScores]] — the statistics sides are
+    * additionally TRAIN-sized, and scoring is three left joins (one
+    * occurrence-keyed, two vocabulary-bounded broadcasts) + one scalar.
+    * Output: (doc_id, n_bigrams, in_train, kn_ref_score_e9).
+    */
+  def knScoresHeldOut(docs: DataFrame, trainPred: Column): DataFrame = {
+    val bg = docs
+      .select(
+        col("doc_id"),
+        trainPred.as("in_train"),
+        explode(Dedup.wordShinglesAll(Text.tokensAll(col("text")), 2)).as("bg")
+      )
+      .select(
+        col("doc_id"),
+        col("in_train"),
+        md5Long(col("bg")).as("bgh"),
+        md5Long(substring_index(col("bg"), " ", 1)).as("w1h"),
+        md5Long(substring_index(col("bg"), " ", -1)).as("w2h")
+      )
+      .localCheckpoint(true)
+    val tr = bg.filter(col("in_train"))
+    val cxy = tr.groupBy(col("bgh")).agg(count(lit(1)).as("c_xy"))
+    val cx = tr
+      .groupBy(col("w1h"))
+      .agg(count(lit(1)).as("c_x"), countDistinct(col("w2h")).as("n1f"))
+    val bw = tr.groupBy(col("w2h")).agg(countDistinct(col("w1h")).as("n1b"))
+    val nt = tr.select(countDistinct(col("bgh")).as("n_types"))
+    bg.join(cxy, Seq("bgh"), "left")
+      .join(broadcast(cx), Seq("w1h"), "left")
+      .join(broadcast(bw), Seq("w2h"), "left")
+      .crossJoin(broadcast(nt))
+      .groupBy(col("doc_id"), col("in_train"))
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        sum(
+          when(col("c_x").isNull, lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))
+            .otherwise(
+              when(
+                col("c_xy").isNull,
+                lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
+              ).otherwise(
+                expr(
+                  "((4 * CAST(c_xy AS DECIMAL(38,0)) - 3) * 250000000) div CAST(c_x AS DECIMAL(38,0))"
+                )
+              ) +
+                expr(
+                  "(CAST(750000000 AS DECIMAL(38,0)) * n1f * coalesce(n1b, 0)) div (CAST(c_x AS DECIMAL(38,0)) * n_types)"
+                )
+            )
+        ).as("sc")
+      )
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("in_train"),
+        expr("sc div n_bigrams").as("kn_ref_score_e9")
+      )
+  }
 }

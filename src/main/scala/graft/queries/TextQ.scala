@@ -1195,6 +1195,61 @@ object TextQ {
         "vocabulary-bounded unigram/continuation sides, one scalar " +
         "bigram-type count crossed in."
     ),
+    // ---- the PRODUCTION form of LM-quality scoring: the model comes
+    // from a REFERENCE split and everything is scored against it (CCNet
+    // trains on Wikipedia, scores Common Crawl) — self-scoring lets
+    // boilerplate inflate its own fluency. Held-out docs hit unseen
+    // contexts/bigrams/continuations non-vacuously, each with an exact
+    // integer out-of-model rule.
+    Q(
+      "t_kn_heldout",
+      (s, d) =>
+        TextAnalysis
+          .knScoresHeldOut(Tables.documents(s, d), col("doc_id") % 10 < 8)
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, (doc_id % 10 < 8) AS in_train, $toksSql AS tk
+           |           FROM documents),
+           |bg AS (
+           |  SELECT doc_id, in_train,
+           |    unnest(list_transform(generate_series(1, len(tk) - 1),
+           |      i -> tk[i] || ' ' || tk[i+1])) AS bg
+           |  FROM t
+           |),
+           |sp AS (SELECT doc_id, in_train, bg,
+           |         split_part(bg, ' ', 1) AS w1,
+           |         split_part(bg, ' ', 2) AS w2
+           |       FROM bg),
+           |trn AS (SELECT * FROM sp WHERE in_train),
+           |cxy AS (SELECT bg, COUNT(*) AS c_xy FROM trn GROUP BY bg),
+           |cx AS (SELECT w1, COUNT(*) AS c_x, COUNT(DISTINCT w2) AS n1f
+           |       FROM trn GROUP BY w1),
+           |bw AS (SELECT w2, COUNT(DISTINCT w1) AS n1b FROM trn GROUP BY w2),
+           |nt AS (SELECT COUNT(DISTINCT bg) AS n_types FROM trn)
+           |SELECT doc_id, COUNT(*) AS n_bigrams, in_train,
+           |  (SUM(CASE WHEN c_x IS NULL THEN 0
+           |       ELSE (CASE WHEN c_xy IS NULL THEN 0
+           |             ELSE ((4 * c_xy::HUGEINT - 3) * 250000000) // c_x END)
+           |         + (750000000::HUGEINT * n1f * coalesce(n1b, 0)) // (c_x::HUGEINT * n_types)
+           |       END)
+           |   // COUNT(*))::BIGINT AS kn_ref_score_e9
+           |FROM sp
+           |LEFT JOIN cxy USING (bg)
+           |LEFT JOIN cx USING (w1)
+           |LEFT JOIN bw USING (w2)
+           |CROSS JOIN nt
+           |GROUP BY doc_id, in_train ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Held-out Kneser-Ney LM scoring — the CCNet production shape: " +
+        "statistics from the doc_id%10<8 reference split only, every " +
+        "document scored against that FIXED model. Out-of-model rules, " +
+        "exact integers: unseen context contributes 0; seen context with " +
+        "unseen bigram keeps only the continuation back-off (the " +
+        "discounted term truncates at 0); unseen continuation zeroes the " +
+        "back-off. Statistics sides are train-sized broadcasts; scoring " +
+        "is left joins on 8-byte hash keys. Every score bit-replayed, " +
+        "held-out out-of-model lanes non-vacuous by construction."
+    ),
     Q(
       "t_vocab_coverage",
       (s, d) =>
