@@ -2071,6 +2071,52 @@ object TextQ {
         "stored-bytes column (zero for every revisit — the byte " +
         "savings), bit-equal to the undeduplicated corpus replay."
     ),
+    // ---- the OTHER ISO revisit profile: server-not-modified (a 304
+    // conditional-GET answer — no payload, no digest; refers to a prior
+    // capture of the SAME URI by target-uri + date). Resolution is a
+    // point-in-time lookup = the as-of join operator, per URI — vs the
+    // identical-payload profile's GLOBAL digest dedup.
+    Q(
+      "t_warc_not_modified",
+      (s, d) => {
+        val dir = graft.sources.Warc.ensureNotModifiedDir(d, Tables.documents(s, d))
+        graft.sources.Warc
+          .resolveNotModified(s, dir)
+          .select(
+            col("url"),
+            col("warc_date"),
+            col("via_revisit"),
+            md5(col("body_text")).as("digest"),
+            octet_length(col("body_text")).cast("long").as("payload_len")
+          )
+          .orderBy("url", "warc_date")
+      },
+      Some {
+        val page = graft.operators.Html.dirtyHtmlSqlExpr
+        val d0 = graft.sources.Warc.FixtureDate
+        val d1 = graft.sources.Warc.RevisitDate
+        s"""WITH pg AS MATERIALIZED (SELECT doc_id, $page AS html FROM documents),
+           |caps AS (
+           |  SELECT 'http://example.com/doc/' || doc_id AS url, '$d0' AS warc_date,
+           |         false AS via_revisit, html AS body FROM pg
+           |  UNION ALL
+           |  SELECT 'http://example.com/doc/' || doc_id, '$d1', true, html
+           |  FROM pg WHERE doc_id % 4 = 1)
+           |SELECT url, warc_date, via_revisit, md5(body) AS digest,
+           |  strlen(body)::BIGINT AS payload_len
+           |FROM caps ORDER BY url, warc_date""".stripMargin
+      },
+      doc = "server-not-modified revisit resolution (ISO 28500 §6.7.3, " +
+        "the conditional-GET/304 profile): the crawler re-fetched, the " +
+        "server answered 304, the record carries the 304 status line and " +
+        "WARC-Refers-To-Target-URI/-Date headers, NO payload and NO " +
+        "digest. Resolution takes the LATEST prior capture of the same " +
+        "URI — a left as-of join (one key-partitioned tagged-union " +
+        "window, no pair blowup), vs the identical-payload profile's " +
+        "global digest dedup. Read-back must bit-equal the full " +
+        "undeduplicated capture table; WarcSpec pins the record shape " +
+        "and the latest-prior-capture choice under multiple priors."
+    ),
     // ---- STREAMING CDX maintenance on the oracle gate: the asset minus
     // one shard's rows is the base, that shard arrives as a stream batch
     // (CdxStream upsert + forced debt compaction through the journaled

@@ -1221,6 +1221,106 @@ object Warc {
     dir
   }
 
+  /** The OTHER ISO 28500 §6.7.3 revisit profile: `server-not-modified` —
+    * the crawler re-fetched and the server answered 304, so there is no
+    * payload and no payload digest; the record refers to a prior capture
+    * of the SAME URI by `WARC-Refers-To-Target-URI` + `WARC-Refers-To-
+    * Date`, and the block carries the 304 status line (the response the
+    * server actually sent).
+    */
+  val NotModifiedProfile =
+    "http://netpreserve.org/warc/1.0/revisit/server-not-modified"
+
+  def notModifiedRecord(
+      uri: String,
+      recordId: String,
+      warcDate: String,
+      refersToUri: String,
+      refersToDate: String
+  ): Array[Byte] =
+    renderRecord(
+      "revisit",
+      recordId,
+      Some(uri),
+      warcDate,
+      "application/http; msgtype=response",
+      s"HTTP/1.1 304 Not Modified$Crlf$Crlf".getBytes("UTF-8"),
+      extra = Seq(
+        "WARC-Profile" -> NotModifiedProfile,
+        "WARC-Refers-To-Target-URI" -> refersToUri,
+        "WARC-Refers-To-Date" -> refersToDate
+      )
+    )
+
+  /** Conditional-GET archive fixture: every doc captured once at
+    * [[FixtureDate]]; docs with `doc_id % 4 = 1` are re-fetched at
+    * [[RevisitDate]] and the server answers 304 — the crawler records a
+    * [[notModifiedRecord]] instead of a payload.
+    */
+  def ensureNotModifiedDir(sfDir: String, docs: DataFrame, nShards: Int = 8): String = {
+    val dir = graft.operators.Indexes
+      .fingerprintDirOn("notmod-fixture", sfDir, docs, "doc_id", "text", s"ns=$nShards,v=1")
+    graft.operators.Indexes.atomicBuild(dir, "_SUCCESS") { tmp =>
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val pages = graft.operators.Html.dirtyHtml(docs).as[(Long, String)]
+      val records = pages
+        .flatMap { case (id, html) =>
+          val uri = s"http://example.com/doc/$id"
+          val first =
+            Seq(((id % nShards).toInt, id, 0, responseRecord(uri, s"<urn:uuid:resp-$id>", FixtureDate, html)))
+          val nm =
+            if (id % 4 == 1)
+              Seq(((id % nShards).toInt, id, 1,
+                notModifiedRecord(uri, s"<urn:uuid:nm-$id>", RevisitDate, uri, FixtureDate)))
+            else Nil
+          first ++ nm
+        }
+        .toDF("g", "doc_id", "sub", "record_bytes")
+        .repartition(nShards, col("g"))
+        .sortWithinPartitions(col("g"), col("doc_id"), col("sub"))
+      write(records, tmp)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+      ()
+    }
+    dir
+  }
+
+  /** Resolve `server-not-modified` revisits: each 304 capture takes the
+    * payload of the LATEST prior capture of the SAME URI — a left AS-OF
+    * join ([[graft.operators.AsofJoin.leftAsof]]: one key-partitioned
+    * tagged-union window, no pair blowup, exactly the point-in-time
+    * lookup this profile's semantics are). Identical-payload revisits
+    * resolve GLOBALLY by digest ([[resolveRevisits]]); not-modified
+    * revisits resolve PER-URI by time — the two profiles' defining
+    * difference. Columns: url, warc_date, via_revisit, body_text.
+    */
+  def resolveNotModified(spark: SparkSession, dir: String): DataFrame = {
+    val recs = respread(spark, read(spark, dir).filter(col("malformed").isNull))
+    val orig = recs
+      .filter(col("warc_type") === "response")
+      .withColumn("_hb", graft.functions.HttpBody.httpBody(col("block")))
+      .select(
+        col("target_uri").as("url"),
+        col("warc_date"),
+        col("_hb.text").as("body_text")
+      )
+    val revs = recs
+      .filter(col("warc_type") === "revisit")
+      .select(col("target_uri").as("url"), col("warc_date"))
+    val resolved = graft.operators.AsofJoin
+      .leftAsof(revs, orig, "url", "warc_date", "body_text", "resolved_body")
+      .select(
+        col("url"),
+        col("warc_date"),
+        lit(true).as("via_revisit"),
+        col("resolved_body").as("body_text")
+      )
+    orig
+      .select(col("url"), col("warc_date"), lit(false).as("via_revisit"), col("body_text"))
+      .unionByName(resolved)
+  }
+
   /** Schema of [[revisitIndex]]: [[memberSchema]] plus the capture's
     * record id and the revisit-resolution headers — the CDX columns a
     * deduplicated archive's consumers need (Common Crawl's CDX carries

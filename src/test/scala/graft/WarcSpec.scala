@@ -517,4 +517,50 @@ class WarcSpec extends AnyFunSuite {
       .toSet
     assert(resolved === full)
   }
+
+  test("server-not-modified: record shape and latest-prior-capture resolution") {
+    val rec = Warc.notModifiedRecord(
+      "http://a.com/x",
+      "<urn:uuid:nm-1>",
+      "2026-03-01T00:00:00Z",
+      "http://a.com/x",
+      "2026-01-01T00:00:00Z"
+    )
+    val txt = new String(rec, "UTF-8")
+    assert(txt.contains(s"WARC-Profile: ${Warc.NotModifiedProfile}\r\n"))
+    assert(txt.contains("WARC-Refers-To-Target-URI: http://a.com/x\r\n"))
+    assert(txt.contains("WARC-Refers-To-Date: 2026-01-01T00:00:00Z\r\n"))
+    val parsed = Warc.parseShard("p", rec)
+    assert(parsed.size === 1 && parsed.head.warcType === "revisit")
+    assert(new String(parsed.head.block, "UTF-8") === "HTTP/1.1 304 Not Modified\r\n\r\n")
+
+    // resolution picks the LATEST prior capture of the SAME URI: uri x
+    // captured twice (v1 then v2), a 304 at d3 must resolve to v2; uri y
+    // is untouched by x's 304
+    val dir = tmpDir("notmod")
+    val recs = Seq(
+      Warc.responseRecord("http://a.com/x", "<urn:uuid:1>", "2026-01-01T00:00:00Z", "v1"),
+      Warc.responseRecord("http://a.com/x", "<urn:uuid:2>", "2026-02-01T00:00:00Z", "v2"),
+      Warc.responseRecord("http://a.com/y", "<urn:uuid:3>", "2026-01-01T00:00:00Z", "w1"),
+      Warc.notModifiedRecord(
+        "http://a.com/x", "<urn:uuid:4>", "2026-03-01T00:00:00Z",
+        "http://a.com/x", "2026-02-01T00:00:00Z")
+    )
+    val df = Seq((0, 1L, recs(0)), (0, 2L, recs(1)), (0, 3L, recs(2)), (0, 4L, recs(3)))
+      .toDF("g", "ord", "record_bytes")
+      .repartition(1)
+      .sortWithinPartitions("g", "ord")
+    Warc.write(df, dir)
+    val out = Warc
+      .resolveNotModified(spark, dir)
+      .orderBy("url", "warc_date")
+      .select("url", "warc_date", "via_revisit", "body_text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getString(3)))
+      .toSeq
+    assert(out(0) === (("http://a.com/x", "2026-01-01T00:00:00Z", false, "v1")))
+    assert(out(1) === (("http://a.com/x", "2026-02-01T00:00:00Z", false, "v2")))
+    assert(out(2) === (("http://a.com/x", "2026-03-01T00:00:00Z", true, "v2")))
+    assert(out(3) === (("http://a.com/y", "2026-01-01T00:00:00Z", false, "w1")))
+  }
 }
