@@ -29,6 +29,14 @@ object AsofJoin {
     * @param payloadCol  right column to carry to each left row
     * @param asCol       output name for the carried payload (null when no
     *                    right row precedes the left row)
+    * @param tieCol      optional RIGHT-side column breaking ties between
+    *                    right rows that share (keyCol, timeCol): the
+    *                    GREATEST tieCol's payload wins, so the carried
+    *                    value is bit-deterministic instead of partition-
+    *                    order-dependent. Left rows never need the column
+    *                    (their relative order cannot change what they
+    *                    carry); without it, equal-time right rows resolve
+    *                    arbitrarily.
     */
   def leftAsof(
       left: DataFrame,
@@ -36,25 +44,30 @@ object AsofJoin {
       keyCol: String,
       timeCol: String,
       payloadCol: String,
-      asCol: String
+      asCol: String,
+      tieCol: Option[String] = None
   ): DataFrame = {
     val payloadType = right.schema(payloadCol).dataType
     val l = left
       .withColumn("_tag", lit(1))
       .withColumn("_rv", lit(null).cast(payloadType))
     val r = right.select(
-      col(keyCol),
-      col(timeCol),
-      lit(0).as("_tag"),
-      col(payloadCol).as("_rv")
+      col(keyCol) +: col(timeCol) +: lit(0).as("_tag") +:
+        col(payloadCol).as("_rv") +:
+        tieCol.map(c => col(c).as("_tie")).toSeq: _*
     )
     val w = Window
       .partitionBy(col(keyCol))
-      .orderBy(col(timeCol), col("_tag"))
+      .orderBy(
+        col(timeCol) +: col("_tag") +:
+          // left rows carry null here; they already sort after every
+          // equal-time right row on _tag, so only right-right ties move
+          tieCol.map(_ => col("_tie").asc_nulls_first).toSeq: _*
+      )
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn(asCol, last(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
-      .drop("_tag", "_rv")
+      .drop("_tag" +: "_rv" +: tieCol.map(_ => "_tie").toSeq: _*)
   }
 }

@@ -1303,13 +1303,21 @@ object Warc {
       .select(
         col("target_uri").as("url"),
         col("warc_date"),
+        col("record_id"),
         col("_hb.text").as("body_text")
       )
     val revs = recs
       .filter(col("warc_type") === "revisit")
       .select(col("target_uri").as("url"), col("warc_date"))
+    // record_id tiebreak: two prior captures of the same URI at the SAME
+    // warc_date (legal — second-resolution timestamps) must carry a
+    // deterministic payload, not a partition-order-dependent one; the
+    // greatest record id wins, mirroring revisitCaptures' struct-min
+    // discipline.
     val resolved = graft.operators.AsofJoin
-      .leftAsof(revs, orig, "url", "warc_date", "body_text", "resolved_body")
+      .leftAsof(
+        revs, orig, "url", "warc_date", "body_text", "resolved_body",
+        tieCol = Some("record_id"))
       .select(
         col("url"),
         col("warc_date"),
@@ -1453,11 +1461,24 @@ object Warc {
         col("content_length").as("stored_block_len")
       )
     val origRows = orig.withColumn("via_revisit", lit(false))
+    // Robust against archives that are NOT ensureDedupedDir output:
+    //   - multiple originals sharing a digest (legal in real deduplicated
+    //     archives after a cross-crawl merge) collapse to ONE body per
+    //     digest — a deterministic struct-min by (warc_date, url), never
+    //     a fan-out of each revisit into duplicate rows (same payload
+    //     bytes by definition of the digest, so min() only picks WHICH
+    //     identical body is carried);
+    //   - a revisit whose original is absent (partial / cross-crawl
+    //     archive slice) survives with a NULL body instead of silently
+    //     dropping — the consumer sees the unresolved capture.
+    // Both fixes are map-side-combinable aggregates / a left join on the
+    // same digest key: the join stays duplicate-cluster-sized.
+    val bodyPerDigest = orig
+      .groupBy(col("stored_digest").as("_pd"))
+      .agg(min(struct(col("warc_date"), col("url"), col("body_text"))).as("_first"))
+      .select(col("_pd"), col("_first.body_text").as("body_text"))
     val revRows = revs
-      .join(
-        orig.select(col("stored_digest"), col("body_text")).withColumnRenamed("stored_digest", "_pd"),
-        col("stored_digest") === col("_pd")
-      )
+      .join(bodyPerDigest, col("stored_digest") === col("_pd"), "left")
       .drop("_pd")
       .withColumn("via_revisit", lit(true))
     origRows.unionByName(revRows)

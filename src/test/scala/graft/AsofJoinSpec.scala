@@ -37,6 +37,25 @@ class AsofJoinSpec extends AnyFunSuite {
     ))
   }
 
+  test("leftAsof tieCol: equal-time right rows resolve to the greatest tie, partition-order-free") {
+    val left = Seq((1L, 10L, "l")).toDF("k", "t", "tag")
+    // two right rows at the SAME (key, time): without a tiebreak the
+    // carried payload depends on partition order; with tieCol the
+    // greatest tie id must win under ANY physical ordering
+    Seq(
+      Seq((1L, 10L, "low", "<id:1>"), (1L, 10L, "high", "<id:2>")),
+      Seq((1L, 10L, "high", "<id:2>"), (1L, 10L, "low", "<id:1>"))
+    ).foreach { rows =>
+      val right = rows.toDF("k", "t", "v", "rid").repartition(4)
+      val got = AsofJoin
+        .leftAsof(left, right, "k", "t", "v", "av", tieCol = Some("rid"))
+        .select("av")
+        .as[String]
+        .head()
+      assert(got === "high")
+    }
+  }
+
   test("leftAsof preserves every left row exactly once") {
     val left = Seq((1L, 1L, "x"), (1L, 1L, "y"), (9L, 9L, "z")).toDF("k", "t", "tag")
     val right = Seq((1L, 0L, 1.0)).toDF("k", "t", "v")

@@ -31,6 +31,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("documents.parquet"), "phrase search must not re-scan the corpus:\n" + plan.take(1500))
   }
 
+  test("u_recrawl: ranks come from the persisted crawl-rank asset, not an in-plan PageRank") {
+    // construction ensures the fingerprinted asset; hostRank must then be a
+    // pure parquet read of it — no outdegree aggregation, no exchange, i.e.
+    // the link-graph walk is amortized into the asset build, never the query
+    val rankPlan =
+      queries.UrlQ.hostRank(spark, sf).queryExecution.executedPlan.toString
+    assert(rankPlan.contains("crawl-rank"), "expected the persisted rank asset:\n" + rankPlan.take(1000))
+    assert(!rankPlan.contains("outdeg") && !rankPlan.contains("Exchange"),
+      "hostRank must be a bare asset scan:\n" + rankPlan.take(1000))
+    // and the full composition never re-walks the graph (the sharded-rank
+    // checkpoint barrier hides upstream frames, so outdeg anywhere visible
+    // would mean an in-plan re-derivation crept back in)
+    val plan = physical("u_recrawl")
+    assert(!plan.contains("outdeg"), "u_recrawl must not re-derive PageRank:\n" + plan.take(1500))
+  }
+
   test("q6: filters are pushed to the parquet scan") {
     val plan = physical("q6_filter_agg")
     // the plan string truncates the PushedFilters list, so check its prefix

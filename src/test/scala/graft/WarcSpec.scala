@@ -563,4 +563,76 @@ class WarcSpec extends AnyFunSuite {
     assert(out(2) === (("http://a.com/x", "2026-03-01T00:00:00Z", true, "v2")))
     assert(out(3) === (("http://a.com/y", "2026-01-01T00:00:00Z", false, "w1")))
   }
+
+  test("server-not-modified: same-date prior captures resolve by record id, not partition order") {
+    // two captures of the SAME uri at the SAME second (legal — WARC dates
+    // have second resolution): the 304 must deterministically carry the
+    // greatest record id's payload, whatever order the shard walk yields
+    val dir = tmpDir("notmod_tie")
+    val recs = Seq(
+      Warc.responseRecord("http://t.com/x", "<urn:uuid:1>", "2026-01-01T00:00:00Z", "a"),
+      Warc.responseRecord("http://t.com/x", "<urn:uuid:2>", "2026-01-01T00:00:00Z", "b"),
+      Warc.notModifiedRecord(
+        "http://t.com/x", "<urn:uuid:3>", "2026-02-01T00:00:00Z",
+        "http://t.com/x", "2026-01-01T00:00:00Z")
+    )
+    // split the tied originals across two shards so a partition-order
+    // dependence would actually be exercisable
+    val df = Seq((0, 1L, recs(0)), (1, 2L, recs(1)), (0, 3L, recs(2)))
+      .toDF("g", "ord", "record_bytes")
+      .repartition(2, col("g"))
+      .sortWithinPartitions("g", "ord")
+    Warc.write(df, dir)
+    val resolved = Warc
+      .resolveNotModified(spark, dir)
+      .filter(col("via_revisit"))
+      .select("body_text")
+      .as[String]
+      .collect()
+    assert(resolved.toSeq === Seq("b"), "greatest record id's payload must carry")
+  }
+
+  test("resolveRevisits: orphan revisits survive with null body; shared-digest originals never fan out") {
+    // NOT ensureDedupedDir output: two originals share a digest (a
+    // cross-crawl merge), one revisit references that digest, another
+    // references a digest with no original in this archive slice
+    def digested(uri: String, rid: String, date: String, html: String, dg: String) = {
+      val body = html.getBytes("UTF-8")
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+      Warc.renderRecord(
+        "response", rid, Some(uri), date,
+        "application/http; msgtype=response", http ++ body,
+        extra = Seq("WARC-Payload-Digest" -> dg))
+    }
+    val dir = tmpDir("revisit_robust")
+    val recs = Seq(
+      digested("http://m.com/a", "<urn:uuid:o1>", "2026-01-01T00:00:00Z", "same", "md5:d1"),
+      digested("http://m.com/b", "<urn:uuid:o2>", "2026-02-01T00:00:00Z", "same", "md5:d1"),
+      Warc.revisitRecord(
+        "http://m.com/c", "<urn:uuid:r1>", "2026-03-01T00:00:00Z", "<urn:uuid:o1>", "md5:d1"),
+      Warc.revisitRecord(
+        "http://m.com/z", "<urn:uuid:r2>", "2026-03-01T00:00:00Z", "<urn:uuid:gone>", "md5:d9")
+    )
+    val df = recs.zipWithIndex.map { case (r, i) => (i % 2, i.toLong, r) }
+      .toDF("g", "ord", "record_bytes")
+      .repartition(2, col("g"))
+      .sortWithinPartitions("g", "ord")
+    Warc.write(df, dir)
+    val out = Warc
+      .resolveRevisits(spark, dir)
+      .select("url", "via_revisit", "body_text")
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1), Option(r.getString(2))))
+      .toSet
+    assert(out === Set(
+      ("http://m.com/a", false, Some("same")),
+      ("http://m.com/b", false, Some("same")),
+      // exactly ONE resolved row for the d1 revisit (no per-original fan-out)
+      ("http://m.com/c", true, Some("same")),
+      // the orphan is SURFACED unresolved, not silently dropped
+      ("http://m.com/z", true, None)
+    ))
+    assert(Warc.resolveRevisits(spark, dir).count() === 4)
+  }
 }
