@@ -721,4 +721,56 @@ object Curation {
           .as("bucket")
       )
   }
+
+  // ---- persisted gate-annotation asset ---------------------------------
+
+  /** Persisted per-document curation ANNOTATION asset: one row per doc
+    * with every gate verdict (Gopher quality, C4, Gopher repetition
+    * n=5..10 over the page, toxicity) plus the CCNet score/bucket —
+    * built ONCE per corpus content fingerprint under the
+    * [[Indexes]] contract and READ by every funnel report
+    * (`pipe_curate_e2e`, `t_drop_curation`). At 100 TB the gate table is
+    * exactly this kind of asset: a release computes the verdicts once
+    * and emits many reports (survivor mix, drop attribution, datacard
+    * slices) over them; two reports that each re-derive the repetition
+    * and LM legs pay the corpus twice for identical bits. The build is
+    * deterministic, so reading the asset is bit-identical to a fresh
+    * derivation — invisible to the correctness gate.
+    *
+    * The perplexity columns join LEFT: a doc with <2 surviving tokens
+    * yields no bigrams and therefore NO KN score — it keeps its asset
+    * row with a NULL bucket (consumers route it explicitly; the CCNet
+    * gate treats unscoreable as tail) instead of silently vanishing
+    * from the funnel accounting.
+    */
+  def ensureGateAsset(sfDir: String, docs: DataFrame): String = {
+    val dir = graft.operators.Indexes.fingerprintDirOn(
+      "curation-gates", sfDir, docs, "doc_id", "struct(text, lang)", "v=1")
+    graft.operators.Indexes.atomicBuild(dir, "gates/_SUCCESS") { tmp =>
+      val rep = gopherRepetition(
+        pages(docs).select(col("doc_id"), col("page").as("text")),
+        ns = 5 to 10
+      ).select(col("doc_id"), col("keep").as("rep_keep"))
+      val tox = TextAnalysis
+        .toxicityLogits(docs)
+        .select(col("doc_id"), col("tox_keep"))
+      val ppl = pplBuckets(docs)
+        .select(col("doc_id"), col("kn_score_e9"), col("bucket"))
+      gates(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .join(rep, Seq("doc_id"))
+        .join(tox, Seq("doc_id"))
+        .join(ppl, Seq("doc_id"), "left")
+        .write
+        .mode("overwrite")
+        .parquet(s"$tmp/gates")
+    }
+    dir
+  }
+
+  /** Read-side of [[ensureGateAsset]]: (doc_id, gopher_keep, c4_keep,
+    * lang, rep_keep, tox_keep, kn_score_e9, bucket).
+    */
+  def gateAsset(sfDir: String, docs: DataFrame): DataFrame =
+    docs.sparkSession.read.parquet(s"${ensureGateAsset(sfDir, docs)}/gates")
 }

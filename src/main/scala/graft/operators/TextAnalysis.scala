@@ -222,6 +222,78 @@ object TextAnalysis {
       )
   }
 
+  /** Jigsaw-style toxicity classes of the one-vs-rest content gate —
+    * the standard axes every public corpus release screens (Jigsaw
+    * Toxic Comment categories, trimmed to three heads).
+    */
+  val ToxClasses: Seq[String] = Seq("toxic", "obscene", "threat")
+
+  /** Flag threshold in MICRO-logits PER FEATURE: class c flags a doc when
+    * `1000 · logit_milli_c ≥ ToxThresholdMicro · n_feats` — i.e. the mean
+    * per-bigram evidence exceeds 0.25 nats, multiplication-only integer
+    * arithmetic so both engines compare bit-exactly (no division, no
+    * rounding lane). With the md5 stand-in weights this sits at the
+    * fixture's ~95th percentile, a minor-lane drop rate like a production
+    * toxicity gate's.
+    */
+  val ToxThresholdMicro = 250000L
+
+  /** One-vs-rest weight vector for toxicity head `cls`, same md5 lattice
+    * as [[classifierWeightsMilli]] under a per-class salt: w_j =
+    * md5_60(j || "#tox:" || cls) mod 2001 − 1000. A production deployment
+    * broadcasts weights distilled from a real moderation model; the
+    * derivation stands in so both engines rebuild identical vectors —
+    * the deployment shape (literal weights inside a codegen projection)
+    * is the same either way.
+    */
+  def toxWeightsMilli(cls: String, dim: Int = ClfDim): IndexedSeq[Long] =
+    (0 until dim).map { j =>
+      graft.functions.Md5Exprs.md5Top60(
+        s"$j#tox:$cls".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ) % 2001L - 1000L
+    }
+
+  /** Toxicity/NSFW gate — the [[classifierLogits]] surface run one-vs-rest:
+    * K linear heads over the SAME hashed-bigram features, all K integer
+    * logit sums from ONE token scan + ONE doc-keyed partial-aggregable
+    * shuffle (the feature bucket hashes once; each head is one more
+    * literal-array lookup inside the same codegen projection). Output per
+    * doc: n_feats, per-class `lt_<cls>` milli-logits, per-class
+    * `tox_<cls>` flags at [[ToxThresholdMicro]], and the conjunctive
+    * `tox_keep`. [[Dedup.wordShinglesAll]] emits ≥1 shingle for any doc,
+    * so no document vanishes from the gate.
+    */
+  def toxicityLogits(docs: DataFrame, dim: Int = ClfDim): DataFrame = {
+    val sums = docs
+      .select(
+        col("doc_id"),
+        explode(Dedup.wordShinglesAll(Text.tokensAll(col("text")), 2)).as("g")
+      )
+      .select(
+        col("doc_id"),
+        (pmod(md5Long(col("g")), lit(dim)) + 1).cast("int").as("_j")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_feats"),
+        ToxClasses.map { cls =>
+          sum(element_at(typedLit(toxWeightsMilli(cls, dim)), col("_j")))
+            .cast("long")
+            .as(s"lt_$cls")
+        }: _*
+      )
+    val flagged = ToxClasses.foldLeft(sums) { (df, cls) =>
+      df.withColumn(
+        s"tox_$cls",
+        col(s"lt_$cls") * 1000L >= lit(ToxThresholdMicro) * col("n_feats")
+      )
+    }
+    flagged.withColumn(
+      "tox_keep",
+      ToxClasses.map(c => !col(s"tox_$c")).reduce(_ && _)
+    )
+  }
+
   /** (doc_id, text) → language prediction, quality metrics + composite
     * score, and the deterministic split tag, in ONE stateless projection.
     * Map-only (no shuffle, no state), so the exact same transform runs

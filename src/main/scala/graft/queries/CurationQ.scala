@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.operators.{Curation, Split, Text}
+import graft.operators.{Curation, Split, Text, TextAnalysis}
 
 /** Curation-filter query surface: the published quality-rule families
   * (Gopher document rules, C4 line cleaning, CCNet perplexity buckets)
@@ -54,6 +54,45 @@ object CurationQ {
        |    row_number() OVER (PARTITION BY d.lang ORDER BY kn_score_e9, doc_id) AS rn,
        |    count(*) OVER (PARTITION BY d.lang) AS cnt
        |  FROM kn JOIN documents d USING (doc_id))""".stripMargin
+
+  /** DuckDB CTE chain replaying [[TextAnalysis.toxicityLogits]] — ends in
+    * `tox(doc_id, n_feats, lt_<cls>…, tox_<cls>…, tox_keep)`. CTE names
+    * are x-prefixed so the chain composes with [[pplCtes]] and the gate
+    * families in one WITH block.
+    */
+  private val toxCtes: String = {
+    val dim = TextAnalysis.ClfDim
+    val thr = TextAnalysis.ToxThresholdMicro
+    val clsList = TextAnalysis.ToxClasses.map(c => s"'$c'").mkString(", ")
+    val ltCols = TextAnalysis.ToxClasses
+      .map(c => s"MAX(CASE WHEN cls = '$c' THEN lt END)::BIGINT AS lt_$c")
+      .mkString(",\n|    ")
+    val flagCols = TextAnalysis.ToxClasses
+      .map(c => s"(MAX(CASE WHEN cls = '$c' THEN lt END) * 1000 >= $thr * MAX(nf)) AS tox_$c")
+      .mkString(",\n|    ")
+    val keepExpr = TextAnalysis.ToxClasses
+      .map(c => s"MAX(CASE WHEN cls = '$c' THEN lt END) * 1000 < $thr * MAX(nf)")
+      .mkString(" AND ")
+    s"""xt AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |xbg AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(tk) - 1, 1)),
+       |    i -> array_to_string(tk[i:i+1], ' '))) AS g
+       |  FROM xt),
+       |xf AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % $dim AS j FROM xbg),
+       |xw AS (SELECT cls, j,
+       |         ((('0x' || substr(md5(j::VARCHAR || '#tox:' || cls), 1, 15))::BIGINT % 2001) - 1000) AS wi
+       |       FROM (SELECT unnest(generate_series(0, ${dim - 1})) AS j),
+       |            (SELECT unnest([$clsList]) AS cls)),
+       |xs AS (SELECT f.doc_id, w.cls, SUM(wi)::BIGINT AS lt, COUNT(*)::BIGINT AS nf
+       |       FROM xf f JOIN xw w USING (j) GROUP BY f.doc_id, w.cls),
+       |tox AS (
+       |  SELECT doc_id, MAX(nf)::BIGINT AS n_feats,
+       |    $ltCols,
+       |    $flagCols,
+       |    ($keepExpr) AS tox_keep
+       |  FROM xs GROUP BY doc_id)""".stripMargin
+  }
 
   /** DuckDB CTEs replaying [[Split.temperatureSample]]'s α=1/2 rates
     * over `documents.lang` — ends in `tr` (lang, rate_ppm). The exact
@@ -139,35 +178,50 @@ object CurationQ {
         "as a languages-sized broadcast. Oracle recomputes the LM, the " +
         "rank, and the tercile assignment."
     ),
-    // ---- the curation funnel as ONE submitted plan: quality gates
-    // (Gopher ∧ C4, one map-only projection — zero joins between the two
-    // rule families) ∧ the Gopher REPETITION rules (n=5..10 duplicated-
-    // gram coverage over the same synthesized page — Rae et al. §A1.1
-    // gates on BOTH halves) → perplexity terciles → per-(lang, bucket)
-    // corpus accounting. The shape every training-data run reports
-    // before tokenization: how much survives filtering, and where it
-    // sits on the fluency spectrum.
+    // ---- the toxicity/NSFW content gate: the one published-rule family
+    // member every public corpus release runs that the quality rules
+    // don't cover. One-vs-rest linear heads over hashed bigrams on the
+    // classifier surface t_classifier_score pins.
+    Q(
+      "t_toxicity",
+      (s, d) =>
+        TextAnalysis.toxicityLogits(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(
+        s"""WITH $toxCtes
+           |SELECT doc_id, n_feats,
+           |  ${TextAnalysis.ToxClasses.map(c => s"lt_$c, tox_$c").mkString(", ")},
+           |  tox_keep
+           |FROM tox ORDER BY doc_id""".stripMargin
+      ),
+      doc = "Toxicity/NSFW gate (the Jigsaw one-vs-rest shape): K linear " +
+        "heads over the SAME hashed-bigram features as the quality " +
+        "classifier — per doc, K exact integer milli-logit sums from ONE " +
+        "token scan + ONE doc-keyed partial-aggregable shuffle (the " +
+        "bucket hashes once; each head is one more literal-array lookup " +
+        "in the same codegen projection), flags at the published-" +
+        "threshold mean-evidence rule (multiplication-only integer " +
+        "compare, no division lane), and the conjunctive keep verdict. " +
+        "Weights are the md5 stand-in for a distilled moderation model " +
+        "— the deployment shape (broadcast literals in codegen) is " +
+        "identical. Oracle replays features, weights, and every flag."
+    ),
+    // ---- the curation funnel REPORT over the persisted gate-annotation
+    // asset: all five per-doc verdict families (Gopher quality, C4,
+    // Gopher repetition over the page, toxicity, CCNet terciles) are
+    // built ONCE per corpus fingerprint (Curation.ensureGateAsset — the
+    // SemanticIndex amortization applied to curation) and every report
+    // reads them. The shape every training-data run ships: how much
+    // survives filtering, and where it sits on the fluency spectrum.
     Q(
       "pipe_curate_e2e",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // repetition runs on the PAGE (the document the quality rules
-        // measure): the promo/boiler lanes repeat across lines exactly
-        // like real boilerplate, so the gate is non-vacuous — raw
-        // fixture text never repeats a 5-gram. Rule-gated subset only
-        // (n=5..10): no top-gram branch, so the whole leg shuffles
-        // 8-byte hashed keys.
-        val rep = Curation
-          .gopherRepetition(
-            Curation.pages(docs).select(col("doc_id"), col("page").as("text")),
-            ns = 5 to 10
-          )
-          .select(col("doc_id"), col("keep").as("rep_keep"))
         Curation
-          .pplBuckets(docs)
-          .join(Curation.gates(docs), Seq("doc_id"))
-          .join(rep, Seq("doc_id"))
-          .filter(col("gopher_keep") && col("c4_keep") && col("rep_keep"))
+          .gateAsset(d, docs)
+          .filter(
+            col("gopher_keep") && col("c4_keep") && col("rep_keep") &&
+              col("tox_keep") && col("bucket").isNotNull
+          )
           .groupBy(col("lang"), col("bucket"))
           .agg(
             count(lit(1)).as("n_docs"),
@@ -179,9 +233,12 @@ object CurationQ {
         s"""WITH ${Curation.gopherMetricCtes("documents")},
            |${Curation.c4KeptCte},
            |${Curation.repKeepCtes()},
+           |$toxCtes,
            |sel AS (
            |  SELECT m.doc_id FROM m JOIN k USING (doc_id) JOIN repk USING (doc_id)
+           |                         JOIN tox USING (doc_id)
            |  WHERE ${Curation.gopherKeepSql} AND ${Curation.c4KeepSql} AND rep_keep
+           |        AND tox_keep
            |),
            |$pplCtes
            |SELECT r.lang,
@@ -191,64 +248,64 @@ object CurationQ {
            |FROM r JOIN sel USING (doc_id)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       ),
-      doc = "The curation funnel end-to-end in one plan: Gopher document " +
-        "rules AND C4 line cleaning as a single map-only gate projection " +
-        "(both verdicts from one shared page frame — no join between the " +
-        "rule families), AND the Gopher repetition rules (duplicated " +
-        "n-gram coverage, n=5..10, over the same page — §A1.1 gates on " +
-        "both halves; the leg shuffles 8-byte hashed gram keys only), " +
-        "intersected with the CCNet per-language " +
-        "perplexity terciles, then per-(language, bucket) survivor counts " +
-        "and exact integer score mass. IMPORTANT bucket subtlety: " +
-        "terciles are assigned over the WHOLE corpus (the CCNet order — " +
-        "bucket first, filter later), so the gate changes which docs " +
-        "survive, not where the tercile boundaries sit. Oracle composes " +
-        "the three families' replay CTEs and re-derives the funnel."
+      doc = "The curation funnel survivor report: Gopher document rules " +
+        "AND C4 line cleaning AND the Gopher repetition rules (n=5..10 " +
+        "page coverage) AND the toxicity gate, intersected with the " +
+        "CCNet per-language perplexity terciles, then per-(language, " +
+        "bucket) survivor counts and exact integer score mass. The five " +
+        "verdict families come from the persisted per-doc gate asset " +
+        "(built once per corpus fingerprint, shared with " +
+        "t_drop_curation — two reports never pay the repetition + LM " +
+        "legs twice). IMPORTANT bucket subtlety: terciles are assigned " +
+        "over the WHOLE corpus (the CCNet order — bucket first, filter " +
+        "later), so the gate changes which docs survive, not where the " +
+        "tercile boundaries sit. Oracle composes the four families' " +
+        "replay CTEs and re-derives the funnel from raw documents."
     ),
     // ---- FineWeb-style drop attribution over the CURATION gates, in
-    // published order: Gopher quality → Gopher repetition → C4 → CCNet
-    // perplexity tail → temperature sample. Every doc charged to the
-    // FIRST gate that rejects it, plus the survivor count after each
-    // gate — the funnel report a dataset release ships beside the
-    // corpus. Complements t_drop_reasons (the dedup/langid/classifier
-    // funnel) with the rule-based cleaning half.
+    // published order: toxicity/NSFW (the content blocklist runs FIRST
+    // in every public release) → Gopher quality → Gopher repetition →
+    // C4 → CCNet perplexity tail → temperature sample. Every doc
+    // charged to the FIRST gate that rejects it, plus the survivor
+    // count after each gate — the funnel report a dataset release ships
+    // beside the corpus. Complements t_drop_reasons (the dedup/langid/
+    // classifier funnel) with the rule-based cleaning half. Reads the
+    // same persisted gate asset as pipe_curate_e2e — one derivation,
+    // two report shapes.
     Q(
       "t_drop_curation",
       (s, d) => {
         val spark = s
         import spark.implicits._
         val docs = Tables.documents(s, d)
-        val rep = Curation
-          .gopherRepetition(
-            Curation.pages(docs).select(col("doc_id"), col("page").as("text")),
-            ns = 5 to 10
-          )
-          .select(col("doc_id"), col("keep").as("rep_keep"))
-        val ppl = Curation.pplBuckets(docs).select(col("doc_id"), col("bucket"))
         val temp = Split
           .temperatureSample(docs, "doc_id", "lang")
           .select(col("doc_id"), col("accepted"))
         val staged = Curation
-          .gates(docs)
-          .join(rep, Seq("doc_id"))
-          .join(ppl, Seq("doc_id"))
+          .gateAsset(d, docs)
           .join(temp, Seq("doc_id"))
           .select(
-            when(!col("gopher_keep"), "1_gopher")
+            when(!col("tox_keep"), "0_toxicity")
+              .when(!col("gopher_keep"), "1_gopher")
               .when(!col("rep_keep"), "2_repetition")
               .when(!col("c4_keep"), "3_c4")
-              .when(col("bucket") === "tail", "4_ppl_tail")
+              // a doc with <2 surviving tokens has no bigrams, no KN
+              // score, a NULL bucket: CCNet treats unscoreable as tail
+              // (it cannot certify fluency), so the funnel charges it
+              // HERE instead of dropping the row from the accounting
+              .when(col("bucket").isNull || col("bucket") === "tail", "4_ppl_tail")
               .when(!col("accepted"), "5_temp")
               .otherwise("6_kept")
               .as("stage")
           )
         val agg = staged.groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
         val total = docs.agg(count(lit(1)).as("total"))
-        // complete 6-row funnel frame (a gate that drops nothing still
+        // complete 7-row funnel frame (a gate that drops nothing still
         // reports a zero row); cumulative drops via a tiny post-aggregate
-        // self-join over <= 6 rows — nothing data-sized here
+        // self-join over <= 7 rows — nothing data-sized here
         val stages =
-          Seq("1_gopher", "2_repetition", "3_c4", "4_ppl_tail", "5_temp", "6_kept")
+          Seq("0_toxicity", "1_gopher", "2_repetition", "3_c4", "4_ppl_tail",
+            "5_temp", "6_kept")
             .toDF("stage")
         val withN = stages
           .join(agg, Seq("stage"), "left")
@@ -274,21 +331,24 @@ object CurationQ {
         s"""WITH ${Curation.gopherMetricCtes("documents")},
            |${Curation.c4KeptCte},
            |${Curation.repKeepCtes()},
+           |$toxCtes,
            |$pplCtes,
            |$tempRateCtes,
            |v AS (
            |  SELECT d.doc_id,
-           |    CASE WHEN NOT ${Curation.gopherKeepSql} THEN '1_gopher'
+           |    CASE WHEN NOT tox_keep THEN '0_toxicity'
+           |         WHEN NOT ${Curation.gopherKeepSql} THEN '1_gopher'
            |         WHEN NOT rep_keep THEN '2_repetition'
            |         WHEN NOT ${Curation.c4KeepSql} THEN '3_c4'
-           |         WHEN (3 * (rn - 1)) // cnt = 2 THEN '4_ppl_tail'
+           |         WHEN r.rn IS NULL OR (3 * (rn - 1)) // cnt = 2 THEN '4_ppl_tail'
            |         WHEN NOT (('0x' || substr(md5(d.doc_id::VARCHAR || '#tsamp'), 1, 15))::BIGINT % 1000000
            |                   < tr.rate_ppm) THEN '5_temp'
            |         ELSE '6_kept' END AS stage
            |  FROM documents d
            |  JOIN m USING (doc_id) JOIN k USING (doc_id) JOIN repk USING (doc_id)
-           |  JOIN r USING (doc_id) JOIN tr ON d.lang = tr.lang),
-           |st(stage) AS (VALUES ('1_gopher'), ('2_repetition'), ('3_c4'),
+           |  JOIN tox USING (doc_id)
+           |  LEFT JOIN r USING (doc_id) JOIN tr ON d.lang = tr.lang),
+           |st(stage) AS (VALUES ('0_toxicity'), ('1_gopher'), ('2_repetition'), ('3_c4'),
            |                     ('4_ppl_tail'), ('5_temp'), ('6_kept')),
            |agg AS (SELECT stage, COUNT(*)::BIGINT AS n_docs FROM v GROUP BY stage),
            |tot AS (SELECT COUNT(*)::BIGINT AS total FROM documents)
@@ -301,12 +361,14 @@ object CurationQ {
       ),
       doc = "Curation drop attribution (the FineWeb-style funnel report): " +
         "each doc charged to its FIRST failing gate in published order — " +
-        "Gopher quality -> Gopher repetition (page-text n=5..10 coverage) " +
-        "-> C4 cleaning -> CCNet perplexity tail tercile -> temperature " +
+        "toxicity/NSFW -> Gopher quality -> Gopher repetition (page-text " +
+        "n=5..10 coverage) -> C4 cleaning -> CCNet perplexity tail " +
+        "tercile (unscoreable docs — no bigrams — charge here too, so " +
+        "stage counts always sum to the corpus total) -> temperature " +
         "sample — with the survivor count after each gate. One pass over " +
-        "the gate annotations (the same operators pipe_curate_e2e " +
-        "composes) + a <=6-row report join; every count bit-checked via " +
-        "the shared family replay CTEs."
+        "the persisted gate-annotation asset (shared with " +
+        "pipe_curate_e2e) + a <=7-row report join; every count " +
+        "bit-checked via the shared family replay CTEs."
     )
   )
 }

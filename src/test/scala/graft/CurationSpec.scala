@@ -309,4 +309,71 @@ class CurationSpec extends AnyFunSuite {
       .toMap
     assert(got === ref)
   }
+
+  test("toxicity: logits equal the documented md5 formula; flags at the exact integer boundary") {
+    import graft.operators.TextAnalysis
+    import graft.functions.Md5Exprs
+    val d = docs(
+      1L -> "aa bb cc dd",
+      2L -> "xx" // single token: one whole-list shingle, never vanishes
+    )
+    val got = TextAnalysis
+      .toxicityLogits(d)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    // reference: recompute each head from the same public derivation
+    def bigrams(toks: Seq[String]): Seq[String] =
+      if (toks.length < 2) Seq(toks.mkString(" "))
+      else toks.sliding(2).map(_.mkString(" ")).toSeq
+    for ((id, text) <- Seq(1L -> "aa bb cc dd", 2L -> "xx")) {
+      val gs = bigrams(text.split(" ").toSeq.filter(_.length > 1))
+      val r = got(id)
+      assert(r.getAs[Long]("n_feats") === gs.length.toLong)
+      TextAnalysis.ToxClasses.foreach { cls =>
+        val w = TextAnalysis.toxWeightsMilli(cls)
+        val expect = gs.map { g =>
+          val j = java.lang.Math.floorMod(
+            Md5Exprs.md5Top60(g.getBytes("UTF-8")), TextAnalysis.ClfDim.toLong)
+          w(j.toInt)
+        }.sum
+        assert(r.getAs[Long](s"lt_$cls") === expect, s"doc $id head $cls")
+        // the flag is the multiplication-only integer boundary rule
+        val flagged =
+          expect * 1000L >= TextAnalysis.ToxThresholdMicro * gs.length
+        assert(r.getAs[Boolean](s"tox_$cls") === flagged)
+      }
+      val anyFlag = TextAnalysis.ToxClasses
+        .exists(c => got(id).getAs[Boolean](s"tox_$c"))
+      assert(r.getAs[Boolean]("tox_keep") === !anyFlag)
+    }
+  }
+
+  test("gate asset: every doc keeps a row with every verdict — degenerate docs included") {
+    // healthy docs plus DEGENERATE ones (a single short token; an
+    // empty-after-tokenize doc): funnel stage counts must always sum to
+    // the corpus total, so no doc may vanish from the asset. The shingle
+    // kernel emits >=1 shingle for ANY token list (so even these score a
+    // KN bucket); the asset's LEFT ppl join + t_drop_curation's
+    // bucket-null routing are the defense if a scoring variant ever
+    // drops unscoreable docs instead.
+    val rows = (0L until 12L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      (i, lang, Seq.fill(6)(s"tok${i % 3} tok${(i + 1) % 3}").mkString(" "))
+    } ++ Seq((98L, "en", "a ! b"), (99L, "en", "zz"))
+    val d = rows.toDF("doc_id", "lang", "text")
+    val dir = Curation.ensureGateAsset("spec-gate-asset", d)
+    val asset = spark.read.parquet(s"$dir/gates")
+    assert(asset.count() === 14L)
+    assert(asset.select(countDistinct(col("doc_id"))).head().getLong(0) === 14L)
+    // every verdict column is populated for every doc — including the
+    // degenerate pair — and with THIS kernel every doc scores a bucket
+    assert(
+      asset.filter(
+        col("gopher_keep").isNull || col("c4_keep").isNull ||
+          col("rep_keep").isNull || col("tox_keep").isNull ||
+          col("bucket").isNull
+      ).count() === 0L
+    )
+  }
 }

@@ -47,6 +47,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("outdeg"), "u_recrawl must not re-derive PageRank:\n" + plan.take(1500))
   }
 
+  test("pipe_curate_e2e: reads the persisted gate asset, never re-derives the gate legs") {
+    val plan = physical("pipe_curate_e2e")
+    assert(plan.contains("curation-gates"), "expected the persisted gate asset scan:\n" + plan.take(1500))
+    // a re-derivation would scan the corpus (repetition/LM/toxicity legs
+    // all start from documents.parquet); the report must not
+    assert(!plan.contains("documents.parquet"),
+      "pipe_curate_e2e must not re-scan the corpus:\n" + plan.take(1500))
+  }
+
   test("q6: filters are pushed to the parquet scan") {
     val plan = physical("q6_filter_agg")
     // the plan string truncates the PushedFilters list, so check its prefix
