@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-corpus EXPORT: the delivery artifact at the end of the data
@@ -159,4 +159,138 @@ object TrainExport {
           .as("status")
       )
   }
+}
+
+/** TOKENIZER artifact export — the trainer handoff for the tokenizer
+  * itself, beside [[TrainExport]]'s packed sequences: the byte-level BPE
+  * merge chain + the fixed id table it induces, and the unigram-LM
+  * pieces, published once per corpus content fingerprint under the
+  * [[Indexes]] contract (stale-proof dir + atomic rename), with an
+  * integrity MANIFEST written LAST as the completion marker.
+  *
+  * Layout under `dir`:
+  *   - `merges/`  — (step, x, y, merged, support): the ordered byte-BPE
+  *     merge rules ([[TextAnalysis.bpeTrainWordsByteLevel]] over the
+  *     Unicode token stream) — applying them via
+  *     [[TextAnalysis.bpeApplyMerges]] reproduces the training-time
+  *     segmentation of any string, seen or unseen (no OOV: byte
+  *     fallback by construction).
+  *   - `vocab/`   — (id, sym, kind): the tensor-ready id table. Byte
+  *     symbols occupy ids 0..255 (id = byte value, GPT-2's base
+  *     alphabet convention), merge step j's symbol gets id 255+j (first
+  *     producing step wins when two rules emit the same symbol —
+  *     the t_bpe_bytes_ids assignment).
+  *   - `pieces/`  — (piece, freq): the unigram-LM vocabulary
+  *     ([[Unigram.train]]), the SentencePiece-default alternative.
+  *   - `manifest/` — ONE row: table sizes plus md5 integrity hashes of
+  *     each table's canonical rendering (row strings joined in table
+  *     order) — the reader-side copy check and version-diff key, same
+  *     idea as [[TrainExport]]'s shard manifest.
+  *
+  * Scale shape: the training inputs are VOCABULARY-sized (one corpus
+  * tokenize + word-count shuffle feeds everything); the BPE rounds are
+  * driver-sequenced over that compact table (the documented ceiling of
+  * the trainer) — which is exactly why the result is published as an
+  * asset: every downstream encode job reads megabytes of rules instead
+  * of re-running the rounds.
+  */
+object TokenizerExport {
+
+  def defaultDir(
+      sfDir: String,
+      docs: DataFrame,
+      bpeSteps: Int,
+      uniVocab: Int,
+      uniPieceLen: Int,
+      uniRounds: Int
+  ): String =
+    Indexes.fingerprintDirOn(
+      "tokenizer-export", sfDir, docs, "doc_id", "text",
+      s"bpe=$bpeSteps|uv=$uniVocab|upl=$uniPieceLen|ur=$uniRounds")
+
+  /** md5 over a table's canonical row rendering: rows as strings, sorted
+    * by a unique order key, joined with '|'. Vocabulary-sized inputs
+    * only — the collect_list is bounded by the artifact, never the
+    * corpus.
+    */
+  private def tableMd5(df: DataFrame, ord: Column, row: Column): DataFrame =
+    df.select(struct(ord.as("o"), row.as("s")).as("r"))
+      .agg(
+        md5(concat_ws("|",
+          transform(array_sort(collect_list(col("r"))), _.getField("s"))))
+          .as("h"),
+        count(lit(1)).cast("long").as("n")
+      )
+
+  /** Build and atomically publish the artifact; no-op if `dir` already
+    * holds a completed build.
+    */
+  def ensureBuilt(
+      docs: DataFrame,
+      dir: String,
+      bpeSteps: Int,
+      uniVocab: Int,
+      uniPieceLen: Int,
+      uniRounds: Int
+  ): Unit =
+    Indexes.atomicBuild(dir, "manifest/_SUCCESS") { tmp =>
+      val spark = docs.sparkSession
+      val trainWords = docs
+        .select(explode(Text.tokensUnicodeAll(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val merges = TextAnalysis
+        .bpeTrainWordsByteLevel(trainWords, bpeSteps)
+        ._1
+        .localCheckpoint()
+      merges.orderBy("step").write.mode("overwrite").parquet(s"$tmp/merges")
+      val byteRows = spark
+        .range(256)
+        .select(col("id"), lpad(hex(col("id")), 2, "0").as("sym"), lit("byte").as("kind"))
+      val mergeRows = merges
+        .groupBy(col("merged").as("sym"))
+        .agg((lit(255L) + min(col("step"))).as("id"))
+        .select(col("id"), col("sym"), lit("merge").as("kind"))
+      val vocab = byteRows.unionByName(mergeRows).localCheckpoint()
+      vocab.orderBy("id").write.mode("overwrite").parquet(s"$tmp/vocab")
+      val pieces = Unigram
+        .train(
+          TextAnalysis.wordCounts(docs).select(col("token").as("word"), col("cnt")),
+          uniVocab, uniPieceLen, uniRounds
+        )
+        .localCheckpoint()
+      pieces.orderBy("piece").write.mode("overwrite").parquet(s"$tmp/pieces")
+      // manifest LAST: its presence testifies the three tables above are
+      // complete; its hashes certify their bytes after any copy
+      val m = tableMd5(
+        merges,
+        col("step"),
+        concat_ws(":", col("step"), col("x"), col("y"))
+      ).select(col("h").as("merges_md5"), col("n").as("n_merges"))
+      val v = tableMd5(vocab, col("id"), concat_ws(":", col("id"), col("sym")))
+        .select(col("h").as("vocab_md5"), col("n").as("vocab_size"))
+      val p = tableMd5(pieces, col("piece"), concat_ws(":", col("piece"), col("freq")))
+        .select(col("h").as("pieces_md5"), col("n").as("n_pieces"))
+      m.crossJoin(v)
+        .crossJoin(p)
+        .select(
+          col("n_merges"), col("vocab_size"), col("n_pieces"),
+          col("merges_md5"), col("vocab_md5"), col("pieces_md5")
+        )
+        .write
+        .mode("overwrite")
+        .parquet(s"$tmp/manifest")
+    }
+
+  def merges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/merges")
+
+  def vocab(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/vocab")
+
+  def pieces(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/pieces")
+
+  def manifest(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/manifest")
 }

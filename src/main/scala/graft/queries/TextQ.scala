@@ -1647,6 +1647,60 @@ object TextQ {
         "TOTAL id encoding with no unk token anywhere. Every id of " +
         "every document bit-replayed through the byte chain."
     ),
+    // ---- the tokenizer ARTIFACT export: byte-BPE merges + the id table
+    // they induce + the unigram pieces, published once per corpus
+    // fingerprint with an integrity manifest (TrainExport's contract
+    // applied to the tokenizer itself — the other half of the trainer
+    // handoff). The query reads the PERSISTED manifest; the oracle
+    // re-derives every count and every table hash from the raw corpus,
+    // so the check certifies the artifact bytes on disk.
+    Q(
+      "q_export_tokenizer",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = graft.operators.TokenizerExport.defaultDir(
+          d, docs, BpeSteps, UnigramVocab, UnigramPieceLen, UnigramRounds)
+        graft.operators.TokenizerExport.ensureBuilt(
+          docs, dir, BpeSteps, UnigramVocab, UnigramPieceLen, UnigramRounds)
+        graft.operators.TokenizerExport
+          .manifest(s, dir)
+          .select(
+            col("n_merges"), col("vocab_size"), col("n_pieces"),
+            col("merges_md5"), col("vocab_md5"), col("pieces_md5")
+          )
+      },
+      Some {
+        val n = BpeSteps
+        val mt = (1 to n)
+          .map(i => s"SELECT CAST($i AS BIGINT) AS step, x, y FROM b$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH RECURSIVE ${bpeByteChain(n, "documents")},
+           |mt0 AS ($mt),
+           |mg AS (SELECT step, x, y, x || y AS merged FROM mt0),
+           |mmd AS (SELECT md5(string_agg(step::VARCHAR || ':' || x || ':' || y, '|' ORDER BY step)) AS merges_md5,
+           |               COUNT(*)::BIGINT AS n_merges FROM mg),
+           |vb AS (SELECT j::BIGINT AS id, lpad(hex(j), 2, '0') AS sym
+           |       FROM (SELECT unnest(generate_series(0, 255)) AS j)),
+           |vm AS (SELECT (255 + MIN(step))::BIGINT AS id, merged AS sym FROM mg GROUP BY merged),
+           |vall AS (SELECT * FROM vb UNION ALL SELECT * FROM vm),
+           |vmd AS (SELECT md5(string_agg(id::VARCHAR || ':' || sym, '|' ORDER BY id)) AS vocab_md5,
+           |               COUNT(*)::BIGINT AS vocab_size FROM vall),
+           |${unigramChain(UnigramRounds)},
+           |pmd AS (SELECT md5(string_agg(piece || ':' || freq::VARCHAR, '|' ORDER BY piece)) AS pieces_md5,
+           |               COUNT(*)::BIGINT AS n_pieces FROM up$UnigramRounds)
+           |SELECT n_merges, vocab_size, n_pieces, merges_md5, vocab_md5, pieces_md5
+           |FROM mmd CROSS JOIN vmd CROSS JOIN pmd""".stripMargin
+      },
+      doc = "Tokenizer artifact export: the byte-level BPE merge chain, " +
+        "the tensor-ready id table it induces (byte ids 0..255 + merge " +
+        "ids 255+step), and the unigram-LM pieces, published as a " +
+        "fingerprinted versioned asset with an integrity manifest " +
+        "written last (completion marker). The manifest's md5s hash each " +
+        "table's canonical row rendering, so the oracle — which " +
+        "re-derives merges, vocabulary, and pieces from the raw corpus " +
+        "and re-hashes them — certifies the persisted artifact " +
+        "bit-for-bit, the same discipline as the packed-sequence export."
+    ),
     // ---- Unicode text normalization: NFC canonical composition + accent
     // folding as native codegen expressions. Byte-different NFC/NFD
     // encodings of the SAME text defeat exact dedup, split vocabulary

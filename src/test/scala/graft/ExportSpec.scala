@@ -90,4 +90,67 @@ class ExportSpec extends AnyFunSuite {
     assert(one.count() > 0)
     assert(one.count() < spark.read.parquet(s"$dir/shards").count())
   }
+
+  test("tokenizer export: read-back round-trip — merges re-encode, ids line up, manifest certifies") {
+    import graft.operators.{TextAnalysis, TokenizerExport}
+    val docs = corpus.select(col("doc_id"), col("text"))
+    val dir = freshDir()
+    TokenizerExport.ensureBuilt(docs, dir, bpeSteps = 6,
+      uniVocab = 24, uniPieceLen = 4, uniRounds = 1)
+    val merges = TokenizerExport.merges(spark, dir)
+    val vocab = TokenizerExport.vocab(spark, dir).cache()
+    val man = TokenizerExport.manifest(spark, dir).head()
+
+    // 1. the READ-BACK merge rules reproduce the live trainer's encoding
+    //    of an unseen word (the consumer contract: rules on disk are the
+    //    tokenizer)
+    val readRules = merges
+      .orderBy("step")
+      .select(col("x"), col("y"))
+      .as[(String, String)]
+      .collect()
+      .toSeq
+    val liveRules = TextAnalysis
+      .bpeTrainWordsByteLevel(
+        docs.select(explode(graft.operators.Text.tokensUnicodeAll(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).cast("long").as("cnt")),
+        6
+      )._1.orderBy("step").select(col("x"), col("y")).as[(String, String)].collect().toSeq
+    assert(readRules === liveRules)
+    val probe = Seq(("sparkle catalyst", 0L)).toDF("w", "z")
+    val encRead = probe
+      .select(TextAnalysis.bpeApplyMerges(TextAnalysis.byteSeq(col("w")), readRules))
+      .as[String].head()
+    val encLive = probe
+      .select(TextAnalysis.bpeApplyMerges(TextAnalysis.byteSeq(col("w")), liveRules))
+      .as[String].head()
+    assert(encRead === encLive)
+
+    // 2. id-table invariants: bytes own 0..255 exactly, merge ids are
+    //    255+step, all ids unique, vocab_size matches the manifest
+    assert(vocab.filter(col("kind") === "byte").count() === 256L)
+    assert(
+      vocab.filter(col("kind") === "byte")
+        .filter(col("id") < 0L || col("id") > 255L).count() === 0L)
+    assert(vocab.filter(col("kind") === "merge" && col("id") <= 255L).count() === 0L)
+    assert(vocab.select(countDistinct(col("id"))).as[Long].head() === vocab.count())
+    assert(man.getAs[Long]("vocab_size") === vocab.count())
+    assert(man.getAs[Long]("n_merges") === merges.count())
+
+    // 3. the manifest hash re-verifies against the read-back bytes — the
+    //    post-copy integrity check a consumer runs
+    val recomputed = vocab
+      .select(struct(col("id").as("o"), concat_ws(":", col("id"), col("sym")).as("s")).as("r"))
+      .agg(md5(concat_ws("|",
+        transform(array_sort(collect_list(col("r"))), _.getField("s")))))
+      .as[String].head()
+    assert(recomputed === man.getAs[String]("vocab_md5"))
+
+    // 4. rebuild is a no-op (atomic-publication contract)
+    val marker = new java.io.File(s"$dir/manifest/_SUCCESS")
+    val t0 = marker.lastModified()
+    TokenizerExport.ensureBuilt(docs, dir, 6, 24, 4, 1)
+    assert(marker.lastModified() === t0)
+    vocab.unpersist()
+  }
 }
