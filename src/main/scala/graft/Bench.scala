@@ -43,6 +43,21 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // CPU-bound calibration control: fixed work (3G codegen'd xxhash64
+    // rows over 32 fixed partitions, no I/O, no shuffle beyond the final
+    // 1-row agg), recorded beside the query timings. Cross-round ratios
+    // divide out host contention through this number — the venue factor
+    // stopped being guesswork in r16. min-of-3: the control measures the
+    // box's best case, not its noise.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 3L << 30, 1L, 32)
+        .selectExpr("xxhash64(id, id + 2654435761) AS h")
+        .selectExpr("bit_xor(h) AS s") // overflow-free under ANSI mode
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = Seq(calibOnce(), calibOnce(), calibOnce()).min
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -70,7 +85,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val full =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":${f3(calib)},"queries":$qs,"sf":"$sfDir"}"""
     // Per-query detail goes to a file: at ~180 queries the full line is
     // ~6 KB, which overflows the harness's bounded stdout-tail capture.
     java.nio.file.Files.write(
@@ -82,7 +97,7 @@ object Bench {
     // compact JSON (<100 chars) — printed after spark.stop() so no executor
     // shutdown chatter can land below it.
     val compact =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${results.size},"calib":${f3(calib)},"sf":"$sfDir"}"""
     println(compact)
     System.out.flush()
   }

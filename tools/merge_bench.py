@@ -19,6 +19,7 @@ def main() -> None:
             if q not in best or v < best[q]:
                 best[q] = v
     totals = "/".join(f"{s['value']:.1f}" for s in sweeps)
+    calibs = [s["calib"] for s in sweeps if "calib" in s]
     merged = {
         "metric": "total",
         "value": round(sum(best.values()), 3),
@@ -28,6 +29,11 @@ def main() -> None:
         "nqueries": len(best),
         "protocol": protocol.replace("{totals}", totals),
     }
+    if calibs:
+        # per-sweep CPU-calibration control (fixed work, no I/O): cross-
+        # round comparisons divide by min(calib) to remove host contention
+        merged["calib"] = calibs
+        merged["calib_min"] = min(calibs)
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1)
     print(out_path, merged["value"], merged["nqueries"])
