@@ -132,13 +132,16 @@ object Warc {
     */
   def write(records: DataFrame, dir: String): Unit = {
     val out = dir
+    // session Hadoop overlay captured at the driver: the task-side conf
+    // must carry the session's fs impls/credentials (object-store posture)
+    val hconf = graft.util.HadoopConfs.capture(records.sparkSession)
     records
       .select(col("record_bytes"))
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
           val tc = org.apache.spark.TaskContext.get()
           val pid = tc.partitionId()
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = graft.util.HadoopConfs.build(hconf)
           // task-commit protocol (the Spark file-sink discipline): stream
           // into a dot-prefixed attempt-unique temp path (globs and the
           // source's suffix filter skip it), rename into place only on
@@ -257,11 +260,12 @@ object Warc {
   def read(spark: SparkSession, dir: String, glob: String = "*.warc*"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val paths = listShardPaths(spark, dir, glob)
+    val hconf = graft.util.HadoopConfs.capture(spark)
     spark
       .createDataset(paths)(org.apache.spark.sql.Encoders.STRING)
       .repartition(math.max(paths.size, 1))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = graft.util.HadoopConfs.build(hconf)
         it.flatMap { pathStr =>
           val in = openShard(conf, pathStr)
           closeOnExhaust(new RecordStream(pathStr, in).map(recRow), () => in.close())
@@ -519,11 +523,12 @@ object Warc {
   def memberIndex(spark: SparkSession, dir: String, glob: String = "*.warc.gz"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(memberSchema)
     val paths = listShardPaths(spark, dir, glob)
+    val hconf = graft.util.HadoopConfs.capture(spark)
     spark
       .createDataset(paths)(org.apache.spark.sql.Encoders.STRING)
       .repartition(math.max(paths.size, 1))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = graft.util.HadoopConfs.build(hconf)
         it.flatMap { pathStr =>
           val p = new org.apache.hadoop.fs.Path(pathStr)
           val in = p.getFileSystem(conf).open(p)
@@ -561,8 +566,9 @@ object Warc {
     val rows = index.select(col("path"), col("member_offset"), col("member_len"))
     val par = spark.sparkContext.defaultParallelism
     val spread = if (rows.rdd.getNumPartitions < par) rows.repartition(par) else rows
+    val hconf = graft.util.HadoopConfs.capture(spark)
     spread.mapPartitions { it =>
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = graft.util.HadoopConfs.build(hconf)
       it.flatMap { r =>
         val pathStr = r.getString(0)
         val buf = new Array[Byte](r.getLong(2).toInt)
@@ -1367,11 +1373,12 @@ object Warc {
   def revisitIndex(spark: SparkSession, dir: String, glob: String = "*.warc.gz"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(revisitIndexSchema)
     val paths = listShardPaths(spark, dir, glob)
+    val hconf = graft.util.HadoopConfs.capture(spark)
     spark
       .createDataset(paths)(org.apache.spark.sql.Encoders.STRING)
       .repartition(math.max(paths.size, 1))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = graft.util.HadoopConfs.build(hconf)
         it.flatMap { pathStr =>
           val p = new org.apache.hadoop.fs.Path(pathStr)
           val in = p.getFileSystem(conf).open(p)
@@ -1406,11 +1413,12 @@ object Warc {
     )
     val enc = org.apache.spark.sql.Encoders.row(ext)
     val paths = listShardPaths(spark, dir, "*.warc*")
+    val hconf = graft.util.HadoopConfs.capture(spark)
     spark
       .createDataset(paths)(org.apache.spark.sql.Encoders.STRING)
       .repartition(math.max(paths.size, 1))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = graft.util.HadoopConfs.build(hconf)
         it.flatMap { pathStr =>
           val in = openShard(conf, pathStr)
           closeOnExhaust(

@@ -1,0 +1,44 @@
+package graft.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+
+/** Executor-side Hadoop `Configuration` that keeps the SESSION's settings.
+  *
+  * `new Configuration()` inside a task loads only the classpath defaults
+  * (core-default/core-site) and silently DROPS everything injected into
+  * the session — `spark.hadoop.*` keys, programmatic
+  * `hadoopConfiguration.set(...)` calls — which on an object store is the
+  * credentials, the endpoint, and the `fs.<scheme>.impl` mapping itself:
+  * the per-partition reader would resolve a different filesystem than the
+  * driver listed. The fix is the standard one Spark's own sources use
+  * (serialize the driver conf to tasks); `Configuration` isn't
+  * serializable and Spark's wrapper is `private[spark]`, so this captures
+  * the session conf as a key-value OVERLAY diffed against the defaults —
+  * dozens of entries, closure-sized — and replays it onto a fresh
+  * `Configuration` per partition.
+  */
+object HadoopConfs {
+
+  /** Driver-side capture: every (key, raw value) on the session conf that
+    * differs from what a bare `new Configuration()` would carry. Call at
+    * plan-construction time (driver), embed the result in the closure.
+    */
+  def capture(spark: SparkSession): Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val base = new Configuration()
+    spark.sparkContext.hadoopConfiguration
+      .iterator()
+      .asScala
+      .map(e => e.getKey -> e.getValue)
+      .filter { case (k, v) => base.getRaw(k) != v }
+      .toArray
+  }
+
+  /** Executor-side rebuild: defaults + the captured overlay. */
+  def build(overlay: Array[(String, String)]): Configuration = {
+    val c = new Configuration()
+    overlay.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
