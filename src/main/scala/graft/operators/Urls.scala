@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** URL operations for crawl pipelines: syntax-based normalization
   * (RFC 3986 §6.2.2 case + default-port rules, plus the tracking-param
@@ -46,7 +47,18 @@ object Urls {
     * segment removal and percent-case folding change semantics on
     * non-compliant servers; pipelines wanting them compose another pass).
     */
-  def normalizeUrl(u: Column): Column = {
+  def normalizeUrl(u: Column): Column =
+    Bridge.column(graft.functions.UrlNormalize(Bridge.expression(u)))
+
+  /** The `Column`-composed reference formulation of [[normalizeUrl]] —
+    * kept as the executable SPEC of the kernel (`UrlSpec` cross-checks
+    * kernel == columns on the fixture and edge vectors). Not used in
+    * queries: ~20 references of `u` through derived sub-columns make
+    * nested compositions like `normalizeUrl(resolveUrl(...))` a
+    * multiplicatively-duplicated tree whose analysis+codegen cost ~13 s
+    * of fixed driver overhead per frontier-family plan.
+    */
+  private[graft] def normalizeUrlCols(u: Column): Column = {
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val afterScheme = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val authority = regexp_extract(afterScheme, "^([^/?#]*)", 1)
@@ -209,7 +221,15 @@ object Urls {
     * run [[removeDotSegments]]. The §5.4 normal AND abnormal examples
     * are UrlSpec-pinned.
     */
-  def resolveUrl(base: Column, ref: Column): Column = {
+  def resolveUrl(base: Column, ref: Column): Column =
+    Bridge.column(
+      graft.functions.UrlResolve(Bridge.expression(base), Bridge.expression(ref))
+    )
+
+  /** `Column`-composed reference formulation of [[resolveUrl]] — the
+    * kernel's executable spec, like [[normalizeUrlCols]].
+    */
+  private[graft] def resolveUrlCols(base: Column, ref: Column): Column = {
     val baseScheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
     val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     val basePath =

@@ -228,6 +228,60 @@ class UrlSpec extends AnyFunSuite {
     assert(urls.filter(col("n1") =!= col("n2")).count() === 0L)
   }
 
+  test("native URL kernels bit-equal the Column reference formulations") {
+    // the kernel (one expression node) must reproduce the Column-composed
+    // rule chains on the fixture corpus AND the hostile shapes — this is
+    // the contract that lets the frontier queries swap the mega-tree for
+    // one kernel call without touching any oracle
+    val hostile = Seq(
+      "HTTPS://User:Pw@WWW.Ex.COM:443/A/b?b=2&a=1&utm_source=x#frag",
+      "http://ex.com:8080", "https://[2001:DB8::1]:8443/x?z=1&y=2",
+      "https://[2001:db8::1]:443/", "http://@ex.com/a", "Https://ex.com/a?#x?y",
+      "ftp://Ex.Org:21/Dir/../f.txt", "http://ex.com/p/?&&",
+      "http://ex.com/p?ref=a&REF=b&utm_x=1", "weird", "", "http://",
+      "http://ex.com/a b/c#d e", "http://ex.com/%7Euser/./x/../y"
+    )
+    val fixture = Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(Urls.dirtyUrl(col("doc_id"), col("source")).as("u"))
+      .as[String]
+      .collect()
+      .toSeq
+    val normBoth = (hostile ++ fixture)
+      .toDF("u")
+      .select(
+        Urls.normalizeUrl(col("u")).as("k"),
+        Urls.normalizeUrlCols(col("u")).as("c")
+      )
+    assert(normBoth.filter(!(col("k") <=> col("c"))).count() === 0L)
+
+    val bases = Seq("http://a/b/c/d;p?q", "HTTPS://Ex.com:8080/x/y?q=1#f", "http://h")
+    val refs = Seq(
+      "g", "./g", "g/", "/g", "//g", "?y", "g?y", "#s", "g#s", "g?y#s", ";x",
+      "g;x", "g;x?y#s", "", ".", "./", "..", "../", "../g", "../..", "../../",
+      "../../g", "../../../g", "/./g", "/../g", "g.", ".g", "g..", "..g",
+      "./../g", "./g/.", "g/./h", "g/../h", "g;x=1/./y", "g;x=1/../y",
+      "http://other/a/../b?q#f", "//net/a/./b", "mailto:x@y", "javascript:void(0)"
+    )
+    val pairs = for (b <- bases; r <- refs) yield (b, r)
+    val resBoth = pairs
+      .toDF("b", "r")
+      .select(
+        Urls.resolveUrl(col("b"), col("r")).as("k"),
+        Urls.resolveUrlCols(col("b"), col("r")).as("c")
+      )
+    assert(resBoth.filter(!(col("k") <=> col("c"))).count() === 0L)
+
+    // and the nested frontier composition end to end
+    val nested = pairs
+      .toDF("b", "r")
+      .select(
+        Urls.normalizeUrl(Urls.resolveUrl(col("b"), col("r"))).as("k"),
+        Urls.normalizeUrlCols(Urls.resolveUrlCols(col("b"), col("r"))).as("c")
+      )
+    assert(nested.filter(!(col("k") <=> col("c"))).count() === 0L)
+  }
+
   test("fixture collides distinct docs onto shared canonical URLs (dedup non-vacuous)") {
     val groups = Tables
       .documents(spark, "/root/testdata/sf0.001")
