@@ -282,6 +282,72 @@ class UrlSpec extends AnyFunSuite {
     assert(nested.filter(!(col("k") <=> col("c"))).count() === 0L)
   }
 
+  test("URL kernels vs Column formulations: seeded structured fuzz (4k urls, 4k resolve pairs)") {
+    // deterministic-seed generator covering the grammar's degrees of
+    // freedom AND hostile mutations (unicode, percent-escapes, control
+    // chars, doubled separators) — the fixed-vector cross-check's
+    // breadth complement. Any kernel/Column divergence on ANY string is
+    // a bug: the kernel's contract is bit-identity, not URL validity.
+    val rnd = new scala.util.Random(0xC0FFEE)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    def maybe(s: => String): String = if (rnd.nextBoolean()) s else ""
+    def seg(): String = pick(Seq("a", "B", "..", ".", "p7", "%7E", "ü", "a b", "x&y", "#", "s3"))
+    def genUrl(): String = {
+      val scheme = pick(Seq("http", "HTTP", "https", "Https", "ftp", "a+b-c.d", ""))
+      val user = maybe(pick(Seq("u:p", "U", "%40", "")) + "@")
+      val host = pick(Seq("ex.com", "EX.Com", "[2001:DB8::1]", "[::1]", "a.b.co.uk", "x", ""))
+      val port = maybe(":" + pick(Seq("80", "443", "8080", "0443", "")))
+      val path = Seq.fill(rnd.nextInt(4))("/" + seg()).mkString + maybe("/")
+      val params = Seq.fill(rnd.nextInt(4))(
+        pick(Seq("a=1", "B=2", "utm_source=x", "gclid=1", "ref=t", "", "a=", "=b", "a=ü"))
+      )
+      val query = if (params.nonEmpty && rnd.nextBoolean()) "?" + params.mkString("&") else ""
+      val frag = maybe("#" + pick(Seq("s", "s?x=1", "a#b", "")))
+      val sep = if (scheme.isEmpty) "" else pick(Seq("://", ":", ""))
+      scheme + sep + user + host + port + path + query + frag
+    }
+    def mutate(s: String): String =
+      if (s.isEmpty || rnd.nextInt(4) > 0) s
+      else {
+        val i = rnd.nextInt(s.length)
+        pick(Seq(
+          s.substring(0, i) + pick(Seq("\n", "\t", "%", "??", "@@", "//", "べ")) + s.substring(i),
+          s.substring(i) + s.substring(0, i),
+          s.toUpperCase
+        ))
+      }
+    val urls = Seq.fill(4000)(mutate(genUrl()))
+    val normBoth = urls
+      .toDF("u")
+      .select(
+        Urls.normalizeUrl(col("u")).as("k"),
+        Urls.normalizeUrlCols(col("u")).as("c"),
+        col("u")
+      )
+      .filter(!(col("k") <=> col("c")))
+      .limit(5)
+      .collect()
+    assert(normBoth.isEmpty, normBoth.map(_.toString).mkString("\n"))
+
+    def genRef(): String = mutate(pick(Seq(
+      genUrl(), "", ".", "..", "../" + seg(), "./" + seg(), "//" + seg(),
+      "?" + seg(), "#" + seg(), "/" + seg() + "/../" + seg(),
+      "mailto:" + seg(), seg() + "/" + seg()
+    )))
+    val pairs = Seq.fill(4000)((genUrl(), genRef()))
+    val resBoth = pairs
+      .toDF("b", "r")
+      .select(
+        Urls.normalizeUrl(Urls.resolveUrl(col("b"), col("r"))).as("k"),
+        Urls.normalizeUrlCols(Urls.resolveUrlCols(col("b"), col("r"))).as("c"),
+        col("b"), col("r")
+      )
+      .filter(!(col("k") <=> col("c")))
+      .limit(5)
+      .collect()
+    assert(resBoth.isEmpty, resBoth.map(_.toString).mkString("\n"))
+  }
+
   test("fixture collides distinct docs onto shared canonical URLs (dedup non-vacuous)") {
     val groups = Tables
       .documents(spark, "/root/testdata/sf0.001")
