@@ -18,6 +18,18 @@ import org.apache.spark.sql.types.LongType
   *      no index (and build) or a complete one — never an interleaving of
   *      two concurrent builders; the rename loser discards its (identical,
   *      training is deterministic) copy.
+  *
+  * Deployment caveat, stated honestly: the publication primitive here is
+  * POSIX `ATOMIC_MOVE`, which exists on HDFS and local/NFS filesystems
+  * but NOT on S3/GCS-class object stores (their "rename" is copy+delete,
+  * non-atomic). On an object store the same contract is implemented with
+  * a manifest-commit instead: write all table objects under the
+  * fingerprint prefix, then PUT a single completion-marker object LAST
+  * (object PUTs are atomic and read-after-write consistent on current
+  * S3/GCS) and have readers key on the marker — the exact discipline
+  * [[TrainExport]]/[[TokenizerExport]] already follow INSIDE their
+  * layout (manifest written last as the completion testimony). The
+  * fingerprinted-location half of the contract is store-agnostic.
   */
 object Indexes {
 
