@@ -51,6 +51,23 @@ class ObjectStoreSpec extends AnyFunSuite {
       .sortWithinPartitions("g", "ord", "sub")
   }
 
+  test("HadoopConfs: session overlay captures exactly the injected keys and survives the rebuild") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graft.test.endpoint", "https://store.invalid:9000")
+    hc.set("fs.graft.test.secret", "k3y")
+    val overlay = graft.util.HadoopConfs.capture(spark)
+    val m = overlay.toMap
+    assert(m.get("fs.graft.test.endpoint").contains("https://store.invalid:9000"))
+    assert(m.get("fs.graft.test.secret").contains("k3y"))
+    // defaults are NOT in the overlay (it stays closure-sized)
+    assert(!m.contains("fs.defaultFS") || m("fs.defaultFS") != new org.apache.hadoop.conf.Configuration().getRaw("fs.defaultFS"))
+    assert(overlay.length < 200, s"overlay should be a diff, got ${overlay.length} entries")
+    // rebuild carries the injected keys a bare Configuration would drop
+    val rebuilt = graft.util.HadoopConfs.build(overlay)
+    assert(rebuilt.get("fs.graft.test.endpoint") === "https://store.invalid:9000")
+    assert(new org.apache.hadoop.conf.Configuration().get("fs.graft.test.endpoint") === null)
+  }
+
   test("task-committed sink + streaming walk round-trip through a conf-resolved remote scheme") {
     val dir = slowDir("sink")
     SlowFs.reset()
