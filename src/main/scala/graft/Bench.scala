@@ -57,7 +57,11 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val calib = Seq(calibOnce(), calibOnce(), calibOnce()).min
+    // full sweeps only: a SPARK_GRAFT_ONLY local iteration shouldn't pay
+    // three fixed-work scans for a control that's meaningless off-campaign
+    val calib =
+      if (only.isDefined) 0.0
+      else Seq(calibOnce(), calibOnce(), calibOnce()).min
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -93,8 +97,9 @@ object Bench {
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     )
     spark.stop()
-    // The harness parses the tail of stdout, so the LAST line must be the
-    // compact JSON (<100 chars) — printed after spark.stop() so no executor
+    // The harness parses the last JSON line of a 2000-char stdout tail, so
+    // the LAST line must be the compact JSON (~110 chars, comfortably
+    // inside the capture) — printed after spark.stop() so no executor
     // shutdown chatter can land below it.
     val compact =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${results.size},"calib":${f3(calib)},"sf":"$sfDir"}"""

@@ -737,11 +737,15 @@ object Curation {
     * deterministic, so reading the asset is bit-identical to a fresh
     * derivation — invisible to the correctness gate.
     *
-    * The perplexity columns join LEFT: a doc with <2 surviving tokens
-    * yields no bigrams and therefore NO KN score — it keeps its asset
-    * row with a NULL bucket (consumers route it explicitly; the CCNet
-    * gate treats unscoreable as tail) instead of silently vanishing
-    * from the funnel accounting.
+    * The perplexity columns join LEFT so every doc keeps its asset row
+    * even if a scoring variant yields no KN score (with the current
+    * shingle kernel every doc scores; the NULL lane is defensive).
+    * Consumer semantics differ BY DESIGN: the drop-attribution report
+    * (`t_drop_curation`) routes a NULL bucket to the tail lane so its
+    * stage counts always sum to the corpus total, while the survivor
+    * report (`pipe_curate_e2e`) counts SCOREABLE survivors only (its
+    * shape is per-(lang, bucket) — an unscoreable doc has no tercile to
+    * land in, matching CCNet's own accounting).
     */
   def ensureGateAsset(sfDir: String, docs: DataFrame): String = {
     val dir = graft.operators.Indexes.fingerprintDirOn(

@@ -204,9 +204,13 @@ object TokenizerExport {
       uniPieceLen: Int,
       uniRounds: Int
   ): String =
+    // v= is the TRAINER-CODE version salt: a change to the training
+    // algorithms with unchanged corpus+params must map to a NEW dir, or
+    // the encode queries would silently serve rules the current trainer
+    // no longer produces (the ensureGateAsset discipline)
     Indexes.fingerprintDirOn(
       "tokenizer-export", sfDir, docs, "doc_id", "text",
-      s"bpe=$bpeSteps|uv=$uniVocab|upl=$uniPieceLen|ur=$uniRounds")
+      s"bpe=$bpeSteps|uv=$uniVocab|upl=$uniPieceLen|ur=$uniRounds|v=1")
 
   /** md5 over a table's canonical row rendering: rows as strings, sorted
     * by a unique order key, joined with '|'. Vocabulary-sized inputs

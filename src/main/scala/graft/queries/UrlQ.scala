@@ -147,7 +147,7 @@ object UrlQ {
     // citation graph; the fingerprint keys the asset to corpus content
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
     val dir = graft.operators.Indexes
-      .fingerprintDirOn("crawl-rank", d, docs, "doc_id", "source", "it=3")
+      .fingerprintDirOn("crawl-rank", d, docs, "doc_id", "source", "it=3|v=1")
     graft.operators.Indexes.atomicBuild(dir, "rank/_SUCCESS") { tmp =>
       graft.operators.LinkGraph
         .pageRank(citationEdges(s, d), iters = 3)

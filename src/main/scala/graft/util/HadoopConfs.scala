@@ -21,24 +21,42 @@ import org.apache.spark.sql.SparkSession
 object HadoopConfs {
 
   /** Driver-side capture: every (key, raw value) on the session conf that
-    * differs from what a bare `new Configuration()` would carry. Call at
-    * plan-construction time (driver), embed the result in the closure.
+    * differs from what a bare `new Configuration()` would carry — plus a
+    * NULL-valued tombstone for every default key the session REMOVED
+    * (e.g. unsetting a core-site credential-provider path to force a
+    * fallback), so the rebuild can't resurrect a classpath default the
+    * driver deliberately cleared. Call at plan-construction time
+    * (driver), embed the result in the closure.
     */
   def capture(spark: SparkSession): Array[(String, String)] = {
     import scala.jdk.CollectionConverters._
     val base = new Configuration()
-    spark.sparkContext.hadoopConfiguration
+    val sess = spark.sparkContext.hadoopConfiguration
+    val changed = sess
       .iterator()
       .asScala
       .map(e => e.getKey -> e.getValue)
       .filter { case (k, v) => base.getRaw(k) != v }
       .toArray
+    val removed = base
+      .iterator()
+      .asScala
+      .map(_.getKey)
+      .filter(k => sess.getRaw(k) == null)
+      .map(k => k -> (null: String))
+      .toArray
+    changed ++ removed
   }
 
-  /** Executor-side rebuild: defaults + the captured overlay. */
+  /** Executor-side rebuild: defaults + the captured overlay (null value =
+    * unset the default).
+    */
   def build(overlay: Array[(String, String)]): Configuration = {
     val c = new Configuration()
-    overlay.foreach { case (k, v) => c.set(k, v) }
+    overlay.foreach {
+      case (k, null) => c.unset(k)
+      case (k, v)    => c.set(k, v)
+    }
     c
   }
 }

@@ -61,19 +61,28 @@ object CrawlE2eProfileMain {
     time("responses(httpSlice)") {
       Warc.responses(spark, dir).select(col("target_uri"), length(col("body_text")))
     }
-    // 4. + extraction (gate 0), behind the projection barrier
-    time("extract") {
+    // 4. extraction over the UNBARRIERED decoded slice — rebuilt here
+    // without fixturePages' localCheckpoint so the CollapseProject
+    // decode-duplication diagnostic stays live (fixturePages itself now
+    // carries the barrier; this stage reproduces the pre-fix plan)
+    val rawPages = Warc
+      .responses(spark, dir)
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("body_text").as("html")
+      )
+    time("extract(no barrier)") {
       graft.operators.Html
-        .extract(Warc.fixturePages(spark, dir))
+        .extract(rawPages)
         .filter(col("n_good") > 0)
         .select(col("doc_id"), length(col("extracted")))
     }
-    // 4b. extraction with the decoded slice behind a projection barrier:
-    // if 4 >> 4b, CollapseProject is re-running the HTTP body decode per
-    // extraction-expression reference and the barrier belongs in the query
+    // 4b. extraction behind the decoded-slice barrier (the production
+    // path): if 4 >> 4b, CollapseProject is re-running the HTTP body
+    // decode per extraction-expression reference
     time("extract(ckpt pages)") {
       graft.operators.Html
-        .extract(Warc.fixturePages(spark, dir).localCheckpoint())
+        .extract(Warc.fixturePages(spark, dir))
         .filter(col("n_good") > 0)
         .select(col("doc_id"), length(col("extracted")))
     }

@@ -51,21 +51,44 @@ class ObjectStoreSpec extends AnyFunSuite {
       .sortWithinPartitions("g", "ord", "sub")
   }
 
-  test("HadoopConfs: session overlay captures exactly the injected keys and survives the rebuild") {
+  test("HadoopConfs: session overlay captures injected keys, replays removals, survives the rebuild") {
     val hc = spark.sparkContext.hadoopConfiguration
-    hc.set("fs.graft.test.endpoint", "https://store.invalid:9000")
-    hc.set("fs.graft.test.secret", "k3y")
-    val overlay = graft.util.HadoopConfs.capture(spark)
-    val m = overlay.toMap
-    assert(m.get("fs.graft.test.endpoint").contains("https://store.invalid:9000"))
-    assert(m.get("fs.graft.test.secret").contains("k3y"))
-    // defaults are NOT in the overlay (it stays closure-sized)
-    assert(!m.contains("fs.defaultFS") || m("fs.defaultFS") != new org.apache.hadoop.conf.Configuration().getRaw("fs.defaultFS"))
-    assert(overlay.length < 200, s"overlay should be a diff, got ${overlay.length} entries")
-    // rebuild carries the injected keys a bare Configuration would drop
-    val rebuilt = graft.util.HadoopConfs.build(overlay)
-    assert(rebuilt.get("fs.graft.test.endpoint") === "https://store.invalid:9000")
-    assert(new org.apache.hadoop.conf.Configuration().get("fs.graft.test.endpoint") === null)
+    // a default key the session deliberately REMOVES must not resurrect
+    val removedKey = {
+      val base = new org.apache.hadoop.conf.Configuration()
+      val it = base.iterator()
+      var k: String = null
+      while (k == null && it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith("io.") && base.getRaw(e.getKey) != null) k = e.getKey
+      }
+      k
+    }
+    try {
+      hc.set("fs.graft.test.endpoint", "https://store.invalid:9000")
+      hc.set("fs.graft.test.secret", "k3y")
+      if (removedKey != null) hc.unset(removedKey)
+      val overlay = graft.util.HadoopConfs.capture(spark)
+      val m = overlay.toMap
+      assert(m.get("fs.graft.test.endpoint").contains("https://store.invalid:9000"))
+      assert(m.get("fs.graft.test.secret").contains("k3y"))
+      assert(overlay.length < 200, s"overlay should be a diff, got ${overlay.length} entries")
+      // rebuild carries the injected keys a bare Configuration would drop
+      val rebuilt = graft.util.HadoopConfs.build(overlay)
+      assert(rebuilt.get("fs.graft.test.endpoint") === "https://store.invalid:9000")
+      assert(new org.apache.hadoop.conf.Configuration().get("fs.graft.test.endpoint") === null)
+      // and does NOT resurrect the removed default
+      if (removedKey != null) {
+        assert(m.contains(removedKey) && m(removedKey) == null, s"tombstone for $removedKey")
+        assert(rebuilt.getRaw(removedKey) === null, s"$removedKey must stay unset")
+      }
+    } finally {
+      // the session is shared across suites — leave no fake keys behind
+      hc.unset("fs.graft.test.endpoint")
+      hc.unset("fs.graft.test.secret")
+      if (removedKey != null)
+        hc.set(removedKey, new org.apache.hadoop.conf.Configuration().getRaw(removedKey))
+    }
   }
 
   test("task-committed sink + streaming walk round-trip through a conf-resolved remote scheme") {
