@@ -124,6 +124,27 @@ object UrlKernel {
   def resolve(base: UTF8String, ref: UTF8String): UTF8String =
     UTF8String.fromString(resolve(base.toString, ref.toString))
 
+  /** Null semantics mirroring the `Column` spec ([[graft.operators.Urls
+    * .resolveUrlCols]]) exactly: a null `ref` is null; a null `base`
+    * yields the branches that never reference the base — an absolute
+    * `scheme://` ref resolves ref-only, an opaque schemed ref
+    * (`mailto:x`) passes through verbatim — and null for every
+    * base-referencing branch (network-path, empty, fragment, query,
+    * absolute-path, relative refs), because there `concat(null, …)` is
+    * null in the Column formulation. Pinned by the UrlSpec null-base
+    * grid so a nullable-base call site cannot silently diverge.
+    */
+  def resolveNullable(base: UTF8String, ref: UTF8String): UTF8String = {
+    if (ref == null) null
+    else if (base != null) resolve(base, ref)
+    else {
+      val r = ref.toString
+      if (AbsRef.matcher(r).find()) UTF8String.fromString(resolve("", r))
+      else if (SchemedRef.matcher(r).find()) ref
+      else null
+    }
+  }
+
   def resolve(base: String, ref: String): String = {
     if (AbsRef.matcher(ref).find() || ref.startsWith("//")) {
       val refAfterAuth = strip(RefAuthStrip, ref)
@@ -179,13 +200,18 @@ case class UrlNormalize(child: Expression) extends UnaryExpression {
 }
 
 /** [[graft.operators.Urls.resolveUrl]] as one codegen'd kernel call.
-  * Null semantics: any null input → null (the Column formulation also
-  * yields null for a null ref; a null BASE with an absolute ref would
-  * have resolved ref-only there — no call site passes a nullable base).
+  * Null semantics are the Column formulation's, bit-for-bit — see
+  * [[UrlKernel.resolveNullable]]: null ref → null; null base → ref-only
+  * resolution for absolute/opaque-schemed refs, null otherwise. The
+  * default `BinaryExpression` null-intolerance would have diverged on a
+  * nullable base, so eval and codegen handle the base's null lane
+  * explicitly.
   */
 case class UrlResolve(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = StringType
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -196,11 +222,32 @@ case class UrlResolve(left: Expression, right: Expression) extends BinaryExpress
         )
     }
 
-  override def nullSafeEval(base: Any, ref: Any): Any =
-    UrlKernel.resolve(base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val r = right.eval(input)
+    if (r == null) null
+    else
+      UrlKernel.resolveNullable(
+        left.eval(input).asInstanceOf[UTF8String],
+        r.asInstanceOf[UTF8String]
+      )
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (b, r) => s"graft.functions.UrlKernel.resolve($b, $r)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${rightGen.code}
+      boolean ${ev.isNull} = true;
+      UTF8String ${ev.value} = null;
+      if (!${rightGen.isNull}) {
+        ${leftGen.code}
+        ${ev.value} = graft.functions.UrlKernel.resolveNullable(
+          ${leftGen.isNull} ? null : ${leftGen.value}, ${rightGen.value});
+        ${ev.isNull} = ${ev.value} == null;
+      }
+    """)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,

@@ -129,6 +129,17 @@ object Warc {
     * records ([[renderRecord]]); the caller owns partitioning/ordering
     * (e.g. `repartition(n, $"g").sortWithinPartitions(...)` for a
     * deterministic layout).
+    *
+    * Object-store caveat (same as [[graft.operators.Indexes]]): the
+    * task-commit below is RENAME-based, atomic on HDFS/POSIX but
+    * copy+delete on S3/GCS-class stores — a reader globbing mid-rename
+    * there can observe a partial shard. On such stores the commit
+    * discipline is the marker-object one ([[graft.operators.Indexes
+    * .markerCommit]] / [[graft.operators.TrainExport]]): the dot-prefixed
+    * temps already hide in-progress bytes from the suffix-filtered
+    * listing, and a job-level completion marker written AFTER every
+    * shard landed (a single atomic object PUT) is what readers should
+    * key on — not the rename of each shard.
     */
   def write(records: DataFrame, dir: String): Unit = {
     val out = dir

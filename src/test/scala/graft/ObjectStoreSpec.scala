@@ -51,7 +51,7 @@ class ObjectStoreSpec extends AnyFunSuite {
       .sortWithinPartitions("g", "ord", "sub")
   }
 
-  test("HadoopConfs: session overlay captures injected keys, replays removals, survives the rebuild") {
+  test("HadoopConfs: full capture replays the exact session view, removals stay removed") {
     val hc = spark.sparkContext.hadoopConfiguration
     // a default key the session deliberately REMOVES must not resurrect
     val removedKey = {
@@ -72,16 +72,26 @@ class ObjectStoreSpec extends AnyFunSuite {
       val m = overlay.toMap
       assert(m.get("fs.graft.test.endpoint").contains("https://store.invalid:9000"))
       assert(m.get("fs.graft.test.secret").contains("k3y"))
-      assert(overlay.length < 200, s"overlay should be a diff, got ${overlay.length} entries")
+      // full capture, not a driver-default diff (that semantics depended
+      // on homogeneous executor classpaths) — but still closure-sized: a
+      // Hadoop conf is a few hundred entries, not data-sized
+      assert(overlay.length > 200, s"expected the full conf, got ${overlay.length} entries")
+      assert(overlay.length < 5000, s"overlay must stay closure-sized, got ${overlay.length}")
       // rebuild carries the injected keys a bare Configuration would drop
       val rebuilt = graft.util.HadoopConfs.build(overlay)
       assert(rebuilt.get("fs.graft.test.endpoint") === "https://store.invalid:9000")
       assert(new org.apache.hadoop.conf.Configuration().get("fs.graft.test.endpoint") === null)
-      // and does NOT resurrect the removed default
-      if (removedKey != null) {
-        assert(m.contains(removedKey) && m(removedKey) == null, s"tombstone for $removedKey")
+      // a removed key was never captured, so a defaults-free rebuild
+      // cannot resurrect it — even where executor classpath defaults
+      // would have carried it
+      if (removedKey != null)
         assert(rebuilt.getRaw(removedKey) === null, s"$removedKey must stay unset")
-      }
+      // the rebuilt view is EXACTLY the session view: same key set, same
+      // values — nothing dropped, nothing leaked in from defaults
+      import scala.jdk.CollectionConverters._
+      val rebuiltMap = rebuilt.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+      val sessMap = hc.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+      assert(rebuiltMap === sessMap)
     } finally {
       // the session is shared across suites — leave no fake keys behind
       hc.unset("fs.graft.test.endpoint")

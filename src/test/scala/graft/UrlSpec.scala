@@ -282,6 +282,43 @@ class UrlSpec extends AnyFunSuite {
     assert(nested.filter(!(col("k") <=> col("c"))).count() === 0L)
   }
 
+  test("resolveUrl null lanes: kernel mirrors the Column spec exactly") {
+    // The bit-identity contract covers the NULL lanes too: a null base
+    // must resolve an absolute ref ref-only and pass an opaque schemed
+    // ref through (branches that never reference the base), and null
+    // every base-referencing branch; a null ref is always null. The
+    // kernel's BinaryExpression heritage would default to null-on-any-
+    // null — this pins the explicit override against the Column spec so
+    // a future nullable-base call site cannot silently change results.
+    val refs = Seq(
+      "http://other/a/../b?q#f", // absolute -> resolves ref-only
+      "HTTPS://Ex.com/x/./y", // absolute, needs dot-segment removal
+      "mailto:x@y", // opaque schemed -> verbatim
+      "javascript:void(0)", // opaque schemed -> verbatim
+      "//net/a/./b", // network-path: needs base scheme -> null
+      "", "#s", "?y", "/g", "../g", "g" // base-referencing -> null
+    )
+    val pairs: Seq[(String, String)] =
+      refs.map(r => (null: String, r)) :+ ((null: String, null: String)) :+
+        (("http://a/b/c", null: String))
+    val both = pairs
+      .toDF("b", "r")
+      .select(
+        Urls.resolveUrl(col("b"), col("r")).as("k"),
+        Urls.resolveUrlCols(col("b"), col("r")).as("c"),
+        col("b"), col("r")
+      )
+    val diff = both.filter(!(col("k") <=> col("c"))).collect()
+    assert(diff.isEmpty, diff.map(_.toString).mkString("\n"))
+    // spot-pin the non-null null-base lanes so the grid can't go vacuous
+    val byRef = both.collect().map(r => (Option(r.getString(3)), Option(r.getString(0)))).toMap
+    assert(byRef(Some("http://other/a/../b?q#f")) === Some("http://other/b?q#f"))
+    assert(byRef(Some("mailto:x@y")) === Some("mailto:x@y"))
+    assert(byRef(Some("//net/a/./b")) === None)
+    assert(byRef(Some("g")) === None)
+    assert(byRef(None) === None)
+  }
+
   test("URL kernels vs Column formulations: seeded structured fuzz (4k urls, 4k resolve pairs)") {
     // deterministic-seed generator covering the grammar's degrees of
     // freedom AND hostile mutations (unicode, percent-escapes, control
