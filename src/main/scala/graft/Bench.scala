@@ -88,8 +88,27 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Output-bound diagnostics: for these queries the honest scale
+    // denominator is OUTPUT rows, not input rows (m_video_dups' true pair
+    // set grows ~quadratically on a duplication-heavy fixture while its
+    // per-output cost stays flat). An untimed run records the row count
+    // beside the timings so the cross-scale ratio self-documents; the
+    // linear-output forms (clusters/capped/delta) are the pipeline path.
+    val outRowQueries = Seq("m_video_dups", "m_video_dups_capped", "m_video_clusters")
+    val outrows =
+      if (only.isDefined) ""
+      else {
+        val counts = outRowQueries.flatMap { n =>
+          SparkEntry.queries.get(n).map { fn =>
+            val c = try fn(spark, sfDir).count()
+            catch { case _: Throwable => -1L }
+            s"\"" + n + "\":" + c
+          }
+        }
+        s""","outrows":${counts.mkString("{", ",", "}")}"""
+      }
     val full =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":${f3(calib)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":${f3(calib)},"queries":$qs$outrows,"sf":"$sfDir"}"""
     // Per-query detail goes to a file: at ~180 queries the full line is
     // ~6 KB, which overflows the harness's bounded stdout-tail capture.
     java.nio.file.Files.write(

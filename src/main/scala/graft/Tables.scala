@@ -11,8 +11,23 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * partitioned table directory and prunes partitions for free.
   */
 object Tables {
+
+  // Resolved-relation memo: `spark.read.parquet` pays a footer/schema
+  // inference job per call, so a session that constructs hundreds of
+  // query plans over the same immutable tables would re-run that
+  // metadata job at every plan construction. The input tables are
+  // written once and never mutated in place (a regenerated dataset is a
+  // new sfDir), so caching the resolved DataFrame per (session, path) is
+  // safe — and makes warm plan construction genuinely job-free (the
+  // fingerprint catalog's contract, pinned in FingerprintCatalogSpec).
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    resolved.computeIfAbsent(
+      (spark, s"$dir/$name.parquet"),
+      key => key._1.read.parquet(key._2)
+    )
 
   /** Fact-table loader with a minimum-scan-parallelism guard.
     *

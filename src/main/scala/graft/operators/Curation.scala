@@ -694,10 +694,20 @@ object Curation {
     * are a languages-sized broadcast. Bucket index is the exact
     * `(3·(rank−1)) // count`.
     */
-  def pplBuckets(docs: DataFrame, shards: Int = 32): DataFrame = {
-    val scored = TextAnalysis
-      .knScores(docs)
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+  def pplBuckets(docs: DataFrame, shards: Int = 32): DataFrame =
+    bucketize(
+      TextAnalysis
+        .knScores(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+      shards
+    )
+
+  /** The tercile-assignment half of [[pplBuckets]], over an already-scored
+    * `(doc_id, lang, kn_score_e9, …)` frame — shared with the
+    * sufficient-statistics derivation ([[deriveGates]]) so both paths run
+    * the identical rank/bucket arithmetic.
+    */
+  private def bucketize(scored: DataFrame, shards: Int): DataFrame = {
     // composite order key: score major, doc_id minor — no packed scalar,
     // so no silent misordering at any doc_id magnitude
     val ranked = Split.shardedRowNumber(
@@ -747,27 +757,194 @@ object Curation {
     * shape is per-(lang, bucket) — an unscoreable doc has no tercile to
     * land in, matching CCNet's own accounting).
     */
+  // ---- foldable sufficient statistics ----------------------------------
+
+  /** The per-doc PURE half of the gate asset — ONE tokenization of
+    * `docs`, ever, split into three statistics tables:
+    *
+    *   - `puregates (doc_id, gopher_keep, c4_keep, lang, rep_keep,
+    *     n_tokens, c_<toxcls>…)`: the per-doc-pure gate verdicts plus the
+    *     toxicity-label ingredients;
+    *   - `docstats (doc_id, bgh, w1h, w2h, occ)`: the hashed-bigram
+    *     occurrence multiset — the sufficient statistic of BOTH
+    *     corpus-relative score legs (KN perplexity and the classifier's
+    *     hashed features `j = bgh mod Dim`) and of the LM label;
+    *   - `doctoks (doc_id, wh, occ)`: the hashed-token multiset (the LM
+    *     label's unigram denominator).
+    *
+    * Every row is a pure function of its own document, so a corpus
+    * GROWTH folds as a delta append — [[deriveGates]] then re-derives the
+    * corpus-relative columns from the folded statistics without ever
+    * touching raw text again.
+    */
+  def pureStats(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val rep = gopherRepetition(
+      pages(docs).select(col("doc_id"), col("page").as("text")),
+      ns = 5 to 10
+    ).select(col("doc_id"), col("keep").as("rep_keep"))
+    val puregates = gates(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      .join(TrainedClf.labelIngredients(docs), Seq("doc_id"))
+    val docstats = docs
+      .select(
+        col("doc_id"),
+        explode(Dedup.wordShinglesAll(Text.tokensAll(col("text")), 2)).as("bg")
+      )
+      .select(
+        col("doc_id"),
+        graft.util.Cols.md5Long(col("bg")).as("bgh"),
+        graft.util.Cols.md5Long(substring_index(col("bg"), " ", 1)).as("w1h"),
+        graft.util.Cols.md5Long(substring_index(col("bg"), " ", -1)).as("w2h")
+      )
+      .groupBy(col("doc_id"), col("bgh"), col("w1h"), col("w2h"))
+      .agg(count(lit(1)).as("occ"))
+    val doctoks = docs
+      .select(col("doc_id"), explode(Text.tokensAll(col("text"))).as("w"))
+      .select(col("doc_id"), graft.util.Cols.md5Long(col("w")).as("wh"))
+      .groupBy(col("doc_id"), col("wh"))
+      .agg(count(lit(1)).as("occ"))
+    (puregates, docstats, doctoks)
+  }
+
+  /** Re-derive the full gate table from the persisted statistics — the
+    * corpus-relative legs ([[TextAnalysis.knScores]]' KN score, the
+    * CCNet terciles, the trained classifier heads) recomputed from
+    * `docstats`/`doctoks` WITHOUT raw text, bit-identical to the raw
+    * derivation (same hashes, same integer formulas, same rank
+    * machinery). Output schema = the published `gates/` table:
+    * (doc_id, gopher_keep, c4_keep, lang, rep_keep, tox_keep,
+    * kn_score_e9, bucket).
+    */
+  def deriveGates(
+      puregates: DataFrame,
+      docstats: DataFrame,
+      doctoks: DataFrame,
+      shards: Int = 32
+  ): DataFrame = {
+    // KN leg: the corpus statistics are aggregates of the occurrence
+    // multiset; per-doc scores weight each distinct bigram by occ —
+    // identical totals to the per-occurrence formulation
+    val cxy = docstats.groupBy(col("bgh")).agg(sum(col("occ")).as("c_xy"))
+    val cx = docstats
+      .groupBy(col("w1h"))
+      .agg(sum(col("occ")).as("c_x"), countDistinct(col("w2h")).as("n1f"))
+    val bw = docstats.groupBy(col("w2h")).agg(countDistinct(col("w1h")).as("n1b"))
+    val nt = docstats.select(countDistinct(col("bgh")).as("n_types"))
+    val statJoined = docstats
+      .join(cxy, Seq("bgh"))
+      .join(broadcast(cx), Seq("w1h"))
+      .join(broadcast(bw), Seq("w2h"))
+      .crossJoin(broadcast(nt))
+      .localCheckpoint()
+    val kn = statJoined
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("occ")).cast("long").as("n_bigrams"),
+        sum(
+          col("occ") * (expr(
+            "((4 * CAST(c_xy AS DECIMAL(38,0)) - 3) * 250000000) div CAST(c_x AS DECIMAL(38,0))"
+          ) +
+            expr(
+              "(CAST(750000000 AS DECIMAL(38,0)) * n1f * n1b) div (CAST(c_x AS DECIMAL(38,0)) * n_types)"
+            ))
+        ).as("sc")
+      )
+      .select(col("doc_id"), expr("sc div n_bigrams").as("kn_score_e9"))
+    val buck = bucketize(
+      puregates.select(col("doc_id"), col("lang")).join(kn, Seq("doc_id")),
+      shards
+    )
+    // classifier legs: features j = bgh mod Dim (the scoring path's own
+    // hash), LM label from the same bigram stats + the token unigrams
+    val feats = docstats
+      .groupBy(
+        col("doc_id"),
+        pmod(col("bgh"), lit(TrainedClf.Dim.toLong)).cast("int").as("j")
+      )
+      .agg(sum(col("occ")).as("cnt"))
+      .localCheckpoint()
+    val cxTok = doctoks.groupBy(col("wh")).agg(sum(col("occ")).as("c_x"))
+    val lm = docstats
+      .join(cxy, Seq("bgh"))
+      .join(broadcast(cxTok), docstats("w1h") === cxTok("wh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * expr("(c_xy * 1000000) div c_x")).as("sc")
+      )
+      .select(col("doc_id"), expr("sc div n_bigrams").as("lm_score_e6"))
+    val labs = TrainedClf.labelsFromStats(
+      puregates.select(col("doc_id")),
+      lm,
+      puregates
+    )
+    val isTrain = Split.splitLabel(col("doc_id")) === "train"
+    val (w, _) = TrainedClf.trainOnFrames(
+      feats.filter(isTrain),
+      labs.filter(isTrain)
+    )
+    val marginCols = TrainedClf.ToxClasses.map { case (cls, _) =>
+      sum(
+        col("cnt") * element_at(
+          typedLit(w(cls).toIndexedSeq: IndexedSeq[Long]),
+          (col("j") + 1).cast("int")
+        )
+      ).cast("long").as(s"m_$cls")
+    }
+    val toxMargins = feats
+      .groupBy(col("doc_id"))
+      .agg(marginCols.head, marginCols.tail: _*)
+    val toxKeep = toxMargins.select(
+      col("doc_id"),
+      TrainedClf.ToxClasses
+        .map { case (c, _) => !(col(s"m_$c") > 0L) }
+        .reduce(_ && _)
+        .as("tox_keep")
+    )
+    puregates
+      .select(
+        col("doc_id"),
+        col("gopher_keep"),
+        col("c4_keep"),
+        col("lang"),
+        col("rep_keep")
+      )
+      .join(toxKeep, Seq("doc_id"))
+      .join(buck.select(col("doc_id"), col("kn_score_e9"), col("bucket")), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("gopher_keep"),
+        col("c4_keep"),
+        col("lang"),
+        col("rep_keep"),
+        col("tox_keep"),
+        col("kn_score_e9"),
+        col("bucket")
+      )
+  }
+
   def ensureGateAsset(sfDir: String, docs: DataFrame): String = {
     val dir = graft.operators.Indexes.fingerprintDirOn(
-      "curation-gates", sfDir, docs, "doc_id", "struct(text, lang)", "v=1")
+      "curation-gates", sfDir, docs, "doc_id", "struct(text, lang)",
+      // v3: gate verdicts derived via the foldable sufficient-statistics
+      // layout (puregates/docstats/doctoks + deriveGates); toxicity =
+      // the TRAINED one-vs-rest heads
+      "v=3")
     graft.operators.Indexes.atomicBuild(dir, "gates/_SUCCESS") { tmp =>
-      val rep = gopherRepetition(
-        pages(docs).select(col("doc_id"), col("page").as("text")),
-        ns = 5 to 10
-      ).select(col("doc_id"), col("keep").as("rep_keep"))
-      val tox = TextAnalysis
-        .toxicityLogits(docs)
-        .select(col("doc_id"), col("tox_keep"))
-      val ppl = pplBuckets(docs)
-        .select(col("doc_id"), col("kn_score_e9"), col("bucket"))
-      gates(docs)
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .join(rep, Seq("doc_id"))
-        .join(tox, Seq("doc_id"))
-        .join(ppl, Seq("doc_id"), "left")
-        .write
-        .mode("overwrite")
-        .parquet(s"$tmp/gates")
+      val spark = docs.sparkSession
+      val (pg, ds, dt) = pureStats(docs)
+      pg.write.mode("overwrite").parquet(s"$tmp/puregates")
+      ds.write.mode("overwrite").parquet(s"$tmp/docstats")
+      dt.write.mode("overwrite").parquet(s"$tmp/doctoks")
+      // derive from the WRITTEN statistics (not the in-memory frames), so
+      // the wholesale build and a later fold run deriveGates over the
+      // same physical inputs — gates/ lands LAST as the completion marker
+      deriveGates(
+        spark.read.parquet(s"$tmp/puregates"),
+        spark.read.parquet(s"$tmp/docstats"),
+        spark.read.parquet(s"$tmp/doctoks")
+      ).write.mode("overwrite").parquet(s"$tmp/gates")
     }
     dir
   }

@@ -19,17 +19,19 @@ import org.apache.spark.sql.types.LongType
   *      two concurrent builders; the rename loser discards its (identical,
   *      training is deterministic) copy.
   *
-  * Deployment caveat, stated honestly: the publication primitive here is
-  * POSIX `ATOMIC_MOVE`, which exists on HDFS and local/NFS filesystems
-  * but NOT on S3/GCS-class object stores (their "rename" is copy+delete,
-  * non-atomic). On an object store the same contract is implemented with
-  * a manifest-commit instead: write all table objects under the
-  * fingerprint prefix, then PUT a single completion-marker object LAST
-  * (object PUTs are atomic and read-after-write consistent on current
-  * S3/GCS) and have readers key on the marker — the exact discipline
-  * [[TrainExport]]/[[TokenizerExport]] already follow INSIDE their
-  * layout (manifest written last as the completion testimony). The
-  * fingerprinted-location half of the contract is store-agnostic.
+  * Publication dispatches on the store's capabilities: local/HDFS-class
+  * paths use POSIX `ATOMIC_MOVE` (temp dir + one atomic rename); scheme'd
+  * paths — S3/GCS-class stores, where "rename" is non-atomic copy+delete
+  * — use the marker-commit mode ([[markerCommit]]: objects written under
+  * the final prefix, a single completion-marker object PUT LAST as the
+  * read barrier; object PUTs are atomic and read-after-write consistent
+  * on current S3/GCS) and the pointer-committed compaction swap
+  * ([[commitSwapMarker]]/[[liveDir]]). [[TrainExport]]/
+  * [[TokenizerExport]] follow the same manifest-last discipline inside
+  * their layouts. The fingerprinted-location half of the contract is
+  * store-agnostic. `ObjectStoreSpec` drives both the build and the swap
+  * through a foreign-scheme filesystem with no rename-atomicity
+  * assumption.
   */
 object Indexes {
 
@@ -49,6 +51,14 @@ object Indexes {
 
   /** [[fingerprintDir]] over arbitrary id/payload columns (e.g. a document
     * table's (doc_id, text)).
+    *
+    * Steady-state cost: the content fingerprint (a full payload-bytes
+    * scan) is computed ONCE per (derivation, file-set) and recorded in
+    * the on-disk catalog below; every later lookup for the same data
+    * resolves from the catalog with zero Spark jobs — a query that READS
+    * a persisted asset no longer pays a corpus scan just to LOCATE it.
+    * The scan remains the slow path on a catalog miss (new data, changed
+    * files, or a plan shape the catalog can't cheaply identify).
     */
   def fingerprintDirOn(
       family: String,
@@ -57,6 +67,25 @@ object Indexes {
       idCol: String,
       payloadCol: String,
       params: String = ""
+  ): String = {
+    val ck = catalogKey(family, sfDir, df, idCol, payloadCol, params)
+    ck.flatMap(catalogLookup) match {
+      case Some(dir) => dir
+      case None =>
+        val dir = fingerprintDirByScan(family, sfDir, df, idCol, payloadCol, params)
+        ck.foreach(catalogRecord(_, dir))
+        dir
+    }
+  }
+
+  /** The content-hash slow path: one corpus scan over (id, payload). */
+  private def fingerprintDirByScan(
+      family: String,
+      sfDir: String,
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      params: String
   ): String = {
     val fp = df
       .agg(
@@ -69,21 +98,155 @@ object Indexes {
       )
       .head()
     val key = s"$sfDir|${fp.getLong(0)}|${fp.getLong(1)}|${fp.getLong(2)}|$params"
-    val tag = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_))
-      .mkString
-      .take(12)
-    s"target/$family/$tag"
+    s"target/$family/${md5hex(key).take(12)}"
   }
 
-  /** Run `build` against a temp dir, then atomically rename into `dir`.
-    * No-op if `dir/<marker>` already exists (a completed build). If a
-    * concurrent builder wins the rename, this builder's copy is discarded.
+  // ---- fingerprint catalog ---------------------------------------------
+  //
+  // The content fingerprint is the STALE-PROOF key (it hashes every
+  // payload byte), but recomputing it at plan-construction time makes
+  // every asset-reading query pay a full corpus read to find a directory
+  // whose content cannot have changed. A production table format records
+  // this at commit time (a manifest/catalog keyed by table version — the
+  // [[graft.sources.Versioned]] manifest is the in-repo pattern); here
+  // the moral equivalent is a tiny on-disk map from a CHEAP data identity
+  // to the computed fingerprint dir:
+  //
+  //   cheap key  = md5(engine version ‖ family/params ‖ the CANONICALIZED
+  //                analyzed plan of the fingerprinted frame ‖ every input
+  //                file's (path, length, mtime))
+  //   recorded   = the fingerprint dir the scan computed for that key
+  //
+  // The plan string captures the DERIVATION (a transformed corpus — e.g.
+  // q_export_diff's edited v2 — keys differently from the raw table);
+  // the file statuses capture the DATA VERSION (a regenerated or edited
+  // file changes length or mtime — metadata-only to read, no payload
+  // bytes touched). Frames whose data identity isn't cheaply observable
+  // (localCheckpoint RDD leaves, in-memory literal relations — their
+  // plan string doesn't include row data) BYPASS the catalog and keep
+  // the scan, so the fast path can never serve a stale asset for data
+  // the key can't see. mtime granularity (ms on local fs) is the same
+  // assumption every build tool makes; an adversarial same-ms in-place
+  // edit still lands on the scan path at first sight of a new plan/file
+  // set, and the recorded value is itself content-derived.
+  private val CatalogVersion = "fpcat-1"
+
+  private def catalogFile(key: String) =
+    java.nio.file.Paths.get(s"target/fpcatalog/$key")
+
+  /** Cheap data-identity key, or None when the frame's inputs aren't
+    * fully file-backed (then only the content scan is safe).
     */
-  def atomicBuild(dir: String, marker: String)(build: String => Unit): Unit = {
-    if (!new java.io.File(s"$dir/$marker").exists()) {
+  private def catalogKey(
+      family: String,
+      sfDir: String,
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      params: String
+  ): Option[String] =
+    try {
+      val plan = df.queryExecution.analyzed
+      val leaves = plan.collectLeaves()
+      val fileLists = leaves.map {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              Some(fs.location.inputFiles.toSeq)
+            case _ => None
+          }
+        case _ => None
+      }
+      if (fileLists.exists(_.isEmpty)) None
+      else {
+        val conf = df.sparkSession.sessionState.newHadoopConf()
+        val sig = fileLists.flatten.flatten.distinct.sorted
+          .map { p =>
+            val path = new org.apache.hadoop.fs.Path(p)
+            val st = path.getFileSystem(conf).getFileStatus(path)
+            s"$p|${st.getLen}|${st.getModificationTime}"
+          }
+          .mkString("\n")
+        // full-width tree rendering: the default treeString truncates
+        // field lists at spark.sql.debug.maxToStringFields, which would
+        // under-key wide plans
+        val planStr = plan.canonicalized
+          .treeString(verbose = true, addSuffix = false, maxFields = Int.MaxValue, printOperatorId = false)
+        Some(
+          md5hex(
+            Seq(CatalogVersion, family, sfDir, idCol, payloadCol, params, planStr, sig)
+              .mkString("\u0000")
+          )
+        )
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def catalogLookup(key: String): Option[String] =
+    try {
+      val f = catalogFile(key)
+      if (java.nio.file.Files.exists(f))
+        java.nio.file.Files.readAllLines(f).asScalaHead.filter(_.nonEmpty)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private implicit class HeadOpt(l: java.util.List[String]) {
+    def asScalaHead: Option[String] = if (l.isEmpty) None else Option(l.get(0))
+  }
+
+  /** Record a computed fingerprint dir under its cheap key — atomic
+    * publish (temp + rename) so concurrent writers can't interleave;
+    * both writers compute identical content, so the loser's copy is
+    * equivalent.
+    */
+  private def catalogRecord(key: String, dir: String): Unit =
+    try {
+      val f = catalogFile(key)
+      Option(f.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      val tmp = f.resolveSibling(
+        s".${f.getFileName}.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}"
+      )
+      java.nio.file.Files.write(
+        tmp,
+        (dir + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      )
+      try
+        java.nio.file.Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp); ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_))
+      .mkString
+
+  /** Publish a build-once asset at `dir`, complete-or-absent for readers.
+    * No-op if `dir/<marker>` already exists (a completed build).
+    *
+    * Two publication modes, dispatched on the directory's URI scheme:
+    *
+    *   - '''POSIX/HDFS''' (no scheme — local paths): run `build` against
+    *     a process-unique temp dir, then ONE atomic directory rename into
+    *     place. A concurrent builder that loses the rename discards its
+    *     (identical — builds are deterministic) copy.
+    *   - '''Object store''' (scheme'd paths — resolved through the
+    *     session's Hadoop conf, e.g. the `ObjectStoreSpec` shim): there
+    *     is no atomic rename, so [[markerBuild]] writes the asset's
+    *     objects directly under the final prefix and readers key ONLY on
+    *     the completion-marker object, PUT last (a single-object PUT is
+    *     atomic on S3/GCS-class stores). Concurrent builders write
+    *     byte-identical objects (determinism again), so interleaving is
+    *     harmless; a crashed half-build leaves unreferenced objects that
+    *     the next builder's `mode("overwrite")` rewrites — readers never
+    *     saw them, because the marker never landed.
+    */
+  def atomicBuild(dir: String, marker: String)(build: String => Unit): Unit =
+    if (schemeOf(dir).isDefined) markerBuild(dir, marker)(build)
+    else if (!new java.io.File(s"$dir/$marker").exists()) {
       val tmp = s"$dir.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}"
       build(tmp)
       val src = java.nio.file.Paths.get(tmp)
@@ -97,6 +260,113 @@ object Indexes {
         case _: java.nio.file.AccessDeniedException      => deleteRecursively(src)
       }
     }
+
+  private def schemeOf(dir: String): Option[String] =
+    Option(new org.apache.hadoop.fs.Path(dir).toUri.getScheme)
+
+  private def sessionHadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
+  /** The object-store build mode: in-place write + marker-object commit
+    * (see [[atomicBuild]]). The build callback receives the FINAL dir —
+    * no rename ever happens on this path.
+    */
+  private[graft] def markerCommit(dir: String, marker: String)(build: String => Unit): Unit =
+    markerBuild(dir, marker)(build)
+
+  private def markerBuild(dir: String, marker: String)(build: String => Unit): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/$marker")
+    val fs = mp.getFileSystem(sessionHadoopConf)
+    if (!fs.exists(mp)) {
+      build(dir)
+      // the build's own writes may already have produced the marker (a
+      // Spark job's _SUCCESS); otherwise PUT it now. create(overwrite =
+      // false) elects one winner among concurrent builders.
+      if (!fs.exists(mp)) {
+        try fs.create(mp, false).close()
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  // ---- object-store compaction swap (pointer-committed, no renames) ----
+  //
+  // [[commitSwap]]'s journaled dir-flip assumes atomic rename; on an
+  // object store the same OPTIMIZE-style publication is a GENERATION
+  // POINTER: maintenance writes the compacted subdirs under
+  // `<name>.g-<stamp>` (fully, before commit), then REPLACES the single
+  // `generation` pointer object — the one atomic primitive object stores
+  // do have. Readers resolve every subdir through [[liveDir]]; a crash
+  // before the pointer PUT leaves the old generation fully intact, a
+  // crash after it leaves only orphaned old-generation objects, which
+  // the next publish sweeps (any `.g-` entry whose stamp is not the
+  // current pointer's). `delta/` is retired by the same publish, AFTER
+  // the pointer lands — a reader that raced the cleanup re-reads folded
+  // rows only if it also resolved the OLD pointer, i.e. it sees the old
+  // asset's consistent view, never a double count against the new one.
+
+  private val GenPointer = "generation"
+
+  /** Current (stamp, names) of the pointer, if any generation committed. */
+  private[graft] def generationOf(dir: String): Option[(String, Seq[String])] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$GenPointer")
+      val fs = p.getFileSystem(sessionHadoopConf)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](8192)
+            var n = in.read(tmp)
+            while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+            buf.toByteArray
+          } finally in.close()
+        val lines = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty)
+        lines.headOption.map(_ -> lines.tail)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Resolve the LIVE path of an asset subdir under the pointer
+    * discipline: `<dir>/<name>.g-<stamp>` when the committed generation
+    * carries `name`, the un-suffixed `<dir>/<name>` otherwise (the
+    * initial build's layout).
+    */
+  def liveDir(dir: String, name: String): String =
+    generationOf(dir) match {
+      case Some((stamp, names)) if names.contains(name) => s"$dir/$name.g-$stamp"
+      case _                                            => s"$dir/$name"
+    }
+
+  /** Commit a compaction on an object store: every `<name>.g-<stamp>` is
+    * fully written; REPLACE the pointer (single-object PUT — the commit
+    * point), then sweep previous generations and `delta/`.
+    */
+  private[graft] def commitSwapMarker(dir: String, stamp: String, names: Seq[String]): Unit = {
+    val conf = sessionHadoopConf
+    val pointer = new org.apache.hadoop.fs.Path(s"$dir/$GenPointer")
+    val fs = pointer.getFileSystem(conf)
+    val os = fs.create(pointer, true)
+    try os.write((stamp +: names).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    // post-commit sweep: anything generation-suffixed that is not the
+    // committed stamp is garbage (previous generations, crashed
+    // maintenance runs), plus the folded delta and the pre-generation
+    // un-suffixed dirs the initial build wrote
+    val entries =
+      try fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      catch { case _: java.io.IOException => Seq.empty }
+    entries.foreach { st =>
+      val n = st.getPath.getName
+      val i = n.lastIndexOf(".g-")
+      val isOldGen = i >= 0 && n.substring(i + 3) != stamp
+      val isRetiredPlain = i < 0 && names.contains(n)
+      if (isOldGen || isRetiredPlain) { fs.delete(st.getPath, true); () }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/delta"), true)
+    ()
   }
 
   /** Crash-safe publication of a compaction over one or more index

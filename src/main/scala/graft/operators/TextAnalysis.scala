@@ -175,125 +175,6 @@ object TextAnalysis {
   ): Column =
     (alphaRatio * 0.3) + (least(stopRatio * 4.0, lit(1.0)) * 0.3) + (uniqRatio * 0.4)
 
-  /** Hashed-feature dimension of the bigram quality classifier. */
-  val ClfDim = 64
-
-  /** The classifier's weight vector in integer MILLIS, derived from the
-    * same md5 lattice as the LSH hyperplanes ([[Similarity.lshHyperplanes]]):
-    * w_j = md5_60(j || "#w") mod 2001 − 1000. A production deployment
-    * would broadcast weights from a real training run; the md5 derivation
-    * stands in so BOTH engines rebuild the identical vector from a
-    * formula — the deployment shape (literal broadcast into a codegen
-    * projection) is the same either way.
-    */
-  def classifierWeightsMilli(dim: Int = ClfDim): IndexedSeq[Long] =
-    (0 until dim).map { j =>
-      graft.functions.Md5Exprs.md5Top60(
-        s"$j#w".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      ) % 2001L - 1000L
-    }
-
-  /** fastText-style linear quality classifier over HASHED BIGRAM features
-    * → (doc_id, logit_milli, n_feats): each word bigram hashes into one
-    * of `dim` buckets (md5 mod dim), the doc's logit is the exact integer
-    * sum of its buckets' milli-weights. Integer accumulation end to end —
-    * no float sum order, no cross-engine exp() drift — so scores (not
-    * just labels) hash-compare bit-exactly; callers threshold `logit_milli
-    * >= 0` for the keep gate (sigmoid is monotone, the probability adds
-    * nothing to a gate). One scan + one doc-keyed partial-aggregable
-    * shuffle at any corpus size; the weight vector is a literal inside
-    * the codegen projection.
-    */
-  def classifierLogits(docs: DataFrame, dim: Int = ClfDim): DataFrame = {
-    val w = classifierWeightsMilli(dim)
-    docs
-      .select(
-        col("doc_id"),
-        explode(Dedup.wordShinglesAll(Text.tokensAll(col("text")), 2)).as("g")
-      )
-      .select(
-        col("doc_id"),
-        element_at(typedLit(w), (pmod(md5Long(col("g")), lit(dim)) + 1).cast("int")).as("wi")
-      )
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("wi")).cast("long").as("logit_milli"),
-        count(lit(1)).cast("long").as("n_feats")
-      )
-  }
-
-  /** Jigsaw-style toxicity classes of the one-vs-rest content gate —
-    * the standard axes every public corpus release screens (Jigsaw
-    * Toxic Comment categories, trimmed to three heads).
-    */
-  val ToxClasses: Seq[String] = Seq("toxic", "obscene", "threat")
-
-  /** Flag threshold in MICRO-logits PER FEATURE: class c flags a doc when
-    * `1000 · logit_milli_c ≥ ToxThresholdMicro · n_feats` — i.e. the mean
-    * per-bigram evidence exceeds 0.25 nats, multiplication-only integer
-    * arithmetic so both engines compare bit-exactly (no division, no
-    * rounding lane). With the md5 stand-in weights this sits at the
-    * fixture's ~95th percentile, a minor-lane drop rate like a production
-    * toxicity gate's.
-    */
-  val ToxThresholdMicro = 250000L
-
-  /** One-vs-rest weight vector for toxicity head `cls`, same md5 lattice
-    * as [[classifierWeightsMilli]] under a per-class salt: w_j =
-    * md5_60(j || "#tox:" || cls) mod 2001 − 1000. A production deployment
-    * broadcasts weights distilled from a real moderation model; the
-    * derivation stands in so both engines rebuild identical vectors —
-    * the deployment shape (literal weights inside a codegen projection)
-    * is the same either way.
-    */
-  def toxWeightsMilli(cls: String, dim: Int = ClfDim): IndexedSeq[Long] =
-    (0 until dim).map { j =>
-      graft.functions.Md5Exprs.md5Top60(
-        s"$j#tox:$cls".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      ) % 2001L - 1000L
-    }
-
-  /** Toxicity/NSFW gate — the [[classifierLogits]] surface run one-vs-rest:
-    * K linear heads over the SAME hashed-bigram features, all K integer
-    * logit sums from ONE token scan + ONE doc-keyed partial-aggregable
-    * shuffle (the feature bucket hashes once; each head is one more
-    * literal-array lookup inside the same codegen projection). Output per
-    * doc: n_feats, per-class `lt_<cls>` milli-logits, per-class
-    * `tox_<cls>` flags at [[ToxThresholdMicro]], and the conjunctive
-    * `tox_keep`. [[Dedup.wordShinglesAll]] emits ≥1 shingle for any doc,
-    * so no document vanishes from the gate.
-    */
-  def toxicityLogits(docs: DataFrame, dim: Int = ClfDim): DataFrame = {
-    val sums = docs
-      .select(
-        col("doc_id"),
-        explode(Dedup.wordShinglesAll(Text.tokensAll(col("text")), 2)).as("g")
-      )
-      .select(
-        col("doc_id"),
-        (pmod(md5Long(col("g")), lit(dim)) + 1).cast("int").as("_j")
-      )
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).cast("long").as("n_feats"),
-        ToxClasses.map { cls =>
-          sum(element_at(typedLit(toxWeightsMilli(cls, dim)), col("_j")))
-            .cast("long")
-            .as(s"lt_$cls")
-        }: _*
-      )
-    val flagged = ToxClasses.foldLeft(sums) { (df, cls) =>
-      df.withColumn(
-        s"tox_$cls",
-        col(s"lt_$cls") * 1000L >= lit(ToxThresholdMicro) * col("n_feats")
-      )
-    }
-    flagged.withColumn(
-      "tox_keep",
-      ToxClasses.map(c => !col(s"tox_$c")).reduce(_ && _)
-    )
-  }
-
   /** (doc_id, text) → language prediction, quality metrics + composite
     * score, and the deterministic split tag, in ONE stateless projection.
     * Map-only (no shuffle, no state), so the exact same transform runs
@@ -1326,4 +1207,86 @@ object TextAnalysis {
         expr("sc div n_bigrams").as("kn_ref_score_e9")
       )
   }
+
+  // ---- persisted cleaning-gate asset ------------------------------------
+
+  /** Persisted per-document CLEANING-funnel annotation asset: one row per
+    * doc with everything the funnel reports consume — predicted language,
+    * token/char counts, quality score, split tag, exact-dedup canonical
+    * flag, corpus-dedup survivorship (exact + verified near-dup
+    * components), and the hashed-bigram classifier logit — built ONCE per
+    * corpus content fingerprint under the [[Indexes]] contract and READ
+    * by `t_clean_pipeline`, `t_drop_reasons`, and `t_datacard`. Same
+    * rationale as [[Curation.ensureGateAsset]]: a release derives these
+    * verdicts once and emits many reports over them; three reports that
+    * each re-run the dedup components walk + language/quality projection
+    * + classifier aggregate pay the corpus three times for identical
+    * bits. The build is deterministic, so reading the asset is
+    * bit-identical to fresh derivation — invisible to the correctness
+    * gate (all three oracles still re-derive everything from raw text).
+    *
+    * `source`/`n_chars` ride in the asset (and in the fingerprint
+    * payload) so the datacard's rollup never touches the corpus either.
+    */
+  def ensureCleanGateAsset(sfDir: String, docs: DataFrame): String = {
+    val dir = Indexes.fingerprintDirOn(
+      "cleaning-gates",
+      sfDir,
+      docs,
+      "doc_id",
+      "struct(text, source, n_chars)",
+      "v=2" // v2: classifier gate = the TRAINED quality head's margin
+    )
+    Indexes.atomicBuild(dir, "gates/_SUCCESS") { tmp =>
+      val ann = annotateDocs(docs)
+        .select(
+          col("doc_id"),
+          col("pred_lang"),
+          col("n_tokens"),
+          col("quality_score"),
+          col("split")
+        )
+      val canon = Dedup
+        .exactDups(docs)
+        .select(
+          col("doc_id"),
+          (col("doc_id") === col("canonical_id")).as("is_canonical")
+        )
+      val inCorpus = Dedup
+        .dedupCorpus(docs)
+        .select(col("doc_id"), lit(true).as("in_corpus"))
+      val clf = TrainedClf
+        .qualityScores(sfDir, docs)
+        .select(col("doc_id"), col("margin").as("clf_margin"))
+      docs
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .join(ann, Seq("doc_id"))
+        .join(canon, Seq("doc_id"))
+        .join(inCorpus, Seq("doc_id"), "left")
+        .join(clf, Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("n_chars"),
+          col("pred_lang"),
+          col("n_tokens"),
+          col("quality_score"),
+          col("split"),
+          col("is_canonical"),
+          coalesce(col("in_corpus"), lit(false)).as("in_corpus"),
+          col("clf_margin")
+        )
+        .write
+        .mode("overwrite")
+        .parquet(s"$tmp/gates")
+    }
+    dir
+  }
+
+  /** Read-side of [[ensureCleanGateAsset]]: (doc_id, source, n_chars,
+    * pred_lang, n_tokens, quality_score, split, is_canonical, in_corpus,
+    * clf_logit_milli).
+    */
+  def cleanGateAsset(sfDir: String, docs: DataFrame): DataFrame =
+    docs.sparkSession.read.parquet(s"${ensureCleanGateAsset(sfDir, docs)}/gates")
 }

@@ -55,44 +55,14 @@ object CurationQ {
        |    count(*) OVER (PARTITION BY d.lang) AS cnt
        |  FROM kn JOIN documents d USING (doc_id))""".stripMargin
 
-  /** DuckDB CTE chain replaying [[TextAnalysis.toxicityLogits]] — ends in
-    * `tox(doc_id, n_feats, lt_<cls>…, tox_<cls>…, tox_keep)`. CTE names
-    * are x-prefixed so the chain composes with [[pplCtes]] and the gate
-    * families in one WITH block.
+  /** DuckDB replay of the TRAINED toxicity gate
+    * ([[graft.operators.TrainedClf]]): the shared training-replay chain
+    * plus `cltoxk (doc_id, tox_keep)`. The oracle re-derives labels,
+    * re-runs every perceptron round, and re-scores — a drift anywhere in
+    * featurization, training, or deployment breaks the funnel hashes.
     */
-  private val toxCtes: String = {
-    val dim = TextAnalysis.ClfDim
-    val thr = TextAnalysis.ToxThresholdMicro
-    val clsList = TextAnalysis.ToxClasses.map(c => s"'$c'").mkString(", ")
-    val ltCols = TextAnalysis.ToxClasses
-      .map(c => s"MAX(CASE WHEN cls = '$c' THEN lt END)::BIGINT AS lt_$c")
-      .mkString(",\n|    ")
-    val flagCols = TextAnalysis.ToxClasses
-      .map(c => s"(MAX(CASE WHEN cls = '$c' THEN lt END) * 1000 >= $thr * MAX(nf)) AS tox_$c")
-      .mkString(",\n|    ")
-    val keepExpr = TextAnalysis.ToxClasses
-      .map(c => s"MAX(CASE WHEN cls = '$c' THEN lt END) * 1000 < $thr * MAX(nf)")
-      .mkString(" AND ")
-    s"""xt AS (SELECT doc_id, $toksSql AS tk FROM documents),
-       |xbg AS (
-       |  SELECT doc_id, unnest(list_transform(
-       |    generate_series(1, greatest(len(tk) - 1, 1)),
-       |    i -> array_to_string(tk[i:i+1], ' '))) AS g
-       |  FROM xt),
-       |xf AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % $dim AS j FROM xbg),
-       |xw AS (SELECT cls, j,
-       |         ((('0x' || substr(md5(j::VARCHAR || '#tox:' || cls), 1, 15))::BIGINT % 2001) - 1000) AS wi
-       |       FROM (SELECT unnest(generate_series(0, ${dim - 1})) AS j),
-       |            (SELECT unnest([$clsList]) AS cls)),
-       |xs AS (SELECT f.doc_id, w.cls, SUM(wi)::BIGINT AS lt, COUNT(*)::BIGINT AS nf
-       |       FROM xf f JOIN xw w USING (j) GROUP BY f.doc_id, w.cls),
-       |tox AS (
-       |  SELECT doc_id, MAX(nf)::BIGINT AS n_feats,
-       |    $ltCols,
-       |    $flagCols,
-       |    ($keepExpr) AS tox_keep
-       |  FROM xs GROUP BY doc_id)""".stripMargin
-  }
+  private val toxCtes: String =
+    s"${graft.operators.TrainedClf.replayCtes},\n${graft.operators.TrainedClf.toxKeepCte}"
 
   /** DuckDB CTEs replaying [[Split.temperatureSample]]'s α=1/2 rates
     * over `documents.lang` — ends in `tr` (lang, rate_ppm). The exact
@@ -109,6 +79,43 @@ object CurationQ {
        |              WHEN s0::HUGEINT * s0 > x THEN s0 - 1
        |              ELSE s0 END AS rate_ppm
        |       FROM tr1)""".stripMargin
+
+  /** The survivor-report oracle (pipe_curate_e2e AND pipe_curate_fold —
+    * the stream-grown asset must be bit-indistinguishable from the
+    * wholesale build, so both queries run under ONE full-corpus replay).
+    */
+  private lazy val curateSurvivorOracleSql: String =
+    s"""WITH ${Curation.gopherMetricCtes("documents")},
+       |${Curation.c4KeptCte},
+       |${Curation.repKeepCtes()},
+       |$toxCtes,
+       |sel AS (
+       |  SELECT m.doc_id FROM m JOIN k USING (doc_id) JOIN repk USING (doc_id)
+       |                         JOIN cltoxk USING (doc_id)
+       |  WHERE ${Curation.gopherKeepSql} AND ${Curation.c4KeepSql} AND rep_keep
+       |        AND tox_keep
+       |),
+       |$pplCtes
+       |SELECT r.lang,
+       |  CASE (3 * (rn - 1)) // cnt WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+       |       ELSE 'tail' END AS bucket,
+       |  COUNT(*) AS n_docs, SUM(kn_score_e9)::BIGINT AS sum_score_e9
+       |FROM r JOIN sel USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The survivor-report plan shape over a gate table. */
+  private def survivorReport(gates: org.apache.spark.sql.DataFrame) =
+    gates
+      .filter(
+        col("gopher_keep") && col("c4_keep") && col("rep_keep") &&
+          col("tox_keep") && col("bucket").isNotNull
+      )
+      .groupBy(col("lang"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("kn_score_e9")).as("sum_score_e9")
+      )
+      .orderBy("lang", "bucket")
 
   val all: Seq[Q] = Seq(
     Q(
@@ -185,25 +192,39 @@ object CurationQ {
     Q(
       "t_toxicity",
       (s, d) =>
-        TextAnalysis.toxicityLogits(Tables.documents(s, d)).orderBy("doc_id"),
-      Some(
-        s"""WITH $toxCtes
-           |SELECT doc_id, n_feats,
-           |  ${TextAnalysis.ToxClasses.map(c => s"lt_$c, tox_$c").mkString(", ")},
-           |  tox_keep
-           |FROM tox ORDER BY doc_id""".stripMargin
-      ),
-      doc = "Toxicity/NSFW gate (the Jigsaw one-vs-rest shape): K linear " +
-        "heads over the SAME hashed-bigram features as the quality " +
-        "classifier — per doc, K exact integer milli-logit sums from ONE " +
-        "token scan + ONE doc-keyed partial-aggregable shuffle (the " +
-        "bucket hashes once; each head is one more literal-array lookup " +
-        "in the same codegen projection), flags at the published-" +
-        "threshold mean-evidence rule (multiplication-only integer " +
-        "compare, no division lane), and the conjunctive keep verdict. " +
-        "Weights are the md5 stand-in for a distilled moderation model " +
-        "— the deployment shape (broadcast literals in codegen) is " +
-        "identical. Oracle replays features, weights, and every flag."
+        graft.operators.TrainedClf
+          .toxicityScores(d, Tables.documents(s, d))
+          .orderBy("doc_id"),
+      Some {
+        import graft.operators.TrainedClf
+        val cols = TrainedClf.ToxClasses
+          .map { case (c, _) =>
+            s"MAX(CASE WHEN cls = '$c' THEN m END)::BIGINT AS m_$c, " +
+              s"(MAX(CASE WHEN cls = '$c' THEN m END) > 0) AS tox_$c"
+          }
+          .mkString(",\n|    ")
+        val keep = TrainedClf.ToxClasses
+          .map { case (c, _) => s"MAX(CASE WHEN cls = '$c' THEN m END) <= 0" }
+          .mkString(" AND ")
+        s"""WITH ${TrainedClf.replayCtes}
+           |SELECT f.doc_id, f.n_feats,
+           |    $cols,
+           |    ($keep) AS tox_keep
+           |FROM clnf f JOIN clms s ON f.doc_id = s.doc_id
+           |WHERE s.cls <> '${TrainedClf.QualityCls}'
+           |GROUP BY f.doc_id, f.n_feats ORDER BY f.doc_id""".stripMargin
+      },
+      doc = "Toxicity/NSFW gate (the Jigsaw one-vs-rest shape), now with " +
+        "TRAINED heads: K linear classifiers over hashed-bigram features, " +
+        "each trained by the integer-exact batch perceptron on a " +
+        "deterministic blocklist-distillation label (lexicon-share " +
+        "threshold per class), weights published as a fingerprinted " +
+        "asset and inlined as literal arrays in ONE codegen projection — " +
+        "K margins from one token scan + one doc-keyed partial-" +
+        "aggregable shuffle, flags at the classifier's own decision " +
+        "boundary (margin > 0). The oracle re-derives the labels, " +
+        "replays all training rounds, and re-scores — features, " +
+        "training, and deployment are all inside the hash gate."
     ),
     // ---- the curation funnel REPORT over the persisted gate-annotation
     // asset: all five per-doc verdict families (Gopher quality, C4,
@@ -216,38 +237,9 @@ object CurationQ {
       "pipe_curate_e2e",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        Curation
-          .gateAsset(d, docs)
-          .filter(
-            col("gopher_keep") && col("c4_keep") && col("rep_keep") &&
-              col("tox_keep") && col("bucket").isNotNull
-          )
-          .groupBy(col("lang"), col("bucket"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("kn_score_e9")).as("sum_score_e9")
-          )
-          .orderBy("lang", "bucket")
+        survivorReport(Curation.gateAsset(d, docs))
       },
-      Some(
-        s"""WITH ${Curation.gopherMetricCtes("documents")},
-           |${Curation.c4KeptCte},
-           |${Curation.repKeepCtes()},
-           |$toxCtes,
-           |sel AS (
-           |  SELECT m.doc_id FROM m JOIN k USING (doc_id) JOIN repk USING (doc_id)
-           |                         JOIN tox USING (doc_id)
-           |  WHERE ${Curation.gopherKeepSql} AND ${Curation.c4KeepSql} AND rep_keep
-           |        AND tox_keep
-           |),
-           |$pplCtes
-           |SELECT r.lang,
-           |  CASE (3 * (rn - 1)) // cnt WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
-           |       ELSE 'tail' END AS bucket,
-           |  COUNT(*) AS n_docs, SUM(kn_score_e9)::BIGINT AS sum_score_e9
-           |FROM r JOIN sel USING (doc_id)
-           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-      ),
+      Some(curateSurvivorOracleSql),
       doc = "The curation funnel survivor report: Gopher document rules " +
         "AND C4 line cleaning AND the Gopher repetition rules (n=5..10 " +
         "page coverage) AND the toxicity gate, intersected with the " +
@@ -261,6 +253,40 @@ object CurationQ {
         "later), so the gate changes which docs survive, not where the " +
         "tercile boundaries sit. Oracle composes the four families' " +
         "replay CTEs and re-derives the funnel from raw documents."
+    ),
+    // ---- the INCREMENTAL form of the gate asset on the oracle gate: the
+    // base asset exists for 4/5 of the corpus (fingerprint-cached); the
+    // last fifth arrives as a stream batch and folds in (pure statistics
+    // appended, corpus-relative legs re-derived from the folded
+    // statistics, crash-safe journaled swap) on a scratch copy. The
+    // report over the grown asset runs under pipe_curate_e2e's ORACLE —
+    // the fold is provably bit-indistinguishable from a wholesale
+    // rebuild over the full corpus.
+    Q(
+      "pipe_curate_fold",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus0 = docs.filter(col("doc_id") % 5 =!= 1)
+        val growth = docs.filter(col("doc_id") % 5 === 1)
+        val baseDir = Curation.ensureGateAsset(d, corpus0)
+        val dir = QueryScratch.dir("pipe_curate_fold") + "/asset"
+        graft.operators.Indexes.copyDir(baseDir, dir)
+        graft.streaming.CurationGateStream
+          .upsertBatch(growth, dir, batchId = 0L, compactAt = 1e-9)
+        survivorReport(graft.streaming.CurationGateStream.gates(s, dir))
+      },
+      Some(curateSurvivorOracleSql),
+      doc = "Streaming curation-gate fold on the oracle gate: base gate " +
+        "asset on 4/5 of the corpus, the last fifth folded in as a " +
+        "stream batch — per-doc pure statistics (gate verdicts, label " +
+        "ingredients, hashed bigram/token multisets) appended " +
+        "delta-only, the corpus-relative legs (KN scores, CCNet " +
+        "terciles, trained classifier heads) re-derived from the FOLDED " +
+        "statistics without re-reading any standing document's text, " +
+        "published via the crash-safe journaled swap. The survivor " +
+        "report over the grown asset hash-equals the wholesale " +
+        "full-corpus replay — the stream-grown asset is provably " +
+        "indistinguishable from a fresh build."
     ),
     // ---- FineWeb-style drop attribution over the CURATION gates, in
     // published order: toxicity/NSFW (the content blocklist runs FIRST
@@ -346,7 +372,7 @@ object CurationQ {
            |         ELSE '6_kept' END AS stage
            |  FROM documents d
            |  JOIN m USING (doc_id) JOIN k USING (doc_id) JOIN repk USING (doc_id)
-           |  JOIN tox USING (doc_id)
+           |  JOIN cltoxk USING (doc_id)
            |  LEFT JOIN r USING (doc_id) JOIN tr ON d.lang = tr.lang),
            |st(stage) AS (VALUES ('0_toxicity'), ('1_gopher'), ('2_repetition'), ('3_c4'),
            |                     ('4_ppl_tail'), ('5_temp'), ('6_kept')),

@@ -200,33 +200,85 @@ object TextQ {
     Q(
       "t_classifier_score",
       (s, d) =>
-        TextAnalysis
-          .classifierLogits(Tables.documents(s, d))
-          .withColumn("clf_keep", col("logit_milli") >= 0L)
+        graft.operators.TrainedClf
+          .qualityScores(d, Tables.documents(s, d))
           .orderBy("doc_id"),
       Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-           |bg AS (
-           |  SELECT doc_id, unnest(list_transform(
-           |    generate_series(1, greatest(len(tk) - 1, 1)),
-           |    i -> array_to_string(tk[i:i+1], ' '))) AS g
-           |  FROM t
-           |),
-           |f AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % ${TextAnalysis.ClfDim} AS j FROM bg),
-           |w AS (SELECT j, ((('0x' || substr(md5(j::VARCHAR || '#w'), 1, 15))::BIGINT % 2001) - 1000) AS wi
-           |      FROM (SELECT unnest(generate_series(0, ${TextAnalysis.ClfDim - 1})) AS j))
-           |SELECT f.doc_id, SUM(wi)::BIGINT AS logit_milli, COUNT(*)::BIGINT AS n_feats,
-           |       (SUM(wi) >= 0) AS clf_keep
-           |FROM f JOIN w ON f.j = w.j
-           |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+        s"""WITH ${graft.operators.TrainedClf.replayCtes}
+           |SELECT f.doc_id, m.m AS margin, f.n_feats, (m.m > 0) AS clf_keep
+           |FROM clnf f JOIN clms m
+           |  ON f.doc_id = m.doc_id AND m.cls = '${graft.operators.TrainedClf.QualityCls}'
+           |ORDER BY f.doc_id""".stripMargin
       ),
-      doc = "Trained-classifier quality scoring (fastText-style linear " +
-        "model over hashed bigram features): each word bigram hashes to " +
-        "one of 64 buckets, the document logit is the exact integer sum " +
-        "of md5-derived milli-weights — broadcast-literal weights inside " +
-        "one codegen projection, one doc-keyed partial-aggregable " +
-        "shuffle, and integer accumulation makes scores (not just keep " +
-        "flags) bit-checkable across engines."
+      doc = "Quality-classifier scoring with LEARNED weights (the " +
+        "fastText/DCLM shape): a linear head over hashed bigram " +
+        "features, trained by the integer-exact batch perceptron to " +
+        "distill the corpus-LM fluency signal, weights published as a " +
+        "fingerprinted asset and inlined as a literal array in one " +
+        "codegen projection — one doc-keyed partial-aggregable shuffle, " +
+        "and integer margins make scores (not just keep flags) " +
+        "bit-checkable. The oracle re-derives labels, replays training, " +
+        "and re-scores from raw text."
+    ),
+    // ---- the training run itself as an oracle-gated query: per head,
+    // the train-split label stats, class feature masses, and the learned
+    // weight vector's L1 mass and sum. The DuckDB side re-derives the
+    // labels and replays the closed-form training from raw text — a
+    // drift anywhere in featurization, labeling, or the weight formula
+    // changes some stat and breaks the hash. This is the bit-exactness
+    // proof that the distributed training pass is deterministic
+    // (partition-order-free integer aggregates).
+    Q(
+      "t_classifier_train",
+      (s, d) =>
+        graft.operators.TrainedClf
+          .historyTable(d, Tables.documents(s, d))
+          .select(
+            col("cls"),
+            col("n_train"),
+            col("n_pos"),
+            col("mass_pos"),
+            col("mass_neg"),
+            col("w_l1"),
+            col("w_sum")
+          )
+          .orderBy("cls"),
+      Some(graft.operators.TrainedClf.historyOracleSql),
+      doc = "The classifier TRAINING run, oracle-gated: per head — " +
+        "train-split size and positive count, per-class feature masses, " +
+        "and the learned rate-difference weight vector's L1 mass and sum " +
+        "— read from the published fingerprinted weights asset. Training " +
+        "is two associative integer aggregates, so the distributed run " +
+        "is bit-reproducible on any partitioning; the oracle replays it " +
+        "from raw text and must land on identical weights."
+    ),
+    // ---- held-out evaluation of the trained heads: per-class confusion
+    // counts on the val+test splits — the honest report of what the
+    // distillation bought (and the guard that training didn't memorize
+    // its way to a vacuous gate).
+    Q(
+      "t_classifier_eval",
+      (s, d) =>
+        graft.operators.TrainedClf
+          .heldOutEval(d, Tables.documents(s, d))
+          .orderBy("cls"),
+      Some {
+        import graft.operators.TrainedClf
+        s"""WITH ${TrainedClf.replayCtes}
+           |SELECT y.cls,
+           |  COUNT(*) FILTER (y.y = 1 AND m.m > 0)::BIGINT AS tp,
+           |  COUNT(*) FILTER (y.y = 0 AND m.m > 0)::BIGINT AS fp,
+           |  COUNT(*) FILTER (y.y = 1 AND m.m <= 0)::BIGINT AS fn,
+           |  COUNT(*) FILTER (y.y = 0 AND m.m <= 0)::BIGINT AS tn
+           |FROM clyl y JOIN clms m ON y.cls = m.cls AND y.doc_id = m.doc_id
+           |WHERE ('0x' || substr(md5(y.doc_id::VARCHAR), 1, 15))::BIGINT % 100 >= 80
+           |GROUP BY y.cls ORDER BY y.cls""".stripMargin
+      },
+      doc = "Held-out evaluation of the trained classifier heads: " +
+        "per-class confusion counts (tp/fp/fn/tn) over the val+test " +
+        "splits — documents the training never saw. One scoring pass + " +
+        "one labeling pass; every count bit-checked against the oracle's " +
+        "independent replay."
     ),
     Q(
       "t_tokcount",

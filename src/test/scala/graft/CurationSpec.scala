@@ -310,41 +310,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got === ref)
   }
 
-  test("toxicity: logits equal the documented md5 formula; flags at the exact integer boundary") {
-    import graft.operators.TextAnalysis
-    import graft.functions.Md5Exprs
+  test("toxicity gate: trained-head flags at margin > 0; single-token docs never vanish") {
+    // the md5 stand-in weights are gone — head correctness is pinned by
+    // TrainedClfSpec (driver-replayed perceptron) and the t_toxicity
+    // oracle (full training replay). This pins the GATE shape on a tiny
+    // frame: every doc gets a row (the >=1-shingle contract), flags are
+    // the classifier's own margin > 0 boundary, keep is the conjunction.
     val d = docs(
       1L -> "aa bb cc dd",
       2L -> "xx" // single token: one whole-list shingle, never vanishes
     )
-    val got = TextAnalysis
-      .toxicityLogits(d)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_toxgate").toString
+    val got = graft.operators.TrainedClf
+      .toxicityScores(tmp, d)
       .collect()
       .map(r => r.getLong(0) -> r)
       .toMap
-    // reference: recompute each head from the same public derivation
-    def bigrams(toks: Seq[String]): Seq[String] =
-      if (toks.length < 2) Seq(toks.mkString(" "))
-      else toks.sliding(2).map(_.mkString(" ")).toSeq
-    for ((id, text) <- Seq(1L -> "aa bb cc dd", 2L -> "xx")) {
-      val gs = bigrams(text.split(" ").toSeq.filter(_.length > 1))
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L).getAs[Long]("n_feats") === 3L)
+    assert(got(2L).getAs[Long]("n_feats") === 1L)
+    Seq(1L, 2L).foreach { id =>
       val r = got(id)
-      assert(r.getAs[Long]("n_feats") === gs.length.toLong)
-      TextAnalysis.ToxClasses.foreach { cls =>
-        val w = TextAnalysis.toxWeightsMilli(cls)
-        val expect = gs.map { g =>
-          val j = java.lang.Math.floorMod(
-            Md5Exprs.md5Top60(g.getBytes("UTF-8")), TextAnalysis.ClfDim.toLong)
-          w(j.toInt)
-        }.sum
-        assert(r.getAs[Long](s"lt_$cls") === expect, s"doc $id head $cls")
-        // the flag is the multiplication-only integer boundary rule
-        val flagged =
-          expect * 1000L >= TextAnalysis.ToxThresholdMicro * gs.length
-        assert(r.getAs[Boolean](s"tox_$cls") === flagged)
+      graft.operators.TrainedClf.ToxClasses.foreach { case (cls, _) =>
+        assert(r.getAs[Boolean](s"tox_$cls") === (r.getAs[Long](s"m_$cls") > 0L))
       }
-      val anyFlag = TextAnalysis.ToxClasses
-        .exists(c => got(id).getAs[Boolean](s"tox_$c"))
+      val anyFlag = graft.operators.TrainedClf.ToxClasses
+        .exists { case (c, _) => r.getAs[Boolean](s"tox_$c") }
       assert(r.getAs[Boolean]("tox_keep") === !anyFlag)
     }
   }

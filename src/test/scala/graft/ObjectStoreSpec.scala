@@ -101,6 +101,54 @@ class ObjectStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("asset publication on the remote scheme: marker-commit build + pointer-committed compaction") {
+    import graft.operators.Indexes
+    val base = "slowfs:" +
+      java.nio.file.Files.createTempDirectory("graft_slowfs_asset").toString + "/asset"
+    var builds = 0
+    // BUILD: atomicBuild dispatches to the marker mode on a scheme'd dir —
+    // objects land under the FINAL prefix (no temp dir, no directory
+    // rename), the completion marker is the read barrier
+    Indexes.atomicBuild(base, "grams/_SUCCESS") { d =>
+      builds += 1
+      assert(d === base, "object-store build must write the final prefix directly")
+      (1 to 10).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/grams")
+    }
+    assert(builds === 1)
+    // idempotent: the marker gates a replay
+    Indexes.atomicBuild(base, "grams/_SUCCESS")(_ => builds += 1)
+    assert(builds === 1)
+    // pre-generation resolution: the plain subdir
+    assert(Indexes.liveDir(base, "grams") === s"$base/grams")
+    assert(spark.read.parquet(Indexes.liveDir(base, "grams")).count() === 10)
+
+    // COMPACTION SWAP: fold a delta into a fully-written generation dir,
+    // then commit by REPLACING the single pointer object — the only
+    // atomic primitive assumed; no directory rename anywhere
+    (11 to 15).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/delta")
+    spark.read.parquet(s"$base/grams")
+      .unionByName(spark.read.parquet(s"$base/delta"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/grams.g-2")
+    Indexes.commitSwapMarker(base, "2", Seq("grams"))
+    assert(Indexes.liveDir(base, "grams") === s"$base/grams.g-2")
+    assert(spark.read.parquet(Indexes.liveDir(base, "grams")).count() === 15)
+    // the old layout and the folded delta are swept after the commit
+    val left = new java.io.File(base.stripPrefix("slowfs:")).listFiles().map(_.getName).toSet
+    assert(!left.contains("grams") && !left.contains("delta"), left.toString)
+    assert(left.contains("grams.g-2") && left.contains("generation"))
+
+    // a second swap sweeps the previous generation
+    spark.read.parquet(s"$base/grams.g-2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/grams.g-3")
+    Indexes.commitSwapMarker(base, "3", Seq("grams"))
+    assert(Indexes.liveDir(base, "grams") === s"$base/grams.g-3")
+    val left2 = new java.io.File(base.stripPrefix("slowfs:")).listFiles().map(_.getName).toSet
+    assert(!left2.contains("grams.g-2"), left2.toString)
+    assert(spark.read.parquet(Indexes.liveDir(base, "grams")).count() === 15)
+  }
+
   test("task-committed sink + streaming walk round-trip through a conf-resolved remote scheme") {
     val dir = slowDir("sink")
     SlowFs.reset()

@@ -56,6 +56,19 @@ class PlanSpec extends AnyFunSuite {
       "pipe_curate_e2e must not re-scan the corpus:\n" + plan.take(1500))
   }
 
+  test("cleaning funnel reports read the persisted cleaning-gate asset, zero corpus scans") {
+    // t_drop_reasons / t_clean_pipeline / t_datacard share ONE per-doc
+    // annotation asset; a live re-derivation would plan the dedup
+    // components walk + classifier aggregate from documents.parquet
+    Seq("t_drop_reasons", "t_clean_pipeline", "t_datacard").foreach { q =>
+      val plan = physical(q)
+      assert(plan.contains("cleaning-gates"),
+        s"$q must read the cleaning-gate asset:\n" + plan.take(1500))
+      assert(!plan.contains("documents.parquet"),
+        s"$q must not re-scan the corpus:\n" + plan.take(1500))
+    }
+  }
+
   test("q6: filters are pushed to the parquet scan") {
     val plan = physical("q6_filter_agg")
     // the plan string truncates the PushedFilters list, so check its prefix
@@ -210,14 +223,16 @@ class PlanSpec extends AnyFunSuite {
     )
   }
 
-  test("clean pipeline: quality + language gates evaluate in the scan stage (no extra shuffle)") {
+  test("clean pipeline: one asset scan, gates pushed to it, no join and no hash shuffle") {
+    // since the cleaning-gate asset landed, the steady-state query is a
+    // filter+sort over ONE parquet read: every gate predicate must reach
+    // the scan as a pushed filter, and nothing may join or hash-shuffle
+    // (the dedup/classifier derivations live in the asset build)
     val plan = physical("t_clean_pipeline")
-    // the content-hash dedup aggregate (groupBy+join since r10 — no
-    // window) and the final sort are the only wide operations; the
-    // semi-join against canonical ids must broadcast
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"))
+    assert(plan.contains("PushedFilters: [IsNotNull"), plan.take(1500))
+    assert(!plan.contains("Join"), "no join in the asset-read plan:\n" + plan.take(1500))
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges <= 3, s"pipeline should add no shuffles beyond dedup agg + semi-join:\n${plan.take(2000)}")
+    assert(exchanges === 0, s"only the final range sort may exchange:\n${plan.take(2000)}")
   }
 
   test("banded range join plans as an equi-join, not a nested loop") {

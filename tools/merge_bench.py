@@ -34,6 +34,12 @@ def main() -> None:
         # round comparisons divide by min(calib) to remove host contention
         merged["calib"] = calibs
         merged["calib_min"] = min(calibs)
+    # output-rows denominators for output-bound diagnostics (identical
+    # across same-code sweeps; first sweep carrying them wins)
+    for s in sweeps:
+        if "outrows" in s:
+            merged["outrows"] = s["outrows"]
+            break
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1)
     print(out_path, merged["value"], merged["nqueries"])
