@@ -822,22 +822,23 @@ object Curation {
       doctoks: DataFrame,
       shards: Int = 32
   ): DataFrame = {
-    // KN leg: the corpus statistics are aggregates of the occurrence
-    // multiset; per-doc scores weight each distinct bigram by occ —
-    // identical totals to the per-occurrence formulation
+    // KN + LM legs in ONE pass: both scores weight each distinct bigram
+    // by occ against corpus aggregates of the same multiset — identical
+    // totals to the per-occurrence formulations, one join chain + one
+    // per-doc aggregate instead of two
     val cxy = docstats.groupBy(col("bgh")).agg(sum(col("occ")).as("c_xy"))
     val cx = docstats
       .groupBy(col("w1h"))
       .agg(sum(col("occ")).as("c_x"), countDistinct(col("w2h")).as("n1f"))
     val bw = docstats.groupBy(col("w2h")).agg(countDistinct(col("w1h")).as("n1b"))
     val nt = docstats.select(countDistinct(col("bgh")).as("n_types"))
-    val statJoined = docstats
+    val cxTok = doctoks.groupBy(col("wh")).agg(sum(col("occ")).as("c_x_tok"))
+    val scored = docstats
       .join(cxy, Seq("bgh"))
       .join(broadcast(cx), Seq("w1h"))
       .join(broadcast(bw), Seq("w2h"))
+      .join(broadcast(cxTok), docstats("w1h") === cxTok("wh"))
       .crossJoin(broadcast(nt))
-      .localCheckpoint()
-    val kn = statJoined
       .groupBy(col("doc_id"))
       .agg(
         sum(col("occ")).cast("long").as("n_bigrams"),
@@ -848,15 +849,23 @@ object Curation {
             expr(
               "(CAST(750000000 AS DECIMAL(38,0)) * n1f * n1b) div (CAST(c_x AS DECIMAL(38,0)) * n_types)"
             ))
-        ).as("sc")
+        ).as("knsc"),
+        sum(col("occ") * expr("(c_xy * 1000000) div c_x_tok")).as("lmsc")
       )
-      .select(col("doc_id"), expr("sc div n_bigrams").as("kn_score_e9"))
+      .select(
+        col("doc_id"),
+        expr("knsc div n_bigrams").as("kn_score_e9"),
+        expr("lmsc div n_bigrams").as("lm_score_e6")
+      )
+      .localCheckpoint()
     val buck = bucketize(
-      puregates.select(col("doc_id"), col("lang")).join(kn, Seq("doc_id")),
+      puregates
+        .select(col("doc_id"), col("lang"))
+        .join(scored.select(col("doc_id"), col("kn_score_e9")), Seq("doc_id")),
       shards
     )
     // classifier legs: features j = bgh mod Dim (the scoring path's own
-    // hash), LM label from the same bigram stats + the token unigrams
+    // hash), LM label from the shared scored frame
     val feats = docstats
       .groupBy(
         col("doc_id"),
@@ -864,19 +873,9 @@ object Curation {
       )
       .agg(sum(col("occ")).as("cnt"))
       .localCheckpoint()
-    val cxTok = doctoks.groupBy(col("wh")).agg(sum(col("occ")).as("c_x"))
-    val lm = docstats
-      .join(cxy, Seq("bgh"))
-      .join(broadcast(cxTok), docstats("w1h") === cxTok("wh"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("occ")).as("n_bigrams"),
-        sum(col("occ") * expr("(c_xy * 1000000) div c_x")).as("sc")
-      )
-      .select(col("doc_id"), expr("sc div n_bigrams").as("lm_score_e6"))
     val labs = TrainedClf.labelsFromStats(
       puregates.select(col("doc_id")),
-      lm,
+      scored.select(col("doc_id"), col("lm_score_e6")),
       puregates
     )
     val isTrain = Split.splitLabel(col("doc_id")) === "train"

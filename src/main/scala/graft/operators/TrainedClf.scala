@@ -251,7 +251,7 @@ object TrainedClf {
   /** Contract-version salt of the published weights asset. */
   private def params =
     s"dim=$Dim,lex=$LexMod,rate=$RateScale," +
-      ToxClasses.map { case (c, t) => s"$c=$t" }.mkString(",") + ",v=2"
+      ToxClasses.map { case (c, t) => s"$c=$t" }.mkString(",") + ",v=3"
 
   /** Build-once publication of the trained weights + training summary
     * under the [[Indexes]] fingerprint contract. `weights/` is long-form
@@ -269,6 +269,12 @@ object TrainedClf {
         .toDF("cls", "j", "w")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/weights")
+      // held-out evaluation computed AT TRAINING TIME and published with
+      // the model — the report a release ships beside its weights, read
+      // (not re-derived) by t_classifier_eval
+      evalFrame(docs, w.map { case (c, a) => c -> (a.toIndexedSeq: IndexedSeq[Long]) })
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/eval")
       hist
         .map(h => (h.cls, h.nTrain, h.nPos, h.massPos, h.massNeg, h.wL1, h.wSum))
         .toDF("cls", "n_train", "n_pos", "mass_pos", "mass_neg", "w_l1", "w_sum")
@@ -352,11 +358,13 @@ object TrainedClf {
 
   /** Held-out evaluation: per-class confusion counts over the non-train
     * splits — the honest report of what distillation bought. One scoring
-    * pass + one labels pass, joined on doc_id.
+    * pass + one labels pass, joined on doc_id. Computed once at training
+    * time and PUBLISHED in the weights asset ([[ensureWeightsAsset]]);
+    * [[heldOutEval]] reads it.
     */
-  def heldOutEval(sfDir: String, docs: DataFrame): DataFrame = {
+  private def evalFrame(docs: DataFrame, w: Map[String, IndexedSeq[Long]]): DataFrame = {
     val held = docs.filter(Split.splitLabel(col("doc_id")) =!= "train")
-    val m = margins(held, weightsFor(sfDir, docs))
+    val m = margins(held, w)
     val preds = AllClasses.map { cls =>
       m.select(col("doc_id"), lit(cls).as("cls"), (col(s"m_$cls") > 0L).cast("int").as("pred"))
     }.reduce(_ unionByName _)
@@ -373,6 +381,10 @@ object TrainedClf {
         sum((col("y") === 0 && col("pred") === 0).cast("long")).as("tn")
       )
   }
+
+  /** The published held-out evaluation (the t_classifier_eval read side). */
+  def heldOutEval(sfDir: String, docs: DataFrame): DataFrame =
+    docs.sparkSession.read.parquet(s"${ensureWeightsAsset(sfDir, docs)}/eval")
 
   // ------------------------------------------------------- DuckDB replay
 

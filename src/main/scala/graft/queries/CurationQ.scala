@@ -266,8 +266,8 @@ object CurationQ {
       "pipe_curate_fold",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val corpus0 = docs.filter(col("doc_id") % 5 =!= 1)
-        val growth = docs.filter(col("doc_id") % 5 === 1)
+        val corpus0 = docs.filter(col("doc_id") % 10 =!= 1)
+        val growth = docs.filter(col("doc_id") % 10 === 1)
         val baseDir = Curation.ensureGateAsset(d, corpus0)
         val dir = QueryScratch.dir("pipe_curate_fold") + "/asset"
         graft.operators.Indexes.copyDir(baseDir, dir)

@@ -276,9 +276,11 @@ object TextQ {
       },
       doc = "Held-out evaluation of the trained classifier heads: " +
         "per-class confusion counts (tp/fp/fn/tn) over the val+test " +
-        "splits — documents the training never saw. One scoring pass + " +
-        "one labeling pass; every count bit-checked against the oracle's " +
-        "independent replay."
+        "splits — documents the training never saw. Computed once at " +
+        "training time and published IN the weights asset (a release " +
+        "ships its eval beside its model); the query reads the published " +
+        "report, and every count is bit-checked against the oracle's " +
+        "independent from-raw-text replay."
     ),
     Q(
       "t_tokcount",
