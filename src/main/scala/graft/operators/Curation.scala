@@ -833,11 +833,20 @@ object Curation {
     val bw = docstats.groupBy(col("w2h")).agg(countDistinct(col("w1h")).as("n1b"))
     val nt = docstats.select(countDistinct(col("bgh")).as("n_types"))
     val cxTok = doctoks.groupBy(col("wh")).agg(sum(col("occ")).as("c_x_tok"))
+    // cxTok joins LEFT: the LM label's unigram denominator exists only
+    // for bigrams whose context word is a real token of some document.
+    // The one case where it is absent is the degenerate empty-token-list
+    // doc (its single kernel shingle has no unigram) — an INNER join here
+    // would silently drop that doc from the KN leg too, costing it its
+    // tercile bucket and breaking the funnel's every-doc-keeps-a-row
+    // invariant (the pre-merge two-pass form scored KN without cxTok).
+    // The LM aggregate therefore carries its own denominator over the
+    // matched rows only — identical to the two-pass INNER formulation.
     val scored = docstats
       .join(cxy, Seq("bgh"))
       .join(broadcast(cx), Seq("w1h"))
       .join(broadcast(bw), Seq("w2h"))
-      .join(broadcast(cxTok), docstats("w1h") === cxTok("wh"))
+      .join(broadcast(cxTok), docstats("w1h") === cxTok("wh"), "left")
       .crossJoin(broadcast(nt))
       .groupBy(col("doc_id"))
       .agg(
@@ -850,12 +859,15 @@ object Curation {
               "(CAST(750000000 AS DECIMAL(38,0)) * n1f * n1b) div (CAST(c_x AS DECIMAL(38,0)) * n_types)"
             ))
         ).as("knsc"),
+        sum(when(col("c_x_tok").isNotNull, col("occ")).otherwise(lit(0L)))
+          .cast("long")
+          .as("n_lm"),
         sum(col("occ") * expr("(c_xy * 1000000) div c_x_tok")).as("lmsc")
       )
       .select(
         col("doc_id"),
         expr("knsc div n_bigrams").as("kn_score_e9"),
-        expr("lmsc div n_bigrams").as("lm_score_e6")
+        expr("case when n_lm > 0 then lmsc div n_lm end").as("lm_score_e6")
       )
       .localCheckpoint()
     val buck = bucketize(
@@ -873,9 +885,14 @@ object Curation {
       )
       .agg(sum(col("occ")).as("cnt"))
       .localCheckpoint()
+    // NULL-LM rows (degenerate docs) stay OUT of the label frame: the
+    // quality label's corpus mean divides by the frame's ROW count, and
+    // the two-pass formulation's lm frame had no row for them at all.
     val labs = TrainedClf.labelsFromStats(
       puregates.select(col("doc_id")),
-      scored.select(col("doc_id"), col("lm_score_e6")),
+      scored
+        .filter(col("lm_score_e6").isNotNull)
+        .select(col("doc_id"), col("lm_score_e6")),
       puregates
     )
     val isTrain = Split.splitLabel(col("doc_id")) === "train"
@@ -929,7 +946,11 @@ object Curation {
       // v3: gate verdicts derived via the foldable sufficient-statistics
       // layout (puregates/docstats/doctoks + deriveGates); toxicity =
       // the TRAINED one-vs-rest heads
-      "v=3")
+      // v4: deriveGates scores the KN leg with a LEFT cxTok join, so a
+      // degenerate empty-token doc keeps its tercile bucket (identical
+      // bits on any corpus without such docs; the salt invalidates assets
+      // a v3 build left with a NULL bucket)
+      "v=4")
     graft.operators.Indexes.atomicBuild(dir, "gates/_SUCCESS") { tmp =>
       val spark = docs.sparkSession
       val (pg, ds, dt) = pureStats(docs)
