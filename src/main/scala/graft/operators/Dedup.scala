@@ -692,6 +692,22 @@ object Dedup {
       blockCol: String,
       threshold: Double,
       shingleK: Int = 2
+  ): DataFrame =
+    ngramJaccardPairsBlocked(docs, blockCol, threshold, shingleK)
+      .select(col("a_id"), col("b_id"), col("jacc"))
+
+  /** [[ngramJaccardPairs]] with the pair's block value carried to the
+    * output (`a_id, b_id, blk, jacc`; pairs are same-block by
+    * construction, so one column covers both sides). [[lshEval]] consumes
+    * this form directly — the confusion matrix is per block, and carrying
+    * `blk` from the candidate join costs nothing while a join back to a
+    * (doc_id → block) side would re-scan the corpus projection.
+    */
+  def ngramJaccardPairsBlocked(
+      docs: DataFrame,
+      blockCol: String,
+      threshold: Double,
+      shingleK: Int = 2
   ): DataFrame = {
     val hashed = docs.select(
       col("doc_id"),
@@ -722,6 +738,19 @@ object Dedup {
         "pref",
         slice(col("by_df"), lit(1), (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
       )
+      // Materialized ONCE (eager): the plan below references this frame
+      // four times (prefix self-join l/r + verification join sa/sb), and
+      // its subtree is the harness's whole per-doc derivation — tokenize →
+      // shingle → hash → df join → per-doc re-aggregation, itself reading
+      // the exploded shingle table twice. Unbroken lineage re-runs that
+      // chain per reference (exchange reuse only collapses the two
+      // IDENTICAL self-join sides, not the differently-projected
+      // candidate vs verification legs). State is one row per doc with
+      // its hashed shingle arrays — bounded by the harness contract: the
+      // exact-truth leg is declared quadratic-within-block and runs on
+      // block samples at scale (lshEvalSampled), so the checkpointed
+      // universe is sample-sized, same discipline as knScores' bg table.
+      .localCheckpoint(true)
     val prefEx = ranked.select(
       col("doc_id"),
       col("blk"),
@@ -737,7 +766,7 @@ object Dedup {
           col("l.sz").cast("double") >= col("r.sz") * threshold &&
           col("r.sz").cast("double") >= col("l.sz") * threshold
       )
-      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"), col("l.blk").as("blk"))
       .distinct()
     val sets = ranked.select(col("doc_id"), col("sh"))
     // jacc >= t stays INSIDE the join condition, last conjunct: as a
@@ -754,6 +783,7 @@ object Dedup {
       .select(
         col("a_id"),
         col("b_id"),
+        col("blk"),
         jaccardSortedLong(col("sa.sh"), col("sb.sh")).as("jacc")
       )
   }
@@ -805,8 +835,11 @@ object Dedup {
       threshold: Double = JaccardThreshold
   ): DataFrame = {
     val blocks = docs.select(col("doc_id"), col(blockCol).as("blk"))
-    val truth = ngramJaccardPairs(docs, blockCol, threshold)
-      .join(blocks.as("tb"), col("a_id") === col("tb.doc_id"))
+    // blk rides out of the truth harness itself (pairs are same-block by
+    // construction) — no join back to a (doc_id → block) projection, which
+    // would cost another corpus scan + shuffle join just to re-derive a
+    // value the candidate stage already had.
+    val truth = ngramJaccardPairsBlocked(docs, blockCol, threshold)
       .select(col("a_id"), col("b_id"), col("blk"), lit(1L).as("is_truth"))
     // candidate pairs restricted to the truth leg's pair universe (same
     // block): cross-block collisions are out of scope for the recall
