@@ -12,7 +12,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,7 +20,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Local-iteration conf overrides (semicolon-separated k=v pairs), for
+    // A/B-ing session settings without a code edit. The driver sets no
+    // overrides, so the benched defaults above ARE the measured config —
+    // this knob exists to MEASURE candidate defaults, not to ship them.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
+      _.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed harness warmup: spin up the executor pool, codegen compiler,
     // shuffle machinery, and parquet reader once, so the first measured
